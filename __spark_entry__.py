@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship point-in-time feature pipeline at sf0.001.
+queries()         — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()      — DuckDB-equivalent SQL for each query.
+
+Conventions shared by queries and oracles so value-hashes line up:
+* timestamps are emitted as epoch-microsecond bigints (ts_us / matched_ts_us);
+* derived doubles are rounded to 4 decimals on BOTH sides;
+* token tables are derived deterministically from the driver parquet with
+  integer arithmetic evaluated identically by Spark and DuckDB
+  (nyxus_spark/sources/tables.py — SQL twins live next to the Spark exprs).
 """
 
 from __future__ import annotations
@@ -14,25 +19,294 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: as-of join + first-order feature vectors
+# ---------------------------------------------------------------------------
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Probes as-of joined to versioned token sequences, then the first-order
+    feature kernel over the matched token arrays (SURVEY.md §7 v0.1 slice)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.operators import asof_join
+    from nyxus_spark.sources import probes, tokens_versions
+
+    sf_dir = "/root/testdata/sf0.001"
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "tokens", "n_tok", "source")
+    p = probes(spark, sf_dir)
+    matched = asof_join(p, v).filter(F.col("tokens").isNotNull())
+    feats = extract_features(matched, ["*ALL_INTENSITY*"], keep_tokens=False)
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-expression first-order aggregates + order-sensitive token digest
+    (token-array equality proxy, BASELINE.md 'token-array parity')."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        "n_tok",
+        F.array_min("tokens").alias("tok_min"),
+        F.array_max("tokens").alias("tok_max"),
+        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, n_tok), (t, i) -> cast(t as bigint) * i),"
+            " 0L, (a, x) -> a + x) % 1000003"
+        ).alias("tok_digest"),
+        "source",
+    )
+
+
+def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source prescan aggregates (broadcast dim analog of SlideProps,
+    /root/reference/src/nyx/slideprops.h:6-76, workflow_2d_segmented.cpp:175-205)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir)
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min(F.array_min("tokens")).alias("src_min"),
+        F.max(F.array_max("tokens")).alias("src_max"),
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship sorted-merge as-of join (union_window strategy)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import asof_join
+    from nyxus_spark.sources import probes, tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok", "source")
+    p = probes(spark, sf_dir)
+    out = asof_join(p, v)
+    return out.select(
+        "doc_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+        "n_tok",
+        F.col("source").alias("matched_source"),
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (gap = 1h) over the raw event stream."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id"
+    )
+    return sessionize(ev, 3600.0).select("doc_id", "event_id", "session_id")
+
+
+def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/LOCF window features over the event stream."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import with_lags, with_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("purchase_value"),
+    )
+    out = with_locf(with_lags(ev, ["purchase_value"], [1]), ["purchase_value"])
+    return out.select(
+        "doc_id",
+        "event_id",
+        F.round("lag_purchase_value_1", 4).alias("lag_v1"),
+        F.round("lead_purchase_value_1", 4).alias("lead_v1"),
+        F.round("purchase_value_locf", 4).alias("locf_v"),
+    )
+
+
+def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine feature kernel (mapInPandas, segment-vectorized) on the static
+    corpus; SQL-expressible subset checked against a from-scratch DuckDB
+    reimplementation of the same nyxus semantics."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir)
+    feats = extract_features(
+        t,
+        ["MIN", "MAX", "RANGE", "MEAN", "MEDIAN", "MODE", "VARIANCE", "ENERGY",
+         "ENTROPY", "UNIFORMITY", "INTEGRATED_INTENSITY"],
+        keep_tokens=False,
+    )
+    out = feats.filter(F.col("RANGE") > 0).select(
+        "doc_id",
+        F.col("MIN").cast("long").alias("tok_min"),
+        F.col("MAX").cast("long").alias("tok_max"),
+        F.round("MEAN", 4).alias("mean_tok"),
+        F.round("MEDIAN", 4).alias("median_tok"),
+        F.col("MODE").cast("long").alias("mode_tok"),
+        F.round("VARIANCE", 4).alias("var_tok"),
+        F.col("ENERGY").cast("long").alias("energy_tok"),
+        F.round("ENTROPY", 4).alias("entropy_tok"),
+        F.round("UNIFORMITY", 4).alias("uniformity_tok"),
+        F.col("INTEGRATED_INTENSITY").cast("long").alias("sum_tok"),
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokens_basic": _q_tokens_basic,
+        "prescan_sources": _q_prescan_sources,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "lag_lead_locf": _q_lag_lead_locf,
+        "firstorder": _q_firstorder,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB). Token-table CTEs are imported from the single source
+# of truth in nyxus_spark/sources/tables.py.
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nyxus_spark.sources.tables import SQL_PROBES, SQL_TOKENS_STATIC, SQL_VERSIONS
+
+    return {
+        "tokens_basic": f"""
+WITH {SQL_TOKENS_STATIC}
+SELECT doc_id, n_tok,
+       list_min(tokens) AS tok_min,
+       list_max(tokens) AS tok_max,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+             (SELECT unnest(tokens) AS t, unnest(range(1, len(tokens)+1)) AS ord) u)
+            % 1000003 AS BIGINT) AS tok_digest,
+       source
+FROM tokens_static
+""",
+        "prescan_sources": f"""
+WITH {SQL_TOKENS_STATIC}
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(list_min(tokens)) AS src_min,
+       MAX(list_max(tokens)) AS src_max
+FROM tokens_static GROUP BY source
+""",
+        "asof_join": f"""
+WITH {SQL_VERSIONS}, {SQL_PROBES}
+SELECT p.doc_id, p.event_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(v.ts) AS matched_ts_us,
+       v.n_tok,
+       v.source AS matched_source
+FROM probes p ASOF LEFT JOIN versions v
+  ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
+        "sessionize": """
+WITH flags AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+              THEN 1 ELSE 0 END AS f
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT doc_id, event_id,
+       CAST(SUM(f) OVER (PARTITION BY doc_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+FROM flags
+""",
+        "lag_lead_locf": """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv
+  FROM events
+)
+SELECT doc_id, event_id,
+       round(CAST(lag(pv) OVER w AS DOUBLE), 4) AS lag_v1,
+       round(CAST(lead(pv) OVER w AS DOUBLE), 4) AS lead_v1,
+       round(CAST(last_value(pv IGNORE NULLS) OVER
+             (PARTITION BY doc_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS locf_v
+FROM ev
+WINDOW w AS (PARTITION BY doc_id ORDER BY ts)
+""",
+        "firstorder": f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, unnest(tokens) AS t FROM tokens_static
+),
+stats AS (
+  SELECT doc_id,
+         COUNT(*) AS n,
+         MIN(t) AS mn, MAX(t) AS mx,
+         CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(t AS BIGINT)*CAST(t AS BIGINT)) AS BIGINT) AS e,
+         AVG(CAST(t AS DOUBLE)) AS mean_t,
+         median(t) AS med,
+         var_samp(CAST(t AS DOUBLE)) AS v
+  FROM flat GROUP BY doc_id
+),
+modes AS (
+  SELECT doc_id, t AS mode_t FROM (
+    SELECT doc_id, t, COUNT(*) AS c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, t ASC) AS rn
+    FROM flat GROUP BY doc_id, t) WHERE rn = 1
+),
+binned AS (
+  SELECT f.doc_id,
+         LEAST(CAST(FLOOR(CAST(f.t - s.mn AS DOUBLE) / (s.mx - s.mn) * 64.0) AS INTEGER), 63) AS b,
+         COUNT(*) AS c
+  FROM flat f JOIN stats s USING (doc_id)
+  WHERE s.mx > s.mn
+  GROUP BY 1, 2
+),
+hist AS (
+  SELECT b.doc_id,
+         -SUM((CAST(c AS DOUBLE)/s.n) * log2(CAST(c AS DOUBLE)/s.n + 2.2e-16)) AS ent,
+         SUM((CAST(c AS DOUBLE)/s.n) * (CAST(c AS DOUBLE)/s.n)) AS uni
+  FROM binned b JOIN stats s USING (doc_id)
+  GROUP BY b.doc_id, s.n
+)
+SELECT s.doc_id,
+       s.mn AS tok_min, s.mx AS tok_max,
+       round(s.mean_t, 4) AS mean_tok,
+       round(CAST(s.med AS DOUBLE), 4) AS median_tok,
+       m.mode_t AS mode_tok,
+       round(s.v, 4) AS var_tok,
+       s.e AS energy_tok,
+       round(h.ent, 4) AS entropy_tok,
+       round(h.uni, 4) AS uniformity_tok,
+       s.s AS sum_tok
+FROM stats s JOIN modes m USING (doc_id) JOIN hist h USING (doc_id)
+WHERE s.mx > s.mn
+""",
+    }

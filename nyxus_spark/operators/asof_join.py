@@ -1,0 +1,148 @@
+"""Point-in-time (as-of) join — the engine's flagship operator.
+
+Semantics: for each probe row (doc_id, ts) return the latest version row of
+the same doc_id with version.ts <= probe.ts (backward as-of; zero temporal
+leakage by construction). This is the 1-D analog of the reference's
+intensity↔mask / z-slice alignment (/root/reference/src/nyx/phase1.cpp:58-87,
+130-242) recast as the sorted-merge temporal join the north rule requires.
+
+Two physical strategies, identical results (cross-checked in tests):
+
+* ``union_window`` (default) — tag probes/versions, union, one shuffle on
+  doc_id, in-partition sort by (ts, tag), then last(ignorenulls) over an
+  unbounded-preceding window carries the latest version payload onto each
+  probe row. 100 % JVM (whole-stage codegen window), exactly one shuffle of
+  probes+versions combined; AQE splits skewed doc_ids' *shuffle blocks*, and
+  hot keys can additionally be handled with the time-bucket pre-split below.
+
+* ``cogroup_merge`` — groupBy(doc_id).cogroup(...).applyInPandas with
+  pandas.merge_asof per co-group: the literal "sorted-merge" kernel. Arrow
+  batches both sides; useful when per-group custom logic (tolerances,
+  nearest/forward direction) is needed.
+
+Scale note (100 TB): both strategies shuffle each side once on the join key.
+The union_window plan avoids Python entirely and benefits from Tungsten sort;
+prefer it unless direction/tolerance options force merge_asof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    versions: DataFrame,
+    on: str = "doc_id",
+    ts_col: str = "ts",
+    strategy: str = "union_window",
+    version_prefix: str = "",
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """Backward as-of join of `probes` (left) to `versions` (right).
+
+    Returns probe columns + matched version payload columns (version ts is
+    exposed as ``matched_ts``; payload columns optionally prefixed). Probes
+    with no version at or before their ts keep nulls.
+    """
+    clash = (set(_payload_cols(versions, on, ts_col)) if not version_prefix else set()) & {
+        c for c in probes.columns if c not in (on, ts_col)
+    }
+    if clash:
+        raise ValueError(
+            f"version payload collides with probe columns {sorted(clash)}; pass version_prefix"
+        )
+    if strategy == "union_window":
+        return _asof_union_window(probes, versions, on, ts_col, version_prefix, tolerance_sec)
+    if strategy == "cogroup_merge":
+        return _asof_cogroup_merge(probes, versions, on, ts_col, version_prefix, tolerance_sec)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _payload_cols(versions: DataFrame, on: str, ts_col: str) -> list[str]:
+    return [c for c in versions.columns if c not in (on, ts_col)]
+
+
+def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec):
+    pay = _payload_cols(versions, on, ts_col)
+    probe_extra = [c for c in probes.columns if c not in (on, ts_col)]
+
+    v = versions.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        F.col(ts_col).alias("__vts"),
+        *[F.col(c).alias(f"__v_{c}") for c in pay],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probe_extra],
+    )
+    p = probes.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(versions.schema[ts_col].dataType).alias("__vts"),
+        *[F.lit(None).cast(versions.schema[c].dataType).alias(f"__v_{c}") for c in pay],
+        *probe_extra,
+    )
+    u = v.unionByName(p)
+    # versions sort before probes at equal ts → a version AT the probe ts is
+    # visible (as-of uses <=), never a later one (zero leakage).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in pay]
+    matched_ts = F.last("__vts", ignorenulls=True).over(w).alias("matched_ts")
+    out = (
+        u.select(F.col(on), F.col(ts_col), F.col("__tag"), *probe_extra, matched_ts, *carried)
+        .filter(F.col("__tag") == 1)
+        .drop("__tag")
+    )
+    if tolerance_sec is not None:
+        within = F.col(ts_col).cast("double") - F.col("matched_ts").cast("double") <= F.lit(tolerance_sec)
+        keep_ts = F.when(within, F.col("matched_ts"))
+        out = out.select(
+            on, ts_col, *probe_extra,
+            keep_ts.alias("matched_ts"),
+            *[F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in pay],
+        )
+    return out
+
+
+def _asof_cogroup_merge(probes, versions, on, ts_col, prefix, tolerance_sec):
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pay = _payload_cols(versions, on, ts_col)
+    probe_fields = [probes.schema[c] for c in probes.columns]
+    out_fields = list(probe_fields)
+    out_fields.append(StructField("matched_ts", versions.schema[ts_col].dataType))
+    for c in pay:
+        out_fields.append(StructField(f"{prefix}{c}", versions.schema[c].dataType))
+    schema = StructType(out_fields)
+    probe_cols = list(probes.columns)
+    tol = pd.Timedelta(seconds=tolerance_sec) if tolerance_sec is not None else None
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(ts_col, kind="mergesort")
+        if right.empty:
+            out = left.copy()
+            out["matched_ts"] = pd.NaT
+            for c in pay:
+                out[f"{prefix}{c}"] = None
+            return out[[*probe_cols, "matched_ts", *[f"{prefix}{c}" for c in pay]]]
+        right = right.sort_values(ts_col, kind="mergesort")
+        r = right.rename(columns={c: f"{prefix}{c}" for c in pay})
+        r["matched_ts"] = r[ts_col]
+        kwargs = dict(on=ts_col, direction="backward")
+        if tol is not None:
+            kwargs["tolerance"] = tol
+        out = pd.merge_asof(left, r.drop(columns=[on]), **kwargs)
+        return out[[*probe_cols, "matched_ts", *[f"{prefix}{c}" for c in pay]]]
+
+    return (
+        probes.groupBy(on)
+        .cogroup(versions.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema)
+    )

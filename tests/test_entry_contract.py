@@ -1,0 +1,73 @@
+"""Mimics the driver's correctness gate: run every queries() entry via Spark
+at sf0.01 and its oracle_sql() twin via DuckDB; compare row count, schema
+arity, and order-insensitive values (exact after the shared rounding)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    from nyxus_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(float)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, got: pd.DataFrame, exp: pd.DataFrame):
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: schema mismatch"
+    g, e = _normalize(got), _normalize(exp)
+    for c in g.columns:
+        if pd.api.types.is_float_dtype(g[c]):
+            ga, ea = g[c].to_numpy(), e[c].astype(float).to_numpy()
+            both_nan = np.isnan(ga) & np.isnan(ea)
+            ok = both_nan | np.isclose(ga, ea, rtol=0, atol=1e-9, equal_nan=True)
+            assert ok.all(), f"{name}.{c}: {int((~ok).sum())} value mismatches"
+        else:
+            assert g[c].fillna("§").astype(str).equals(
+                e[c].fillna("§").astype(str)
+            ), f"{name}.{c}: value mismatch"
+
+
+@pytest.mark.parametrize("name", list(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    sqls = entrymod.oracle_sql()
+    assert name in sqls, f"{name} has no oracle_sql entry"
+    got = q(spark, ORACLE_SF).toPandas()
+    con = _duck(ORACLE_SF)
+    exp = con.execute(sqls[name]).df()
+    _compare(name, got, exp)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert "MEAN" in df.columns and "doc_id" in df.columns
