@@ -55,10 +55,8 @@ def extract_features(
             vals: dict = {}
             for _, fn in sec_fns:
                 vals.update(fn(seg, settings))
-            out = pdf if keep_tokens else pdf.drop(columns=[tokens_col])
-            out = out.copy(deep=False)
-            for n in wanted:
-                out[n] = vals[n]
-            yield out[out_cols]
+            base = pdf if keep_tokens else pdf.drop(columns=[tokens_col])
+            feat = pd.DataFrame({n: vals[n] for n in wanted}, index=base.index)
+            yield pd.concat([base, feat], axis=1)[out_cols]
 
     return df.mapInPandas(gen, out_schema)

@@ -1,0 +1,74 @@
+"""Positional (geometric) moments over token streams.
+
+1-D recast of the reference's geometric-moment family
+(/root/reference/src/nyx/features/2d_geomoments.cpp:20,335): the sequence
+position i plays the role of the spatial coordinate and the token value the
+role of intensity. Raw moments m_p = Σ i^p · w_i, central moments
+μ_p = Σ (i - c)^p · w_i about the weighted centroid c = m1/m0, normalized
+central moments η_p = μ_p / m0^(1+p/2) (scale invariants), plus the
+unweighted ("shape") variants with w ≡ 1 over nonzero tokens — the 1-D
+analog of mask-vs-intensity moments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nyxus_spark.features.segmented import Segments
+from nyxus_spark.settings import FeatureSettings
+
+MOMENTS_FEATURES = [
+    "MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3",
+    "MOM_CENTRAL_2", "MOM_CENTRAL_3", "MOM_CENTRAL_4",
+    "MOM_NORM_CENTRAL_2", "MOM_NORM_CENTRAL_3", "MOM_NORM_CENTRAL_4",
+    "MOM_WEIGHTED_CENTROID",
+    "MOM_SHAPE_CENTROID", "MOM_SHAPE_CENTRAL_2", "MOM_SHAPE_NORM_CENTRAL_2",
+]
+
+
+def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    n = seg.n_rows
+    nan = settings.softnan
+    w = seg.flat.astype(np.float64)
+    pos = (np.arange(w.size, dtype=np.float64) - seg.starts[seg.row_idx]) if w.size else w
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m0 = seg.seg_sum(w)
+        m1 = seg.seg_sum(w * pos)
+        m2 = seg.seg_sum(w * pos ** 2)
+        m3 = seg.seg_sum(w * pos ** 3)
+        c = m1 / m0
+        dc = pos - c[seg.row_idx]
+        mu2 = seg.seg_sum(w * dc ** 2)
+        mu3 = seg.seg_sum(w * dc ** 3)
+        mu4 = seg.seg_sum(w * dc ** 4)
+        eta2 = mu2 / m0 ** 2.0
+        eta3 = mu3 / m0 ** 2.5
+        eta4 = mu4 / m0 ** 3.0
+
+        nzm = seg.flat != 0
+        s0 = seg.seg_count(nzm).astype(np.float64)
+        s1 = seg.seg_sum_where(pos, nzm)
+        sc = s1 / s0
+        smu2 = seg.seg_sum_where((pos - sc[seg.row_idx]) ** 2, nzm)
+        seta2 = smu2 / s0 ** 2.0
+
+    ok = (seg.lengths > 0) & (m0 > 0)
+    ok_s = (seg.lengths > 0) & (s0 > 0)
+    out = {
+        "MOM_RAW_0": np.where(seg.lengths > 0, m0, nan),
+        "MOM_RAW_1": np.where(seg.lengths > 0, m1, nan),
+        "MOM_RAW_2": np.where(seg.lengths > 0, m2, nan),
+        "MOM_RAW_3": np.where(seg.lengths > 0, m3, nan),
+        "MOM_CENTRAL_2": np.where(ok, mu2, nan),
+        "MOM_CENTRAL_3": np.where(ok, mu3, nan),
+        "MOM_CENTRAL_4": np.where(ok, mu4, nan),
+        "MOM_NORM_CENTRAL_2": np.where(ok, eta2, nan),
+        "MOM_NORM_CENTRAL_3": np.where(ok, eta3, nan),
+        "MOM_NORM_CENTRAL_4": np.where(ok, eta4, nan),
+        "MOM_WEIGHTED_CENTROID": np.where(ok, c, nan),
+        "MOM_SHAPE_CENTROID": np.where(ok_s, sc, nan),
+        "MOM_SHAPE_CENTRAL_2": np.where(ok_s, smu2, nan),
+        "MOM_SHAPE_NORM_CENTRAL_2": np.where(ok_s, seta2, nan),
+    }
+    return out

@@ -19,7 +19,7 @@ import numpy as np
 class Segments:
     """Flat view over a column of variable-length int arrays."""
 
-    __slots__ = ("flat", "lengths", "starts", "row_idx", "n_rows")
+    __slots__ = ("flat", "lengths", "starts", "row_idx", "n_rows", "_tex_cache")
 
     def __init__(self, token_cells) -> None:
         n = len(token_cells)

@@ -1,0 +1,517 @@
+"""Texture-style feature kernels over 1-D token streams.
+
+1-D recast of the reference's texture families (SURVEY.md §2 A7-A10), with the
+sequence position playing the role of the raster axis:
+
+* GLRLM — runs of equal grey (binned) tokens along the sequence
+  (/root/reference/src/nyx/features/glrlm.cpp; 1 direction instead of 4)
+* GLSZM — zones ≡ runs in 1-D (glszm.cpp DFS clusters degenerate to runs)
+* GLDZM — zone distance = distance of a run to the nearer sequence border
+  (gldzm.cpp:244-256 analog)
+* GLDM  — dependence size = 1 + #neighbors within ±offset equal to the center
+  (gldm.cpp:174, ngldm.cpp:74-111 analog)
+* NGTDM — s_i = |g_i − mean(nonzero neighbors within ±offset)| accumulated per
+  grey level (ngtdm.cpp:80-200)
+* GLCM  — co-occurrence of (binned[i], binned[i+offset]) pairs
+  (glcm.cpp:380-487), background pairs skipped on the ORIGINAL intensity
+  (glcm.cpp:445-446), symmetric accumulation for radiomics/IBSI binning
+  (glcm.cpp:475-477), entropies log2 with +eps (glcm.cpp:715-830).
+
+Grey binning follows texture_feature.h exactly (see binning.py). Feature
+formulas are the IBSI/standard definitions the reference implements; values
+are grey-level VALUES (not indices), matching nyxus's use of the sorted
+unique-intensity vector I in all three binning modes.
+
+Degenerate sequences (constant, empty, all-background): GLCM/GLDM/NGTDM emit
+softNAN (glcm.cpp:27-95, ngtdm "binned data uninformative" path); GLRLM-family
+emits 0 (glrlm.cpp osized degenerate path).
+
+Everything is segment-vectorized; per-row dense matrices are materialized in
+bounded row-chunks so memory stays ~O(chunk·levels²).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nyxus_spark.features.binning import bin_tokens
+from nyxus_spark.features.segmented import Segments
+from nyxus_spark.settings import FeatureSettings
+
+EPS = 2.2e-16
+
+GLRLM_NAMES = [
+    "GLRLM_SRE", "GLRLM_LRE", "GLRLM_GLN", "GLRLM_GLNN", "GLRLM_RLN", "GLRLM_RLNN",
+    "GLRLM_RP", "GLRLM_GLV", "GLRLM_RV", "GLRLM_RE", "GLRLM_LGLRE", "GLRLM_HGLRE",
+    "GLRLM_SRLGLE", "GLRLM_SRHGLE", "GLRLM_LRLGLE", "GLRLM_LRHGLE",
+]
+GLSZM_NAMES = [
+    "GLSZM_SAE", "GLSZM_LAE", "GLSZM_GLN", "GLSZM_GLNN", "GLSZM_SZN", "GLSZM_SZNN",
+    "GLSZM_ZP", "GLSZM_GLV", "GLSZM_ZV", "GLSZM_ZE", "GLSZM_LGLZE", "GLSZM_HGLZE",
+    "GLSZM_SALGLE", "GLSZM_SAHGLE", "GLSZM_LALGLE", "GLSZM_LAHGLE",
+]
+GLDZM_NAMES = [
+    "GLDZM_SDE", "GLDZM_LDE", "GLDZM_LGLZE", "GLDZM_HGLZE", "GLDZM_GLNU",
+    "GLDZM_ZDNU", "GLDZM_ZP", "GLDZM_ZDE", "GLDZM_SDLGLE", "GLDZM_LDHGLE",
+]
+GLDM_NAMES = [
+    "GLDM_SDE", "GLDM_LDE", "GLDM_GLN", "GLDM_DN", "GLDM_DNN", "GLDM_GLV",
+    "GLDM_DV", "GLDM_DE", "GLDM_LGLE", "GLDM_HGLE", "GLDM_SDLGLE", "GLDM_SDHGLE",
+    "GLDM_LDLGLE", "GLDM_LDHGLE",
+]
+NGTDM_NAMES = ["NGTDM_COARSENESS", "NGTDM_CONTRAST", "NGTDM_BUSYNESS",
+               "NGTDM_COMPLEXITY", "NGTDM_STRENGTH"]
+GLCM_NAMES = [
+    "GLCM_ASM", "GLCM_ACOR", "GLCM_CLUPROM", "GLCM_CLUSHADE", "GLCM_CLUTEND",
+    "GLCM_CONTRAST", "GLCM_CORRELATION", "GLCM_DIFAVE", "GLCM_DIFENTRO",
+    "GLCM_DIFVAR", "GLCM_DIS", "GLCM_ENERGY", "GLCM_ENTROPY", "GLCM_HOM1",
+    "GLCM_ID", "GLCM_IDN", "GLCM_IDM", "GLCM_IDMN", "GLCM_INFOMEAS1",
+    "GLCM_INFOMEAS2", "GLCM_IV", "GLCM_JAVE", "GLCM_JE", "GLCM_JMAX",
+    "GLCM_JVAR", "GLCM_SUMAVERAGE", "GLCM_SUMENTROPY", "GLCM_SUMVARIANCE",
+    "GLCM_VARIANCE",
+]
+
+
+# --------------------------------------------------------------------------
+# shared prep (cached per Segments instance)
+# --------------------------------------------------------------------------
+
+def _prep(seg: Segments, settings: FeatureSettings):
+    cache = getattr(seg, "_tex_cache", None)
+    if cache is not None and cache[0] == settings.grey_info:
+        return cache[1]
+    raw = seg.flat
+    vmin = seg.seg_min(fill=0.0)
+    vmax = seg.seg_max(fill=0.0)
+    vminf = np.nan_to_num(vmin)[seg.row_idx]
+    vmaxf = np.nan_to_num(vmax)[seg.row_idx]
+    binned = bin_tokens(raw, vminf, vmaxf, settings.grey_info) if raw.size else raw.copy()
+    nz = binned != 0
+    if settings.grey_info == 0:
+        L = int(binned.max()) if binned.size else 1
+        if L > 512:
+            raise ValueError(
+                "IBSI identity binning (grey_info=0) needs a small grey range; "
+                f"got max level {L}. Use radiomics (<0) or matlab (>0) binning."
+            )
+    else:
+        L = abs(settings.grey_info)
+    pos = (np.arange(raw.size, dtype=np.int64) - seg.starts[seg.row_idx]) if raw.size else np.empty(0, np.int64)
+    ctx = {"binned": binned, "nz": nz, "L": L, "pos": pos,
+           "raw_nz": raw != 0, "vmin": vmin, "vmax": vmax}
+    try:
+        seg._tex_cache = (settings.grey_info, ctx)
+    except AttributeError:
+        pass
+    return ctx
+
+
+def _degenerate_mask(seg: Segments, ctx) -> np.ndarray:
+    """Rows with no texture signal: empty, constant, or all-background."""
+    rng_zero = ~(ctx["vmax"] > ctx["vmin"])
+    any_nz = seg.seg_count(ctx["nz"]) > 0
+    return rng_zero | ~any_nz
+
+
+# --------------------------------------------------------------------------
+# run extraction (GLRLM / GLSZM / GLDZM share it)
+# --------------------------------------------------------------------------
+
+def _runs(seg: Segments, ctx):
+    """Vectorized RLE over nonzero binned values; zeros break runs."""
+    binned, nz = ctx["binned"], ctx["nz"]
+    total = binned.size
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z, z, z
+    row_start = np.zeros(total, dtype=bool)
+    row_start[seg.starts[seg.lengths > 0]] = True
+    cont = np.zeros(total, dtype=bool)
+    cont[1:] = nz[1:] & nz[:-1] & (binned[1:] == binned[:-1]) & ~row_start[1:]
+    new_run = nz & ~cont
+    run_id = np.cumsum(new_run) - 1
+    n_runs = int(new_run.sum())
+    if n_runs == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z, z, z
+    run_len = np.bincount(run_id[nz], minlength=n_runs)
+    run_row = seg.row_idx[new_run]
+    run_level = binned[new_run]
+    run_startpos = ctx["pos"][new_run]
+    run_endpos = run_startpos + run_len - 1
+    return run_row, run_level, run_len, run_startpos, run_endpos
+
+
+def _sq_sum_by(rows: np.ndarray, keys: np.ndarray, n_rows: int) -> np.ndarray:
+    """Σ_key (count(row, key))² per row, for arbitrary integer keys."""
+    if rows.size == 0:
+        return np.zeros(n_rows)
+    kmax = int(keys.max()) + 1
+    comp = rows * kmax + keys
+    uniq, counts = np.unique(comp, return_counts=True)
+    urow = uniq // kmax
+    return np.bincount(urow, weights=counts.astype(np.float64) ** 2, minlength=n_rows)
+
+
+def _entropy_by(rows: np.ndarray, keys: np.ndarray, denom: np.ndarray, n_rows: int) -> np.ndarray:
+    """-Σ_cell p log2 p with p = cellcount/denom[row]."""
+    if rows.size == 0:
+        return np.zeros(n_rows)
+    kmax = int(keys.max()) + 1
+    comp = rows * kmax + keys
+    uniq, counts = np.unique(comp, return_counts=True)
+    urow = uniq // kmax
+    p = counts / denom[urow]
+    return -np.bincount(urow, weights=p * np.log2(p + EPS), minlength=n_rows)
+
+
+def _run_family(seg, ctx, size_key: np.ndarray, prefix_map: dict[str, str],
+                run_row, run_level, n_rows):
+    """Shared SRE/LRE/GLN/... maths over (level, size) cells; `size_key` is
+    run length for GLRLM/GLSZM and border distance for GLDZM."""
+    out = {}
+    g = run_level.astype(np.float64)
+    s = size_key.astype(np.float64)
+    Nr = np.bincount(run_row, minlength=n_rows).astype(np.float64)
+    safe_Nr = np.where(Nr > 0, Nr, 1.0)
+    Np = seg.seg_count(ctx["nz"]).astype(np.float64)
+
+    def by_row(w):
+        return np.bincount(run_row, weights=w, minlength=n_rows)
+
+    out["SRE"] = by_row(1.0 / s ** 2) / safe_Nr
+    out["LRE"] = by_row(s ** 2) / safe_Nr
+    out["GLN"] = _sq_sum_by(run_row, run_level, n_rows) / safe_Nr
+    out["GLNN"] = out["GLN"] / safe_Nr
+    out["RLN"] = _sq_sum_by(run_row, size_key, n_rows) / safe_Nr
+    out["RLNN"] = out["RLN"] / safe_Nr
+    out["RP"] = Nr / np.where(Np > 0, Np, 1.0)
+    mu_g = by_row(g) / safe_Nr
+    out["GLV"] = by_row((g - mu_g[run_row]) ** 2) / safe_Nr
+    mu_s = by_row(s) / safe_Nr
+    out["RV"] = by_row((s - mu_s[run_row]) ** 2) / safe_Nr
+    keymax = int(size_key.max()) + 1 if size_key.size else 1
+    out["RE"] = _entropy_by(run_row, run_level * keymax + size_key, safe_Nr, n_rows)
+    out["LGLRE"] = by_row(1.0 / g ** 2) / safe_Nr
+    out["HGLRE"] = by_row(g ** 2) / safe_Nr
+    out["SRLGLE"] = by_row(1.0 / (g ** 2 * s ** 2)) / safe_Nr
+    out["SRHGLE"] = by_row(g ** 2 / s ** 2) / safe_Nr
+    out["LRLGLE"] = by_row(s ** 2 / g ** 2) / safe_Nr
+    out["LRHGLE"] = by_row(g ** 2 * s ** 2) / safe_Nr
+    return {name: out[key] for name, key in prefix_map.items()}
+
+
+def glrlm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    ctx = _prep(seg, settings)
+    run_row, run_level, run_len, sp, ep = _runs(seg, ctx)
+    n = seg.n_rows
+    m_rl = {f"GLRLM_{k}": k for k in
+            "SRE LRE GLN GLNN RLN RLNN RP GLV RV RE LGLRE HGLRE SRLGLE SRHGLE LRLGLE LRHGLE".split()}
+    out = _run_family(seg, ctx, run_len, m_rl, run_row, run_level, n) if run_row.size else {
+        k: np.zeros(n) for k in m_rl}
+    # GLSZM: zones == runs in 1-D; same maths, GLSZM naming
+    alias = dict(zip(GLSZM_NAMES,
+                     ["GLRLM_" + k for k in
+                      "SRE LRE GLN GLNN RLN RLNN RP GLV RV RE LGLRE HGLRE SRLGLE SRHGLE LRLGLE LRHGLE".split()]))
+    for szn, rln in alias.items():
+        out[szn] = out[rln].copy()
+    # GLDZM over border distance
+    if run_row.size:
+        n_tok_r = seg.lengths[run_row]
+        dist = np.minimum(sp, n_tok_r - 1 - ep) + 1
+        m_dz = {"GLDZM_SDE": "SRE", "GLDZM_LDE": "LRE", "GLDZM_LGLZE": "LGLRE",
+                "GLDZM_HGLZE": "HGLRE", "GLDZM_GLNU": "GLN", "GLDZM_ZDNU": "RLN",
+                "GLDZM_ZP": "RP", "GLDZM_ZDE": "RE", "GLDZM_SDLGLE": "SRLGLE",
+                "GLDZM_LDHGLE": "LRHGLE"}
+        out.update(_run_family(seg, ctx, dist, m_dz, run_row, run_level, n))
+    else:
+        out.update({k: np.zeros(n) for k in GLDZM_NAMES})
+    deg = _degenerate_mask(seg, ctx)
+    for k in list(out):
+        out[k] = np.where(deg, 0.0, out[k])  # glrlm.cpp degenerate → 0
+    return out
+
+
+# --------------------------------------------------------------------------
+# GLDM (dependence) + NGTDM
+# --------------------------------------------------------------------------
+
+def _window_sums(seg: Segments, ctx, d: int):
+    """Per nonzero position: sum and count of nonzero binned neighbors within
+    ±d (excluding self), via prefix sums with row-clamped bounds."""
+    binned, nz = ctx["binned"], ctx["nz"]
+    total = binned.size
+    vals = np.where(nz, binned, 0).astype(np.float64)
+    cs = np.concatenate([[0.0], np.cumsum(vals)])
+    cn = np.concatenate([[0], np.cumsum(nz.astype(np.int64))])
+    idx = np.arange(total, dtype=np.int64)
+    row = seg.row_idx
+    lo = np.maximum(idx - d, seg.starts[row])
+    hi = np.minimum(idx + d, seg.starts[row] + seg.lengths[row] - 1)
+    wsum = cs[hi + 1] - cs[lo]
+    wcnt = cn[hi + 1] - cn[lo]
+    nsum = wsum - vals
+    ncnt = wcnt - nz.astype(np.int64)
+    return nsum, ncnt
+
+
+def gldm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    ctx = _prep(seg, settings)
+    n = seg.n_rows
+    binned, nz, pos = ctx["binned"], ctx["nz"], ctx["pos"]
+    total = binned.size
+    d = settings.offset
+    dep = np.zeros(total, dtype=np.int64)
+    for k in range(1, d + 1):
+        eq = np.zeros(total, dtype=bool)
+        eq[k:] = nz[k:] & nz[:-k] & (binned[k:] == binned[:-k]) & (pos[k:] >= k)
+        dep[k:] += eq[k:]
+        dep[:-k] += eq[k:]
+    dep_size = dep + 1  # center included (dependence size, gldm.cpp:174 analog)
+    rows = seg.row_idx[nz]
+    g = binned[nz].astype(np.float64)
+    j = dep_size[nz].astype(np.float64)
+    Nz = np.bincount(rows, minlength=n).astype(np.float64)
+    safe = np.where(Nz > 0, Nz, 1.0)
+
+    def by_row(w):
+        return np.bincount(rows, weights=w, minlength=n)
+
+    out = {
+        "GLDM_SDE": by_row(1 / j ** 2) / safe,
+        "GLDM_LDE": by_row(j ** 2) / safe,
+        "GLDM_GLN": _sq_sum_by(rows, binned[nz], n) / safe,
+        "GLDM_DN": _sq_sum_by(rows, dep_size[nz], n) / safe,
+        "GLDM_LGLE": by_row(1 / g ** 2) / safe,
+        "GLDM_HGLE": by_row(g ** 2) / safe,
+        "GLDM_SDLGLE": by_row(1 / (g ** 2 * j ** 2)) / safe,
+        "GLDM_SDHGLE": by_row(g ** 2 / j ** 2) / safe,
+        "GLDM_LDLGLE": by_row(j ** 2 / g ** 2) / safe,
+        "GLDM_LDHGLE": by_row(g ** 2 * j ** 2) / safe,
+    }
+    out["GLDM_DNN"] = out["GLDM_DN"] / safe
+    mu_g = by_row(g) / safe
+    out["GLDM_GLV"] = by_row((g - mu_g[rows]) ** 2) / safe
+    mu_j = by_row(j) / safe
+    out["GLDM_DV"] = by_row((j - mu_j[rows]) ** 2) / safe
+    jmax = int(dep_size[nz].max()) + 1 if rows.size else 1
+    out["GLDM_DE"] = _entropy_by(rows, binned[nz] * jmax + dep_size[nz], safe, n)
+    deg = _degenerate_mask(seg, ctx)
+    for k in list(out):
+        out[k] = np.where(deg, settings.softnan, out[k])
+    return out
+
+
+def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    ctx = _prep(seg, settings)
+    n = seg.n_rows
+    binned, nz, L = ctx["binned"], ctx["nz"], ctx["L"]
+    nsum, ncnt = _window_sums(seg, ctx, settings.offset)
+    valid = nz & (ncnt > 0)  # nd > 0 requirement (ngtdm.cpp:141-146)
+    rows = seg.row_idx[valid]
+    g = binned[valid]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s_i = np.abs(binned[valid].astype(np.float64) - nsum[valid] / ncnt[valid])
+    A = L + 1
+    # per-row per-level N and S (dense: rows ≤ batch, A ≤ 65)
+    Nmat = np.zeros((n, A))
+    Smat = np.zeros((n, A))
+    np.add.at(Nmat, (rows, g), 1.0)
+    np.add.at(Smat, (rows, g), s_i)
+    Nvc = Nmat.sum(axis=1)
+    safe_Nvc = np.where(Nvc > 0, Nvc, 1.0)
+    p = Nmat / safe_Nvc[:, None]
+    present = Nmat > 0
+    Ngp = present.sum(axis=1).astype(np.float64)
+    val = np.arange(A, dtype=np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ps = (p * Smat).sum(axis=1)
+        coarseness = 1.0 / ps
+        # pairwise level terms (A ≤ 65 → A² tiny; vectorized over rows)
+        vi = val[None, :, None]
+        vj = val[None, None, :]
+        pi = p[:, :, None]
+        pj = p[:, None, :]
+        both = present[:, :, None] & present[:, None, :]
+        contrast = (
+            np.where(both, pi * pj * (vi - vj) ** 2, 0.0).sum(axis=(1, 2))
+            / np.where(Ngp > 1, Ngp * (Ngp - 1), 1.0)
+        ) * (Smat.sum(axis=1) / safe_Nvc)
+        busy_den = np.where(both, np.abs(vi * pi - vj * pj), 0.0).sum(axis=(1, 2))
+        busyness = np.where(busy_den > 0, ps / np.where(busy_den > 0, busy_den, 1), 0.0)
+        psi = (pi * Smat[:, :, None] + pj * Smat[:, None, :])
+        denom_pp = pi + pj
+        complexity = (
+            np.where(both & (denom_pp > 0), np.abs(vi - vj) * psi / np.where(denom_pp > 0, denom_pp, 1), 0.0)
+        ).sum(axis=(1, 2)) / safe_Nvc
+        s_tot = Smat.sum(axis=1)
+        strength = np.where(
+            s_tot > 0,
+            np.where(both, (pi + pj) * (vi - vj) ** 2, 0.0).sum(axis=(1, 2))
+            / np.where(s_tot > 0, s_tot, 1),
+            0.0,
+        )
+
+    deg = _degenerate_mask(seg, ctx) | (Ngp < 2)  # "binned data uninformative"
+    out = {
+        "NGTDM_COARSENESS": coarseness, "NGTDM_CONTRAST": contrast,
+        "NGTDM_BUSYNESS": busyness, "NGTDM_COMPLEXITY": complexity,
+        "NGTDM_STRENGTH": strength,
+    }
+    for k in list(out):
+        out[k] = np.where(deg, settings.softnan, out[k])
+    return out
+
+
+# --------------------------------------------------------------------------
+# GLCM
+# --------------------------------------------------------------------------
+
+def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    ctx = _prep(seg, settings)
+    n = seg.n_rows
+    binned, raw_nz, L = ctx["binned"], ctx["raw_nz"], ctx["L"]
+    d = settings.offset
+    total = binned.size
+    A = L + 1
+    sym = settings.symmetric_glcm or settings.grey_info <= 0  # glcm.cpp:475-477
+
+    # valid pairs: same row, both original intensities nonzero, both levels > 0
+    if total > d:
+        same_row = seg.row_idx[d:] == seg.row_idx[:-d]
+        ok = same_row & raw_nz[d:] & raw_nz[:-d] & (binned[d:] > 0) & (binned[:-d] > 0)
+        pr = seg.row_idx[:-d][ok]
+        pa = binned[:-d][ok]
+        pb = binned[d:][ok]
+    else:
+        pr = pa = pb = np.empty(0, np.int64)
+
+    # per-row present-level count (for IDN/IDMN Ng)
+    nzm = ctx["nz"]
+    lv_present = np.zeros((n, A), dtype=bool)
+    if total:
+        lv_present[seg.row_idx[nzm], binned[nzm]] = True
+    if settings.grey_info < 0:
+        # radiomics: Ng = count of unique nonzero binned levels (glcm.cpp:389-396)
+        Ng_row = lv_present.sum(axis=1).astype(np.float64)
+    elif settings.grey_info > 0:
+        # matlab: fixed n levels (glcm.cpp:400-407)
+        Ng_row = np.full(n, float(L))
+    else:
+        # IBSI: per-ROI max grey level (glcm.cpp:410-417)
+        Ng_row = (lv_present * np.arange(A)).max(axis=1).astype(np.float64)
+
+    out = {k: np.full(n, settings.softnan) for k in GLCM_NAMES}
+    if pr.size == 0:
+        return out
+
+    val = np.arange(A, dtype=np.float64)
+    diffm = np.abs(val[:, None] - val[None, :])
+    summ = val[:, None] + val[None, :]
+    prodm = val[:, None] * val[None, :]
+
+    order = np.argsort(pr, kind="stable")
+    pr, pa, pb = pr[order], pa[order], pb[order]
+    row_ids, row_pos = np.unique(pr, return_index=True)
+    row_pos = np.append(row_pos, pr.size)
+
+    chunk = max(1, int(8e6 // (A * A)))
+    for c0 in range(0, row_ids.size, chunk):
+        rids = row_ids[c0:c0 + chunk]
+        lo, hi = row_pos[c0], row_pos[c0 + len(rids)]
+        la = pa[lo:hi]
+        lb = pb[lo:hi]
+        lrow = np.searchsorted(rids, pr[lo:hi])
+        m = len(rids)
+        P = np.zeros((m, A, A))
+        np.add.at(P, (lrow, la, lb), 1.0)
+        if sym:
+            np.add.at(P, (lrow, lb, la), 1.0)
+        sp = P.sum(axis=(1, 2))
+        P /= np.where(sp > 0, sp, 1)[:, None, None]
+
+        px = P.sum(axis=2)
+        py = P.sum(axis=1)
+        mux = (px * val).sum(axis=1)
+        muy = (py * val).sum(axis=1)
+        sigx = np.sqrt((px * (val - mux[:, None]) ** 2).sum(axis=1))
+        sigy = np.sqrt((py * (val - muy[:, None]) ** 2).sum(axis=1))
+
+        asm_ = (P * P).sum(axis=(1, 2))
+        contrast = (P * diffm ** 2).sum(axis=(1, 2))
+        dis = (P * diffm).sum(axis=(1, 2))
+        hom1 = (P / (1.0 + diffm)).sum(axis=(1, 2))
+        idm = (P / (1.0 + diffm ** 2)).sum(axis=(1, 2))
+        Ngc = Ng_row[rids]
+        idn = (P / (1.0 + diffm[None] / np.where(Ngc > 0, Ngc, 1)[:, None, None])).sum(axis=(1, 2))
+        idmn = (P / (1.0 + diffm[None] ** 2 / np.where(Ngc > 0, Ngc ** 2, 1)[:, None, None])).sum(axis=(1, 2))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ivm = np.where(diffm > 0, 1.0 / np.where(diffm > 0, diffm, 1) ** 2, 0.0)
+        iv = (P * ivm).sum(axis=(1, 2))
+        acor = (P * prodm).sum(axis=(1, 2))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = (acor - mux * muy) / (sigx * sigy)
+        clut = (P * (summ[None] - (mux + muy)[:, None, None]) ** 2).sum(axis=(1, 2))
+        clus = (P * (summ[None] - (mux + muy)[:, None, None]) ** 3).sum(axis=(1, 2))
+        clup = (P * (summ[None] - (mux + muy)[:, None, None]) ** 4).sum(axis=(1, 2))
+        je = -(P * np.log2(P + EPS)).sum(axis=(1, 2))
+        jmax = P.max(axis=(1, 2))
+        jave = (P * val[None, :, None]).sum(axis=(1, 2))
+        jvar = (P * (val[None, :, None] - jave[:, None, None]) ** 2).sum(axis=(1, 2))
+        sumave = (P * summ).sum(axis=(1, 2))
+        sumvar = (P * (summ[None] - sumave[:, None, None]) ** 2).sum(axis=(1, 2))
+        difave = (P * diffm).sum(axis=(1, 2))
+        difvar = (P * (diffm[None] - difave[:, None, None]) ** 2).sum(axis=(1, 2))
+        # marginal-k entropies via scatter onto k-index planes
+        Ssum = np.zeros((m, 2 * A))
+        np.add.at(Ssum, (np.arange(m)[:, None, None], summ.astype(np.int64)[None]), P)
+        sument = -(Ssum * np.log2(Ssum + EPS)).sum(axis=1)
+        Sdif = np.zeros((m, A))
+        np.add.at(Sdif, (np.arange(m)[:, None, None], diffm.astype(np.int64)[None]), P)
+        difent = -(np.where(Sdif > 0, Sdif * np.log2(Sdif + EPS), 0.0)).sum(axis=1)
+        # information measures (glcm.cpp:856-915)
+        pxpy = px[:, :, None] * py[:, None, :]
+        hxy = je
+        hxy1 = -(P * np.log2(pxpy + EPS)).sum(axis=(1, 2))
+        hxy2 = -(pxpy * np.log2(pxpy + EPS)).sum(axis=(1, 2))
+        hx = -(px * np.log2(px + EPS)).sum(axis=1)
+        hy = -(py * np.log2(py + EPS)).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            im1 = (hxy - hxy1) / np.maximum(hx, hy)
+            im2 = np.sqrt(np.maximum(0.0, 1.0 - np.exp(-2.0 * (hxy2 - hxy))))
+        variance = (P * (val[None, :, None] - mux[:, None, None]) ** 2).sum(axis=(1, 2))
+
+        vals = {
+            "GLCM_ASM": asm_, "GLCM_ACOR": acor, "GLCM_CLUPROM": clup,
+            "GLCM_CLUSHADE": clus, "GLCM_CLUTEND": clut, "GLCM_CONTRAST": contrast,
+            "GLCM_CORRELATION": corr, "GLCM_DIFAVE": difave, "GLCM_DIFENTRO": difent,
+            "GLCM_DIFVAR": difvar, "GLCM_DIS": dis, "GLCM_ENERGY": asm_,
+            "GLCM_ENTROPY": je, "GLCM_HOM1": hom1, "GLCM_ID": hom1,
+            "GLCM_IDN": idn, "GLCM_IDM": idm, "GLCM_IDMN": idmn,
+            "GLCM_INFOMEAS1": im1, "GLCM_INFOMEAS2": im2, "GLCM_IV": iv,
+            "GLCM_JAVE": jave, "GLCM_JE": je, "GLCM_JMAX": jmax, "GLCM_JVAR": jvar,
+            "GLCM_SUMAVERAGE": sumave, "GLCM_SUMENTROPY": sument,
+            "GLCM_SUMVARIANCE": sumvar, "GLCM_VARIANCE": variance,
+        }
+        for k, v in vals.items():
+            out[k][rids] = v
+
+    deg = _degenerate_mask(seg, ctx)
+    for k in list(out):
+        out[k] = np.where(deg, settings.softnan, out[k])
+    return out
+
+
+# --------------------------------------------------------------------------
+# registry wiring
+# --------------------------------------------------------------------------
+
+from nyxus_spark.features.registry import Section  # noqa: E402
+
+TEXTURE_SECTIONS = [
+    Section("glcm", glcm_section, tuple(GLCM_NAMES)),
+    Section("glrlm", glrlm_section, tuple(GLRLM_NAMES + GLSZM_NAMES + GLDZM_NAMES)),
+    Section("gldm", gldm_section, tuple(GLDM_NAMES)),
+    Section("ngtdm", ngtdm_section, tuple(NGTDM_NAMES)),
+]
