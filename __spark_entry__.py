@@ -179,6 +179,154 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _aug_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with injected duplicates (Spark twin of oracles.SQL_AUG)."""
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir)
+    exact_c = t.filter(F.expr("cast(substr(doc_id, 5) as int) % 25 = 0")).withColumn(
+        "doc_id", F.concat(F.lit("dup_"), F.col("doc_id"))
+    )
+    near_c = t.filter(F.expr("cast(substr(doc_id, 5) as int) % 10 = 0")).select(
+        F.concat(F.lit("near_"), F.col("doc_id")).alias("doc_id"),
+        F.expr("slice(tokens, 2, size(tokens) - 1)").alias("tokens"),
+        (F.col("n_tok") - 1).alias("n_tok"),
+        "source",
+    )
+    return t.unionByName(exact_c).unionByName(near_c)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical token sequence."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import exact_dedup
+
+    aug = _aug_corpus(spark, sf_dir).withColumn(
+        "key", F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
+    )
+    return exact_dedup(aug, ["key"]).select("doc_id", "source")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs verified by exact Jaccard."""
+    _prep(spark)
+    from nyxus_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_aug_corpus(spark, sf_dir), jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3, blocked on the high 16 bits)."""
+    _prep(spark)
+    from nyxus_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=3)
+
+
+def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    _prep(spark)
+    from nyxus_spark.operators.similarity import topk_cosine
+    from nyxus_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    return topk_cosine(emb, list(qv), k=10)
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification heuristic."""
+    _prep(spark)
+    from nyxus_spark.functions import langid_expr
+    from nyxus_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_expr().alias("lang_pred"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting over the raw corpus."""
+    _prep(spark)
+    from nyxus_spark.functions import quality_exprs, token_count_exprs
+    from nyxus_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs()
+    tc = token_count_exprs()
+    return docs.select(
+        "doc_id",
+        q["n_words"].alias("n_words"),
+        q["n_chars_derived"].alias("n_chars_derived"),
+        tc["re_tokens"].alias("re_tokens"),
+        q["mean_word_len"].alias("mean_word_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality_score"].alias("quality_score"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (token-array equality digest)."""
+    _prep(spark)
+    from nyxus_spark.functions import fingerprint_expr
+    from nyxus_spark.sources import tokens_static
+
+    return tokens_static(spark, sf_dir).select(
+        "doc_id", fingerprint_expr().alias("fingerprint")
+    )
+
+
+def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length texture features (engine kernel) vs gaps-and-islands SQL."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["GLRLM_SRE", "GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_LGLRE"],
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        F.round("GLRLM_SRE", 4).alias("glrlm_sre"),
+        F.round("GLRLM_LRE", 4).alias("glrlm_lre"),
+        F.round("GLRLM_RP", 4).alias("glrlm_rp"),
+        F.round("GLRLM_HGLRE", 4).alias("glrlm_hglre"),
+        F.round("GLRLM_LGLRE", 4).alias("glrlm_lglre"),
+    )
+
+
+def _q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence texture features (engine kernel) vs bigram-count SQL."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["GLCM_CONTRAST", "GLCM_ASM", "GLCM_DIS"], keep_tokens=False
+    )
+    return feats.select(
+        "doc_id",
+        F.round("GLCM_CONTRAST", 4).alias("glcm_contrast"),
+        F.round("GLCM_ASM", 4).alias("glcm_asm"),
+        F.round("GLCM_DIS", 4).alias("glcm_dis"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokens_basic": _q_tokens_basic,
@@ -187,6 +335,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "lag_lead_locf": _q_lag_lead_locf,
         "firstorder": _q_firstorder,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "topk_cosine": _q_topk_cosine,
+        "langid": _q_langid,
+        "text_quality": _q_text_quality,
+        "fingerprint": _q_fingerprint,
+        "glrlm": _q_glrlm,
+        "glcm": _q_glcm,
     }
 
 
@@ -196,9 +353,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from nyxus_spark import oracles
+    from nyxus_spark.functions import STOPWORDS
     from nyxus_spark.sources.tables import SQL_PROBES, SQL_TOKENS_STATIC, SQL_VERSIONS
 
-    return {
+    extra = {
+        "dedup_exact": oracles.SQL_EXACT_DEDUP,
+        "minhash_pairs": oracles.sql_minhash_pairs(0.5),
+        "simhash_pairs": oracles.sql_simhash_pairs(3),
+        "topk_cosine": oracles.SQL_TOPK_COSINE,
+        "langid": oracles.sql_langid(STOPWORDS),
+        "text_quality": oracles.sql_text_quality(STOPWORDS["en"]),
+        "fingerprint": f"""
+WITH {SQL_TOKENS_STATIC}
+SELECT doc_id,
+       CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+             (SELECT unnest(tokens) AS t, unnest(range(1, len(tokens)+1)) AS ord) u)
+            % 1000003 AS BIGINT) AS fingerprint
+FROM tokens_static
+""",
+        "glrlm": oracles.sql_glrlm(64),
+        "glcm": oracles.sql_glcm(64),
+    }
+    return extra | {
         "tokens_basic": f"""
 WITH {SQL_TOKENS_STATIC}
 SELECT doc_id, n_tok,

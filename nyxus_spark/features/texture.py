@@ -328,30 +328,64 @@ def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
     with np.errstate(divide="ignore", invalid="ignore"):
         ps = (p * Smat).sum(axis=1)
         coarseness = 1.0 / ps
-        # pairwise level terms (A ≤ 65 → A² tiny; vectorized over rows)
-        vi = val[None, :, None]
-        vj = val[None, None, :]
-        pi = p[:, :, None]
-        pj = p[:, None, :]
-        both = present[:, :, None] & present[:, None, :]
-        contrast = (
-            np.where(both, pi * pj * (vi - vj) ** 2, 0.0).sum(axis=(1, 2))
-            / np.where(Ngp > 1, Ngp * (Ngp - 1), 1.0)
-        ) * (Smat.sum(axis=1) / safe_Nvc)
-        busy_den = np.where(both, np.abs(vi * pi - vj * pj), 0.0).sum(axis=(1, 2))
-        busyness = np.where(busy_den > 0, ps / np.where(busy_den > 0, busy_den, 1), 0.0)
-        psi = (pi * Smat[:, :, None] + pj * Smat[:, None, :])
-        denom_pp = pi + pj
-        complexity = (
-            np.where(both & (denom_pp > 0), np.abs(vi - vj) * psi / np.where(denom_pp > 0, denom_pp, 1), 0.0)
-        ).sum(axis=(1, 2)) / safe_Nvc
         s_tot = Smat.sum(axis=1)
-        strength = np.where(
-            s_tot > 0,
-            np.where(both, (pi + pj) * (vi - vj) ** 2, 0.0).sum(axis=(1, 2))
-            / np.where(s_tot > 0, s_tot, 1),
-            0.0,
-        )
+        # Algebraic factorization of the pairwise level sums (exact):
+        #   Σᵢⱼ pᵢpⱼ(vᵢ-vⱼ)² = 2(Σpv² − (Σpv)²)           [p sums to 1]
+        #   Σᵢⱼ (pᵢ+pⱼ)(vᵢ-vⱼ)² = 2(k·Σpv² − 2·T1·Σpv + T2) [k, T1=Σv, T2=Σv²
+        #                                                    over present levels]
+        #   Σᵢⱼ |vᵢpᵢ − vⱼpⱼ| = 2·Σᵣ (2r−k+1)·w₍ᵣ₎           [w=vp sorted per row]
+        # Only COMPLEXITY is intrinsically pairwise — computed over i<j half
+        # pairs and doubled. This matters: the sandbox memory bandwidth makes
+        # every O(k²) element-op expensive.
+        Epv = (p * val[None, :]).sum(axis=1)
+        Epv2 = (p * val[None, :] ** 2).sum(axis=1)
+        T1 = (present * val[None, :]).sum(axis=1)
+        T2 = (present * val[None, :] ** 2).sum(axis=1)
+        contrast = (
+            2.0 * (Epv2 - Epv ** 2) / np.where(Ngp > 1, Ngp * (Ngp - 1), 1.0)
+        ) * (s_tot / safe_Nvc)
+        strength_num = 2.0 * (Ngp * Epv2 - 2.0 * T1 * Epv + T2)
+        strength = np.where(s_tot > 0, strength_num / np.where(s_tot > 0, s_tot, 1), 0.0)
+
+        # busyness: sorted-rank formula for Σ|wᵢ−wⱼ|
+        prow, plev = np.nonzero(present)
+        w = p[prow, plev] * plev
+        order = np.lexsort((w, prow))
+        w_sorted = w[order]
+        k_per = np.bincount(prow, minlength=n).astype(np.int64)
+        starts_r = np.zeros(n, dtype=np.int64)
+        np.cumsum(k_per[:-1], out=starts_r[1:])
+        rank = np.arange(prow.size) - starts_r[prow]  # prow is sorted
+        coef = 2.0 * rank - (k_per[prow] - 1)
+        busy_den = 2.0 * np.bincount(prow, weights=coef * w_sorted, minlength=n)
+        busyness = np.where(busy_den > 0, ps / np.where(busy_den > 0, busy_den, 1), 0.0)
+
+        # complexity: true pairwise, but enumerated as dense LEVEL-SHIFT slices
+        # (pairs at value distance d are the aligned slices [:, :A-d] and
+        # [:, d:]) with arena-backed buffers — no giant index arrays, every op
+        # writes into reused memory. i<j half then ×2 (diagonal is 0).
+        from nyxus_spark.features._arena import buf
+
+        U = buf("ngtdm_U", (n, A))
+        np.multiply(p, Smat, out=U)
+        acc = np.zeros(n)
+        for dshift in range(1, A):
+            wdt = A - dshift
+            t1 = buf("ngtdm_t1", (n, wdt))
+            t2 = buf("ngtdm_t2", (n, wdt))
+            m = buf("ngtdm_m", (n, wdt), dtype=bool)
+            np.logical_and(present[:, :wdt], present[:, dshift:], out=m)
+            if not m.any():
+                continue
+            np.add(U[:, :wdt], U[:, dshift:], out=t1)
+            np.multiply(t1, m, out=t1)
+            np.add(p[:, :wdt], p[:, dshift:], out=t2)
+            mn = buf("ngtdm_mn", (n, wdt), dtype=bool)
+            np.logical_not(m, out=mn)
+            np.add(t2, mn, out=t2)  # pad masked denominators to avoid 0/0
+            np.divide(t1, t2, out=t1)
+            acc += dshift * t1.sum(axis=1)
+        complexity = 2.0 * acc / safe_Nvc
 
     deg = _degenerate_mask(seg, ctx) | (Ngp < 2)  # "binned data uninformative"
     out = {
@@ -369,6 +403,9 @@ def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
 # --------------------------------------------------------------------------
 
 def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    """Sparse-cell GLCM: the joint matrix is never materialized — all feature
+    sums run over the distinct (row, a, b) cells actually present (O(nnz)),
+    with only the 1-D marginals px/py kept dense ((n_rows, levels+1))."""
     ctx = _prep(seg, settings)
     n = seg.n_rows
     binned, raw_nz, L = ctx["binned"], ctx["raw_nz"], ctx["L"]
@@ -406,100 +443,96 @@ def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarr
     if pr.size == 0:
         return out
 
+    # distinct (row, a, b) cells with counts (symmetric accumulation doubles)
+    key = pr * (A * A) + pa * A + pb
+    if sym:
+        key = np.concatenate([key, pr * (A * A) + pb * A + pa])
+    uk, cnt = np.unique(key, return_counts=True)
+    crow = uk // (A * A)
+    ca = ((uk // A) % A).astype(np.float64)
+    cb = (uk % A).astype(np.float64)
+    sum_p = np.bincount(crow, weights=cnt, minlength=n)
+    has = sum_p > 0
+    p = cnt / sum_p[crow]
+
+    def by_row(w):
+        return np.bincount(crow, weights=w, minlength=n)
+
+    # dense 1-D marginals are cheap: (n_rows, A)
+    pxm = np.zeros((n, A))
+    pym = np.zeros((n, A))
+    np.add.at(pxm, (crow, ca.astype(np.int64)), p)
+    np.add.at(pym, (crow, cb.astype(np.int64)), p)
     val = np.arange(A, dtype=np.float64)
-    diffm = np.abs(val[:, None] - val[None, :])
-    summ = val[:, None] + val[None, :]
-    prodm = val[:, None] * val[None, :]
+    mux = (pxm * val).sum(axis=1)
+    muy = (pym * val).sum(axis=1)
+    sigx = np.sqrt((pxm * (val[None, :] - mux[:, None]) ** 2).sum(axis=1))
+    sigy = np.sqrt((pym * (val[None, :] - muy[:, None]) ** 2).sum(axis=1))
+    hx = -(np.where(pxm > 0, pxm * np.log2(pxm + EPS), 0.0)).sum(axis=1)
+    hy = -(np.where(pym > 0, pym * np.log2(pym + EPS), 0.0)).sum(axis=1)
 
-    order = np.argsort(pr, kind="stable")
-    pr, pa, pb = pr[order], pa[order], pb[order]
-    row_ids, row_pos = np.unique(pr, return_index=True)
-    row_pos = np.append(row_pos, pr.size)
+    diff = np.abs(ca - cb)
+    summ = ca + cb
+    asm_ = by_row(p * p)
+    je = -by_row(p * np.log2(p + EPS))
+    contrast = by_row(p * diff ** 2)
+    dis = by_row(p * diff)
+    hom1 = by_row(p / (1.0 + diff))
+    idm = by_row(p / (1.0 + diff ** 2))
+    Ngc = np.where(Ng_row > 0, Ng_row, 1.0)
+    idn = by_row(p / (1.0 + diff / Ngc[crow]))
+    idmn = by_row(p / (1.0 + diff ** 2 / Ngc[crow] ** 2))
+    iv = by_row(np.where(diff > 0, p / np.where(diff > 0, diff, 1) ** 2, 0.0))
+    acor = by_row(p * ca * cb)
+    jave = by_row(p * ca)
+    jmax = np.zeros(n)
+    np.maximum.at(jmax, crow, p)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = (acor - mux * muy) / (sigx * sigy)
+        cs = summ - (mux + muy)[crow]
+        clut = by_row(p * cs ** 2)
+        clus = by_row(p * cs ** 3)
+        clup = by_row(p * cs ** 4)
+        jvar = by_row(p * (ca - jave[crow]) ** 2)
+        sumave = by_row(p * summ)
+        sumvar = by_row(p * (summ - sumave[crow]) ** 2)
+        difave = dis
+        difvar = by_row(p * (diff - difave[crow]) ** 2)
+        variance = by_row(p * (ca - mux[crow]) ** 2)
 
-    chunk = max(1, int(8e6 // (A * A)))
-    for c0 in range(0, row_ids.size, chunk):
-        rids = row_ids[c0:c0 + chunk]
-        lo, hi = row_pos[c0], row_pos[c0 + len(rids)]
-        la = pa[lo:hi]
-        lb = pb[lo:hi]
-        lrow = np.searchsorted(rids, pr[lo:hi])
-        m = len(rids)
-        P = np.zeros((m, A, A))
-        np.add.at(P, (lrow, la, lb), 1.0)
-        if sym:
-            np.add.at(P, (lrow, lb, la), 1.0)
-        sp = P.sum(axis=(1, 2))
-        P /= np.where(sp > 0, sp, 1)[:, None, None]
+        # marginal-k entropies over distinct (row, k) cells
+        def marg_entropy(kvals, kmax):
+            mk = crow * kmax + kvals.astype(np.int64)
+            um, inv = np.unique(mk, return_inverse=True)
+            q = np.bincount(inv, weights=p)
+            mrow = um // kmax
+            return -np.bincount(mrow, weights=q * np.log2(q + EPS), minlength=n)
 
-        px = P.sum(axis=2)
-        py = P.sum(axis=1)
-        mux = (px * val).sum(axis=1)
-        muy = (py * val).sum(axis=1)
-        sigx = np.sqrt((px * (val - mux[:, None]) ** 2).sum(axis=1))
-        sigy = np.sqrt((py * (val - muy[:, None]) ** 2).sum(axis=1))
+        sument = marg_entropy(summ, 2 * A)
+        difent = marg_entropy(diff, A)
 
-        asm_ = (P * P).sum(axis=(1, 2))
-        contrast = (P * diffm ** 2).sum(axis=(1, 2))
-        dis = (P * diffm).sum(axis=(1, 2))
-        hom1 = (P / (1.0 + diffm)).sum(axis=(1, 2))
-        idm = (P / (1.0 + diffm ** 2)).sum(axis=(1, 2))
-        Ngc = Ng_row[rids]
-        idn = (P / (1.0 + diffm[None] / np.where(Ngc > 0, Ngc, 1)[:, None, None])).sum(axis=(1, 2))
-        idmn = (P / (1.0 + diffm[None] ** 2 / np.where(Ngc > 0, Ngc ** 2, 1)[:, None, None])).sum(axis=(1, 2))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ivm = np.where(diffm > 0, 1.0 / np.where(diffm > 0, diffm, 1) ** 2, 0.0)
-        iv = (P * ivm).sum(axis=(1, 2))
-        acor = (P * prodm).sum(axis=(1, 2))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            corr = (acor - mux * muy) / (sigx * sigy)
-        clut = (P * (summ[None] - (mux + muy)[:, None, None]) ** 2).sum(axis=(1, 2))
-        clus = (P * (summ[None] - (mux + muy)[:, None, None]) ** 3).sum(axis=(1, 2))
-        clup = (P * (summ[None] - (mux + muy)[:, None, None]) ** 4).sum(axis=(1, 2))
-        je = -(P * np.log2(P + EPS)).sum(axis=(1, 2))
-        jmax = P.max(axis=(1, 2))
-        jave = (P * val[None, :, None]).sum(axis=(1, 2))
-        jvar = (P * (val[None, :, None] - jave[:, None, None]) ** 2).sum(axis=(1, 2))
-        sumave = (P * summ).sum(axis=(1, 2))
-        sumvar = (P * (summ[None] - sumave[:, None, None]) ** 2).sum(axis=(1, 2))
-        difave = (P * diffm).sum(axis=(1, 2))
-        difvar = (P * (diffm[None] - difave[:, None, None]) ** 2).sum(axis=(1, 2))
-        # marginal-k entropies via scatter onto k-index planes
-        Ssum = np.zeros((m, 2 * A))
-        np.add.at(Ssum, (np.arange(m)[:, None, None], summ.astype(np.int64)[None]), P)
-        sument = -(Ssum * np.log2(Ssum + EPS)).sum(axis=1)
-        Sdif = np.zeros((m, A))
-        np.add.at(Sdif, (np.arange(m)[:, None, None], diffm.astype(np.int64)[None]), P)
-        difent = -(np.where(Sdif > 0, Sdif * np.log2(Sdif + EPS), 0.0)).sum(axis=1)
-        # information measures (glcm.cpp:856-915)
-        pxpy = px[:, :, None] * py[:, None, :]
-        hxy = je
-        hxy1 = -(P * np.log2(pxpy + EPS)).sum(axis=(1, 2))
-        hxy2 = -(pxpy * np.log2(pxpy + EPS)).sum(axis=(1, 2))
-        hx = -(px * np.log2(px + EPS)).sum(axis=1)
-        hy = -(py * np.log2(py + EPS)).sum(axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            im1 = (hxy - hxy1) / np.maximum(hx, hy)
-            im2 = np.sqrt(np.maximum(0.0, 1.0 - np.exp(-2.0 * (hxy2 - hxy))))
-        variance = (P * (val[None, :, None] - mux[:, None, None]) ** 2).sum(axis=(1, 2))
+        # information measures (glcm.cpp:856-915); hxy2 factorizes to hx+hy up
+        # to the +eps inside the log (error ~1e-12, below oracle tolerance)
+        hxy1 = -by_row(p * np.log2(pxm[crow, ca.astype(np.int64)] * pym[crow, cb.astype(np.int64)] + EPS))
+        hxy2 = hx + hy
+        im1 = (je - hxy1) / np.maximum(hx, hy)
+        im2 = np.sqrt(np.maximum(0.0, 1.0 - np.exp(-2.0 * (hxy2 - je))))
 
-        vals = {
-            "GLCM_ASM": asm_, "GLCM_ACOR": acor, "GLCM_CLUPROM": clup,
-            "GLCM_CLUSHADE": clus, "GLCM_CLUTEND": clut, "GLCM_CONTRAST": contrast,
-            "GLCM_CORRELATION": corr, "GLCM_DIFAVE": difave, "GLCM_DIFENTRO": difent,
-            "GLCM_DIFVAR": difvar, "GLCM_DIS": dis, "GLCM_ENERGY": asm_,
-            "GLCM_ENTROPY": je, "GLCM_HOM1": hom1, "GLCM_ID": hom1,
-            "GLCM_IDN": idn, "GLCM_IDM": idm, "GLCM_IDMN": idmn,
-            "GLCM_INFOMEAS1": im1, "GLCM_INFOMEAS2": im2, "GLCM_IV": iv,
-            "GLCM_JAVE": jave, "GLCM_JE": je, "GLCM_JMAX": jmax, "GLCM_JVAR": jvar,
-            "GLCM_SUMAVERAGE": sumave, "GLCM_SUMENTROPY": sument,
-            "GLCM_SUMVARIANCE": sumvar, "GLCM_VARIANCE": variance,
-        }
-        for k, v in vals.items():
-            out[k][rids] = v
-
-    deg = _degenerate_mask(seg, ctx)
-    for k in list(out):
-        out[k] = np.where(deg, settings.softnan, out[k])
+    vals = {
+        "GLCM_ASM": asm_, "GLCM_ACOR": acor, "GLCM_CLUPROM": clup,
+        "GLCM_CLUSHADE": clus, "GLCM_CLUTEND": clut, "GLCM_CONTRAST": contrast,
+        "GLCM_CORRELATION": corr, "GLCM_DIFAVE": difave, "GLCM_DIFENTRO": difent,
+        "GLCM_DIFVAR": difvar, "GLCM_DIS": dis, "GLCM_ENERGY": asm_,
+        "GLCM_ENTROPY": je, "GLCM_HOM1": hom1, "GLCM_ID": hom1,
+        "GLCM_IDN": idn, "GLCM_IDM": idm, "GLCM_IDMN": idmn,
+        "GLCM_INFOMEAS1": im1, "GLCM_INFOMEAS2": im2, "GLCM_IV": iv,
+        "GLCM_JAVE": jave, "GLCM_JE": je, "GLCM_JMAX": jmax, "GLCM_JVAR": jvar,
+        "GLCM_SUMAVERAGE": sumave, "GLCM_SUMENTROPY": sument,
+        "GLCM_SUMVARIANCE": sumvar, "GLCM_VARIANCE": variance,
+    }
+    deg = _degenerate_mask(seg, ctx) | ~has
+    for k, v in vals.items():
+        out[k] = np.where(deg, settings.softnan, v)
     return out
 
 

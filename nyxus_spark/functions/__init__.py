@@ -1,0 +1,7 @@
+from nyxus_spark.functions.text import (  # noqa: F401
+    langid_expr,
+    quality_exprs,
+    token_count_exprs,
+    fingerprint_expr,
+    STOPWORDS,
+)

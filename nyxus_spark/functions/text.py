@@ -1,0 +1,92 @@
+"""Text analysis functions for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, and document fingerprinting.
+
+All pure column expressions (whole-stage codegen); every expression has an
+exact DuckDB twin used by the correctness oracle (regex patterns restricted to
+the syntax both engines share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with", "on", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "est", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "de", "que", "es", "para", "con", "una", "por"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+WORD_RE = "[A-Za-z0-9]+"
+PUNCT_RE = "[.,!?;:]"
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+
+
+def langid_expr(text_col: str = "text"):
+    """Predicted language = argmax stopword-hit count, ties broken by
+    lexicographically smallest language code (deterministic)."""
+    scores = [
+        (lang, F.size(F.array_intersect(_words(text_col), F.array(*[F.lit(w) for w in ws]))))
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    best = None
+    best_score = None
+    # fold: keep (lang, score); strictly-greater replaces → first (smallest) lang wins ties
+    expr = None
+    for lang, sc in scores:
+        if expr is None:
+            expr = F.struct(sc.alias("s"), F.lit(lang).alias("l"))
+        else:
+            expr = F.when(sc > expr["s"], F.struct(sc.alias("s"), F.lit(lang).alias("l"))).otherwise(expr)
+    return expr["l"]
+
+
+def token_count_exprs(text_col: str = "text") -> dict[str, object]:
+    """Whitespace token count + BPE-ish regex token count (word pieces +
+    punctuation as separate tokens)."""
+    return {
+        "ws_tokens": F.size(_words(text_col)),
+        "re_tokens": F.regexp_count(F.col(text_col), F.lit(WORD_RE))
+        + F.regexp_count(F.col(text_col), F.lit(PUNCT_RE)),
+    }
+
+
+def quality_exprs(text_col: str = "text") -> dict[str, object]:
+    """Quality heuristics: length, mean word length, punctuation ratio,
+    stopword ratio, and a composite score in [0, 1]."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    mean_wlen = (n_chars - n_words + 1) / n_words  # spaces removed
+    n_punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_RE))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(words, en_stop))
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_words
+    score = (
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return {
+        "n_words": n_words,
+        "n_chars_derived": n_chars,
+        "mean_word_len": F.round(mean_wlen, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "quality_score": F.round(score, 4),
+    }
+
+
+def fingerprint_expr(tokens_col: str = "tokens", prime: int = 1000003):
+    """Order-sensitive rolling document fingerprint over the token array:
+    Σ (i+1)·t_i mod prime — the token-array-equality digest."""
+    return F.expr(
+        f"aggregate(zip_with({tokens_col}, sequence(1, size({tokens_col})),"
+        f" (t, i) -> cast(t as bigint) * i), 0L, (a, x) -> a + x) % {prime}"
+    )

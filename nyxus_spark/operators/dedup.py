@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's operator set (per the build brief): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification — all pure
+DataFrame/column expressions (JVM-side, no Python), built over token shingles
+so the arithmetic is replicable in the DuckDB oracle.
+
+Scale notes (100 TB):
+* exact dedup is one hash-aggregate shuffle on the dedup key;
+* MinHash signatures are narrow column expressions; the LSH banding self-join
+  shuffles only (band_idx, band_key) pairs — candidates, not the corpus;
+* verification joins candidates back by id (broadcast when the candidate set
+  is small, AQE decides otherwise);
+* SimHash near-dup uses bit_count(xor) ≤ r on 32-bit fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P31 = 2147483647  # Mersenne prime 2^31-1
+MIX = 2654435761  # Knuth multiplicative constant
+
+
+def token_shingles(tokens_col: str = "tokens", k: int = 3):
+    """Column expr: distinct k-gram shingle hashes of an int token array.
+
+    shingle(i) = (t_i·31² + t_{i+1}·31 + t_{i+2}) mod P31 for k=3 — plain
+    integer arithmetic so Spark and DuckDB agree bit-for-bit.
+    """
+    weights = [31 ** (k - 1 - j) for j in range(k)]
+    terms = " + ".join(
+        f"cast(element_at({tokens_col}, i + {j + 1}) as bigint) * {w}" for j, w in enumerate(weights)
+    )
+    # guard: sequence(0, n) with n < 0 DESCENDS in Spark → crash on short arrays
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < {k} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size({tokens_col}) - {k}),"
+        f" i -> ({terms}) % {P31})) END"
+    )
+
+
+def minhash_signature(shingles_col: str, num_hashes: int = 16):
+    """Column expr: MinHash signature array (one min per hash function).
+
+    h_i(x) = (a_i·x + b_i) mod P31 with deterministic a_i, b_i.
+    """
+    sigs = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % P31 | 1
+        b = (MIX * (i + 7)) % P31
+        sigs.append(
+            F.expr(
+                f"array_min(transform({shingles_col}, x -> (x * {a} + {b}) % {P31}))"
+            )
+        )
+    return F.array(*sigs)
+
+
+def lsh_bands(sig_col: str, num_bands: int = 4, rows_per_band: int = 4):
+    """Explode a signature into (band_idx, band_key) rows for bucket joins."""
+    keys = []
+    for band in range(num_bands):
+        parts = [
+            f"cast(element_at({sig_col}, {band * rows_per_band + r + 1}) as bigint) * {31 ** r}"
+            for r in range(rows_per_band)
+        ]
+        keys.append(f"named_struct('band_idx', {band}, 'band_key', ({' + '.join(parts)}) % {P31})")
+    return F.expr(f"array({', '.join(keys)})")
+
+
+def simhash32(shingles_col: str):
+    """Column expr: 32-bit SimHash of a shingle-hash array.
+
+    Each shingle is remixed (x·MIX mod 2³²); bit j of the fingerprint is 1 iff
+    Σ_shingles (2·bit_j(mix) − 1) > 0.
+    """
+    bits = []
+    for j in range(32):
+        bits.append(
+            f"(case when aggregate({shingles_col}, 0L, "
+            f"(acc, x) -> acc + (((x * {MIX}) % 4294967296) >> {j}) % 2 * 2 - 1) > 0 "
+            f"then cast({2 ** j} as bigint) else 0L end)"
+        )
+    return F.expr(" + ".join(bits))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact key (hash-aggregate, one shuffle)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH, verified with exact Jaccard
+    over distinct shingles. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    rows_per_band = num_hashes // num_bands
+    sh = df.select(
+        F.col(id_col), token_shingles(tokens_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    banded = (
+        sh.withColumn("sig", minhash_signature("shingles", num_hashes))
+        .select(
+            id_col,
+            "shingles",
+            F.explode(lsh_bands("sig", num_bands, rows_per_band)).alias("b"),
+        )
+        .select(
+            id_col,
+            "shingles",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_key").alias("band_key"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on the high 16 bits (near-identical fingerprints share
+    the block with overwhelming probability), then verify bit_count(xor).
+    """
+    sh = df.select(F.col(id_col), token_shingles(tokens_col, k).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    fp = sh.select(id_col, simhash32("shingles").alias("fp")).withColumn(
+        "block", F.expr("fp >> 16")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+def ngram_jaccard(
+    left: DataFrame, right: DataFrame, id_col: str = "doc_id",
+    tokens_col: str = "tokens", k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs (id_a, id_b)."""
+    sh = lambda d: d.select(F.col(id_col), token_shingles(tokens_col, k).alias("sh"))
+    la, rb = sh(left).alias("a"), sh(right).alias("b")
+    return (
+        la.crossJoin(rb)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,258 @@
+"""DuckDB oracle-SQL builders for the driver's correctness gate.
+
+Each builder emits SQL that re-implements an operator's semantics from
+scratch in DuckDB (unnest/window/list functions), sharing ONLY integer
+constants with the Spark implementation (nyxus_spark/operators/dedup.py) —
+the code paths are fully independent, which is what makes the comparison an
+oracle rather than a tautology.
+"""
+
+from __future__ import annotations
+
+from nyxus_spark.operators.dedup import MIX, P31
+from nyxus_spark.sources.tables import SQL_TOKENS_STATIC
+
+K_SHINGLE = 3
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+# augmented corpus with injected duplicates (exact: doc_id%25, near: doc_id%10)
+SQL_AUG = f"""
+{SQL_TOKENS_STATIC},
+aug AS (
+  SELECT doc_id, tokens, n_tok, source FROM tokens_static
+  UNION ALL
+  SELECT 'dup_' || doc_id, tokens, n_tok, source FROM tokens_static
+  WHERE CAST(substr(doc_id, 5) AS INTEGER) % 25 = 0
+  UNION ALL
+  SELECT 'near_' || doc_id, tokens[2:], n_tok - 1, source FROM tokens_static
+  WHERE CAST(substr(doc_id, 5) AS INTEGER) % 10 = 0
+)
+""".strip()
+
+
+def _hash_params(i: int) -> tuple[int, int]:
+    a = (1103515245 * (i + 1) + 12345) % P31 | 1
+    b = (MIX * (i + 7)) % P31
+    return a, b
+
+
+SQL_SHINGLES = f"""
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, n_tok - {K_SHINGLE - 1}),
+           i -> (CAST(tokens[i+1] AS BIGINT) * 961
+               + CAST(tokens[i+2] AS BIGINT) * 31
+               + CAST(tokens[i+3] AS BIGINT)) % {P31})) AS sh
+  FROM aug WHERE n_tok >= {K_SHINGLE}
+)
+""".strip()
+
+
+def sql_minhash_pairs(jaccard_threshold: float = 0.5) -> str:
+    sig_terms = []
+    for i in range(NUM_HASHES):
+        a, b = _hash_params(i)
+        sig_terms.append(f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {P31}))")
+    band_rows = []
+    for band in range(NUM_BANDS):
+        parts = [
+            f"sig[{band * ROWS_PER_BAND + r + 1}] * {31 ** r}" for r in range(ROWS_PER_BAND)
+        ]
+        band_rows.append(
+            f"SELECT doc_id, sh, {band} AS band_idx, ({' + '.join(parts)}) % {P31} AS band_key FROM sigs"
+        )
+    return f"""
+WITH {SQL_AUG},
+{SQL_SHINGLES},
+sigs AS (SELECT doc_id, sh, [{', '.join(sig_terms)}] AS sig FROM shingled),
+banded AS ({' UNION ALL '.join(band_rows)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}
+"""
+
+
+def sql_simhash_pairs(max_hamming: int = 3) -> str:
+    bit_terms = [
+        f"(CASE WHEN list_sum(list_transform(sh, x -> ((((x * {MIX}) % 4294967296) >> {j}) % 2) * 2 - 1)) > 0 "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    ]
+    return f"""
+WITH {SQL_AUG},
+{SQL_SHINGLES},
+fps AS (SELECT doc_id, {' + '.join(bit_terms)} AS fp FROM shingled),
+blocked AS (SELECT doc_id, fp, fp >> 16 AS block FROM fps)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM blocked a JOIN blocked b USING (block)
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+SQL_EXACT_DEDUP = f"""
+WITH {SQL_AUG},
+keyed AS (
+  SELECT doc_id, source,
+         list_aggregate(list_transform(tokens, x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS key
+  FROM aug
+),
+ranked AS (
+  SELECT doc_id, source, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, source FROM ranked WHERE rn = 1
+"""
+
+SQL_TOPK_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS cos
+FROM embeddings, q
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def sql_langid(stopwords: dict[str, list[str]]) -> str:
+    rows = []
+    for lang in sorted(stopwords):
+        ws = ", ".join(f"'{w}'" for w in stopwords[lang])
+        rows.append(
+            f"SELECT doc_id, '{lang}' AS lang_pred, "
+            f"len(list_intersect(words, [{ws}])) AS score FROM w"
+        )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words FROM documents
+),
+scored AS ({' UNION ALL '.join(rows)}),
+ranked AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_pred ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang_pred FROM ranked WHERE rn = 1
+"""
+
+
+def sql_text_quality(en_stopwords: list[str]) -> str:
+    ws = ", ".join(f"'{w}'" for w in en_stopwords)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+         CAST(length(text) AS BIGINT) AS n_chars_derived,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_re_words,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS INTEGER) AS n_words,
+         n_chars_derived,
+         CAST(n_re_words + n_punct AS INTEGER) AS re_tokens,
+         CAST(n_punct AS DOUBLE) / n_chars_derived AS punct_ratio,
+         CAST(len(list_intersect(words, [{ws}])) AS DOUBLE) / len(words) AS stop_ratio,
+         (n_chars_derived - len(words) + 1.0) / len(words) AS mean_wlen
+  FROM base
+)
+SELECT doc_id, n_words, n_chars_derived, re_tokens,
+       round(mean_wlen, 4) AS mean_word_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(LEAST(n_words / 50.0, 1.0) * 0.4
+             + LEAST(stop_ratio * 5.0, 1.0) * 0.4
+             + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.2, 4) AS quality_score
+FROM m
+"""
+
+
+def sql_glrlm(n_levels: int = 64) -> str:
+    """Run-length features under matlab binning — gaps-and-islands SQL."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i, f.n_tok,
+         CASE WHEN f.t = 0 THEN 1
+              ELSE LEAST(GREATEST(CAST(FLOOR(({n_levels}.0 / s.mx) * f.t + 1) AS INTEGER), 1), {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+flagged AS (
+  SELECT doc_id, i, g, n_tok,
+         CASE WHEN lag(g) OVER w IS NULL OR lag(g) OVER w <> g THEN 1 ELSE 0 END AS f
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+islands AS (
+  SELECT doc_id, g, n_tok,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+runs AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS DOUBLE) AS l, MAX(n_tok) AS n_tok
+  FROM islands GROUP BY doc_id, g, run_id
+)
+SELECT doc_id,
+       round(SUM(1.0 / (l * l)) / COUNT(*), 4) AS glrlm_sre,
+       round(SUM(l * l) / COUNT(*), 4) AS glrlm_lre,
+       round(CAST(COUNT(*) AS DOUBLE) / MAX(n_tok), 4) AS glrlm_rp,
+       round(SUM(CAST(g AS DOUBLE) * g) / COUNT(*), 4) AS glrlm_hglre,
+       round(SUM(1.0 / (CAST(g AS DOUBLE) * g)) / COUNT(*), 4) AS glrlm_lglre
+FROM runs GROUP BY doc_id
+"""
+
+
+def sql_glcm(n_levels: int = 64) -> str:
+    """GLCM contrast/ASM/DIS under matlab binning (non-symmetric, offset 1)."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i, f.t AS rawt,
+         CASE WHEN f.t = 0 THEN 1
+              ELSE LEAST(GREATEST(CAST(FLOOR(({n_levels}.0 / s.mx) * f.t + 1) AS INTEGER), 1), {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+pairs AS (
+  SELECT doc_id, g AS a,
+         lead(g) OVER w AS b,
+         rawt, lead(rawt) OVER w AS rawt2
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+valid AS (
+  SELECT doc_id, a, b FROM pairs
+  WHERE b IS NOT NULL AND rawt <> 0 AND rawt2 <> 0
+),
+cellcnt AS (SELECT doc_id, a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM valid GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, SUM(c) AS s FROM cellcnt GROUP BY doc_id)
+SELECT c.doc_id,
+       round(SUM((c.c / t.s) * (a - b) * (a - b)), 4) AS glcm_contrast,
+       round(SUM((c.c / t.s) * (c.c / t.s)), 4) AS glcm_asm,
+       round(SUM((c.c / t.s) * abs(a - b)), 4) AS glcm_dis
+FROM cellcnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id
+"""
