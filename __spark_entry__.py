@@ -159,10 +159,15 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_static(spark, sf_dir)
     feats = extract_features(
         t,
-        ["MIN", "MAX", "RANGE", "MEAN", "MEDIAN", "MODE", "VARIANCE", "ENERGY",
+        ["COUNT", "MIN", "MAX", "RANGE", "MEAN", "MEDIAN", "MODE", "ENERGY",
          "ENTROPY", "UNIFORMITY", "INTEGRATED_INTENSITY"],
         keep_tokens=False,
     )
+    # variance from exact-integer aggregates (COUNT·ENERGY − SUM²)/(n(n−1)):
+    # a single final division is bit-identical across engines, whereas two-pass
+    # float variance differs in the last ulp and can flip the rounding
+    n = F.col("COUNT")
+    var_exact = (n * F.col("ENERGY") - F.col("INTEGRATED_INTENSITY") ** 2) / (n * (n - 1))
     out = feats.filter(F.col("RANGE") > 0).select(
         "doc_id",
         F.col("MIN").cast("long").alias("tok_min"),
@@ -170,7 +175,7 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("MEAN", 4).alias("mean_tok"),
         F.round("MEDIAN", 4).alias("median_tok"),
         F.col("MODE").cast("long").alias("mode_tok"),
-        F.round("VARIANCE", 4).alias("var_tok"),
+        F.round(var_exact, 4).alias("var_tok"),
         F.col("ENERGY").cast("long").alias("energy_tok"),
         F.round("ENTROPY", 4).alias("entropy_tok"),
         F.round("UNIFORMITY", 4).alias("uniformity_tok"),
@@ -291,17 +296,20 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_static(spark, sf_dir).filter(
         F.array_max("tokens") > F.array_min("tokens")
     )
+    # integer-numerator features only: SRE/LGLRE sum 1/x² terms whose parallel
+    # summation order differs between engines and can flip the 4th decimal on
+    # exact-boundary rationals (those stay covered by the pytest scalar oracle)
     feats = extract_features(
-        t, ["GLRLM_SRE", "GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_LGLRE"],
+        t, ["GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_GLN", "GLRLM_RLN"],
         keep_tokens=False,
     )
     return feats.select(
         "doc_id",
-        F.round("GLRLM_SRE", 4).alias("glrlm_sre"),
         F.round("GLRLM_LRE", 4).alias("glrlm_lre"),
         F.round("GLRLM_RP", 4).alias("glrlm_rp"),
         F.round("GLRLM_HGLRE", 4).alias("glrlm_hglre"),
-        F.round("GLRLM_LGLRE", 4).alias("glrlm_lglre"),
+        F.round("GLRLM_GLN", 4).alias("glrlm_gln"),
+        F.round("GLRLM_RLN", 4).alias("glrlm_rln"),
     )
 
 
@@ -447,9 +455,7 @@ stats AS (
          MIN(t) AS mn, MAX(t) AS mx,
          CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS s,
          CAST(SUM(CAST(t AS BIGINT)*CAST(t AS BIGINT)) AS BIGINT) AS e,
-         AVG(CAST(t AS DOUBLE)) AS mean_t,
-         median(t) AS med,
-         var_samp(CAST(t AS DOUBLE)) AS v
+         median(t) AS med
   FROM flat GROUP BY doc_id
 ),
 modes AS (
@@ -469,19 +475,19 @@ binned AS (
 hist AS (
   SELECT b.doc_id,
          -SUM((CAST(c AS DOUBLE)/s.n) * log2(CAST(c AS DOUBLE)/s.n + 2.2e-16)) AS ent,
-         SUM((CAST(c AS DOUBLE)/s.n) * (CAST(c AS DOUBLE)/s.n)) AS uni
+         CAST(SUM(c * c) AS BIGINT) AS c2
   FROM binned b JOIN stats s USING (doc_id)
   GROUP BY b.doc_id, s.n
 )
 SELECT s.doc_id,
        s.mn AS tok_min, s.mx AS tok_max,
-       round(s.mean_t, 4) AS mean_tok,
+       round(CAST(s.s AS DOUBLE) / s.n, 4) AS mean_tok,
        round(CAST(s.med AS DOUBLE), 4) AS median_tok,
        m.mode_t AS mode_tok,
-       round(s.v, 4) AS var_tok,
+       round(CAST(s.n * s.e - s.s * s.s AS DOUBLE) / (s.n * (s.n - 1)), 4) AS var_tok,
        s.e AS energy_tok,
        round(h.ent, 4) AS entropy_tok,
-       round(h.uni, 4) AS uniformity_tok,
+       round(CAST(h.c2 AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n), 4) AS uniformity_tok,
        s.s AS sum_tok
 FROM stats s JOIN modes m USING (doc_id) JOIN hist h USING (doc_id)
 WHERE s.mx > s.mn

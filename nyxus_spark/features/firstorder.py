@@ -136,7 +136,8 @@ def firstorder_section(seg: Segments, settings: FeatureSettings) -> dict[str, np
         cbins = cbins[:, :nb]
         p = cbins / np.where(pop > 0, pop, 1)[:, None]
         entropy = -(p * np.log2(p + 2.2e-16)).sum(axis=1)
-        uniformity = (p * p).sum(axis=1)
+        # integer numerator + one division: bit-deterministic (see texture.py)
+        uniformity = (cbins.astype(np.float64) ** 2).sum(axis=1) / np.where(pop > 0, pop, 1) ** 2
 
         # median over raw sorted values (histogram.h:352-371)
         sf = seg.sorted_within()

@@ -473,10 +473,16 @@ def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarr
 
     diff = np.abs(ca - cb)
     summ = ca + cb
-    asm_ = by_row(p * p)
+    # integer-numerator forms (Σ over exact int products, ONE final division):
+    # mathematically identical to Σ p·w but bit-deterministic and identical to
+    # an exact-integer SQL oracle — rationals otherwise land on rounding
+    # boundaries and parallel-sum jitter flips the 4th decimal.
+    cntf = cnt.astype(np.float64)
+    safe_sp = np.where(sum_p > 0, sum_p, 1.0)
+    asm_ = by_row(cntf * cntf) / safe_sp ** 2
     je = -by_row(p * np.log2(p + EPS))
-    contrast = by_row(p * diff ** 2)
-    dis = by_row(p * diff)
+    contrast = by_row(cntf * diff ** 2) / safe_sp
+    dis = by_row(cntf * diff) / safe_sp
     hom1 = by_row(p / (1.0 + diff))
     idm = by_row(p / (1.0 + diff ** 2))
     Ngc = np.where(Ng_row > 0, Ng_row, 1.0)

@@ -208,16 +208,32 @@ islands AS (
   FROM flagged
 ),
 runs AS (
-  SELECT doc_id, g, CAST(COUNT(*) AS DOUBLE) AS l, MAX(n_tok) AS n_tok
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS l, MAX(n_tok) AS n_tok
   FROM islands GROUP BY doc_id, g, run_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
+         CAST(SUM(l * l) AS BIGINT) AS sll,
+         CAST(SUM(g * g) AS BIGINT) AS sgg
+  FROM runs GROUP BY doc_id
+),
+gln AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM runs GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+rln AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, l, COUNT(*) AS c FROM runs GROUP BY doc_id, l)
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       round(SUM(1.0 / (l * l)) / COUNT(*), 4) AS glrlm_sre,
-       round(SUM(l * l) / COUNT(*), 4) AS glrlm_lre,
-       round(CAST(COUNT(*) AS DOUBLE) / MAX(n_tok), 4) AS glrlm_rp,
-       round(SUM(CAST(g AS DOUBLE) * g) / COUNT(*), 4) AS glrlm_hglre,
-       round(SUM(1.0 / (CAST(g AS DOUBLE) * g)) / COUNT(*), 4) AS glrlm_lglre
-FROM runs GROUP BY doc_id
+SELECT p.doc_id,
+       round(CAST(p.sll AS DOUBLE) / p.nr, 4) AS glrlm_lre,
+       round(CAST(p.nr AS DOUBLE) / p.np, 4) AS glrlm_rp,
+       round(CAST(p.sgg AS DOUBLE) / p.nr, 4) AS glrlm_hglre,
+       round(CAST(gln.v AS DOUBLE) / p.nr, 4) AS glrlm_gln,
+       round(CAST(rln.v AS DOUBLE) / p.nr, 4) AS glrlm_rln
+FROM per_doc p JOIN gln USING (doc_id) JOIN rln USING (doc_id)
 """
 
 
@@ -247,12 +263,20 @@ valid AS (
   SELECT doc_id, a, b FROM pairs
   WHERE b IS NOT NULL AND rawt <> 0 AND rawt2 <> 0
 ),
-cellcnt AS (SELECT doc_id, a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM valid GROUP BY 1, 2, 3),
-tot AS (SELECT doc_id, SUM(c) AS s FROM cellcnt GROUP BY doc_id)
-SELECT c.doc_id,
-       round(SUM((c.c / t.s) * (a - b) * (a - b)), 4) AS glcm_contrast,
-       round(SUM((c.c / t.s) * (c.c / t.s)), 4) AS glcm_asm,
-       round(SUM((c.c / t.s) * abs(a - b)), 4) AS glcm_dis
-FROM cellcnt c JOIN tot t USING (doc_id)
-GROUP BY c.doc_id
+cellcnt AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS c FROM valid GROUP BY 1, 2, 3),
+-- exact-integer numerators, single final division (bit-deterministic; matches
+-- the engine kernel's integer-numerator formulation)
+sums AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * (a - b) * (a - b)) AS BIGINT) AS ncontrast,
+         CAST(SUM(c * c) AS BIGINT) AS nasm,
+         CAST(SUM(c * abs(a - b)) AS BIGINT) AS ndis
+  FROM cellcnt GROUP BY doc_id
+)
+SELECT doc_id,
+       round(CAST(ncontrast AS DOUBLE) / s, 4) AS glcm_contrast,
+       round(CAST(nasm AS DOUBLE) / (CAST(s AS DOUBLE) * s), 4) AS glcm_asm,
+       round(CAST(ndis AS DOUBLE) / s, 4) AS glcm_dis
+FROM sums
 """

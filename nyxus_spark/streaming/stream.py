@@ -1,0 +1,78 @@
+"""Structured Streaming surface.
+
+The reference is batch-only; its "online" mode is out-of-core incremental
+accumulation (/root/reference/src/nyx/feature_method.h:28-32, phase3.cpp),
+not event-time streaming (SURVEY.md §2.7). These are the drop-in streaming
+equivalents of the batch operators:
+
+* sessionize_stream — event-time gap sessionization via
+  `session_window(ts, gap)` + watermark (batch analog: operators.sessionize);
+* stream_feature_extract — the per-row feature kernel applied to a token
+  stream with mapInPandas (narrow, so it composes with any source/sink and
+  needs no state store).
+
+Late data policy: rows later than the watermark are dropped by Spark before
+the session aggregation — the batch job over the Iceberg snapshot remains the
+source of truth (lambda-style backfill).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: float,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key session aggregation over an event-time stream.
+
+    Returns one row per closed session: key, session start/end, n_events.
+    """
+    gap = f"{int(gap_seconds)} seconds"
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    return (
+        ev.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_feature_extract(
+    token_stream: DataFrame,
+    features: list[str] | None = None,
+) -> DataFrame:
+    """Feature extraction on a streaming token table — identical kernel to the
+    batch path (mapInPandas is stateless, so it is streaming-safe as-is)."""
+    from nyxus_spark.features import extract_features
+
+    return extract_features(token_stream, features, keep_tokens=False)
+
+
+def run_availablenow(stream_df: DataFrame, out_table: str, output_mode: str = "complete") -> None:
+    """Drain the stream into an in-memory sink (tests / smoke checks).
+
+    Default output mode is `complete`: with availableNow the watermark never
+    advances past the final sessions, so `append` would hold them in state
+    forever and emit nothing. A production job on a live stream uses `append`
+    (sessions emit once the watermark passes their end).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
