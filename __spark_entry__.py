@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nyxus_spark.compare import fround4 as _r4
+
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -140,9 +142,9 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "event_id",
-        F.round("lag_purchase_value_1", 4).alias("lag_v1"),
-        F.round("lead_purchase_value_1", 4).alias("lead_v1"),
-        F.round("purchase_value_locf", 4).alias("locf_v"),
+        _r4("lag_purchase_value_1").alias("lag_v1"),
+        _r4("lead_purchase_value_1").alias("lead_v1"),
+        _r4("purchase_value_locf").alias("locf_v"),
     )
 
 
@@ -172,13 +174,13 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("MIN").cast("long").alias("tok_min"),
         F.col("MAX").cast("long").alias("tok_max"),
-        F.round("MEAN", 4).alias("mean_tok"),
-        F.round("MEDIAN", 4).alias("median_tok"),
+        _r4("MEAN").alias("mean_tok"),
+        _r4("MEDIAN").alias("median_tok"),
         F.col("MODE").cast("long").alias("mode_tok"),
-        F.round(var_exact, 4).alias("var_tok"),
+        _r4(var_exact).alias("var_tok"),
         F.col("ENERGY").cast("long").alias("energy_tok"),
-        F.round("ENTROPY", 4).alias("entropy_tok"),
-        F.round("UNIFORMITY", 4).alias("uniformity_tok"),
+        _r4("ENTROPY").alias("entropy_tok"),
+        _r4("UNIFORMITY").alias("uniformity_tok"),
         F.col("INTEGRATED_INTENSITY").cast("long").alias("sum_tok"),
     )
     return out
@@ -305,11 +307,11 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feats.select(
         "doc_id",
-        F.round("GLRLM_LRE", 4).alias("glrlm_lre"),
-        F.round("GLRLM_RP", 4).alias("glrlm_rp"),
-        F.round("GLRLM_HGLRE", 4).alias("glrlm_hglre"),
-        F.round("GLRLM_GLN", 4).alias("glrlm_gln"),
-        F.round("GLRLM_RLN", 4).alias("glrlm_rln"),
+        _r4("GLRLM_LRE").alias("glrlm_lre"),
+        _r4("GLRLM_RP").alias("glrlm_rp"),
+        _r4("GLRLM_HGLRE").alias("glrlm_hglre"),
+        _r4("GLRLM_GLN").alias("glrlm_gln"),
+        _r4("GLRLM_RLN").alias("glrlm_rln"),
     )
 
 
@@ -329,14 +331,100 @@ def _q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feats.select(
         "doc_id",
-        F.round("GLCM_CONTRAST", 4).alias("glcm_contrast"),
-        F.round("GLCM_ASM", 4).alias("glcm_asm"),
-        F.round("GLCM_DIS", 4).alias("glcm_dis"),
+        _r4("GLCM_CONTRAST").alias("glcm_contrast"),
+        _r4("GLCM_ASM").alias("glcm_asm"),
+        _r4("GLCM_DIS").alias("glcm_dis"),
+    )
+
+
+def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal neighbor self-join (bucketed range join): per event, neighbor
+    count + distance to the closest 1/2 within R = 4h."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.relations import neighbor_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id"
+    )
+    out = neighbor_stats(ev, 14400.0)
+    return out.select("doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us")
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child rollup (J3): aggregate version-level stats per doc."""
+    _prep(spark)
+    from nyxus_spark.operators.relations import rollup_parent
+    from nyxus_spark.sources import tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "n_tok", "value")
+    return rollup_parent(v, "doc_id", ["n_tok", "value"])
+
+
+def _q_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot rollup: per doc, version count per source (event type)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sources import tokens_versions
+
+    v = tokens_versions(spark, sf_dir)
+    return (
+        v.groupBy("doc_id")
+        .pivot("source", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+    )
+
+
+def _q_covered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prescan broadcast + COVERED_IMAGE_INTENSITY_RANGE analog
+    (intensity.cpp:104-109 over (sequence, source))."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.prescan import covered_range_col, with_source_range
+    from nyxus_spark.sources import tokens_static
+
+    t = with_source_range(tokens_static(spark, sf_dir))
+    return t.select(
+        "doc_id",
+        "source",
+        "src_min",
+        "src_max",
+        _r4(covered_range_col()).alias("covered_range"),
+    )
+
+
+def _q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the cogrouped pandas merge_asof kernel (same oracle as
+    the union_window strategy — strategies must agree)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import asof_join
+    from nyxus_spark.sources import probes, tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
+    p = probes(spark, sf_dir)
+    out = asof_join(p, v, strategy="cogroup_merge")
+    return out.select(
+        "doc_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+        "n_tok",
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "neighbors": _q_neighbors,
+        "rollup": _q_rollup,
+        "rollup_pivot": _q_rollup_pivot,
+        "covered_range": _q_covered_range,
+        "asof_merge": _q_asof_merge,
         "tokens_basic": _q_tokens_basic,
         "prescan_sources": _q_prescan_sources,
         "asof_join": _q_asof_join,
@@ -366,6 +454,73 @@ def oracle_sql() -> dict[str, str]:
     from nyxus_spark.sources.tables import SQL_PROBES, SQL_TOKENS_STATIC, SQL_VERSIONS
 
     extra = {
+        "neighbors": """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, event_id FROM events
+),
+pairs AS (
+  SELECT a.doc_id, a.event_id,
+         CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS d
+  FROM ev a JOIN ev b
+    ON a.doc_id = b.doc_id AND a.event_id <> b.event_id
+   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 14400000000
+),
+agg AS (
+  SELECT doc_id, event_id,
+         CAST(COUNT(*) AS BIGINT) AS num_neighbors,
+         CAST(min(d) AS BIGINT) AS closest1_us,
+         CAST((list(d ORDER BY d))[2] AS BIGINT) AS closest2_us
+  FROM pairs GROUP BY doc_id, event_id
+)
+SELECT e.doc_id, e.event_id,
+       COALESCE(a.num_neighbors, 0) AS num_neighbors,
+       a.closest1_us, a.closest2_us
+FROM ev e LEFT JOIN agg a USING (doc_id, event_id)
+""",
+        "rollup": f"""
+WITH {SQL_VERSIONS}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_children,
+       FLOOR((CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_n_tok,
+       FLOOR((CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS mean_n_tok,
+       FLOOR((CAST(MIN(n_tok) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS min_n_tok,
+       FLOOR((CAST(MAX(n_tok) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS max_n_tok,
+       FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+       FLOOR((AVG(value)) * 10000.0 + 0.5) / 10000.0 AS mean_value,
+       FLOOR((MIN(value)) * 10000.0 + 0.5) / 10000.0 AS min_value,
+       FLOOR((MAX(value)) * 10000.0 + 0.5) / 10000.0 AS max_value
+FROM versions GROUP BY doc_id
+""",
+        "rollup_pivot": f"""
+WITH {SQL_VERSIONS}
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (source = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (source = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (source = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (source = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (source = 'view') AS BIGINT) AS "view"
+FROM versions GROUP BY doc_id
+""",
+        "covered_range": f"""
+WITH {SQL_TOKENS_STATIC},
+dim AS (
+  SELECT source, MIN(list_min(tokens)) AS src_min, MAX(list_max(tokens)) AS src_max
+  FROM tokens_static GROUP BY source
+)
+SELECT t.doc_id, t.source, d.src_min, d.src_max,
+       FLOOR((CAST(list_max(t.tokens) - list_min(t.tokens) AS DOUBLE)
+             / (d.src_max - d.src_min)) * 10000.0 + 0.5) / 10000.0 AS covered_range
+FROM tokens_static t JOIN dim d USING (source)
+""",
+        "asof_merge": f"""
+WITH {SQL_VERSIONS}, {SQL_PROBES}
+SELECT p.doc_id, p.event_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(v.ts) AS matched_ts_us,
+       v.n_tok
+FROM probes p ASOF LEFT JOIN versions v
+  ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
         "dedup_exact": oracles.SQL_EXACT_DEDUP,
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "simhash_pairs": oracles.sql_simhash_pairs(3),
@@ -436,11 +591,11 @@ WITH ev AS (
   FROM events
 )
 SELECT doc_id, event_id,
-       round(CAST(lag(pv) OVER w AS DOUBLE), 4) AS lag_v1,
-       round(CAST(lead(pv) OVER w AS DOUBLE), 4) AS lead_v1,
-       round(CAST(last_value(pv IGNORE NULLS) OVER
+       FLOOR((CAST(lag(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lag_v1,
+       FLOOR((CAST(lead(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lead_v1,
+       FLOOR((CAST(last_value(pv IGNORE NULLS) OVER
              (PARTITION BY doc_id ORDER BY ts
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS locf_v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS locf_v
 FROM ev
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts)
 """,
@@ -481,13 +636,13 @@ hist AS (
 )
 SELECT s.doc_id,
        s.mn AS tok_min, s.mx AS tok_max,
-       round(CAST(s.s AS DOUBLE) / s.n, 4) AS mean_tok,
-       round(CAST(s.med AS DOUBLE), 4) AS median_tok,
+       FLOOR((CAST(s.s AS DOUBLE) / s.n) * 10000.0 + 0.5) / 10000.0 AS mean_tok,
+       FLOOR((CAST(s.med AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS median_tok,
        m.mode_t AS mode_tok,
-       round(CAST(s.n * s.e - s.s * s.s AS DOUBLE) / (s.n * (s.n - 1)), 4) AS var_tok,
+       FLOOR((CAST(s.n * s.e - s.s * s.s AS DOUBLE) / (s.n * (s.n - 1))) * 10000.0 + 0.5) / 10000.0 AS var_tok,
        s.e AS energy_tok,
-       round(h.ent, 4) AS entropy_tok,
-       round(CAST(h.c2 AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n), 4) AS uniformity_tok,
+       FLOOR((h.ent) * 10000.0 + 0.5) / 10000.0 AS entropy_tok,
+       FLOOR((CAST(h.c2 AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n)) * 10000.0 + 0.5) / 10000.0 AS uniformity_tok,
        s.s AS sum_tok
 FROM stats s JOIN modes m USING (doc_id) JOIN hist h USING (doc_id)
 WHERE s.mx > s.mn

@@ -27,7 +27,22 @@ import tempfile
 import time
 
 
-def run_pipeline(cores: int, sf_dir: str) -> dict:
+def _replicate(df, factor: int, key: str = "doc_id"):
+    """Scale the input by `factor` with distinct entity ids — the sandbox
+    stand-in for a larger table shard count (same per-row work, more rows)."""
+    from pyspark.sql import functions as F
+
+    if factor <= 1:
+        return df
+    reps = F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    return (
+        df.withColumn("__r", reps)
+        .withColumn(key, F.concat_ws("_", F.col(key), F.col("__r")))
+        .drop("__r")
+    )
+
+
+def run_pipeline(cores: int, sf_dir: str, replicate: int = 8, warmup: bool = True) -> dict:
     from pyspark.sql import functions as F
 
     from nyxus_spark.features import extract_features
@@ -38,6 +53,15 @@ def run_pipeline(cores: int, sf_dir: str) -> dict:
     spark = get_spark("nyxus_spark_bench", cores=cores, shuffle_partitions=max(cores, 8))
     out_dir = tempfile.mkdtemp(prefix="nyxus_bench_")
     queries: dict[str, float] = {}
+
+    if warmup:
+        # steady-state measurement: prime Python workers (imports), codegen,
+        # and the parquet committer on EVERY core before the clock starts
+        w = tokens_versions(spark, sf_dir).limit(64 * cores).repartition(cores)
+        extract_features(w, ["*ALL*"], keep_tokens=False).write.mode("overwrite").parquet(
+            f"{out_dir}/warmup"
+        )
+
     t_total0 = time.perf_counter()
 
     try:
@@ -45,14 +69,14 @@ def run_pipeline(cores: int, sf_dir: str) -> dict:
         # is ONE parquet file → one split; repartition to use every core (at
         # 100 TB the source is thousands of splits and this is a no-op).
         t0 = time.perf_counter()
-        v = tokens_versions(spark, sf_dir).repartition(cores * 2)
+        v = _replicate(tokens_versions(spark, sf_dir), replicate).repartition(cores * 2)
         feats_v = extract_features(v.drop("event_id"), ["*ALL*"], keep_tokens=False)
         feats_v.write.mode("overwrite").parquet(f"{out_dir}/versions_feats")
         queries["q1_feature_catalog"] = time.perf_counter() - t0
 
         # q2: as-of join + first-order features on matched sequences
         t0 = time.perf_counter()
-        p = probes(spark, sf_dir)
+        p = _replicate(probes(spark, sf_dir), replicate)
         matched = asof_join(p, v.select("doc_id", "ts", "tokens", "n_tok", "source"))
         feats_m = extract_features(
             matched.filter(F.col("tokens").isNotNull()), ["*ALL_INTENSITY*"], keep_tokens=False
@@ -71,7 +95,7 @@ def run_pipeline(cores: int, sf_dir: str) -> dict:
 
         # q4: static corpus first-order + texture
         t0 = time.perf_counter()
-        t = tokens_static(spark, sf_dir).repartition(cores * 2)
+        t = _replicate(tokens_static(spark, sf_dir), replicate).repartition(cores * 2)
         feats_s = extract_features(t, ["*ALL_INTENSITY*", "*ALL_GLCM*", "*ALL_GLRLM*"], keep_tokens=False)
         feats_s.write.mode("overwrite").parquet(f"{out_dir}/static_feats")
         queries["q4_static_texture"] = time.perf_counter() - t0
@@ -93,6 +117,7 @@ def run_pipeline(cores: int, sf_dir: str) -> dict:
         "queries": {k: round(s, 3) for k, s in queries.items()},
         "sf": sf_dir,
         "cores": cores,
+        "replicate": replicate,
         "feature_rows": int(n_rows),
         "rows_per_sec": round(n_rows / total, 1),
     }
@@ -102,17 +127,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=int(os.environ.get("SPARK_GRAFT_REPLICATE", "8")))
     ap.add_argument("--dual", action="store_true", help="N vs 4N scaling study")
     args = ap.parse_args()
 
     if not args.dual:
-        print(json.dumps(run_pipeline(args.cores, args.sf_dir)))
+        print(json.dumps(run_pipeline(args.cores, args.sf_dir, args.replicate)))
         return
 
     results = {}
     for cores in (8, 32):
         out = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores), "--sf-dir", args.sf_dir],
+            [sys.executable, __file__, "--cores", str(cores), "--sf-dir", args.sf_dir,
+             "--replicate", str(args.replicate)],
             capture_output=True, text=True, check=True,
         )
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from nyxus_spark.compare import fround4
+
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "for", "with", "on", "that"],
@@ -76,10 +78,10 @@ def quality_exprs(text_col: str = "text") -> dict[str, object]:
     return {
         "n_words": n_words,
         "n_chars_derived": n_chars,
-        "mean_word_len": F.round(mean_wlen, 4),
-        "punct_ratio": F.round(punct_ratio, 4),
-        "stopword_ratio": F.round(stop_ratio, 4),
-        "quality_score": F.round(score, 4),
+        "mean_word_len": fround4(mean_wlen),
+        "punct_ratio": fround4(punct_ratio),
+        "stopword_ratio": fround4(stop_ratio),
+        "quality_score": fround4(score),
     }
 
 

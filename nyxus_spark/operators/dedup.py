@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nyxus_spark.compare import fround4
+
 P31 = 2147483647  # Mersenne prime 2^31-1
 MIX = 2654435761  # Knuth multiplicative constant
 
@@ -142,7 +144,7 @@ def minhash_lsh_pairs(
     return (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("id_a", "id_b", fround4("jaccard").alias("jaccard"))
     )
 
 
@@ -191,10 +193,9 @@ def ngram_jaccard(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
+            fround4(
                 F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh")),
-                4,
+                / F.size(F.array_union("a.sh", "b.sh"))
             ).alias("jaccard"),
         )
     )

@@ -1,0 +1,147 @@
+"""Entity-relation operators: neighbor self-join, parent-child rollups, and
+label filtering — Spark recasts of the reference's join-like semantics
+(SURVEY.md §2.4 J2/J3, §2.2 F2-F4).
+
+* neighbor self-join (J2) — nyxus finds ROI pairs whose contours are within
+  radius R via an AABB broad phase + exact narrow phase
+  (/root/reference/src/nyx/features/neighbors.cpp:67-123). The 1-D temporal
+  recast: two doc versions are "neighbors" when their timestamps fall within
+  R seconds. Broad phase = time-bucket join on bucket ± 1 (each row lands in
+  one bucket, candidates share adjacent buckets), narrow phase = exact |Δt|
+  filter — the classic range-join plan that avoids a full cross product.
+
+* parent-child rollup (J3) — nyxus aggregates child-ROI features onto parent
+  ROIs (src/nyx/nested_roi.cpp, nyxus.py:2274-2310) with SUM/MEAN/MIN/MAX/WMA
+  (src/nyx/nested_feature_aggregation.h:6). Here: child = sequence version,
+  parent = doc (or source); aggregation = groupBy + pivot.
+
+* whitelist/blacklist (F2/F3) — label filters applied before feature math
+  (src/nyx/phase2_2d.cpp:96-98, roi_blacklist.cpp): left-semi / left-anti
+  joins against a (broadcast) id set.
+
+* label merge (F4) — mergeLabels / wholeslide collapse (src/nyx/phase1.cpp:
+  66-77): projection rewriting doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyxus_spark.compare import fround4
+
+
+def neighbor_pairs(
+    df: DataFrame,
+    radius_sec: float,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairs of rows of the same key within `radius_sec` of each other.
+
+    Broad phase: bucket by floor(ts/R) and join each row's bucket against
+    {b-1, b, b+1}; narrow phase: exact |Δt| ≤ R. Shuffles on (key, bucket) —
+    never a cross product, robust to skew via AQE.
+    """
+    id_cols = id_cols or ["event_id"]
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    base = df.select(
+        key_col, ts_col, *id_cols, F.floor(secs / F.lit(radius_sec)).alias("__b")
+    )
+    left = base.select(
+        key_col,
+        F.col(ts_col).alias("ts_a"),
+        *[F.col(c).alias(f"{c}_a") for c in id_cols],
+        F.explode(F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)).alias("__b"),
+    )
+    right = base.select(
+        key_col,
+        F.col(ts_col).alias("ts_b"),
+        *[F.col(c).alias(f"{c}_b") for c in id_cols],
+        "__b",
+    )
+    da = F.unix_micros(F.col("ts_a").cast("timestamp"))
+    db = F.unix_micros(F.col("ts_b").cast("timestamp"))
+    return (
+        left.join(right, [key_col, "__b"])
+        .filter((F.col(f"{id_cols[0]}_a") < F.col(f"{id_cols[0]}_b")))
+        .filter(F.abs(da - db) <= F.lit(int(radius_sec * 1e6)))
+        .drop("__b")
+        .dropDuplicates([f"{id_cols[0]}_a", f"{id_cols[0]}_b"])
+    )
+
+
+def neighbor_stats(
+    df: DataFrame,
+    radius_sec: float,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-row neighbor features: NUM_NEIGHBORS + distance to closest 1/2
+    (neighbors.cpp:125-245 analog: NUM_NEIGHBORS, CLOSEST_NEIGHBOR1/2_DIST)."""
+    pairs = neighbor_pairs(df, radius_sec, key_col, ts_col, [id_col])
+    da = F.unix_micros(F.col("ts_a").cast("timestamp"))
+    db = F.unix_micros(F.col("ts_b").cast("timestamp"))
+    # exact integer microseconds: rounding fractional seconds hits .5-boundary
+    # decimals where Spark (BigDecimal HALF_UP) and float-based engines disagree
+    dist = F.abs(da - db).alias("dist_us")
+    sym = pairs.select(F.col(f"{id_col}_a").alias(id_col), dist).unionByName(
+        pairs.select(F.col(f"{id_col}_b").alias(id_col), dist)
+    )
+    agg = sym.groupBy(id_col).agg(
+        F.count("*").alias("num_neighbors"),
+        F.min("dist_us").alias("closest1_us"),
+        F.get(F.sort_array(F.collect_list("dist_us")), 1).alias("closest2_us"),
+    )
+    return df.select(key_col, ts_col, id_col).join(agg, id_col, "left").fillna(
+        {"num_neighbors": 0}
+    )
+
+
+def rollup_parent(
+    child: DataFrame,
+    parent_key: str,
+    value_cols: list[str],
+    aggs: list[str] = ["sum", "mean", "min", "max"],
+) -> DataFrame:
+    """Parent-child nested aggregation (J3): one row per parent with
+    {agg}_{col} columns (nested_feature_aggregation.h:6 set + count)."""
+    exprs = [F.count("*").alias("n_children")]
+    for c in value_cols:
+        for a in aggs:
+            fn = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}[a]
+            exprs.append(fround4(fn(c).cast("double")).alias(f"{a}_{c}"))
+    return child.groupBy(parent_key).agg(*exprs)
+
+
+def rollup_pivot(
+    child: DataFrame,
+    parent_key: str,
+    pivot_col: str,
+    value_col: str,
+    agg: str = "sum",
+) -> DataFrame:
+    """Pivot-style rollup (nyxus.py:2274-2310 pivot_table path)."""
+    fn = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max, "count": F.count}[agg]
+    return child.groupBy(parent_key).pivot(pivot_col).agg(fround4(fn(value_col).cast("double")))
+
+
+def filter_whitelist(df: DataFrame, ids: DataFrame | list, key_col: str = "doc_id") -> DataFrame:
+    """F2: keep only whitelisted keys (broadcast left-semi join)."""
+    if isinstance(ids, list):
+        return df.filter(F.col(key_col).isin(ids))
+    return df.join(F.broadcast(ids), key_col, "left_semi")
+
+
+def filter_blacklist(df: DataFrame, ids: DataFrame | list, key_col: str = "doc_id") -> DataFrame:
+    """F3: drop blacklisted keys (broadcast left-anti join)."""
+    if isinstance(ids, list):
+        return df.filter(~F.col(key_col).isin(ids))
+    return df.join(F.broadcast(ids), key_col, "left_anti")
+
+
+def merge_labels(df: DataFrame, key_col: str = "doc_id", merged: str = "__merged__") -> DataFrame:
+    """F4: collapse all entities into one label (wholeslide mode analog)."""
+    return df.withColumn(key_col, F.lit(merged))

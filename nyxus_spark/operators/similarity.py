@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyxus_spark.compare import fround4
+
 
 def _dot(a: str, b: str):
     return F.expr(
@@ -48,7 +50,7 @@ def topk_cosine(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = (
         df.withColumn("__q", q)
-        .select(F.col(id_col), F.round(cosine_col(vec_col, "__q"), 4).alias("cos"))
+        .select(F.col(id_col), fround4(cosine_col(vec_col, "__q")).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -66,7 +68,7 @@ def ivf_assign(
     """Assign each vector to its nearest centroid by cosine (broadcast join +
     deterministic argmax: max cos, ties to lowest centroid id)."""
     joined = df.crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, cent_id, F.round(cosine_col(vec_col, cent_vec), 6).alias("__c")
+        id_col, vec_col, cent_id, cosine_col(vec_col, cent_vec).alias("__c")
     )
     from pyspark.sql import Window
 
@@ -97,7 +99,7 @@ def ivf_topk(
         r[0]
         for r in (
             centroids.withColumn("__q", qlit)
-            .select(cent_id, F.round(cosine_col(cent_vec, "__q"), 6).alias("c"))
+            .select(cent_id, cosine_col(cent_vec, "__q").alias("c"))
             .orderBy(F.col("c").desc(), F.col(cent_id).asc())
             .limit(n_probe)
             .collect()

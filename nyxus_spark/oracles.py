@@ -74,8 +74,8 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4) AS jaccard
+       FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
 FROM cand
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}
@@ -117,9 +117,9 @@ SELECT doc_id, source FROM ranked WHERE rn = 1
 SQL_TOPK_COSINE = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-       round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+       FLOOR((list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
              / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-              * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS cos
+              * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))) * 10000.0 + 0.5) / 10000.0 AS cos
 FROM embeddings, q
 ORDER BY cos DESC, vec_id ASC
 LIMIT 10
@@ -170,12 +170,12 @@ m AS (
   FROM base
 )
 SELECT doc_id, n_words, n_chars_derived, re_tokens,
-       round(mean_wlen, 4) AS mean_word_len,
-       round(punct_ratio, 4) AS punct_ratio,
-       round(stop_ratio, 4) AS stopword_ratio,
-       round(LEAST(n_words / 50.0, 1.0) * 0.4
+       FLOOR((mean_wlen) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+       FLOOR((punct_ratio) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       FLOOR((stop_ratio) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+       FLOOR((LEAST(n_words / 50.0, 1.0) * 0.4
              + LEAST(stop_ratio * 5.0, 1.0) * 0.4
-             + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.2, 4) AS quality_score
+             + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality_score
 FROM m
 """
 
@@ -228,11 +228,11 @@ rln AS (
   GROUP BY doc_id
 )
 SELECT p.doc_id,
-       round(CAST(p.sll AS DOUBLE) / p.nr, 4) AS glrlm_lre,
-       round(CAST(p.nr AS DOUBLE) / p.np, 4) AS glrlm_rp,
-       round(CAST(p.sgg AS DOUBLE) / p.nr, 4) AS glrlm_hglre,
-       round(CAST(gln.v AS DOUBLE) / p.nr, 4) AS glrlm_gln,
-       round(CAST(rln.v AS DOUBLE) / p.nr, 4) AS glrlm_rln
+       FLOOR((CAST(p.sll AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_lre,
+       FLOOR((CAST(p.nr AS DOUBLE) / p.np) * 10000.0 + 0.5) / 10000.0 AS glrlm_rp,
+       FLOOR((CAST(p.sgg AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_hglre,
+       FLOOR((CAST(gln.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_gln,
+       FLOOR((CAST(rln.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_rln
 FROM per_doc p JOIN gln USING (doc_id) JOIN rln USING (doc_id)
 """
 
@@ -275,8 +275,8 @@ sums AS (
   FROM cellcnt GROUP BY doc_id
 )
 SELECT doc_id,
-       round(CAST(ncontrast AS DOUBLE) / s, 4) AS glcm_contrast,
-       round(CAST(nasm AS DOUBLE) / (CAST(s AS DOUBLE) * s), 4) AS glcm_asm,
-       round(CAST(ndis AS DOUBLE) / s, 4) AS glcm_dis
+       FLOOR((CAST(ncontrast AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast,
+       FLOOR((CAST(nasm AS DOUBLE) / (CAST(s AS DOUBLE) * s)) * 10000.0 + 0.5) / 10000.0 AS glcm_asm,
+       FLOOR((CAST(ndis AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_dis
 FROM sums
 """
