@@ -39,12 +39,22 @@ def asof_join(
     strategy: str = "union_window",
     version_prefix: str = "",
     tolerance_sec: float | None = None,
+    salt_slices: int = 0,
 ) -> DataFrame:
     """Backward as-of join of `probes` (left) to `versions` (right).
 
     Returns probe columns + matched version payload columns (version ts is
     exposed as ``matched_ts``; payload columns optionally prefixed). Probes
     with no version at or before their ts keep nulls.
+
+    ``salt_slices > 0`` enables the hot-key path (north-rule "salted
+    repartitioning for hot sources"): every key's rows are split into that
+    many *time ranges* (per-key ntile over version timestamps), each slice is
+    seeded with its key's latest version at-or-before the slice start (a tiny
+    per-(key, slice) aggregate, re-used via one extra small window), and the
+    union-window runs partitioned by (key, slice) — so a single hot doc_id no
+    longer serializes into one task. Results are identical to the unsalted
+    plan (tested).
     """
     clash = (set(_payload_cols(versions, on, ts_col)) if not version_prefix else set()) & {
         c for c in probes.columns if c not in (on, ts_col)
@@ -52,6 +62,12 @@ def asof_join(
     if clash:
         raise ValueError(
             f"version payload collides with probe columns {sorted(clash)}; pass version_prefix"
+        )
+    if salt_slices and salt_slices > 1:
+        if strategy != "union_window":
+            raise ValueError("salt_slices requires the union_window strategy")
+        return _asof_union_window_sliced(
+            probes, versions, on, ts_col, version_prefix, tolerance_sec, salt_slices
         )
     if strategy == "union_window":
         return _asof_union_window(probes, versions, on, ts_col, version_prefix, tolerance_sec)
@@ -105,6 +121,118 @@ def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec):
         out = out.select(
             on, ts_col, *probe_extra,
             keep_ts.alias("matched_ts"),
+            *[F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in pay],
+        )
+    return out
+
+
+def _asof_union_window_sliced(probes, versions, on, ts_col, prefix, tolerance_sec, n_slices):
+    """Hot-key-safe as-of: uniform global time slices + per-slice seeding.
+
+    1. rows map to slice = floor((ts − t0)/width) — a pure projection, so no
+       per-key sort is ever needed on the full data;
+    2. per (key, slice) the latest version is a partial-aggregatable
+       max_by(struct, ts); the seed of slice s = latest version in any
+       earlier slice, computed with a window over at most n_slices rows per
+       key (a tiny grid of keys × slices — never hot);
+    3. the union-window then partitions by (key, slice): a hot key spreads
+       over n_slices tasks while every probe still sees exactly the versions
+       at-or-before it (its slice's seed + in-slice versions ≤ ts).
+    """
+    pay = _payload_cols(versions, on, ts_col)
+    probe_extra = [c for c in probes.columns if c not in (on, ts_col)]
+
+    bounds = (
+        versions.select(F.col(ts_col).alias("t"))
+        .unionByName(probes.select(F.col(ts_col).alias("t")))
+        .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .first()
+    )
+    t0 = bounds["lo"]
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    import datetime
+
+    lo_us = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6) if isinstance(t0, datetime.datetime) else 0
+    hi = bounds["hi"]
+    hi_us = int(hi.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6) if isinstance(hi, datetime.datetime) else 1
+    width = max((hi_us - lo_us) // n_slices + 1, 1)
+
+    def slice_of(col):
+        return F.least(
+            F.greatest((us(col) - F.lit(lo_us)) / F.lit(width), F.lit(0)).cast("int"),
+            F.lit(n_slices - 1),
+        )
+
+    v = versions.withColumn("__slice", slice_of(F.col(ts_col)))
+    p = probes.withColumn("__slice", slice_of(F.col(ts_col)))
+
+    # per-(key, slice) latest version, then carry forward across the tiny
+    # per-key slice grid to get each slice's seed (state at slice start)
+    latest = v.groupBy(on, "__slice").agg(
+        F.max_by(F.struct(F.col(ts_col).alias("__vts"), *[F.col(c).alias(c) for c in pay]), F.col(ts_col)).alias("__st")
+    )
+    grid = (
+        v.select(on).distinct()
+        .crossJoin(F.broadcast(
+            versions.sparkSession.range(n_slices).select(F.col("id").cast("int").alias("__slice"))
+        ))
+    )
+    wseed = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__slice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        grid.join(latest, [on, "__slice"], "left")
+        .withColumn("__seed", F.last("__st", ignorenulls=True).over(wseed))
+        .filter(F.col("__seed").isNotNull())
+        .select(
+            F.col(on),
+            F.col("__slice"),
+            F.col("__seed.__vts").alias("__vts"),
+            *[F.col(f"__seed.{c}").alias(c) for c in pay],
+        )
+    )
+
+    def tagged(df, tag, vts_col, with_pay, probe_cols_present):
+        cols = [
+            F.col(on),
+            F.col("__slice"),
+            (F.col(ts_col) if tag != -1 else F.lit(None).cast(versions.schema[ts_col].dataType)).alias(ts_col),
+            F.lit(tag).alias("__tag"),
+            vts_col.alias("__vts"),
+        ]
+        for c in pay:
+            cols.append((F.col(c) if with_pay else F.lit(None).cast(versions.schema[c].dataType)).alias(f"__v_{c}"))
+        for c in probe_extra:
+            cols.append(
+                (F.col(c) if probe_cols_present else F.lit(None).cast(probes.schema[c].dataType)).alias(c)
+            )
+        return df.select(*cols)
+
+    u = (
+        tagged(seeds, -1, F.col("__vts"), True, False)
+        .unionByName(tagged(v, 0, F.col(ts_col), True, False))
+        .unionByName(tagged(p, 1, F.lit(None).cast(versions.schema[ts_col].dataType), False, True))
+    )
+    # seeds (__tag = -1, null ts) sort first via nulls-first; then by (ts, tag)
+    w = (
+        Window.partitionBy(on, "__slice")
+        .orderBy(F.col(ts_col).asc_nulls_first(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in pay]
+    matched_ts = F.last("__vts", ignorenulls=True).over(w).alias("matched_ts")
+    out = (
+        u.select(F.col(on), F.col(ts_col), F.col("__tag"), *probe_extra, matched_ts, *carried)
+        .filter(F.col("__tag") == 1)
+        .drop("__tag")
+    )
+    if tolerance_sec is not None:
+        within = F.col(ts_col).cast("double") - F.col("matched_ts").cast("double") <= F.lit(tolerance_sec)
+        out = out.select(
+            on, ts_col, *probe_extra,
+            F.when(within, F.col("matched_ts")).alias("matched_ts"),
             *[F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in pay],
         )
     return out

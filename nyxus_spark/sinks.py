@@ -1,0 +1,69 @@
+"""Output sinks — recast of the reference's writers (SURVEY.md §2.1 S7-S9).
+
+* CSV sink (src/nyx/output_2_csv.cpp:262-470): per-run append with a fixed
+  header → df.write.csv (tests/interop only; never the scale path).
+* Arrow-IPC / Parquet sink (src/nyx/output_2_apache.cpp, output_writers.h:
+  26-92): streaming RecordBatch writer → native parquet / Arrow IPC via
+  toArrow (driver-side, small results) or df.write.parquet.
+* pandas buffer sink (src/nyx/output_2_buffer.cpp, results_cache.h:5-42):
+  string+numeric column buffers → df.toPandas() over Arrow.
+* Iceberg table sink: the 100 TB path — df.writeTo(table) with a
+  bucket(doc_id) partition spec. The sandbox ships no Iceberg runtime jar, so
+  this raises with instructions unless the catalog is configured; the
+  parquet+manifest path (checkpoint.py) is the sandbox equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def to_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def to_pandas(df: DataFrame) -> pd.DataFrame:
+    """Arrow-backed pandas materialization (driver-side; small results)."""
+    return df.toPandas()
+
+
+def to_arrow_ipc(df: DataFrame, path: str) -> None:
+    """Write an Arrow IPC (Feather v2) file — driver-side collect, so only for
+    result tables that fit the driver (like the reference's single-slide
+    Arrow output)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    tbl = pa.Table.from_pandas(df.toPandas())
+    feather.write_feather(tbl, path)
+
+
+def to_iceberg(df: DataFrame, table: str, bucket_col: str = "doc_id", n_buckets: int = 256) -> None:
+    """Append to an Iceberg table partitioned by bucket(doc_id).
+
+    Requires an Iceberg catalog on the session (spark.sql.catalog.* conf +
+    runtime jar). The sandbox has neither, so this raises with guidance —
+    the write itself is one line once the catalog exists.
+    """
+    spark = df.sparkSession
+    has_catalog = any(
+        k.startswith("spark.sql.catalog.") for k, _ in spark.sparkContext.getConf().getAll()
+    )
+    if not has_catalog:
+        raise NotImplementedError(
+            "no Iceberg catalog configured on this session; add "
+            "spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog and the "
+            "iceberg-spark-runtime jar, then df.writeTo(table).append() — at scale "
+            f"create the table PARTITIONED BY (bucket({n_buckets}, {bucket_col}))"
+        )
+    df.writeTo(table).append()
