@@ -418,8 +418,82 @@ def _q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBSI intensity-histogram kernel — index-domain outputs are integers, so
+    the oracle comparison is exact (the quantile/median machinery is exercised
+    through getIndexOf)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(F.array_max("tokens") > F.array_min("tokens"))
+    feats = extract_features(
+        t, ["IH_MEDIAN_IDX", "IH_MODE_IDX", "IH_P10_IDX", "IH_P90_IDX",
+            "IH_NUM_BINS", "IH_BIN_SIZE", "IH_MEDIAN_VAL"],
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        F.col("IH_MEDIAN_IDX").cast("long").alias("ih_median_idx"),
+        F.col("IH_MODE_IDX").cast("long").alias("ih_mode_idx"),
+        F.col("IH_P10_IDX").cast("long").alias("ih_p10_idx"),
+        F.col("IH_P90_IDX").cast("long").alias("ih_p90_idx"),
+        F.col("IH_NUM_BINS").cast("long").alias("ih_num_bins"),
+        _r4(F.col("IH_BIN_SIZE")).alias("ih_bin_size"),
+        _r4(F.col("IH_MEDIAN_VAL")).alias("ih_median_val"),
+    )
+
+
+def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependence-matrix kernel (integer-numerator features only)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(F.array_max("tokens") > F.array_min("tokens"))
+    feats = extract_features(t, ["GLDM_LDE", "GLDM_GLN", "GLDM_DN"], keep_tokens=False)
+    return feats.select(
+        "doc_id",
+        _r4(F.col("GLDM_LDE")).alias("gldm_lde"),
+        _r4(F.col("GLDM_GLN")).alias("gldm_gln"),
+        _r4(F.col("GLDM_DN")).alias("gldm_dn"),
+    )
+
+
+def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional moments; derived stats recomputed from the kernel's exact
+    integer raw moments so both engines do identical single divisions."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir)
+    feats = extract_features(
+        t, ["MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3"], keep_tokens=False
+    ).filter(F.col("MOM_RAW_0") > 0)
+    m0, m1, m2 = F.col("MOM_RAW_0"), F.col("MOM_RAW_1"), F.col("MOM_RAW_2")
+    return feats.select(
+        "doc_id",
+        m0.cast("long").alias("m0"),
+        m1.cast("long").alias("m1"),
+        m2.cast("long").alias("m2"),
+        F.col("MOM_RAW_3").cast("long").alias("m3"),
+        _r4(m1 / m0).alias("centroid"),
+        _r4((m0 * m2 - m1 * m1) / (m0 * m0 * m0)).alias("norm_central2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ih": _q_ih,
+        "gldm": _q_gldm,
+        "moments": _q_moments,
         "neighbors": _q_neighbors,
         "rollup": _q_rollup,
         "rollup_pivot": _q_rollup_pivot,
@@ -454,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
     from nyxus_spark.sources.tables import SQL_PROBES, SQL_TOKENS_STATIC, SQL_VERSIONS
 
     extra = {
+        "ih": oracles.sql_ih(64),
+        "gldm": oracles.sql_gldm(64),
+        "moments": oracles.sql_moments(),
         "neighbors": """
 WITH ev AS (
   SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, event_id FROM events

@@ -54,10 +54,13 @@ def _quantile(freq, cum, total, bw, vmin, p):
         mn = vmin + nstar * bw
         with np.errstate(divide="ignore", invalid="ignore"):
             return mn + ((p - p_prev) / np.where(binprop > 0, binprop, np.nan)) * bw
-    # walk from the top: stop bin = largest i with cum_{i-1} <= p*total
-    tgt = p * total
-    i = (cum <= tgt[:, None]).sum(axis=1)  # = #{j: cum_j <= p*total} → stop bin
-    i = np.minimum(i, N - 1)
+    # walk from the top (intensity_histogram.cpp:86-101): the stop bin is the
+    # largest PRESENT bin with cum_excl/total <= p — the C++ only ever stops on
+    # a bin it just added, so absent bins can never be selected (a pure
+    # count-of-cum form can land on an absent bin at exact float equality)
+    valid = (freq > 0) & ((cum - freq) / total[:, None] <= p)
+    i = np.where(valid, np.arange(N)[None, :], -1).max(axis=1)
+    i = np.clip(i, 0, N - 1)
     f_n = freq[rows, i]
     p_prev = cum[rows, i] / total  # p_n before processing stop bin (1 - revcum_{i+1}/tot)
     binprop = f_n / total

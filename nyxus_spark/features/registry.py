@@ -49,6 +49,15 @@ def _sections() -> dict[str, Section]:
         secs.append(Section("moments", moments_section, tuple(MOMENTS_FEATURES)))
     except ImportError:
         pass
+    try:
+        from nyxus_spark.features.signal import (
+            GABOR_FEATURES, RADIAL_FEATURES, gabor_section, radial_section,
+        )
+
+        secs.append(Section("gabor", gabor_section, tuple(GABOR_FEATURES)))
+        secs.append(Section("radial", radial_section, tuple(RADIAL_FEATURES)))
+    except ImportError:
+        pass
     return {s.name: s for s in secs}
 
 

@@ -280,3 +280,150 @@ SELECT doc_id,
        FLOOR((CAST(ndis AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_dis
 FROM sums
 """
+
+
+def sql_moments() -> str:
+    """Positional raw moments as exact integer sums; derived stats via the
+    same single divisions the Spark query performs."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, unnest(tokens) AS t, unnest(range(0, n_tok)) AS i
+  FROM tokens_static
+),
+m AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS m0,
+         CAST(SUM(CAST(t AS BIGINT) * i) AS BIGINT) AS m1,
+         CAST(SUM(CAST(t AS BIGINT) * i * i) AS BIGINT) AS m2,
+         CAST(SUM(CAST(t AS BIGINT) * i * i * i) AS BIGINT) AS m3
+  FROM flat GROUP BY doc_id
+)
+SELECT doc_id, m0, m1, m2, m3,
+       FLOOR((CAST(m1 AS DOUBLE) / m0) * 10000.0 + 0.5) / 10000.0 AS centroid,
+       FLOOR((CAST(m0 * m2 - m1 * m1 AS DOUBLE) / (CAST(m0 AS DOUBLE) * m0 * m0)) * 10000.0 + 0.5) / 10000.0 AS norm_central2
+FROM m WHERE m0 > 0
+"""
+
+
+def sql_gldm(n_levels: int = 64) -> str:
+    """Dependence sizes via lag/lead equality (offset 1, matlab binning)."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i,
+         CASE WHEN f.t = 0 THEN 1
+              ELSE LEAST(GREATEST(CAST(FLOOR(({n_levels}.0 / s.mx) * f.t + 1) AS INTEGER), 1), {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+deps AS (
+  SELECT doc_id, g,
+         1 + CASE WHEN lag(g) OVER w = g THEN 1 ELSE 0 END
+           + CASE WHEN lead(g) OVER w = g THEN 1 ELSE 0 END AS j
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nz,
+         CAST(SUM(j * j) AS BIGINT) AS sjj
+  FROM deps GROUP BY doc_id
+),
+gln AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM deps GROUP BY doc_id, g) GROUP BY doc_id
+),
+dn AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, j, COUNT(*) AS c FROM deps GROUP BY doc_id, j) GROUP BY doc_id
+)
+SELECT p.doc_id,
+       FLOOR((CAST(p.sjj AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_lde,
+       FLOOR((CAST(gln.v AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_gln,
+       FLOOR((CAST(dn.v AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_dn
+FROM per p JOIN gln USING (doc_id) JOIN dn USING (doc_id)
+"""
+
+
+def sql_ih(n_bins: int = 64) -> str:
+    """IH index-domain features — reproduces the kernel's histogram walk
+    (intensity_histogram.cpp:69-118 semantics) with the exact same float-op
+    sequence so the derived doubles are bit-identical."""
+    nb = n_bins
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t FROM tokens_static
+),
+stats AS (
+  SELECT doc_id, CAST(min(t) AS DOUBLE) AS mn, CAST(max(t) AS DOUBLE) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM flat GROUP BY doc_id HAVING max(t) > min(t)
+),
+bw AS (SELECT doc_id, mn, mx, n, (mx - mn) / {nb} AS w FROM stats),
+binned AS (
+  SELECT f.doc_id,
+         LEAST(GREATEST(CAST(FLOOR((f.t - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) AS bin
+  FROM flat f JOIN bw b USING (doc_id)
+),
+freq AS (
+  SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY doc_id, bin
+),
+cums AS (
+  SELECT doc_id, bin, c,
+         SUM(c) OVER (PARTITION BY doc_id ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM freq
+),
+med AS (  -- first present bin whose cumulative count exceeds floor(n/2)
+  SELECT doc_id, MIN(bin) AS med_bin
+  FROM cums JOIN bw USING (doc_id)
+  WHERE cum > CAST(n // 2 AS DOUBLE)
+  GROUP BY doc_id
+),
+mode AS (
+  SELECT doc_id, bin AS mode_bin FROM (
+    SELECT doc_id, bin, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin ASC) AS rn
+    FROM freq) WHERE rn = 1
+),
+q10 AS (  -- p < 0.5 branch: first bin where cum/n >= p
+  SELECT c.doc_id, MIN(c.bin) AS nstar
+  FROM cums c JOIN bw b USING (doc_id)
+  WHERE CAST(c.cum AS DOUBLE) / b.n >= 0.10
+  GROUP BY c.doc_id
+),
+q10v AS (
+  SELECT c.doc_id,
+         (b.mn + q.nstar * b.w)
+         + ((0.10 - CAST(c.cum - c.c AS DOUBLE) / b.n) / (CAST(c.c AS DOUBLE) / b.n)) * b.w AS v10
+  FROM q10 q JOIN cums c ON c.doc_id = q.doc_id AND c.bin = q.nstar
+  JOIN bw b ON b.doc_id = q.doc_id
+),
+q90 AS (  -- p >= 0.5 branch: last bin where (cum - c)/n <= p
+  SELECT c.doc_id, MAX(c.bin) AS istar
+  FROM cums c JOIN bw b USING (doc_id)
+  WHERE CAST(c.cum - c.c AS DOUBLE) / b.n <= 0.90
+  GROUP BY c.doc_id
+),
+q90v AS (
+  SELECT c.doc_id,
+         (b.mn + (q.istar + 1.0) * b.w)
+         - ((CAST(c.cum AS DOUBLE) / b.n - 0.90) / (CAST(c.c AS DOUBLE) / b.n)) * b.w AS v90
+  FROM q90 q JOIN cums c ON c.doc_id = q.doc_id AND c.bin = q.istar
+  JOIN bw b ON b.doc_id = q.doc_id
+)
+SELECT b.doc_id,
+       CAST(m.med_bin + 1 AS BIGINT) AS ih_median_idx,
+       CAST(mo.mode_bin + 1 AS BIGINT) AS ih_mode_idx,
+       CAST(LEAST(GREATEST(CAST(FLOOR((q1.v10 - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) + 1 AS BIGINT) AS ih_p10_idx,
+       CAST(LEAST(GREATEST(CAST(FLOOR((q9.v90 - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) + 1 AS BIGINT) AS ih_p90_idx,
+       CAST({nb} AS BIGINT) AS ih_num_bins,
+       FLOOR((b.w) * 10000.0 + 0.5) / 10000.0 AS ih_bin_size,
+       FLOOR((b.mn + (m.med_bin + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_median_val
+FROM bw b JOIN med m USING (doc_id) JOIN mode mo USING (doc_id)
+JOIN q10v q1 USING (doc_id) JOIN q90v q9 USING (doc_id)
+"""
