@@ -67,8 +67,9 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("tokens").alias("tok_max"),
         F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
         F.expr(
+            "CASE WHEN n_tok = 0 THEN 0L ELSE "
             "aggregate(zip_with(tokens, sequence(1, n_tok), (t, i) -> cast(t as bigint) * i),"
-            " 0L, (a, x) -> a + x) % 1000003"
+            " 0L, (a, x) -> a + x) % 1000003 END"
         ).alias("tok_digest"),
         "source",
     )

@@ -30,7 +30,12 @@ class Segments:
             self.starts = np.empty(0, dtype=np.int64)
             self.row_idx = np.empty(0, dtype=np.int64)
             return
-        arrays = [np.asarray(t) for t in token_cells]
+        _empty = np.empty(0, dtype=np.int64)
+        # null cells (SQL NULL token arrays) behave as empty sequences
+        arrays = [
+            _empty if t is None else (a if (a := np.asarray(t)).ndim else _empty)
+            for t in token_cells
+        ]
         self.lengths = np.fromiter((a.size for a in arrays), dtype=np.int64, count=n)
         total = int(self.lengths.sum())
         if total:

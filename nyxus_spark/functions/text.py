@@ -88,7 +88,9 @@ def quality_exprs(text_col: str = "text") -> dict[str, object]:
 def fingerprint_expr(tokens_col: str = "tokens", prime: int = 1000003):
     """Order-sensitive rolling document fingerprint over the token array:
     Σ (i+1)·t_i mod prime — the token-array-equality digest."""
+    # guard: sequence(1, 0) DESCENDS in Spark → empty arrays must short-circuit
     return F.expr(
+        f"CASE WHEN size({tokens_col}) = 0 THEN 0L ELSE "
         f"aggregate(zip_with({tokens_col}, sequence(1, size({tokens_col})),"
-        f" (t, i) -> cast(t as bigint) * i), 0L, (a, x) -> a + x) % {prime}"
+        f" (t, i) -> cast(t as bigint) * i), 0L, (a, x) -> a + x) % {prime} END"
     )
