@@ -1,0 +1,197 @@
+"""Golden parity vs the reference's own pinned feature values.
+
+The north rule requires our per-entity feature vectors to match the reference
+implementation (allclose). First-order / histogram statistics are functions of
+the intensity *multiset* only — independent of 2-D pixel layout — so the
+reference's golden fixtures apply verbatim to the 1-D token recast:
+
+* ``pixelIntensityFeaturesTestData`` — the canonical 154-pixel ROI
+  (/root/reference/tests/test_data.h:18-57, intensities transcribed in
+  declaration order). Golden values transcribed from
+  /root/reference/tests/test_firstorder_regression.h (agrees_gt asserts,
+  default frac_tolerance=1000 → rel 1e-3; we assert much tighter where the
+  golden is printed to full precision) and from the pinned PyRadiomics oracle
+  table /root/reference/tests/test_firstorder_pyradiomics.h:33-51
+  (binCount=64 recipe, rel ≤ 1e-6 tier).
+* ``intensityHistogramTestData`` — the hand-computable 5-pixel ROI
+  {1,1,3,5,7} with N=3 bins
+  (/root/reference/tests/test_intensity_histogram_regression.h:44-48,
+  golden values at lines 111-137).
+
+Every assertion here runs through the real Spark path
+(createDataFrame → extract_features → mapInPandas → collect), not just the
+numpy kernels, so it is end-to-end evidence of reference parity.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from nyxus_spark.features.compute import extract_features
+from nyxus_spark.settings import FeatureSettings
+
+# /root/reference/tests/test_data.h:18-57 — 154 intensities, declaration order
+ROI154 = [
+    11079, 13771, 17664, 19552, 12955, 16999, 23426, 27615, 24075, 13377, 16329,
+    23426, 32845, 32508, 25078, 18919, 17997, 23791, 33450, 37964, 30608, 24692,
+    17311, 16666, 24692, 35309, 42426, 39730, 31858, 23791, 16329, 14563, 21241,
+    33129, 43413, 46137, 40035, 31229, 21866, 15980, 16329, 25691, 39730, 47546,
+    47546, 41882, 29962, 19552, 15671, 14563, 22191, 33129, 44123, 51472, 51805,
+    40973, 28655, 17997, 15338, 12045, 19552, 29645, 41261, 47952, 52483, 49300,
+    41561, 24692, 17664, 14989, 15980, 26633, 42170, 46730, 50790, 49507, 49117,
+    35309, 22191, 17311, 14563, 22191, 37660, 50603, 53295, 53952, 50067, 45504,
+    30920, 20238, 16329, 18635, 32845, 49698, 59194, 59340, 55585, 49300, 39730,
+    25691, 19552, 16329, 15338, 25382, 47952, 58613, 59490, 62560, 58037, 46908,
+    31550, 20900, 17664, 19552, 32191, 53295, 63116, 64090, 60615, 50790, 39174,
+    26048, 19552, 16999, 24075, 41261, 55585, 63392, 58187, 48549, 37116, 27944,
+    21241, 16999, 28655, 44623, 52296, 55585, 45723, 31550, 25078, 20238, 18282,
+    35938, 37964, 36206, 25078, 20900, 18635, 16666, 20563, 17664, 16666, 16666,
+]
+
+# (golden value, rtol) — test_firstorder_regression.h, GREYDEPTH=20 recipe.
+# rtol 1e-9 where the golden is printed to full double precision; the
+# reference's own gate is rel 1e-3 (agrees_gt), so these are strictly stronger.
+REGRESSION_GOLDEN = {
+    "INTEGRATED_INTENSITY": (5015224.0, 1e-9),
+    "MIN": (11079.0, 1e-9),
+    "MAX": (64090.0, 1e-9),
+    "RANGE": (53011.0, 1e-9),
+    "MEAN": (3.256638961038961e04, 1e-9),
+    "MEDIAN": (2.980350000000000e04, 1e-9),
+    "MODE": (19552.0, 1e-9),
+    "STANDARD_DEVIATION": (1.473096831710767e04, 1e-9),
+    "SKEWNESS": (0.450256759704494, 1e-9),
+    "KURTOSIS": (1.927888720710090, 1e-9),
+    "EXCESS_KURTOSIS": (1.927888720710090 - 3.0, 1e-9),
+    "HYPERSKEWNESS": (1.978293086605381, 1e-9),
+    "HYPERFLATNESS": (5.126659243028459, 1e-9),
+    "MEAN_ABSOLUTE_DEVIATION": (1.283308449991567e04, 1e-9),
+    "ROBUST_MEAN_ABSOLUTE_DEVIATION": (1.044061849600000e04, 1e-9),
+    "STANDARD_ERROR": (1.187055255225567e03, 1e-9),
+    "ROOT_MEAN_SQUARED": (3.572341052638121e04, 1e-9),
+    "ENTROPY": (4.12733, 2e-6),           # golden printed to 6 digits
+    "ENERGY": (1.965289571840000e11, 1e-9),
+    "UNIFORMITY": (0.0647664, 1e-2),      # reference's own gate: 1% vs MATLAB
+    "UNIFORMITY_PIU": (29.477577192725725, 1e-9),
+    "P01": (1.189536940000000e04, 1e-9),
+    "P10": (1.610747200000000e04, 1e-9),
+    "P25": (1.907482583333333e04, 1e-9),
+    "P75": (4.580120500000000e04, 1e-9),
+    "P90": (5.338177800000000e04, 1e-9),
+    "P99": (6.341676030000000e04, 1e-9),
+    "INTERQUARTILE_RANGE": (2.672637916666667e04, 1e-9),
+    "COV": (4.523365498399634e-01, 1e-9),
+    "ROBUST_MEAN": (3.142136800000000e04, 1e-9),
+    "MEDIAN_ABSOLUTE_DEVIATION": (1.269384415584416e04, 1e-9),
+    "QCOD": (4.119607630640470e-01, 1e-9),
+    "STANDARD_DEVIATION_BIASED": (1.468306260221863e04, 1e-9),
+    "VARIANCE": (2.170014275596299e08, 1e-9),
+    "VARIANCE_BIASED": (2.155923273806713e08, 1e-9),
+    "COUNT": (154.0, 0.0),
+}
+
+# Pinned PyRadiomics oracle values (test_firstorder_pyradiomics.h:33-51),
+# binCount=64 recipe.  "exact" tier = rel 1e-6; "approx" tier (percentile /
+# variance convention deltas) is pyradiomics-vs-nyxus disagreement — we match
+# the NYXUS side exactly, so only the exact-tier features are asserted here.
+PYRADIOMICS_GOLDEN = {
+    "MEAN": 32566.38961038961,
+    "MEDIAN": 29803.5,
+    "MIN": 11079.0,
+    "MAX": 64090.0,
+    "RANGE": 53011.0,
+    "SKEWNESS": 0.45025675970449414,
+    "KURTOSIS": 1.9278887207100905,
+    "ENERGY": 196528957184.0,
+    "ROOT_MEAN_SQUARED": 35723.41052638121,
+    "MEAN_ABSOLUTE_DEVIATION": 12833.084499915672,
+    "ROBUST_MEAN_ABSOLUTE_DEVIATION": 10440.618496000001,
+    "ENTROPY": 5.54700500819408,
+    "UNIFORMITY": 0.0252993759487266,
+}
+
+# test_intensity_histogram_regression.h:111-137 — {1,1,3,5,7}, N=3, IBSI.
+IH_GOLDEN = {
+    "IH_NUM_BINS": 3.0,
+    "IH_BIN_SIZE": 2.0,
+    "IH_MINIMUM_VAL": 1.0,
+    "IH_MAXIMUM_VAL": 7.0,
+    "IH_RANGE_VAL": 6.0,
+    "IH_MEAN_VAL": 4.0,
+    "IH_MEDIAN_VAL": 4.0,
+    "IH_MODE_VAL": 2.0,
+    "IH_VARIANCE_VAL": 3.2,
+    "IH_EXCESS_KURTOSIS_VAL": -1.75,
+    "IH_UNIFORMITY_VAL": 0.36,
+    "IH_ENTROPY_VAL": 1.521928,
+    "IH_MINIMUM_IDX": 1.0,
+    "IH_MAXIMUM_IDX": 3.0,
+    "IH_MEAN_IDX": 2.0,
+    "IH_MAX_GRADIENT": 1.0,
+    "IH_MAX_GRADIENT_IDX": 3.0,
+    "IH_MIN_GRADIENT": -1.0,
+    "IH_MIN_GRADIENT_IDX": 1.0,
+}
+
+
+def _one_row(spark, tokens, features, settings):
+    df = spark.createDataFrame(
+        [("ref_roi", tokens, len(tokens), "golden")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = extract_features(df, features, settings=settings).collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def _agree(name, got, want, rtol):
+    if rtol == 0.0:
+        assert got == want, f"{name}: got {got}, want exactly {want}"
+    else:
+        assert math.isfinite(got), f"{name}: got {got}"
+        assert np.isclose(got, want, rtol=rtol, atol=0.0), (
+            f"{name}: got {got!r}, want {want!r} (rtol {rtol})"
+        )
+
+
+def test_firstorder_matches_reference_regression_goldens(spark):
+    got = _one_row(spark, ROI154, ["*ALL_INTENSITY*"],
+                   FeatureSettings(n_bins=20))
+    for name, (want, rtol) in REGRESSION_GOLDEN.items():
+        _agree(name, got[name], want, rtol)
+
+
+def test_firstorder_matches_pyradiomics_pinned_oracle(spark):
+    # binCount=64 recipe — the engine's default comparability setting
+    got = _one_row(spark, ROI154, ["*ALL_INTENSITY*"],
+                   FeatureSettings(n_bins=64))
+    for name, want in PYRADIOMICS_GOLDEN.items():
+        _agree(name, got[name], want, 1e-6)
+
+
+def test_ih_matches_reference_hand_computed_goldens(spark):
+    got = _one_row(spark, [1, 1, 3, 5, 7], ["*ALL_IH*"],
+                   FeatureSettings(n_bins=3))
+    for name, want in IH_GOLDEN.items():
+        _agree(name, got[name], want, 2e-6)
+
+
+def test_covered_range_matches_reference_golden(spark):
+    """COVERED_IMAGE_INTENSITY_RANGE golden 0.8088960097657740
+    (test_firstorder_regression.h:19,544-549): ROI range 53011 over slide
+    range [0, 65535].  The slide range is reproduced through the real prescan
+    broadcast path by a sentinel row spanning [0, 65535] in the same source.
+    """
+    from nyxus_spark.operators.prescan import covered_range_col, with_source_range
+
+    df = spark.createDataFrame(
+        [("ref_roi", ROI154, len(ROI154), "golden"),
+         ("sentinel", [0, 65535], 2, "golden")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = {r["doc_id"]: r["COVERED_IMAGE_INTENSITY_RANGE"]
+           for r in with_source_range(df)
+           .select("doc_id", covered_range_col()).collect()}
+    _agree("COVERED_IMAGE_INTENSITY_RANGE", out["ref_roi"],
+           8.088960097657740e-01, 1e-9)
