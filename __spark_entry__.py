@@ -338,6 +338,64 @@ def _q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-size texture features: 1-D zones ≡ runs (glszm.cpp DFS clusters
+    degenerate to runs), so the oracle is the gaps-and-islands SQL with GLSZM
+    naming. Integer-numerator features only (same rationale as glrlm)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["GLSZM_LAE", "GLSZM_ZP", "GLSZM_HGLZE", "GLSZM_GLN", "GLSZM_SZN"],
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        _r4("GLSZM_LAE").alias("glszm_lae"),
+        _r4("GLSZM_ZP").alias("glszm_zp"),
+        _r4("GLSZM_HGLZE").alias("glszm_hglze"),
+        _r4("GLSZM_GLN").alias("glszm_gln"),
+        _r4("GLSZM_SZN").alias("glszm_szn"),
+    )
+
+
+def _q_ngtdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbourhood-difference kernel. At offset 1 every 2·s_i is an exact
+    integer, and the kernel computes coarseness as the single division
+    Nvc/Σ(N·S), so the DuckDB integer-numerator oracle is bit-identical.
+    nvc/ngp are recomputed Spark-NATIVE (JVM transform expression) as an
+    independent cross-check of the matlab binning against both the numpy
+    kernel's input and the SQL twin."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir)
+    feats = extract_features(t, ["NGTDM_COARSENESS"])
+    binned = F.expr(
+        "transform(tokens, t -> CASE WHEN t = 0 THEN 1 ELSE "
+        "least(greatest(cast(floor((64.0D / array_max(tokens)) * t + 1) AS int), 1), 64) END)"
+    )
+    return (
+        feats.withColumn("ngp", F.size(F.array_distinct(binned)).cast("long"))
+        .filter(F.col("ngp") >= 2)
+        .select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("nvc"),
+            "ngp",
+            _r4(F.col("NGTDM_COARSENESS")).alias("ngtdm_coarseness"),
+        )
+    )
+
+
 def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal neighbor self-join (bucketed range join): per event, neighbor
     count + distance to the closest 1/2 within R = 4h."""
@@ -515,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "glrlm": _q_glrlm,
         "glcm": _q_glcm,
+        "glszm": _q_glszm,
+        "ngtdm": _q_ngtdm,
     }
 
 
@@ -615,6 +675,8 @@ FROM tokens_static
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
+        "glszm": oracles.sql_glszm(64),
+        "ngtdm": oracles.sql_ngtdm(64),
     }
     return extra | {
         "tokens_basic": f"""

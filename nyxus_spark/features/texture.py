@@ -326,8 +326,13 @@ def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
     val = np.arange(A, dtype=np.float64)
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        ps = (p * Smat).sum(axis=1)
-        coarseness = 1.0 / ps
+        # Σ N_l·S_l is EXACT in float64 for offset=1 (every s_i is a dyadic
+        # half), so computing coarseness as the single division Nvc/Σ(N·S)
+        # — algebraically 1/Σ(p·s) — makes it bit-identical to an integer-
+        # numerator SQL oracle (one rounding on each engine).
+        psn = (Nmat * Smat).sum(axis=1)
+        ps = psn / safe_Nvc
+        coarseness = safe_Nvc / psn
         s_tot = Smat.sum(axis=1)
         # Algebraic factorization of the pairwise level sums (exact):
         #   Σᵢⱼ pᵢpⱼ(vᵢ-vⱼ)² = 2(Σpv² − (Σpv)²)           [p sums to 1]

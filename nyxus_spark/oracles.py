@@ -237,6 +237,70 @@ FROM per_doc p JOIN gln USING (doc_id) JOIN rln USING (doc_id)
 """
 
 
+def sql_glszm(n_levels: int = 64) -> str:
+    """GLSZM oracle: in 1-D, zones (connected same-grey components,
+    glszm.cpp:82-135 DFS) degenerate to runs, so the zone matrix equals the
+    run-length matrix — same gaps-and-islands SQL, GLSZM feature naming."""
+    sql = sql_glrlm(n_levels)
+    for rl, sz in [("glrlm_lre", "glszm_lae"), ("glrlm_rp", "glszm_zp"),
+                   ("glrlm_hglre", "glszm_hglze"), ("glrlm_gln", "glszm_gln"),
+                   ("glrlm_rln", "glszm_szn")]:
+        sql = sql.replace(rl, sz)
+    return sql
+
+
+def sql_ngtdm(n_levels: int = 64) -> str:
+    """NGTDM coarseness oracle (offset 1, matlab binning).
+
+    With a ±1 neighborhood every neighbor-mean is over 1 or 2 values, so
+    2·s_i = |2g − (prev+next)| (interior) or 2·|g − nbr| (edge) is an exact
+    INTEGER.  Coarseness = 1/Σ p_l·S_l = Nvc/Σ N_l·S_l = 2·Nvc / Σ N_l·(2S_l)
+    — integer numerator and denominator, one final division, bit-identical to
+    the kernel's single-division form (texture.py ngtdm_section).
+    Degenerate filter: fewer than two distinct grey levels (ngtdm.cpp
+    "binned data uninformative" path → softNAN, excluded on both sides).
+    """
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i,
+         CASE WHEN f.t = 0 THEN 1
+              ELSE LEAST(GREATEST(CAST(FLOOR(({n_levels}.0 / s.mx) * f.t + 1) AS INTEGER), 1), {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+nbr AS (
+  SELECT doc_id, g,
+         lag(g) OVER w AS p, lead(g) OVER w AS nx
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+s2 AS (
+  SELECT doc_id, g,
+         CASE WHEN p IS NOT NULL AND nx IS NOT NULL THEN abs(2 * g - p - nx)
+              WHEN p IS NOT NULL THEN 2 * abs(g - p)
+              ELSE 2 * abs(g - nx) END AS s2
+  FROM nbr WHERE p IS NOT NULL OR nx IS NOT NULL
+),
+levels AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n_l, CAST(SUM(s2) AS BIGINT) AS s2_l
+  FROM s2 GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(n_l) AS BIGINT) AS nvc, CAST(COUNT(*) AS BIGINT) AS ngp,
+         CAST(SUM(n_l * s2_l) AS BIGINT) AS total2
+  FROM levels GROUP BY doc_id
+)
+SELECT doc_id, nvc, ngp,
+       FLOOR((CAST(2 * nvc AS DOUBLE) / total2) * 10000.0 + 0.5) / 10000.0 AS ngtdm_coarseness
+FROM per_doc WHERE ngp >= 2
+"""
+
+
 def sql_glcm(n_levels: int = 64) -> str:
     """GLCM contrast/ASM/DIS under matlab binning (non-symmetric, offset 1)."""
     return f"""
