@@ -21,6 +21,22 @@ class Segments:
 
     __slots__ = ("flat", "lengths", "starts", "row_idx", "n_rows", "_tex_cache")
 
+    @classmethod
+    def from_flat(cls, flat: np.ndarray, lengths: np.ndarray) -> "Segments":
+        """Build directly from a flattened value buffer + per-row lengths —
+        the zero-copy Arrow ListArray path (values buffer + offsets), skipping
+        per-row numpy object allocation entirely."""
+        self = cls.__new__(cls)
+        n = len(lengths)
+        self.n_rows = n
+        self.lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+        self.flat = np.ascontiguousarray(flat, dtype=np.int64)
+        self.starts = np.zeros(n, dtype=np.int64)
+        if n:
+            np.cumsum(self.lengths[:-1], out=self.starts[1:])
+        self.row_idx = np.repeat(np.arange(n, dtype=np.int64), self.lengths)
+        return self
+
     def __init__(self, token_cells) -> None:
         n = len(token_cells)
         self.n_rows = n
