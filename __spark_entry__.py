@@ -396,6 +396,55 @@ def _q_ngtdm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gldzm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-distance texture features: zone distance = run distance to the
+    nearer sequence border (gldzm.cpp:244-256 analog) — exact integers, so
+    the integer-numerator features compare exactly."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["GLDZM_LDE", "GLDZM_ZP", "GLDZM_HGLZE", "GLDZM_GLNU", "GLDZM_ZDNU"],
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        _r4("GLDZM_LDE").alias("gldzm_lde"),
+        _r4("GLDZM_ZP").alias("gldzm_zp"),
+        _r4("GLDZM_HGLZE").alias("gldzm_hglze"),
+        _r4("GLDZM_GLNU").alias("gldzm_glnu"),
+        _r4("GLDZM_ZDNU").alias("gldzm_zdnu"),
+    )
+
+
+def _q_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial distribution (FRAC_AT_D bands): band indices derive from
+    IEEE-identical float ops on exact integer moments, band masses are exact
+    integers, each fraction is one final division (signal.py radial_section)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x) > 0
+    )
+    feats = extract_features(
+        t, [f"FRAC_AT_D_{k}" for k in range(8)], keep_tokens=False
+    )
+    return feats.select(
+        "doc_id",
+        *[_r4(f"FRAC_AT_D_{k}").alias(f"frac_at_d_{k}") for k in range(8)],
+    )
+
+
 def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal neighbor self-join (bucketed range join): per event, neighbor
     count + distance to the closest 1/2 within R = 4h."""
@@ -468,6 +517,28 @@ def _q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
     p = probes(spark, sf_dir)
     out = asof_join(p, v, strategy="cogroup_merge")
+    return out.select(
+        "doc_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+        "n_tok",
+    )
+
+
+def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the time-sliced salted path (salt_slices=4, the
+    north-rule hot-key strategy). All strategies must agree, so the oracle is
+    the same ASOF LEFT JOIN SQL as the union_window query."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import asof_join
+    from nyxus_spark.sources import probes, tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
+    p = probes(spark, sf_dir)
+    out = asof_join(p, v, salt_slices=4)
     return out.select(
         "doc_id",
         "event_id",
@@ -575,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm": _q_glcm,
         "glszm": _q_glszm,
         "ngtdm": _q_ngtdm,
+        "gldzm": _q_gldzm,
+        "radial": _q_radial,
+        "asof_salted": _q_asof_salted,
     }
 
 
@@ -659,6 +733,15 @@ SELECT p.doc_id, p.event_id,
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
 """,
+        "asof_salted": f"""
+WITH {SQL_VERSIONS}, {SQL_PROBES}
+SELECT p.doc_id, p.event_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(v.ts) AS matched_ts_us,
+       v.n_tok
+FROM probes p ASOF LEFT JOIN versions v
+  ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
         "dedup_exact": oracles.SQL_EXACT_DEDUP,
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "simhash_pairs": oracles.sql_simhash_pairs(3),
@@ -677,6 +760,8 @@ FROM tokens_static
         "glcm": oracles.sql_glcm(64),
         "glszm": oracles.sql_glszm(64),
         "ngtdm": oracles.sql_ngtdm(64),
+        "gldzm": oracles.sql_gldzm(64),
+        "radial": oracles.sql_radial(),
     }
     return extra | {
         "tokens_basic": f"""

@@ -249,6 +249,118 @@ def sql_glszm(n_levels: int = 64) -> str:
     return sql
 
 
+def sql_gldzm(n_levels: int = 64) -> str:
+    """GLDZM oracle: zone distance = distance of a run to the nearer sequence
+    border, dist = min(start0, (n_tok−1)−end0)+1 (gldzm.cpp:244-256 analog) —
+    an exact integer per run, so LDE/ZP/HGLZE/GLNU/ZDNU are integer-numerator
+    with one final division, like the glrlm oracle."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i, f.n_tok,
+         CASE WHEN f.t = 0 THEN 1
+              ELSE LEAST(GREATEST(CAST(FLOOR(({n_levels}.0 / s.mx) * f.t + 1) AS INTEGER), 1), {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+flagged AS (
+  SELECT doc_id, i, g, n_tok,
+         CASE WHEN lag(g) OVER w IS NULL OR lag(g) OVER w <> g THEN 1 ELSE 0 END AS f
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+islands AS (
+  SELECT doc_id, g, n_tok,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+         i
+  FROM flagged
+),
+runs AS (
+  SELECT doc_id, g,
+         LEAST(MIN(i) - 1, MAX(n_tok) - MAX(i)) + 1 AS d,
+         MAX(n_tok) AS n_tok
+  FROM islands GROUP BY doc_id, g, run_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
+         CAST(SUM(d * d) AS BIGINT) AS sdd,
+         CAST(SUM(g * g) AS BIGINT) AS sgg
+  FROM runs GROUP BY doc_id
+),
+glnu AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM runs GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+zdnu AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, d, COUNT(*) AS c FROM runs GROUP BY doc_id, d)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       FLOOR((CAST(p.sdd AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_lde,
+       FLOOR((CAST(p.nr AS DOUBLE) / p.np) * 10000.0 + 0.5) / 10000.0 AS gldzm_zp,
+       FLOOR((CAST(p.sgg AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_hglze,
+       FLOOR((CAST(glnu.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_glnu,
+       FLOOR((CAST(zdnu.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_zdnu
+FROM per_doc p JOIN glnu USING (doc_id) JOIN zdnu USING (doc_id)
+"""
+
+
+def sql_radial() -> str:
+    """Radial-distribution oracle (FRAC_AT_D bands, signal.py radial_section).
+
+    Band assignment replays the kernel's float ops in the identical IEEE
+    order (one m1/m0 division, one subtraction, one division by reach, one
+    ×8, floor), so band indices are bit-identical; per-band token mass and
+    total mass are exact integers, and each fraction is ONE final division.
+    """
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(0, n_tok)) AS i
+  FROM tokens_static
+),
+m AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS m0,
+         CAST(SUM(CAST(t AS BIGINT) * i) AS BIGINT) AS m1,
+         MAX(n_tok) AS n_tok
+  FROM flat GROUP BY doc_id HAVING SUM(t) > 0
+),
+cen AS (
+  SELECT doc_id, n_tok, m0,
+         CAST(m1 AS DOUBLE) / m0 AS c,
+         CASE WHEN GREATEST(CAST(m1 AS DOUBLE) / m0,
+                            (n_tok - 1) - CAST(m1 AS DOUBLE) / m0) > 0
+              THEN GREATEST(CAST(m1 AS DOUBLE) / m0,
+                            (n_tok - 1) - CAST(m1 AS DOUBLE) / m0)
+              ELSE 1.0 END AS reach
+  FROM m
+),
+banded AS (
+  SELECT f.doc_id, c.m0,
+         LEAST(CAST(FLOOR((abs(f.i - c.c) / c.reach) * 8) AS INTEGER), 7) AS band,
+         CAST(f.t AS BIGINT) AS t
+  FROM flat f JOIN cen c USING (doc_id)
+),
+wm AS (
+  SELECT doc_id, m0, band, CAST(SUM(t) AS BIGINT) AS w
+  FROM banded GROUP BY doc_id, m0, band
+)
+SELECT doc_id,
+       {", ".join(
+           f"FLOOR((CAST(COALESCE(SUM(w) FILTER (band = {k}), 0) AS DOUBLE) / m0)"
+           f" * 10000.0 + 0.5) / 10000.0 AS frac_at_d_{k}" for k in range(8))}
+FROM wm GROUP BY doc_id, m0
+"""
+
+
 def sql_ngtdm(n_levels: int = 64) -> str:
     """NGTDM coarseness oracle (offset 1, matlab binning).
 
