@@ -135,6 +135,36 @@ IH_GOLDEN = {
 }
 
 
+# IBSI digital phantom (Zwanenburg et al. 2020, arXiv:1612.07003) — the 74
+# mask-selected intensities of the 4-slice phantom in test_data.h
+# (ibsi_phantom_z*_intensity/mask), transcribed in declaration order.  IH is a
+# function of the intensity multiset only, so the 2-D/3-D layout is irrelevant.
+IBSI_PHANTOM = [
+    1, 4, 4, 1, 1, 1, 4, 6, 1, 1, 4, 1, 6, 4, 1, 4, 4, 6, 4, 1, 1, 4, 4, 1,
+    1, 1, 1, 6, 1, 1, 1, 3, 1, 1, 4, 4, 6, 1, 1, 1, 4, 4, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 6, 1, 1, 1, 4, 4, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 6,
+    1, 1,
+]
+
+# IBSI §3.4 intensity-histogram consensus values, FBN GREYDEPTH=6
+# (/root/reference/tests/test_intensity_histogram_ibsi.h:18-32; the
+# reference's own gate is rel 1e-2, the IBSI phantom tier).
+IBSI_IH_GOLDEN = {
+    "IH_VARIANCE_IDX": 3.05,
+    "IH_SKEWNESS_IDX": 1.08,
+    "IH_EXCESS_KURTOSIS_IDX": -0.355,
+    "IH_INTERQUANTILE_RANGE_IDX": 3.0,
+    "IH_RANGE_IDX": 5.0,
+    "IH_MEAN_ABSOLUTE_DEVIATION_IDX": 1.55,
+    "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX": 1.11,
+    "IH_MEDIAN_ABSOLUTE_DEVIATION_IDX": 1.15,
+    "IH_COEFFICIENT_OF_VARIATION_IDX": 0.812,
+    "IH_QUANTILE_COEFFICIENT_OF_DISPERSION_IDX": 0.6,
+    "IH_ENTROPY_IDX": 1.27,
+    "IH_UNIFORMITY_IDX": 0.512,
+}
+
+
 def _one_row(spark, tokens, features, settings):
     df = spark.createDataFrame(
         [("ref_roi", tokens, len(tokens), "golden")],
@@ -175,6 +205,12 @@ def test_ih_matches_reference_hand_computed_goldens(spark):
                    FeatureSettings(n_bins=3))
     for name, want in IH_GOLDEN.items():
         _agree(name, got[name], want, 2e-6)
+
+
+def test_ih_matches_ibsi_phantom_consensus(spark):
+    got = _one_row(spark, IBSI_PHANTOM, ["*ALL_IH*"], FeatureSettings(n_bins=6))
+    for name, want in IBSI_IH_GOLDEN.items():
+        _agree(name, got[name], want, 1e-2)
 
 
 def test_covered_range_matches_reference_golden(spark):
