@@ -246,6 +246,25 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(emb, list(qv), k=10)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed cosine search (the ANN scale path): 8 deterministic coarse
+    centroids (vec_id < 8), probe the query's top-2 buckets, top-10 within.
+    Assignment and probing rank on the ROUNDED cosine so the bucket decisions
+    are engine-reproducible; the oracle replays the same plan in SQL."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.similarity import ivf_topk
+    from nyxus_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    return ivf_topk(emb, cents, list(qv), k=10, n_probe=2)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language identification heuristic."""
     _prep(spark)
@@ -639,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "topk_cosine": _q_topk_cosine,
+        "ivf_topk": _q_ivf_topk,
         "langid": _q_langid,
         "text_quality": _q_text_quality,
         "fingerprint": _q_fingerprint,
@@ -746,6 +766,7 @@ FROM probes p ASOF LEFT JOIN versions v
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
+        "ivf_topk": oracles.SQL_IVF_TOPK,
         "langid": oracles.sql_langid(STOPWORDS),
         "text_quality": oracles.sql_text_quality(STOPWORDS["en"]),
         "fingerprint": f"""

@@ -221,7 +221,7 @@ kernel-only compute scales 2→8 cores but gains only ~1.4× from 8→32 because
 the memory bus is already saturated by ~8 workers. The engine mitigates what
 software can (reusable buffer arena for kernel temporaries, sparse-cell
 texture algorithms, integer-sum formulations) — the residual ceiling is the
-host, not the plan: every stage is embarrassingly parallel (narrow mapInPandas)
+host, not the plan: every stage is embarrassingly parallel (narrow mapInArrow)
 or a single hash/sort shuffle, which on a real multi-node cluster (per-node
 memory buses) scales with executors. The {lo}→{mid} step, where the bus is not
 saturated, is therefore the faithful proxy for N→4N *executor* scaling.

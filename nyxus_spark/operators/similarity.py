@@ -72,7 +72,9 @@ def ivf_assign(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col).orderBy(F.col("__c").desc(), F.col(cent_id).asc())
+    # rank on the ROUNDED cosine (same discipline as topk_cosine): assignment
+    # becomes reproducible across partitionings and engines
+    w = Window.partitionBy(id_col).orderBy(fround4(F.col("__c")).desc(), F.col(cent_id).asc())
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -99,7 +101,7 @@ def ivf_topk(
         r[0]
         for r in (
             centroids.withColumn("__q", qlit)
-            .select(cent_id, cosine_col(cent_vec, "__q").alias("c"))
+            .select(cent_id, fround4(cosine_col(cent_vec, "__q")).alias("c"))
             .orderBy(F.col("c").desc(), F.col(cent_id).asc())
             .limit(n_probe)
             .collect()

@@ -126,6 +126,44 @@ LIMIT 10
 """
 
 
+SQL_IVF_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+top_cents AS (
+  SELECT cent_id
+  FROM cents, q
+  ORDER BY FLOOR((list_inner_product(cv, q.qv)
+                 / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(q.qv, q.qv))))
+                 * 10000.0 + 0.5) / 10000.0 DESC,
+           cent_id ASC
+  LIMIT 2
+),
+assigned AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY FLOOR((list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                          / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                           * sqrt(list_inner_product(c.cv, c.cv))))
+                          * 10000.0 + 0.5) / 10000.0 DESC,
+                    c.cent_id ASC
+         ) AS rn
+  FROM embeddings e, cents c
+)
+SELECT a.vec_id,
+       FLOOR((list_inner_product(a.ev, q.qv)
+             / (sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(q.qv, q.qv))))
+             * 10000.0 + 0.5) / 10000.0 AS cos
+FROM assigned a, q
+WHERE a.rn = 1 AND a.cent_id IN (SELECT cent_id FROM top_cents)
+ORDER BY cos DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
 def sql_langid(stopwords: dict[str, list[str]]) -> str:
     rows = []
     for lang in sorted(stopwords):

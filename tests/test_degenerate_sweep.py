@@ -95,3 +95,24 @@ def test_operator_exprs_on_degenerate_arrays(spark):
     assert simhash_pairs(df.filter(F.col("tokens").isNotNull())).count() == 0
     fp = df.filter(F.col("tokens").isNotNull()).select(fingerprint_expr().alias("f")).collect()
     assert all(r["f"] is not None for r in fp)
+
+
+def test_from_flat_equals_list_construction():
+    """Segments.from_flat (the Arrow zero-copy path) must be indistinguishable
+    from list-of-arrays construction for every kernel section, including over
+    pathological inputs."""
+    rows = [np.array(c, dtype=np.int64) for c in PATHOLOGICAL]
+    a = Segments(rows)
+    flat = np.concatenate([r for r in rows if r.size]) if any(r.size for r in rows) \
+        else np.empty(0, np.int64)
+    lengths = np.array([r.size for r in rows], dtype=np.int64)
+    b = Segments.from_flat(flat, lengths)
+    np.testing.assert_array_equal(a.flat, b.flat)
+    np.testing.assert_array_equal(a.lengths, b.lengths)
+    np.testing.assert_array_equal(a.starts, b.starts)
+    np.testing.assert_array_equal(a.row_idx, b.row_idx)
+    s = FeatureSettings()
+    for sec in all_sections().values():
+        va, vb = sec.fn(a, s), sec.fn(b, s)
+        for k in va:
+            np.testing.assert_array_equal(va[k], vb[k], err_msg=f"{sec.name}:{k}")

@@ -1,0 +1,101 @@
+"""Streaming as-of join (applyInPandasWithState) vs the batch operator.
+
+The tagged stream is split into two time-ordered files and driven with
+maxFilesPerTrigger=1, so the second micro-batch's probes can only match
+versions from the first batch through the GroupState carry — proving the
+cross-batch state logic, not just single-batch merge_asof.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyxus_spark.operators import asof_join
+from nyxus_spark.streaming import asof_join_stream
+
+
+def _tagged_batch(spark, sf_dir):
+    from nyxus_spark.sources import probes, tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select(
+        "doc_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(1).cast("long").alias("is_version"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    p = probes(spark, sf_dir).select(
+        "doc_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(0).cast("long").alias("is_version"),
+        F.lit(None).cast("long").alias("n_tok"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    return v.unionByName(p)
+
+
+def test_stream_asof_matches_batch(spark, sf_dir, tmp_path):
+    tagged = _tagged_batch(spark, sf_dir).cache()
+    split_ts = tagged.approxQuantile("ts_us", [0.5], 0.0)[0]
+
+    stream_dir = tmp_path / "tagged_stream"
+    stream_dir.mkdir()
+    # two time-ordered files → two micro-batches (ordering contract holds:
+    # every file-1 row precedes every file-2 row in event time)
+    def _dump(df, path):
+        pdf = df.toPandas()
+        for c in ("ts_us", "is_version", "n_tok", "event_id"):
+            pdf[c] = pdf[c].astype("Int64")  # nullable int64, not float64
+        pdf.to_parquet(path)
+
+    _dump(tagged.filter(F.col("ts_us") <= split_ts), stream_dir / "part-000.parquet")
+    _dump(tagged.filter(F.col("ts_us") > split_ts), stream_dir / "part-001.parquet")
+    # file source orders by modification time — force it
+    os.utime(stream_dir / "part-000.parquet", (1_000_000, 1_000_000))
+    os.utime(stream_dir / "part-001.parquet", (2_000_000, 2_000_000))
+
+    from nyxus_spark.streaming.stateful import TAGGED_SCHEMA
+
+    src = (
+        spark.readStream.schema(TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    out = asof_join_stream(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT doc_id, event_id, ts_us, matched_ts_us, n_tok FROM asof_stream_out"
+    ).toPandas()
+    # prove both micro-batches ran (state carry actually exercised)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 2
+
+    from nyxus_spark.sources import probes, tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
+    p = probes(spark, sf_dir)
+    exp = asof_join(p, v).select(
+        "doc_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    ).toPandas()
+
+    key = ["doc_id", "event_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e)
+    for col in ["doc_id", "event_id", "ts_us", "matched_ts_us", "n_tok"]:
+        gv = g[col].astype("object").where(g[col].notna(), None)
+        ev = e[col].astype("object").where(e[col].notna(), None)
+        mism = [(a, b) for a, b in zip(gv, ev) if a != b]
+        assert not mism, f"{col}: {mism[:5]}"
+    tagged.unpersist()
