@@ -265,6 +265,66 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, list(qv), k=10, n_probe=2)
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary over lineitem — evidence the engine's
+    general OLAP path (Catalyst partial+final hash agg, no Python). All money
+    is exact integer cents (floor(x*100+0.5); inputs are 2-decimal), so sums
+    are BIGINT-exact and averages are one final division."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    qty = F.col("l_quantity").cast("long")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    price_c = cents("l_extendedprice")
+    out = (
+        li.select(
+            "l_returnflag", "l_linestatus",
+            qty.alias("q"), price_c.alias("pc"),
+            (price_c * (100 - disc_c)).alias("dp4"),           # 1e-4 units
+            (price_c * (100 - disc_c) * (100 + tax_c)).alias("ch6"),  # 1e-6
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("q").alias("sum_qty"),
+            F.sum("pc").alias("sum_base_price_cents"),
+            F.sum("dp4").alias("sum_disc_price_e4"),
+            F.sum("ch6").alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", _r4(F.col("sum_qty") / F.col("count_order")))
+        .withColumn("avg_price",
+                    _r4(F.col("sum_base_price_cents") / (F.col("count_order") * 100)))
+    )
+    return out
+
+
+def _q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer rollup by market segment — the broadcast-join path
+    (customer is the small dim; `.explain` shows BroadcastHashJoin)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("sum_totalprice_cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language identification heuristic."""
     _prep(spark)
@@ -347,13 +407,18 @@ def _q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("tokens") > F.array_min("tokens")
     )
     feats = extract_features(
-        t, ["GLCM_CONTRAST", "GLCM_ASM", "GLCM_DIS"], keep_tokens=False
+        t, ["GLCM_CONTRAST", "GLCM_ASM", "GLCM_DIS", "GLCM_SUMAVERAGE",
+            "GLCM_ACOR", "GLCM_JAVE", "GLCM_JMAX"], keep_tokens=False
     )
     return feats.select(
         "doc_id",
         _r4("GLCM_CONTRAST").alias("glcm_contrast"),
         _r4("GLCM_ASM").alias("glcm_asm"),
         _r4("GLCM_DIS").alias("glcm_dis"),
+        _r4("GLCM_SUMAVERAGE").alias("glcm_sumaverage"),
+        _r4("GLCM_ACOR").alias("glcm_acor"),
+        _r4("GLCM_JAVE").alias("glcm_jave"),
+        _r4("GLCM_JMAX").alias("glcm_jmax"),
     )
 
 
@@ -669,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gldzm": _q_gldzm,
         "radial": _q_radial,
         "asof_salted": _q_asof_salted,
+        "pricing_summary": _q_pricing_summary,
+        "segment_sales": _q_segment_sales,
     }
 
 
@@ -752,6 +819,31 @@ SELECT p.doc_id, p.event_id,
        v.n_tok
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       FLOOR((CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+       FLOOR((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100)) * 10000.0 + 0.5) / 10000.0 AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "segment_sales": """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """,
         "asof_salted": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

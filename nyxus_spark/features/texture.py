@@ -494,8 +494,8 @@ def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarr
     idn = by_row(p / (1.0 + diff / Ngc[crow]))
     idmn = by_row(p / (1.0 + diff ** 2 / Ngc[crow] ** 2))
     iv = by_row(np.where(diff > 0, p / np.where(diff > 0, diff, 1) ** 2, 0.0))
-    acor = by_row(p * ca * cb)
-    jave = by_row(p * ca)
+    acor = by_row(cntf * ca * cb) / safe_sp
+    jave = by_row(cntf * ca) / safe_sp
     jmax = np.zeros(n)
     np.maximum.at(jmax, crow, p)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -505,7 +505,7 @@ def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarr
         clus = by_row(p * cs ** 3)
         clup = by_row(p * cs ** 4)
         jvar = by_row(p * (ca - jave[crow]) ** 2)
-        sumave = by_row(p * summ)
+        sumave = by_row(cntf * summ) / safe_sp
         sumvar = by_row(p * (summ - sumave[crow]) ** 2)
         difave = dis
         difvar = by_row(p * (diff - difave[crow]) ** 2)

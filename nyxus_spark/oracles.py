@@ -485,13 +485,21 @@ sums AS (
          CAST(SUM(c) AS BIGINT) AS s,
          CAST(SUM(c * (a - b) * (a - b)) AS BIGINT) AS ncontrast,
          CAST(SUM(c * c) AS BIGINT) AS nasm,
-         CAST(SUM(c * abs(a - b)) AS BIGINT) AS ndis
+         CAST(SUM(c * abs(a - b)) AS BIGINT) AS ndis,
+         CAST(SUM(c * (a + b)) AS BIGINT) AS nsumave,
+         CAST(SUM(c * a * b) AS BIGINT) AS nacor,
+         CAST(SUM(c * a) AS BIGINT) AS njave,
+         CAST(MAX(c) AS BIGINT) AS cmax
   FROM cellcnt GROUP BY doc_id
 )
 SELECT doc_id,
        FLOOR((CAST(ncontrast AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast,
        FLOOR((CAST(nasm AS DOUBLE) / (CAST(s AS DOUBLE) * s)) * 10000.0 + 0.5) / 10000.0 AS glcm_asm,
-       FLOOR((CAST(ndis AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_dis
+       FLOOR((CAST(ndis AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_dis,
+       FLOOR((CAST(nsumave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_sumaverage,
+       FLOOR((CAST(nacor AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_acor,
+       FLOOR((CAST(njave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jave,
+       FLOOR((CAST(cmax AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jmax
 FROM sums
 """
 
