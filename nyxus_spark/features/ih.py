@@ -88,7 +88,6 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
         cum = np.cumsum(freq, axis=1)
         rows = np.arange(n_rows)
         i_arr = np.arange(N, dtype=np.float64)
-        centers = vmin[:, None] + (i_arr[None, :] + 0.5) * bw[:, None]
         prob = freq / np.where(total > 0, total, 1)[:, None]
 
         def get_index_of(value):
@@ -113,33 +112,41 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
         min_idx = get_index_of(vmin)
         max_idx = get_index_of(vmax)
 
-        mean_val = (prob * centers).sum(axis=1)
+        # centers are AFFINE in the bin index (center_i = vmin + (i+0.5)·bw),
+        # so every value-domain moment is the index-domain moment scaled by
+        # bw^k — the dense (n_rows, N) value matrices never materialize and
+        # the heavy passes run once, on the index domain.
         mean_idx = (prob * i_arr).sum(axis=1)
+        mean_val = vmin + (mean_idx + 0.5) * bw
 
         robust_band = (i_arr[None, :] >= p10_idx[:, None]) & (i_arr[None, :] <= p90_idx[:, None])
-        rcount = np.where(robust_band, freq, 0).sum(axis=1)
+        bandw = np.where(robust_band, freq, 0.0)
+        rcount = bandw.sum(axis=1)
         safe_rc = np.where(rcount > 0, rcount, 1)
-        rmean_val = np.where(robust_band, freq * centers, 0).sum(axis=1) / safe_rc
-        rmean_idx = np.where(robust_band, freq * i_arr, 0).sum(axis=1) / safe_rc
+        rmean_idx = (bandw * i_arr).sum(axis=1) / safe_rc
+        rmean_val = vmin + (rmean_idx + 0.5) * bw
 
-        dv = centers - mean_val[:, None]
         di = i_arr[None, :] - mean_idx[:, None]
-        var_val = (prob * dv ** 2).sum(axis=1)
-        var_idx = (prob * di ** 2).sum(axis=1)
-        skew_val = (prob * dv ** 3).sum(axis=1) / (var_val * np.sqrt(var_val))
-        skew_idx = (prob * di ** 3).sum(axis=1) / (var_idx * np.sqrt(var_idx))
-        kurt_val = (prob * dv ** 4).sum(axis=1) / (var_val ** 2) - 3.0
-        kurt_idx = (prob * di ** 4).sum(axis=1) / (var_idx ** 2) - 3.0
+        adi = np.abs(di)
+        di2 = di * di
+        var_idx = (prob * di2).sum(axis=1)
+        var_val = var_idx * bw ** 2
+        skew_idx = (prob * di2 * di).sum(axis=1) / (var_idx * np.sqrt(var_idx))
+        skew_val = skew_idx  # scale-invariant (bw³/bw³)
+        kurt_idx = (prob * di2 * di2).sum(axis=1) / (var_idx ** 2) - 3.0
+        kurt_val = kurt_idx  # scale-invariant (bw⁴/bw⁴)
 
         mode_bin = np.argmax(freq, axis=1)  # first max (strict >)
         mode_val = vmin + (mode_bin + 0.5) * bw
 
-        mad_val = (prob * np.abs(dv)).sum(axis=1)
-        mad_idx = (prob * np.abs(di)).sum(axis=1)
-        rmad_val = np.where(robust_band, freq * np.abs(centers - rmean_val[:, None]), 0).sum(axis=1) / safe_rc
-        rmad_idx = np.where(robust_band, freq * np.abs(i_arr[None, :] - rmean_idx[:, None]), 0).sum(axis=1) / safe_rc
-        medad_val = (prob * np.abs(centers - median_val[:, None])).sum(axis=1)
+        mad_idx = (prob * adi).sum(axis=1)
+        mad_val = mad_idx * bw
+        rmad_idx = (bandw * np.abs(i_arr[None, :] - rmean_idx[:, None])).sum(axis=1) / safe_rc
+        rmad_val = rmad_idx * bw
         medad_idx = (prob * np.abs(i_arr[None, :] - median_idx[:, None].astype(np.float64))).sum(axis=1)
+        # median_val sits at the CENTER of bin med_bin == median_idx, so the
+        # value-domain deviation is exactly bw·|i − median_idx|
+        medad_val = medad_idx * bw
 
         pe = np.where(prob > 1e-7, prob, 1.0)
         entropy = -(np.where(prob > 1e-7, prob * np.log(pe) / np.log(2.0), 0.0)).sum(axis=1)
