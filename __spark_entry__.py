@@ -265,6 +265,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, list(qv), k=10, n_probe=2)
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: deterministic fake payloads from the
+    corpus, decoded by the Arrow-batched mapInPandas codec stub. The fake
+    decode is pure byte arithmetic (text is ASCII, so byte i = ascii of char
+    i%len), giving an exact integer oracle for the pseudo-image mean."""
+    _prep(spark)
+    from nyxus_spark.operators.multimodal import attach_fake_media, decode_media
+    from nyxus_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media(attach_fake_media(docs), codec="fake")
+    return out.select("doc_id", "media_type", "out_width", "out_height",
+                      "mean_intensity")
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shape pricing summary over lineitem — evidence the engine's
     general OLAP path (Catalyst partial+final hash agg, no Python). All money
@@ -735,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radial": _q_radial,
         "asof_salted": _q_asof_salted,
         "pricing_summary": _q_pricing_summary,
+        "multimodal_decode": _q_multimodal_decode,
         "segment_sales": _q_segment_sales,
     }
 
@@ -819,6 +835,26 @@ SELECT p.doc_id, p.event_id,
        v.n_tok
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
+        "multimodal_decode": """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS sdoc,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         text, CAST(strlen(text) AS BIGINT) AS n
+  FROM documents WHERE strlen(text) > 0
+),
+-- pseudo-image pixel i (0..255) = byte i of the payload cycled: text is pure
+-- ASCII so byte i == ascii(char at (i % n) + 1)
+vals AS (
+  SELECT b.sdoc,
+         CAST(SUM(ascii(substr(b.text, CAST(p % b.n AS INTEGER) + 1, 1))) AS BIGINT) AS s
+  FROM base b, unnest(range(0, 256)) AS u(p)
+  GROUP BY b.sdoc
+)
+SELECT b.sdoc AS doc_id, b.media_type,
+       16 AS out_width, 16 AS out_height,
+       CAST(v.s // 256 AS BIGINT) AS mean_intensity
+FROM base b JOIN vals v USING (sdoc)
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -97,6 +97,20 @@ class Segments:
 
     def sorted_within(self) -> np.ndarray:
         """Token values sorted within each row (flat layout preserved)."""
+        if self.flat.size == 0:
+            return self.flat
+        vmax = int(self.flat.max())
+        vmin = int(self.flat.min())
+        span = vmax - vmin + 1
+        # composite single-key sort (row*span + value) beats lexsort's two
+        # argsort passes ~2×; falls back for pathological value ranges
+        if self.n_rows * span < (1 << 62):
+            keys = self.row_idx * span + (self.flat - vmin)
+            keys.sort(kind="stable")
+            out = keys % span
+            if vmin:
+                out += vmin
+            return out
         order = np.lexsort((self.flat, self.row_idx))
         return self.flat[order]
 
