@@ -684,12 +684,17 @@ def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.sources import tokens_static
 
     t = tokens_static(spark, sf_dir).filter(F.array_max("tokens") > F.array_min("tokens"))
-    feats = extract_features(t, ["GLDM_LDE", "GLDM_GLN", "GLDM_DN"], keep_tokens=False)
+    feats = extract_features(
+        t, ["GLDM_LDE", "GLDM_GLN", "GLDM_DN", "NGLDM_DCM", "NGLDM_GLM"],
+        keep_tokens=False,
+    )
     return feats.select(
         "doc_id",
         _r4(F.col("GLDM_LDE")).alias("gldm_lde"),
         _r4(F.col("GLDM_GLN")).alias("gldm_gln"),
         _r4(F.col("GLDM_DN")).alias("gldm_dn"),
+        _r4(F.col("NGLDM_DCM")).alias("ngldm_dcm"),
+        _r4(F.col("NGLDM_GLM")).alias("ngldm_glm"),
     )
 
 

@@ -61,6 +61,12 @@ GLDM_NAMES = [
 ]
 NGTDM_NAMES = ["NGTDM_COARSENESS", "NGTDM_CONTRAST", "NGTDM_BUSYNESS",
                "NGTDM_COMPLEXITY", "NGTDM_STRENGTH"]
+NGLDM_NAMES = [
+    "NGLDM_LDE", "NGLDM_HDE", "NGLDM_LGLCE", "NGLDM_HGLCE", "NGLDM_LDLGLE",
+    "NGLDM_LDHGLE", "NGLDM_HDLGLE", "NGLDM_HDHGLE", "NGLDM_GLNU", "NGLDM_GLNUN",
+    "NGLDM_DCNU", "NGLDM_DCNUN", "NGLDM_GLM", "NGLDM_GLV", "NGLDM_DCM",
+    "NGLDM_DCP", "NGLDM_DCV", "NGLDM_DCENT", "NGLDM_DCENE",
+]
 GLCM_NAMES = [
     "GLCM_ASM", "GLCM_ACOR", "GLCM_CLUPROM", "GLCM_CLUSHADE", "GLCM_CLUTEND",
     "GLCM_CONTRAST", "GLCM_CORRELATION", "GLCM_DIFAVE", "GLCM_DIFENTRO",
@@ -296,6 +302,23 @@ def gldm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarr
     out["GLDM_DV"] = by_row((j - mu_j[rows]) ** 2) / safe
     jmax = int(dep_size[nz].max()) + 1 if rows.size else 1
     out["GLDM_DE"] = _entropy_by(rows, binned[nz] * jmax + dep_size[nz], safe, n)
+
+    # NGLDM (ngldm.cpp:270-340): same (level, dependence-count) matrix with
+    # Ns = Nz, so the emphasis block aliases GLDM; distinct are the
+    # normalized non-uniformity, the two means, count energy, and DCP ≡ 1
+    # (per IBSI, ngldm.cpp:324).
+    for ngl, gld in [("LDE", "SDE"), ("HDE", "LDE"), ("LGLCE", "LGLE"),
+                     ("HGLCE", "HGLE"), ("LDLGLE", "SDLGLE"), ("LDHGLE", "SDHGLE"),
+                     ("HDLGLE", "LDLGLE"), ("HDHGLE", "LDHGLE"), ("GLNU", "GLN"),
+                     ("DCNU", "DN"), ("DCNUN", "DNN"), ("GLV", "GLV"),
+                     ("DCV", "DV"), ("DCENT", "DE")]:
+        out[f"NGLDM_{ngl}"] = out[f"GLDM_{gld}"].copy()
+    out["NGLDM_GLNUN"] = out["GLDM_GLN"] / safe
+    out["NGLDM_GLM"] = mu_g
+    out["NGLDM_DCM"] = mu_j
+    # Σ p² over distinct (level, count) cells
+    out["NGLDM_DCENE"] = _sq_sum_by(rows, binned[nz] * jmax + dep_size[nz], n) / safe ** 2
+    out["NGLDM_DCP"] = np.ones(n)
     deg = _degenerate_mask(seg, ctx)
     for k in list(out):
         out[k] = np.where(deg, settings.softnan, out[k])
@@ -549,6 +572,6 @@ from nyxus_spark.features.registry import Section  # noqa: E402
 TEXTURE_SECTIONS = [
     Section("glcm", glcm_section, tuple(GLCM_NAMES)),
     Section("glrlm", glrlm_section, tuple(GLRLM_NAMES + GLSZM_NAMES + GLDZM_NAMES)),
-    Section("gldm", gldm_section, tuple(GLDM_NAMES)),
+    Section("gldm", gldm_section, tuple(GLDM_NAMES + NGLDM_NAMES)),
     Section("ngtdm", ngtdm_section, tuple(NGTDM_NAMES)),
 ]

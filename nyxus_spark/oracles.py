@@ -552,7 +552,9 @@ deps AS (
 ),
 per AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nz,
-         CAST(SUM(j * j) AS BIGINT) AS sjj
+         CAST(SUM(j * j) AS BIGINT) AS sjj,
+         CAST(SUM(j) AS BIGINT) AS sj,
+         CAST(SUM(g) AS BIGINT) AS sg
   FROM deps GROUP BY doc_id
 ),
 gln AS (
@@ -566,7 +568,9 @@ dn AS (
 SELECT p.doc_id,
        FLOOR((CAST(p.sjj AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_lde,
        FLOOR((CAST(gln.v AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_gln,
-       FLOOR((CAST(dn.v AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_dn
+       FLOOR((CAST(dn.v AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_dn,
+       FLOOR((CAST(p.sj AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS ngldm_dcm,
+       FLOOR((CAST(p.sg AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS ngldm_glm
 FROM per p JOIN gln USING (doc_id) JOIN dn USING (doc_id)
 """
 
