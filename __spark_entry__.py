@@ -340,6 +340,32 @@ def _q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (hyperplane-LSH blocking + exact
+    cosine verify) over the corpus augmented with injected duplicates:
+    exact copies (vec_id%20==0 → +10000) and perturbed copies
+    (first coordinate +0.01, vec_id%15==0 → +20000)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import cosine_dup_pairs
+    from nyxus_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    near = emb.filter(F.col("vec_id") % 15 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+            "THEN cast(cast(x as double) + 0.01D as float) ELSE x END)"
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(exact).unionByName(near)
+    return cosine_dup_pairs(aug, threshold=0.99)
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language identification heuristic."""
     _prep(spark)
@@ -744,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "topk_cosine": _q_topk_cosine,
         "ivf_topk": _q_ivf_topk,
+        "cosine_dup": _q_cosine_dup,
         "langid": _q_langid,
         "text_quality": _q_text_quality,
         "fingerprint": _q_fingerprint,
@@ -900,6 +927,7 @@ FROM probes p ASOF LEFT JOIN versions v
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
         "ivf_topk": oracles.SQL_IVF_TOPK,
+        "cosine_dup": oracles.sql_cosine_dup(0.99),
         "langid": oracles.sql_langid(STOPWORDS),
         "text_quality": oracles.sql_text_quality(STOPWORDS["en"]),
         "fingerprint": f"""

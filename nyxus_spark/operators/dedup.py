@@ -199,3 +199,61 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def srp_signature(vec_col: str = "embedding", n_planes: int = 16, quant: int = 1000):
+    """Sign-random-projection (hyperplane LSH) signature of an embedding.
+
+    The vector is quantized to integers (floor(x·quant + 0.5)) and dotted
+    with deterministic integer pseudo-random planes, so the sign bits — and
+    therefore the LSH buckets — are exact integer arithmetic, reproducible
+    bit-for-bit by the DuckDB oracle and stable across partitionings.
+    At scale this is a narrow projection; only (bucket, id) pairs shuffle.
+    """
+    q = f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}.0D + 0.5D) as bigint))"
+    bits = []
+    for p in range(n_planes):
+        # deterministic plane weight w(p,d) ∈ [-1000, 1000]
+        w = (
+            f"transform(sequence(0, size({vec_col}) - 1), "
+            f"d -> cast((d + 1) * {MIX} * {p + 13} % 2001 - 1000 as bigint))"
+        )
+        dot = (
+            f"aggregate(zip_with({q}, {w}, (a, b) -> a * b), "
+            f"cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {dot} > 0 then cast({1 << p} as bigint) else cast(0 as bigint) end)")
+    return F.expr(" + ".join(bits))
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking.
+
+    Candidate pairs share the full sign-projection signature (high-threshold
+    regime: near-identical vectors agree on every hyperplane side with high
+    probability); candidates are verified by exact cosine ≥ threshold.
+    Returns (id_a, id_b, cos) with the 4-decimal rounded cosine.
+    """
+    from nyxus_spark.operators.similarity import cosine_col
+
+    sig = df.select(
+        F.col(id_col), F.col(vec_col),
+        srp_signature(vec_col, n_planes).alias("__sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b, F.col("a.__sig") == F.col("b.__sig"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            fround4(cosine_col(f"a.{vec_col}", f"b.{vec_col}")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -164,6 +164,51 @@ LIMIT 10
 """
 
 
+def sql_cosine_dup(threshold: float = 0.99, n_planes: int = 16, quant: int = 1000) -> str:
+    """Embedding-cosine near-dup oracle: replays the hyperplane-LSH blocking
+    with the same integer arithmetic (quantized vectors × deterministic
+    integer planes → exact sign bits), then exact cosine ≥ threshold.
+    DuckDB lambda indices are 1-based where Spark's transform index is
+    0-based, so plane weight w(d) uses d directly here."""
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            "list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"d -> q[d] * ((d * {MIX} * {p + 13}) % 2001 - 1000)))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    sig = " + ".join(terms)
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 20000 AS vec_id,
+         list_transform(embedding, (x, i) -> CASE WHEN i = 1
+             THEN CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT) ELSE x END) AS embedding
+  FROM embeddings WHERE vec_id % 15 = 0
+),
+sigs AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {quant}.0 + 0.5) AS BIGINT)) AS q
+  FROM aug
+),
+keyed AS (SELECT vec_id, embedding, {sig} AS sig FROM sigs)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
+             * 10000.0 + 0.5) / 10000.0 AS cos
+FROM keyed a JOIN keyed b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
+            * 10000.0 + 0.5) / 10000.0 >= {threshold}
+"""
+
+
 def sql_langid(stopwords: dict[str, list[str]]) -> str:
     rows = []
     for lang in sorted(stopwords):
