@@ -423,7 +423,8 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # summation order differs between engines and can flip the 4th decimal on
     # exact-boundary rationals (those stay covered by the pytest scalar oracle)
     feats = extract_features(
-        t, ["GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_GLN", "GLRLM_RLN"],
+        t, ["GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_GLN", "GLRLM_RLN",
+            "GLRLM_GLNN", "GLRLM_RLNN", "GLRLM_LRHGLE"],
         keep_tokens=False,
     )
     return feats.select(
@@ -433,6 +434,9 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLRLM_HGLRE").alias("glrlm_hglre"),
         _r4("GLRLM_GLN").alias("glrlm_gln"),
         _r4("GLRLM_RLN").alias("glrlm_rln"),
+        _r4("GLRLM_GLNN").alias("glrlm_glnn"),
+        _r4("GLRLM_RLNN").alias("glrlm_rlnn"),
+        _r4("GLRLM_LRHGLE").alias("glrlm_lrhgle"),
     )
 
 
@@ -477,7 +481,8 @@ def _q_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("tokens") > F.array_min("tokens")
     )
     feats = extract_features(
-        t, ["GLSZM_LAE", "GLSZM_ZP", "GLSZM_HGLZE", "GLSZM_GLN", "GLSZM_SZN"],
+        t, ["GLSZM_LAE", "GLSZM_ZP", "GLSZM_HGLZE", "GLSZM_GLN", "GLSZM_SZN",
+            "GLSZM_GLNN", "GLSZM_SZNN", "GLSZM_LAHGLE"],
         keep_tokens=False,
     )
     return feats.select(
@@ -487,6 +492,9 @@ def _q_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLSZM_HGLZE").alias("glszm_hglze"),
         _r4("GLSZM_GLN").alias("glszm_gln"),
         _r4("GLSZM_SZN").alias("glszm_szn"),
+        _r4("GLSZM_GLNN").alias("glszm_glnn"),
+        _r4("GLSZM_SZNN").alias("glszm_sznn"),
+        _r4("GLSZM_LAHGLE").alias("glszm_lahgle"),
     )
 
 
@@ -535,7 +543,9 @@ def _q_gldzm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("tokens") > F.array_min("tokens")
     )
     feats = extract_features(
-        t, ["GLDZM_LDE", "GLDZM_ZP", "GLDZM_HGLZE", "GLDZM_GLNU", "GLDZM_ZDNU"],
+        t, ["GLDZM_LDE", "GLDZM_ZP", "GLDZM_HGLZE", "GLDZM_GLNU", "GLDZM_ZDNU",
+            "GLDZM_GLNUN", "GLDZM_ZDNUN", "GLDZM_GLM", "GLDZM_ZDM",
+            "GLDZM_GLV", "GLDZM_ZDV"],
         keep_tokens=False,
     )
     return feats.select(
@@ -545,6 +555,78 @@ def _q_gldzm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLDZM_HGLZE").alias("gldzm_hglze"),
         _r4("GLDZM_GLNU").alias("gldzm_glnu"),
         _r4("GLDZM_ZDNU").alias("gldzm_zdnu"),
+        _r4("GLDZM_GLNUN").alias("gldzm_glnun"),
+        _r4("GLDZM_ZDNUN").alias("gldzm_zdnun"),
+        _r4("GLDZM_GLM").alias("gldzm_glm"),
+        _r4("GLDZM_ZDM").alias("gldzm_zdm"),
+        _r4("GLDZM_GLV").alias("gldzm_glv"),
+        _r4("GLDZM_ZDV").alias("gldzm_zdv"),
+    )
+
+
+def _q_glcm_ave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-offset GLCM — the 1-D analog of the reference's per-angle columns
+    plus _AVE averages (output_2_csv.cpp:97-127, featureset.h:205-233). One
+    column per offset d ∈ {1,2,4} and the sequential-accumulation average;
+    integer-numerator stats only, AVE replayed by the oracle in the identical
+    IEEE op order ((v1+v2)+v4)/3."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["GLCM_CONTRAST_D1", "GLCM_CONTRAST_D2", "GLCM_CONTRAST_D4",
+            "GLCM_CONTRAST_AVE", "GLCM_DIS_AVE", "GLCM_ACOR_AVE",
+            "GLCM_JAVE_AVE", "GLCM_ASM_AVE"],
+        keep_tokens=False,
+    )
+    # drop docs lacking valid pairs at some offset (NaN per-offset → NaN AVE);
+    # the oracle's inner joins across per-offset sums define the same domain
+    return feats.filter(~F.isnan("GLCM_CONTRAST_AVE")).select(
+        "doc_id",
+        _r4("GLCM_CONTRAST_D1").alias("glcm_contrast_d1"),
+        _r4("GLCM_CONTRAST_D2").alias("glcm_contrast_d2"),
+        _r4("GLCM_CONTRAST_D4").alias("glcm_contrast_d4"),
+        _r4("GLCM_CONTRAST_AVE").alias("glcm_contrast_ave"),
+        _r4("GLCM_DIS_AVE").alias("glcm_dis_ave"),
+        _r4("GLCM_ACOR_AVE").alias("glcm_acor_ave"),
+        _r4("GLCM_JAVE_AVE").alias("glcm_jave_ave"),
+        _r4("GLCM_ASM_AVE").alias("glcm_asm_ave"),
+    )
+
+
+def _q_glrlm_ave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-offset GLRLM: stride-d runs over the d interleaved subsequences
+    (the 1-D analog of the reference's 4 run directions, glrlm.cpp:62-235) —
+    per-offset + _AVE columns, integer-numerator stats."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["GLRLM_LRE_D1", "GLRLM_LRE_D2", "GLRLM_LRE_D4", "GLRLM_LRE_AVE",
+            "GLRLM_GLN_D2", "GLRLM_GLN_AVE", "GLRLM_RP_AVE"],
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        _r4("GLRLM_LRE_D1").alias("glrlm_lre_d1"),
+        _r4("GLRLM_LRE_D2").alias("glrlm_lre_d2"),
+        _r4("GLRLM_LRE_D4").alias("glrlm_lre_d4"),
+        _r4("GLRLM_LRE_AVE").alias("glrlm_lre_ave"),
+        _r4("GLRLM_GLN_D2").alias("glrlm_gln_d2"),
+        _r4("GLRLM_GLN_AVE").alias("glrlm_gln_ave"),
+        _r4("GLRLM_RP_AVE").alias("glrlm_rp_ave"),
     )
 
 
@@ -776,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "glrlm": _q_glrlm,
         "glcm": _q_glcm,
+        "glcm_ave": _q_glcm_ave,
+        "glrlm_ave": _q_glrlm_ave,
         "glszm": _q_glszm,
         "ngtdm": _q_ngtdm,
         "gldzm": _q_gldzm,
@@ -940,6 +1024,8 @@ FROM tokens_static
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
+        "glcm_ave": oracles.sql_glcm_ave(64),
+        "glrlm_ave": oracles.sql_glrlm_ave(64),
         "glszm": oracles.sql_glszm(64),
         "ngtdm": oracles.sql_ngtdm(64),
         "gldzm": oracles.sql_gldzm(64),

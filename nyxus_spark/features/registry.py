@@ -79,13 +79,20 @@ def _register_groups() -> dict[str, list[str]]:
     }
     if "ih" in secs:
         groups["*ALL_IH*"] = list(secs["ih"].features)
-    for tex in ("glcm", "glrlm", "glszm", "gldm", "ngtdm"):
+    for tex in ("glcm", "glrlm", "glszm", "gldm", "ngtdm",
+                "glcm_multi", "glrlm_multi"):
         if tex in secs:
             groups[f"*ALL_{tex.upper()}*"] = list(secs[tex].features)
     if "moments" in secs:
         groups["*ALL_MOMENTS*"] = list(secs["moments"].features)
+    # *ALL* = the single-offset catalog (the engine's default output, like the
+    # reference's default featureset); the per-offset + _AVE expansions are
+    # opt-in via *ALL_GLCM_MULTI* / *ALL_GLRLM_MULTI* to keep the flagship
+    # pipeline's column count stable
     every: list[str] = []
     for s in secs.values():
+        if s.name.endswith("_multi"):
+            continue
         every.extend(s.features)
     groups["*ALL*"] = every
     return groups

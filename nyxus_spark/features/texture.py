@@ -50,9 +50,12 @@ GLSZM_NAMES = [
     "GLSZM_ZP", "GLSZM_GLV", "GLSZM_ZV", "GLSZM_ZE", "GLSZM_LGLZE", "GLSZM_HGLZE",
     "GLSZM_SALGLE", "GLSZM_SAHGLE", "GLSZM_LALGLE", "GLSZM_LAHGLE",
 ]
-GLDZM_NAMES = [
-    "GLDZM_SDE", "GLDZM_LDE", "GLDZM_LGLZE", "GLDZM_HGLZE", "GLDZM_GLNU",
-    "GLDZM_ZDNU", "GLDZM_ZP", "GLDZM_ZDE", "GLDZM_SDLGLE", "GLDZM_LDHGLE",
+GLDZM_NAMES = [  # all 18 codes (featureset.h:271-288, formulas gldzm.cpp:383-478)
+    "GLDZM_SDE", "GLDZM_LDE", "GLDZM_LGLZE", "GLDZM_HGLZE",
+    "GLDZM_SDLGLE", "GLDZM_SDHGLE", "GLDZM_LDLGLE", "GLDZM_LDHGLE",
+    "GLDZM_GLNU", "GLDZM_GLNUN", "GLDZM_ZDNU", "GLDZM_ZDNUN",
+    "GLDZM_ZP", "GLDZM_GLM", "GLDZM_GLV", "GLDZM_ZDM", "GLDZM_ZDV",
+    "GLDZM_ZDE",
 ]
 GLDM_NAMES = [
     "GLDM_SDE", "GLDM_LDE", "GLDM_GLN", "GLDM_DN", "GLDM_DNN", "GLDM_GLV",
@@ -71,7 +74,7 @@ GLCM_NAMES = [
     "GLCM_ASM", "GLCM_ACOR", "GLCM_CLUPROM", "GLCM_CLUSHADE", "GLCM_CLUTEND",
     "GLCM_CONTRAST", "GLCM_CORRELATION", "GLCM_DIFAVE", "GLCM_DIFENTRO",
     "GLCM_DIFVAR", "GLCM_DIS", "GLCM_ENERGY", "GLCM_ENTROPY", "GLCM_HOM1",
-    "GLCM_ID", "GLCM_IDN", "GLCM_IDM", "GLCM_IDMN", "GLCM_INFOMEAS1",
+    "GLCM_HOM2", "GLCM_ID", "GLCM_IDN", "GLCM_IDM", "GLCM_IDMN", "GLCM_INFOMEAS1",
     "GLCM_INFOMEAS2", "GLCM_IV", "GLCM_JAVE", "GLCM_JE", "GLCM_JMAX",
     "GLCM_JVAR", "GLCM_SUMAVERAGE", "GLCM_SUMENTROPY", "GLCM_SUMVARIANCE",
     "GLCM_VARIANCE",
@@ -192,10 +195,17 @@ def _run_family(seg, ctx, size_key: np.ndarray, prefix_map: dict[str, str],
     out["RLN"] = _sq_sum_by(run_row, size_key, n_rows) / safe_Nr
     out["RLNN"] = out["RLN"] / safe_Nr
     out["RP"] = Nr / np.where(Np > 0, Np, 1.0)
-    mu_g = by_row(g) / safe_Nr
-    out["GLV"] = by_row((g - mu_g[run_row]) ** 2) / safe_Nr
-    mu_s = by_row(s) / safe_Nr
-    out["RV"] = by_row((s - mu_s[run_row]) ** 2) / safe_Nr
+    # GLV/RV in exact-integer-numerator form: Σ(x−μ)²/N = (N·Σx² − (Σx)²)/N²
+    # — x is an integer (grey level / run size), so the numerator is exact in
+    # float64 and ONE final division makes the value bit-deterministic (the
+    # repo's standard oracle-safe formulation; mathematically identical to the
+    # reference's two-pass Σ(x−μ)²·p, gldzm.cpp:462-477)
+    sg, sg2 = by_row(g), by_row(g * g)
+    out["GLM"] = sg / safe_Nr
+    out["GLV"] = (Nr * sg2 - sg ** 2) / safe_Nr ** 2
+    ss_, ss2 = by_row(s), by_row(s * s)
+    out["SM"] = ss_ / safe_Nr
+    out["RV"] = (Nr * ss2 - ss_ ** 2) / safe_Nr ** 2
     keymax = int(size_key.max()) + 1 if size_key.size else 1
     out["RE"] = _entropy_by(run_row, run_level * keymax + size_key, safe_Nr, n_rows)
     out["LGLRE"] = by_row(1.0 / g ** 2) / safe_Nr
@@ -226,9 +236,13 @@ def glrlm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
         n_tok_r = seg.lengths[run_row]
         dist = np.minimum(sp, n_tok_r - 1 - ep) + 1
         m_dz = {"GLDZM_SDE": "SRE", "GLDZM_LDE": "LRE", "GLDZM_LGLZE": "LGLRE",
-                "GLDZM_HGLZE": "HGLRE", "GLDZM_GLNU": "GLN", "GLDZM_ZDNU": "RLN",
-                "GLDZM_ZP": "RP", "GLDZM_ZDE": "RE", "GLDZM_SDLGLE": "SRLGLE",
-                "GLDZM_LDHGLE": "LRHGLE"}
+                "GLDZM_HGLZE": "HGLRE", "GLDZM_SDLGLE": "SRLGLE",
+                "GLDZM_SDHGLE": "SRHGLE", "GLDZM_LDLGLE": "LRLGLE",
+                "GLDZM_LDHGLE": "LRHGLE", "GLDZM_GLNU": "GLN",
+                "GLDZM_GLNUN": "GLNN", "GLDZM_ZDNU": "RLN",
+                "GLDZM_ZDNUN": "RLNN", "GLDZM_ZP": "RP", "GLDZM_GLM": "GLM",
+                "GLDZM_GLV": "GLV", "GLDZM_ZDM": "SM", "GLDZM_ZDV": "RV",
+                "GLDZM_ZDE": "RE"}
         out.update(_run_family(seg, ctx, dist, m_dz, run_row, run_level, n))
     else:
         out.update({k: np.zeros(n) for k in GLDZM_NAMES})
@@ -423,14 +437,12 @@ def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
 # GLCM
 # --------------------------------------------------------------------------
 
-def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
-    """Sparse-cell GLCM: the joint matrix is never materialized — all feature
-    sums run over the distinct (row, a, b) cells actually present (O(nnz)),
-    with only the 1-D marginals px/py kept dense ((n_rows, levels+1))."""
-    ctx = _prep(seg, settings)
+def _glcm_stats(seg: Segments, ctx, settings: FeatureSettings, d: int) -> dict[str, np.ndarray]:
+    """Sparse-cell GLCM at offset `d`: the joint matrix is never materialized —
+    all feature sums run over the distinct (row, a, b) cells actually present
+    (O(nnz)), with only the 1-D marginals px/py kept dense ((n_rows, levels+1))."""
     n = seg.n_rows
     binned, raw_nz, L = ctx["binned"], ctx["raw_nz"], ctx["L"]
-    d = settings.offset
     total = binned.size
     A = L + 1
     sym = settings.symmetric_glcm or settings.grey_info <= 0  # glcm.cpp:475-477
@@ -550,7 +562,10 @@ def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarr
         "GLCM_CLUSHADE": clus, "GLCM_CLUTEND": clut, "GLCM_CONTRAST": contrast,
         "GLCM_CORRELATION": corr, "GLCM_DIFAVE": difave, "GLCM_DIFENTRO": difent,
         "GLCM_DIFVAR": difvar, "GLCM_DIS": dis, "GLCM_ENERGY": asm_,
-        "GLCM_ENTROPY": je, "GLCM_HOM1": hom1, "GLCM_ID": hom1,
+        # HOM2 (featureset.h:188, glcm.cpp:1057-1071) sums p/(1+|Δ|²) over the
+        # joint matrix — algebraically the same sum f_idm() takes over the
+        # difference marginal Pxmy (glcm.cpp:~1074), so the two codes coincide
+        "GLCM_ENTROPY": je, "GLCM_HOM1": hom1, "GLCM_HOM2": idm, "GLCM_ID": hom1,
         "GLCM_IDN": idn, "GLCM_IDM": idm, "GLCM_IDMN": idmn,
         "GLCM_INFOMEAS1": im1, "GLCM_INFOMEAS2": im2, "GLCM_IV": iv,
         "GLCM_JAVE": jave, "GLCM_JE": je, "GLCM_JMAX": jmax, "GLCM_JVAR": jvar,
@@ -560,6 +575,104 @@ def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarr
     deg = _degenerate_mask(seg, ctx) | ~has
     for k, v in vals.items():
         out[k] = np.where(deg, settings.softnan, v)
+    return out
+
+
+def glcm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    ctx = _prep(seg, settings)
+    return _glcm_stats(seg, ctx, settings, settings.offset)
+
+
+# --------------------------------------------------------------------------
+# multi-offset sections — the 1-D analog of the reference's per-angle columns
+# (output_2_csv.cpp:97-127 emits every GLCM/GLRLM stat per angle {0,45,90,135}
+# plus *_AVE averages, featureset.h:205-268). Here the "angles" are stride
+# offsets d: GLCM pairs (i, i+d); GLRLM runs over the d interleaved
+# subsequences tokens[i::d] (the 1-D counterpart of traversing a raster at
+# direction stride (1,1) etc.). _AVE accumulates sequentially in tuple order
+# then divides once, so oracles can replay the identical IEEE op sequence.
+# --------------------------------------------------------------------------
+
+MULTI_OFFSETS = FeatureSettings().offsets
+
+GLCM_MULTI_NAMES = [f"{n}_D{d}" for n in GLCM_NAMES for d in MULTI_OFFSETS] + [
+    f"{n}_AVE" for n in GLCM_NAMES
+]
+GLRLM_MULTI_NAMES = [f"{n}_D{d}" for n in GLRLM_NAMES for d in MULTI_OFFSETS] + [
+    f"{n}_AVE" for n in GLRLM_NAMES
+]
+
+
+def _ave_over_offsets(per_offset: dict[int, dict[str, np.ndarray]],
+                      base_names: list[str], offs: tuple[int, ...]):
+    out: dict[str, np.ndarray] = {}
+    for nm in base_names:
+        acc = per_offset[offs[0]][nm].astype(np.float64, copy=True)
+        for d in offs[1:]:
+            acc = acc + per_offset[d][nm]
+        out[f"{nm}_AVE"] = acc / len(offs)
+    return out
+
+
+def glcm_multi_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    ctx = _prep(seg, settings)
+    offs = settings.offsets
+    per = {d: _glcm_stats(seg, ctx, settings, d) for d in offs}
+    out = {f"{nm}_D{d}": per[d][nm] for d in offs for nm in GLCM_NAMES}
+    out.update(_ave_over_offsets(per, GLCM_NAMES, offs))
+    return out
+
+
+def _runs_strided(seg: Segments, ctx, d: int):
+    """RLE over the d interleaved subsequences of each row (stride-d runs).
+
+    Elements are permuted to (row, phase=pos%d, pos//d) order; a run is a
+    maximal chain i, i+d, i+2d… of equal nonzero binned values within a row.
+    Returns (run_row, run_level, run_len) — border distances are undefined
+    for strided traversal, so GLDZM stays stride-1 (like the reference, where
+    GLDZM/GLSZM are not angled families).
+    """
+    binned, nz, pos = ctx["binned"], ctx["nz"], ctx["pos"]
+    total = binned.size
+    z = np.empty(0, np.int64)
+    if total == 0:
+        return z, z, z
+    order = np.lexsort((pos // d, pos % d, seg.row_idx))
+    b = binned[order]
+    m = nz[order]
+    row_p = seg.row_idx[order]
+    phase_p = pos[order] % d
+    cont = np.zeros(total, dtype=bool)
+    cont[1:] = (
+        m[1:] & m[:-1] & (b[1:] == b[:-1])
+        & (row_p[1:] == row_p[:-1]) & (phase_p[1:] == phase_p[:-1])
+    )
+    new_run = m & ~cont
+    n_runs = int(new_run.sum())
+    if n_runs == 0:
+        return z, z, z
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id[m], minlength=n_runs)
+    return row_p[new_run], b[new_run], run_len
+
+
+def glrlm_multi_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    ctx = _prep(seg, settings)
+    offs = settings.offsets
+    n = seg.n_rows
+    m_rl = {f"GLRLM_{k}": k for k in
+            "SRE LRE GLN GLNN RLN RLNN RP GLV RV RE LGLRE HGLRE SRLGLE SRHGLE LRLGLE LRHGLE".split()}
+    deg = _degenerate_mask(seg, ctx)
+    per: dict[int, dict[str, np.ndarray]] = {}
+    for d in offs:
+        run_row, run_level, run_len = _runs_strided(seg, ctx, d)
+        stats = (
+            _run_family(seg, ctx, run_len, m_rl, run_row, run_level, n)
+            if run_row.size else {k: np.zeros(n) for k in m_rl}
+        )
+        per[d] = {k: np.where(deg, 0.0, v) for k, v in stats.items()}
+    out = {f"{nm}_D{d}": per[d][nm] for d in offs for nm in GLRLM_NAMES}
+    out.update(_ave_over_offsets(per, GLRLM_NAMES, offs))
     return out
 
 
@@ -574,4 +687,6 @@ TEXTURE_SECTIONS = [
     Section("glrlm", glrlm_section, tuple(GLRLM_NAMES + GLSZM_NAMES + GLDZM_NAMES)),
     Section("gldm", gldm_section, tuple(GLDM_NAMES + NGLDM_NAMES)),
     Section("ngtdm", ngtdm_section, tuple(NGTDM_NAMES)),
+    Section("glcm_multi", glcm_multi_section, tuple(GLCM_MULTI_NAMES)),
+    Section("glrlm_multi", glrlm_multi_section, tuple(GLRLM_MULTI_NAMES)),
 ]

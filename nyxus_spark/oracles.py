@@ -297,7 +297,8 @@ runs AS (
 per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
          CAST(SUM(l * l) AS BIGINT) AS sll,
-         CAST(SUM(g * g) AS BIGINT) AS sgg
+         CAST(SUM(g * g) AS BIGINT) AS sgg,
+         CAST(SUM(g * g * l * l) AS BIGINT) AS sggll
   FROM runs GROUP BY doc_id
 ),
 gln AS (
@@ -315,7 +316,11 @@ SELECT p.doc_id,
        FLOOR((CAST(p.nr AS DOUBLE) / p.np) * 10000.0 + 0.5) / 10000.0 AS glrlm_rp,
        FLOOR((CAST(p.sgg AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_hglre,
        FLOOR((CAST(gln.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_gln,
-       FLOOR((CAST(rln.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_rln
+       FLOOR((CAST(rln.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_rln,
+       -- normalized variants replay the kernel's (v/nr)/nr two-step division
+       FLOOR(((CAST(gln.v AS DOUBLE) / p.nr) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_glnn,
+       FLOOR(((CAST(rln.v AS DOUBLE) / p.nr) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_rlnn,
+       FLOOR((CAST(p.sggll AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_lrhgle
 FROM per_doc p JOIN gln USING (doc_id) JOIN rln USING (doc_id)
 """
 
@@ -325,9 +330,12 @@ def sql_glszm(n_levels: int = 64) -> str:
     glszm.cpp:82-135 DFS) degenerate to runs, so the zone matrix equals the
     run-length matrix — same gaps-and-islands SQL, GLSZM feature naming."""
     sql = sql_glrlm(n_levels)
-    for rl, sz in [("glrlm_lre", "glszm_lae"), ("glrlm_rp", "glszm_zp"),
-                   ("glrlm_hglre", "glszm_hglze"), ("glrlm_gln", "glszm_gln"),
-                   ("glrlm_rln", "glszm_szn")]:
+    # longest names first: glrlm_glnn must not be clobbered by the glrlm_gln
+    # substring replacement
+    for rl, sz in [("glrlm_lrhgle", "glszm_lahgle"), ("glrlm_glnn", "glszm_glnn"),
+                   ("glrlm_rlnn", "glszm_sznn"), ("glrlm_lre", "glszm_lae"),
+                   ("glrlm_rp", "glszm_zp"), ("glrlm_hglre", "glszm_hglze"),
+                   ("glrlm_gln", "glszm_gln"), ("glrlm_rln", "glszm_szn")]:
         sql = sql.replace(rl, sz)
     return sql
 
@@ -372,7 +380,9 @@ runs AS (
 per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
          CAST(SUM(d * d) AS BIGINT) AS sdd,
-         CAST(SUM(g * g) AS BIGINT) AS sgg
+         CAST(SUM(g * g) AS BIGINT) AS sgg,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(d) AS BIGINT) AS sd
   FROM runs GROUP BY doc_id
 ),
 glnu AS (
@@ -390,7 +400,18 @@ SELECT p.doc_id,
        FLOOR((CAST(p.nr AS DOUBLE) / p.np) * 10000.0 + 0.5) / 10000.0 AS gldzm_zp,
        FLOOR((CAST(p.sgg AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_hglze,
        FLOOR((CAST(glnu.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_glnu,
-       FLOOR((CAST(zdnu.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_zdnu
+       FLOOR((CAST(zdnu.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_zdnu,
+       -- normalized non-uniformities replay the kernel's (v/nr)/nr two-step
+       FLOOR(((CAST(glnu.v AS DOUBLE) / p.nr) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_glnun,
+       FLOOR(((CAST(zdnu.v AS DOUBLE) / p.nr) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_zdnun,
+       FLOOR((CAST(p.sg AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_glm,
+       FLOOR((CAST(p.sd AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_zdm,
+       -- variance in the exact-numerator form (N·Σx² − (Σx)²)/N², matching
+       -- texture.py _run_family's single-division formulation
+       FLOOR((CAST(p.nr * p.sgg - p.sg * p.sg AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
+             * 10000.0 + 0.5) / 10000.0 AS gldzm_glv,
+       FLOOR((CAST(p.nr * p.sdd - p.sd * p.sd AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
+             * 10000.0 + 0.5) / 10000.0 AS gldzm_zdv
 FROM per_doc p JOIN glnu USING (doc_id) JOIN zdnu USING (doc_id)
 """
 
@@ -546,6 +567,152 @@ SELECT doc_id,
        FLOOR((CAST(njave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jave,
        FLOOR((CAST(cmax AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jmax
 FROM sums
+"""
+
+
+def sql_glcm_ave(n_levels: int = 64, offsets: tuple[int, ...] = (1, 2, 4)) -> str:
+    """Multi-offset GLCM oracle: one CTE stack of pair sums per offset d
+    (lead(g, d) within the doc), per-offset values as single divisions, _AVE
+    replayed in the kernel's exact accumulation order ((v1+v2)+v4)/3."""
+    sums_ctes = []
+    for d in offsets:
+        sums_ctes.append(f"""
+pairs_{d} AS (
+  SELECT doc_id, g AS a, lead(g, {d}) OVER w AS b,
+         rawt, lead(rawt, {d}) OVER w AS rawt2
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+cell_{d} AS (
+  SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs_{d} WHERE b IS NOT NULL AND rawt <> 0 AND rawt2 <> 0
+  GROUP BY 1, 2, 3
+),
+sums_{d} AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * (a - b) * (a - b)) AS BIGINT) AS ncontrast,
+         CAST(SUM(c * c) AS BIGINT) AS nasm,
+         CAST(SUM(c * abs(a - b)) AS BIGINT) AS ndis,
+         CAST(SUM(c * a * b) AS BIGINT) AS nacor,
+         CAST(SUM(c * a) AS BIGINT) AS njave
+  FROM cell_{d} GROUP BY doc_id
+)""".strip())
+    d1, d2, d3 = offsets
+
+    def val(stat: str, d: int) -> str:
+        num = {"contrast": "ncontrast", "dis": "ndis", "acor": "nacor",
+               "jave": "njave"}[stat]
+        return f"(CAST(s{d}.{num} AS DOUBLE) / s{d}.s)"
+
+    def ave(stat: str) -> str:
+        return f"(({val(stat, d1)} + {val(stat, d2)}) + {val(stat, d3)}) / {len(offsets)}"
+
+    asm_terms = " + ".join(
+        [f"(CAST(s{d1}.nasm AS DOUBLE) / (CAST(s{d1}.s AS DOUBLE) * s{d1}.s))",
+         f"(CAST(s{d2}.nasm AS DOUBLE) / (CAST(s{d2}.s AS DOUBLE) * s{d2}.s))",
+         f"(CAST(s{d3}.nasm AS DOUBLE) / (CAST(s{d3}.s AS DOUBLE) * s{d3}.s))"]
+    )
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i, f.t AS rawt,
+         CASE WHEN f.t = 0 THEN 1
+              ELSE LEAST(GREATEST(CAST(FLOOR(({n_levels}.0 / s.mx) * f.t + 1) AS INTEGER), 1), {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+{",".join(sums_ctes)}
+SELECT s{d1}.doc_id,
+       FLOOR(({val('contrast', d1)}) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast_d1,
+       FLOOR(({val('contrast', d2)}) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast_d2,
+       FLOOR(({val('contrast', d3)}) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast_d4,
+       FLOOR(({ave('contrast')}) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast_ave,
+       FLOOR(({ave('dis')}) * 10000.0 + 0.5) / 10000.0 AS glcm_dis_ave,
+       FLOOR(({ave('acor')}) * 10000.0 + 0.5) / 10000.0 AS glcm_acor_ave,
+       FLOOR(({ave('jave')}) * 10000.0 + 0.5) / 10000.0 AS glcm_jave_ave,
+       FLOOR((({asm_terms}) / {len(offsets)}) * 10000.0 + 0.5) / 10000.0 AS glcm_asm_ave
+FROM sums_{d1} s{d1}
+JOIN sums_{d2} s{d2} ON s{d1}.doc_id = s{d2}.doc_id
+JOIN sums_{d3} s{d3} ON s{d1}.doc_id = s{d3}.doc_id
+"""
+
+
+def sql_glrlm_ave(n_levels: int = 64, offsets: tuple[int, ...] = (1, 2, 4)) -> str:
+    """Multi-offset GLRLM oracle: stride-d runs = gaps-and-islands within each
+    (doc, phase = (i−1) % d) interleaved subsequence, one CTE stack per d."""
+    stacks = []
+    for d in offsets:
+        stacks.append(f"""
+flag_{d} AS (
+  SELECT doc_id, i, g, n_tok, (i - 1) % {d} AS ph,
+         CASE WHEN lag(g) OVER w IS NULL OR lag(g) OVER w <> g THEN 1 ELSE 0 END AS f
+  FROM binned WINDOW w AS (PARTITION BY doc_id, (i - 1) % {d} ORDER BY i)
+),
+isl_{d} AS (
+  SELECT doc_id, g, n_tok, ph,
+         SUM(f) OVER (PARTITION BY doc_id, ph ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flag_{d}
+),
+runs_{d} AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS l, MAX(n_tok) AS n_tok
+  FROM isl_{d} GROUP BY doc_id, ph, g, run_id
+),
+per_{d} AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
+         CAST(SUM(l * l) AS BIGINT) AS sll
+  FROM runs_{d} GROUP BY doc_id
+),
+gln_{d} AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM runs_{d} GROUP BY doc_id, g)
+  GROUP BY doc_id
+)""".strip())
+    d1, d2, d3 = offsets
+
+    def lre(d):
+        return f"(CAST(p{d}.sll AS DOUBLE) / p{d}.nr)"
+
+    def gln(d):
+        return f"(CAST(g{d}.v AS DOUBLE) / p{d}.nr)"
+
+    def rp(d):
+        return f"(CAST(p{d}.nr AS DOUBLE) / p{d}.np)"
+
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i, f.n_tok,
+         CASE WHEN f.t = 0 THEN 1
+              ELSE LEAST(GREATEST(CAST(FLOOR(({n_levels}.0 / s.mx) * f.t + 1) AS INTEGER), 1), {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+{",".join(stacks)}
+SELECT p{d1}.doc_id,
+       FLOOR(({lre(d1)}) * 10000.0 + 0.5) / 10000.0 AS glrlm_lre_d1,
+       FLOOR(({lre(d2)}) * 10000.0 + 0.5) / 10000.0 AS glrlm_lre_d2,
+       FLOOR(({lre(d3)}) * 10000.0 + 0.5) / 10000.0 AS glrlm_lre_d4,
+       FLOOR(((({lre(d1)} + {lre(d2)}) + {lre(d3)}) / {len(offsets)}) * 10000.0 + 0.5) / 10000.0 AS glrlm_lre_ave,
+       FLOOR(({gln(d2)}) * 10000.0 + 0.5) / 10000.0 AS glrlm_gln_d2,
+       FLOOR(((({gln(d1)} + {gln(d2)}) + {gln(d3)}) / {len(offsets)}) * 10000.0 + 0.5) / 10000.0 AS glrlm_gln_ave,
+       FLOOR(((({rp(d1)} + {rp(d2)}) + {rp(d3)}) / {len(offsets)}) * 10000.0 + 0.5) / 10000.0 AS glrlm_rp_ave
+FROM per_{d1} p{d1}
+JOIN per_{d2} p{d2} ON p{d1}.doc_id = p{d2}.doc_id
+JOIN per_{d3} p{d3} ON p{d1}.doc_id = p{d3}.doc_id
+JOIN gln_{d1} g{d1} ON p{d1}.doc_id = g{d1}.doc_id
+JOIN gln_{d2} g{d2} ON p{d1}.doc_id = g{d2}.doc_id
+JOIN gln_{d3} g{d3} ON p{d1}.doc_id = g{d3}.doc_id
 """
 
 

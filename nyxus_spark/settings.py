@@ -28,6 +28,13 @@ class FeatureSettings:
     # neighborhood offset for co-occurrence / dependence kernels
     # (1-D recast of GLCM offset, src/nyx/cli_glcm_options.h:20)
     offset: int = 1
+    # offsets for the multi-offset texture sections — the 1-D analog of the
+    # reference's per-angle {0,45,90,135} GLCM/GLRLM output
+    # (src/nyx/output_2_csv.cpp:97-127): one column per offset d plus an
+    # _AVE column averaging over offsets (featureset.h:205-268 *_AVE codes).
+    # NOTE: the registered multi-offset feature NAMES derive from the default
+    # tuple; a custom tuple must keep the same values to use those sections.
+    offsets: tuple[int, ...] = (1, 2, 4)
     # symmetric co-occurrence accumulation (src/nyx/features/glcm.cpp:475-477)
     symmetric_glcm: bool = False
     # value emitted for degenerate (constant / empty) sequences
