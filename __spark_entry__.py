@@ -768,7 +768,12 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_static(spark, sf_dir).filter(F.array_max("tokens") > F.array_min("tokens"))
     feats = extract_features(
         t, ["IH_MEDIAN_IDX", "IH_MODE_IDX", "IH_P10_IDX", "IH_P90_IDX",
-            "IH_NUM_BINS", "IH_BIN_SIZE", "IH_MEDIAN_VAL"],
+            "IH_NUM_BINS", "IH_BIN_SIZE", "IH_MEDIAN_VAL",
+            # value-domain stats via exact-integer-numerator accumulations
+            # (S1/S2/Σf² sums are exact ints → order-independent; one final
+            # division / affine bin-center map is replayed by the oracle)
+            "IH_MEAN_VAL", "IH_VARIANCE_VAL", "IH_UNIFORMITY_VAL",
+            "IH_MODE_VAL", "IH_RANGE_VAL", "IH_P10_VAL", "IH_P90_VAL"],
         keep_tokens=False,
     )
     return feats.select(
@@ -780,6 +785,33 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("IH_NUM_BINS").cast("long").alias("ih_num_bins"),
         _r4(F.col("IH_BIN_SIZE")).alias("ih_bin_size"),
         _r4(F.col("IH_MEDIAN_VAL")).alias("ih_median_val"),
+        _r4(F.col("IH_MEAN_VAL")).alias("ih_mean_val"),
+        _r4(F.col("IH_VARIANCE_VAL")).alias("ih_var_val"),
+        _r4(F.col("IH_UNIFORMITY_VAL")).alias("ih_uniformity_val"),
+        _r4(F.col("IH_MODE_VAL")).alias("ih_mode_val"),
+        _r4(F.col("IH_RANGE_VAL")).alias("ih_range_val"),
+        _r4(F.col("IH_P10_VAL")).alias("ih_p10_val"),
+        _r4(F.col("IH_P90_VAL")).alias("ih_p90_val"),
+    )
+
+
+def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin histogram feature columns (intensity.cpp:399-402): one exact
+    integer count per custom-histogram bin — trivially oracle-able."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.features.firstorder import HISTO_FEATURES
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(t, list(HISTO_FEATURES), keep_tokens=False)
+    return feats.select(
+        "doc_id",
+        *[F.col(h).cast("long").alias(h.lower()) for h in HISTO_FEATURES],
     )
 
 
@@ -817,9 +849,14 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tokens_static(spark, sf_dir)
     feats = extract_features(
-        t, ["MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3"], keep_tokens=False
-    ).filter(F.col("MOM_RAW_0") > 0)
+        t, ["MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3",
+            "MOM_SHAPE_RAW_0", "MOM_SHAPE_RAW_1", "MOM_SHAPE_RAW_2",
+            "MOM_SHAPE_RAW_3"],
+        keep_tokens=False,
+    ).filter((F.col("MOM_RAW_0") > 0) & (F.col("MOM_SHAPE_RAW_0") > 0))
     m0, m1, m2 = F.col("MOM_RAW_0"), F.col("MOM_RAW_1"), F.col("MOM_RAW_2")
+    s0, s1, s2 = (F.col("MOM_SHAPE_RAW_0"), F.col("MOM_SHAPE_RAW_1"),
+                  F.col("MOM_SHAPE_RAW_2"))
     return feats.select(
         "doc_id",
         m0.cast("long").alias("m0"),
@@ -828,12 +865,19 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("MOM_RAW_3").cast("long").alias("m3"),
         _r4(m1 / m0).alias("centroid"),
         _r4((m0 * m2 - m1 * m1) / (m0 * m0 * m0)).alias("norm_central2"),
+        s0.cast("long").alias("s0"),
+        s1.cast("long").alias("s1"),
+        s2.cast("long").alias("s2"),
+        F.col("MOM_SHAPE_RAW_3").cast("long").alias("s3"),
+        _r4(s1 / s0).alias("shape_centroid"),
+        _r4((s0 * s2 - s1 * s1) / (s0 * s0 * s0)).alias("shape_norm_central2"),
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ih": _q_ih,
+        "histo_bins": _q_histo_bins,
         "gldm": _q_gldm,
         "moments": _q_moments,
         "neighbors": _q_neighbors,
@@ -883,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
 
     extra = {
         "ih": oracles.sql_ih(64),
+        "histo_bins": oracles.sql_histo_bins(64),
         "gldm": oracles.sql_gldm(64),
         "moments": oracles.sql_moments(),
         "neighbors": """

@@ -51,6 +51,39 @@ FIRSTORDER_FEATURES = [
 
 _PCT = {"P01": 0.01, "P10": 0.1, "P25": 0.25, "P75": 0.75, "P90": 0.9, "P99": 0.99}
 
+# per-bin histogram output columns (one feature per custom-histogram bin,
+# /root/reference/src/nyx/features/intensity.cpp:399-402); own section so the
+# default *ALL* catalog keeps its column count — opt in by name or *ALL_HISTO*
+N_HISTO_BINS = 64
+HISTO_FEATURES = [f"HISTO_BIN_{i}" for i in range(N_HISTO_BINS)]
+
+
+def histo_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    """Exact per-bin counts of the N-bin custom histogram (same bin rule as
+    ENTROPY/UNIFORMITY: bin = int((v−min)/range·N), last-bin fold,
+    helpers.h:337-345 / histogram.h:64-74). Degenerate rows → softNAN."""
+    nb = abs(settings.n_bins)
+    assert nb == N_HISTO_BINS, "registered HISTO_BIN_* names assume the default bin count"
+    v = seg.flat.astype(np.float64)
+    vmin = seg.seg_min()
+    vmax = seg.seg_max()
+    rng = vmax - vmin
+    ok = (seg.lengths > 0) & (rng > 0)
+    safe_rng = np.where(rng > 0, rng, 1.0)
+    if v.size:
+        cust_idx = ((v - np.nan_to_num(vmin)[seg.row_idx])
+                    / safe_rng[seg.row_idx] * nb).astype(np.int64)
+        np.clip(cust_idx, 0, nb, out=cust_idx)
+        cbins = seg.seg_bincount(cust_idx, nb + 1)
+        cbins[:, nb - 1] += cbins[:, nb]
+        cbins = cbins[:, :nb].astype(np.float64)
+    else:
+        cbins = np.zeros((seg.n_rows, nb))
+    return {
+        f"HISTO_BIN_{i}": np.where(ok, cbins[:, i], settings.softnan)
+        for i in range(nb)
+    }
+
 
 def _percentiles_100bin(seg: Segments, vmin: np.ndarray, rng: np.ndarray, pop: np.ndarray):
     """Interpolated percentiles over the nyxus 100-bin histogram (vectorized)."""

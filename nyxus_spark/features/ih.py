@@ -116,7 +116,14 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
         # so every value-domain moment is the index-domain moment scaled by
         # bw^k — the dense (n_rows, N) value matrices never materialize and
         # the heavy passes run once, on the index domain.
-        mean_idx = (prob * i_arr).sum(axis=1)
+        # mean/variance/uniformity use the exact-integer-numerator forms
+        # (S1 = Σf·i, S2 = Σf·i² are exact ints, so the sums are
+        # order-independent and ONE final division is bit-deterministic —
+        # what puts the value-domain stats under the driver's oracle gate)
+        safe_total = np.where(total > 0, total, 1)
+        S1 = (freq * i_arr).sum(axis=1)
+        S2 = (freq * i_arr ** 2).sum(axis=1)
+        mean_idx = S1 / safe_total
         mean_val = vmin + (mean_idx + 0.5) * bw
 
         robust_band = (i_arr[None, :] >= p10_idx[:, None]) & (i_arr[None, :] <= p90_idx[:, None])
@@ -129,8 +136,8 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
         di = i_arr[None, :] - mean_idx[:, None]
         adi = np.abs(di)
         di2 = di * di
-        var_idx = (prob * di2).sum(axis=1)
-        var_val = var_idx * bw ** 2
+        var_idx = (safe_total * S2 - S1 ** 2) / safe_total ** 2
+        var_val = var_idx * (bw * bw)  # explicit x*x (single rounding, SQL-replayable)
         skew_idx = (prob * di2 * di).sum(axis=1) / (var_idx * np.sqrt(var_idx))
         skew_val = skew_idx  # scale-invariant (bw³/bw³)
         kurt_idx = (prob * di2 * di2).sum(axis=1) / (var_idx ** 2) - 3.0
@@ -150,7 +157,7 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
 
         pe = np.where(prob > 1e-7, prob, 1.0)
         entropy = -(np.where(prob > 1e-7, prob * np.log(pe) / np.log(2.0), 0.0)).sum(axis=1)
-        uniformity = (prob * prob).sum(axis=1)
+        uniformity = (freq ** 2).sum(axis=1) / safe_total ** 2
 
         cov_val = np.sqrt(var_val) / mean_val
         cov_idx = np.sqrt(var_idx) / (mean_idx + 1.0)

@@ -22,7 +22,13 @@ MOMENTS_FEATURES = [
     "MOM_CENTRAL_2", "MOM_CENTRAL_3", "MOM_CENTRAL_4",
     "MOM_NORM_CENTRAL_2", "MOM_NORM_CENTRAL_3", "MOM_NORM_CENTRAL_4",
     "MOM_WEIGHTED_CENTROID",
-    "MOM_SHAPE_CENTROID", "MOM_SHAPE_CENTRAL_2", "MOM_SHAPE_NORM_CENTRAL_2",
+    # unweighted ("shape") family — the 1-D analog of the reference's
+    # mask-vs-intensity moment split (2d_geomoments.cpp SPAT vs WEIGHTED
+    # codes): w ≡ 1 over nonzero tokens
+    "MOM_SHAPE_RAW_0", "MOM_SHAPE_RAW_1", "MOM_SHAPE_RAW_2", "MOM_SHAPE_RAW_3",
+    "MOM_SHAPE_CENTROID", "MOM_SHAPE_CENTRAL_2", "MOM_SHAPE_CENTRAL_3",
+    "MOM_SHAPE_CENTRAL_4", "MOM_SHAPE_NORM_CENTRAL_2",
+    "MOM_SHAPE_NORM_CENTRAL_3", "MOM_SHAPE_NORM_CENTRAL_4",
 ]
 
 
@@ -49,9 +55,16 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         nzm = seg.flat != 0
         s0 = seg.seg_count(nzm).astype(np.float64)
         s1 = seg.seg_sum_where(pos, nzm)
+        s2 = seg.seg_sum_where(pos ** 2, nzm)
+        s3 = seg.seg_sum_where(pos ** 3, nzm)
         sc = s1 / s0
-        smu2 = seg.seg_sum_where((pos - sc[seg.row_idx]) ** 2, nzm)
+        sdc = pos - sc[seg.row_idx]
+        smu2 = seg.seg_sum_where(sdc ** 2, nzm)
+        smu3 = seg.seg_sum_where(sdc ** 3, nzm)
+        smu4 = seg.seg_sum_where(sdc ** 4, nzm)
         seta2 = smu2 / s0 ** 2.0
+        seta3 = smu3 / s0 ** 2.5
+        seta4 = smu4 / s0 ** 3.0
 
     ok = (seg.lengths > 0) & (m0 > 0)
     ok_s = (seg.lengths > 0) & (s0 > 0)
@@ -67,8 +80,16 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         "MOM_NORM_CENTRAL_3": np.where(ok, eta3, nan),
         "MOM_NORM_CENTRAL_4": np.where(ok, eta4, nan),
         "MOM_WEIGHTED_CENTROID": np.where(ok, c, nan),
+        "MOM_SHAPE_RAW_0": np.where(ok_s, s0, nan),
+        "MOM_SHAPE_RAW_1": np.where(ok_s, s1, nan),
+        "MOM_SHAPE_RAW_2": np.where(ok_s, s2, nan),
+        "MOM_SHAPE_RAW_3": np.where(ok_s, s3, nan),
         "MOM_SHAPE_CENTROID": np.where(ok_s, sc, nan),
         "MOM_SHAPE_CENTRAL_2": np.where(ok_s, smu2, nan),
+        "MOM_SHAPE_CENTRAL_3": np.where(ok_s, smu3, nan),
+        "MOM_SHAPE_CENTRAL_4": np.where(ok_s, smu4, nan),
         "MOM_SHAPE_NORM_CENTRAL_2": np.where(ok_s, seta2, nan),
+        "MOM_SHAPE_NORM_CENTRAL_3": np.where(ok_s, seta3, nan),
+        "MOM_SHAPE_NORM_CENTRAL_4": np.where(ok_s, seta4, nan),
     }
     return out

@@ -28,9 +28,14 @@ class Section:
 
 def _sections() -> dict[str, Section]:
     # imports deferred so executors unpickle only what a job uses
-    from nyxus_spark.features.firstorder import FIRSTORDER_FEATURES, firstorder_section
+    from nyxus_spark.features.firstorder import (
+        FIRSTORDER_FEATURES, HISTO_FEATURES, firstorder_section, histo_section,
+    )
 
-    secs = [Section("firstorder", firstorder_section, tuple(FIRSTORDER_FEATURES))]
+    secs = [
+        Section("firstorder", firstorder_section, tuple(FIRSTORDER_FEATURES)),
+        Section("histo", histo_section, tuple(HISTO_FEATURES)),
+    ]
     try:
         from nyxus_spark.features.ih import IH_FEATURES, ih_section
 
@@ -79,6 +84,8 @@ def _register_groups() -> dict[str, list[str]]:
     }
     if "ih" in secs:
         groups["*ALL_IH*"] = list(secs["ih"].features)
+    if "histo" in secs:
+        groups["*ALL_HISTO*"] = list(secs["histo"].features)
     for tex in ("glcm", "glrlm", "glszm", "gldm", "ngtdm",
                 "glcm_multi", "glrlm_multi"):
         if tex in secs:
@@ -91,7 +98,7 @@ def _register_groups() -> dict[str, list[str]]:
     # pipeline's column count stable
     every: list[str] = []
     for s in secs.values():
-        if s.name.endswith("_multi"):
+        if s.name.endswith("_multi") or s.name == "histo":
             continue
         every.extend(s.features)
     groups["*ALL*"] = every

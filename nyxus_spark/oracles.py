@@ -730,13 +730,20 @@ m AS (
          CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS m0,
          CAST(SUM(CAST(t AS BIGINT) * i) AS BIGINT) AS m1,
          CAST(SUM(CAST(t AS BIGINT) * i * i) AS BIGINT) AS m2,
-         CAST(SUM(CAST(t AS BIGINT) * i * i * i) AS BIGINT) AS m3
+         CAST(SUM(CAST(t AS BIGINT) * i * i * i) AS BIGINT) AS m3,
+         CAST(COUNT(*) FILTER (t <> 0) AS BIGINT) AS s0,
+         CAST(COALESCE(SUM(i) FILTER (t <> 0), 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(i * i) FILTER (t <> 0), 0) AS BIGINT) AS s2,
+         CAST(COALESCE(SUM(i * i * i) FILTER (t <> 0), 0) AS BIGINT) AS s3
   FROM flat GROUP BY doc_id
 )
 SELECT doc_id, m0, m1, m2, m3,
        FLOOR((CAST(m1 AS DOUBLE) / m0) * 10000.0 + 0.5) / 10000.0 AS centroid,
-       FLOOR((CAST(m0 * m2 - m1 * m1 AS DOUBLE) / (CAST(m0 AS DOUBLE) * m0 * m0)) * 10000.0 + 0.5) / 10000.0 AS norm_central2
-FROM m WHERE m0 > 0
+       FLOOR((CAST(m0 * m2 - m1 * m1 AS DOUBLE) / (CAST(m0 AS DOUBLE) * m0 * m0)) * 10000.0 + 0.5) / 10000.0 AS norm_central2,
+       s0, s1, s2, s3,
+       FLOOR((CAST(s1 AS DOUBLE) / s0) * 10000.0 + 0.5) / 10000.0 AS shape_centroid,
+       FLOOR((CAST(s0 * s2 - s1 * s1 AS DOUBLE) / (CAST(s0 AS DOUBLE) * s0 * s0)) * 10000.0 + 0.5) / 10000.0 AS shape_norm_central2
+FROM m WHERE m0 > 0 AND s0 > 0
 """
 
 
@@ -787,6 +794,33 @@ FROM per p JOIN gln USING (doc_id) JOIN dn USING (doc_id)
 """
 
 
+def sql_histo_bins(n_bins: int = 64) -> str:
+    """Per-bin custom-histogram counts: bin = trunc((v−min)/range·N) with
+    last-bin fold — exact integers, pivoted to one column per bin."""
+    cols = ",\n       ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN 1 END), 0) AS BIGINT) AS histo_bin_{i}"
+        for i in range(n_bins)
+    )
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, unnest(tokens) AS t FROM tokens_static
+),
+stats AS (
+  SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id
+),
+binned AS (
+  SELECT f.doc_id,
+         LEAST(CAST(FLOOR(CAST(f.t - s.mn AS DOUBLE) / (s.mx - s.mn) * {n_bins}.0) AS INTEGER), {n_bins - 1}) AS b
+  FROM flat f JOIN stats s USING (doc_id)
+  WHERE s.mx > s.mn
+)
+SELECT doc_id,
+       {cols}
+FROM binned GROUP BY doc_id
+"""
+
+
 def sql_ih(n_bins: int = 64) -> str:
     """IH index-domain features — reproduces the kernel's histogram walk
     (intensity_histogram.cpp:69-118 semantics) with the exact same float-op
@@ -810,6 +844,13 @@ binned AS (
 ),
 freq AS (
   SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY doc_id, bin
+),
+isums AS (  -- exact-integer index-domain accumulations (S1, S2, Σf²)
+  SELECT doc_id,
+         CAST(SUM(c * bin) AS BIGINT) AS s1,
+         CAST(SUM(c * bin * bin) AS BIGINT) AS s2,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM freq GROUP BY doc_id
 ),
 cums AS (
   SELECT doc_id, bin, c,
@@ -861,7 +902,18 @@ SELECT b.doc_id,
        CAST(LEAST(GREATEST(CAST(FLOOR((q9.v90 - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) + 1 AS BIGINT) AS ih_p90_idx,
        CAST({nb} AS BIGINT) AS ih_num_bins,
        FLOOR((b.w) * 10000.0 + 0.5) / 10000.0 AS ih_bin_size,
-       FLOOR((b.mn + (m.med_bin + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_median_val
+       FLOOR((b.mn + (m.med_bin + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_median_val,
+       -- value-domain stats: same integer numerators + identical IEEE op order
+       -- as the kernel (ih.py: S1/S2/Σf² forms)
+       FLOOR((b.mn + (CAST(s.s1 AS DOUBLE) / b.n + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_mean_val,
+       FLOOR(((CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n)) * (b.w * b.w))
+             * 10000.0 + 0.5) / 10000.0 AS ih_var_val,
+       FLOOR((CAST(s.sq AS DOUBLE) / (b.n * b.n)) * 10000.0 + 0.5) / 10000.0 AS ih_uniformity_val,
+       FLOOR((b.mn + (mo.mode_bin + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_mode_val,
+       FLOOR((b.mx - b.mn) * 10000.0 + 0.5) / 10000.0 AS ih_range_val,
+       FLOOR((q1.v10) * 10000.0 + 0.5) / 10000.0 AS ih_p10_val,
+       FLOOR((q9.v90) * 10000.0 + 0.5) / 10000.0 AS ih_p90_val
 FROM bw b JOIN med m USING (doc_id) JOIN mode mo USING (doc_id)
 JOIN q10v q1 USING (doc_id) JOIN q90v q9 USING (doc_id)
+JOIN isums s USING (doc_id)
 """
