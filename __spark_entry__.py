@@ -228,11 +228,26 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3, blocked on the high 16 bits)."""
+    """SimHash near-dup pairs (hamming ≤ 3, band-OR blocking over 4×8-bit
+    bands — pigeonhole-guaranteed recall at r < 4)."""
     _prep(spark)
     from nyxus_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=3)
+
+
+def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking→verification composition: MinHash-LSH candidate pairs fed
+    through the pair-wise ngram_jaccard verifier (equi-joins by id, no
+    cross product). Must reproduce minhash_pairs' result set exactly."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import minhash_candidate_pairs, ngram_jaccard
+
+    aug = _aug_corpus(spark, sf_dir)
+    pairs = minhash_candidate_pairs(aug)
+    return ngram_jaccard(aug, pairs).filter(F.col("jaccard") >= 0.5)
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_verify": _q_ngram_verify,
         "topk_cosine": _q_topk_cosine,
         "ivf_topk": _q_ivf_topk,
         "cosine_dup": _q_cosine_dup,
@@ -1054,6 +1070,9 @@ FROM probes p ASOF LEFT JOIN versions v
         "dedup_exact": oracles.SQL_EXACT_DEDUP,
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "simhash_pairs": oracles.sql_simhash_pairs(3),
+        # blocking+verification composition shares the minhash oracle: exact
+        # Jaccard over the same candidate set must yield the same pair set
+        "ngram_verify": oracles.sql_minhash_pairs(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
         "ivf_topk": oracles.SQL_IVF_TOPK,
         "cosine_dup": oracles.sql_cosine_dup(0.99),

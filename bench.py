@@ -197,18 +197,37 @@ def main() -> None:
     with open(hist_path, "w") as f:
         json.dump({"levels": results, "eff_runs": eff_runs}, f, indent=1)
     levels = sorted(results)  # report every level ever measured
+    # HEADLINE = MEDIAN of all coherent same-invocation pairs: best-of-N is
+    # one-sided-valid for a throughput, but a RATIO of two measurements is
+    # inflated by max() exactly when host noise skews one side — the median
+    # is the honest central estimate (max kept alongside for context).
+    med_eff = _median_eff(eff_runs)
     best_eff = max((e for e in eff_runs), key=lambda e: e["eff"], default=None)
     headline = dict(results[levels[-1]])
     for c in levels:
         headline[f"rows_per_sec_{c}"] = results[c]["rows_per_sec"]
-    if best_eff is not None:
-        headline["scaling_efficiency_n_to_4n"] = best_eff["eff"]
+    if med_eff is not None:
+        headline["scaling_efficiency_n_to_4n"] = med_eff
+        headline["scaling_efficiency_n_to_4n_best"] = best_eff["eff"]
+        headline["scaling_efficiency_runs"] = len(eff_runs)
     print(json.dumps(headline))
-    _write_bench_md(results, levels, args.sf_dir, args.replicate, best_eff)
+    _write_bench_md(results, levels, args.sf_dir, args.replicate, best_eff,
+                    med_eff, eff_runs)
+
+
+def _median_eff(eff_runs: list[dict]) -> float | None:
+    if not eff_runs:
+        return None
+    vals = sorted(e["eff"] for e in eff_runs)
+    n = len(vals)
+    mid = n // 2
+    return round(vals[mid] if n % 2 else (vals[mid - 1] + vals[mid]) / 2, 3)
 
 
 def _write_bench_md(results: dict[int, dict], levels: list[int], sf_dir: str,
-                    replicate: int, best_eff: dict | None = None) -> None:
+                    replicate: int, best_eff: dict | None = None,
+                    med_eff: float | None = None,
+                    eff_runs: list[dict] | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{c}] | {results[c]['value']} | {results[c]['feature_rows']} | {results[c]['rows_per_sec']} |"
@@ -220,10 +239,14 @@ def _write_bench_md(results: dict[int, dict], levels: list[int], sf_dir: str,
         effs.append(f"| {a} → {b} | {b // a}× cores | {e:.3f} |")
     eff_rows = "\n".join(effs)
     if best_eff is not None:
-        lo, mid, e_main = best_eff["lo"], best_eff["mid"], best_eff["eff"]
+        lo, mid = best_eff["lo"], best_eff["mid"]
+        e_main = med_eff if med_eff is not None else best_eff["eff"]
+        n_runs = len(eff_runs or [])
         eff_src = (
-            f"best coherent same-invocation pair: local[{lo}] {best_eff['r_lo']:.0f} → "
-            f"local[{mid}] {best_eff['r_mid']:.0f} rows/s"
+            f"MEDIAN of {n_runs} coherent same-invocation pairs "
+            f"(best pair {best_eff['eff']:.3f}: local[{lo}] {best_eff['r_lo']:.0f} → "
+            f"local[{mid}] {best_eff['r_mid']:.0f} rows/s; the median, not the max, "
+            f"is the headline — a ratio's best-of is upward-biased under host noise)"
         )
     else:
         lo, mid = levels[0], levels[1]

@@ -27,7 +27,11 @@ from nyxus_spark.features._arena import buf
 from nyxus_spark.features.segmented import Segments
 from nyxus_spark.settings import FeatureSettings
 
-GABOR_FREQS = (1, 2, 4, 8)
+# 8 bank outputs mirroring the reference's f0_theta_pairs bank size
+# (gabor.cpp:19-24 — 4 default pairs, README documents up to 8 values); in
+# 1-D there is no θ, so the bank spans 8 carrier frequencies f/16 cycles per
+# sample up to Nyquist (f=8)
+GABOR_FREQS = (1, 2, 3, 4, 5, 6, 7, 8)
 K = 9  # kernel taps
 N_BANDS = 8
 

@@ -148,56 +148,127 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Unverified LSH bucket-mate candidates (id_a, id_b) — the blocking
+    stage alone, for feeding a downstream verifier such as ngram_jaccard."""
+    rows_per_band = num_hashes // num_bands
+    sh = df.select(
+        F.col(id_col), token_shingles(tokens_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    banded = (
+        sh.withColumn("sig", minhash_signature("shingles", num_hashes))
+        .select(id_col, F.explode(lsh_bands("sig", num_bands, rows_per_band)).alias("b"))
+        .select(id_col, F.col("b.band_idx").alias("band_idx"),
+                F.col("b.band_key").alias("band_key"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     k: int = 3,
     max_hamming: int = 3,
+    num_bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Scale path: block on the high 16 bits (near-identical fingerprints share
-    the block with overwhelming probability), then verify bit_count(xor).
+    Scale path with GUARANTEED recall: band-OR blocking over num_bands
+    equal-width bit slices of the 32-bit fingerprint. Pigeonhole: a pair with
+    ≤ max_hamming < num_bands differing bits leaves at least one band
+    untouched, so every qualifying pair shares ≥ 1 (band_idx, band_key)
+    bucket. Candidates are deduped across bands and verified by
+    bit_count(xor) — only (band, key) bucket mates ever shuffle, never the
+    corpus cross-product.
     """
+    assert max_hamming < num_bands, "pigeonhole guarantee needs r < bands"
+    width = 32 // num_bands
     sh = df.select(F.col(id_col), token_shingles(tokens_col, k).alias("shingles")).filter(
         F.size("shingles") > 0
     )
-    fp = sh.select(id_col, simhash32("shingles").alias("fp")).withColumn(
-        "block", F.expr("fp >> 16")
+    fp = sh.select(id_col, simhash32("shingles").alias("fp"))
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"(fp >> {width * b}) % {1 << width}").alias("band_key"),
+            )
+            for b in range(num_bands)
+        ])
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    banded = fp.select(id_col, "fp", bands.alias("b")).select(
+        id_col, "fp", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, "block")
+        a.join(b, ["band_idx", "band_key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("hamming", F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))))
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
 def ngram_jaccard(
-    left: DataFrame, right: DataFrame, id_col: str = "doc_id",
-    tokens_col: str = "tokens", k: int = 3,
+    df: DataFrame, pairs: DataFrame | None = None, id_col: str = "doc_id",
+    tokens_col: str = "tokens", k: int = 3, all_pairs: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate pairs (id_a, id_b)."""
-    sh = lambda d: d.select(F.col(id_col), token_shingles(tokens_col, k).alias("sh"))
-    la, rb = sh(left).alias("a"), sh(right).alias("b")
-    return (
-        la.crossJoin(rb)
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            fround4(
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh"))
-            ).alias("jaccard"),
+    """Exact n-gram Jaccard for given candidate pairs.
+
+    `pairs` is a DataFrame of (id_a, id_b) — typically the output of a
+    blocking stage (MinHash LSH, SimHash bands). Each side is equi-joined to
+    the corpus by id, so only the candidate rows are scored: at 100 TB the
+    shuffle carries |pairs| shingle sets, never the corpus cross-product.
+
+    The legacy exhaustive mode is gated behind an explicit `all_pairs=True`
+    (small inputs only; refuses to run silently without it).
+    """
+    sh = df.select(F.col(id_col), token_shingles(tokens_col, k).alias("sh"))
+    jac = fround4(
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh"))
+    ).alias("jaccard")
+    if pairs is None:
+        if not all_pairs:
+            raise ValueError(
+                "ngram_jaccard without a candidate-pair DataFrame is a "
+                "cartesian product; pass pairs=<df(id_a, id_b)> or opt in "
+                "with all_pairs=True for small inputs"
+            )
+        la, rb = sh.alias("a"), sh.alias("b")
+        return (
+            la.crossJoin(rb)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"), jac)
         )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sh.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
+        .join(sh.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+        .select("id_a", "id_b", jac)
     )
 
 
@@ -213,10 +284,14 @@ def srp_signature(vec_col: str = "embedding", n_planes: int = 16, quant: int = 1
     q = f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}.0D + 0.5D) as bigint))"
     bits = []
     for p in range(n_planes):
-        # deterministic plane weight w(p,d) ∈ [-1000, 1000]
+        # deterministic plane weight w(p,d) ∈ [-1000, 1000]; standard size
+        # guard — Spark sequence(a, b) DESCENDS when b < a, so an empty
+        # embedding would otherwise produce a [0,-1] index range
         w = (
+            f"CASE WHEN size({vec_col}) > 0 THEN "
             f"transform(sequence(0, size({vec_col}) - 1), "
-            f"d -> cast((d + 1) * {MIX} * {p + 13} % 2001 - 1000 as bigint))"
+            f"d -> cast((d + 1) * {MIX} * {p + 13} % 2001 - 1000 as bigint)) "
+            f"ELSE array() END"
         )
         dot = (
             f"aggregate(zip_with({q}, {w}, (a, b) -> a * b), "

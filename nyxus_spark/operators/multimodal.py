@@ -41,7 +41,12 @@ MEDIA_SCHEMA = StructType(
 
 def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize deterministic binary payloads from a text column (test
-    stand-in for real blobs; encode = utf-8 bytes, metadata from length)."""
+    stand-in for real blobs; encode = utf-8 bytes, metadata from length).
+
+    Zero-length texts are dropped: an empty payload has no decodable content,
+    and the downstream oracle's domain (strlen(text) > 0) must match the
+    engine's — an empty doc would otherwise produce a Spark-only row."""
+    df = df.filter(F.length(F.col(text_col)) > 0)
     payload = F.encode(F.col(text_col), "utf-8")
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),

@@ -82,6 +82,21 @@ def ivf_assign(
     )
 
 
+def _probe_cents(centroids: DataFrame, q: list[float], n_probe: int,
+                 cent_id: str, cent_vec: str) -> list:
+    qlit = F.array(*[F.lit(x) for x in q])
+    return [
+        r[0]
+        for r in (
+            centroids.withColumn("__q", qlit)
+            .select(cent_id, fround4(cosine_col(cent_vec, "__q")).alias("c"))
+            .orderBy(F.col("c").desc(), F.col(cent_id).asc())
+            .limit(n_probe)
+            .collect()
+        )
+    ]
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,
@@ -92,21 +107,66 @@ def ivf_topk(
     vec_col: str = "embedding",
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probed search: score only vectors assigned to the query's top
-    n_probe centroids (at scale: partition pruning on the bucket column)."""
+    n_probe centroids.
+
+    Pass `assigned` (a DataFrame carrying `assigned_cent`, e.g. the persisted
+    index read back by `ivf_index_read`) to search WITHOUT re-assigning the
+    corpus; computing assignments inline is the single-shot fallback. At scale
+    the index lives as a table partitioned by `assigned_cent` (Iceberg
+    bucket/identity partition), so the probe filter prunes partitions at the
+    scan and only the probed buckets are ever read.
+    """
     q = [float(x) for x in query_vec]
-    qlit = F.array(*[F.lit(x) for x in q])
-    top_cents = [
-        r[0]
-        for r in (
-            centroids.withColumn("__q", qlit)
-            .select(cent_id, fround4(cosine_col(cent_vec, "__q")).alias("c"))
-            .orderBy(F.col("c").desc(), F.col(cent_id).asc())
-            .limit(n_probe)
-            .collect()
-        )
-    ]
-    assigned = ivf_assign(df, centroids, id_col, vec_col, cent_id, cent_vec)
+    top_cents = _probe_cents(centroids, q, n_probe, cent_id, cent_vec)
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, id_col, vec_col, cent_id, cent_vec)
     pruned = assigned.filter(F.col("assigned_cent").isin(top_cents))
     return topk_cosine(pruned, q, k, id_col, vec_col)
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> None:
+    """Materialize the IVF index: assign every vector ONCE and write it
+    partitioned by the bucket column. This is the write-time half of the
+    scale path — searches then touch only the probed partitions (SURVEY.md
+    §4 partition pruning; Iceberg: identity-partition on assigned_cent)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col, cent_id, cent_vec)
+    assigned.write.mode("overwrite").partitionBy("assigned_cent").parquet(path)
+
+
+def ivf_index_read(spark, path: str) -> DataFrame:
+    """Read the persisted IVF index (partition column restored)."""
+    return spark.read.parquet(path)
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Search against a persisted IVF index: the assigned_cent probe filter
+    lands on the partition column, so the scan reads only the probed buckets
+    (PartitionFilters in the physical plan — no full-corpus pass)."""
+    q = [float(x) for x in query_vec]
+    top_cents = _probe_cents(centroids, q, n_probe, cent_id, cent_vec)
+    idx = ivf_index_read(spark, index_path).filter(
+        F.col("assigned_cent").isin(top_cents)
+    )
+    return topk_cosine(idx, q, k, id_col, vec_col)

@@ -82,21 +82,33 @@ WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
 """
 
 
-def sql_simhash_pairs(max_hamming: int = 3) -> str:
+def sql_simhash_pairs(max_hamming: int = 3, num_bands: int = 4) -> str:
+    """Band-OR blocked SimHash oracle: one band per 32/num_bands-bit slice,
+    union of per-band bucket matches, distinct pairs, hamming verify."""
     bit_terms = [
         f"(CASE WHEN list_sum(list_transform(sh, x -> ((((x * {MIX}) % 4294967296) >> {j}) % 2) * 2 - 1)) > 0 "
         f"THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
         for j in range(32)
     ]
+    width = 32 // num_bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band_idx, (fp >> {width * b}) % {1 << width} AS band_key FROM fps"
+        for b in range(num_bands)
+    )
     return f"""
 WITH {SQL_AUG},
 {SQL_SHINGLES},
 fps AS (SELECT doc_id, {' + '.join(bit_terms)} AS fp FROM shingled),
-blocked AS (SELECT doc_id, fp, fp >> 16 AS block FROM fps)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-FROM blocked a JOIN blocked b USING (block)
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
 """
 
 

@@ -9,12 +9,18 @@ same vectorized `pandas.merge_asof` sorted-merge as the batch cogroup kernel
 against (state seed + this batch's versions), emits matched probes, and
 compacts state back to one row.
 
-State is O(1) per key (latest version only), so the state store stays tiny at
-10^12-sequence scale — the trade is an ordering contract: per key, probes must
-not arrive in an earlier micro-batch than a version that precedes them in
-event time (file-replay and per-key-ordered Kafka both satisfy this; the
-parity test drives two time-split files through maxFilesPerTrigger=1 to prove
-the cross-batch carry).
+State holds a BOUNDED history of the most recent HISTORY_DEPTH versions per
+key (not just the latest), so the state store stays O(H) per key at
+10^12-sequence scale while tolerating cross-batch disorder: a probe may
+arrive in a LATER micro-batch than versions that follow it in event time and
+still match its correct older version, as long as no more than HISTORY_DEPTH
+newer versions arrived in between. The residual ordering contract is
+therefore: per key, a probe must not be preceded (across earlier or same
+micro-batches) by more than HISTORY_DEPTH versions newer than its own event
+time (file-replay and per-key-ordered Kafka trivially satisfy this with any
+depth ≥ 1; the parity test drives time-split files through
+maxFilesPerTrigger=1 to prove the cross-batch carry, and a dedicated test
+delivers a probe a full batch after a newer version).
 
 Timestamps travel as epoch-microsecond longs end-to-end — the state schema
 stays engine-neutral and the output compares exactly against the batch
@@ -29,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -44,9 +51,13 @@ TAGGED_SCHEMA = StructType([
     StructField("event_id", LongType()),     # probe id (probes only)
 ])
 
+# bounded per-key version history (ADVICE r1: latest-only state silently
+# NULL-matched probes that arrived a batch after a newer version)
+HISTORY_DEPTH = 64
+
 ASOF_STATE_SCHEMA = StructType([
-    StructField("last_ts_us", LongType()),
-    StructField("last_n_tok", LongType()),
+    StructField("ts_hist", ArrayType(LongType())),
+    StructField("n_tok_hist", ArrayType(LongType())),
 ])
 
 ASOF_OUT_SCHEMA = StructType([
@@ -67,8 +78,8 @@ def _asof_state_fn(
 
     versions = batch[batch["is_version"] == 1][["ts_us", "n_tok"]]
     if state.exists:
-        last_ts, last_n = state.get
-        seed = pd.DataFrame({"ts_us": [last_ts], "n_tok": [last_n]})
+        ts_hist, n_hist = state.get
+        seed = pd.DataFrame({"ts_us": list(ts_hist), "n_tok": list(n_hist)})
         versions = pd.concat([seed, versions], ignore_index=True)
     versions = versions.sort_values("ts_us", kind="mergesort")
 
@@ -96,8 +107,13 @@ def _asof_state_fn(
         )
 
     if len(versions):
-        last = versions.iloc[-1]
-        state.update((int(last["ts_us"]), int(last["n_tok"])))
+        # retain the newest HISTORY_DEPTH versions (sorted ascending) so late
+        # probes in future batches can still match an older version
+        keep = versions.iloc[-HISTORY_DEPTH:]
+        state.update((
+            [int(x) for x in keep["ts_us"]],
+            [int(x) for x in keep["n_tok"]],
+        ))
 
 
 def asof_join_stream(tagged: DataFrame) -> DataFrame:

@@ -1,0 +1,76 @@
+"""Recall guarantees of the dedup blocking stages (VERDICT round-1 items).
+
+* SimHash band-OR blocking must find EXACTLY the pairs a brute-force
+  all-pairs hamming scan finds (pigeonhole: ≤3 flipped bits over 4×8-bit
+  bands leave ≥1 band identical — the old high-16-bit single block failed
+  this whenever a flipped bit landed in the top 16).
+* ngram_jaccard consumes candidate pairs via id equi-joins; the cartesian
+  path is gated behind an explicit opt-in.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _aug(spark):
+    import __spark_entry__ as entrymod
+
+    return entrymod._aug_corpus(spark, SF)
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    from nyxus_spark.operators.dedup import simhash32, simhash_pairs, token_shingles
+
+    aug = _aug(spark)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(aug, max_hamming=3).collect()
+    }
+    fp = (
+        aug.select(F.col("doc_id"), token_shingles("tokens", 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", simhash32("sh").alias("fp"))
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))))
+        .filter(F.col("hamming") <= 3)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                "hamming")
+        .collect()
+    }
+    assert brute, "fixture must produce at least one qualifying pair"
+    assert got == brute
+
+
+def test_ngram_jaccard_pairs_contract(spark):
+    from nyxus_spark.operators.dedup import minhash_candidate_pairs, ngram_jaccard
+
+    aug = _aug(spark)
+    with pytest.raises(ValueError, match="cartesian"):
+        ngram_jaccard(aug)
+    pairs = minhash_candidate_pairs(aug)
+    via_pairs = {
+        (r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard(aug, pairs).collect()
+    }
+    # the pair-join path must agree with the exhaustive path on its domain
+    pair_keys = {(r.id_a, r.id_b) for r in pairs.collect()}
+    exhaustive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard(aug, all_pairs=True).collect()
+        if (r.id_a, r.id_b) in pair_keys
+    }
+    assert via_pairs == exhaustive
+    # no cartesian product in the plan of the pair path
+    plan = ngram_jaccard(aug, pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -101,6 +101,51 @@ def test_stream_asof_matches_batch(spark, sf_dir, tmp_path):
     tagged.unpersist()
 
 
+def test_stream_asof_late_probe_matches_older_version(spark, tmp_path):
+    """ADVICE r1 scenario: batch 1 delivers versions t=1 and t=5; batch 2
+    delivers a probe at t=3. Latest-only state would silently emit NULL;
+    the bounded version history must match the correct older version t=1."""
+    import pandas as pd
+
+    from nyxus_spark.streaming.stateful import TAGGED_SCHEMA
+
+    stream_dir = tmp_path / "late_probe_stream"
+    stream_dir.mkdir()
+
+    def _dump(rows, path):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts_us", "is_version",
+                                          "n_tok", "event_id"])
+        for c in ("ts_us", "is_version", "n_tok", "event_id"):
+            pdf[c] = pdf[c].astype("Int64")
+        pdf.to_parquet(path)
+
+    _dump([("d", 1, 1, 11, None), ("d", 5, 1, 55, None)],
+          stream_dir / "part-000.parquet")
+    _dump([("d", 3, 0, None, 7)], stream_dir / "part-001.parquet")
+    os.utime(stream_dir / "part-000.parquet", (1_000_000, 1_000_000))
+    os.utime(stream_dir / "part-001.parquet", (2_000_000, 2_000_000))
+
+    src = (
+        spark.readStream.schema(TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        asof_join_stream(src)
+        .writeStream.format("memory")
+        .queryName("asof_late_probe_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT event_id, matched_ts_us, n_tok FROM asof_late_probe_out"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].matched_ts_us == 1 and got[0].n_tok == 11
+
+
 def test_stream_asof_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     """Kill-and-restart resumability for the stateful streaming as-of join:
     drain file 1 with a checkpointed query, stop, drop file 2 in, start a NEW
