@@ -40,6 +40,7 @@ def asof_join(
     version_prefix: str = "",
     tolerance_sec: float | None = None,
     salt_slices: int = 0,
+    ts_bounds: tuple | None = None,
 ) -> DataFrame:
     """Backward as-of join of `probes` (left) to `versions` (right).
 
@@ -55,6 +56,14 @@ def asof_join(
     union-window runs partitioned by (key, slice) — so a single hot doc_id no
     longer serializes into one task. Results are identical to the unsalted
     plan (tested).
+
+    ``ts_bounds=(lo, hi)`` (datetimes or epoch-µs ints) supplies the global
+    time range the slices divide, skipping the fallback min/max scan the
+    salted path otherwise runs eagerly before the real job. At 100 TB pass
+    the table's partition stats (Iceberg manifests carry ts min/max per
+    file — no data scan needed). Bounds only steer slice BALANCE: any range
+    covering the data yields identical results (rows outside clamp to the
+    first/last slice; tested).
     """
     clash = (set(_payload_cols(versions, on, ts_col)) if not version_prefix else set()) & {
         c for c in probes.columns if c not in (on, ts_col)
@@ -67,7 +76,8 @@ def asof_join(
         if strategy != "union_window":
             raise ValueError("salt_slices requires the union_window strategy")
         return _asof_union_window_sliced(
-            probes, versions, on, ts_col, version_prefix, tolerance_sec, salt_slices
+            probes, versions, on, ts_col, version_prefix, tolerance_sec,
+            salt_slices, ts_bounds,
         )
     if strategy == "union_window":
         return _asof_union_window(probes, versions, on, ts_col, version_prefix, tolerance_sec)
@@ -126,7 +136,8 @@ def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec):
     return out
 
 
-def _asof_union_window_sliced(probes, versions, on, ts_col, prefix, tolerance_sec, n_slices):
+def _asof_union_window_sliced(probes, versions, on, ts_col, prefix,
+                              tolerance_sec, n_slices, ts_bounds=None):
     """Hot-key-safe as-of: uniform global time slices + per-slice seeding.
 
     1. rows map to slice = floor((ts − t0)/width) — a pure projection, so no
@@ -142,19 +153,30 @@ def _asof_union_window_sliced(probes, versions, on, ts_col, prefix, tolerance_se
     pay = _payload_cols(versions, on, ts_col)
     probe_extra = [c for c in probes.columns if c not in (on, ts_col)]
 
-    bounds = (
-        versions.select(F.col(ts_col).alias("t"))
-        .unionByName(probes.select(F.col(ts_col).alias("t")))
-        .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
-        .first()
-    )
-    t0 = bounds["lo"]
-    us = lambda c: F.unix_micros(c.cast("timestamp"))
     import datetime
 
-    lo_us = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6) if isinstance(t0, datetime.datetime) else 0
-    hi = bounds["hi"]
-    hi_us = int(hi.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6) if isinstance(hi, datetime.datetime) else 1
+    def to_us(t, default):
+        if isinstance(t, datetime.datetime):
+            return int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+        if isinstance(t, (int, float)):
+            return int(t)
+        return default
+
+    if ts_bounds is not None:
+        lo_us = to_us(ts_bounds[0], 0)
+        hi_us = to_us(ts_bounds[1], 1)
+    else:
+        # fallback: eager min/max scan (driver sync before the real job) —
+        # fine at test scale; at 100 TB pass ts_bounds from partition stats
+        bounds = (
+            versions.select(F.col(ts_col).alias("t"))
+            .unionByName(probes.select(F.col(ts_col).alias("t")))
+            .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+            .first()
+        )
+        lo_us = to_us(bounds["lo"], 0)
+        hi_us = to_us(bounds["hi"], 1)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     width = max((hi_us - lo_us) // n_slices + 1, 1)
 
     def slice_of(col):

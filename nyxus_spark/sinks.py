@@ -67,3 +67,30 @@ def to_iceberg(df: DataFrame, table: str, bucket_col: str = "doc_id", n_buckets:
             f"create the table PARTITIONED BY (bucket({n_buckets}, {bucket_col}))"
         )
     df.writeTo(table).append()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = 32,
+    bucket_col: str = "doc_id",
+    sort_cols: tuple[str, ...] = ("doc_id", "ts"),
+    mode: str = "overwrite",
+) -> None:
+    """Write a table bucketed + sorted on the join key — the co-location
+    story for the as-of join (Iceberg analog: bucket(doc_id) partition
+    transform + sorted data files).
+
+    When BOTH sides of the as-of join are written this way with the same
+    bucket count, the cogroup_merge strategy's ClusteredDistribution is
+    already satisfied by the bucketed scans: the join plans with ZERO
+    Exchange (tests/test_bucketed_asof.py asserts this) — at 100 TB the
+    flagship operator runs shuffle-free, reading co-located buckets.
+    (The union_window strategy cannot exploit this: Union discards child
+    distributions in Spark, so it still pays its one Exchange.)
+    """
+    w = df.write.bucketBy(n_buckets, bucket_col).sortBy(*sort_cols).mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

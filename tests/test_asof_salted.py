@@ -42,6 +42,33 @@ def test_sliced_with_hot_key(spark, sf_dir):
     assert len(plain) > 0
 
 
+def test_sliced_with_explicit_bounds(spark, sf_dir):
+    """ts_bounds supplied (the partition-stats path — no eager min/max scan)
+    must give identical results, even when the bounds over-cover the data."""
+    import datetime
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
+    p = probes(spark, sf_dir)
+    plain = _norm(asof_join(p, v))
+    lo, hi = (
+        v.select("ts").unionByName(p.select("ts"))
+        .agg(F.min("ts"), F.max("ts")).first()
+    )
+    exact = _norm(asof_join(p, v, salt_slices=4, ts_bounds=(lo, hi)))
+    assert plain.equals(exact)
+    # over-wide bounds only change slice balance, never results
+    wide = _norm(asof_join(
+        p, v, salt_slices=4,
+        ts_bounds=(lo - datetime.timedelta(days=365), hi + datetime.timedelta(days=365)),
+    ))
+    assert plain.equals(wide)
+    # epoch-µs ints are accepted too (what Iceberg manifest stats provide)
+    lo_us = int(lo.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    hi_us = int(hi.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    ints = _norm(asof_join(p, v, salt_slices=4, ts_bounds=(lo_us, hi_us)))
+    assert plain.equals(ints)
+
+
 def test_sliced_probe_before_any_version(spark):
     v = spark.createDataFrame(
         [("a", 100.0, 1), ("a", 200.0, 2)], "doc_id string, tsd double, n_tok int"
