@@ -163,7 +163,8 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
         t,
         ["COUNT", "MIN", "MAX", "RANGE", "MEAN", "MEDIAN", "MODE", "ENERGY",
-         "ENTROPY", "UNIFORMITY", "INTEGRATED_INTENSITY"],
+         "ENTROPY", "UNIFORMITY", "INTEGRATED_INTENSITY",
+         "ROOT_MEAN_SQUARED"],
         keep_tokens=False,
     )
     # variance from exact-integer aggregates (COUNT·ENERGY − SUM²)/(n(n−1)):
@@ -183,6 +184,9 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("ENTROPY").alias("entropy_tok"),
         _r4("UNIFORMITY").alias("uniformity_tok"),
         F.col("INTEGRATED_INTENSITY").cast("long").alias("sum_tok"),
+        # sqrt is correctly rounded in IEEE-754, so sqrt(e/n) of the exact
+        # integer ratio is engine-deterministic like the single divisions
+        _r4("ROOT_MEAN_SQUARED").alias("rms_tok"),
     )
     return out
 
@@ -234,6 +238,24 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_aug_corpus(spark, sf_dir), max_hamming=3)
+
+
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline: exact dedup → MinHash-LSH
+    near-dup removal (drop the higher id of each pair ≥ 0.5 Jaccard) — the
+    dedup operators COMPOSED, as a real corpus pipeline would run them."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    aug = _aug_corpus(spark, sf_dir).withColumn(
+        "key", F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
+    )
+    survivors = exact_dedup(aug, ["key"]).drop("key")
+    near = minhash_lsh_pairs(survivors, jaccard_threshold=0.5)
+    drop_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.join(drop_ids, "doc_id", "left_anti").select("doc_id", "source")
 
 
 def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,7 +461,7 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-boundary rationals (those stay covered by the pytest scalar oracle)
     feats = extract_features(
         t, ["GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_GLN", "GLRLM_RLN",
-            "GLRLM_GLNN", "GLRLM_RLNN", "GLRLM_LRHGLE"],
+            "GLRLM_GLNN", "GLRLM_RLNN", "GLRLM_LRHGLE", "GLRLM_GLV", "GLRLM_RV"],
         keep_tokens=False,
     )
     return feats.select(
@@ -452,6 +474,8 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLRLM_GLNN").alias("glrlm_glnn"),
         _r4("GLRLM_RLNN").alias("glrlm_rlnn"),
         _r4("GLRLM_LRHGLE").alias("glrlm_lrhgle"),
+        _r4("GLRLM_GLV").alias("glrlm_glv"),
+        _r4("GLRLM_RV").alias("glrlm_rv"),
     )
 
 
@@ -497,7 +521,7 @@ def _q_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(
         t, ["GLSZM_LAE", "GLSZM_ZP", "GLSZM_HGLZE", "GLSZM_GLN", "GLSZM_SZN",
-            "GLSZM_GLNN", "GLSZM_SZNN", "GLSZM_LAHGLE"],
+            "GLSZM_GLNN", "GLSZM_SZNN", "GLSZM_LAHGLE", "GLSZM_GLV", "GLSZM_ZV"],
         keep_tokens=False,
     )
     return feats.select(
@@ -510,6 +534,8 @@ def _q_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLSZM_GLNN").alias("glszm_glnn"),
         _r4("GLSZM_SZNN").alias("glszm_sznn"),
         _r4("GLSZM_LAHGLE").alias("glszm_lahgle"),
+        _r4("GLSZM_GLV").alias("glszm_glv"),
+        _r4("GLSZM_ZV").alias("glszm_zv"),
     )
 
 
@@ -527,7 +553,10 @@ def _q_ngtdm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.sources import tokens_static
 
     t = tokens_static(spark, sf_dir)
-    feats = extract_features(t, ["NGTDM_COARSENESS"])
+    feats = extract_features(
+        t, ["NGTDM_COARSENESS", "NGTDM_CONTRAST", "NGTDM_STRENGTH",
+            "NGTDM_BUSYNESS"]
+    )
     binned = F.expr(
         "transform(tokens, t -> CASE WHEN t = 0 THEN 1 ELSE "
         "least(greatest(cast(floor((64.0D / array_max(tokens)) * t + 1) AS int), 1), 64) END)"
@@ -540,6 +569,11 @@ def _q_ngtdm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("tokens").cast("long").alias("nvc"),
             "ngp",
             _r4(F.col("NGTDM_COARSENESS")).alias("ngtdm_coarseness"),
+            # contrast/strength/busyness in exact integer-index-domain forms
+            # (texture.py: the p = N/Nvc rationals cancel algebraically)
+            _r4(F.col("NGTDM_CONTRAST")).alias("ngtdm_contrast"),
+            _r4(F.col("NGTDM_STRENGTH")).alias("ngtdm_strength"),
+            _r4(F.col("NGTDM_BUSYNESS")).alias("ngtdm_busyness"),
         )
     )
 
@@ -810,6 +844,35 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nyxus interpolated-percentile semantics (100-bin histogram walk,
+    histogram.h:298-327) under the oracle gate: the DuckDB twin replays the
+    kernel's exact IEEE op sequence, so P10/P25/P75/P90 and the derived
+    IQR/QCOD hash-match."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["P10", "P25", "P75", "P90", "INTERQUARTILE_RANGE", "QCOD"],
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        _r4("P10").alias("p10"),
+        _r4("P25").alias("p25"),
+        _r4("P75").alias("p75"),
+        _r4("P90").alias("p90"),
+        _r4("INTERQUARTILE_RANGE").alias("iqr"),
+        _r4("QCOD").alias("qcod"),
+    )
+
+
 def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin histogram feature columns (intensity.cpp:399-402): one exact
     integer count per custom-histogram bin — trivially oracle-able."""
@@ -840,7 +903,8 @@ def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tokens_static(spark, sf_dir).filter(F.array_max("tokens") > F.array_min("tokens"))
     feats = extract_features(
-        t, ["GLDM_LDE", "GLDM_GLN", "GLDM_DN", "NGLDM_DCM", "NGLDM_GLM"],
+        t, ["GLDM_LDE", "GLDM_GLN", "GLDM_DN", "NGLDM_DCM", "NGLDM_GLM",
+            "GLDM_HGLE", "GLDM_DNN", "NGLDM_DCENE"],
         keep_tokens=False,
     )
     return feats.select(
@@ -850,6 +914,9 @@ def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("GLDM_DN")).alias("gldm_dn"),
         _r4(F.col("NGLDM_DCM")).alias("ngldm_dcm"),
         _r4(F.col("NGLDM_GLM")).alias("ngldm_glm"),
+        _r4(F.col("GLDM_HGLE")).alias("gldm_hgle"),
+        _r4(F.col("GLDM_DNN")).alias("gldm_dnn"),
+        _r4(F.col("NGLDM_DCENE")).alias("ngldm_dcene"),
     )
 
 
@@ -892,6 +959,7 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ih": _q_ih,
+        "percentiles": _q_percentiles,
         "histo_bins": _q_histo_bins,
         "gldm": _q_gldm,
         "moments": _q_moments,
@@ -910,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_verify": _q_ngram_verify,
+        "corpus_clean": _q_corpus_clean,
         "topk_cosine": _q_topk_cosine,
         "ivf_topk": _q_ivf_topk,
         "cosine_dup": _q_cosine_dup,
@@ -943,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
 
     extra = {
         "ih": oracles.sql_ih(64),
+        "percentiles": oracles.sql_percentiles(),
         "histo_bins": oracles.sql_histo_bins(64),
         "gldm": oracles.sql_gldm(64),
         "moments": oracles.sql_moments(),
@@ -1073,6 +1143,7 @@ FROM probes p ASOF LEFT JOIN versions v
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set
         "ngram_verify": oracles.sql_minhash_pairs(0.5),
+        "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
         "ivf_topk": oracles.SQL_IVF_TOPK,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
@@ -1200,7 +1271,8 @@ SELECT s.doc_id,
        s.e AS energy_tok,
        FLOOR((h.ent) * 10000.0 + 0.5) / 10000.0 AS entropy_tok,
        FLOOR((CAST(h.c2 AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n)) * 10000.0 + 0.5) / 10000.0 AS uniformity_tok,
-       s.s AS sum_tok
+       s.s AS sum_tok,
+       FLOOR((sqrt(CAST(s.e AS DOUBLE) / s.n)) * 10000.0 + 0.5) / 10000.0 AS rms_tok
 FROM stats s JOIN modes m USING (doc_id) JOIN hist h USING (doc_id)
 WHERE s.mx > s.mn
 """,

@@ -12,6 +12,7 @@ a *narrow* transformation (mapInPandas, no shuffle); the only wide operations
 are the as-of join, window ops, and dedup/similarity joins.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from nyxus_spark.api import NyxusSpark  # noqa: F401
 from nyxus_spark.settings import FeatureSettings  # noqa: F401

@@ -379,28 +379,39 @@ def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
         # Only COMPLEXITY is intrinsically pairwise — computed over i<j half
         # pairs and doubled. This matters: the sandbox memory bandwidth makes
         # every O(k²) element-op expensive.
-        Epv = (p * val[None, :]).sum(axis=1)
-        Epv2 = (p * val[None, :] ** 2).sum(axis=1)
+        #
+        # CONTRAST/STRENGTH/BUSYNESS are computed from the INTEGER index-
+        # domain sums A1 = ΣN·v, A2 = ΣN·v², T1/T2 (all exact) with at most
+        # two divisions in a fixed order — bit-identical to the SQL oracle
+        # (the p = N/Nvc rationals algebraically cancel; same trick as
+        # coarseness above).
+        A1 = (Nmat * val[None, :]).sum(axis=1)
+        A2 = (Nmat * val[None, :] ** 2).sum(axis=1)
         T1 = (present * val[None, :]).sum(axis=1)
         T2 = (present * val[None, :] ** 2).sum(axis=1)
-        contrast = (
-            2.0 * (Epv2 - Epv ** 2) / np.where(Ngp > 1, Ngp * (Ngp - 1), 1.0)
-        ) * (s_tot / safe_Nvc)
-        strength_num = 2.0 * (Ngp * Epv2 - 2.0 * T1 * Epv + T2)
-        strength = np.where(s_tot > 0, strength_num / np.where(s_tot > 0, s_tot, 1), 0.0)
+        G = np.where(Ngp > 1, Ngp * (Ngp - 1), 1.0)
+        d1 = (safe_Nvc * A2 - A1 ** 2) / ((safe_Nvc * safe_Nvc) * G)
+        contrast = (2.0 * d1) * (s_tot / safe_Nvc)
+        N2 = Ngp * A2 - 2.0 * (T1 * A1) + T2 * safe_Nvc
+        stot2 = 2.0 * s_tot  # exact integer for offset 1 (dyadic halves)
+        strength = np.where(
+            s_tot > 0, (4.0 * N2) / np.where(s_tot > 0, safe_Nvc * stot2, 1.0), 0.0
+        )
 
-        # busyness: sorted-rank formula for Σ|wᵢ−wⱼ|
+        # busyness: sorted-rank formula for Σ|wᵢ−wⱼ|, ranked on the INTEGER
+        # per-level mass nv = N_l·v (same order as w = nv/Nvc) so the rank
+        # sum B is an exact integer and busyness = psn/(2B) is one division
         prow, plev = np.nonzero(present)
-        w = p[prow, plev] * plev
-        order = np.lexsort((w, prow))
-        w_sorted = w[order]
+        nv = Nmat[prow, plev] * plev
+        order = np.lexsort((nv, prow))
+        nv_sorted = nv[order]
         k_per = np.bincount(prow, minlength=n).astype(np.int64)
         starts_r = np.zeros(n, dtype=np.int64)
         np.cumsum(k_per[:-1], out=starts_r[1:])
         rank = np.arange(prow.size) - starts_r[prow]  # prow is sorted
         coef = 2.0 * rank - (k_per[prow] - 1)
-        busy_den = 2.0 * np.bincount(prow, weights=coef * w_sorted, minlength=n)
-        busyness = np.where(busy_den > 0, ps / np.where(busy_den > 0, busy_den, 1), 0.0)
+        B = np.bincount(prow, weights=coef * nv_sorted, minlength=n)
+        busyness = np.where(B > 0, psn / np.where(B > 0, 2.0 * B, 1.0), 0.0)
 
         # complexity: true pairwise over PRESENT levels only. Rows typically
         # hold Ngp ≪ A distinct levels, so enumerating the i<j present-level

@@ -108,43 +108,17 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH, verified with exact Jaccard
-    over distinct shingles. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    rows_per_band = num_hashes // num_bands
-    sh = df.select(
-        F.col(id_col), token_shingles(tokens_col, k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    banded = (
-        sh.withColumn("sig", minhash_signature("shingles", num_hashes))
-        .select(
-            id_col,
-            "shingles",
-            F.explode(lsh_bands("sig", num_bands, rows_per_band)).alias("b"),
-        )
-        .select(
-            id_col,
-            "shingles",
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.band_key").alias("band_key"),
-        )
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", fround4("jaccard").alias("jaccard"))
+    over distinct shingles. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Composition of the blocking stage (minhash_candidate_pairs — only
+    (band, key, id) triples shuffle) with the pair-wise verifier
+    (ngram_jaccard — shingle sets re-joined by id for candidates only).
+    The earlier single-pass form carried each row's full shingle array
+    through every band replica (num_bands× the shingle shuffle volume); the
+    two-stage form shuffles shingles once, for candidate ids only."""
+    cand = minhash_candidate_pairs(df, id_col, tokens_col, k, num_hashes, num_bands)
+    return ngram_jaccard(df, cand, id_col, tokens_col, k).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
 
 

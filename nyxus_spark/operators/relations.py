@@ -90,10 +90,18 @@ def neighbor_stats(
     sym = pairs.select(F.col(f"{id_col}_a").alias(id_col), dist).unionByName(
         pairs.select(F.col(f"{id_col}_b").alias(id_col), dist)
     )
-    agg = sym.groupBy(id_col).agg(
+    # top-2 via rank, not collect_list: the per-event neighbor set is bounded
+    # by the radius window, but a sort-based rank keeps memory STRICTLY
+    # bounded (Tungsten sort spills) even under pathological clustering —
+    # no per-group array ever materializes
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("dist_us").asc())
+    ranked = sym.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy(id_col).agg(
         F.count("*").alias("num_neighbors"),
-        F.min("dist_us").alias("closest1_us"),
-        F.get(F.sort_array(F.collect_list("dist_us")), 1).alias("closest2_us"),
+        F.max(F.when(F.col("__rn") == 1, F.col("dist_us"))).alias("closest1_us"),
+        F.max(F.when(F.col("__rn") == 2, F.col("dist_us"))).alias("closest2_us"),
     )
     return df.select(key_col, ts_col, id_col).join(agg, id_col, "left").fillna(
         {"num_neighbors": 0}

@@ -38,16 +38,20 @@ def _hash_params(i: int) -> tuple[int, int]:
     return a, b
 
 
-SQL_SHINGLES = f"""
+def sql_shingles(source: str = "aug") -> str:
+    return f"""
 shingled AS (
   SELECT doc_id,
          list_distinct(list_transform(range(0, n_tok - {K_SHINGLE - 1}),
            i -> (CAST(tokens[i+1] AS BIGINT) * 961
                + CAST(tokens[i+2] AS BIGINT) * 31
                + CAST(tokens[i+3] AS BIGINT)) % {P31})) AS sh
-  FROM aug WHERE n_tok >= {K_SHINGLE}
+  FROM {source} WHERE n_tok >= {K_SHINGLE}
 )
 """.strip()
+
+
+SQL_SHINGLES = sql_shingles()
 
 
 def sql_minhash_pairs(jaccard_threshold: float = 0.5) -> str:
@@ -221,6 +225,57 @@ WHERE FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding 
 """
 
 
+def sql_corpus_clean(jaccard_threshold: float = 0.5) -> str:
+    """End-to-end cleaning composition: exact dedup (keep lowest doc_id per
+    identical token sequence) → MinHash-LSH near-dup pairs on the SURVIVORS →
+    drop the higher id of every qualifying pair. Mirrors the Spark pipeline
+    step for step."""
+    sig_terms = []
+    for i in range(NUM_HASHES):
+        a, b = _hash_params(i)
+        sig_terms.append(f"list_min(list_transform(sh, x -> (x * {a} + {b}) % {P31}))")
+    band_rows = []
+    for band in range(NUM_BANDS):
+        parts = [
+            f"sig[{band * ROWS_PER_BAND + r + 1}] * {31 ** r}" for r in range(ROWS_PER_BAND)
+        ]
+        band_rows.append(
+            f"SELECT doc_id, sh, {band} AS band_idx, ({' + '.join(parts)}) % {P31} AS band_key FROM sigs"
+        )
+    return f"""
+WITH {SQL_AUG},
+keyed AS (
+  SELECT doc_id, tokens, n_tok, source,
+         list_aggregate(list_transform(tokens, x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS key
+  FROM aug
+),
+ranked_exact AS (
+  SELECT doc_id, tokens, n_tok, source,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+  FROM keyed
+),
+survivors AS (
+  SELECT doc_id, tokens, n_tok, source FROM ranked_exact WHERE rn = 1
+),
+{sql_shingles("survivors")},
+sigs AS (SELECT doc_id, sh, [{', '.join(sig_terms)}] AS sig FROM shingled),
+banded AS ({' UNION ALL '.join(band_rows)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+near_pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}
+)
+SELECT s.doc_id, s.source
+FROM survivors s
+WHERE s.doc_id NOT IN (SELECT id_b FROM near_pairs)
+"""
+
+
 def sql_langid(stopwords: dict[str, list[str]]) -> str:
     rows = []
     for lang in sorted(stopwords):
@@ -310,6 +365,8 @@ per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
          CAST(SUM(l * l) AS BIGINT) AS sll,
          CAST(SUM(g * g) AS BIGINT) AS sgg,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(l) AS BIGINT) AS sl,
          CAST(SUM(g * g * l * l) AS BIGINT) AS sggll
   FROM runs GROUP BY doc_id
 ),
@@ -332,7 +389,12 @@ SELECT p.doc_id,
        -- normalized variants replay the kernel's (v/nr)/nr two-step division
        FLOOR(((CAST(gln.v AS DOUBLE) / p.nr) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_glnn,
        FLOOR(((CAST(rln.v AS DOUBLE) / p.nr) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_rlnn,
-       FLOOR((CAST(p.sggll AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_lrhgle
+       FLOOR((CAST(p.sggll AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_lrhgle,
+       -- exact-numerator variance (N·Σx² − (Σx)²)/N², texture.py _run_family
+       FLOOR((CAST(p.nr * p.sgg - p.sg * p.sg AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
+             * 10000.0 + 0.5) / 10000.0 AS glrlm_glv,
+       FLOOR((CAST(p.nr * p.sll - p.sl * p.sl AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
+             * 10000.0 + 0.5) / 10000.0 AS glrlm_rv
 FROM per_doc p JOIN gln USING (doc_id) JOIN rln USING (doc_id)
 """
 
@@ -347,6 +409,7 @@ def sql_glszm(n_levels: int = 64) -> str:
     for rl, sz in [("glrlm_lrhgle", "glszm_lahgle"), ("glrlm_glnn", "glszm_glnn"),
                    ("glrlm_rlnn", "glszm_sznn"), ("glrlm_lre", "glszm_lae"),
                    ("glrlm_rp", "glszm_zp"), ("glrlm_hglre", "glszm_hglze"),
+                   ("glrlm_glv", "glszm_glv"), ("glrlm_rv", "glszm_zv"),
                    ("glrlm_gln", "glszm_gln"), ("glrlm_rln", "glszm_szn")]:
         sql = sql.replace(rl, sz)
     return sql
@@ -520,12 +583,39 @@ levels AS (
 ),
 per_doc AS (
   SELECT doc_id, CAST(SUM(n_l) AS BIGINT) AS nvc, CAST(COUNT(*) AS BIGINT) AS ngp,
-         CAST(SUM(n_l * s2_l) AS BIGINT) AS total2
+         CAST(SUM(n_l * s2_l) AS BIGINT) AS total2,
+         CAST(SUM(n_l * g) AS BIGINT) AS a1,
+         CAST(SUM(n_l * g * g) AS BIGINT) AS a2,
+         CAST(SUM(g) AS BIGINT) AS t1v,
+         CAST(SUM(g * g) AS BIGINT) AS t2v,
+         CAST(SUM(s2_l) AS BIGINT) AS stot2
   FROM levels GROUP BY doc_id
+),
+ranked AS (  -- sorted-rank sum B = Σ(2r−k+1)·(n_l·g), the Σ|wᵢ−wⱼ| identity
+  SELECT doc_id, n_l * g AS nv,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_l * g) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS k
+  FROM levels
+),
+bsum AS (
+  SELECT doc_id, CAST(SUM((2 * rn - k - 1) * nv) AS BIGINT) AS b
+  FROM ranked GROUP BY doc_id
 )
-SELECT doc_id, nvc, ngp,
-       FLOOR((CAST(2 * nvc AS DOUBLE) / total2) * 10000.0 + 0.5) / 10000.0 AS ngtdm_coarseness
-FROM per_doc WHERE ngp >= 2
+SELECT p.doc_id, p.nvc, p.ngp,
+       FLOOR((CAST(2 * p.nvc AS DOUBLE) / p.total2) * 10000.0 + 0.5) / 10000.0 AS ngtdm_coarseness,
+       -- contrast = (2·d1)·(s_tot/Nvc), d1 = (Nvc·A2 − A1²)/((Nvc·Nvc)·G) —
+       -- identical IEEE op order to the kernel's exact-integer formulation
+       FLOOR(((2 * (CAST(p.nvc * p.a2 - p.a1 * p.a1 AS DOUBLE)
+                    / ((CAST(p.nvc AS DOUBLE) * p.nvc) * (p.ngp * (p.ngp - 1)))))
+              * ((CAST(p.stot2 AS DOUBLE) / 2) / p.nvc)) * 10000.0 + 0.5) / 10000.0 AS ngtdm_contrast,
+       FLOOR((CASE WHEN p.stot2 > 0
+              THEN CAST(4 * (p.ngp * p.a2 - 2 * (p.t1v * p.a1) + p.t2v * p.nvc) AS DOUBLE)
+                   / (CAST(p.nvc AS DOUBLE) * p.stot2)
+              ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS ngtdm_strength,
+       FLOOR((CASE WHEN b.b > 0
+              THEN (CAST(p.total2 AS DOUBLE) / 2) / (2 * b.b)
+              ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS ngtdm_busyness
+FROM per_doc p JOIN bsum b USING (doc_id) WHERE p.ngp >= 2
 """
 
 
@@ -785,7 +875,8 @@ per AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nz,
          CAST(SUM(j * j) AS BIGINT) AS sjj,
          CAST(SUM(j) AS BIGINT) AS sj,
-         CAST(SUM(g) AS BIGINT) AS sg
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(g * g) AS BIGINT) AS sgg
   FROM deps GROUP BY doc_id
 ),
 gln AS (
@@ -795,14 +886,96 @@ gln AS (
 dn AS (
   SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
   FROM (SELECT doc_id, j, COUNT(*) AS c FROM deps GROUP BY doc_id, j) GROUP BY doc_id
+),
+dcene AS (  -- Σ cell² over distinct (g, j) cells
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, g, j, COUNT(*) AS c FROM deps GROUP BY doc_id, g, j)
+  GROUP BY doc_id
 )
 SELECT p.doc_id,
        FLOOR((CAST(p.sjj AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_lde,
        FLOOR((CAST(gln.v AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_gln,
        FLOOR((CAST(dn.v AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_dn,
        FLOOR((CAST(p.sj AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS ngldm_dcm,
-       FLOOR((CAST(p.sg AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS ngldm_glm
-FROM per p JOIN gln USING (doc_id) JOIN dn USING (doc_id)
+       FLOOR((CAST(p.sg AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS ngldm_glm,
+       FLOOR((CAST(p.sgg AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_hgle,
+       FLOOR(((CAST(dn.v AS DOUBLE) / p.nz) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_dnn,
+       FLOOR((CAST(dcene.v AS DOUBLE) / (CAST(p.nz AS DOUBLE) * p.nz)) * 10000.0 + 0.5) / 10000.0 AS ngldm_dcene
+FROM per p JOIN gln USING (doc_id) JOIN dn USING (doc_id) JOIN dcene USING (doc_id)
+"""
+
+
+def sql_percentiles() -> str:
+    """Interpolated percentiles over the nyxus 100-bin histogram
+    (histogram.h:298-327), replayed with the kernel's IEEE op order
+    (firstorder.py _percentiles_100bin):
+
+    * binw = (mx−mn)/100;  bin = trunc((v−mn)/binw), clipped, bin 100 folded;
+    * istar = first dense bin whose running sum exceeds n·q (≡ count of the
+      first 99 dense bins with runSum ≤ n·q) — on the sparse present-bin
+      rows this is MIN(b) with cum > n·q (capped at 99);
+    * pX = (((n·q − runSum_{istar−1}) · binw / count_istar) + mn) + binw·istar
+      with count 0 → divide by 1 (kernel's np.where guard).
+
+    IQR and QCOD are derived from the matched P25/P75 with the same two-step
+    float ops as the kernel.
+    """
+    pcts = {"p10": "0.1", "p25": "0.25", "p75": "0.75", "p90": "0.9"}
+    stacks, vals = [], []
+    for nm, q in pcts.items():
+        stacks.append(f"""
+i_{nm} AS (
+  SELECT c.doc_id,
+         LEAST(COALESCE(MIN(c.b) FILTER (CAST(c.cum AS DOUBLE) > b.n * {q}), 99), 99) AS istar
+  FROM cums100 c JOIN bw100 b USING (doc_id)
+  GROUP BY c.doc_id
+),
+v_{nm} AS (
+  SELECT p.doc_id,
+         ((((b.n * {q}
+             - CAST(COALESCE((SELECT MAX(c2.cum) FROM cums100 c2
+                              WHERE c2.doc_id = p.doc_id AND c2.b < p.istar), 0) AS DOUBLE))
+            * b.w)
+           / (CASE WHEN COALESCE(f.c, 0) > 0 THEN CAST(f.c AS DOUBLE) ELSE 1.0 END))
+          + b.mn) + (b.w * p.istar) AS v
+  FROM i_{nm} p
+  JOIN bw100 b USING (doc_id)
+  LEFT JOIN cums100 f ON f.doc_id = p.doc_id AND f.b = p.istar
+)""".strip())
+        vals.append(f"FLOOR((v_{nm}.v) * 10000.0 + 0.5) / 10000.0 AS {nm}")
+    joins = "\n".join(f"JOIN v_{nm} ON v_{nm}.doc_id = b.doc_id" for nm in pcts)
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, unnest(tokens) AS t FROM tokens_static
+),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(min(t) AS DOUBLE) AS mn, CAST(max(t) AS DOUBLE) AS mx
+  FROM flat GROUP BY doc_id HAVING max(t) > min(t)
+),
+bw100 AS (SELECT doc_id, n, mn, mx, (mx - mn) / 100.0 AS w FROM stats),
+binned100 AS (
+  SELECT f.doc_id,
+         LEAST(CAST(FLOOR(CAST(f.t - b.mn AS DOUBLE) / b.w) AS INTEGER), 99) AS b
+  FROM flat f JOIN bw100 b USING (doc_id)
+),
+freq100 AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM binned100 GROUP BY doc_id, b
+),
+cums100 AS (
+  SELECT doc_id, b, c,
+         SUM(c) OVER (PARTITION BY doc_id ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM freq100
+),
+{",".join(stacks)}
+SELECT b.doc_id,
+       {", ".join(vals)},
+       FLOOR((v_p75.v - v_p25.v) * 10000.0 + 0.5) / 10000.0 AS iqr,
+       FLOOR(((v_p75.v - v_p25.v) / (v_p75.v + v_p25.v)) * 10000.0 + 0.5) / 10000.0 AS qcod
+FROM bw100 b
+{joins}
 """
 
 

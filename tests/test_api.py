@@ -1,0 +1,53 @@
+"""Top-level NyxusSpark API (the reference's `Nyxus(...)` entry point,
+nyxus.py:145-506, recast): constructor knobs, the four featurize flavors,
+and parity with the underlying engine calls."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nyxus_spark import NyxusSpark
+from nyxus_spark.features import extract_features
+from nyxus_spark.sources import probes, tokens_static, tokens_versions
+
+
+def test_featurize_matches_extract_features(spark, sf_dir):
+    t = tokens_static(spark, sf_dir)
+    api = NyxusSpark(["MEAN", "ENTROPY", "GLCM_CONTRAST"]).featurize(t).toPandas()
+    eng = extract_features(t, ["MEAN", "ENTROPY", "GLCM_CONTRAST"],
+                           keep_tokens=False).toPandas()
+    api = api.sort_values("doc_id").reset_index(drop=True)
+    eng = eng.sort_values("doc_id").reset_index(drop=True)
+    for c in ("MEAN", "ENTROPY", "GLCM_CONTRAST"):
+        assert np.allclose(api[c], eng[c], equal_nan=True)
+
+
+def test_featurize_memory_and_gray_depth(spark):
+    api = NyxusSpark(["MEAN", "ENTROPY", "IH_NUM_BINS"], coarse_gray_depth=32)
+    out = api.featurize_memory(spark, [[1, 2, 3, 4], [5, 5, 9]]).toPandas()
+    assert len(out) == 2
+    assert out["MEAN"].tolist() == [2.5, pytest.approx(19 / 3)]
+    # coarse_gray_depth must reach the IH histogram (reference nyxus.py:169)
+    assert out["IH_NUM_BINS"].dropna().unique().tolist() == [32.0]
+
+
+def test_featurize_path(spark, sf_dir, tmp_path):
+    t = tokens_static(spark, sf_dir).limit(20)
+    p = str(tmp_path / "toks")
+    t.write.parquet(p)
+    out = NyxusSpark(["COUNT"]).featurize_path(spark, p).toPandas()
+    assert len(out) == 20 and "COUNT" in out.columns
+
+
+def test_featurize_asof_no_leakage(spark, sf_dir):
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "tokens", "n_tok")
+    p = probes(spark, sf_dir)
+    out = NyxusSpark(["MEAN", "COUNT"]).featurize_asof(p, v, keep_tokens=False)
+    rows = out.select("ts", "matched_ts", "MEAN").collect()
+    assert rows
+    assert not [r for r in rows if r["matched_ts"] and r["matched_ts"] > r["ts"]]
