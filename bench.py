@@ -216,9 +216,12 @@ def main() -> None:
 
 
 def _median_eff(eff_runs: list[dict]) -> float | None:
-    if not eff_runs:
+    # entries flagged valid=false record KNOWN protocol violations (e.g. a
+    # test suite ran concurrently during the pair) — annotated in
+    # results.json with the reason, excluded from the estimate, never deleted
+    vals = sorted(e["eff"] for e in eff_runs if e.get("valid", True))
+    if not vals:
         return None
-    vals = sorted(e["eff"] for e in eff_runs)
     n = len(vals)
     mid = n // 2
     return round(vals[mid] if n % 2 else (vals[mid - 1] + vals[mid]) / 2, 3)
@@ -241,12 +244,19 @@ def _write_bench_md(results: dict[int, dict], levels: list[int], sf_dir: str,
     if best_eff is not None:
         lo, mid = best_eff["lo"], best_eff["mid"]
         e_main = med_eff if med_eff is not None else best_eff["eff"]
-        n_runs = len(eff_runs or [])
+        valid = [e for e in (eff_runs or []) if e.get("valid", True)]
+        n_excl = len(eff_runs or []) - len(valid)
+        excl = (
+            f"; {n_excl} pair(s) excluded for annotated protocol violations "
+            f"(concurrent load during the measurement — see results.json notes)"
+            if n_excl else ""
+        )
         eff_src = (
-            f"MEDIAN of {n_runs} coherent same-invocation pairs "
+            f"MEDIAN of {len(valid)} coherent same-invocation pairs "
             f"(best pair {best_eff['eff']:.3f}: local[{lo}] {best_eff['r_lo']:.0f} → "
             f"local[{mid}] {best_eff['r_mid']:.0f} rows/s; the median, not the max, "
-            f"is the headline — a ratio's best-of is upward-biased under host noise)"
+            f"is the headline — a ratio's best-of is upward-biased under host "
+            f"noise{excl})"
         )
     else:
         lo, mid = levels[0], levels[1]
@@ -292,7 +302,10 @@ algorithms, integer-sum formulations) — the residual ceiling is the
 host, not the plan: every stage is embarrassingly parallel (narrow mapInArrow)
 or a single hash/sort shuffle, which on a real multi-node cluster (per-node
 memory buses) scales with executors. The {lo}→{mid} step, where the bus is not
-saturated, is therefore the faithful proxy for N→4N *executor* scaling.
+saturated, is therefore the faithful proxy for N→4N *executor* scaling (note
+the intermediate steps in the table: whenever the added cores land below the
+bus ceiling, the measured step efficiency is high — the plan itself has no
+serial section).
 
 Per-phase seconds at each level:
 """ + "\n".join(f"- local[{c}]: {json.dumps(results[c]['queries'])}" for c in levels) + "\n"
