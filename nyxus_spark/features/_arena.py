@@ -22,3 +22,16 @@ def buf(key: str, shape, dtype=np.float64) -> np.ndarray:
         b = np.empty(max(need, 1), dtype=dtype)
         _BUFS[key] = b
     return b[:need].reshape(shape)
+
+
+_ARANGE = np.empty(0, dtype=np.int64)
+
+
+def arange_buf(n: int) -> np.ndarray:
+    """Reusable 0..n-1 int64 view — np.arange over millions of elements costs
+    real milliseconds per batch on this host; the ramp never changes, so grow
+    it once and slice."""
+    global _ARANGE
+    if _ARANGE.size < n:
+        _ARANGE = np.arange(max(n, 1), dtype=np.int64)
+    return _ARANGE[:n]

@@ -132,7 +132,8 @@ def firstorder_section(seg: Segments, settings: FeatureSettings) -> dict[str, np
         d = v - mean[seg.row_idx]
         ad = np.abs(d)
         mad = seg.seg_sum(ad) / pop
-        ss = seg.seg_sum(d * d)
+        d2 = d * d
+        ss = seg.seg_sum(d2)
         var = np.where(pop > 1, ss / np.maximum(pop - 1, 1), 0.0)
         var_b = np.where(pop > 1, ss / pop, 0.0)
         std = np.sqrt(var)
@@ -140,14 +141,18 @@ def firstorder_section(seg: Segments, settings: FeatureSettings) -> dict[str, np
         cov = std / mean
         stderr = std / np.sqrt(pop)
 
-        # moments.h:82-109 semantics with M_k = Σ d^k
-        m3 = seg.seg_sum(d * d * d)
-        m4 = seg.seg_sum(d * d * d * d)
+        # moments.h:82-109 semantics with M_k = Σ d^k. Powers via an explicit
+        # multiply chain (d³=d²·d, d⁴=d²·d², d⁵=d⁴·d, d⁶=d³·d³): np.power
+        # with integer exponents ≥ 5 drops to the ~20×-slower pow loop.
+        d3 = d2 * d
+        d4 = d2 * d2
+        m3 = seg.seg_sum(d3)
+        m4 = seg.seg_sum(d4)
         skew = np.where((pop > 3) & (ss > 0), np.sqrt(pop) * m3 / np.power(np.where(ss > 0, ss, 1), 1.5), 0.0)
         kurt = np.where((pop > 4) & (ss > 0), pop * m4 / np.square(np.where(ss > 0, ss, 1)), 0.0)
         exkurt = np.where((pop > 4) & (ss > 0), kurt - 3.0, 0.0)
-        s5 = seg.seg_sum(d ** 5)
-        s6 = seg.seg_sum(d ** 6)
+        s5 = seg.seg_sum(d4 * d)
+        s6 = seg.seg_sum(d3 * d3)
         den5 = pop * np.power(std, 5.0)
         den6 = pop * np.power(std, 6.0)
         hskew = np.where(den5 != 0, s5 / np.where(den5 != 0, den5, 1), 0.0)

@@ -39,15 +39,19 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
     pos = (np.arange(w.size, dtype=np.float64) - seg.starts[seg.row_idx]) if w.size else w
 
     with np.errstate(divide="ignore", invalid="ignore"):
+        # powers as explicit multiply chains (pos², pos³=pos²·pos, …):
+        # np.power's integer-exponent ≥ 3 path is the slow pow loop
+        pos2 = pos * pos
         m0 = seg.seg_sum(w)
         m1 = seg.seg_sum(w * pos)
-        m2 = seg.seg_sum(w * pos ** 2)
-        m3 = seg.seg_sum(w * pos ** 3)
+        m2 = seg.seg_sum(w * pos2)
+        m3 = seg.seg_sum(w * (pos2 * pos))
         c = m1 / m0
         dc = pos - c[seg.row_idx]
-        mu2 = seg.seg_sum(w * dc ** 2)
-        mu3 = seg.seg_sum(w * dc ** 3)
-        mu4 = seg.seg_sum(w * dc ** 4)
+        dc2 = dc * dc
+        mu2 = seg.seg_sum(w * dc2)
+        mu3 = seg.seg_sum(w * (dc2 * dc))
+        mu4 = seg.seg_sum(w * (dc2 * dc2))
         eta2 = mu2 / m0 ** 2.0
         eta3 = mu3 / m0 ** 2.5
         eta4 = mu4 / m0 ** 3.0
@@ -55,13 +59,14 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         nzm = seg.flat != 0
         s0 = seg.seg_count(nzm).astype(np.float64)
         s1 = seg.seg_sum_where(pos, nzm)
-        s2 = seg.seg_sum_where(pos ** 2, nzm)
-        s3 = seg.seg_sum_where(pos ** 3, nzm)
+        s2 = seg.seg_sum_where(pos2, nzm)
+        s3 = seg.seg_sum_where(pos2 * pos, nzm)
         sc = s1 / s0
         sdc = pos - sc[seg.row_idx]
-        smu2 = seg.seg_sum_where(sdc ** 2, nzm)
-        smu3 = seg.seg_sum_where(sdc ** 3, nzm)
-        smu4 = seg.seg_sum_where(sdc ** 4, nzm)
+        sdc2 = sdc * sdc
+        smu2 = seg.seg_sum_where(sdc2, nzm)
+        smu3 = seg.seg_sum_where(sdc2 * sdc, nzm)
+        smu4 = seg.seg_sum_where(sdc2 * sdc2, nzm)
         seta2 = smu2 / s0 ** 2.0
         seta3 = smu3 / s0 ** 2.5
         seta4 = smu4 / s0 ** 3.0

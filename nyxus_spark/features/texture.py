@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from nyxus_spark.features._arena import arange_buf, buf
 from nyxus_spark.features.binning import bin_tokens
 from nyxus_spark.features.segmented import Segments
 from nyxus_spark.settings import FeatureSettings
@@ -421,16 +422,31 @@ def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
         # always share a row. i<j half then ×2 (diagonal is 0).
         pi_elem = p[prow, plev]
         U_elem = pi_elem * Smat[prow, plev]
-        local_rank = np.arange(prow.size) - starts_r[prow]
+        ar_e = arange_buf(prow.size)
+        local_rank = ar_e - starts_r[prow]
         npair = k_per[prow] - 1 - local_rank   # partners after this element
-        first = np.repeat(np.arange(prow.size), npair)
+        first = np.repeat(ar_e, npair)
         grp_start = np.cumsum(npair) - npair
-        second = first + (np.arange(first.size) - grp_start[first]) + 1
-        dlev = (plev[second] - plev[first]).astype(np.float64)  # > 0 (sorted)
-        contrib = dlev * (U_elem[first] + U_elem[second]) / (
-            pi_elem[first] + pi_elem[second]
-        )
-        acc = np.bincount(prow[first], weights=contrib, minlength=n)
+        m_pairs = first.size
+        # pair gathers stream through arena buffers (np.take with out=) and
+        # the 0..m ramp is the cached arena arange — at Σ Ngp²/2 pairs these
+        # are the batch's largest temporaries, and this host taxes every
+        # fresh multi-MB allocation with its slow first-touch path
+        second = buf("ngt_second", m_pairs, np.int64)
+        np.subtract(arange_buf(m_pairs), np.take(grp_start, first), out=second)
+        second += first
+        second += 1
+        t_a = buf("ngt_ta", m_pairs)
+        t_b = buf("ngt_tb", m_pairs)
+        np.take(plev.astype(np.float64), second, out=t_a)
+        t_a -= np.take(plev, first)            # dlev (> 0: levels sorted)
+        np.take(U_elem, first, out=t_b)
+        t_b += np.take(U_elem, second)
+        t_a *= t_b                             # dlev · (U_i + U_j)
+        np.take(pi_elem, first, out=t_b)
+        t_b += np.take(pi_elem, second)
+        t_a /= t_b                             # / (p_i + p_j)
+        acc = np.bincount(np.take(prow, first), weights=t_a, minlength=n)
         complexity = 2.0 * acc / safe_Nvc
 
     deg = _degenerate_mask(seg, ctx) | (Ngp < 2)  # "binned data uninformative"
@@ -540,9 +556,10 @@ def _glcm_stats(seg: Segments, ctx, settings: FeatureSettings, d: int) -> dict[s
     with np.errstate(divide="ignore", invalid="ignore"):
         corr = (acor - mux * muy) / (sigx * sigy)
         cs = summ - (mux + muy)[crow]
-        clut = by_row(p * cs ** 2)
-        clus = by_row(p * cs ** 3)
-        clup = by_row(p * cs ** 4)
+        cs2 = cs * cs  # multiply chain: np.power's int-exponent ≥3 pow loop
+        clut = by_row(p * cs2)
+        clus = by_row(p * (cs2 * cs))
+        clup = by_row(p * (cs2 * cs2))
         jvar = by_row(p * (ca - jave[crow]) ** 2)
         sumave = by_row(cntf * summ) / safe_sp
         sumvar = by_row(p * (summ - sumave[crow]) ** 2)
