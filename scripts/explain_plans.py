@@ -65,9 +65,35 @@ def main() -> None:
     ).select("event_id", "value")
     sections["filtered scan (predicate pushdown + column pruning)"] = plan_of(flt)
 
+    # co-located as-of join: both sides bucketed+sorted on doc_id → the
+    # cogroup strategy's clustered distribution is satisfied by the scans
+    # themselves — ZERO Exchange in the plan
+    import tempfile
+
+    from nyxus_spark.sinks import write_bucketed
+
+    bdir = tempfile.mkdtemp(prefix="bucketed_explain_")
+    write_bucketed(v.select("doc_id", "ts", "n_tok"), "explain_v_b",
+                   path=f"{bdir}/v")
+    write_bucketed(p, "explain_p_b", path=f"{bdir}/p")
+    sections["co-located as-of join (bucketed tables — ZERO Exchange)"] = plan_of(
+        asof_join(spark.table("explain_p_b"), spark.table("explain_v_b"),
+                  strategy="cogroup_merge")
+    )
+    spark.sql("DROP TABLE IF EXISTS explain_v_b")
+    spark.sql("DROP TABLE IF EXISTS explain_p_b")
+
+    # neighbor range join: bucketed broad phase, rank-based top-2 (no
+    # collect_list), one shuffle per side
+    from nyxus_spark.operators.relations import neighbor_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id"
+    )
+    sections["neighbor range join + rank top-2"] = plan_of(neighbor_stats(ev, 14400.0))
+
     # persisted IVF index: the probe filter must land as PartitionFilters on
     # the scan (bucket pruning at the source, not a post-scan filter)
-    import tempfile
 
     from nyxus_spark.operators.similarity import ivf_index, ivf_search
 
@@ -105,6 +131,9 @@ def main() -> None:
     assert "Exchange" not in sections["feature catalog (narrow — no exchange)"]
     assert "PartitionFilters: [" in sections[
         "IVF search on the persisted index (PartitionFilters pruning)"
+    ]
+    assert "Exchange" not in sections[
+        "co-located as-of join (bucketed tables — ZERO Exchange)"
     ]
     print("EXPLAIN.md written")
     spark.stop()
