@@ -761,6 +761,40 @@ def _q_covered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (1h): matches older than the
+    tolerance are nulled — the merge_asof `tolerance` semantics on the JVM
+    union-window path. Oracle: plain ASOF LEFT JOIN + a CASE that replays the
+    same Δt ≤ tolerance comparison on epoch seconds."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import asof_join
+    from nyxus_spark.sources import probes, tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
+    p = probes(spark, sf_dir)
+    out = asof_join(p, v, tolerance_sec=3600.0)
+    return out.select(
+        "doc_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+        "n_tok",
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one row per sampled byte offset of each
+    video payload (posexplode over a stride sequence — pure column exprs)."""
+    _prep(spark)
+    from nyxus_spark.operators.multimodal import attach_fake_media, frame_sample
+    from nyxus_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_fake_media(docs), every_n_bytes=64)
+
+
 def _q_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via the cogrouped pandas merge_asof kernel (same oracle as
     the union_window strategy — strategies must agree)."""
@@ -968,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pivot": _q_rollup_pivot,
         "covered_range": _q_covered_range,
         "asof_merge": _q_asof_merge,
+        "asof_tolerance": _q_asof_tolerance,
+        "frame_sample": _q_frame_sample,
         "tokens_basic": _q_tokens_basic,
         "prescan_sources": _q_prescan_sources,
         "asof_join": _q_asof_join,
@@ -1136,6 +1172,26 @@ SELECT p.doc_id, p.event_id,
        v.n_tok
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
+        "asof_tolerance": f"""
+WITH {SQL_VERSIONS}, {SQL_PROBES}
+SELECT p.doc_id, p.event_id,
+       epoch_us(p.ts) AS ts_us,
+       CASE WHEN epoch(p.ts) - epoch(v.ts) <= 3600.0 THEN epoch_us(v.ts) END AS matched_ts_us,
+       CASE WHEN epoch(p.ts) - epoch(v.ts) <= 3600.0 THEN v.n_tok END AS n_tok
+FROM probes p ASOF LEFT JOIN versions v
+  ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
+        "frame_sample": """
+WITH vids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS sdoc, CAST(strlen(text) AS INTEGER) AS n
+  FROM documents
+  WHERE strlen(text) > 0 AND doc_id % 3 = 2
+)
+SELECT v.sdoc AS doc_id,
+       CAST(u.p // 64 AS INTEGER) AS frame_idx,
+       CAST(u.p AS INTEGER) AS byte_offset
+FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
 """,
         "dedup_exact": oracles.SQL_EXACT_DEDUP,
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
