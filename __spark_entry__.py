@@ -717,13 +717,23 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parent-child rollup (J3): aggregate version-level stats per doc."""
+    """Parent-child rollup (J3): aggregate version-level stats per doc,
+    including the WMA (area-weighted mean, nested_feature_aggregation.h:6)
+    in the exact-integer cents formulation: Σ(cents·n_tok)/(Σn_tok·100)."""
     _prep(spark)
+    from pyspark.sql import functions as F
+
     from nyxus_spark.operators.relations import rollup_parent
     from nyxus_spark.sources import tokens_versions
 
     v = tokens_versions(spark, sf_dir).select("doc_id", "n_tok", "value")
-    return rollup_parent(v, "doc_id", ["n_tok", "value"])
+    base = rollup_parent(v, "doc_id", ["n_tok", "value"])
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ntok = F.col("n_tok").cast("long")
+    wma = v.groupBy("doc_id").agg(
+        _r4(F.sum(cents * ntok) / (F.sum(ntok) * 100)).alias("wma_value")
+    )
+    return base.join(wma, "doc_id")
 
 
 def _q_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,7 +1096,9 @@ SELECT doc_id,
        FLOOR((SUM(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
        FLOOR((AVG(value)) * 10000.0 + 0.5) / 10000.0 AS mean_value,
        FLOOR((MIN(value)) * 10000.0 + 0.5) / 10000.0 AS min_value,
-       FLOOR((MAX(value)) * 10000.0 + 0.5) / 10000.0 AS max_value
+       FLOOR((MAX(value)) * 10000.0 + 0.5) / 10000.0 AS max_value,
+       FLOOR((CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * n_tok) AS DOUBLE)
+             / (CAST(SUM(n_tok) AS BIGINT) * 100)) * 10000.0 + 0.5) / 10000.0 AS wma_value
 FROM versions GROUP BY doc_id
 """,
         "rollup_pivot": f"""

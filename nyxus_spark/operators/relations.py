@@ -113,12 +113,23 @@ def rollup_parent(
     parent_key: str,
     value_cols: list[str],
     aggs: list[str] = ["sum", "mean", "min", "max"],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Parent-child nested aggregation (J3): one row per parent with
-    {agg}_{col} columns (nested_feature_aggregation.h:6 set + count)."""
+    {agg}_{col} columns — the full SUM/MEAN/MIN/MAX/WMA set of
+    nested_feature_aggregation.h:6 plus count. "wma" is the area-weighted
+    mean (child weight = `weight_col`, the ROI-area analog — here n_tok)."""
+    if "wma" in aggs and weight_col is None:
+        raise ValueError("wma aggregation needs weight_col (the child area analog)")
     exprs = [F.count("*").alias("n_children")]
     for c in value_cols:
         for a in aggs:
+            if a == "wma":
+                w = F.col(weight_col).cast("double")
+                exprs.append(
+                    fround4(F.sum(F.col(c).cast("double") * w) / F.sum(w)).alias(f"wma_{c}")
+                )
+                continue
             fn = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}[a]
             exprs.append(fround4(fn(c).cast("double")).alias(f"{a}_{c}"))
     return child.groupBy(parent_key).agg(*exprs)

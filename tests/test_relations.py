@@ -68,3 +68,25 @@ def test_prescan_broadcast_plan_and_values(spark, sf_dir):
     assert min(row["tokens"]) >= row["src_min"] and max(row["tokens"]) <= row["src_max"]
     cr = joined.select(covered_range_col()).first()[0]
     assert 0.0 <= cr <= 1.0
+
+
+def test_rollup_wma(spark):
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.relations import rollup_parent
+
+    child = spark.createDataFrame(
+        [("p1", 10, 2.0), ("p1", 30, 4.0), ("p2", 5, 7.0)],
+        "doc_id string, n_tok int, value double",
+    )
+    out = {r.doc_id: r for r in rollup_parent(
+        child, "doc_id", ["value"], aggs=["mean", "wma"], weight_col="n_tok"
+    ).collect()}
+    # p1: plain mean 3.0; area-weighted (10*2 + 30*4)/40 = 3.5
+    assert out["p1"].mean_value == 3.0 and out["p1"].wma_value == 3.5
+    assert out["p2"].wma_value == 7.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weight_col"):
+        rollup_parent(child, "doc_id", ["value"], aggs=["wma"])
