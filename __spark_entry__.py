@@ -613,6 +613,70 @@ def _q_gldzm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_glcm_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLCM under the RADIOMICS binning mode (grey_info<0: 1-based bins,
+    binW=range/n, raw 0 = background) with symmetric pair accumulation
+    (glcm.cpp:475-477) — driver-gates the second of the three binning modes
+    (matlab is covered by `glcm`, IBSI identity by pytest)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.settings import FeatureSettings
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["GLCM_CONTRAST", "GLCM_ASM", "GLCM_DIS", "GLCM_SUMAVERAGE",
+            "GLCM_ACOR", "GLCM_JAVE"],
+        settings=FeatureSettings(grey_info=-64),
+        keep_tokens=False,
+    )
+    return feats.filter(~F.isnan("GLCM_CONTRAST")).select(
+        "doc_id",
+        _r4("GLCM_CONTRAST").alias("glcm_contrast"),
+        _r4("GLCM_ASM").alias("glcm_asm"),
+        _r4("GLCM_DIS").alias("glcm_dis"),
+        _r4("GLCM_SUMAVERAGE").alias("glcm_sumaverage"),
+        _r4("GLCM_ACOR").alias("glcm_acor"),
+        _r4("GLCM_JAVE").alias("glcm_jave"),
+    )
+
+
+def _q_glcm_ibsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLCM under IBSI IDENTITY binning (grey_info=0: tokens ARE the grey
+    levels, texture_feature.h:43-49) over a deterministic small-vocab
+    derivation (x % 32 + 1) — with glcm (matlab) and glcm_sym (radiomics)
+    this puts all THREE binning modes under the oracle gate."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.settings import FeatureSettings
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).withColumn(
+        "tokens", F.expr("transform(tokens, x -> x % 32 + 1)")
+    ).filter(F.array_max("tokens") > F.array_min("tokens"))
+    feats = extract_features(
+        t, ["GLCM_CONTRAST", "GLCM_ASM", "GLCM_DIS", "GLCM_SUMAVERAGE",
+            "GLCM_ACOR", "GLCM_JAVE"],
+        settings=FeatureSettings(grey_info=0),
+        keep_tokens=False,
+    )
+    return feats.filter(~F.isnan("GLCM_CONTRAST")).select(
+        "doc_id",
+        _r4("GLCM_CONTRAST").alias("glcm_contrast"),
+        _r4("GLCM_ASM").alias("glcm_asm"),
+        _r4("GLCM_DIS").alias("glcm_dis"),
+        _r4("GLCM_SUMAVERAGE").alias("glcm_sumaverage"),
+        _r4("GLCM_ACOR").alias("glcm_acor"),
+        _r4("GLCM_JAVE").alias("glcm_jave"),
+    )
+
+
 def _q_glcm_ave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-offset GLCM — the 1-D analog of the reference's per-angle columns
     plus _AVE averages (output_2_csv.cpp:97-127, featureset.h:205-233). One
@@ -1033,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "glrlm": _q_glrlm,
         "glcm": _q_glcm,
+        "glcm_sym": _q_glcm_sym,
+        "glcm_ibsi": _q_glcm_ibsi,
         "glcm_ave": _q_glcm_ave,
         "glrlm_ave": _q_glrlm_ave,
         "glszm": _q_glszm,
@@ -1227,6 +1293,8 @@ FROM tokens_static
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
+        "glcm_sym": oracles.sql_glcm_sym(64),
+        "glcm_ibsi": oracles.sql_glcm_ibsi(32),
         "glcm_ave": oracles.sql_glcm_ave(64),
         "glrlm_ave": oracles.sql_glrlm_ave(64),
         "glszm": oracles.sql_glszm(64),

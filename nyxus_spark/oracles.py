@@ -672,6 +672,117 @@ FROM sums
 """
 
 
+def sql_glcm_sym(n_levels: int = 64) -> str:
+    """GLCM under RADIOMICS binning (texture_feature.h:106-118: 1-based bins,
+    binW = range/n, raw 0 → background 0) with SYMMETRIC accumulation
+    (glcm.cpp:475-477: every pair counted in both directions). Integer
+    numerators + single divisions as in sql_glcm."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM tokens_static
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i, f.t AS rawt,
+         CASE WHEN f.t = 0 THEN 0
+              ELSE LEAST(CAST(FLOOR(CAST(f.t - s.mn AS DOUBLE)
+                                    / ((s.mx - s.mn) / {n_levels}.0)) AS INTEGER) + 1,
+                         {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+fwd AS (
+  SELECT doc_id, g AS a, lead(g) OVER w AS b,
+         rawt, lead(rawt) OVER w AS rawt2
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+valid AS (
+  SELECT doc_id, a, b FROM fwd
+  WHERE b IS NOT NULL AND rawt <> 0 AND rawt2 <> 0 AND a > 0 AND b > 0
+),
+sym AS (
+  SELECT doc_id, a, b FROM valid
+  UNION ALL
+  SELECT doc_id, b AS a, a AS b FROM valid
+),
+cellcnt AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY 1, 2, 3),
+sums AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * (a - b) * (a - b)) AS BIGINT) AS ncontrast,
+         CAST(SUM(c * c) AS BIGINT) AS nasm,
+         CAST(SUM(c * abs(a - b)) AS BIGINT) AS ndis,
+         CAST(SUM(c * (a + b)) AS BIGINT) AS nsumave,
+         CAST(SUM(c * a * b) AS BIGINT) AS nacor,
+         CAST(SUM(c * a) AS BIGINT) AS njave
+  FROM cellcnt GROUP BY doc_id
+)
+SELECT doc_id,
+       FLOOR((CAST(ncontrast AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast,
+       FLOOR((CAST(nasm AS DOUBLE) / (CAST(s AS DOUBLE) * s)) * 10000.0 + 0.5) / 10000.0 AS glcm_asm,
+       FLOOR((CAST(ndis AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_dis,
+       FLOOR((CAST(nsumave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_sumaverage,
+       FLOOR((CAST(nacor AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_acor,
+       FLOOR((CAST(njave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jave
+FROM sums
+"""
+
+
+def sql_glcm_ibsi(vocab_mod: int = 32) -> str:
+    """GLCM oracle under IBSI identity binning over the deterministic
+    small-vocab derivation t % vocab_mod + 1 (grey level = token value;
+    symmetric accumulation — grey_info ≤ 0 implies symmetric, glcm.cpp:475)."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+small AS (
+  SELECT doc_id, n_tok,
+         list_transform(tokens, x -> x % {vocab_mod} + 1) AS tokens
+  FROM tokens_static
+),
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM small
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i, f.t AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+fwd AS (
+  SELECT doc_id, g AS a, lead(g) OVER w AS b
+  FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+valid AS (SELECT doc_id, a, b FROM fwd WHERE b IS NOT NULL),
+sym AS (
+  SELECT doc_id, a, b FROM valid
+  UNION ALL
+  SELECT doc_id, b AS a, a AS b FROM valid
+),
+cellcnt AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY 1, 2, 3),
+sums AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * (a - b) * (a - b)) AS BIGINT) AS ncontrast,
+         CAST(SUM(c * c) AS BIGINT) AS nasm,
+         CAST(SUM(c * abs(a - b)) AS BIGINT) AS ndis,
+         CAST(SUM(c * (a + b)) AS BIGINT) AS nsumave,
+         CAST(SUM(c * a * b) AS BIGINT) AS nacor,
+         CAST(SUM(c * a) AS BIGINT) AS njave
+  FROM cellcnt GROUP BY doc_id
+)
+SELECT doc_id,
+       FLOOR((CAST(ncontrast AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast,
+       FLOOR((CAST(nasm AS DOUBLE) / (CAST(s AS DOUBLE) * s)) * 10000.0 + 0.5) / 10000.0 AS glcm_asm,
+       FLOOR((CAST(ndis AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_dis,
+       FLOOR((CAST(nsumave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_sumaverage,
+       FLOOR((CAST(nacor AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_acor,
+       FLOOR((CAST(njave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jave
+FROM sums
+"""
+
+
 def sql_glcm_ave(n_levels: int = 64, offsets: tuple[int, ...] = (1, 2, 4)) -> str:
     """Multi-offset GLCM oracle: one CTE stack of pair sums per offset d
     (lead(g, d) within the doc), per-offset values as single divisions, _AVE
