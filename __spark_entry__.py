@@ -930,7 +930,9 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (S1/S2/Σf² sums are exact ints → order-independent; one final
             # division / affine bin-center map is replayed by the oracle)
             "IH_MEAN_VAL", "IH_VARIANCE_VAL", "IH_UNIFORMITY_VAL",
-            "IH_MODE_VAL", "IH_RANGE_VAL", "IH_P10_VAL", "IH_P90_VAL"],
+            "IH_MODE_VAL", "IH_RANGE_VAL", "IH_P10_VAL", "IH_P90_VAL",
+            "IH_MAX_GRADIENT", "IH_MAX_GRADIENT_IDX",
+            "IH_MIN_GRADIENT", "IH_MIN_GRADIENT_IDX"],
         keep_tokens=False,
     )
     return feats.select(
@@ -949,6 +951,12 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("IH_RANGE_VAL")).alias("ih_range_val"),
         _r4(F.col("IH_P10_VAL")).alias("ih_p10_val"),
         _r4(F.col("IH_P90_VAL")).alias("ih_p90_val"),
+        # gradients: central differences of integer counts — interior values
+        # are exact halves, edges exact ints (intensity_histogram.cpp:162-167)
+        _r4(F.col("IH_MAX_GRADIENT")).alias("ih_max_grad"),
+        F.col("IH_MAX_GRADIENT_IDX").cast("long").alias("ih_max_grad_idx"),
+        _r4(F.col("IH_MIN_GRADIENT")).alias("ih_min_grad"),
+        F.col("IH_MIN_GRADIENT_IDX").cast("long").alias("ih_min_grad_idx"),
     )
 
 

@@ -1190,6 +1190,28 @@ q90v AS (
          - ((CAST(c.cum AS DOUBLE) / b.n - 0.90) / (CAST(c.c AS DOUBLE) / b.n)) * b.w AS v90
   FROM q90 q JOIN cums c ON c.doc_id = q.doc_id AND c.bin = q.istar
   JOIN bw b ON b.doc_id = q.doc_id
+),
+grid AS (
+  SELECT b.doc_id, CAST(u.p AS INTEGER) AS bin
+  FROM bw b, unnest(range(0, {nb})) AS u(p)
+),
+densef AS (  -- dense counts incl. absent bins (gradients need the zeros)
+  SELECT g.doc_id, g.bin, COALESCE(f.c, 0) AS c
+  FROM grid g LEFT JOIN freq f ON f.doc_id = g.doc_id AND f.bin = g.bin
+),
+grads AS (  -- central differences, forward/backward at edges (exact halves)
+  SELECT doc_id, bin,
+         CASE WHEN bin = 0 THEN CAST(lead(c) OVER w - c AS DOUBLE)
+              WHEN bin = {nb - 1} THEN CAST(c - lag(c) OVER w AS DOUBLE)
+              ELSE CAST(lead(c) OVER w - lag(c) OVER w AS DOUBLE) / 2.0 END AS gr
+  FROM densef WINDOW w AS (PARTITION BY doc_id ORDER BY bin)
+),
+gagg AS (SELECT doc_id, MAX(gr) AS gmx, MIN(gr) AS gmn FROM grads GROUP BY doc_id),
+gidx AS (  -- first (lowest-bin) occurrence, matching np.argmax/argmin
+  SELECT g.doc_id,
+         MIN(g.bin) FILTER (g.gr = a.gmx) AS mx_bin,
+         MIN(g.bin) FILTER (g.gr = a.gmn) AS mn_bin
+  FROM grads g JOIN gagg a USING (doc_id) GROUP BY g.doc_id
 )
 SELECT b.doc_id,
        CAST(m.med_bin + 1 AS BIGINT) AS ih_median_idx,
@@ -1208,8 +1230,16 @@ SELECT b.doc_id,
        FLOOR((b.mn + (mo.mode_bin + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_mode_val,
        FLOOR((b.mx - b.mn) * 10000.0 + 0.5) / 10000.0 AS ih_range_val,
        FLOOR((q1.v10) * 10000.0 + 0.5) / 10000.0 AS ih_p10_val,
-       FLOOR((q9.v90) * 10000.0 + 0.5) / 10000.0 AS ih_p90_val
+       FLOOR((q9.v90) * 10000.0 + 0.5) / 10000.0 AS ih_p90_val,
+       -- DBL_MIN seeding (intensity_histogram.cpp:162-167): no positive
+       -- gradient → value stays at the seed (rounds to 0) and idx at 0
+       CASE WHEN ga.gmx > 0 THEN FLOOR((ga.gmx) * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS ih_max_grad,
+       CAST(CASE WHEN ga.gmx > 0 THEN gi.mx_bin + 1 ELSE 0 END AS BIGINT) AS ih_max_grad_idx,
+       FLOOR((ga.gmn) * 10000.0 + 0.5) / 10000.0 AS ih_min_grad,
+       CAST(gi.mn_bin + 1 AS BIGINT) AS ih_min_grad_idx
 FROM bw b JOIN med m USING (doc_id) JOIN mode mo USING (doc_id)
 JOIN q10v q1 USING (doc_id) JOIN q90v q9 USING (doc_id)
 JOIN isums s USING (doc_id)
+JOIN gagg ga USING (doc_id) JOIN gidx gi USING (doc_id)
 """
