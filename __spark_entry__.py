@@ -613,6 +613,40 @@ def _q_gldzm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_glrlm_bg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length features over a corpus WITH background zeros (every token
+    divisible by 7 zeroed, radiomics binning): exercises the zero-break RLE
+    path — zeros are excluded AND runs must not merge across them
+    (glrlm.cpp background semantics; never triggered under matlab binning
+    where raw 0 maps to level 1)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.settings import FeatureSettings
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).withColumn(
+        "tokens", F.expr("transform(tokens, x -> CASE WHEN x % 7 = 0 THEN 0 ELSE x END)")
+    ).filter(
+        (F.array_max("tokens") > F.array_min("tokens"))
+        & F.exists("tokens", lambda x: x != 0)
+    )
+    feats = extract_features(
+        t, ["GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_GLN", "GLRLM_RLN"],
+        settings=FeatureSettings(grey_info=-64),
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        _r4("GLRLM_LRE").alias("glrlm_lre"),
+        _r4("GLRLM_RP").alias("glrlm_rp"),
+        _r4("GLRLM_HGLRE").alias("glrlm_hglre"),
+        _r4("GLRLM_GLN").alias("glrlm_gln"),
+        _r4("GLRLM_RLN").alias("glrlm_rln"),
+    )
+
+
 def _q_glcm_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLCM under the RADIOMICS binning mode (grey_info<0: 1-based bins,
     binW=range/n, raw 0 = background) with symmetric pair accumulation
@@ -1109,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glcm_ibsi": _q_glcm_ibsi,
         "glcm_ave": _q_glcm_ave,
         "glrlm_ave": _q_glrlm_ave,
+        "glrlm_bg": _q_glrlm_bg,
         "glszm": _q_glszm,
         "ngtdm": _q_ngtdm,
         "gldzm": _q_gldzm,
@@ -1305,6 +1340,7 @@ FROM tokens_static
         "glcm_ibsi": oracles.sql_glcm_ibsi(32),
         "glcm_ave": oracles.sql_glcm_ave(64),
         "glrlm_ave": oracles.sql_glrlm_ave(64),
+        "glrlm_bg": oracles.sql_glrlm_bg(64),
         "glszm": oracles.sql_glszm(64),
         "ngtdm": oracles.sql_ngtdm(64),
         "gldzm": oracles.sql_gldzm(64),

@@ -399,6 +399,78 @@ FROM per_doc p JOIN gln USING (doc_id) JOIN rln USING (doc_id)
 """
 
 
+def sql_glrlm_bg(n_levels: int = 64, zero_mod: int = 7) -> str:
+    """Run-length oracle for the BACKGROUND-BREAK path: a deterministic
+    derivation zeroes every token divisible by `zero_mod`; under radiomics
+    binning zeros map to level 0 (texture_feature.h:106-118) and BREAK runs
+    (zeros are excluded and non-adjacent survivors must not merge — hence the
+    lag(i) adjacency check in the gaps-and-islands flag)."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+derived AS (
+  SELECT doc_id, n_tok,
+         list_transform(tokens, x -> CASE WHEN x % {zero_mod} = 0 THEN 0 ELSE x END) AS tokens
+  FROM tokens_static
+),
+flat AS (
+  SELECT doc_id, n_tok, unnest(tokens) AS t, unnest(range(1, n_tok + 1)) AS i
+  FROM derived
+),
+stats AS (SELECT doc_id, min(t) AS mn, max(t) AS mx FROM flat GROUP BY doc_id),
+binned AS (
+  SELECT f.doc_id, f.i,
+         CASE WHEN f.t = 0 THEN 0
+              ELSE LEAST(CAST(FLOOR(CAST(f.t - s.mn AS DOUBLE)
+                                    / ((s.mx - s.mn) / {n_levels}.0)) AS INTEGER) + 1,
+                         {n_levels})
+         END AS g
+  FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+nz AS (SELECT doc_id, i, g FROM binned WHERE g > 0),
+npd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np FROM nz GROUP BY doc_id),
+flagged AS (
+  SELECT doc_id, i, g,
+         CASE WHEN lag(g) OVER w IS NULL OR lag(g) OVER w <> g
+                OR lag(i) OVER w <> i - 1 THEN 1 ELSE 0 END AS f
+  FROM nz WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+islands AS (
+  SELECT doc_id, g,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+runs AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS l
+  FROM islands GROUP BY doc_id, g, run_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr,
+         CAST(SUM(l * l) AS BIGINT) AS sll,
+         CAST(SUM(g * g) AS BIGINT) AS sgg
+  FROM runs GROUP BY doc_id
+),
+gln AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM runs GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+rln AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
+  FROM (SELECT doc_id, l, COUNT(*) AS c FROM runs GROUP BY doc_id, l)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       FLOOR((CAST(p.sll AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_lre,
+       FLOOR((CAST(p.nr AS DOUBLE) / n.np) * 10000.0 + 0.5) / 10000.0 AS glrlm_rp,
+       FLOOR((CAST(p.sgg AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_hglre,
+       FLOOR((CAST(gln.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_gln,
+       FLOOR((CAST(rln.v AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_rln
+FROM per_doc p JOIN npd n USING (doc_id)
+JOIN gln USING (doc_id) JOIN rln USING (doc_id)
+"""
+
+
 def sql_glszm(n_levels: int = 64) -> str:
     """GLSZM oracle: in 1-D, zones (connected same-grey components,
     glszm.cpp:82-135 DFS) degenerate to runs, so the zone matrix equals the
