@@ -1023,6 +1023,43 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_catalog_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: one representative column from each of seven
+    kernel families computed in a SINGLE extract_features pass (one Segments,
+    one shared binning cache, one Arrow crossing) — the oracle recomputes
+    every column with an independent per-family sub-oracle. Catches section
+    interaction bugs (cache invalidation, ordering) that per-family queries
+    cannot."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")
+    )
+    feats = extract_features(
+        t, ["MEAN", "MEDIAN", "P25", "GLCM_CONTRAST", "GLRLM_LRE",
+            "GLDZM_LDE", "GLDM_LDE", "IH_MEDIAN_IDX", "HISTO_BIN_0",
+            "MOM_RAW_1"],
+        keep_tokens=False,
+    )
+    return feats.select(
+        "doc_id",
+        _r4("MEAN").alias("mean_tok"),
+        _r4("MEDIAN").alias("median_tok"),
+        _r4("P25").alias("p25"),
+        _r4("GLCM_CONTRAST").alias("glcm_contrast"),
+        _r4("GLRLM_LRE").alias("glrlm_lre"),
+        _r4("GLDZM_LDE").alias("gldzm_lde"),
+        _r4("GLDM_LDE").alias("gldm_lde"),
+        F.col("IH_MEDIAN_IDX").cast("long").alias("ih_median_idx"),
+        F.col("HISTO_BIN_0").cast("long").alias("histo_bin_0"),
+        F.col("MOM_RAW_1").cast("long").alias("m1"),
+    )
+
+
 def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin histogram feature columns (intensity.cpp:399-402): one exact
     integer count per custom-histogram bin — trivially oracle-able."""
@@ -1111,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ih": _q_ih,
         "percentiles": _q_percentiles,
         "histo_bins": _q_histo_bins,
+        "catalog_wide": _q_catalog_wide,
         "gldm": _q_gldm,
         "moments": _q_moments,
         "neighbors": _q_neighbors,
@@ -1169,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "ih": oracles.sql_ih(64),
         "percentiles": oracles.sql_percentiles(),
         "histo_bins": oracles.sql_histo_bins(64),
+        "catalog_wide": oracles.sql_catalog_wide(),
         "gldm": oracles.sql_gldm(64),
         "moments": oracles.sql_moments(),
         "neighbors": """

@@ -1189,6 +1189,40 @@ FROM binned GROUP BY doc_id
 """
 
 
+def sql_catalog_wide() -> str:
+    """Cross-family composition oracle: one column from each kernel family,
+    each recomputed by its own independent sub-oracle and equi-joined on
+    doc_id. The Spark side computes ALL of them in a single extract_features
+    pass (seven sections sharing one Segments + binning cache) — this checks
+    the section COMPOSITION, not just each family in isolation."""
+    return f"""
+SELECT f.doc_id, f.mean_tok, f.median_tok, p.p25, c.glcm_contrast,
+       r.glrlm_lre, z.gldzm_lde, d.gldm_lde, i.ih_median_idx,
+       h.histo_bin_0, m.m1
+FROM (
+  WITH {SQL_TOKENS_STATIC},
+  flat AS (SELECT doc_id, unnest(tokens) AS t FROM tokens_static),
+  st AS (
+    SELECT doc_id, COUNT(*) AS n, min(t) AS mn, max(t) AS mx,
+           CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS s, median(t) AS med
+    FROM flat GROUP BY doc_id HAVING max(t) > min(t)
+  )
+  SELECT doc_id,
+         FLOOR((CAST(s AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 AS mean_tok,
+         FLOOR((CAST(med AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS median_tok
+  FROM st
+) f
+JOIN ({sql_percentiles()}) p USING (doc_id)
+JOIN ({sql_glcm(64)}) c USING (doc_id)
+JOIN ({sql_glrlm(64)}) r USING (doc_id)
+JOIN ({sql_gldzm(64)}) z USING (doc_id)
+JOIN ({sql_gldm(64)}) d USING (doc_id)
+JOIN ({sql_ih(64)}) i USING (doc_id)
+JOIN ({sql_histo_bins(64)}) h USING (doc_id)
+JOIN ({sql_moments()}) m USING (doc_id)
+"""
+
+
 def sql_ih(n_bins: int = 64) -> str:
     """IH index-domain features — reproduces the kernel's histogram walk
     (intensity_histogram.cpp:69-118 semantics) with the exact same float-op
