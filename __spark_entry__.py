@@ -869,6 +869,28 @@ def _q_covered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-array equality through the as-of join (the north rule's
+    per-row invariant, literally): the matched version's full token array is
+    carried through the join and serialized for byte-exact comparison —
+    stronger than the digest proxy in tokens_basic."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import asof_join
+    from nyxus_spark.sources import probes, tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "tokens")
+    p = probes(spark, sf_dir)
+    out = asof_join(p, v)
+    return out.select(
+        "doc_id",
+        "event_id",
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+        F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))).alias("tokens_csv"),
+    )
+
+
 def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a staleness tolerance (1h): matches older than the
     tolerance are nulled — the merge_asof `tolerance` semantics on the JVM
@@ -1156,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pivot": _q_rollup_pivot,
         "covered_range": _q_covered_range,
         "asof_merge": _q_asof_merge,
+        "asof_tokens": _q_asof_tokens,
         "asof_tolerance": _q_asof_tolerance,
         "frame_sample": _q_frame_sample,
         "tokens_basic": _q_tokens_basic,
@@ -1330,6 +1353,15 @@ SELECT p.doc_id, p.event_id,
        epoch_us(p.ts) AS ts_us,
        epoch_us(v.ts) AS matched_ts_us,
        v.n_tok
+FROM probes p ASOF LEFT JOIN versions v
+  ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
+        "asof_tokens": f"""
+WITH {SQL_VERSIONS}, {SQL_PROBES}
+SELECT p.doc_id, p.event_id,
+       epoch_us(v.ts) AS matched_ts_us,
+       COALESCE(list_aggregate(list_transform(v.tokens, x -> CAST(x AS VARCHAR)),
+                               'string_agg', ','), '') AS tokens_csv
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
 """,
