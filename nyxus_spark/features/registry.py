@@ -74,7 +74,11 @@ def feature_to_section() -> dict[str, str]:
     return {f: s.name for s in _sections().values() for f in s.features}
 
 
-FEATURE_GROUPS: dict[str, Callable[[], list[str]]] = {}
+def list_feature_groups() -> dict[str, list[str]]:
+    """Available group names (*ALL*, *ALL_GLCM*, *ALL_GLCM_MULTI*, …) →
+    member feature lists — the engine's analog of the reference's named
+    featureset groups (featureset.h:933-982)."""
+    return _register_groups()
 
 
 def _register_groups() -> dict[str, list[str]]:
@@ -92,6 +96,16 @@ def _register_groups() -> dict[str, list[str]]:
             groups[f"*ALL_{tex.upper()}*"] = list(secs[tex].features)
     if "moments" in secs:
         groups["*ALL_MOMENTS*"] = list(secs["moments"].features)
+    # family groups are prefix-derived so each *ALL_X* contains exactly its
+    # own codes even when families share a host section (GLSZM/GLDZM ride the
+    # GLRLM run machinery, NGLDM the GLDM dependence matrix)
+    for prefix in ("GLRLM", "GLSZM", "GLDZM", "GLDM", "NGLDM"):
+        members = [
+            f for s in secs.values() if not s.name.endswith("_multi")
+            for f in s.features if f.startswith(prefix + "_")
+        ]
+        if members:
+            groups[f"*ALL_{prefix}*"] = members
     # *ALL* = the single-offset catalog (the engine's default output, like the
     # reference's default featureset); the per-offset + _AVE expansions are
     # opt-in via *ALL_GLCM_MULTI* / *ALL_GLRLM_MULTI* to keep the flagship
