@@ -283,6 +283,22 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(emb, list(qv), k=10)
 
 
+def _q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query top-k: the top-5 cosine neighbors of each of three
+    query vectors in one pass (broadcast queries + per-query rank)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.similarity import topk_cosine_batch
+    from nyxus_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_cosine_batch(emb, queries, k=5)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed cosine search (the ANN scale path): 8 deterministic coarse
     centroids (vec_id < 8), probe the query's top-2 buckets, top-10 within.
@@ -1193,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_verify": _q_ngram_verify,
         "corpus_clean": _q_corpus_clean,
         "topk_cosine": _q_topk_cosine,
+        "topk_batch": _q_topk_batch,
         "ivf_topk": _q_ivf_topk,
         "cosine_dup": _q_cosine_dup,
         "langid": _q_langid,
@@ -1393,6 +1410,7 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         "ngram_verify": oracles.sql_minhash_pairs(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
+        "topk_batch": oracles.SQL_TOPK_BATCH,
         "ivf_topk": oracles.SQL_IVF_TOPK,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         "langid": oracles.sql_langid(STOPWORDS),

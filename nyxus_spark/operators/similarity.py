@@ -170,3 +170,38 @@ def ivf_search(
         F.col("assigned_cent").isin(top_cents)
     )
     return topk_cosine(idx, q, k, id_col, vec_col)
+
+
+def topk_cosine_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Top-k cosine neighbors for EVERY query in a (small) query table.
+
+    The query side broadcasts; scoring is a narrow ×|Q| expansion; the
+    per-query rank then shuffles the scored rows on query_id. Scale note:
+    that shuffle carries |corpus|·|Q| rows into |Q| reducers, so this is the
+    right plan for moderate corpora / many-query batches — at full corpus
+    scale, batch search goes through the IVF index instead (probe per query,
+    score only the probed buckets, then this same rank over the tiny
+    candidate set). Deterministic like topk_cosine: rank on
+    (rounded cos DESC, id ASC).
+    """
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        query_id,
+        F.col(id_col),
+        fround4(cosine_col(vec_col, query_vec)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id, id_col, "cos")
+    )

@@ -1349,3 +1349,24 @@ JOIN q10v q1 USING (doc_id) JOIN q90v q9 USING (doc_id)
 JOIN isums s USING (doc_id)
 JOIN gagg ga USING (doc_id) JOIN gidx gi USING (doc_id)
 """
+
+
+SQL_TOPK_BATCH = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         FLOOR((list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(q.qv, q.qv)))) * 10000.0 + 0.5) / 10000.0 AS cos
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 5
+"""
