@@ -263,13 +263,13 @@ def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the pair-wise ngram_jaccard verifier (equi-joins by id, no
     cross product). Must reproduce minhash_pairs' result set exactly."""
     _prep(spark)
-    from pyspark.sql import functions as F
-
     from nyxus_spark.operators.dedup import minhash_candidate_pairs, ngram_jaccard
 
     aug = _aug_corpus(spark, sf_dir)
     pairs = minhash_candidate_pairs(aug)
-    return ngram_jaccard(aug, pairs).filter(F.col("jaccard") >= 0.5)
+    # threshold on the RAW ratio (mirrors the oracle WHERE clause); the
+    # emitted jaccard column is the rounded one
+    return ngram_jaccard(aug, pairs, threshold=0.5)
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

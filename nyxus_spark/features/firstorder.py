@@ -63,7 +63,11 @@ def histo_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
     ENTROPY/UNIFORMITY: bin = int((v−min)/range·N), last-bin fold,
     helpers.h:337-345 / histogram.h:64-74). Degenerate rows → softNAN."""
     nb = abs(settings.n_bins)
-    assert nb == N_HISTO_BINS, "registered HISTO_BIN_* names assume the default bin count"
+    if nb != N_HISTO_BINS:
+        raise ValueError(
+            f"HISTO_BIN_* features require the default n_bins={N_HISTO_BINS} "
+            f"(registered column names are fixed); got n_bins={settings.n_bins}"
+        )
     v = seg.flat.astype(np.float64)
     vmin = seg.seg_min()
     vmax = seg.seg_max()

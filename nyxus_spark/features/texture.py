@@ -642,7 +642,21 @@ def _ave_over_offsets(per_offset: dict[int, dict[str, np.ndarray]],
     return out
 
 
+def _check_multi_offsets(settings: FeatureSettings) -> None:
+    """The *_D{d} feature names are registered once at import from the default
+    offsets tuple; a runtime settings.offsets that differs would emit keys the
+    registry doesn't know, surfacing as an opaque KeyError deep in
+    extract_features — fail early and clearly instead."""
+    if tuple(settings.offsets) != tuple(MULTI_OFFSETS):
+        raise ValueError(
+            f"multi-offset sections are registered for offsets={MULTI_OFFSETS}; "
+            f"got settings.offsets={tuple(settings.offsets)}. Custom offsets "
+            f"require re-registering the *_D{{d}} feature names."
+        )
+
+
 def glcm_multi_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    _check_multi_offsets(settings)
     ctx = _prep(seg, settings)
     offs = settings.offsets
     per = {d: _glcm_stats(seg, ctx, settings, d) for d in offs}
@@ -685,6 +699,7 @@ def _runs_strided(seg: Segments, ctx, d: int):
 
 
 def glrlm_multi_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
+    _check_multi_offsets(settings)
     ctx = _prep(seg, settings)
     offs = settings.offsets
     n = seg.n_rows

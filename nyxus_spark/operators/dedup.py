@@ -117,9 +117,9 @@ def minhash_lsh_pairs(
     through every band replica (num_bands× the shingle shuffle volume); the
     two-stage form shuffles shingles once, for candidate ids only."""
     cand = minhash_candidate_pairs(df, id_col, tokens_col, k, num_hashes, num_bands)
-    return ngram_jaccard(df, cand, id_col, tokens_col, k).filter(
-        F.col("jaccard") >= jaccard_threshold
-    )
+    # threshold applies to the UNROUNDED ratio (matches the DuckDB oracle's
+    # WHERE clause); only the emitted column is 4-decimal rounded.
+    return ngram_jaccard(df, cand, id_col, tokens_col, k, threshold=jaccard_threshold)
 
 
 def minhash_candidate_pairs(
@@ -169,7 +169,11 @@ def simhash_pairs(
     bit_count(xor) — only (band, key) bucket mates ever shuffle, never the
     corpus cross-product.
     """
-    assert max_hamming < num_bands, "pigeonhole guarantee needs r < bands"
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"simhash_pairs pigeonhole recall guarantee needs "
+            f"max_hamming < num_bands (got {max_hamming} >= {num_bands})"
+        )
     width = 32 // num_bands
     sh = df.select(F.col(id_col), token_shingles(tokens_col, k).alias("shingles")).filter(
         F.size("shingles") > 0
@@ -208,6 +212,7 @@ def simhash_pairs(
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame | None = None, id_col: str = "doc_id",
     tokens_col: str = "tokens", k: int = 3, all_pairs: bool = False,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs.
 
@@ -216,14 +221,23 @@ def ngram_jaccard(
     the corpus by id, so only the candidate rows are scored: at 100 TB the
     shuffle carries |pairs| shingle sets, never the corpus cross-product.
 
+    `threshold`, when given, filters on the RAW (unrounded) ratio — the
+    emitted `jaccard` column is always 4-decimal rounded, but thresholding
+    the rounded value would admit pairs in [t-5e-5, t) the oracle rejects.
+
     The legacy exhaustive mode is gated behind an explicit `all_pairs=True`
     (small inputs only; refuses to run silently without it).
     """
     sh = df.select(F.col(id_col), token_shingles(tokens_col, k).alias("sh"))
-    jac = fround4(
+    raw = (
         F.size(F.array_intersect("a.sh", "b.sh"))
         / F.size(F.array_union("a.sh", "b.sh"))
-    ).alias("jaccard")
+    )
+    jac = fround4(raw).alias("jaccard")
+
+    def _maybe_filter(scored: DataFrame) -> DataFrame:
+        return scored if threshold is None else scored.filter(F.col("__raw") >= threshold)
+
     if pairs is None:
         if not all_pairs:
             raise ValueError(
@@ -232,18 +246,20 @@ def ngram_jaccard(
                 "with all_pairs=True for small inputs"
             )
         la, rb = sh.alias("a"), sh.alias("b")
-        return (
+        scored = (
             la.crossJoin(rb)
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"), jac)
+                    F.col(f"b.{id_col}").alias("id_b"), jac, raw.alias("__raw"))
         )
-    return (
+        return _maybe_filter(scored).drop("__raw")
+    scored = (
         pairs.select("id_a", "id_b")
         .join(sh.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
         .join(sh.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
-        .select("id_a", "id_b", jac)
+        .select("id_a", "id_b", jac, raw.alias("__raw"))
     )
+    return _maybe_filter(scored).drop("__raw")
 
 
 def srp_signature(vec_col: str = "embedding", n_planes: int = 16, quant: int = 1000):
