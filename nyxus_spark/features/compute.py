@@ -52,32 +52,59 @@ def extract_features(
         # sandbox (first-touch page faults ~100× normal cost) the avoided
         # allocations are the dominant saving; on real hardware it removes
         # the Arrow→pandas→numpy round-trip per batch.
+        import os
+        import time
+
         import pyarrow as pa
         import pyarrow.compute as pc
 
         from nyxus_spark.features.segmented import Segments
 
-        for rb in batches:
-            tok_i = rb.schema.get_field_index(tokens_col)
-            arr = rb.column(tok_i)
-            lengths = (
-                pc.fill_null(pc.list_value_length(arr), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64, copy=False)
-            )
-            flat = arr.flatten().to_numpy(zero_copy_only=False)
-            seg = Segments.from_flat(flat, lengths)
-            vals: dict = {}
-            for _, fn in sec_fns:
-                vals.update(fn(seg, settings))
-            cols, names = [], []
-            for f in in_fields:
-                cols.append(rb.column(rb.schema.get_field_index(f.name)))
-                names.append(f.name)
-            for n in wanted:
-                cols.append(pa.array(np.asarray(vals[n], dtype=np.float64),
-                                     type=pa.float64()))
-                names.append(n)
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+        # Opt-in in-worker kernel timer (NYXUS_KERNEL_TIMING_DIR): measures the
+        # compute span only — Segments construction → section kernels → output
+        # RecordBatch assembly — EXCLUDING Arrow IPC transfer, shuffle, and
+        # sink IO. Per-row kernel time at two parallelism levels isolates
+        # "does the compute itself degrade with more workers" (cache/bus
+        # contention) from host-side serialization outside the kernels; the
+        # scaling-efficiency protocol in BENCH/BASELINE.md reads these files.
+        timing_dir = os.environ.get("NYXUS_KERNEL_TIMING_DIR")
+        k_sec = 0.0
+        k_rows = 0
+        try:
+            for rb in batches:
+                t0 = time.perf_counter() if timing_dir else 0.0
+                tok_i = rb.schema.get_field_index(tokens_col)
+                arr = rb.column(tok_i)
+                lengths = (
+                    pc.fill_null(pc.list_value_length(arr), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                )
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                seg = Segments.from_flat(flat, lengths)
+                vals: dict = {}
+                for _, fn in sec_fns:
+                    vals.update(fn(seg, settings))
+                cols, names = [], []
+                for f in in_fields:
+                    cols.append(rb.column(rb.schema.get_field_index(f.name)))
+                    names.append(f.name)
+                for n in wanted:
+                    cols.append(pa.array(np.asarray(vals[n], dtype=np.float64),
+                                         type=pa.float64()))
+                    names.append(n)
+                out = pa.RecordBatch.from_arrays(cols, names=names)
+                if timing_dir:
+                    k_sec += time.perf_counter() - t0
+                    k_rows += rb.num_rows
+                yield out
+        finally:
+            if timing_dir and k_rows:
+                try:
+                    with open(os.path.join(timing_dir, f"k_{os.getpid()}.jsonl"), "a") as fh:
+                        fh.write('{"rows": %d, "sec": %.6f, "nsec": %d}\n'
+                                 % (k_rows, k_sec, len(sec_fns)))
+                except OSError:
+                    pass  # timing is best-effort; never fail the task
 
     return df.mapInArrow(gen, out_schema)
