@@ -318,6 +318,31 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, list(qv), k=10, n_probe=2)
 
 
+def _q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index half of the ANN scale path: materialize the IVF
+    index once (write partitioned by assigned_cent), then search it via the
+    partition-pruned scan — the physical plan carries
+    `PartitionFilters: [assigned_cent IN (...)]`, so only the probed buckets
+    are read (the Iceberg identity-partition story at 100 TB). Same centroids,
+    query, and rank discipline as `ivf_topk`, so the same oracle gates it."""
+    _prep(spark)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.similarity import ivf_index, ivf_search
+    from nyxus_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    qv = emb.filter("vec_id = 0").first()["embedding"]
+    path = tempfile.mkdtemp(prefix="nyxus_ivf_idx_")
+    ivf_index(emb, cents, path)
+    return ivf_search(spark, path, cents, list(qv), k=10, n_probe=2)
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: deterministic fake payloads from the
     corpus, decoded by the Arrow-batched mapInPandas codec stub. The fake
@@ -1211,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": _q_topk_cosine,
         "topk_batch": _q_topk_batch,
         "ivf_topk": _q_ivf_topk,
+        "ivf_persisted": _q_ivf_persisted,
         "cosine_dup": _q_cosine_dup,
         "langid": _q_langid,
         "text_quality": _q_text_quality,
@@ -1412,6 +1438,9 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         "topk_cosine": oracles.SQL_TOPK_COSINE,
         "topk_batch": oracles.SQL_TOPK_BATCH,
         "ivf_topk": oracles.SQL_IVF_TOPK,
+        # the persisted index is semantically the same search (assignment is
+        # materialized, not recomputed) — gated by the identical oracle
+        "ivf_persisted": oracles.SQL_IVF_TOPK,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         "langid": oracles.sql_langid(STOPWORDS),
         "text_quality": oracles.sql_text_quality(STOPWORDS["en"]),

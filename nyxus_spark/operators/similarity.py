@@ -180,17 +180,21 @@ def topk_cosine_batch(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    local_prefilter: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors for EVERY query in a (small) query table.
 
-    The query side broadcasts; scoring is a narrow ×|Q| expansion; the
-    per-query rank then shuffles the scored rows on query_id. Scale note:
-    that shuffle carries |corpus|·|Q| rows into |Q| reducers, so this is the
-    right plan for moderate corpora / many-query batches — at full corpus
-    scale, batch search goes through the IVF index instead (probe per query,
-    score only the probed buckets, then this same rank over the tiny
-    candidate set). Deterministic like topk_cosine: rank on
-    (rounded cos DESC, id ASC).
+    The query side broadcasts; scoring is a narrow ×|Q| expansion. Before
+    the per-query rank, each input partition is reduced to its LOCAL top-k
+    per query (streaming merge over Arrow batches, O(|Q|·k) state), so the
+    query_id exchange carries only num_partitions·|Q|·k rows instead of
+    |corpus|·|Q| — the same ~|partition|/k reduction TakeOrderedAndProject
+    gives the single-query path. Correct because the rank order is total
+    (rounded cos DESC, id ASC with unique ids): every global top-k row is by
+    definition in its partition's local top-k under the same order. At full
+    corpus scale, batch search still goes through the IVF index first (probe
+    per query, score only the probed buckets); this rank then runs over the
+    tiny candidate set. Deterministic like topk_cosine.
     """
     from pyspark.sql import Window
 
@@ -199,9 +203,41 @@ def topk_cosine_batch(
         F.col(id_col),
         fround4(cosine_col(vec_col, query_vec)).alias("cos"),
     )
+    if local_prefilter:
+        scored = _partition_topk(scored, k, query_id, id_col)
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(query_id, id_col, "cos")
     )
+
+
+def _partition_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> DataFrame:
+    """Reduce each partition of (query_id, id, cos) rows to its per-query
+    top-k under (cos DESC, id ASC) — a map-side combine for the rank that
+    follows, carrying O(|Q|·k) state per partition."""
+
+    def gen(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        carry: pd.DataFrame | None = None
+        schema = None
+        for rb in batches:
+            schema = rb.schema
+            part = rb.to_pandas()
+            if carry is not None:
+                part = pd.concat([carry, part], ignore_index=True)
+            part = part.sort_values(
+                [query_id, "cos", id_col],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            carry = part.groupby(query_id, sort=False).head(k)
+        if carry is not None and len(carry):
+            yield pa.RecordBatch.from_pandas(
+                carry.reset_index(drop=True), schema=schema, preserve_index=False
+            )
+
+    return scored.mapInArrow(gen, scored.schema)
