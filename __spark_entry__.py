@@ -596,7 +596,7 @@ def _q_ngtdm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_static(spark, sf_dir)
     feats = extract_features(
         t, ["NGTDM_COARSENESS", "NGTDM_CONTRAST", "NGTDM_STRENGTH",
-            "NGTDM_BUSYNESS"]
+            "NGTDM_BUSYNESS", "NGTDM_COMPLEXITY"]
     )
     binned = F.expr(
         "transform(tokens, t -> CASE WHEN t = 0 THEN 1 ELSE "
@@ -615,6 +615,8 @@ def _q_ngtdm(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.col("NGTDM_CONTRAST")).alias("ngtdm_contrast"),
             _r4(F.col("NGTDM_STRENGTH")).alias("ngtdm_strength"),
             _r4(F.col("NGTDM_BUSYNESS")).alias("ngtdm_busyness"),
+            # pairwise sum, gated by op-order replay (oracles.py cpairs/cfold)
+            _r4(F.col("NGTDM_COMPLEXITY")).alias("ngtdm_complexity"),
         )
     )
 

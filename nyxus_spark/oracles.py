@@ -672,6 +672,28 @@ ranked AS (  -- sorted-rank sum B = Σ(2r−k+1)·(n_l·g), the Σ|wᵢ−wⱼ| 
 bsum AS (
   SELECT doc_id, CAST(SUM((2 * rn - k - 1) * nv) AS BIGINT) AS b
   FROM ranked GROUP BY doc_id
+),
+-- complexity: the ONE intrinsically pairwise NGTDM code. Each pair term is a
+-- fixed IEEE op sequence identical to the kernel's vectorized expression
+-- (texture.py ngtdm_section: dlev·(Uᵢ+Uⱼ)/(pᵢ+pⱼ), U = p·S, p = N/Nvc,
+-- S = s2_l/2 exact), and the per-doc accumulation is replayed in the kernel's
+-- EXACT order — np.bincount adds pair terms sequentially in (i,j)-lexicographic
+-- level order, which list_reduce over list(term ORDER BY li, lj) reproduces
+-- addition-for-addition (the sql_percentiles op-order-replay technique).
+cpairs AS (
+  SELECT a.doc_id, a.g AS li, b.g AS lj,
+         (CAST(b.g - a.g AS DOUBLE)
+          * ((CAST(a.n_l AS DOUBLE) / CAST(p.nvc AS DOUBLE)) * (CAST(a.s2_l AS DOUBLE) / 2)
+             + (CAST(b.n_l AS DOUBLE) / CAST(p.nvc AS DOUBLE)) * (CAST(b.s2_l AS DOUBLE) / 2)))
+         / (CAST(a.n_l AS DOUBLE) / CAST(p.nvc AS DOUBLE)
+            + CAST(b.n_l AS DOUBLE) / CAST(p.nvc AS DOUBLE)) AS term
+  FROM levels a JOIN levels b USING (doc_id) JOIN per_doc p USING (doc_id)
+  WHERE a.g < b.g
+),
+cfold AS (
+  SELECT doc_id,
+         list_reduce(list(term ORDER BY li, lj), (x, y) -> x + y) AS acc
+  FROM cpairs GROUP BY doc_id
 )
 SELECT p.doc_id, p.nvc, p.ngp,
        FLOOR((CAST(2 * p.nvc AS DOUBLE) / p.total2) * 10000.0 + 0.5) / 10000.0 AS ngtdm_coarseness,
@@ -686,8 +708,11 @@ SELECT p.doc_id, p.nvc, p.ngp,
               ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS ngtdm_strength,
        FLOOR((CASE WHEN b.b > 0
               THEN (CAST(p.total2 AS DOUBLE) / 2) / (2 * b.b)
-              ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS ngtdm_busyness
-FROM per_doc p JOIN bsum b USING (doc_id) WHERE p.ngp >= 2
+              ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS ngtdm_busyness,
+       -- complexity = (2·acc)/Nvc (kernel texture.py: 2.0 * acc / safe_Nvc)
+       FLOOR(((2.0 * c.acc) / CAST(p.nvc AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS ngtdm_complexity
+FROM per_doc p JOIN bsum b USING (doc_id) JOIN cfold c USING (doc_id)
+WHERE p.ngp >= 2
 """
 
 
