@@ -842,6 +842,32 @@ def _q_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gabor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gabor filter-bank energy ratios over the quantized integer bank: the
+    kernel convolves 14-bit fixed-point taps in exact int64, so each
+    GABOR_E_f is a ratio of two exact integers (one final division) and the
+    DuckDB oracle replays it bit-identically (oracles.sql_gabor). Filter
+    matches the oracle: n_tok >= K and a nonzero token (for n >= K the base
+    energy is zero iff all tokens are zero → softNAN path)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.features import extract_features
+    from nyxus_spark.features.signal import GABOR_FREQS, K
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir).filter(
+        (F.col("n_tok") >= K) & (F.expr("array_max(tokens)") > 0)
+    )
+    feats = extract_features(
+        t, [f"GABOR_E_{f}" for f in GABOR_FREQS], keep_tokens=False
+    )
+    return feats.select(
+        "doc_id",
+        *[_r4(f"GABOR_E_{f}").alias(f"gabor_e_{f}") for f in GABOR_FREQS],
+    )
+
+
 def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal neighbor self-join (bucketed range join): per event, neighbor
     count + distance to the closest 1/2 within R = 4h."""
@@ -1254,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngtdm": _q_ngtdm,
         "gldzm": _q_gldzm,
         "radial": _q_radial,
+        "gabor": _q_gabor,
         "asof_salted": _q_asof_salted,
         "pricing_summary": _q_pricing_summary,
         "multimodal_decode": _q_multimodal_decode,
@@ -1465,6 +1492,7 @@ FROM tokens_static
         "ngtdm": oracles.sql_ngtdm(64),
         "gldzm": oracles.sql_gldzm(64),
         "radial": oracles.sql_radial(),
+        "gabor": oracles.sql_gabor(),
     }
     return extra | {
         "tokens_basic": f"""

@@ -5,10 +5,19 @@
 * GABOR (src/nyx/features/gabor.cpp:18,43-122): nyxus convolves a bank of
   2-D Gabor filters at several frequencies and scores the energized-area ratio
   vs a baseline low-pass filter. 1-D contract: a K=9 complex Gabor kernel per
-  frequency f (Gaussian envelope × cos/sin carrier), convolved along the
-  sequence; GABOR_E_{f} = mean squared magnitude of the response over valid
-  positions divided by the baseline (f=0 Gaussian) energy. Degenerate or
-  too-short sequences (< K tokens) emit softNAN.
+  frequency f (Gaussian envelope × cos/sin carrier) with taps QUANTIZED to
+  integers at TAP_SCALE = 2^14 (14-bit fixed point), convolved along the
+  sequence in exact int64 arithmetic; GABOR_E_{f} = Σ|response|² over valid
+  positions divided by the baseline (f=0 Gaussian) energy — a ratio of two
+  exact integers with ONE final division, so the driver's DuckDB oracle
+  replays it bit-identically (the repo's integer-numerator standard trick;
+  the shared quantized bank TAP_SCALE cancels any fixed-point bias concern
+  because both engines convolve the same integer taps). Degenerate or
+  too-short sequences (< K tokens, or all-zero tokens) emit softNAN.
+  Exactness bound: per-row Σmag² < 2^63 requires n_tok·(K·TAP_SCALE·xmax)²
+  within int64 — with xmax = 250 that is n_tok ≤ ~6700; the energy
+  accumulation splits each int64 term into hi/lo 26-bit halves so the
+  float64 bincount partial sums stay exact for rows up to 2^27 tokens.
 
 * RADIAL distribution (src/nyx/features/radial_distribution.cpp —
   FRAC_AT_D/MEAN_FRAC/RADIAL_CV): the pixel-to-centroid radius becomes the
@@ -39,7 +48,13 @@ GABOR_FEATURES = [f"GABOR_E_{f}" for f in GABOR_FREQS]
 RADIAL_FEATURES = [f"FRAC_AT_D_{k}" for k in range(N_BANDS)] + ["MEAN_FRAC", "RADIAL_CV"]
 
 
+TAP_SCALE = 1 << 14  # 14-bit fixed-point taps → integer-exact convolution
+
+
 def _kernels():
+    """The quantized integer bank: round(float_tap · TAP_SCALE) per tap.
+    Both the kernel and the SQL oracle consume THESE integers, so the
+    float trig that produced them never crosses an engine boundary."""
     c = K // 2
     x = np.arange(K, dtype=np.float64) - c
     env = np.exp(-(x ** 2) / (2.0 * 3.0 ** 2))
@@ -51,8 +66,33 @@ def _kernels():
         ksn = env * np.sin(phase)
         # zero-mean carriers: DC (the token-stream baseline) must not leak
         # into band-pass energies
-        ks[f] = (kc - kc.mean(), ksn - ksn.mean())
-    return base, ks
+        ks[f] = (
+            np.rint((kc - kc.mean()) * TAP_SCALE).astype(np.int64),
+            np.rint((ksn - ksn.mean()) * TAP_SCALE).astype(np.int64),
+        )
+    return np.rint(base * TAP_SCALE).astype(np.int64), ks
+
+
+def quantized_taps() -> tuple[list[int], dict[int, tuple[list[int], list[int]]]]:
+    """Integer taps for the SQL oracle (literal-embedded)."""
+    base, ks = _kernels()
+    return (
+        [int(v) for v in base],
+        {f: ([int(v) for v in kc], [int(v) for v in ksn]) for f, (kc, ksn) in ks.items()},
+    )
+
+
+_LO_BITS = 26
+_LO_MASK = (1 << _LO_BITS) - 1
+
+
+def _seg_int_sum(vals: np.ndarray, rows: np.ndarray, n: int) -> np.ndarray:
+    """Exact per-row sum of nonnegative int64 values via a hi/lo 26-bit
+    split: each float64 bincount partial stays < 2^53, the recombined
+    (hi << 26) + lo is the exact int64 total."""
+    hi = np.bincount(rows, weights=(vals >> _LO_BITS).astype(np.float64), minlength=n)
+    lo = np.bincount(rows, weights=(vals & _LO_MASK).astype(np.float64), minlength=n)
+    return (hi.astype(np.int64) << _LO_BITS) + lo.astype(np.int64)
 
 
 def gabor_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
@@ -62,23 +102,25 @@ def gabor_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
     out = {name: np.full(n, nan) for name in GABOR_FEATURES}
     if total == 0:
         return out
-    x = seg.flat.astype(np.float64)
+    x = seg.flat.astype(np.int64)
     c = K // 2
     pos = np.arange(total, dtype=np.int64) - seg.starts[seg.row_idx]
     valid = (pos >= c) & (pos <= seg.lengths[seg.row_idx] - 1 - c)
     vrows = seg.row_idx[valid]
-    nvalid = np.bincount(vrows, minlength=n).astype(np.float64)
+    nvalid = np.bincount(vrows, minlength=n)
     base_k, banks = _kernels()
 
     def conv(weights):
-        acc = buf("gab_acc", total)
-        acc.fill(0.0)
-        t = buf("gab_t", total)
+        """acc[i] = Σ_k w_k · x[i+k−c], exact int64 (cross-segment positions
+        are computed but masked out by `valid` before use)."""
+        acc = buf("gab_acc", total, np.int64)
+        acc.fill(0)
+        t = buf("gab_t", total, np.int64)
         for k in range(K):
             off = k - c
-            w = weights[k]
+            w = int(weights[k])
             m = total - abs(off)
-            if m <= 0:
+            if m <= 0 or w == 0:
                 continue
             if off == 0:
                 np.multiply(x, w, out=t)
@@ -92,21 +134,23 @@ def gabor_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
         return acc
 
     base_resp = conv(base_k)
-    base_energy = np.bincount(vrows, weights=(base_resp[valid]) ** 2, minlength=n)
+    sq = buf("gab_sq", total, np.int64)
+    np.multiply(base_resp, base_resp, out=sq)
+    base_energy = _seg_int_sum(sq[valid], vrows, n)
     ok = (nvalid > 0) & (base_energy > 0)
-    safe_n = np.where(nvalid > 0, nvalid, 1.0)
-    base_mean = base_energy / safe_n
+    safe_eb = np.where(base_energy > 0, base_energy, 1).astype(np.float64)
     for f in GABOR_FREQS:
         kc, ksn = banks[f]
-        rc = conv(kc).copy()
-        rs = conv(ksn)
-        mag = buf("gab_mag", total)
+        rc = conv(kc)
+        mag = buf("gab_mag", total, np.int64)
         np.multiply(rc, rc, out=mag)
-        np.multiply(rs, rs, out=rs)
-        np.add(mag, rs, out=mag)
-        e = np.bincount(vrows, weights=mag[valid], minlength=n) / safe_n
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ratio = e / np.where(base_mean > 0, base_mean, 1.0)
+        rs = conv(ksn)  # reuses the conv buffer — rc is consumed above
+        np.multiply(rs, rs, out=sq)
+        np.add(mag, sq, out=mag)
+        e = _seg_int_sum(mag[valid], vrows, n)
+        # ONE final division of two exact integers — same two float64
+        # conversions + divide the SQL oracle performs
+        ratio = e.astype(np.float64) / safe_eb
         out[f"GABOR_E_{f}"] = np.where(ok, ratio, nan)
     return out
 

@@ -612,6 +612,59 @@ FROM wm GROUP BY doc_id, m0
 """
 
 
+def sql_gabor() -> str:
+    """Gabor energy-ratio oracle over the QUANTIZED integer bank.
+
+    The kernel (features/signal.py) convolves 14-bit fixed-point taps in
+    exact int64 arithmetic; GABOR_E_f = Σ|resp_f|² / Σ|resp_base|² is a
+    ratio of two exact integers with one final double division. This SQL
+    embeds the same integer taps as literals (quantized_taps()), replays
+    the convolution per valid center position, and performs the identical
+    CAST-to-double division — bit-identical to the kernel
+    (gabor.cpp:43-122 is the 2-D original this recasts).
+    Filters: n_tok >= K (valid window exists) and list_max(tokens) > 0
+    (for n >= K, base energy is zero iff every token is zero)."""
+    from nyxus_spark.features.signal import GABOR_FREQS, K, quantized_taps
+
+    qbase, qks = quantized_taps()
+    c = K // 2
+
+    def conv_expr(taps):
+        terms = [
+            f"({t}) * tokens[i + ({k - c})]" for k, t in enumerate(taps) if t != 0
+        ]
+        # the f=8 sine carrier is identically zero after quantization
+        return " + ".join(terms) if terms else "CAST(0 AS BIGINT)"
+
+    conv_cols = [f"CAST({conv_expr(qbase)} AS BIGINT) AS rb"]
+    for f in GABOR_FREQS:
+        kc, ksn = qks[f]
+        conv_cols.append(f"CAST({conv_expr(kc)} AS BIGINT) AS rc{f}")
+        conv_cols.append(f"CAST({conv_expr(ksn)} AS BIGINT) AS rs{f}")
+    e_cols = ["CAST(SUM(rb * rb) AS BIGINT) AS eb"] + [
+        f"CAST(SUM(rc{f} * rc{f} + rs{f} * rs{f}) AS BIGINT) AS e{f}"
+        for f in GABOR_FREQS
+    ]
+    sel = [
+        f"FLOOR((CAST(e{f} AS DOUBLE) / CAST(eb AS DOUBLE)) * 10000.0 + 0.5) / 10000.0"
+        f" AS gabor_e_{f}"
+        for f in GABOR_FREQS
+    ]
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+docs AS (
+  SELECT doc_id, tokens, n_tok FROM tokens_static
+  WHERE n_tok >= {K} AND list_max(tokens) > 0
+),
+pos AS (
+  SELECT doc_id, tokens, unnest(range({c + 1}, n_tok - {c - 1})) AS i FROM docs
+),
+conv AS (SELECT doc_id, {', '.join(conv_cols)} FROM pos),
+energy AS (SELECT doc_id, {', '.join(e_cols)} FROM conv GROUP BY doc_id)
+SELECT doc_id, {', '.join(sel)} FROM energy WHERE eb > 0
+"""
+
+
 def sql_ngtdm(n_levels: int = 64) -> str:
     """NGTDM coarseness oracle (offset 1, matlab binning).
 
