@@ -1200,7 +1200,18 @@ def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional moments; derived stats recomputed from the kernel's exact
-    integer raw moments so both engines do identical single divisions."""
+    integer raw moments so both engines do identical single divisions.
+
+    Weighted central μ2..μ4, normalized η3/η4, and the Hu-analog invariants
+    reduce to SINGLE rationals in the raw moments (binomial expansion about
+    c = m1/m0): μ2 = A/m0, μ3 = C/m0², μ4 = B/m0³ with
+      A = m0·m2 − m1², C = m0²·m3 − 3·m0·m1·m2 + 2·m1³,
+      B = m0³·m4 − 4·m0²·m1·m3 + 6·m0·m1²·m2 − 3·m1⁴,
+    η3 = C/m0^4.5, η4 = B/m0⁶, HU1 = η2 = A/m0³, HU2 = η3² = C²/m0⁹,
+    HU3 = η4 − 3η2² = (B − 3A²)/m0⁶. Numerators are computed in Spark
+    DECIMAL (exact to 38 digits; B ≤ ~4e25, C² ≤ ~2e37 here) and the oracle
+    mirrors them in DuckDB HUGEINT; denominators are identical double
+    multiply-chains (never pow()) so both engines round identically."""
     _prep(spark)
     from pyspark.sql import functions as F
 
@@ -1209,7 +1220,7 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tokens_static(spark, sf_dir)
     feats = extract_features(
-        t, ["MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3",
+        t, ["MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3", "MOM_RAW_4",
             "MOM_SHAPE_RAW_0", "MOM_SHAPE_RAW_1", "MOM_SHAPE_RAW_2",
             "MOM_SHAPE_RAW_3"],
         keep_tokens=False,
@@ -1217,14 +1228,40 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m0, m1, m2 = F.col("MOM_RAW_0"), F.col("MOM_RAW_1"), F.col("MOM_RAW_2")
     s0, s1, s2 = (F.col("MOM_SHAPE_RAW_0"), F.col("MOM_SHAPE_RAW_1"),
                   F.col("MOM_SHAPE_RAW_2"))
+    # exact integer numerators in decimal arithmetic
+    m0i, m1i, m2i, m3i, m4i = (
+        F.col(f"MOM_RAW_{p}").cast("decimal(14,0)") for p in range(5)
+    )
+    A = (m0i * m2i - m1i * m1i).cast("decimal(19,0)")
+    Cn = (m0i * m0i * m3i - F.lit(3) * (m0i * m1i * m2i)
+          + F.lit(2) * (m1i * m1i * m1i)).cast("decimal(19,0)")
+    B = (m0i * m0i * m0i * m4i - F.lit(4) * (m0i * m0i * m1i * m3i)
+         + F.lit(6) * (m0i * m1i * m1i * m2i)
+         - F.lit(3) * (m1i * m1i * m1i * m1i)).cast("decimal(27,0)")
+    h3n = (B - F.lit(3) * (A * A)).cast("decimal(38,0)")
+    c2n = (Cn * Cn).cast("decimal(38,0)")
+    # denominator multiply-chains (identical tree in the oracle SQL)
+    m02 = m0 * m0
+    m03 = m02 * m0
+    m06 = m03 * m03
+    m09 = m06 * m03
     return feats.select(
         "doc_id",
         m0.cast("long").alias("m0"),
         m1.cast("long").alias("m1"),
         m2.cast("long").alias("m2"),
         F.col("MOM_RAW_3").cast("long").alias("m3"),
+        F.col("MOM_RAW_4").cast("long").alias("m4"),
         _r4(m1 / m0).alias("centroid"),
         _r4((m0 * m2 - m1 * m1) / (m0 * m0 * m0)).alias("norm_central2"),
+        _r4(A.cast("double") / m0).alias("central2"),
+        _r4(Cn.cast("double") / m02).alias("central3"),
+        _r4(B.cast("double") / m03).alias("central4"),
+        _r4(Cn.cast("double") / ((m02 * m02) * F.sqrt(m0))).alias("norm_central3"),
+        _r4(B.cast("double") / m06).alias("norm_central4"),
+        _r4(A.cast("double") / m03).alias("hu1"),
+        _r4(c2n.cast("double") / m09).alias("hu2"),
+        _r4(h3n.cast("double") / m06).alias("hu3"),
         s0.cast("long").alias("s0"),
         s1.cast("long").alias("s1"),
         s2.cast("long").alias("s2"),

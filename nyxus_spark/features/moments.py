@@ -18,14 +18,22 @@ from nyxus_spark.features.segmented import Segments
 from nyxus_spark.settings import FeatureSettings
 
 MOMENTS_FEATURES = [
-    "MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3",
+    "MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3", "MOM_RAW_4",
     "MOM_CENTRAL_2", "MOM_CENTRAL_3", "MOM_CENTRAL_4",
     "MOM_NORM_CENTRAL_2", "MOM_NORM_CENTRAL_3", "MOM_NORM_CENTRAL_4",
     "MOM_WEIGHTED_CENTROID",
+    # Hu-analog 1-D invariants (2d_geomoments.cpp Hu codes → translation-
+    # and reflection-invariant combinations of the normalized centrals):
+    # HU1 = η2, HU2 = η3² (odd order squared → reflection-invariant),
+    # HU3 = η4 − 3η2² (excess-kurtosis form). Each reduces to a SINGLE
+    # exact rational in the raw moments (numerator over a power of m0),
+    # which is what the driver query recomputes decimal-exactly.
+    "MOM_HU_1", "MOM_HU_2", "MOM_HU_3",
     # unweighted ("shape") family — the 1-D analog of the reference's
     # mask-vs-intensity moment split (2d_geomoments.cpp SPAT vs WEIGHTED
     # codes): w ≡ 1 over nonzero tokens
     "MOM_SHAPE_RAW_0", "MOM_SHAPE_RAW_1", "MOM_SHAPE_RAW_2", "MOM_SHAPE_RAW_3",
+    "MOM_SHAPE_RAW_4",
     "MOM_SHAPE_CENTROID", "MOM_SHAPE_CENTRAL_2", "MOM_SHAPE_CENTRAL_3",
     "MOM_SHAPE_CENTRAL_4", "MOM_SHAPE_NORM_CENTRAL_2",
     "MOM_SHAPE_NORM_CENTRAL_3", "MOM_SHAPE_NORM_CENTRAL_4",
@@ -46,6 +54,7 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         m1 = seg.seg_sum(w * pos)
         m2 = seg.seg_sum(w * pos2)
         m3 = seg.seg_sum(w * (pos2 * pos))
+        m4 = seg.seg_sum(w * (pos2 * pos2))
         c = m1 / m0
         dc = pos - c[seg.row_idx]
         dc2 = dc * dc
@@ -55,12 +64,16 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         eta2 = mu2 / m0 ** 2.0
         eta3 = mu3 / m0 ** 2.5
         eta4 = mu4 / m0 ** 3.0
+        hu1 = eta2
+        hu2 = eta3 * eta3
+        hu3 = eta4 - 3.0 * (eta2 * eta2)
 
         nzm = seg.flat != 0
         s0 = seg.seg_count(nzm).astype(np.float64)
         s1 = seg.seg_sum_where(pos, nzm)
         s2 = seg.seg_sum_where(pos2, nzm)
         s3 = seg.seg_sum_where(pos2 * pos, nzm)
+        s4 = seg.seg_sum_where(pos2 * pos2, nzm)
         sc = s1 / s0
         sdc = pos - sc[seg.row_idx]
         sdc2 = sdc * sdc
@@ -78,6 +91,7 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         "MOM_RAW_1": np.where(seg.lengths > 0, m1, nan),
         "MOM_RAW_2": np.where(seg.lengths > 0, m2, nan),
         "MOM_RAW_3": np.where(seg.lengths > 0, m3, nan),
+        "MOM_RAW_4": np.where(seg.lengths > 0, m4, nan),
         "MOM_CENTRAL_2": np.where(ok, mu2, nan),
         "MOM_CENTRAL_3": np.where(ok, mu3, nan),
         "MOM_CENTRAL_4": np.where(ok, mu4, nan),
@@ -85,10 +99,14 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         "MOM_NORM_CENTRAL_3": np.where(ok, eta3, nan),
         "MOM_NORM_CENTRAL_4": np.where(ok, eta4, nan),
         "MOM_WEIGHTED_CENTROID": np.where(ok, c, nan),
+        "MOM_HU_1": np.where(ok, hu1, nan),
+        "MOM_HU_2": np.where(ok, hu2, nan),
+        "MOM_HU_3": np.where(ok, hu3, nan),
         "MOM_SHAPE_RAW_0": np.where(ok_s, s0, nan),
         "MOM_SHAPE_RAW_1": np.where(ok_s, s1, nan),
         "MOM_SHAPE_RAW_2": np.where(ok_s, s2, nan),
         "MOM_SHAPE_RAW_3": np.where(ok_s, s3, nan),
+        "MOM_SHAPE_RAW_4": np.where(ok_s, s4, nan),
         "MOM_SHAPE_CENTROID": np.where(ok_s, sc, nan),
         "MOM_SHAPE_CENTRAL_2": np.where(ok_s, smu2, nan),
         "MOM_SHAPE_CENTRAL_3": np.where(ok_s, smu3, nan),

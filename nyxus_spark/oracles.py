@@ -1094,19 +1094,45 @@ m AS (
          CAST(SUM(CAST(t AS BIGINT) * i) AS BIGINT) AS m1,
          CAST(SUM(CAST(t AS BIGINT) * i * i) AS BIGINT) AS m2,
          CAST(SUM(CAST(t AS BIGINT) * i * i * i) AS BIGINT) AS m3,
+         CAST(SUM(CAST(t AS BIGINT) * i * i * i * i) AS BIGINT) AS m4,
          CAST(COUNT(*) FILTER (t <> 0) AS BIGINT) AS s0,
          CAST(COALESCE(SUM(i) FILTER (t <> 0), 0) AS BIGINT) AS s1,
          CAST(COALESCE(SUM(i * i) FILTER (t <> 0), 0) AS BIGINT) AS s2,
          CAST(COALESCE(SUM(i * i * i) FILTER (t <> 0), 0) AS BIGINT) AS s3
   FROM flat GROUP BY doc_id
+),
+-- exact HUGEINT numerators of the single-rational central/invariant forms
+-- (mirrors the Spark query's DECIMAL arithmetic):
+--   μ2 = A/m0, μ3 = C/m0², μ4 = B/m0³, η3 = C/m0^4.5, η4 = B/m0⁶,
+--   HU1 = A/m0³, HU2 = C²/m0⁹, HU3 = (B − 3A²)/m0⁶
+mx AS (
+  SELECT doc_id, m0, m1, m2, m3, m4, s0, s1, s2, s3,
+         CAST(m0 AS HUGEINT) * m2 - CAST(m1 AS HUGEINT) * m1 AS a,
+         CAST(m0 AS HUGEINT) * m0 * m3 - 3 * (CAST(m0 AS HUGEINT) * m1 * m2)
+           + 2 * (CAST(m1 AS HUGEINT) * m1 * m1) AS cnum,
+         CAST(m0 AS HUGEINT) * m0 * m0 * m4
+           - 4 * (CAST(m0 AS HUGEINT) * m0 * m1 * m3)
+           + 6 * (CAST(m0 AS HUGEINT) * m1 * m1 * m2)
+           - 3 * (CAST(m1 AS HUGEINT) * m1 * m1 * m1) AS b,
+         CAST(m0 AS DOUBLE) * m0 AS m02,
+         (CAST(m0 AS DOUBLE) * m0) * m0 AS m03
+  FROM m
 )
-SELECT doc_id, m0, m1, m2, m3,
+SELECT doc_id, m0, m1, m2, m3, m4,
        FLOOR((CAST(m1 AS DOUBLE) / m0) * 10000.0 + 0.5) / 10000.0 AS centroid,
        FLOOR((CAST(m0 * m2 - m1 * m1 AS DOUBLE) / (CAST(m0 AS DOUBLE) * m0 * m0)) * 10000.0 + 0.5) / 10000.0 AS norm_central2,
+       FLOOR((CAST(a AS DOUBLE) / m0) * 10000.0 + 0.5) / 10000.0 AS central2,
+       FLOOR((CAST(cnum AS DOUBLE) / m02) * 10000.0 + 0.5) / 10000.0 AS central3,
+       FLOOR((CAST(b AS DOUBLE) / m03) * 10000.0 + 0.5) / 10000.0 AS central4,
+       FLOOR((CAST(cnum AS DOUBLE) / ((m02 * m02) * SQRT(CAST(m0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS norm_central3,
+       FLOOR((CAST(b AS DOUBLE) / (m03 * m03)) * 10000.0 + 0.5) / 10000.0 AS norm_central4,
+       FLOOR((CAST(a AS DOUBLE) / m03) * 10000.0 + 0.5) / 10000.0 AS hu1,
+       FLOOR((CAST(cnum * cnum AS DOUBLE) / ((m03 * m03) * m03)) * 10000.0 + 0.5) / 10000.0 AS hu2,
+       FLOOR((CAST(b - 3 * (a * a) AS DOUBLE) / (m03 * m03)) * 10000.0 + 0.5) / 10000.0 AS hu3,
        s0, s1, s2, s3,
        FLOOR((CAST(s1 AS DOUBLE) / s0) * 10000.0 + 0.5) / 10000.0 AS shape_centroid,
        FLOOR((CAST(s0 * s2 - s1 * s1 AS DOUBLE) / (CAST(s0 AS DOUBLE) * s0 * s0)) * 10000.0 + 0.5) / 10000.0 AS shape_norm_central2
-FROM m WHERE m0 > 0 AND s0 > 0
+FROM mx WHERE m0 > 0 AND s0 > 0
 """
 
 
