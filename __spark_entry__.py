@@ -113,6 +113,76 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stateful as-of join under the driver gate (§2.7): the tagged
+    version+probe stream is written as two time-split files, driven through
+    `applyInPandasWithState` with Trigger.AvailableNow + maxFilesPerTrigger=1
+    (two real micro-batches — the second batch's probes can only match
+    first-batch versions through the GroupState carry), and the memory-sink
+    table is returned. Must equal the DuckDB ASOF LEFT JOIN oracle — the
+    same gate the batch strategies pass (streaming/stateful.py)."""
+    _prep(spark)
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sources import probes, tokens_versions
+    from nyxus_spark.streaming import asof_join_stream
+    from nyxus_spark.streaming.stateful import TAGGED_SCHEMA
+
+    v = tokens_versions(spark, sf_dir).select(
+        "doc_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(1).cast("long").alias("is_version"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    p = probes(spark, sf_dir).select(
+        "doc_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lit(0).cast("long").alias("is_version"),
+        F.lit(None).cast("long").alias("n_tok"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    tagged = v.unionByName(p)
+    split_ts = tagged.approxQuantile("ts_us", [0.5], 0.0)[0]
+    stream_dir = tempfile.mkdtemp(prefix="nyxus_asof_stream_")
+
+    def _dump(df, path):
+        pdf = df.toPandas()
+        for c in ("ts_us", "is_version", "n_tok", "event_id"):
+            pdf[c] = pdf[c].astype("Int64")
+        pdf.to_parquet(path)
+
+    f0 = os.path.join(stream_dir, "part-000.parquet")
+    f1 = os.path.join(stream_dir, "part-001.parquet")
+    _dump(tagged.filter(F.col("ts_us") <= split_ts), f0)
+    _dump(tagged.filter(F.col("ts_us") > split_ts), f1)
+    # the file source orders by modification time — pin the replay order so
+    # the per-key ordering contract (time-split files) holds deterministically
+    os.utime(f0, (1_000_000, 1_000_000))
+    os.utime(f1, (2_000_000, 2_000_000))
+
+    src = (
+        spark.readStream.schema(TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        asof_join_stream(src)
+        .writeStream.format("memory")
+        .queryName("asof_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT doc_id, event_id, ts_us, matched_ts_us, n_tok FROM asof_stream_gate"
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization (gap = 1h) over the raw event stream."""
     _prep(spark)
@@ -166,6 +236,9 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
          "ENTROPY", "UNIFORMITY", "INTEGRATED_INTENSITY",
          "ROOT_MEAN_SQUARED"],
         keep_tokens=False,
+        # annotation passthrough (output_2_csv.cpp:62-80): `source` rides
+        # through the kernel pass as the string column anno0
+        annotations=["source"],
     )
     # variance from exact-integer aggregates (COUNT·ENERGY − SUM²)/(n(n−1)):
     # a single final division is bit-identical across engines, whereas two-pass
@@ -174,6 +247,7 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_exact = (n * F.col("ENERGY") - F.col("INTEGRATED_INTENSITY") ** 2) / (n * (n - 1))
     out = feats.filter(F.col("RANGE") > 0).select(
         "doc_id",
+        "anno0",
         F.col("MIN").cast("long").alias("tok_min"),
         F.col("MAX").cast("long").alias("tok_max"),
         _r4("MEAN").alias("mean_tok"),
@@ -1290,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_basic": _q_tokens_basic,
         "prescan_sources": _q_prescan_sources,
         "asof_join": _q_asof_join,
+        "asof_stream": _q_asof_stream,
         "sessionize": _q_sessionize,
         "lag_lead_locf": _q_lag_lead_locf,
         "firstorder": _q_firstorder,
@@ -1563,6 +1638,17 @@ SELECT p.doc_id, p.event_id,
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
 """,
+        # streaming stateful as-of: same oracle as the batch join (the
+        # cross-batch GroupState carry must reproduce it exactly)
+        "asof_stream": f"""
+WITH {SQL_VERSIONS}, {SQL_PROBES}
+SELECT p.doc_id, p.event_id,
+       epoch_us(p.ts) AS ts_us,
+       epoch_us(v.ts) AS matched_ts_us,
+       v.n_tok
+FROM probes p ASOF LEFT JOIN versions v
+  ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
         "sessionize": """
 WITH flags AS (
   SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts,
@@ -1628,6 +1714,7 @@ hist AS (
   GROUP BY b.doc_id, s.n
 )
 SELECT s.doc_id,
+       a.source AS anno0,
        s.mn AS tok_min, s.mx AS tok_max,
        FLOOR((CAST(s.s AS DOUBLE) / s.n) * 10000.0 + 0.5) / 10000.0 AS mean_tok,
        FLOOR((CAST(s.med AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS median_tok,
@@ -1639,6 +1726,7 @@ SELECT s.doc_id,
        s.s AS sum_tok,
        FLOOR((sqrt(CAST(s.e AS DOUBLE) / s.n)) * 10000.0 + 0.5) / 10000.0 AS rms_tok
 FROM stats s JOIN modes m USING (doc_id) JOIN hist h USING (doc_id)
+     JOIN tokens_static a USING (doc_id)
 WHERE s.mx > s.mn
 """,
     }

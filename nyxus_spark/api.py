@@ -50,12 +50,18 @@ class NyxusSpark:
 
     # -- core ---------------------------------------------------------------
 
-    def featurize(self, df: DataFrame, keep_tokens: bool = False) -> DataFrame:
+    def featurize(
+        self, df: DataFrame, keep_tokens: bool = False,
+        annotations: list[str] | None = None,
+    ) -> DataFrame:
         """One wide feature row per input row (the reference's per-ROI
-        vector, one float64 column per enabled feature)."""
+        vector, one float64 column per enabled feature). `annotations`
+        passes input columns through as `anno{i}` strings ahead of the
+        features (output_2_csv.cpp:62-80)."""
         return extract_features(
             df, self.features, settings=self.settings,
             tokens_col=self.tokens_col, keep_tokens=keep_tokens,
+            annotations=annotations,
         )
 
     def featurize_path(

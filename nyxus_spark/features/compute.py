@@ -25,13 +25,34 @@ def extract_features(
     settings: FeatureSettings = DEFAULT_SETTINGS,
     tokens_col: str = "tokens",
     keep_tokens: bool = True,
+    annotations: list[str] | None = None,
 ) -> DataFrame:
     """Append one float64 column per requested feature.
 
     `features` accepts nyxus-style names and groups (*ALL_INTENSITY*, *ALL*…).
     Section gating mirrors the reference's `required()` checks — only kernels
     whose features are requested ever run (featureset pruning, SURVEY.md §2 F6).
+
+    `annotations` names input columns to pass through as string columns
+    `anno0..anno{k-1}` ahead of the feature columns — the reference's
+    optional per-ROI annotation passthrough (src/nyx/output_2_csv.cpp:62-80
+    emits `anno{i}` headers before the feature headers).
     """
+    if annotations:
+        from pyspark.sql import functions as F
+
+        missing = [a for a in annotations if a not in df.columns]
+        if missing:
+            raise ValueError(f"annotation columns not in input: {missing}")
+        clash = [f"anno{i}" for i in range(len(annotations))
+                 if f"anno{i}" in df.columns]
+        if clash:
+            raise ValueError(f"annotation output names already present: {clash}")
+        df = df.select(
+            "*",
+            *[F.col(a).cast("string").alias(f"anno{i}")
+              for i, a in enumerate(annotations)],
+        )
     names = resolve_features(features)
     section_list = plan_sections(names)
 

@@ -51,3 +51,22 @@ def test_featurize_asof_no_leakage(spark, sf_dir):
     rows = out.select("ts", "matched_ts", "MEAN").collect()
     assert rows
     assert not [r for r in rows if r["matched_ts"] and r["matched_ts"] > r["ts"]]
+
+
+def test_featurize_annotations_passthrough(spark, sf_dir):
+    """anno{i} passthrough (reference output_2_csv.cpp:62-80): named input
+    columns ride through the kernel pass as string columns ahead of the
+    features, with validation of missing and clashing names."""
+    import pytest as _pytest
+
+    t = tokens_static(spark, sf_dir).limit(10)
+    out = NyxusSpark(["MEAN"]).featurize(t, annotations=["source", "n_tok"])
+    pdf = out.toPandas()
+    assert {"anno0", "anno1", "MEAN"} <= set(pdf.columns)
+    assert pdf["anno0"].equals(pdf["source"].astype(str))
+    assert pdf["anno1"].tolist() == [str(v) for v in pdf["n_tok"].tolist()]
+    with _pytest.raises(ValueError, match="not in input"):
+        NyxusSpark(["MEAN"]).featurize(t, annotations=["nope"])
+    clash = t.withColumnRenamed("source", "anno0")
+    with _pytest.raises(ValueError, match="already present"):
+        NyxusSpark(["MEAN"]).featurize(clash, annotations=["n_tok"])
