@@ -6,7 +6,7 @@ leakage by construction). This is the 1-D analog of the reference's
 intensity↔mask / z-slice alignment (/root/reference/src/nyx/phase1.cpp:58-87,
 130-242) recast as the sorted-merge temporal join the north rule requires.
 
-Two physical strategies, identical results (cross-checked in tests):
+Three physical strategies, identical results (cross-checked in tests):
 
 * ``union_window`` (default) — tag probes/versions, union, one shuffle on
   doc_id, in-partition sort by (ts, tag), then last(ignorenulls) over an
@@ -19,6 +19,11 @@ Two physical strategies, identical results (cross-checked in tests):
   pandas.merge_asof per co-group: the literal "sorted-merge" kernel. Arrow
   batches both sides; useful when per-group custom logic (tolerances,
   nearest/forward direction) is needed.
+
+* ``shuffle_join`` — equi-join + per-probe argmax: more intermediate rows,
+  but the heavy node is a real SortMergeJoin, so AQE's OptimizeSkewedJoin
+  splits hot-key partitions at runtime (the adaptive counterpart to
+  ``salt_slices``; see tests/test_asof_skew_aqe.py).
 
 Scale note (100 TB): both strategies shuffle each side once on the join key.
 The union_window plan avoids Python entirely and benefits from Tungsten sort;
@@ -83,6 +88,8 @@ def asof_join(
         return _asof_union_window(probes, versions, on, ts_col, version_prefix, tolerance_sec)
     if strategy == "cogroup_merge":
         return _asof_cogroup_merge(probes, versions, on, ts_col, version_prefix, tolerance_sec)
+    if strategy == "shuffle_join":
+        return _asof_shuffle_join(probes, versions, on, ts_col, version_prefix, tolerance_sec)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -134,6 +141,49 @@ def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec):
             *[F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in pay],
         )
     return out
+
+
+def _asof_shuffle_join(probes, versions, on, ts_col, prefix, tolerance_sec):
+    """As-of via an explicit equi-JOIN + per-probe argmax.
+
+    This is the classic join-then-reduce formulation: shuffle-join the two
+    sides on the key (a real SortMergeJoin node), keep versions at or before
+    the probe ts, then rank to the latest. It expands |probe|·|versions per
+    key| intermediate rows, so the window/cogroup strategies dominate it in
+    general — its purpose is the skew story: because the heavy operator IS a
+    shuffle join, AQE's skew-join optimizer (OptimizeSkewedJoin) can split a
+    hot key's oversized partition into multiple tasks at runtime with no code
+    change — the runtime-adaptive counterpart to the explicit `salt_slices`
+    pre-split (tests/test_asof_skew_aqe.py proves all three paths identical
+    on a worst-case hot key and records the `skew=true` plan)."""
+    pay = _payload_cols(versions, on, ts_col)
+    probe_extra = [c for c in probes.columns if c not in (on, ts_col)]
+    p = probes.withColumn("__puid", F.monotonically_increasing_id())
+    v = versions.select(
+        F.col(on).alias("__von"),
+        F.col(ts_col).alias("__vts"),
+        *[F.col(c).alias(f"__v_{c}") for c in pay],
+    )
+    cond = (p[on] == v["__von"]) & (v["__vts"] <= p[ts_col])
+    if tolerance_sec is not None:
+        cond &= (
+            p[ts_col].cast("double") - v["__vts"].cast("double")
+            <= F.lit(tolerance_sec)
+        )
+    j = p.join(v, cond, "left")
+    # latest version per probe; ties on __vts broken arbitrarily (the other
+    # strategies carry the last-in-sort version — callers needing exact tie
+    # semantics with duplicate version timestamps use union_window)
+    w = Window.partitionBy("__puid").orderBy(F.col("__vts").desc_nulls_last())
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(on), F.col(ts_col), *probe_extra,
+            F.col("__vts").alias("matched_ts"),
+            *[F.col(f"__v_{c}").alias(f"{prefix}{c}") for c in pay],
+        )
+    )
 
 
 def _asof_union_window_sliced(probes, versions, on, ts_col, prefix,

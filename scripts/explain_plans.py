@@ -108,6 +108,63 @@ def main() -> None:
         ivf_search(spark, ivf_dir, cents, qv, k=10)
     )
 
+    # AQE runtime skew-join splitting: hot-key as-of through the
+    # shuffle_join strategy (a real SortMergeJoin) with test-scale skew
+    # thresholds — the EXECUTED adaptive plan must carry skew=true splits,
+    # the runtime counterpart to the explicit salt_slices pre-split
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {}
+    for k, val in skew_conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, val)
+    try:
+        hot_key = F.concat(F.lit("hot"), F.substring(F.col("doc_id"), 1, 0))
+        # >1 map task per side: AQE splits a skewed reduce partition by
+        # map-output ranges (a single-file local scan is one unsplittable
+        # mapper; real clusters always have many)
+        hv = (v.select(hot_key.alias("doc_id"), "ts", "n_tok")
+              .dropDuplicates(["ts"]).repartition(8, "ts"))
+        hp = p.select(hot_key.alias("doc_id"), "ts", "event_id").repartition(8, "event_id")
+        sj = asof_join(hp, hv, strategy="shuffle_join")
+        sj.collect()
+        executed = sj._jdf.queryExecution().executedPlan().toString()
+        keep_lines = [
+            ln for ln in executed.splitlines()
+            if re.search(r"SortMergeJoin|AQEShuffleRead|Exchange|Window|skew", ln)
+        ]
+        sections[
+            "AQE skew-join split (hot key, shuffle_join strategy — EXECUTED plan)"
+        ] = "\n".join(keep_lines)
+    finally:
+        for k, val in saved.items():
+            if val is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, val)
+
+    # batch top-k cosine: the per-partition pre-top-k (mapInArrow) must sit
+    # BELOW the query_id exchange — the exchange then carries only
+    # num_partitions·|Q|·k rows
+    from nyxus_spark.operators.similarity import topk_cosine_batch
+
+    qdf = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sections["batch top-k cosine (local pre-top-k below the rank exchange)"] = plan_of(
+        topk_cosine_batch(emb, qdf, k=5)
+    )
+
     # relational path: broadcast dim join + partial/final hash agg
     o = spark.read.parquet(f"{sf}/orders.parquet")
     c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_mktsegment")
@@ -135,6 +192,15 @@ def main() -> None:
     assert "Exchange" not in sections[
         "co-located as-of join (bucketed tables — ZERO Exchange)"
     ]
+    assert "skew=true" in sections[
+        "AQE skew-join split (hot key, shuffle_join strategy — EXECUTED plan)"
+    ]
+    batch_plan = sections["batch top-k cosine (local pre-top-k below the rank exchange)"]
+    # formatted explain prints consumers first, so the pre-top-k MapInArrow
+    # (dataflow-BELOW the rank exchange) must appear after it in the text
+    assert batch_plan.index("MapInArrow") > batch_plan.index("Exchange"), (
+        "pre-top-k must feed the rank exchange"
+    )
     print("EXPLAIN.md written")
     spark.stop()
 
