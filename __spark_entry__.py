@@ -183,6 +183,66 @@ def _q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowed aggregation under the driver gate (§2.7 second
+    operator class): hourly tumbling-window counts + exact-integer value
+    sums per event_type, accumulated across two real micro-batches
+    (time-split files, maxFilesPerTrigger=1, Trigger.AvailableNow, complete
+    output mode — the stateful aggregate must carry partial counts across
+    batches). Value sums go through FLOOR(value·100) BIGINT cents so both
+    engines sum exact integers (no parallel-float-sum jitter)."""
+    _prep(spark)
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # timestamps travel as epoch-micros longs (CLAUDE.md convention) — the
+    # pandas-staged parquet then round-trips without timestamp-unit drift
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    split_ts = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    stream_dir = tempfile.mkdtemp(prefix="nyxus_stream_agg_")
+    f0 = os.path.join(stream_dir, "part-000.parquet")
+    f1 = os.path.join(stream_dir, "part-001.parquet")
+    ev.filter(F.col("event_id") <= split_ts).toPandas().to_parquet(f0)
+    ev.filter(F.col("event_id") > split_ts).toPandas().to_parquet(f1)
+    os.utime(f0, (1_000_000, 1_000_000))
+    os.utime(f1, (2_000_000, 2_000_000))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = (
+        src.groupBy(
+            F.window(F.timestamp_micros(F.col("ts_us")), "3600 seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_agg_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT unix_micros(w.start) AS window_start_us, event_type, n_events, "
+        "CAST(sum_cents AS BIGINT) AS sum_cents FROM stream_agg_gate"
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization (gap = 1h) over the raw event stream."""
     _prep(spark)
@@ -332,6 +392,25 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(drop_ids, "doc_id", "left_anti").select("doc_id", "source")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: LSH pairs → connected components (iterative
+    min-label propagation, operators/dedup.py connected_components) — each
+    clustered doc labeled with its canonical representative (smallest id in
+    the component) and the component size. The oracle computes the same
+    components with a DuckDB recursive CTE, so the distributed iterative
+    algorithm is checked against a from-scratch declarative fixpoint."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    aug = _aug_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(aug, jaccard_threshold=0.5)
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("rep").agg(F.count("*").cast("long").alias("cluster_size"))
+    return comps.join(sizes, "rep").select("doc_id", "rep", "cluster_size")
+
+
 def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking→verification composition: MinHash-LSH candidate pairs fed
     through the pair-wise ngram_jaccard verifier (equi-joins by id, no
@@ -415,6 +494,27 @@ def _q_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="nyxus_ivf_idx_")
     ivf_index(emb, cents, path)
     return ivf_search(spark, path, cents, list(qv), k=10, n_probe=2)
+
+
+def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query ANN through the IVF index: three queries each probe
+    their top-2 centroid buckets; corpus rows are scored only against the
+    queries probing their bucket (the corpus-scale batch plan — candidate
+    expansion is |probed fraction|·|Q|, not |corpus|·|Q|)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.similarity import ivf_topk_batch
+    from nyxus_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_batch(emb, cents, queries, k=5, n_probe=2)
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prescan_sources": _q_prescan_sources,
         "asof_join": _q_asof_join,
         "asof_stream": _q_asof_stream,
+        "stream_agg": _q_stream_agg,
         "sessionize": _q_sessionize,
         "lag_lead_locf": _q_lag_lead_locf,
         "firstorder": _q_firstorder,
@@ -1372,11 +1473,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_verify": _q_ngram_verify,
+        "dedup_clusters": _q_dedup_clusters,
         "corpus_clean": _q_corpus_clean,
         "topk_cosine": _q_topk_cosine,
         "topk_batch": _q_topk_batch,
         "ivf_topk": _q_ivf_topk,
         "ivf_persisted": _q_ivf_persisted,
+        "ivf_batch": _q_ivf_batch,
         "cosine_dup": _q_cosine_dup,
         "langid": _q_langid,
         "text_quality": _q_text_quality,
@@ -1575,6 +1678,7 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set
         "ngram_verify": oracles.sql_minhash_pairs(0.5),
+        "dedup_clusters": oracles.sql_dedup_clusters(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
         "topk_batch": oracles.SQL_TOPK_BATCH,
@@ -1582,6 +1686,7 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # the persisted index is semantically the same search (assignment is
         # materialized, not recomputed) — gated by the identical oracle
         "ivf_persisted": oracles.SQL_IVF_TOPK,
+        "ivf_batch": oracles.sql_ivf_batch(),
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         "langid": oracles.sql_langid(STOPWORDS),
         "text_quality": oracles.sql_text_quality(STOPWORDS["en"]),
@@ -1648,6 +1753,15 @@ SELECT p.doc_id, p.event_id,
        v.n_tok
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
+""",
+        # streaming windowed aggregation: tumbling windows align to the epoch
+        # in both engines; cents-floored integer sums are jitter-free
+        "stream_agg": """
+SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600000000 AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
 """,
         "sessionize": """
 WITH flags AS (

@@ -322,3 +322,63 @@ def cosine_dup_pairs(
         )
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph —
+    iterative minimum-label propagation. Returns (doc_id, rep) where `rep`
+    is the smallest id in the component (the canonical cluster
+    representative a corpus-clean keeps).
+
+    Scale notes (100 TB): each round is ONE join + min-aggregate shuffle on
+    the edge list; rounds needed = component diameter, and near-dup clusters
+    are shallow (dup groups, not social graphs), so this converges in a
+    handful of rounds. `localCheckpoint` truncates lineage every round so
+    the plan doesn't grow with iterations; convergence is detected with a
+    LIMIT-1 existence probe, not a full count.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("rep"))

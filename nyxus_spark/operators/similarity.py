@@ -213,6 +213,66 @@ def topk_cosine_batch(
     )
 
 
+def ivf_topk_batch(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Batch multi-query ANN through the IVF index — the full-corpus-scale
+    batch plan the brute `topk_cosine_batch` docstring points to: each query
+    ranks the (broadcast-tiny) centroid table and probes its top `n_probe`
+    buckets; the corpus joins the probe table on its ONE `assigned_cent`
+    bucket column, so each corpus row is scored only against the queries
+    probing its bucket (a |probed fraction|·|Q| expansion instead of
+    |corpus|·|Q|); the per-query rank then runs over the candidate set with
+    the same local pre-top-k combine as the brute path. Pass `assigned`
+    (e.g. `ivf_index_read`) to search the persisted partition-pruned index;
+    otherwise assignments are computed inline."""
+    from pyspark.sql import Window
+
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, id_col, vec_col, cent_id, cent_vec)
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        query_id, query_vec, cent_id,
+        fround4(cosine_col(query_vec, cent_vec)).alias("__c"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__c").desc(), F.col(cent_id).asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id, query_vec, F.col(cent_id).alias("__probe_cent"))
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            F.col("assigned_cent") == F.col("__probe_cent"),
+        )
+        .select(
+            query_id,
+            F.col(id_col),
+            fround4(cosine_col(vec_col, query_vec)).alias("cos"),
+        )
+    )
+    scored = _partition_topk(scored, k, query_id, id_col)
+    wq = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= k)
+        .select(query_id, id_col, "cos")
+    )
+
+
 def _partition_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> DataFrame:
     """Reduce each partition of (query_id, id, cos) rows to its per-query
     top-k under (cos DESC, id ASC) — a map-side combine for the rank that

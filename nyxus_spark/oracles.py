@@ -32,6 +32,32 @@ aug AS (
 """.strip()
 
 
+def sql_dedup_clusters(jaccard_threshold: float = 0.5) -> str:
+    """Connected components over the near-dup pair graph as a DuckDB
+    RECURSIVE CTE fixpoint: reach(id, label) closes over the undirected
+    edges; min(label) per id = the component's smallest member — the same
+    canonical representative the Spark iterative min-label propagation
+    converges to (operators/dedup.py connected_components)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{sql_minhash_pairs(jaccard_threshold)}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS rep FROM reach GROUP BY id),
+sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY rep)
+SELECT c.doc_id, c.rep, s.cluster_size FROM comp c JOIN sizes s USING (rep)
+"""
+
+
 def _hash_params(i: int) -> tuple[int, int]:
     a = (1103515245 * (i + 1) + 12345) % P31 | 1
     b = (MIX * (i + 7)) % P31
@@ -177,6 +203,56 @@ FROM assigned a, q
 WHERE a.rn = 1 AND a.cent_id IN (SELECT cent_id FROM top_cents)
 ORDER BY cos DESC, a.vec_id ASC
 LIMIT 10
+"""
+
+
+def sql_ivf_batch(n_queries: int = 3, n_cents: int = 8, n_probe: int = 2,
+                  k: int = 5) -> str:
+    """Batch IVF oracle: per-query centroid probe (rounded-cosine rank,
+    ties to lowest cent_id), assignment rn=1, candidates in probed buckets,
+    per-query top-k — replays operators/similarity.py ivf_topk_batch."""
+    cos = (
+        "FLOOR((list_inner_product({a}, {b})"
+        " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))))"
+        " * 10000.0 + 0.5) / 10000.0"
+    )
+    qc = cos.format(a="c.cv", b="q.qv")
+    ac = cos.format(a="CAST(e.embedding AS DOUBLE[])", b="c.cv")
+    sc = cos.format(a="cand.ev", b="q.qv")
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {n_cents}
+),
+probe AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.query_id, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qc} DESC, c.cent_id ASC) AS rn
+    FROM qs q, cents c
+  ) WHERE rn <= {n_probe}
+),
+assigned AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {ac} DESC, c.cent_id ASC) AS rn
+  FROM embeddings e, cents c
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.ev
+  FROM assigned a JOIN probe p ON a.cent_id = p.cent_id
+  WHERE a.rn = 1
+)
+SELECT query_id, vec_id, cos FROM (
+  SELECT cand.query_id, cand.vec_id, {sc} AS cos,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {sc} DESC, cand.vec_id ASC) AS rn2
+  FROM cand JOIN qs q ON cand.query_id = q.query_id
+) WHERE rn2 <= {k}
 """
 
 
