@@ -517,6 +517,49 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_batch(emb, cents, queries, k=5, n_probe=2)
 
 
+def _q_multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format source abstraction (S-section breadth): the documents
+    table is staged to CSV, JSON, and ORC, read back through `load_path`
+    with an explicit schema (no inference scan), and each format's content
+    is checksummed by the same aggregate — one row per format, identical
+    numbers. The oracle computes the aggregate once per format literal from
+    the canonical parquet (a format round-trip must be content-preserving)."""
+    _prep(spark)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sinks import to_csv, to_json, to_orc
+    from nyxus_spark.sources import load_path, load_table
+
+    # narrow, text-free projection: numeric + categorical columns round-trip
+    # through the text formats without quoting/encoding ambiguity
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="nyxus_fmt_")
+    to_csv(docs, f"{base}/csv")
+    to_json(docs, f"{base}/json")
+    to_orc(docs, f"{base}/orc")
+    schema = "doc_id bigint, lang string, source string, n_chars bigint"
+    parts = []
+    for fmt in ("csv", "json", "orc"):
+        d = load_path(spark, f"{base}/{fmt}", fmt, schema=schema)
+        parts.append(
+            d.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.countDistinct("doc_id").cast("long").alias("n_ids"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: deterministic fake payloads from the
     corpus, decoded by the Arrow-batched mapInPandas codec stub. The fake
@@ -1480,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_persisted": _q_ivf_persisted,
         "ivf_batch": _q_ivf_batch,
+        "multi_format_scan": _q_multi_format_scan,
         "cosine_dup": _q_cosine_dup,
         "langid": _q_langid,
         "text_quality": _q_text_quality,
@@ -1687,6 +1731,17 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # materialized, not recomputed) — gated by the identical oracle
         "ivf_persisted": oracles.SQL_IVF_TOPK,
         "ivf_batch": oracles.sql_ivf_batch(),
+        # a format round-trip is content-preserving: one aggregate row per
+        # staged format, all computed from the canonical parquet
+        "multi_format_scan": """
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+FROM documents, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+GROUP BY fmt
+""",
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         "langid": oracles.sql_langid(STOPWORDS),
         "text_quality": oracles.sql_text_quality(STOPWORDS["en"]),

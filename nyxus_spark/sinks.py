@@ -32,6 +32,18 @@ def to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) 
     w.parquet(path)
 
 
+def to_json(df: DataFrame, path: str) -> None:
+    """Newline-delimited JSON sink (one object per row)."""
+    df.write.mode("overwrite").json(path)
+
+
+def to_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def to_pandas(df: DataFrame) -> pd.DataFrame:
     """Arrow-backed pandas materialization (driver-side; small results)."""
     return df.toPandas()

@@ -1,4 +1,6 @@
 from nyxus_spark.sources.tables import (  # noqa: F401
+    SOURCE_FORMATS,
+    load_path,
     load_table,
     tokens_static,
     tokens_versions,

@@ -35,6 +35,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+SOURCE_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def load_path(spark: SparkSession, path: str, fmt: str = "parquet",
+              schema=None, header: bool = True) -> DataFrame:
+    """Multi-format source abstraction (the reference's format-dispatching
+    ingest, nyxus.py:291-370 featurize_directory accepting several file
+    types): one entry point over Spark's native readers. Pass an explicit
+    `schema` for the schemaless text formats (csv/json) — at 100 TB you
+    never want a schema-inference scan."""
+    if fmt not in SOURCE_FORMATS:
+        raise ValueError(f"unknown source format {fmt!r}; one of {SOURCE_FORMATS}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        return r.option("header", str(header).lower()).csv(path)
+    if fmt == "json":
+        return r.json(path)
+    if fmt == "orc":
+        return r.orc(path)
+    return r.parquet(path)
+
+
 # --------------------------------------------------------------------------
 # Static corpus tokens (from documents): one row per doc, no time axis.
 # token(w) = (ascii(w)*7 + length(w)*13) % 251  for each whitespace word.

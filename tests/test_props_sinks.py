@@ -90,5 +90,13 @@ def test_sink_roundtrips(spark, sf_dir):
         import pyarrow.feather as feather
 
         assert feather.read_table(f"{d}/f.arrow").num_rows == 20
+        sinks.to_json(df, f"{d}/j")
+        sinks.to_orc(df, f"{d}/o", partition_by=["source"])
+        from nyxus_spark.sources import load_path
+
+        assert load_path(spark, f"{d}/j", "json").count() == 20
+        assert load_path(spark, f"{d}/o", "orc").count() == 20
+        with pytest.raises(ValueError, match="unknown source format"):
+            load_path(spark, f"{d}/o", "avro")
     with pytest.raises(NotImplementedError, match="Iceberg catalog"):
         sinks.to_iceberg(df, "cat.db.t")
