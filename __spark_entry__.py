@@ -560,6 +560,31 @@ def _q_multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary counting (the BPE-vocab-building analog): global
+    token frequencies over the static corpus, top-100 by (count DESC,
+    token ASC) — map-side partial counting, TakeOrderedAndProject final."""
+    _prep(spark)
+    from nyxus_spark.functions import vocab_topk
+    from nyxus_spark.sources import tokens_static
+
+    return vocab_topk(tokens_static(spark, sf_dir), k=100)
+
+
+def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-based corpus subsampling: keep docs where
+    (doc_id·MIX mod P31) < P31·rate — re-derivable forever, unlike
+    partitioning-dependent df.sample."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.functions import deterministic_sample
+    from nyxus_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return deterministic_sample(docs, 0.2, F.col("doc_id"))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: deterministic fake payloads from the
     corpus, decoded by the Arrow-batched mapInPandas codec stub. The fake
@@ -1524,6 +1549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_persisted": _q_ivf_persisted,
         "ivf_batch": _q_ivf_batch,
         "multi_format_scan": _q_multi_format_scan,
+        "vocab_topk": _q_vocab_topk,
+        "sample_hash": _q_sample_hash,
         "cosine_dup": _q_cosine_dup,
         "langid": _q_langid,
         "text_quality": _q_text_quality,
@@ -1741,6 +1768,17 @@ SELECT fmt,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
 FROM documents, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
 GROUP BY fmt
+""",
+        "vocab_topk": f"""
+WITH {SQL_TOKENS_STATIC},
+flat AS (SELECT unnest(tokens) AS token FROM tokens_static)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM flat GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT 100
+""",
+        "sample_hash": f"""
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 2147483647 < {int(2147483647 * 0.2)}
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         "langid": oracles.sql_langid(STOPWORDS),

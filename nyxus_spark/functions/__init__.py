@@ -3,5 +3,7 @@ from nyxus_spark.functions.text import (  # noqa: F401
     quality_exprs,
     token_count_exprs,
     fingerprint_expr,
+    vocab_topk,
+    deterministic_sample,
     STOPWORDS,
 )

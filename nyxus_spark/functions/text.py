@@ -94,3 +94,34 @@ def fingerprint_expr(tokens_col: str = "tokens", prime: int = 1000003):
         f"aggregate(zip_with({tokens_col}, sequence(1, size({tokens_col})),"
         f" (t, i) -> cast(t as bigint) * i), 0L, (a, x) -> a + x) % {prime} END"
     )
+
+
+def vocab_topk(df, tokens_col: str = "tokens", k: int = 100):
+    """Corpus vocabulary building: global token frequencies, top-k by
+    (count DESC, token ASC). One explode + hash-aggregate shuffle on the
+    token id — partial (map-side) counting makes the shuffle carry at most
+    |vocab| rows per partition regardless of corpus size; the final top-k is
+    TakeOrderedAndProject. The training-data analog of BPE vocabulary
+    counting over the tokenized corpus."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    return (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def deterministic_sample(df, rate: float, id_expr, mix: int = 2654435761,
+                         p31: int = 2147483647):
+    """Reproducible corpus subsampling: keep rows where
+    (id·MIX mod P31) < P31·rate — the same integer arithmetic on every
+    engine and every run (unlike df.sample, whose output depends on
+    partitioning), so a sampled training subset is re-derivable from the
+    full corpus forever. `id_expr` must be an integer column expression."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(p31 * rate)
+    return df.filter(((id_expr.cast("bigint") * mix) % p31) < cut)
