@@ -1501,6 +1501,10 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(B.cast("double") / m03).alias("central4"),
         _r4(Cn.cast("double") / ((m02 * m02) * F.sqrt(m0))).alias("norm_central3"),
         _r4(B.cast("double") / m06).alias("norm_central4"),
+        # normalized RAW moments (reference W_pq weighted-normalized codes):
+        # m_p / m0^(1+p/2) — exact ratio; sqrt is correctly rounded IEEE
+        _r4(m2 / m02).alias("norm_raw_2"),
+        _r4(F.col("MOM_RAW_3") / (m02 * F.sqrt(m0))).alias("norm_raw_3"),
         _r4(A.cast("double") / m03).alias("hu1"),
         _r4(c2n.cast("double") / m09).alias("hu2"),
         _r4(h3n.cast("double") / m06).alias("hu3"),

@@ -1202,6 +1202,8 @@ SELECT doc_id, m0, m1, m2, m3, m4,
        FLOOR((CAST(b AS DOUBLE) / m03) * 10000.0 + 0.5) / 10000.0 AS central4,
        FLOOR((CAST(cnum AS DOUBLE) / ((m02 * m02) * SQRT(CAST(m0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS norm_central3,
        FLOOR((CAST(b AS DOUBLE) / (m03 * m03)) * 10000.0 + 0.5) / 10000.0 AS norm_central4,
+       FLOOR((CAST(m2 AS DOUBLE) / m02) * 10000.0 + 0.5) / 10000.0 AS norm_raw_2,
+       FLOOR((CAST(m3 AS DOUBLE) / (m02 * SQRT(CAST(m0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS norm_raw_3,
        FLOOR((CAST(a AS DOUBLE) / m03) * 10000.0 + 0.5) / 10000.0 AS hu1,
        FLOOR((CAST(cnum * cnum AS DOUBLE) / ((m03 * m03) * m03)) * 10000.0 + 0.5) / 10000.0 AS hu2,
        FLOOR((CAST(b - 3 * (a * a) AS DOUBLE) / (m03 * m03)) * 10000.0 + 0.5) / 10000.0 AS hu3,

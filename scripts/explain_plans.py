@@ -165,6 +165,14 @@ def main() -> None:
         topk_cosine_batch(emb, qdf, k=5)
     )
 
+    # batch IVF: broadcast probe table joined on the corpus's single
+    # assigned_cent column — candidate expansion is |probed fraction|·|Q|
+    from nyxus_spark.operators.similarity import ivf_topk_batch
+
+    sections["batch IVF search (broadcast probes, bucket-join candidates)"] = plan_of(
+        ivf_topk_batch(emb, cents, qdf, k=5)
+    )
+
     # relational path: broadcast dim join + partial/final hash agg
     o = spark.read.parquet(f"{sf}/orders.parquet")
     c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_mktsegment")
