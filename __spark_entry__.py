@@ -1464,7 +1464,7 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
         t, ["MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3", "MOM_RAW_4",
             "MOM_SHAPE_RAW_0", "MOM_SHAPE_RAW_1", "MOM_SHAPE_RAW_2",
-            "MOM_SHAPE_RAW_3"],
+            "MOM_SHAPE_RAW_3", "MOM_SHAPE_RAW_4"],
         keep_tokens=False,
     ).filter((F.col("MOM_RAW_0") > 0) & (F.col("MOM_SHAPE_RAW_0") > 0))
     m0, m1, m2 = F.col("MOM_RAW_0"), F.col("MOM_RAW_1"), F.col("MOM_RAW_2")
@@ -1487,6 +1487,18 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m03 = m02 * m0
     m06 = m03 * m03
     m09 = m06 * m03
+    # shape-family (unweighted) numerators — small-integer domain
+    s0i, s1i, s2i, s3i, s4i = (
+        F.col(f"MOM_SHAPE_RAW_{p}").cast("decimal(14,0)") for p in range(5)
+    )
+    As = (s0i * s2i - s1i * s1i).cast("decimal(19,0)")
+    Cs = (s0i * s0i * s3i - F.lit(3) * (s0i * s1i * s2i)
+          + F.lit(2) * (s1i * s1i * s1i)).cast("decimal(19,0)")
+    Bs = (s0i * s0i * s0i * s4i - F.lit(4) * (s0i * s0i * s1i * s3i)
+          + F.lit(6) * (s0i * s1i * s1i * s2i)
+          - F.lit(3) * (s1i * s1i * s1i * s1i)).cast("decimal(27,0)")
+    s02 = s0 * s0
+    s03 = s02 * s0
     return feats.select(
         "doc_id",
         m0.cast("long").alias("m0"),
@@ -1514,6 +1526,14 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("MOM_SHAPE_RAW_3").cast("long").alias("s3"),
         _r4(s1 / s0).alias("shape_centroid"),
         _r4((s0 * s2 - s1 * s1) / (s0 * s0 * s0)).alias("shape_norm_central2"),
+        # shape-family centrals + invariants (mask-moment analogs): same
+        # single-rational forms on the unweighted s-moments
+        _r4(As.cast("double") / s0).alias("shape_central2"),
+        _r4(Cs.cast("double") / s02).alias("shape_central3"),
+        _r4(Bs.cast("double") / s03).alias("shape_central4"),
+        _r4(As.cast("double") / s03).alias("shape_hu1"),
+        _r4((Cs * Cs).cast("double") / ((s03 * s03) * s03)).alias("shape_hu2"),
+        _r4((Bs - F.lit(3) * (As * As)).cast("double") / (s03 * s03)).alias("shape_hu3"),
     )
 
 

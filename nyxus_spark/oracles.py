@@ -1174,7 +1174,8 @@ m AS (
          CAST(COUNT(*) FILTER (t <> 0) AS BIGINT) AS s0,
          CAST(COALESCE(SUM(i) FILTER (t <> 0), 0) AS BIGINT) AS s1,
          CAST(COALESCE(SUM(i * i) FILTER (t <> 0), 0) AS BIGINT) AS s2,
-         CAST(COALESCE(SUM(i * i * i) FILTER (t <> 0), 0) AS BIGINT) AS s3
+         CAST(COALESCE(SUM(i * i * i) FILTER (t <> 0), 0) AS BIGINT) AS s3,
+         CAST(COALESCE(SUM(i * i * i * i) FILTER (t <> 0), 0) AS BIGINT) AS s4
   FROM flat GROUP BY doc_id
 ),
 -- exact HUGEINT numerators of the single-rational central/invariant forms
@@ -1183,6 +1184,15 @@ m AS (
 --   HU1 = A/m0³, HU2 = C²/m0⁹, HU3 = (B − 3A²)/m0⁶
 mx AS (
   SELECT doc_id, m0, m1, m2, m3, m4, s0, s1, s2, s3,
+         CAST(s0 AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS sa,
+         CAST(s0 AS HUGEINT) * s0 * s3 - 3 * (CAST(s0 AS HUGEINT) * s1 * s2)
+           + 2 * (CAST(s1 AS HUGEINT) * s1 * s1) AS scnum,
+         CAST(s0 AS HUGEINT) * s0 * s0 * s4
+           - 4 * (CAST(s0 AS HUGEINT) * s0 * s1 * s3)
+           + 6 * (CAST(s0 AS HUGEINT) * s1 * s1 * s2)
+           - 3 * (CAST(s1 AS HUGEINT) * s1 * s1 * s1) AS sb,
+         CAST(s0 AS DOUBLE) * s0 AS s02,
+         (CAST(s0 AS DOUBLE) * s0) * s0 AS s03,
          CAST(m0 AS HUGEINT) * m2 - CAST(m1 AS HUGEINT) * m1 AS a,
          CAST(m0 AS HUGEINT) * m0 * m3 - 3 * (CAST(m0 AS HUGEINT) * m1 * m2)
            + 2 * (CAST(m1 AS HUGEINT) * m1 * m1) AS cnum,
@@ -1209,7 +1219,13 @@ SELECT doc_id, m0, m1, m2, m3, m4,
        FLOOR((CAST(b - 3 * (a * a) AS DOUBLE) / (m03 * m03)) * 10000.0 + 0.5) / 10000.0 AS hu3,
        s0, s1, s2, s3,
        FLOOR((CAST(s1 AS DOUBLE) / s0) * 10000.0 + 0.5) / 10000.0 AS shape_centroid,
-       FLOOR((CAST(s0 * s2 - s1 * s1 AS DOUBLE) / (CAST(s0 AS DOUBLE) * s0 * s0)) * 10000.0 + 0.5) / 10000.0 AS shape_norm_central2
+       FLOOR((CAST(s0 * s2 - s1 * s1 AS DOUBLE) / (CAST(s0 AS DOUBLE) * s0 * s0)) * 10000.0 + 0.5) / 10000.0 AS shape_norm_central2,
+       FLOOR((CAST(sa AS DOUBLE) / s0) * 10000.0 + 0.5) / 10000.0 AS shape_central2,
+       FLOOR((CAST(scnum AS DOUBLE) / s02) * 10000.0 + 0.5) / 10000.0 AS shape_central3,
+       FLOOR((CAST(sb AS DOUBLE) / s03) * 10000.0 + 0.5) / 10000.0 AS shape_central4,
+       FLOOR((CAST(sa AS DOUBLE) / s03) * 10000.0 + 0.5) / 10000.0 AS shape_hu1,
+       FLOOR((CAST(scnum * scnum AS DOUBLE) / ((s03 * s03) * s03)) * 10000.0 + 0.5) / 10000.0 AS shape_hu2,
+       FLOOR((CAST(sb - 3 * (sa * sa) AS DOUBLE) / (s03 * s03)) * 10000.0 + 0.5) / 10000.0 AS shape_hu3
 FROM mx WHERE m0 > 0 AND s0 > 0
 """
 
