@@ -585,6 +585,49 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, 0.2, F.col("doc_id"))
 
 
+def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (corpus-shrinking preprocessing
+    before ANN indexing): q_i = floor(127·x_i/max|x| + 0.5) — element-wise
+    IEEE ops with a comparison-based scale, bit-identical across engines.
+    Per-vector integer checksums gate every quantized value."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.similarity import quantize_embedding
+    from nyxus_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_embedding("embedding").alias("q"))
+    return q.select(
+        "vec_id",
+        F.size("q").cast("long").alias("n_dims"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+    )
+
+
+def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (LLM packing pass): 32-token windows with
+    8-token overlap over the static corpus; per-chunk integer checksums.
+    Narrow posexplode — no shuffle (functions/text.py chunk_tokens)."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.functions import chunk_tokens
+    from nyxus_spark.sources import tokens_static
+
+    ch = chunk_tokens(tokens_static(spark, sf_dir), size=32, overlap=8)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_len",
+        F.aggregate(
+            "chunk_tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("chunk_sum"),
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: deterministic fake payloads from the
     corpus, decoded by the Arrow-batched mapInPandas codec stub. The fake
@@ -1575,6 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_format_scan": _q_multi_format_scan,
         "vocab_topk": _q_vocab_topk,
         "sample_hash": _q_sample_hash,
+        "chunk_tokens": _q_chunk_tokens,
+        "embed_quantize": _q_embed_quantize,
         "cosine_dup": _q_cosine_dup,
         "langid": _q_langid,
         "text_quality": _q_text_quality,
@@ -1803,6 +1848,46 @@ ORDER BY cnt DESC, token ASC LIMIT 100
         "sample_hash": f"""
 SELECT doc_id, n_chars FROM documents
 WHERE (doc_id * 2654435761) % 2147483647 < {int(2147483647 * 0.2)}
+""",
+        # int8 quantization: same element-wise IEEE expression tree
+        "embed_quantize": """
+WITH q AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
+              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0)
+              ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(FLOOR(127.0 * x
+                          / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+                          + 0.5) AS INTEGER))
+         END AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(qv) AS BIGINT) AS n_dims,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+""",
+        # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
+        # are 1-based inclusive
+        "chunk_tokens": f"""
+WITH {SQL_TOKENS_STATIC},
+starts AS (
+  SELECT doc_id, tokens, n_tok,
+         unnest(range(0, n_tok, 24)) AS start,
+         unnest(range(0, CAST(CEIL(n_tok / 24.0) AS BIGINT))) AS chunk_id
+  FROM tokens_static WHERE n_tok > 0
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         tokens[start + 1 : LEAST(start + 32, n_tok)] AS ck
+  FROM starts
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ck) AS BIGINT) AS chunk_len,
+       CAST(COALESCE(list_sum(ck), 0) AS BIGINT) AS chunk_sum
+FROM chunks
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         "langid": oracles.sql_langid(STOPWORDS),

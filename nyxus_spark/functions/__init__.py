@@ -5,5 +5,6 @@ from nyxus_spark.functions.text import (  # noqa: F401
     fingerprint_expr,
     vocab_topk,
     deterministic_sample,
+    chunk_tokens,
     STOPWORDS,
 )

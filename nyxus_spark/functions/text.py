@@ -125,3 +125,30 @@ def deterministic_sample(df, rate: float, id_expr, mix: int = 2654435761,
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     cut = int(p31 * rate)
     return df.filter(((id_expr.cast("bigint") * mix) % p31) < cut)
+
+
+def chunk_tokens(df, size: int, overlap: int = 0, tokens_col: str = "tokens",
+                 n_tok_col: str = "n_tok"):
+    """Split long token sequences into fixed-size windows with overlap — the
+    standard LLM training-data chunking pass (context-window packing). Pure
+    column expressions: one posexplode of the stride sequence, no shuffle,
+    no Python; the final chunk may be shorter than `size`. Rows with zero
+    tokens produce no chunks (and the `sequence()` guard matters: Spark's
+    sequence(a, b) DESCENDS when b < a)."""
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError(f"need size > 0 and 0 <= overlap < size, got {size}, {overlap}")
+    stride = size - overlap
+    starts = F.expr(
+        f"CASE WHEN {n_tok_col} > 0 THEN sequence(0, {n_tok_col} - 1, {stride}) "
+        "ELSE array() END"
+    )
+    exploded = df.select(
+        "*", F.posexplode(starts).alias("chunk_id", "__start")
+    )
+    chunk = F.expr(f"slice({tokens_col}, __start + 1, {size})")
+    return exploded.select(
+        *[c for c in df.columns if c != tokens_col],
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        chunk.alias("chunk_tokens"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+    )

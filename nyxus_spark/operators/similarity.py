@@ -301,3 +301,19 @@ def _partition_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> Da
             )
 
     return scored.mapInArrow(gen, scored.schema)
+
+
+def quantize_embedding(vec_col: str = "embedding", levels: int = 127):
+    """Column expr: symmetric int8-style quantization of a float vector —
+    q_i = floor(levels·x_i/max|x| + 0.5) (round-half-up), the standard
+    preprocessing that shrinks an embedding corpus ~4× before ANN indexing.
+    Every op is an element-wise IEEE double op (no order-dependent
+    reduction: the scale is max|x|, a comparison), so the quantized
+    integers are bit-identical across engines. All-zero vectors quantize to
+    all-zero."""
+    mx = f"array_max(transform({vec_col}, y -> abs(cast(y as double))))"
+    return F.expr(
+        f"CASE WHEN {mx} = 0D THEN transform({vec_col}, x -> 0) "
+        f"ELSE transform({vec_col}, x -> cast(floor({levels}D * cast(x as double)"
+        f" / {mx} + 0.5D) as int)) END"
+    )
