@@ -1132,17 +1132,21 @@ def _q_gabor(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel convolves 14-bit fixed-point taps in exact int64, so each
     GABOR_E_f is a ratio of two exact integers (one final division) and the
     DuckDB oracle replays it bit-identically (oracles.sql_gabor). Filter
-    matches the oracle: n_tok >= K and a nonzero token (for n >= K the base
-    energy is zero iff all tokens are zero → softNAN path)."""
+    matches the oracle: n_tok >= K, a nonzero token (for n >= K the base
+    energy is zero iff all tokens are zero → softNAN path), and the int64
+    exactness bound (the kernel softNANs rows that could wrap; the filter
+    replays the identical predicate so the HUGEINT-exact oracle sees the
+    same domain)."""
     _prep(spark)
     from pyspark.sql import functions as F
 
     from nyxus_spark.features import extract_features
-    from nyxus_spark.features.signal import GABOR_FREQS, K
+    from nyxus_spark.features.signal import GABOR_FREQS, K, within_bound_sql
     from nyxus_spark.sources import tokens_static
 
     t = tokens_static(spark, sf_dir).filter(
         (F.col("n_tok") >= K) & (F.expr("array_max(tokens)") > 0)
+        & F.expr(within_bound_sql("n_tok", "array_max(tokens)"))
     )
     feats = extract_features(
         t, [f"GABOR_E_{f}" for f in GABOR_FREQS], keep_tokens=False
@@ -1845,9 +1849,13 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM flat GROUP BY token
 ORDER BY cnt DESC, token ASC LIMIT 100
 """,
+        # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
+        # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the
+        # dividend's sign like Spark's, so pmod is replayed as (x%p+p)%p
         "sample_hash": f"""
 SELECT doc_id, n_chars FROM documents
-WHERE (doc_id * 2654435761) % 2147483647 < {int(2147483647 * 0.2)}
+WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+      % 2147483647 < {int(2147483647 * 0.2)}
 """,
         # int8 quantization: same element-wise IEEE expression tree
         "embed_quantize": """
@@ -1870,13 +1878,16 @@ SELECT vec_id,
 FROM q
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
-        # are 1-based inclusive
+        # are 1-based inclusive. Last start capped at n_tok - overlap - 1
+        # (coverage-extending windows only — matches chunk_tokens): the
+        # inclusive Spark sequence bound m = GREATEST(n_tok - 9, 0) becomes
+        # the exclusive range bound m + 1, with FLOOR(m/24) + 1 chunk ids.
         "chunk_tokens": f"""
 WITH {SQL_TOKENS_STATIC},
 starts AS (
   SELECT doc_id, tokens, n_tok,
-         unnest(range(0, n_tok, 24)) AS start,
-         unnest(range(0, CAST(CEIL(n_tok / 24.0) AS BIGINT))) AS chunk_id
+         unnest(range(0, GREATEST(n_tok - 9, 0) + 1, 24)) AS start,
+         unnest(range(0, CAST(FLOOR(GREATEST(n_tok - 9, 0) / 24.0) AS BIGINT) + 1)) AS chunk_id
   FROM tokens_static WHERE n_tok > 0
 ),
 chunks AS (

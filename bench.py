@@ -367,6 +367,11 @@ def _finish_dual(args, results: dict[int, dict], this_eff: dict | None) -> None:
                 results[c] = r
     if this_eff is not None:
         eff_runs.append(this_eff)
+    if not results:
+        # --report with no recorded history: nothing to rewrite
+        print("no recorded results to report (BENCH/results.json is empty "
+              "or missing); run `bench.py --dual` first", file=sys.stderr)
+        return
     os.makedirs("BENCH", exist_ok=True)
     with open(hist_path, "w") as f:
         json.dump({"levels": results, "eff_runs": eff_runs, **extra}, f, indent=1)

@@ -14,10 +14,16 @@
   the shared quantized bank TAP_SCALE cancels any fixed-point bias concern
   because both engines convolve the same integer taps). Degenerate or
   too-short sequences (< K tokens, or all-zero tokens) emit softNAN.
-  Exactness bound: per-row Σmag² < 2^63 requires n_tok·(K·TAP_SCALE·xmax)²
-  within int64 — with xmax = 250 that is n_tok ≤ ~6700; the energy
-  accumulation splits each int64 term into hi/lo 26-bit halves so the
-  float64 bincount partial sums stay exact for rows up to 2^27 tokens.
+  Exactness bound: per valid position |response|² = rc² + rs² ≤
+  2·(K·TAP_SCALE·xmax)², so the per-row energy Σ|resp|² stays within int64
+  only while n_valid·2·(K·TAP_SCALE·xmax)² < 2^63 — with xmax = 250 that is
+  n_tok ≤ ~3300 (NOT ~6700: the complex magnitude doubles the single-carrier
+  bound). Rows beyond the bound emit softNAN instead of silently wrapping
+  (`exceeds_exact_bound` is the row predicate; the driver query filters the
+  same expression so the DuckDB oracle, whose HUGEINT SUM never wraps, sees
+  the identical domain). The energy accumulation splits each int64 term into
+  hi/lo 26-bit halves so the float64 bincount partial sums stay exact for
+  rows up to 2^27 tokens.
 
 * RADIAL distribution (src/nyx/features/radial_distribution.cpp —
   FRAC_AT_D/MEAN_FRAC/RADIAL_CV): the pixel-to-centroid radius becomes the
@@ -85,6 +91,33 @@ def quantized_taps() -> tuple[list[int], dict[int, tuple[list[int], list[int]]]]
 _LO_BITS = 26
 _LO_MASK = (1 << _LO_BITS) - 1
 
+_INT64_LIMIT = float(1 << 63)
+
+
+def exceeds_exact_bound(n_valid, xmax):
+    """Row predicate: True where the int64 convolution could wrap.
+
+    Per valid position |resp|² ≤ 2·(K·TAP_SCALE·xmax)², so the row energy is
+    bounded by n_valid·2·(K·TAP_SCALE·xmax)²; the comparison is done in
+    float64 with this exact op order — n_valid · (2·m·m) with
+    m = double(K·TAP_SCALE·xmax) — so the driver query's SQL filter can
+    replay it bit-identically (K·TAP_SCALE·xmax is int64-exact, products of
+    doubles round identically on every IEEE engine)."""
+    m = (np.int64(K * TAP_SCALE) * np.asarray(xmax, dtype=np.int64)).astype(np.float64)
+    return np.asarray(n_valid, dtype=np.float64) * (2.0 * m * m) >= _INT64_LIMIT
+
+
+def within_bound_sql(n_tok_expr: str, xmax_expr: str) -> str:
+    """SQL twin of NOT exceeds_exact_bound — valid in both Spark SQL and
+    DuckDB (CAST/ DOUBLE arithmetic, left-associative products, the 2^63
+    literal rounds to exactly 2^63 in either parser). `xmax_expr` is the
+    engine's array-max expression over the token list."""
+    m = f"CAST({K * TAP_SCALE} * ({xmax_expr}) AS DOUBLE)"
+    return (
+        f"(CAST(({n_tok_expr}) - {K - 1} AS DOUBLE) * (2.0 * {m} * {m})"
+        " < 9.223372036854775808e18)"
+    )
+
 
 def _seg_int_sum(vals: np.ndarray, rows: np.ndarray, n: int) -> np.ndarray:
     """Exact per-row sum of nonnegative int64 values via a hi/lo 26-bit
@@ -108,6 +141,11 @@ def gabor_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
     valid = (pos >= c) & (pos <= seg.lengths[seg.row_idx] - 1 - c)
     vrows = seg.row_idx[valid]
     nvalid = np.bincount(vrows, minlength=n)
+    # overflow guard: rows whose worst-case energy could wrap int64 emit
+    # softNAN (never a silently-wrapped value); the driver query filters the
+    # identical predicate so the oracle sees the same domain
+    xmax = seg.seg_max(np.abs(x).astype(np.float64), fill=0.0).astype(np.int64)
+    overflow = exceeds_exact_bound(nvalid, xmax)
     base_k, banks = _kernels()
 
     def conv(weights):
@@ -137,7 +175,7 @@ def gabor_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
     sq = buf("gab_sq", total, np.int64)
     np.multiply(base_resp, base_resp, out=sq)
     base_energy = _seg_int_sum(sq[valid], vrows, n)
-    ok = (nvalid > 0) & (base_energy > 0)
+    ok = (nvalid > 0) & (base_energy > 0) & ~overflow
     safe_eb = np.where(base_energy > 0, base_energy, 1).astype(np.float64)
     for f in GABOR_FREQS:
         kc, ksn = banks[f]

@@ -120,11 +120,19 @@ def deterministic_sample(df, rate: float, id_expr, mix: int = 2654435761,
     (id·MIX mod P31) < P31·rate — the same integer arithmetic on every
     engine and every run (unlike df.sample, whose output depends on
     partitioning), so a sampled training subset is re-derivable from the
-    full corpus forever. `id_expr` must be an integer column expression."""
+    full corpus forever. `id_expr` must be an integer column expression.
+
+    The hash is pmod((id mod P31)·(MIX mod P31), P31): reducing BOTH factors
+    below 2³¹ first keeps the product under 2⁶² (no bigint wraparound for any
+    id), and pmod keeps the remainder in [0, P31) even for negative ids — a
+    raw `%` preserves the dividend's sign, which would make every
+    negative-hash row pass the `< cut` filter and silently inflate the
+    sample rate."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     cut = int(p31 * rate)
-    return df.filter(((id_expr.cast("bigint") * mix) % p31) < cut)
+    h = F.pmod((id_expr.cast("bigint") % p31) * F.lit(mix % p31), F.lit(p31))
+    return df.filter(h < cut)
 
 
 def chunk_tokens(df, size: int, overlap: int = 0, tokens_col: str = "tokens",
@@ -134,12 +142,20 @@ def chunk_tokens(df, size: int, overlap: int = 0, tokens_col: str = "tokens",
     column expressions: one posexplode of the stride sequence, no shuffle,
     no Python; the final chunk may be shorter than `size`. Rows with zero
     tokens produce no chunks (and the `sequence()` guard matters: Spark's
-    sequence(a, b) DESCENDS when b < a)."""
+    sequence(a, b) DESCENDS when b < a).
+
+    A window is emitted only when it EXTENDS coverage: the last start is
+    capped at n_tok − overlap − 1, because a start inside the previous
+    window's overlap region would produce a chunk entirely contained in the
+    previous chunk (e.g. size=4, overlap=1, n_tok=10: a start at 9 yields
+    [token 9] which the start-6 window already covers) — duplicated training
+    data. With overlap=0 the cap is the old n_tok − 1 (no behavior change)."""
     if size <= 0 or not 0 <= overlap < size:
         raise ValueError(f"need size > 0 and 0 <= overlap < size, got {size}, {overlap}")
     stride = size - overlap
     starts = F.expr(
-        f"CASE WHEN {n_tok_col} > 0 THEN sequence(0, {n_tok_col} - 1, {stride}) "
+        f"CASE WHEN {n_tok_col} > 0 THEN "
+        f"sequence(0, greatest({n_tok_col} - {overlap} - 1, 0), {stride}) "
         "ELSE array() END"
     )
     exploded = df.select(

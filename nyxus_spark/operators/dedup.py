@@ -328,12 +328,19 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair graph —
     iterative minimum-label propagation. Returns (doc_id, rep) where `rep`
     is the smallest id in the component (the canonical cluster
     representative a corpus-clean keeps).
+
+    Raises ValueError if the labels have not converged after `max_iter`
+    rounds: min-label propagation advances one hop per round, so a component
+    whose diameter exceeds max_iter would otherwise silently return WRONG
+    representatives (split clusters). Near-dup components are shallow, so
+    the default bound is generous; pass a larger max_iter for genuinely
+    deep graphs rather than accepting unconverged labels.
 
     Scale notes (100 TB): each round is ONE join + min-aggregate shuffle on
     the edge list; rounds needed = component diameter, and near-dup clusters
@@ -353,6 +360,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -379,6 +387,13 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise ValueError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (a component's diameter exceeds the bound); returning the "
+            "partial labels would silently split clusters — raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("rep"))

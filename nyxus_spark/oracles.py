@@ -698,9 +698,15 @@ def sql_gabor() -> str:
     the convolution per valid center position, and performs the identical
     CAST-to-double division — bit-identical to the kernel
     (gabor.cpp:43-122 is the 2-D original this recasts).
-    Filters: n_tok >= K (valid window exists) and list_max(tokens) > 0
-    (for n >= K, base energy is zero iff every token is zero)."""
-    from nyxus_spark.features.signal import GABOR_FREQS, K, quantized_taps
+    Filters: n_tok >= K (valid window exists), list_max(tokens) > 0
+    (for n >= K, base energy is zero iff every token is zero), and the int64
+    exactness bound within_bound_sql — the same predicate under which the
+    kernel emits softNAN instead of risking silent wraparound (DuckDB's
+    HUGEINT SUM never wraps, so without this filter the engines would
+    diverge exactly where the kernel protects itself)."""
+    from nyxus_spark.features.signal import (
+        GABOR_FREQS, K, quantized_taps, within_bound_sql,
+    )
 
     qbase, qks = quantized_taps()
     c = K // 2
@@ -731,6 +737,7 @@ WITH {SQL_TOKENS_STATIC},
 docs AS (
   SELECT doc_id, tokens, n_tok FROM tokens_static
   WHERE n_tok >= {K} AND list_max(tokens) > 0
+    AND {within_bound_sql('n_tok', 'list_max(tokens)')}
 ),
 pos AS (
   SELECT doc_id, tokens, unnest(range({c + 1}, n_tok - {c - 1})) AS i FROM docs

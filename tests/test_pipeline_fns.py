@@ -22,19 +22,57 @@ def test_sample_validation():
 
 def test_chunk_shapes(spark):
     df = spark.createDataFrame(
-        [("a", list(range(10)), 10), ("b", [7], 1), ("c", [], 0)],
+        [("a", list(range(10)), 10), ("b", [7], 1), ("c", [], 0),
+         ("d", list(range(11)), 11)],
         "doc_id string, tokens array<int>, n_tok int",
     )
     out = chunk_tokens(df, size=4, overlap=1).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc a: starts 0,3,6,9 → lens 4,4,4,1
+    # doc a: last start capped at n_tok-overlap-1 = 8 → starts 0,3,6 (a start
+    # at 9 would emit [token 9], fully covered by the start-6 window — the
+    # duplicated-training-data case the cap removes)
     a = sorted(by_doc["a"], key=lambda r: r["chunk_id"])
-    assert [r["chunk_len"] for r in a] == [4, 4, 4, 1]
+    assert [r["chunk_len"] for r in a] == [4, 4, 4]
     assert a[1]["chunk_tokens"] == [3, 4, 5, 6]  # overlap of 1 with chunk 0
+    assert a[2]["chunk_tokens"] == [6, 7, 8, 9]  # full coverage retained
+    # doc d (n_tok=11): the start-9 window DOES extend coverage (token 10)
+    d = sorted(by_doc["d"], key=lambda r: r["chunk_id"])
+    assert [r["chunk_len"] for r in d] == [4, 4, 4, 2]
+    assert d[3]["chunk_tokens"] == [9, 10]
     assert [r["chunk_len"] for r in by_doc["b"]] == [1]
     assert "c" not in by_doc  # zero tokens → no chunks (sequence guard)
+
+
+def test_chunk_no_contained_duplicates(spark):
+    # property: with overlap > 0, no chunk may be a suffix-contained
+    # duplicate of the previous chunk (every chunk ends strictly later)
+    import itertools
+    for size, overlap, n in itertools.product((4, 8), (0, 1, 3), range(1, 20)):
+        if overlap >= size:
+            continue
+        df = spark.createDataFrame(
+            [("x", list(range(n)), n)], "doc_id string, tokens array<int>, n_tok int"
+        )
+        rows = sorted(
+            chunk_tokens(df, size=size, overlap=overlap).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        ends = [r["chunk_tokens"][-1] for r in rows]
+        assert ends[-1] == n - 1, (size, overlap, n)  # full coverage
+        assert all(b > a for a, b in zip(ends, ends[1:])), (size, overlap, n)
+
+
+def test_sample_negative_and_large_ids(spark):
+    # negative ids and ids past the bigint-overflow point of id*MIX must
+    # hash into [0, P31) — rate stays ~honest instead of silently inflating
+    df = spark.range(-5000, 5000).withColumnRenamed("id", "k")
+    n = deterministic_sample(df, 0.2, F.col("k")).count()
+    assert 0.15 < n / 10000 < 0.25
+    big = spark.range(4_000_000_000, 4_000_010_000).withColumnRenamed("id", "k")
+    nb = deterministic_sample(big, 0.2, F.col("k")).count()
+    assert 0.15 < nb / 10000 < 0.25
 
 
 def test_sample_stability_and_rate(spark):
