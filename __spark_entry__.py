@@ -1326,6 +1326,94 @@ def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# composition queries: several operators gated by ONE driver row each. The
+# driver's correctness window covers the first 50 registry entries, so
+# related operators are joined on their row key into one wide result (every
+# column of every member stays value-gated — nothing is dropped, the results
+# are just carried side by side).
+# ---------------------------------------------------------------------------
+
+
+def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two as-of strategies side-by-side in one gated row set: the cogrouped
+    pandas merge_asof kernel AND the time-sliced salted path (salt_slices=4,
+    the north-rule hot-key treatment). Joined on the probe key, so the oracle
+    (ONE ASOF LEFT JOIN emitting each value under both aliases) forces the
+    strategies to agree with the oracle AND each other."""
+    from pyspark.sql import functions as F
+
+    merge = _q_asof_merge(spark, sf_dir).select(
+        "doc_id", "event_id", "ts_us",
+        F.col("matched_ts_us").alias("merge_matched_ts_us"),
+        F.col("n_tok").alias("merge_n_tok"),
+    )
+    salted = _q_asof_salted(spark, sf_dir).select(
+        "doc_id", "event_id",
+        F.col("matched_ts_us").alias("salted_matched_ts_us"),
+        F.col("n_tok").alias("salted_n_tok"),
+    )
+    return merge.join(salted, ["doc_id", "event_id"])
+
+
+def _q_gabor_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-family composition: the exact-integer quantized Gabor bank and
+    the radial distribution bands, joined per doc (domains differ — gabor
+    needs n_tok >= K within the int64 bound, radial positive mass — so the
+    row set is the intersection, replayed by the oracle's inner join)."""
+    g = _q_gabor(spark, sf_dir)
+    r = _q_radial(spark, sf_dir)
+    return g.join(r, "doc_id")
+
+
+def _q_glcm_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three GLCM binning modes + the multi-offset _AVE expansion in one
+    gated row set: radiomics/symmetric (sym_*), IBSI identity (ibsi_*), and
+    the per-offset D1/D2/D4 + _AVE columns (matlab binning)."""
+    from pyspark.sql import functions as F
+
+    sym = _q_glcm_sym(spark, sf_dir)
+    sym = sym.select("doc_id", *[F.col(c).alias(f"sym_{c}") for c in sym.columns if c != "doc_id"])
+    ibsi = _q_glcm_ibsi(spark, sf_dir)
+    ibsi = ibsi.select("doc_id", *[F.col(c).alias(f"ibsi_{c}") for c in ibsi.columns if c != "doc_id"])
+    ave = _q_glcm_ave(spark, sf_dir)
+    return sym.join(ibsi, "doc_id").join(ave, "doc_id")
+
+
+def _q_glrlm_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLRLM variants in one gated row set: the multi-offset D1/D2/D4 + _AVE
+    columns over the clean corpus, and the background-break path (bg_*) over
+    the zeroed-token corpus (runs must not merge across background)."""
+    from pyspark.sql import functions as F
+
+    ave = _q_glrlm_ave(spark, sf_dir)
+    bg = _q_glrlm_bg(spark, sf_dir)
+    bg = bg.select("doc_id", *[F.col(c).alias(f"bg_{c}") for c in bg.columns if c != "doc_id"])
+    return ave.join(bg, "doc_id")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis composition: language-ID, quality scoring + token
+    counting, and the order-sensitive token fingerprint, one row per doc.
+    The fingerprint query is keyed 'doc_<id>' (token-table key) — stripped
+    back to the numeric documents key for the join, identically in SQL."""
+    from pyspark.sql import functions as F
+
+    lid = _q_langid(spark, sf_dir)
+    tq = _q_text_quality(spark, sf_dir)
+    fp = _q_fingerprint(spark, sf_dir).select(
+        F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
+        "fingerprint",
+    )
+    return lid.join(tq, "doc_id").join(fp, "doc_id")
+
+
+def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child rollup composition: the J3 stats rollup (SUM/MEAN/MIN/
+    MAX/WMA) and the per-source pivot counts, one row per parent doc."""
+    return _q_rollup(spark, sf_dir).join(_q_rollup_pivot(spark, sf_dir), "doc_id")
+
+
 def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IBSI intensity-histogram kernel — index-domain outputs are integers, so
     the oracle comparison is exact (the quantile/median machinery is exercised
@@ -1585,7 +1673,30 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries — the driver's correctness window covers the first
+    # 50 in registry order, so every registered query gets a driver row.
+    # Related operators that used to be separate entries are composition
+    # queries now (join-merged on their row key; every column still gated):
+    # gabor+radial → gabor_radial, glcm_sym+glcm_ibsi+glcm_ave → glcm_modes,
+    # glrlm_ave+glrlm_bg → glrlm_modes, langid+text_quality+fingerprint →
+    # text_stats, rollup+rollup_pivot → rollup_wide, asof_merge+asof_salted
+    # → asof_strategies. Queries whose gates are newest-or-changed lead.
     return {
+        # round-4 new/changed gates first
+        "gabor_radial": _q_gabor_radial,
+        "ngtdm": _q_ngtdm,
+        "gldzm": _q_gldzm,
+        "asof_strategies": _q_asof_strategies,
+        "pricing_summary": _q_pricing_summary,
+        "multimodal_decode": _q_multimodal_decode,
+        "segment_sales": _q_segment_sales,
+        "glcm_modes": _q_glcm_modes,
+        "glrlm_modes": _q_glrlm_modes,
+        "text_stats": _q_text_stats,
+        "rollup_wide": _q_rollup_wide,
+        "chunk_tokens": _q_chunk_tokens,
+        "sample_hash": _q_sample_hash,
+        # stable gates
         "ih": _q_ih,
         "percentiles": _q_percentiles,
         "histo_bins": _q_histo_bins,
@@ -1593,10 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gldm": _q_gldm,
         "moments": _q_moments,
         "neighbors": _q_neighbors,
-        "rollup": _q_rollup,
-        "rollup_pivot": _q_rollup_pivot,
         "covered_range": _q_covered_range,
-        "asof_merge": _q_asof_merge,
         "asof_tokens": _q_asof_tokens,
         "asof_tolerance": _q_asof_tolerance,
         "frame_sample": _q_frame_sample,
@@ -1621,29 +1729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_batch": _q_ivf_batch,
         "multi_format_scan": _q_multi_format_scan,
         "vocab_topk": _q_vocab_topk,
-        "sample_hash": _q_sample_hash,
-        "chunk_tokens": _q_chunk_tokens,
         "embed_quantize": _q_embed_quantize,
         "cosine_dup": _q_cosine_dup,
-        "langid": _q_langid,
-        "text_quality": _q_text_quality,
-        "fingerprint": _q_fingerprint,
         "glrlm": _q_glrlm,
         "glcm": _q_glcm,
-        "glcm_sym": _q_glcm_sym,
-        "glcm_ibsi": _q_glcm_ibsi,
-        "glcm_ave": _q_glcm_ave,
-        "glrlm_ave": _q_glrlm_ave,
-        "glrlm_bg": _q_glrlm_bg,
         "glszm": _q_glszm,
-        "ngtdm": _q_ngtdm,
-        "gldzm": _q_gldzm,
-        "radial": _q_radial,
-        "gabor": _q_gabor,
-        "asof_salted": _q_asof_salted,
-        "pricing_summary": _q_pricing_summary,
-        "multimodal_decode": _q_multimodal_decode,
-        "segment_sales": _q_segment_sales,
     }
 
 
@@ -1687,7 +1777,7 @@ SELECT e.doc_id, e.event_id,
        a.closest1_us, a.closest2_us
 FROM ev e LEFT JOIN agg a USING (doc_id, event_id)
 """,
-        "rollup": f"""
+        "rollup_wide": f"""
 WITH {SQL_VERSIONS}
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_children,
@@ -1700,12 +1790,7 @@ SELECT doc_id,
        FLOOR((MIN(value)) * 10000.0 + 0.5) / 10000.0 AS min_value,
        FLOOR((MAX(value)) * 10000.0 + 0.5) / 10000.0 AS max_value,
        FLOOR((CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * n_tok) AS DOUBLE)
-             / (CAST(SUM(n_tok) AS BIGINT) * 100)) * 10000.0 + 0.5) / 10000.0 AS wma_value
-FROM versions GROUP BY doc_id
-""",
-        "rollup_pivot": f"""
-WITH {SQL_VERSIONS}
-SELECT doc_id,
+             / (CAST(SUM(n_tok) AS BIGINT) * 100)) * 10000.0 + 0.5) / 10000.0 AS wma_value,
        CAST(COUNT(*) FILTER (source = 'click') AS BIGINT) AS click,
        CAST(COUNT(*) FILTER (source = 'error') AS BIGINT) AS error,
        CAST(COUNT(*) FILTER (source = 'purchase') AS BIGINT) AS purchase,
@@ -1724,12 +1809,17 @@ SELECT t.doc_id, t.source, d.src_min, d.src_max,
              / (d.src_max - d.src_min)) * 10000.0 + 0.5) / 10000.0 AS covered_range
 FROM tokens_static t JOIN dim d USING (source)
 """,
-        "asof_merge": f"""
+        # one ASOF join, each value emitted under BOTH strategy aliases —
+        # forcing cogroup-merge and salted results to agree with the oracle
+        # and (transitively) each other
+        "asof_strategies": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
 SELECT p.doc_id, p.event_id,
        epoch_us(p.ts) AS ts_us,
-       epoch_us(v.ts) AS matched_ts_us,
-       v.n_tok
+       epoch_us(v.ts) AS merge_matched_ts_us,
+       v.n_tok AS merge_n_tok,
+       epoch_us(v.ts) AS salted_matched_ts_us,
+       v.n_tok AS salted_n_tok
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
 """,
@@ -1777,15 +1867,6 @@ SELECT c_mktsegment,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
-""",
-        "asof_salted": f"""
-WITH {SQL_VERSIONS}, {SQL_PROBES}
-SELECT p.doc_id, p.event_id,
-       epoch_us(p.ts) AS ts_us,
-       epoch_us(v.ts) AS matched_ts_us,
-       v.n_tok
-FROM probes p ASOF LEFT JOIN versions v
-  ON p.doc_id = v.doc_id AND p.ts >= v.ts
 """,
         "asof_tokens": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
@@ -1901,28 +1982,62 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
 FROM chunks
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
-        "langid": oracles.sql_langid(STOPWORDS),
-        "text_quality": oracles.sql_text_quality(STOPWORDS["en"]),
-        "fingerprint": f"""
-WITH {SQL_TOKENS_STATIC}
-SELECT doc_id,
-       CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
-             (SELECT unnest(tokens) AS t, unnest(range(1, len(tokens)+1)) AS ord) u)
-            % 1000003 AS BIGINT) AS fingerprint
-FROM tokens_static
+        # text-analysis composition: langid ⋈ quality ⋈ fingerprint (the
+        # fingerprint sub-oracle is keyed 'doc_<id>' — stripped back to the
+        # numeric documents key, same substring op as the Spark query)
+        "text_stats": f"""
+SELECT l.doc_id, l.lang_pred,
+       q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
+       q.punct_ratio, q.stopword_ratio, q.quality_score,
+       f.fingerprint
+FROM ({oracles.sql_langid(STOPWORDS)}) l
+JOIN ({oracles.sql_text_quality(STOPWORDS["en"])}) q USING (doc_id)
+JOIN (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, fingerprint FROM (
+    WITH {SQL_TOKENS_STATIC}
+    SELECT doc_id,
+           CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+                 (SELECT unnest(tokens) AS t, unnest(range(1, len(tokens)+1)) AS ord) u)
+                % 1000003 AS BIGINT) AS fingerprint
+    FROM tokens_static
+  )
+) f USING (doc_id)
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
-        "glcm_sym": oracles.sql_glcm_sym(64),
-        "glcm_ibsi": oracles.sql_glcm_ibsi(32),
-        "glcm_ave": oracles.sql_glcm_ave(64),
-        "glrlm_ave": oracles.sql_glrlm_ave(64),
-        "glrlm_bg": oracles.sql_glrlm_bg(64),
+        # three GLCM binning modes + multi-offset _AVE in one gated row set
+        "glcm_modes": f"""
+SELECT s.doc_id,
+       s.glcm_contrast AS sym_glcm_contrast, s.glcm_asm AS sym_glcm_asm,
+       s.glcm_dis AS sym_glcm_dis, s.glcm_sumaverage AS sym_glcm_sumaverage,
+       s.glcm_acor AS sym_glcm_acor, s.glcm_jave AS sym_glcm_jave,
+       i.glcm_contrast AS ibsi_glcm_contrast, i.glcm_asm AS ibsi_glcm_asm,
+       i.glcm_dis AS ibsi_glcm_dis, i.glcm_sumaverage AS ibsi_glcm_sumaverage,
+       i.glcm_acor AS ibsi_glcm_acor, i.glcm_jave AS ibsi_glcm_jave,
+       a.glcm_contrast_d1, a.glcm_contrast_d2, a.glcm_contrast_d4,
+       a.glcm_contrast_ave, a.glcm_dis_ave, a.glcm_acor_ave,
+       a.glcm_jave_ave, a.glcm_asm_ave
+FROM ({oracles.sql_glcm_sym(64)}) s
+JOIN ({oracles.sql_glcm_ibsi(32)}) i USING (doc_id)
+JOIN ({oracles.sql_glcm_ave(64)}) a USING (doc_id)
+""",
+        # multi-offset GLRLM + the background-break path (bg_*) side by side
+        "glrlm_modes": f"""
+SELECT a.*,
+       b.glrlm_lre AS bg_glrlm_lre, b.glrlm_rp AS bg_glrlm_rp,
+       b.glrlm_hglre AS bg_glrlm_hglre, b.glrlm_gln AS bg_glrlm_gln,
+       b.glrlm_rln AS bg_glrlm_rln
+FROM ({oracles.sql_glrlm_ave(64)}) a
+JOIN ({oracles.sql_glrlm_bg(64)}) b USING (doc_id)
+""",
         "glszm": oracles.sql_glszm(64),
         "ngtdm": oracles.sql_ngtdm(64),
         "gldzm": oracles.sql_gldzm(64),
-        "radial": oracles.sql_radial(),
-        "gabor": oracles.sql_gabor(),
+        # signal-family composition: quantized-integer Gabor ⋈ radial bands
+        "gabor_radial": f"""
+SELECT * FROM ({oracles.sql_gabor()}) g
+JOIN ({oracles.sql_radial()}) r USING (doc_id)
+""",
     }
     return extra | {
         "tokens_basic": f"""
