@@ -1588,7 +1588,19 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     HU3 = η4 − 3η2² = (B − 3A²)/m0⁶. Numerators are computed in Spark
     DECIMAL (exact to 38 digits; B ≤ ~4e25, C² ≤ ~2e37 here) and the oracle
     mirrors them in DuckDB HUGEINT; denominators are identical double
-    multiply-chains (never pow()) so both engines round identically."""
+    multiply-chains (never pow()) so both engines round identically.
+
+    Round-4 extensions (same gating disciplines):
+    * normalized raw moments m_p/m0^(1+p/2) for p ∈ {1,4} and the full
+      shape-family set — exact ratios, sqrt(m0) correctly rounded IEEE;
+    * ratio invariants HU4 = μ4/μ2² = B/(A²·m0) and HU5 = μ3²/μ2³ =
+      C²/A³ (standardized kurtosis / squared skewness — exact numerator
+      over a double multiply-chain denominator, NULL when μ2 = 0 on both
+      engines via the same A > 0 CASE);
+    * HU6 = η2η4 − η3²: A·B exceeds 38 digits, so it is gated as the FIXED
+      IEEE chain (A/m0³)·(B/m0⁶) − C²/m0⁹ — three exact-numerator
+      divisions, one product, one subtraction, replayed in that exact op
+      order by the oracle."""
     _prep(spark)
     from pyspark.sql import functions as F
 
@@ -1650,16 +1662,33 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(B.cast("double") / m06).alias("norm_central4"),
         # normalized RAW moments (reference W_pq weighted-normalized codes):
         # m_p / m0^(1+p/2) — exact ratio; sqrt is correctly rounded IEEE
+        _r4(m1 / (m0 * F.sqrt(m0))).alias("norm_raw_1"),
         _r4(m2 / m02).alias("norm_raw_2"),
         _r4(F.col("MOM_RAW_3") / (m02 * F.sqrt(m0))).alias("norm_raw_3"),
+        _r4(F.col("MOM_RAW_4") / m03).alias("norm_raw_4"),
         _r4(A.cast("double") / m03).alias("hu1"),
         _r4(c2n.cast("double") / m09).alias("hu2"),
         _r4(h3n.cast("double") / m06).alias("hu3"),
+        # ratio invariants: exact numerator / double multiply-chain; μ2 = 0
+        # (all mass at one position) → NULL via the same CASE on both sides
+        F.when(A.cast("double") > 0,
+               _r4(B.cast("double")
+                   / ((A.cast("double") * A.cast("double")) * m0))).alias("hu4"),
+        F.when(A.cast("double") > 0,
+               _r4(c2n.cast("double")
+                   / ((A.cast("double") * A.cast("double")) * A.cast("double")))).alias("hu5"),
+        # HU6 = η2η4 − η3² as the fixed IEEE chain (A·B > 38 digits)
+        _r4((A.cast("double") / m03) * (B.cast("double") / m06)
+            - c2n.cast("double") / m09).alias("hu6"),
         s0.cast("long").alias("s0"),
         s1.cast("long").alias("s1"),
         s2.cast("long").alias("s2"),
         F.col("MOM_SHAPE_RAW_3").cast("long").alias("s3"),
         _r4(s1 / s0).alias("shape_centroid"),
+        _r4(s1 / (s0 * F.sqrt(s0))).alias("shape_norm_raw_1"),
+        _r4(s2 / s02).alias("shape_norm_raw_2"),
+        _r4(F.col("MOM_SHAPE_RAW_3") / (s02 * F.sqrt(s0))).alias("shape_norm_raw_3"),
+        _r4(F.col("MOM_SHAPE_RAW_4") / s03).alias("shape_norm_raw_4"),
         _r4((s0 * s2 - s1 * s1) / (s0 * s0 * s0)).alias("shape_norm_central2"),
         # shape-family centrals + invariants (mask-moment analogs): same
         # single-rational forms on the unweighted s-moments
@@ -1669,6 +1698,12 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(As.cast("double") / s03).alias("shape_hu1"),
         _r4((Cs * Cs).cast("double") / ((s03 * s03) * s03)).alias("shape_hu2"),
         _r4((Bs - F.lit(3) * (As * As)).cast("double") / (s03 * s03)).alias("shape_hu3"),
+        F.when(As.cast("double") > 0,
+               _r4(Bs.cast("double")
+                   / ((As.cast("double") * As.cast("double")) * s0))).alias("shape_hu4"),
+        F.when(As.cast("double") > 0,
+               _r4((Cs * Cs).cast("double")
+                   / ((As.cast("double") * As.cast("double")) * As.cast("double")))).alias("shape_hu5"),
     )
 
 

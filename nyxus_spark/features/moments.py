@@ -19,24 +19,35 @@ from nyxus_spark.settings import FeatureSettings
 
 MOMENTS_FEATURES = [
     "MOM_RAW_0", "MOM_RAW_1", "MOM_RAW_2", "MOM_RAW_3", "MOM_RAW_4",
+    # normalized RAW moments — the 1-D analog of the reference's
+    # normalized-raw code block (2d_geomoments.cpp:335 norm-raw family):
+    # m_p / m0^(1+p/2), the scale-invariant raw forms
+    "MOM_NORM_RAW_1", "MOM_NORM_RAW_2", "MOM_NORM_RAW_3", "MOM_NORM_RAW_4",
     "MOM_CENTRAL_2", "MOM_CENTRAL_3", "MOM_CENTRAL_4",
     "MOM_NORM_CENTRAL_2", "MOM_NORM_CENTRAL_3", "MOM_NORM_CENTRAL_4",
     "MOM_WEIGHTED_CENTROID",
     # Hu-analog 1-D invariants (2d_geomoments.cpp Hu codes → translation-
     # and reflection-invariant combinations of the normalized centrals):
     # HU1 = η2, HU2 = η3² (odd order squared → reflection-invariant),
-    # HU3 = η4 − 3η2² (excess-kurtosis form). Each reduces to a SINGLE
-    # exact rational in the raw moments (numerator over a power of m0),
-    # which is what the driver query recomputes decimal-exactly.
-    "MOM_HU_1", "MOM_HU_2", "MOM_HU_3",
+    # HU3 = η4 − 3η2² (excess-kurtosis form), HU4 = μ4/μ2² (standardized
+    # kurtosis — scale-free like Hu's ratio forms), HU5 = μ3²/μ2³ (squared
+    # standardized skewness), HU6 = η2·η4 − η3² (the determinant-form
+    # analog of Hu's I6: a 2×2 Gram determinant of the normalized
+    # centrals). Each is a SINGLE exact rational in the raw moments — or a
+    # fixed IEEE chain of two exact rationals (HU6) — which is what the
+    # driver query recomputes decimal-exactly.
+    "MOM_HU_1", "MOM_HU_2", "MOM_HU_3", "MOM_HU_4", "MOM_HU_5", "MOM_HU_6",
     # unweighted ("shape") family — the 1-D analog of the reference's
     # mask-vs-intensity moment split (2d_geomoments.cpp SPAT vs WEIGHTED
     # codes): w ≡ 1 over nonzero tokens
     "MOM_SHAPE_RAW_0", "MOM_SHAPE_RAW_1", "MOM_SHAPE_RAW_2", "MOM_SHAPE_RAW_3",
     "MOM_SHAPE_RAW_4",
+    "MOM_SHAPE_NORM_RAW_1", "MOM_SHAPE_NORM_RAW_2", "MOM_SHAPE_NORM_RAW_3",
+    "MOM_SHAPE_NORM_RAW_4",
     "MOM_SHAPE_CENTROID", "MOM_SHAPE_CENTRAL_2", "MOM_SHAPE_CENTRAL_3",
     "MOM_SHAPE_CENTRAL_4", "MOM_SHAPE_NORM_CENTRAL_2",
     "MOM_SHAPE_NORM_CENTRAL_3", "MOM_SHAPE_NORM_CENTRAL_4",
+    "MOM_SHAPE_HU_4", "MOM_SHAPE_HU_5",
 ]
 
 
@@ -67,6 +78,16 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         hu1 = eta2
         hu2 = eta3 * eta3
         hu3 = eta4 - 3.0 * (eta2 * eta2)
+        hu4 = mu4 / (mu2 * mu2)
+        hu5 = (mu3 * mu3) / ((mu2 * mu2) * mu2)
+        hu6 = eta2 * eta4 - eta3 * eta3
+        # normalized raw moments m_p / m0^(1+p/2) (multiply chains + one
+        # correctly-rounded sqrt — never pow())
+        sq_m0 = np.sqrt(m0)
+        nr1 = m1 / (m0 * sq_m0)
+        nr2 = m2 / (m0 * m0)
+        nr3 = m3 / ((m0 * m0) * sq_m0)
+        nr4 = m4 / ((m0 * m0) * m0)
 
         nzm = seg.flat != 0
         s0 = seg.seg_count(nzm).astype(np.float64)
@@ -83,6 +104,13 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         seta2 = smu2 / s0 ** 2.0
         seta3 = smu3 / s0 ** 2.5
         seta4 = smu4 / s0 ** 3.0
+        shu4 = smu4 / (smu2 * smu2)
+        shu5 = (smu3 * smu3) / ((smu2 * smu2) * smu2)
+        sq_s0 = np.sqrt(s0)
+        snr1 = s1 / (s0 * sq_s0)
+        snr2 = s2 / (s0 * s0)
+        snr3 = s3 / ((s0 * s0) * sq_s0)
+        snr4 = s4 / ((s0 * s0) * s0)
 
     ok = (seg.lengths > 0) & (m0 > 0)
     ok_s = (seg.lengths > 0) & (s0 > 0)
@@ -102,6 +130,13 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         "MOM_HU_1": np.where(ok, hu1, nan),
         "MOM_HU_2": np.where(ok, hu2, nan),
         "MOM_HU_3": np.where(ok, hu3, nan),
+        "MOM_HU_4": np.where(ok & (mu2 > 0), hu4, nan),
+        "MOM_HU_5": np.where(ok & (mu2 > 0), hu5, nan),
+        "MOM_HU_6": np.where(ok, hu6, nan),
+        "MOM_NORM_RAW_1": np.where(ok, nr1, nan),
+        "MOM_NORM_RAW_2": np.where(ok, nr2, nan),
+        "MOM_NORM_RAW_3": np.where(ok, nr3, nan),
+        "MOM_NORM_RAW_4": np.where(ok, nr4, nan),
         "MOM_SHAPE_RAW_0": np.where(ok_s, s0, nan),
         "MOM_SHAPE_RAW_1": np.where(ok_s, s1, nan),
         "MOM_SHAPE_RAW_2": np.where(ok_s, s2, nan),
@@ -114,5 +149,11 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         "MOM_SHAPE_NORM_CENTRAL_2": np.where(ok_s, seta2, nan),
         "MOM_SHAPE_NORM_CENTRAL_3": np.where(ok_s, seta3, nan),
         "MOM_SHAPE_NORM_CENTRAL_4": np.where(ok_s, seta4, nan),
+        "MOM_SHAPE_HU_4": np.where(ok_s & (smu2 > 0), shu4, nan),
+        "MOM_SHAPE_HU_5": np.where(ok_s & (smu2 > 0), shu5, nan),
+        "MOM_SHAPE_NORM_RAW_1": np.where(ok_s, snr1, nan),
+        "MOM_SHAPE_NORM_RAW_2": np.where(ok_s, snr2, nan),
+        "MOM_SHAPE_NORM_RAW_3": np.where(ok_s, snr3, nan),
+        "MOM_SHAPE_NORM_RAW_4": np.where(ok_s, snr4, nan),
     }
     return out

@@ -1190,7 +1190,7 @@ m AS (
 --   μ2 = A/m0, μ3 = C/m0², μ4 = B/m0³, η3 = C/m0^4.5, η4 = B/m0⁶,
 --   HU1 = A/m0³, HU2 = C²/m0⁹, HU3 = (B − 3A²)/m0⁶
 mx AS (
-  SELECT doc_id, m0, m1, m2, m3, m4, s0, s1, s2, s3,
+  SELECT doc_id, m0, m1, m2, m3, m4, s0, s1, s2, s3, s4,
          CAST(s0 AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS sa,
          CAST(s0 AS HUGEINT) * s0 * s3 - 3 * (CAST(s0 AS HUGEINT) * s1 * s2)
            + 2 * (CAST(s1 AS HUGEINT) * s1 * s1) AS scnum,
@@ -1219,20 +1219,40 @@ SELECT doc_id, m0, m1, m2, m3, m4,
        FLOOR((CAST(b AS DOUBLE) / m03) * 10000.0 + 0.5) / 10000.0 AS central4,
        FLOOR((CAST(cnum AS DOUBLE) / ((m02 * m02) * SQRT(CAST(m0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS norm_central3,
        FLOOR((CAST(b AS DOUBLE) / (m03 * m03)) * 10000.0 + 0.5) / 10000.0 AS norm_central4,
+       FLOOR((CAST(m1 AS DOUBLE) / (CAST(m0 AS DOUBLE) * SQRT(CAST(m0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS norm_raw_1,
        FLOOR((CAST(m2 AS DOUBLE) / m02) * 10000.0 + 0.5) / 10000.0 AS norm_raw_2,
        FLOOR((CAST(m3 AS DOUBLE) / (m02 * SQRT(CAST(m0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS norm_raw_3,
+       FLOOR((CAST(m4 AS DOUBLE) / m03) * 10000.0 + 0.5) / 10000.0 AS norm_raw_4,
        FLOOR((CAST(a AS DOUBLE) / m03) * 10000.0 + 0.5) / 10000.0 AS hu1,
        FLOOR((CAST(cnum * cnum AS DOUBLE) / ((m03 * m03) * m03)) * 10000.0 + 0.5) / 10000.0 AS hu2,
        FLOOR((CAST(b - 3 * (a * a) AS DOUBLE) / (m03 * m03)) * 10000.0 + 0.5) / 10000.0 AS hu3,
+       CASE WHEN CAST(a AS DOUBLE) > 0 THEN
+         FLOOR((CAST(b AS DOUBLE) / ((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) * CAST(m0 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+       END AS hu4,
+       CASE WHEN CAST(a AS DOUBLE) > 0 THEN
+         FLOOR((CAST(cnum * cnum AS DOUBLE) / ((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) * CAST(a AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+       END AS hu5,
+       FLOOR(((CAST(a AS DOUBLE) / m03) * (CAST(b AS DOUBLE) / (m03 * m03))
+              - CAST(cnum * cnum AS DOUBLE) / ((m03 * m03) * m03)) * 10000.0 + 0.5) / 10000.0 AS hu6,
        s0, s1, s2, s3,
        FLOOR((CAST(s1 AS DOUBLE) / s0) * 10000.0 + 0.5) / 10000.0 AS shape_centroid,
+       FLOOR((CAST(s1 AS DOUBLE) / (CAST(s0 AS DOUBLE) * SQRT(CAST(s0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS shape_norm_raw_1,
+       FLOOR((CAST(s2 AS DOUBLE) / s02) * 10000.0 + 0.5) / 10000.0 AS shape_norm_raw_2,
+       FLOOR((CAST(s3 AS DOUBLE) / (s02 * SQRT(CAST(s0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS shape_norm_raw_3,
+       FLOOR((CAST(s4 AS DOUBLE) / s03) * 10000.0 + 0.5) / 10000.0 AS shape_norm_raw_4,
        FLOOR((CAST(s0 * s2 - s1 * s1 AS DOUBLE) / (CAST(s0 AS DOUBLE) * s0 * s0)) * 10000.0 + 0.5) / 10000.0 AS shape_norm_central2,
        FLOOR((CAST(sa AS DOUBLE) / s0) * 10000.0 + 0.5) / 10000.0 AS shape_central2,
        FLOOR((CAST(scnum AS DOUBLE) / s02) * 10000.0 + 0.5) / 10000.0 AS shape_central3,
        FLOOR((CAST(sb AS DOUBLE) / s03) * 10000.0 + 0.5) / 10000.0 AS shape_central4,
        FLOOR((CAST(sa AS DOUBLE) / s03) * 10000.0 + 0.5) / 10000.0 AS shape_hu1,
        FLOOR((CAST(scnum * scnum AS DOUBLE) / ((s03 * s03) * s03)) * 10000.0 + 0.5) / 10000.0 AS shape_hu2,
-       FLOOR((CAST(sb - 3 * (sa * sa) AS DOUBLE) / (s03 * s03)) * 10000.0 + 0.5) / 10000.0 AS shape_hu3
+       FLOOR((CAST(sb - 3 * (sa * sa) AS DOUBLE) / (s03 * s03)) * 10000.0 + 0.5) / 10000.0 AS shape_hu3,
+       CASE WHEN CAST(sa AS DOUBLE) > 0 THEN
+         FLOOR((CAST(sb AS DOUBLE) / ((CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * CAST(s0 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+       END AS shape_hu4,
+       CASE WHEN CAST(sa AS DOUBLE) > 0 THEN
+         FLOOR((CAST(scnum * scnum AS DOUBLE) / ((CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * CAST(sa AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+       END AS shape_hu5
 FROM mx WHERE m0 > 0 AND s0 > 0
 """
 

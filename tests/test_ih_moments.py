@@ -141,6 +141,35 @@ def test_moments_scalar():
     assert np.isclose(got["MOM_SHAPE_CENTROID"][0], sc)
 
 
+def test_moments_round4_codes_scalar():
+    """Round-4 codes (normalized raw, HU4-HU6, shape HU4/HU5) vs direct
+    scalar formulas."""
+    vals = [3, 0, 7, 1, 5, 2]
+    got = moments_section(Segments([np.array(vals)]), FeatureSettings())
+    w = vals
+    m = [sum(x * i ** p for i, x in enumerate(w)) for p in range(5)]
+    c = m[1] / m[0]
+    mu = {p: sum(x * (i - c) ** p for i, x in enumerate(w)) for p in (2, 3, 4)}
+    eta = {p: mu[p] / m[0] ** (1 + p / 2) for p in (2, 3, 4)}
+    for p in (1, 2, 3, 4):
+        assert np.isclose(got[f"MOM_NORM_RAW_{p}"][0], m[p] / m[0] ** (1 + p / 2))
+    assert np.isclose(got["MOM_HU_4"][0], mu[4] / mu[2] ** 2)
+    assert np.isclose(got["MOM_HU_5"][0], mu[3] ** 2 / mu[2] ** 3)
+    assert np.isclose(got["MOM_HU_6"][0], eta[2] * eta[4] - eta[3] ** 2)
+    # shape family over nonzero positions
+    nz = [i for i, x in enumerate(w) if x != 0]
+    s = [sum(i ** p for i in nz) for p in range(5)]
+    scen = s[1] / s[0]
+    smu = {p: sum((i - scen) ** p for i in nz) for p in (2, 3, 4)}
+    for p in (1, 2, 3, 4):
+        assert np.isclose(got[f"MOM_SHAPE_NORM_RAW_{p}"][0], s[p] / s[0] ** (1 + p / 2))
+    assert np.isclose(got["MOM_SHAPE_HU_4"][0], smu[4] / smu[2] ** 2)
+    assert np.isclose(got["MOM_SHAPE_HU_5"][0], smu[3] ** 2 / smu[2] ** 3)
+    # degenerate: all mass at one position → HU4/HU5 soft-NaN (mu2 = 0)
+    one = moments_section(Segments([np.array([0, 9, 0])]), FeatureSettings())
+    assert np.isnan(one["MOM_HU_4"][0]) and np.isnan(one["MOM_HU_5"][0])
+
+
 def test_moments_in_registry(spark, sf_dir):
     from nyxus_spark.features import extract_features, resolve_features
 
