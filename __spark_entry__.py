@@ -114,13 +114,17 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING stateful as-of join under the driver gate (§2.7): the tagged
-    version+probe stream is written as two time-split files, driven through
-    `applyInPandasWithState` with Trigger.AvailableNow + maxFilesPerTrigger=1
-    (two real micro-batches — the second batch's probes can only match
-    first-batch versions through the GroupState carry), and the memory-sink
-    table is returned. Must equal the DuckDB ASOF LEFT JOIN oracle — the
-    same gate the batch strategies pass (streaming/stateful.py)."""
+    """STREAMING stateful as-of join under the driver gate (§2.7), with
+    OUT-OF-ORDER file replay: batch 1 carries only the older half of the
+    versions, batch 2 carries the newer versions plus ALL probes — so every
+    probe arrives up to a full stream behind the versions it must match
+    (many after newer versions of its key), and the correct result is only
+    reachable through the bounded per-key version-history GroupState
+    (stateful.py HISTORY_DEPTH; the residual contract — ≤ 64 newer versions
+    between a probe and its match — holds with wide margin at sf0.01).
+    Driven by applyInPandasWithState with Trigger.AvailableNow +
+    maxFilesPerTrigger=1; the memory-sink table must equal the same DuckDB
+    ASOF LEFT JOIN oracle the batch strategies pass."""
     _prep(spark)
     import os
     import tempfile
@@ -145,8 +149,7 @@ def _q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_tok"),
         F.col("event_id").cast("long").alias("event_id"),
     )
-    tagged = v.unionByName(p)
-    split_ts = tagged.approxQuantile("ts_us", [0.5], 0.0)[0]
+    split_ts = v.approxQuantile("ts_us", [0.5], 0.0)[0]
     stream_dir = tempfile.mkdtemp(prefix="nyxus_asof_stream_")
 
     def _dump(df, path):
@@ -157,8 +160,10 @@ def _q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f0 = os.path.join(stream_dir, "part-000.parquet")
     f1 = os.path.join(stream_dir, "part-001.parquet")
-    _dump(tagged.filter(F.col("ts_us") <= split_ts), f0)
-    _dump(tagged.filter(F.col("ts_us") > split_ts), f1)
+    # out-of-order replay: older versions alone first; ALL probes (whatever
+    # their event time) arrive a batch later, alongside the newer versions
+    _dump(v.filter(F.col("ts_us") <= split_ts), f0)
+    _dump(v.filter(F.col("ts_us") > split_ts).unionByName(p), f1)
     # the file source orders by modification time — pin the replay order so
     # the per-key ordering contract (time-split files) holds deterministically
     os.utime(f0, (1_000_000, 1_000_000))

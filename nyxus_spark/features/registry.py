@@ -116,6 +116,16 @@ def _register_groups() -> dict[str, list[str]]:
             continue
         every.extend(s.features)
     groups["*ALL*"] = every
+    # reference-parity escape group (featureset.cpp:662 *ALL_BUT_GABOR*):
+    # Gabor is the one convolutional family — an order of magnitude more
+    # arithmetic per token than any statistical section — so the reference
+    # names a group that excludes exactly it. The flagship pipeline/bench
+    # catalog uses this group; Gabor stays a first-class opt-in
+    # (*ALL_GABOR* / explicit codes) with its own driver-gated query.
+    if "gabor" in secs:
+        gset = set(secs["gabor"].features)
+        groups["*ALL_BUT_GABOR*"] = [f for f in every if f not in gset]
+        groups["*ALL_GABOR*"] = list(secs["gabor"].features)
     return groups
 
 

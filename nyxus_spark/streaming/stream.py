@@ -13,7 +13,14 @@ equivalents of the batch operators:
 
 Late data policy: rows later than the watermark are dropped by Spark before
 the session aggregation — the batch job over the Iceberg snapshot remains the
-source of truth (lambda-style backfill).
+source of truth (lambda-style backfill). Measured nuance (Spark 4.1,
+tests/test_streaming_late_data.py): the late-row filter evaluates against
+the watermark COMMITTED at the previous batch boundary — one batch behind
+the value the progress report shows — so a late row is guaranteed dropped
+once it arrives ≥ 2 micro-batches after the data that established the
+covering watermark; a late row in the very next batch may still be
+aggregated. Downstream consumers needing a hard bound must filter on
+event time explicitly.
 """
 
 from __future__ import annotations
