@@ -116,11 +116,22 @@ def _prep(seg: Segments, settings: FeatureSettings):
     return ctx
 
 
+def _nz_count(seg: Segments, ctx) -> np.ndarray:
+    """Per-row nonzero-token count, computed once per batch (several sections
+    need it; seg_count is a full bincount over the flat array)."""
+    c = ctx.get("_nzc")
+    if c is None:
+        c = ctx["_nzc"] = seg.seg_count(ctx["nz"])
+    return c
+
+
 def _degenerate_mask(seg: Segments, ctx) -> np.ndarray:
     """Rows with no texture signal: empty, constant, or all-background."""
-    rng_zero = ~(ctx["vmax"] > ctx["vmin"])
-    any_nz = seg.seg_count(ctx["nz"]) > 0
-    return rng_zero | ~any_nz
+    m = ctx.get("_deg")
+    if m is None:
+        rng_zero = ~(ctx["vmax"] > ctx["vmin"])
+        m = ctx["_deg"] = rng_zero | ~(_nz_count(seg, ctx) > 0)
+    return m
 
 
 # --------------------------------------------------------------------------
@@ -128,7 +139,18 @@ def _degenerate_mask(seg: Segments, ctx) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def _runs(seg: Segments, ctx):
-    """Vectorized RLE over nonzero binned values; zeros break runs."""
+    """Vectorized RLE over nonzero binned values; zeros break runs.
+
+    Cached per batch: GLRLM, GLSZM/GLDZM, and the d=1 leg of the multi-offset
+    GLRLM all consume the identical stride-1 run list."""
+    cached = ctx.get("_runs1")
+    if cached is not None:
+        return cached
+    ctx["_runs1"] = out = _runs_uncached(seg, ctx)
+    return out
+
+
+def _runs_uncached(seg: Segments, ctx):
     binned, nz = ctx["binned"], ctx["nz"]
     total = binned.size
     if total == 0:
@@ -184,7 +206,7 @@ def _run_family(seg, ctx, size_key: np.ndarray, prefix_map: dict[str, str],
     s = size_key.astype(np.float64)
     Nr = np.bincount(run_row, minlength=n_rows).astype(np.float64)
     safe_Nr = np.where(Nr > 0, Nr, 1.0)
-    Np = seg.seg_count(ctx["nz"]).astype(np.float64)
+    Np = _nz_count(seg, ctx).astype(np.float64)
 
     def by_row(w):
         return np.bincount(run_row, weights=w, minlength=n_rows)
@@ -218,14 +240,30 @@ def _run_family(seg, ctx, size_key: np.ndarray, prefix_map: dict[str, str],
     return {name: out[key] for name, key in prefix_map.items()}
 
 
+_M_RL = {f"GLRLM_{k}": k for k in
+         "SRE LRE GLN GLNN RLN RLNN RP GLV RV RE LGLRE HGLRE SRLGLE SRHGLE LRLGLE LRHGLE".split()}
+
+
+def _glrlm_stats1(seg: Segments, ctx, n: int) -> dict[str, np.ndarray]:
+    """Stride-1 GLRLM stat dict, memoized per batch — shared verbatim by
+    glrlm_section and the d=1 leg of glrlm_multi_section (identical maths,
+    identical run list, so recomputing would be pure duplicate work)."""
+    cached = ctx.get("_glrlm1")
+    if cached is None:
+        run_row, run_level, run_len, _sp, _ep = _runs(seg, ctx)
+        cached = ctx["_glrlm1"] = (
+            _run_family(seg, ctx, run_len, _M_RL, run_row, run_level, n)
+            if run_row.size else {k: np.zeros(n) for k in _M_RL}
+        )
+    return cached
+
+
 def glrlm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray]:
     ctx = _prep(seg, settings)
     run_row, run_level, run_len, sp, ep = _runs(seg, ctx)
     n = seg.n_rows
-    m_rl = {f"GLRLM_{k}": k for k in
-            "SRE LRE GLN GLNN RLN RLNN RP GLV RV RE LGLRE HGLRE SRLGLE SRHGLE LRLGLE LRHGLE".split()}
-    out = _run_family(seg, ctx, run_len, m_rl, run_row, run_level, n) if run_row.size else {
-        k: np.zeros(n) for k in m_rl}
+    m_rl = _M_RL
+    out = dict(_glrlm_stats1(seg, ctx, n))
     # GLSZM: zones == runs in 1-D; same maths, GLSZM naming
     alias = dict(zip(GLSZM_NAMES,
                      ["GLRLM_" + k for k in
@@ -467,7 +505,22 @@ def ngtdm_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndar
 def _glcm_stats(seg: Segments, ctx, settings: FeatureSettings, d: int) -> dict[str, np.ndarray]:
     """Sparse-cell GLCM at offset `d`: the joint matrix is never materialized —
     all feature sums run over the distinct (row, a, b) cells actually present
-    (O(nnz)), with only the 1-D marginals px/py kept dense ((n_rows, levels+1))."""
+    (O(nnz)), with only the 1-D marginals px/py kept dense ((n_rows, levels+1)).
+
+    Memoized per (offset, symmetric) within a batch: glcm_section and the
+    multi-offset section share the d=1 computation verbatim (ctx is already
+    keyed by grey_info in _prep, so the binning mode is part of the cache
+    identity). Results are never mutated by callers (_AVE copies)."""
+    memo = ctx.setdefault("_glcm_memo", {})
+    mkey = (d, settings.symmetric_glcm, settings.softnan)
+    hit = memo.get(mkey)
+    if hit is not None:
+        return hit
+    memo[mkey] = out = _glcm_stats_uncached(seg, ctx, settings, d)
+    return out
+
+
+def _glcm_stats_uncached(seg: Segments, ctx, settings: FeatureSettings, d: int) -> dict[str, np.ndarray]:
     n = seg.n_rows
     binned, raw_nz, L = ctx["binned"], ctx["raw_nz"], ctx["L"]
     total = binned.size
@@ -515,6 +568,12 @@ def _glcm_stats(seg: Segments, ctx, settings: FeatureSettings, d: int) -> dict[s
     has = sum_p > 0
     p = cnt / sum_p[crow]
 
+    # crow is non-decreasing (np.unique sorts, row is the top key digit);
+    # bincount accumulates strictly left-to-right (reduceat would be lighter
+    # on traffic but sums pairwise — NOT bit-identical for rational weights)
+    seg_starts = np.flatnonzero(np.r_[True, crow[1:] != crow[:-1]])
+    seg_rows = crow[seg_starts]
+
     def by_row(w):
         return np.bincount(crow, weights=w, minlength=n)
 
@@ -552,7 +611,7 @@ def _glcm_stats(seg: Segments, ctx, settings: FeatureSettings, d: int) -> dict[s
     acor = by_row(cntf * ca * cb) / safe_sp
     jave = by_row(cntf * ca) / safe_sp
     jmax = np.zeros(n)
-    np.maximum.at(jmax, crow, p)
+    jmax[seg_rows] = np.maximum.reduceat(p, seg_starts)
     with np.errstate(divide="ignore", invalid="ignore"):
         corr = (acor - mux * muy) / (sigx * sigy)
         cs = summ - (mux + muy)[crow]
@@ -567,13 +626,20 @@ def _glcm_stats(seg: Segments, ctx, settings: FeatureSettings, d: int) -> dict[s
         difvar = by_row(p * (diff - difave[crow]) ** 2)
         variance = by_row(p * (ca - mux[crow]) ** 2)
 
-        # marginal-k entropies over distinct (row, k) cells
+        # marginal-k entropies over (row, k) cells. Dense bincount instead of
+        # np.unique(return_inverse) — the argsort+cumsum inverse path was the
+        # single most expensive op in the section. Bit-identical: cell masses
+        # accumulate in the same array order, per-row terms sum via a second
+        # sequential bincount in the same ascending-k order the sparse path
+        # walked (absent cells contribute an exact ±0.0 term, which cannot
+        # perturb a left-to-right float sum), and the negation happens after
+        # the row sum exactly as before.
         def marg_entropy(kvals, kmax):
             mk = crow * kmax + kvals.astype(np.int64)
-            um, inv = np.unique(mk, return_inverse=True)
-            q = np.bincount(inv, weights=p)
-            mrow = um // kmax
-            return -np.bincount(mrow, weights=q * np.log2(q + EPS), minlength=n)
+            size = n * kmax
+            q = np.bincount(mk, weights=p, minlength=size)
+            t = q * np.log2(q + EPS)
+            return -np.bincount(arange_buf(size) // kmax, weights=t, minlength=n)
 
         sument = marg_entropy(summ, 2 * A)
         difent = marg_entropy(diff, A)
@@ -703,16 +769,21 @@ def glrlm_multi_section(seg: Segments, settings: FeatureSettings) -> dict[str, n
     ctx = _prep(seg, settings)
     offs = settings.offsets
     n = seg.n_rows
-    m_rl = {f"GLRLM_{k}": k for k in
-            "SRE LRE GLN GLNN RLN RLNN RP GLV RV RE LGLRE HGLRE SRLGLE SRHGLE LRLGLE LRHGLE".split()}
+    m_rl = _M_RL
     deg = _degenerate_mask(seg, ctx)
     per: dict[int, dict[str, np.ndarray]] = {}
     for d in offs:
-        run_row, run_level, run_len = _runs_strided(seg, ctx, d)
-        stats = (
-            _run_family(seg, ctx, run_len, m_rl, run_row, run_level, n)
-            if run_row.size else {k: np.zeros(n) for k in m_rl}
-        )
+        if d == 1:
+            # stride-1 subsequence == the row itself: identical run list and
+            # stats as glrlm_section — reuse the memoized dict instead of
+            # re-deriving it through the (lexsort) strided path
+            stats = _glrlm_stats1(seg, ctx, n)
+        else:
+            run_row, run_level, run_len = _runs_strided(seg, ctx, d)
+            stats = (
+                _run_family(seg, ctx, run_len, m_rl, run_row, run_level, n)
+                if run_row.size else {k: np.zeros(n) for k in m_rl}
+            )
         per[d] = {k: np.where(deg, 0.0, v) for k, v in stats.items()}
     out = {f"{nm}_D{d}": per[d][nm] for d in offs for nm in GLRLM_NAMES}
     out.update(_ave_over_offsets(per, GLRLM_NAMES, offs))

@@ -77,6 +77,7 @@ def run(sections: list[str] | None, passes: int) -> dict[str, dict]:
     out: dict[str, dict] = {}
     cal0 = calibration()
     for name, sec in secs.items():
+        _reset_batch_cache(seg)
         sec.fn(seg, settings)  # warm (arena growth, first-touch pages)
         best = min(
             _timed(sec.fn, seg, settings) for _ in range(passes)
@@ -90,7 +91,16 @@ def run(sections: list[str] | None, passes: int) -> dict[str, dict]:
     return out
 
 
+def _reset_batch_cache(seg) -> None:
+    """Texture sections memoize shared work (binning ctx, run lists, per-offset
+    GLCM stats) per batch; production gets one batch per Segments, so each
+    timed pass must start from the fresh-batch state or it times a cache hit."""
+    if hasattr(seg, "_tex_cache"):
+        del seg._tex_cache
+
+
 def _timed(fn, seg, settings) -> float:
+    _reset_batch_cache(seg)
     t0 = time.perf_counter()
     fn(seg, settings)
     return time.perf_counter() - t0
