@@ -1399,10 +1399,17 @@ def _q_glrlm_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis composition: language-ID, quality scoring + token
-    counting, and the order-sensitive token fingerprint, one row per doc.
-    The fingerprint query is keyed 'doc_<id>' (token-table key) — stripped
-    back to the numeric documents key for the join, identically in SQL."""
+    counting, the order-sensitive token fingerprint, Gopher-style n-gram
+    repetition stats (duplicate-3-gram surplus/ratio/top multiplicity —
+    two-phase (doc, gram) agg), and a benchmark-decontamination scan
+    (8-gram occurrences hitting the broadcast benchmark gram set, benchmark
+    = docs with doc_id % 97 == 0), one row per doc. Token-table sub-queries
+    are keyed 'doc_<id>' — stripped back to the numeric documents key for
+    the join, identically in SQL."""
     from pyspark.sql import functions as F
+
+    from nyxus_spark.functions import contamination, repetition_stats
+    from nyxus_spark.sources import tokens_static
 
     lid = _q_langid(spark, sf_dir)
     tq = _q_text_quality(spark, sf_dir)
@@ -1410,7 +1417,30 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
         "fingerprint",
     )
-    return lid.join(tq, "doc_id").join(fp, "doc_id")
+    toks = tokens_static(spark, sf_dir)
+    nid = F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+    rep = repetition_stats(toks, n=3).select(
+        nid.alias("doc_id"), "rep_total_ngrams", "rep_distinct_ngrams",
+        "rep_dup_ngrams", "rep_top_ngram_count", "rep_dup_ratio",
+    )
+    bench = toks.filter(nid % 97 == 0)
+    cont = contamination(toks, bench, n=8).select(
+        nid.alias("doc_id"), "contam_hits", "contam_distinct", "is_contaminated",
+    )
+    out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
+    out = out.join(cont, "doc_id")
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
+        "mean_word_len", "punct_ratio", "stopword_ratio", "quality_score",
+        "fingerprint",
+        F.coalesce("rep_total_ngrams", zero).alias("rep_total_ngrams"),
+        F.coalesce("rep_distinct_ngrams", zero).alias("rep_distinct_ngrams"),
+        F.coalesce("rep_dup_ngrams", zero).alias("rep_dup_ngrams"),
+        F.coalesce("rep_top_ngram_count", zero).alias("rep_top_ngram_count"),
+        F.coalesce("rep_dup_ratio", F.lit(0.0)).alias("rep_dup_ratio"),
+        "contam_hits", "contam_distinct", "is_contaminated",
+    )
 
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,26 +2052,72 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
 FROM chunks
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
-        # text-analysis composition: langid ⋈ quality ⋈ fingerprint (the
-        # fingerprint sub-oracle is keyed 'doc_<id>' — stripped back to the
-        # numeric documents key, same substring op as the Spark query)
+        # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈
+        # 3-gram repetition stats ⋈ 8-gram benchmark decontamination.
+        # Token-table sub-oracles are keyed 'doc_<id>' — stripped back to
+        # the numeric documents key, same substring op as the Spark query.
+        # Grams are LIST values here (DuckDB groups/joins lists natively);
+        # Spark uses ','-joined string keys — the serialization is
+        # injective, so the per-gram counts agree. rep ratio = two exact
+        # BIGINTs, ONE division, fround4 on both engines.
         "text_stats": f"""
+WITH {SQL_TOKENS_STATIC},
+toks AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, tokens, n_tok
+  FROM tokens_static
+),
+g3 AS (
+  SELECT doc_id, tokens[i : i + 2] AS g
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok - 1)) AS i
+        FROM toks WHERE n_tok >= 3)
+),
+rep AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS rep_total_ngrams,
+         CAST(COUNT(*) AS BIGINT) AS rep_distinct_ngrams,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS rep_dup_ngrams,
+         CAST(MAX(c) AS BIGINT) AS rep_top_ngram_count,
+         FLOOR((CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS rep_dup_ratio
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g8 AS (
+  SELECT doc_id, tokens[i : i + 7] AS g
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok - 6)) AS i
+        FROM toks WHERE n_tok >= 8)
+),
+bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS contam_hits,
+         CAST(COUNT(DISTINCT d.g) AS BIGINT) AS contam_distinct
+  FROM g8 d JOIN bench b ON d.g = b.g
+  GROUP BY d.doc_id
+)
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
        q.punct_ratio, q.stopword_ratio, q.quality_score,
-       f.fingerprint
+       f.fingerprint,
+       COALESCE(r.rep_total_ngrams, 0) AS rep_total_ngrams,
+       COALESCE(r.rep_distinct_ngrams, 0) AS rep_distinct_ngrams,
+       COALESCE(r.rep_dup_ngrams, 0) AS rep_dup_ngrams,
+       COALESCE(r.rep_top_ngram_count, 0) AS rep_top_ngram_count,
+       COALESCE(r.rep_dup_ratio, 0.0) AS rep_dup_ratio,
+       COALESCE(c.contam_hits, 0) AS contam_hits,
+       COALESCE(c.contam_distinct, 0) AS contam_distinct,
+       CAST(COALESCE(c.contam_hits, 0) > 0 AS BIGINT) AS is_contaminated
 FROM ({oracles.sql_langid(STOPWORDS)}) l
 JOIN ({oracles.sql_text_quality(STOPWORDS["en"])}) q USING (doc_id)
 JOIN (
-  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, fingerprint FROM (
-    WITH {SQL_TOKENS_STATIC}
-    SELECT doc_id,
-           CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
-                 (SELECT unnest(tokens) AS t, unnest(range(1, len(tokens)+1)) AS ord) u)
-                % 1000003 AS BIGINT) AS fingerprint
-    FROM tokens_static
-  )
+  SELECT doc_id,
+         CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+               (SELECT unnest(tokens) AS t, unnest(range(1, len(tokens)+1)) AS ord) u)
+              % 1000003 AS BIGINT) AS fingerprint
+  FROM toks
 ) f USING (doc_id)
+LEFT JOIN rep r USING (doc_id)
+LEFT JOIN contam c USING (doc_id)
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),

@@ -6,5 +6,8 @@ from nyxus_spark.functions.text import (  # noqa: F401
     vocab_topk,
     deterministic_sample,
     chunk_tokens,
+    ngram_keys,
+    repetition_stats,
+    contamination,
     STOPWORDS,
 )

@@ -135,6 +135,94 @@ def deterministic_sample(df, rate: float, id_expr, mix: int = 2654435761,
     return df.filter(h < cut)
 
 
+def ngram_keys(n: int, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
+    """Array of the document's token n-grams, each serialized to a ','-joined
+    string key. String keys keep the downstream groupBy/join in whole-stage
+    hash aggregation (array<int> keys would fall back to sort/object agg);
+    the serialization is injective, so counts on keys == counts on grams.
+    Guard: Spark's sequence(a, b) DESCENDS when b < a, so rows shorter than
+    n must short-circuit to an empty array."""
+    if n <= 0:
+        raise ValueError(f"need n > 0, got {n}")
+    return F.expr(
+        f"CASE WHEN {n_tok_col} >= {n} THEN "
+        f"transform(sequence(0, {n_tok_col} - {n}), "
+        f"i -> array_join(transform(slice({tokens_col}, i + 1, {n}), "
+        f"x -> cast(x as string)), ',')) "
+        "ELSE array() END"
+    )
+
+
+def repetition_stats(df, n: int = 3, tokens_col: str = "tokens",
+                     n_tok_col: str = "n_tok", id_col: str = "doc_id"):
+    """Intra-document repetition over token n-grams — the Gopher-style
+    duplicate-n-gram quality rule for training corpora: per document, total
+    and distinct n-gram counts, the duplicate surplus, the top n-gram
+    multiplicity, and the duplicate ratio (exact integers + ONE final
+    division). Two-phase aggregation: the (doc, gram) cells combine map-side,
+    so the shuffle carries at most |distinct grams| rows per partition —
+    the plan a 100 TB corpus needs. Documents shorter than n emit no row
+    (callers left-join and zero-fill)."""
+    grams = df.select(
+        F.col(id_col), F.explode(ngram_keys(n, tokens_col, n_tok_col)).alias("gram")
+    )
+    cells = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    total = F.sum("c").cast("long")
+    distinct = F.count("*").cast("long")
+    return (
+        cells.groupBy(id_col)
+        .agg(
+            total.alias("rep_total_ngrams"),
+            distinct.alias("rep_distinct_ngrams"),
+            (total - distinct).alias("rep_dup_ngrams"),
+            F.max("c").cast("long").alias("rep_top_ngram_count"),
+        )
+        .withColumn(
+            "rep_dup_ratio",
+            fround4(F.col("rep_dup_ngrams") / F.col("rep_total_ngrams")),
+        )
+    )
+
+
+def contamination(df, bench_df, n: int = 8, tokens_col: str = "tokens",
+                  n_tok_col: str = "n_tok", id_col: str = "doc_id"):
+    """Benchmark decontamination scan: per document, how many of its token
+    n-gram occurrences appear in the benchmark set's n-grams (the standard
+    test-set-overlap check before training). The benchmark gram set is
+    DISTINCT'd and broadcast — benchmark suites are tiny next to the corpus —
+    so the probe is a broadcast hash join on the gram key with no corpus
+    shuffle; the only exchange is the final per-doc count. Emits every input
+    document (zero-filled when clean) with the occurrence count, the distinct
+    overlapping gram count, and a 0/1 contaminated flag — all exact
+    integers."""
+    bench = bench_df.select(
+        F.explode(ngram_keys(n, tokens_col, n_tok_col)).alias("gram")
+    ).distinct()
+    grams = df.select(
+        F.col(id_col), F.explode(ngram_keys(n, tokens_col, n_tok_col)).alias("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("contam_hits"),
+            F.count_distinct("gram").cast("long").alias("contam_distinct"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contam_hits", F.lit(0).cast("long")).alias("contam_hits"),
+            F.coalesce("contam_distinct", F.lit(0).cast("long")).alias("contam_distinct"),
+            (F.coalesce("contam_hits", F.lit(0).cast("long")) > 0)
+            .cast("long")
+            .alias("is_contaminated"),
+        )
+    )
+
+
 def chunk_tokens(df, size: int, overlap: int = 0, tokens_col: str = "tokens",
                  n_tok_col: str = "n_tok"):
     """Split long token sequences into fixed-size windows with overlap — the
