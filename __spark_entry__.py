@@ -1341,12 +1341,18 @@ def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two as-of strategies side-by-side in one gated row set: the cogrouped
-    pandas merge_asof kernel AND the time-sliced salted path (salt_slices=4,
-    the north-rule hot-key treatment). Joined on the probe key, so the oracle
-    (ONE ASOF LEFT JOIN emitting each value under both aliases) forces the
-    strategies to agree with the oracle AND each other."""
+    """As-of strategies AND match directions side-by-side in one gated row
+    set: the cogrouped pandas merge_asof kernel, the time-sliced salted path
+    (salt_slices=4, the north-rule hot-key treatment), plus the
+    union_window FORWARD (first version at-or-after the probe) and NEAREST
+    (min |Δts|, ties backward — pandas semantics) directions. Joined on the
+    probe key, so the oracle (backward + forward ASOF LEFT JOINs, nearest
+    derived by the same tie-break CASE) forces every strategy/direction to
+    agree with the oracle AND each other."""
     from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import asof_join
+    from nyxus_spark.sources import probes, tokens_versions
 
     merge = _q_asof_merge(spark, sf_dir).select(
         "doc_id", "event_id", "ts_us",
@@ -1358,7 +1364,24 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_ts_us").alias("salted_matched_ts_us"),
         F.col("n_tok").alias("salted_n_tok"),
     )
-    return merge.join(salted, ["doc_id", "event_id"])
+    _prep(spark)
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
+    p = probes(spark, sf_dir)
+
+    def directed(direction, tag):
+        out = asof_join(p, v, direction=direction)
+        return out.select(
+            "doc_id", "event_id",
+            F.unix_micros(F.col("matched_ts").cast("timestamp"))
+            .alias(f"{tag}_matched_ts_us"),
+            F.col("n_tok").alias(f"{tag}_n_tok"),
+        )
+
+    return (
+        merge.join(salted, ["doc_id", "event_id"])
+        .join(directed("forward", "fwd"), ["doc_id", "event_id"])
+        .join(directed("nearest", "near"), ["doc_id", "event_id"])
+    )
 
 
 def _q_gabor_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1879,19 +1902,36 @@ SELECT t.doc_id, t.source, d.src_min, d.src_max,
              / (d.src_max - d.src_min)) * 10000.0 + 0.5) / 10000.0 AS covered_range
 FROM tokens_static t JOIN dim d USING (source)
 """,
-        # one ASOF join, each value emitted under BOTH strategy aliases —
-        # forcing cogroup-merge and salted results to agree with the oracle
-        # and (transitively) each other
+        # backward ASOF (emitted under both strategy aliases — forcing
+        # cogroup-merge and salted to agree with the oracle and each other)
+        # + forward ASOF (p.ts <= v.ts picks the first at-or-after version)
+        # + nearest derived from the two by the pandas tie-break (min |Δ|,
+        # equal distances go backward) — gating all three directions
         "asof_strategies": f"""
-WITH {SQL_VERSIONS}, {SQL_PROBES}
-SELECT p.doc_id, p.event_id,
-       epoch_us(p.ts) AS ts_us,
-       epoch_us(v.ts) AS merge_matched_ts_us,
-       v.n_tok AS merge_n_tok,
-       epoch_us(v.ts) AS salted_matched_ts_us,
-       v.n_tok AS salted_n_tok
-FROM probes p ASOF LEFT JOIN versions v
-  ON p.doc_id = v.doc_id AND p.ts >= v.ts
+WITH {SQL_VERSIONS}, {SQL_PROBES},
+b AS (
+  SELECT p.doc_id, p.event_id, epoch_us(p.ts) AS ts_us,
+         epoch_us(v.ts) AS b_ts, v.n_tok AS b_nt
+  FROM probes p ASOF LEFT JOIN versions v
+    ON p.doc_id = v.doc_id AND p.ts >= v.ts
+),
+f AS (
+  SELECT p.doc_id, p.event_id,
+         epoch_us(v.ts) AS f_ts, v.n_tok AS f_nt
+  FROM probes p ASOF LEFT JOIN versions v
+    ON p.doc_id = v.doc_id AND p.ts <= v.ts
+)
+SELECT b.doc_id, b.event_id, b.ts_us,
+       b.b_ts AS merge_matched_ts_us, b.b_nt AS merge_n_tok,
+       b.b_ts AS salted_matched_ts_us, b.b_nt AS salted_n_tok,
+       f.f_ts AS fwd_matched_ts_us, f.f_nt AS fwd_n_tok,
+       CASE WHEN b.b_ts IS NOT NULL
+             AND (f.f_ts IS NULL OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+            THEN b.b_ts ELSE f.f_ts END AS near_matched_ts_us,
+       CASE WHEN b.b_ts IS NOT NULL
+             AND (f.f_ts IS NULL OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+            THEN b.b_nt ELSE f.f_nt END AS near_n_tok
+FROM b JOIN f USING (doc_id, event_id)
 """,
         "multimodal_decode": """
 WITH base AS (

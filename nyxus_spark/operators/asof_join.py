@@ -27,7 +27,9 @@ Three physical strategies, identical results (cross-checked in tests):
 
 Scale note (100 TB): both strategies shuffle each side once on the join key.
 The union_window plan avoids Python entirely and benefits from Tungsten sort;
-prefer it unless direction/tolerance options force merge_asof.
+it handles all three match directions (backward/forward/nearest — pandas
+merge_asof semantics) and tolerances, so prefer it unless per-group custom
+logic genuinely needs the pandas kernel.
 """
 
 from __future__ import annotations
@@ -46,8 +48,20 @@ def asof_join(
     tolerance_sec: float | None = None,
     salt_slices: int = 0,
     ts_bounds: tuple | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of `probes` (left) to `versions` (right).
+    """As-of join of `probes` (left) to `versions` (right).
+
+    ``direction`` follows pandas ``merge_asof`` exactly (tested against it):
+    ``backward`` (default) matches the latest version with ts <= probe ts,
+    ``forward`` the earliest version with ts >= probe ts (both inclusive),
+    ``nearest`` the version minimizing |Δts|, ties broken backward. With a
+    ``tolerance_sec``, each direction's candidate must be within the
+    tolerance BEFORE nearest chooses (pandas semantics). Forward/nearest run
+    on the union_window (two same-partition window passes — still ONE
+    shuffle), cogroup_merge (native merge_asof), and shuffle_join
+    strategies; the salted time-sliced path is backward-only (its per-slice
+    seeding is a carry-forward of past state).
 
     Returns probe columns + matched version payload columns (version ts is
     exposed as ``matched_ts``; payload columns optionally prefixed). Probes
@@ -77,19 +91,27 @@ def asof_join(
         raise ValueError(
             f"version payload collides with probe columns {sorted(clash)}; pass version_prefix"
         )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if salt_slices and salt_slices > 1:
         if strategy != "union_window":
             raise ValueError("salt_slices requires the union_window strategy")
+        if direction != "backward":
+            raise ValueError("salt_slices supports only direction='backward' "
+                             "(slice seeding carries past state forward)")
         return _asof_union_window_sliced(
             probes, versions, on, ts_col, version_prefix, tolerance_sec,
             salt_slices, ts_bounds,
         )
     if strategy == "union_window":
-        return _asof_union_window(probes, versions, on, ts_col, version_prefix, tolerance_sec)
+        return _asof_union_window(probes, versions, on, ts_col, version_prefix,
+                                  tolerance_sec, direction)
     if strategy == "cogroup_merge":
-        return _asof_cogroup_merge(probes, versions, on, ts_col, version_prefix, tolerance_sec)
+        return _asof_cogroup_merge(probes, versions, on, ts_col, version_prefix,
+                                   tolerance_sec, direction)
     if strategy == "shuffle_join":
-        return _asof_shuffle_join(probes, versions, on, ts_col, version_prefix, tolerance_sec)
+        return _asof_shuffle_join(probes, versions, on, ts_col, version_prefix,
+                                  tolerance_sec, direction)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -97,7 +119,8 @@ def _payload_cols(versions: DataFrame, on: str, ts_col: str) -> list[str]:
     return [c for c in versions.columns if c not in (on, ts_col)]
 
 
-def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec):
+def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec,
+                       direction="backward"):
     pay = _payload_cols(versions, on, ts_col)
     probe_extra = [c for c in probes.columns if c not in (on, ts_col)]
 
@@ -118,32 +141,88 @@ def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec):
         *probe_extra,
     )
     u = v.unionByName(p)
-    # versions sort before probes at equal ts → a version AT the probe ts is
-    # visible (as-of uses <=), never a later one (zero leakage).
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = [F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in pay]
-    matched_ts = F.last("__vts", ignorenulls=True).over(w).alias("matched_ts")
-    out = (
-        u.select(F.col(on), F.col(ts_col), F.col("__tag"), *probe_extra, matched_ts, *carried)
+
+    # versions sort before probes at equal ts in BOTH directions → a version
+    # AT the probe ts is visible (as-of is inclusive), never one beyond it.
+    # forward is the time-mirrored backward pass: same partitioning, DESC
+    # sort, so last(ignorenulls) carries the EARLIEST version >= the probe.
+    def carry(desc):
+        order = F.col(ts_col).desc() if desc else F.col(ts_col).asc()
+        w = (
+            Window.partitionBy(on)
+            .orderBy(order, F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            F.last("__vts", ignorenulls=True).over(w),
+            {c: F.last(f"__v_{c}", ignorenulls=True).over(w) for c in pay},
+        )
+
+    def tol_gate(mts, carried, delta):
+        if tolerance_sec is None:
+            return mts, carried
+        within = delta <= F.lit(tolerance_sec)
+        return (F.when(within, mts),
+                {c: F.when(within, e) for c, e in carried.items()})
+
+    ts_d = F.col(ts_col).cast("double")
+    if direction in ("backward", "forward"):
+        fwd = direction == "forward"
+        mts, carried = carry(fwd)
+        out = (
+            u.select(F.col(on), F.col(ts_col), F.col("__tag"), *probe_extra,
+                     mts.alias("matched_ts"),
+                     *[carried[c].alias(f"{prefix}{c}") for c in pay])
+            .filter(F.col("__tag") == 1)
+            .drop("__tag")
+        )
+        if tolerance_sec is not None:
+            m_d = F.col("matched_ts").cast("double")
+            delta = (m_d - ts_d) if fwd else (ts_d - m_d)
+            mts2, carried2 = tol_gate(
+                F.col("matched_ts"),
+                {c: F.col(f"{prefix}{c}") for c in pay}, delta)
+            out = out.select(
+                on, ts_col, *probe_extra, mts2.alias("matched_ts"),
+                *[carried2[c].alias(f"{prefix}{c}") for c in pay],
+            )
+        return out
+
+    # nearest: both passes share the one Exchange (same partitioning, two
+    # Sort nodes); per-direction tolerance gates BEFORE the choice, ties at
+    # equal |Δ| go backward — pandas merge_asof semantics exactly.
+    bmts, bcar = carry(False)
+    fmts, fcar = carry(True)
+    base = (
+        u.select(F.col(on), F.col(ts_col), F.col("__tag"), *probe_extra,
+                 bmts.alias("__bts"), fmts.alias("__fts"),
+                 *[bcar[c].alias(f"__b_{c}") for c in pay],
+                 *[fcar[c].alias(f"__f_{c}") for c in pay])
         .filter(F.col("__tag") == 1)
         .drop("__tag")
     )
-    if tolerance_sec is not None:
-        within = F.col(ts_col).cast("double") - F.col("matched_ts").cast("double") <= F.lit(tolerance_sec)
-        keep_ts = F.when(within, F.col("matched_ts"))
-        out = out.select(
-            on, ts_col, *probe_extra,
-            keep_ts.alias("matched_ts"),
-            *[F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in pay],
-        )
-    return out
+    bts, fts = tol_gate(
+        F.col("__bts"), {c: F.col(f"__b_{c}") for c in pay},
+        ts_d - F.col("__bts").cast("double"),
+    ), tol_gate(
+        F.col("__fts"), {c: F.col(f"__f_{c}") for c in pay},
+        F.col("__fts").cast("double") - ts_d,
+    )
+    (bmts2, bcar2), (fmts2, fcar2) = bts, fts
+    use_b = bmts2.isNotNull() & (
+        fmts2.isNull()
+        | (ts_d - bmts2.cast("double") <= fmts2.cast("double") - ts_d)
+    )
+    return base.select(
+        on, ts_col, *probe_extra,
+        F.when(use_b, bmts2).otherwise(fmts2).alias("matched_ts"),
+        *[F.when(use_b, bcar2[c]).otherwise(fcar2[c]).alias(f"{prefix}{c}")
+          for c in pay],
+    )
 
 
-def _asof_shuffle_join(probes, versions, on, ts_col, prefix, tolerance_sec):
+def _asof_shuffle_join(probes, versions, on, ts_col, prefix, tolerance_sec,
+                       direction="backward"):
     """As-of via an explicit equi-JOIN + per-probe argmax.
 
     This is the classic join-then-reduce formulation: shuffle-join the two
@@ -164,17 +243,32 @@ def _asof_shuffle_join(probes, versions, on, ts_col, prefix, tolerance_sec):
         F.col(ts_col).alias("__vts"),
         *[F.col(c).alias(f"__v_{c}") for c in pay],
     )
-    cond = (p[on] == v["__von"]) & (v["__vts"] <= p[ts_col])
+    delta = p[ts_col].cast("double") - v["__vts"].cast("double")
+    cond = p[on] == v["__von"]
+    if direction == "backward":
+        cond &= v["__vts"] <= p[ts_col]
+        tol_delta, order = delta, F.col("__vts").desc_nulls_last()
+    elif direction == "forward":
+        cond &= v["__vts"] >= p[ts_col]
+        tol_delta, order = -delta, F.col("__vts").asc_nulls_last()
+    else:  # nearest: key-only join, rank by |Δ| with backward tie-break
+        tol_delta = F.abs(delta)
+        order = None
     if tolerance_sec is not None:
-        cond &= (
-            p[ts_col].cast("double") - v["__vts"].cast("double")
-            <= F.lit(tolerance_sec)
-        )
+        cond &= tol_delta <= F.lit(tolerance_sec)
     j = p.join(v, cond, "left")
-    # latest version per probe; ties on __vts broken arbitrarily (the other
-    # strategies carry the last-in-sort version — callers needing exact tie
-    # semantics with duplicate version timestamps use union_window)
-    w = Window.partitionBy("__puid").orderBy(F.col("__vts").desc_nulls_last())
+    if direction == "nearest":
+        dj = j[ts_col].cast("double") - j["__vts"].cast("double")
+        w = Window.partitionBy("__puid").orderBy(
+            F.abs(dj).asc_nulls_last(),
+            F.when(dj >= 0, F.lit(0)).otherwise(F.lit(1)).asc_nulls_last(),
+        )
+    else:
+        # latest/earliest version per probe; ties on __vts broken arbitrarily
+        # (the other strategies carry the last-in-sort version — callers
+        # needing exact tie semantics with duplicate version timestamps use
+        # union_window)
+        w = Window.partitionBy("__puid").orderBy(order)
     return (
         j.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -310,7 +404,8 @@ def _asof_union_window_sliced(probes, versions, on, ts_col, prefix,
     return out
 
 
-def _asof_cogroup_merge(probes, versions, on, ts_col, prefix, tolerance_sec):
+def _asof_cogroup_merge(probes, versions, on, ts_col, prefix, tolerance_sec,
+                        direction="backward"):
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
@@ -335,7 +430,7 @@ def _asof_cogroup_merge(probes, versions, on, ts_col, prefix, tolerance_sec):
         right = right.sort_values(ts_col, kind="mergesort")
         r = right.rename(columns={c: f"{prefix}{c}" for c in pay})
         r["matched_ts"] = r[ts_col]
-        kwargs = dict(on=ts_col, direction="backward")
+        kwargs = dict(on=ts_col, direction=direction)
         if tol is not None:
             kwargs["tolerance"] = tol
         out = pd.merge_asof(left, r.drop(columns=[on]), **kwargs)
