@@ -189,18 +189,25 @@ def _q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING windowed aggregation under the driver gate (§2.7 second
-    operator class): hourly tumbling-window counts + exact-integer value
-    sums per event_type, accumulated across two real micro-batches
-    (time-split files, maxFilesPerTrigger=1, Trigger.AvailableNow, complete
-    output mode — the stateful aggregate must carry partial counts across
-    batches). Value sums go through FLOOR(value·100) BIGINT cents so both
-    engines sum exact integers (no parallel-float-sum jitter)."""
+    """STREAMING dedup → windowed aggregation under the driver gate (§2.7):
+    the replayed stream carries INJECTED duplicates — every event_id % 5 == 0
+    row twice within its own micro-batch, and every event_id % 7 == 0 row of
+    batch 1 re-sent in batch 2 (a cross-batch re-crawl) — removed by
+    `streaming.dedup_stream` (streaming dropDuplicates: first arrival wins,
+    per-key state carried across micro-batches) BEFORE the hourly
+    tumbling-window counts + exact-integer cents sums per event_type
+    (complete output mode — the stateful aggregate must also carry partials
+    across batches). The oracle aggregates the ORIGINAL events table, so any
+    surviving duplicate flips the exact integers red. Value sums go through
+    FLOOR(value·100) BIGINT cents so both engines sum exact integers (no
+    parallel-float-sum jitter)."""
     _prep(spark)
     import os
     import tempfile
 
     from pyspark.sql import functions as F
+
+    from nyxus_spark.streaming import dedup_stream
 
     # timestamps travel as epoch-micros longs (CLAUDE.md convention) — the
     # pandas-staged parquet then round-trips without timestamp-unit drift
@@ -214,8 +221,15 @@ def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="nyxus_stream_agg_")
     f0 = os.path.join(stream_dir, "part-000.parquet")
     f1 = os.path.join(stream_dir, "part-001.parquet")
-    ev.filter(F.col("event_id") <= split_ts).toPandas().to_parquet(f0)
-    ev.filter(F.col("event_id") > split_ts).toPandas().to_parquet(f1)
+    b1 = ev.filter(F.col("event_id") <= split_ts)
+    b2 = ev.filter(F.col("event_id") > split_ts)
+    b1.unionByName(b1.filter(F.col("event_id") % 5 == 0)).toPandas().to_parquet(f0)
+    (
+        b2.unionByName(b2.filter(F.col("event_id") % 5 == 0))
+        .unionByName(b1.filter(F.col("event_id") % 7 == 0))
+        .toPandas()
+        .to_parquet(f1)
+    )
     os.utime(f0, (1_000_000, 1_000_000))
     os.utime(f1, (2_000_000, 2_000_000))
 
@@ -224,8 +238,9 @@ def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
+    deduped = dedup_stream(src, ["event_id"])
     agg = (
-        src.groupBy(
+        deduped.groupBy(
             F.window(F.timestamp_micros(F.col("ts_us")), "3600 seconds").alias("w"),
             "event_type",
         )
@@ -249,16 +264,32 @@ def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap sessionization (gap = 1h) over the raw event stream."""
+    """Gap sessionization (gap = 1h) over the raw event stream, composed
+    with semi-structured parsing: the JSON `props` column is parsed typed
+    (ONE from_json pass) and rolled up per session — per-row extracted k,
+    the session's exact integer k-sum, and its event count."""
     _prep(spark)
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from nyxus_spark.functions import parse_json_col
     from nyxus_spark.operators import sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id"
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id", "props"
     )
-    return sessionize(ev, 3600.0).select("doc_id", "event_id", "session_id")
+    s = parse_json_col(
+        sessionize(ev, 3600.0), "props", {"k": "bigint"}, prefix="props_"
+    )
+    w = Window.partitionBy("doc_id", "session_id")
+    return s.select(
+        "doc_id",
+        "event_id",
+        "session_id",
+        "props_k",
+        F.sum("props_k").over(w).cast("long").alias("session_k_sum"),
+        F.count("*").over(w).cast("long").alias("session_n_events"),
+    )
 
 
 def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,15 +610,26 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible hash-based corpus subsampling: keep docs where
     (doc_id·MIX mod P31) < P31·rate — re-derivable forever, unlike
-    partitioning-dependent df.sample."""
+    partitioning-dependent df.sample. Composed with STRATIFIED sampling
+    (training-mixture control): each row carries the keep-decision of a
+    per-source rate map (src0→1.0, src1→0.5, src2→0.25, others→0.1) on the
+    same hash — the nested-sample property (same hash order per stratum)
+    gated as an exact 0/1 integer."""
     _prep(spark)
     from pyspark.sql import functions as F
 
-    from nyxus_spark.functions import deterministic_sample
+    from nyxus_spark.functions import deterministic_sample, stratified_keep
     from nyxus_spark.sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return deterministic_sample(docs, 0.2, F.col("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    keep = stratified_keep(
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "source", F.col("doc_id"),
+        default_rate=0.1,
+    )
+    return deterministic_sample(docs, 0.2, F.col("doc_id")).select(
+        "doc_id", "source", "n_chars",
+        keep.cast("long").alias("strat_keep"),
+    )
 
 
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2043,8 +2085,18 @@ ORDER BY cnt DESC, token ASC LIMIT 100
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the
         # dividend's sign like Spark's, so pmod is replayed as (x%p+p)%p
+        # + stratified keep flag: the SAME hash against a per-source CASE
+        # cut (src0→1.0, src1→0.5, src2→0.25, default 0.1)
         "sample_hash": f"""
-SELECT doc_id, n_chars FROM documents
+SELECT doc_id, source, n_chars,
+       CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+            % 2147483647
+            < CASE source WHEN 'src0' THEN {int(2147483647 * 1.0)}
+                          WHEN 'src1' THEN {int(2147483647 * 0.5)}
+                          WHEN 'src2' THEN {int(2147483647 * 0.25)}
+                          ELSE {int(2147483647 * 0.1)} END
+           AS BIGINT) AS strat_keep
+FROM documents
 WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
       % 2147483647 < {int(2147483647 * 0.2)}
 """,
@@ -2247,19 +2299,30 @@ SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600000000 AS window
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """,
+        # sessionization + semi-structured parsing: json_extract replays
+        # from_json's typed field pull; the per-session rollups are exact
+        # BIGINTs over the derived session key
         "sessionize": """
 WITH flags AS (
-  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts,
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts, props,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
               THEN 1 ELSE 0 END AS f
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT doc_id, event_id, props,
+         CAST(SUM(f) OVER (PARTITION BY doc_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+  FROM flags
 )
-SELECT doc_id, event_id,
-       CAST(SUM(f) OVER (PARTITION BY doc_id ORDER BY ts
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
-FROM flags
+SELECT doc_id, event_id, session_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS props_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+            OVER (PARTITION BY doc_id, session_id) AS BIGINT) AS session_k_sum,
+       CAST(COUNT(*) OVER (PARTITION BY doc_id, session_id) AS BIGINT) AS session_n_events
+FROM sess
 """,
         "lag_lead_locf": """
 WITH ev AS (

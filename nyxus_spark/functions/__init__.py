@@ -9,5 +9,8 @@ from nyxus_spark.functions.text import (  # noqa: F401
     ngram_keys,
     repetition_stats,
     contamination,
+    stratified_keep,
+    stratified_sample,
     STOPWORDS,
 )
+from nyxus_spark.functions.semistructured import parse_json_col  # noqa: F401

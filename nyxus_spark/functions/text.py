@@ -135,6 +135,39 @@ def deterministic_sample(df, rate: float, id_expr, mix: int = 2654435761,
     return df.filter(h < cut)
 
 
+def stratified_keep(rates: dict, stratum_col, id_expr, mix: int = 2654435761,
+                    p31: int = 2147483647, default_rate: float = 0.0):
+    """Boolean keep-expression for per-stratum reproducible sampling —
+    training-mixture control: each stratum (source/domain/language) gets its
+    own deterministic rate on the SAME (id·MIX mod P31) hash as
+    `deterministic_sample`, so samples are re-derivable forever AND nested —
+    raising one stratum's rate strictly grows its sample (the hash order is
+    shared), letting mixture reweighting reuse previously-materialized rows.
+    Pure column expressions: no shuffle, and the predicate pushes into the
+    scan when stratum/id are data columns. Unlisted strata use
+    ``default_rate``."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cut = F.lit(int(p31 * default_rate))
+    for s in sorted(rates):
+        cut = F.when(F.col(stratum_col) == s, F.lit(int(p31 * rates[s]))).otherwise(cut)
+    h = F.pmod((id_expr.cast("bigint") % p31) * F.lit(mix % p31), F.lit(p31))
+    return h < cut
+
+
+def stratified_sample(df, rates: dict, stratum_col, id_expr,
+                      mix: int = 2654435761, p31: int = 2147483647,
+                      default_rate: float = 0.0):
+    """Filter `df` to the per-stratum deterministic sample (see
+    `stratified_keep`, exposed separately so callers can FLAG rows instead
+    of filtering — e.g. to gate the keep decision itself)."""
+    keep = stratified_keep(rates, stratum_col, id_expr, mix, p31, default_rate)
+    return df.filter(keep)
+
+
 def ngram_keys(n: int, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
     """Array of the document's token n-grams, each serialized to a ','-joined
     string key. String keys keep the downstream groupBy/join in whole-stage

@@ -1,2 +1,6 @@
 from nyxus_spark.streaming.stateful import asof_join_stream  # noqa: F401
-from nyxus_spark.streaming.stream import sessionize_stream, stream_feature_extract  # noqa: F401
+from nyxus_spark.streaming.stream import (  # noqa: F401
+    dedup_stream,
+    sessionize_stream,
+    stream_feature_extract,
+)

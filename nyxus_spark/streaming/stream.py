@@ -67,6 +67,38 @@ def stream_feature_extract(
     return extract_features(token_stream, features, keep_tokens=False)
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: tuple | list = ("doc_id",),
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication — the first arrival of each key wins
+    (streaming twin of the batch hash-dedup, operators/dedup.py).
+
+    With ``watermark`` (requires ``ts_col``), uses
+    ``dropDuplicatesWithinWatermark``: the state store holds only keys seen
+    within the watermark horizon and evicts the rest — the ONLY shape that
+    survives an unbounded 100 TB stream — at the price that a duplicate is
+    guaranteed dropped only when it arrives within the delay of the first
+    copy (a re-crawl months later re-enters; the batch dedup over the
+    snapshot remains the source of truth, same lambda split as the late-data
+    policy above).
+
+    Without a watermark, plain streaming ``dropDuplicates`` keeps EVERY key
+    in state forever: exact at any arrival distance, memory grows with
+    |distinct keys| — for bounded replays / keyspaces only.
+    """
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        s = df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+        return s.dropDuplicatesWithinWatermark(list(key_cols))
+    return df.dropDuplicates(list(key_cols))
+
+
 def run_availablenow(stream_df: DataFrame, out_table: str, output_mode: str = "complete") -> None:
     """Drain the stream into an in-memory sink (tests / smoke checks).
 

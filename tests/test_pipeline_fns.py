@@ -90,3 +90,47 @@ def test_vocab_topk_order(spark):
     )
     rows = vocab_topk(df, k=2).collect()
     assert [(r["token"], r["cnt"]) for r in rows] == [(2, 3), (1, 2)]
+
+
+def test_stratified_validation():
+    from nyxus_spark.functions import stratified_keep, stratified_sample
+
+    with pytest.raises(ValueError, match="rate for"):
+        stratified_keep({"a": 1.5}, "s", None)
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(None, {"a": 0.5}, "s", None, default_rate=-0.1)
+
+
+def test_stratified_rates_and_nesting(spark):
+    """Per-stratum rates hold; samples at a lower rate are SUBSETS of the
+    same stratum's higher-rate sample (shared hash order); unlisted strata
+    fall back to default_rate; results are partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.functions import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"),
+    )
+    lo = stratified_sample(df, {"s0": 0.25, "s1": 0.1}, "src", F.col("k"))
+    hi = stratified_sample(df, {"s0": 0.75, "s1": 0.1}, "src", F.col("k"))
+    lo_ids = {r["k"] for r in lo.collect()}
+    hi_ids = {r["k"] for r in hi.collect()}
+    # nested: every low-rate row survives at the higher rate
+    assert lo_ids <= hi_ids
+    # per-stratum counts near their rates (1000 rows each)
+    per = {r["src"]: r["n"] for r in
+           hi.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert abs(per["s0"] - 750) < 100 and abs(per["s1"] - 100) < 50
+    assert "s2" not in per and "s3" not in per  # default_rate=0 drops them
+    # default_rate keeps unlisted strata
+    d = stratified_sample(df, {"s0": 0.0}, "src", F.col("k"), default_rate=1.0)
+    dn = {r["src"]: r["n"] for r in
+          d.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "s0" not in dn and dn["s1"] == 1000 and dn["s3"] == 1000
+    # partitioning-independent
+    again = {r["k"] for r in
+             stratified_sample(df.repartition(13), {"s0": 0.75, "s1": 0.1},
+                               "src", F.col("k")).collect()}
+    assert again == hi_ids
