@@ -453,17 +453,24 @@ def _write_bench_md(results: dict[int, dict], levels: list[int], sf_dir: str,
         e = (results[b]["rows_per_sec"] / results[a]["rows_per_sec"]) / (b / a)
         effs.append(f"| {a} → {b} | {b // a}× cores | {e:.3f} |")
     eff_rows = "\n".join(effs)
-    p3 = [e for e in (eff_runs or [])
-          if e.get("valid", True) and e.get("protocol", 1) == 3]
+    p3_all = [e for e in (eff_runs or []) if e.get("protocol", 1) == 3]
+    p3 = [e for e in p3_all if e.get("valid", True)]
     if p3:
         lo, mid = p3[-1]["lo"], p3[-1]["mid"]
         e_main = med_eff
         k_effs = sorted(e["kernel_eff"] for e in p3 if "kernel_eff" in e)
         k_med = k_effs[len(k_effs) // 2] if k_effs else None
+        # invalid pairs stay VISIBLE (struck through, with the recorded
+        # reason) — excluded from the estimate, never hidden
         pair_rows = "\n".join(
-            f"| {e['eff']:.3f} | {e.get('kernel_eff', float('nan')):.3f} "
-            f"| {e['runs_lo']} | {e['runs_mid']} |"
-            for e in p3
+            (
+                f"| {e['eff']:.3f} | {e.get('kernel_eff', float('nan')):.3f} "
+                f"| {e['runs_lo']} | {e['runs_mid']} |"
+                if e.get("valid", True) else
+                f"| ~~{e['eff']:.3f}~~ | ~~{e.get('kernel_eff', float('nan')):.3f}~~ "
+                f"| EXCLUDED (valid=false): {e.get('note', 'no note')} | |"
+            )
+            for e in p3_all
         )
         eff_src = (
             f"MEDIAN of {len(p3)} protocol-3 (A/B-alternated) pairs — see "
