@@ -1386,11 +1386,13 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of strategies AND match directions side-by-side in one gated row
     set: the cogrouped pandas merge_asof kernel, the time-sliced salted path
     (salt_slices=4, the north-rule hot-key treatment), plus the
-    union_window FORWARD (first version at-or-after the probe) and NEAREST
-    (min |Δts|, ties backward — pandas semantics) directions. Joined on the
-    probe key, so the oracle (backward + forward ASOF LEFT JOINs, nearest
-    derived by the same tie-break CASE) forces every strategy/direction to
-    agree with the oracle AND each other."""
+    union_window FORWARD (first version at-or-after the probe), NEAREST
+    (min |Δts|, ties backward — pandas semantics), and STRICT backward
+    (allow_exact_matches=False: versions strictly before the probe)
+    variants. Joined on the probe key, so the oracle (backward + forward +
+    strict ASOF LEFT JOINs, nearest derived by the same tie-break CASE)
+    forces every strategy/direction/bound to agree with the oracle AND each
+    other."""
     from pyspark.sql import functions as F
 
     from nyxus_spark.operators import asof_join
@@ -1410,8 +1412,8 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
     p = probes(spark, sf_dir)
 
-    def directed(direction, tag):
-        out = asof_join(p, v, direction=direction)
+    def directed(direction, tag, exact=True):
+        out = asof_join(p, v, direction=direction, allow_exact_matches=exact)
         return out.select(
             "doc_id", "event_id",
             F.unix_micros(F.col("matched_ts").cast("timestamp"))
@@ -1423,6 +1425,7 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge.join(salted, ["doc_id", "event_id"])
         .join(directed("forward", "fwd"), ["doc_id", "event_id"])
         .join(directed("nearest", "near"), ["doc_id", "event_id"])
+        .join(directed("backward", "strict", exact=False), ["doc_id", "event_id"])
     )
 
 
@@ -1534,7 +1537,22 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
             "IH_MEAN_VAL", "IH_VARIANCE_VAL", "IH_UNIFORMITY_VAL",
             "IH_MODE_VAL", "IH_RANGE_VAL", "IH_P10_VAL", "IH_P90_VAL",
             "IH_MAX_GRADIENT", "IH_MAX_GRADIENT_IDX",
-            "IH_MIN_GRADIENT", "IH_MIN_GRADIENT_IDX"],
+            "IH_MIN_GRADIENT", "IH_MIN_GRADIENT_IDX",
+            # round-4 widening: extrema, index-domain moments, the exact
+            # deviation family (MAD/RMAD/MedAD via integer numerators),
+            # robust mean, IQR/QCOD through the p25/p75 quantile walk, and
+            # the CV sqrt-of-exact-ratio chains
+            "IH_MINIMUM_VAL", "IH_MAXIMUM_VAL", "IH_MEAN_IDX",
+            "IH_VARIANCE_IDX", "IH_INTERQUANTILE_RANGE_VAL",
+            "IH_INTERQUANTILE_RANGE_IDX",
+            "IH_QUANTILE_COEFFICIENT_OF_DISPERSION_VAL",
+            "IH_QUANTILE_COEFFICIENT_OF_DISPERSION_IDX",
+            "IH_COEFFICIENT_OF_VARIATION_VAL", "IH_COEFFICIENT_OF_VARIATION_IDX",
+            "IH_MEAN_ABSOLUTE_DEVIATION_VAL", "IH_MEAN_ABSOLUTE_DEVIATION_IDX",
+            "IH_MEDIAN_ABSOLUTE_DEVIATION_VAL", "IH_MEDIAN_ABSOLUTE_DEVIATION_IDX",
+            "IH_ROBUST_MEAN_VAL", "IH_ROBUST_MEAN_IDX",
+            "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_VAL",
+            "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX"],
         keep_tokens=False,
     )
     return feats.select(
@@ -1559,6 +1577,24 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("IH_MAX_GRADIENT_IDX").cast("long").alias("ih_max_grad_idx"),
         _r4(F.col("IH_MIN_GRADIENT")).alias("ih_min_grad"),
         F.col("IH_MIN_GRADIENT_IDX").cast("long").alias("ih_min_grad_idx"),
+        _r4(F.col("IH_MINIMUM_VAL")).alias("ih_min_val"),
+        _r4(F.col("IH_MAXIMUM_VAL")).alias("ih_max_val"),
+        _r4(F.col("IH_MEAN_IDX")).alias("ih_mean_idx_val"),
+        _r4(F.col("IH_VARIANCE_IDX")).alias("ih_var_idx_val"),
+        _r4(F.col("IH_INTERQUANTILE_RANGE_VAL")).alias("ih_iqr_val"),
+        F.col("IH_INTERQUANTILE_RANGE_IDX").cast("long").alias("ih_iqr_idx"),
+        _r4(F.col("IH_QUANTILE_COEFFICIENT_OF_DISPERSION_VAL")).alias("ih_qcod_val"),
+        _r4(F.col("IH_QUANTILE_COEFFICIENT_OF_DISPERSION_IDX")).alias("ih_qcod_idx"),
+        _r4(F.col("IH_COEFFICIENT_OF_VARIATION_VAL")).alias("ih_cv_val"),
+        _r4(F.col("IH_COEFFICIENT_OF_VARIATION_IDX")).alias("ih_cv_idx"),
+        _r4(F.col("IH_MEAN_ABSOLUTE_DEVIATION_VAL")).alias("ih_mad_val"),
+        _r4(F.col("IH_MEAN_ABSOLUTE_DEVIATION_IDX")).alias("ih_mad_idx"),
+        _r4(F.col("IH_MEDIAN_ABSOLUTE_DEVIATION_VAL")).alias("ih_medad_val"),
+        _r4(F.col("IH_MEDIAN_ABSOLUTE_DEVIATION_IDX")).alias("ih_medad_idx"),
+        _r4(F.col("IH_ROBUST_MEAN_VAL")).alias("ih_rmean_val"),
+        _r4(F.col("IH_ROBUST_MEAN_IDX")).alias("ih_rmean_idx"),
+        _r4(F.col("IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_VAL")).alias("ih_rmad_val"),
+        _r4(F.col("IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX")).alias("ih_rmad_idx"),
     )
 
 
@@ -1948,7 +1984,9 @@ FROM tokens_static t JOIN dim d USING (source)
         # cogroup-merge and salted to agree with the oracle and each other)
         # + forward ASOF (p.ts <= v.ts picks the first at-or-after version)
         # + nearest derived from the two by the pandas tie-break (min |Δ|,
-        # equal distances go backward) — gating all three directions
+        # equal distances go backward) + STRICT backward (p.ts > v.ts, the
+        # allow_exact_matches=False bound) — gating all directions and both
+        # bound modes
         "asof_strategies": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES},
 b AS (
@@ -1962,6 +2000,12 @@ f AS (
          epoch_us(v.ts) AS f_ts, v.n_tok AS f_nt
   FROM probes p ASOF LEFT JOIN versions v
     ON p.doc_id = v.doc_id AND p.ts <= v.ts
+),
+s AS (
+  SELECT p.doc_id, p.event_id,
+         epoch_us(v.ts) AS s_ts, v.n_tok AS s_nt
+  FROM probes p ASOF LEFT JOIN versions v
+    ON p.doc_id = v.doc_id AND p.ts > v.ts
 )
 SELECT b.doc_id, b.event_id, b.ts_us,
        b.b_ts AS merge_matched_ts_us, b.b_nt AS merge_n_tok,
@@ -1972,8 +2016,9 @@ SELECT b.doc_id, b.event_id, b.ts_us,
             THEN b.b_ts ELSE f.f_ts END AS near_matched_ts_us,
        CASE WHEN b.b_ts IS NOT NULL
              AND (f.f_ts IS NULL OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
-            THEN b.b_nt ELSE f.f_nt END AS near_n_tok
-FROM b JOIN f USING (doc_id, event_id)
+            THEN b.b_nt ELSE f.f_nt END AS near_n_tok,
+       s.s_ts AS strict_matched_ts_us, s.s_nt AS strict_n_tok
+FROM b JOIN f USING (doc_id, event_id) JOIN s USING (doc_id, event_id)
 """,
         "multimodal_decode": """
 WITH base AS (

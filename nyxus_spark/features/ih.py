@@ -130,11 +130,11 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
         bandw = np.where(robust_band, freq, 0.0)
         rcount = bandw.sum(axis=1)
         safe_rc = np.where(rcount > 0, rcount, 1)
-        rmean_idx = (bandw * i_arr).sum(axis=1) / safe_rc
+        B1 = (bandw * i_arr).sum(axis=1)  # exact int (band Σf·i)
+        rmean_idx = B1 / safe_rc
         rmean_val = vmin + (rmean_idx + 0.5) * bw
 
         di = i_arr[None, :] - mean_idx[:, None]
-        adi = np.abs(di)
         di2 = di * di
         var_idx = (safe_total * S2 - S1 ** 2) / safe_total ** 2
         var_val = var_idx * (bw * bw)  # explicit x*x (single rounding, SQL-replayable)
@@ -146,11 +146,21 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
         mode_bin = np.argmax(freq, axis=1)  # first max (strict >)
         mode_val = vmin + (mode_bin + 0.5) * bw
 
-        mad_idx = (prob * adi).sum(axis=1)
+        # deviation sums as EXACT-INTEGER numerators + ONE final division
+        # (order-independent, SQL-replayable — the CLAUDE.md rational trick):
+        # mad  = Σf·|i − S1/N| /N  = Σf·|N·i − S1| / N²        (all ints)
+        # rmad = Σ_band f·|i − B1/R| /R = Σ_band f·|R·i − B1| / R²
+        # medad= Σf·|i − med| /N   (med is an integer bin)
+        # terms stay < 2⁵³: f·N·63 ≤ 63·len² ≤ 2.5e8 per bin at len 2000
+        mad_idx = (freq * np.abs(safe_total[:, None] * i_arr[None, :]
+                                 - S1[:, None])).sum(axis=1) / safe_total ** 2
         mad_val = mad_idx * bw
-        rmad_idx = (bandw * np.abs(i_arr[None, :] - rmean_idx[:, None])).sum(axis=1) / safe_rc
+        rmad_idx = (bandw * np.abs(safe_rc[:, None] * i_arr[None, :]
+                                   - B1[:, None])).sum(axis=1) / safe_rc ** 2
         rmad_val = rmad_idx * bw
-        medad_idx = (prob * np.abs(i_arr[None, :] - median_idx[:, None].astype(np.float64))).sum(axis=1)
+        medad_idx = (freq * np.abs(i_arr[None, :]
+                                   - median_idx[:, None].astype(np.float64))
+                     ).sum(axis=1) / safe_total
         # median_val sits at the CENTER of bin med_bin == median_idx, so the
         # value-domain deviation is exactly bw·|i − median_idx|
         medad_val = medad_idx * bw

@@ -49,6 +49,7 @@ def asof_join(
     salt_slices: int = 0,
     ts_bounds: tuple | None = None,
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join of `probes` (left) to `versions` (right).
 
@@ -62,6 +63,13 @@ def asof_join(
     shuffle), cogroup_merge (native merge_asof), and shuffle_join
     strategies; the salted time-sliced path is backward-only (its per-slice
     seeding is a carry-forward of past state).
+
+    ``allow_exact_matches=False`` makes the bound strict (< / > instead of
+    <= / >=, pandas knob of the same name): a version AT the probe's exact
+    ts is no longer visible — the event-study "information available strictly
+    before the decision" contract. In the union_window plan this is purely a
+    tie-ordering flip (probes sort before versions at equal ts), zero extra
+    cost; for ``nearest`` it excludes equal-ts versions on both sides.
 
     Returns probe columns + matched version payload columns (version ts is
     exposed as ``matched_ts``; payload columns optionally prefixed). Probes
@@ -101,17 +109,17 @@ def asof_join(
                              "(slice seeding carries past state forward)")
         return _asof_union_window_sliced(
             probes, versions, on, ts_col, version_prefix, tolerance_sec,
-            salt_slices, ts_bounds,
+            salt_slices, ts_bounds, allow_exact_matches,
         )
     if strategy == "union_window":
         return _asof_union_window(probes, versions, on, ts_col, version_prefix,
-                                  tolerance_sec, direction)
+                                  tolerance_sec, direction, allow_exact_matches)
     if strategy == "cogroup_merge":
         return _asof_cogroup_merge(probes, versions, on, ts_col, version_prefix,
-                                   tolerance_sec, direction)
+                                   tolerance_sec, direction, allow_exact_matches)
     if strategy == "shuffle_join":
         return _asof_shuffle_join(probes, versions, on, ts_col, version_prefix,
-                                  tolerance_sec, direction)
+                                  tolerance_sec, direction, allow_exact_matches)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -120,7 +128,7 @@ def _payload_cols(versions: DataFrame, on: str, ts_col: str) -> list[str]:
 
 
 def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec,
-                       direction="backward"):
+                       direction="backward", allow_exact=True):
     pay = _payload_cols(versions, on, ts_col)
     probe_extra = [c for c in probes.columns if c not in (on, ts_col)]
 
@@ -144,13 +152,17 @@ def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec,
 
     # versions sort before probes at equal ts in BOTH directions → a version
     # AT the probe ts is visible (as-of is inclusive), never one beyond it.
+    # Strict bounds (allow_exact=False) flip ONLY that tie order — probes
+    # sort before versions at equal ts, so the carried version is strictly
+    # earlier/later; the plan is otherwise identical (zero extra cost).
     # forward is the time-mirrored backward pass: same partitioning, DESC
     # sort, so last(ignorenulls) carries the EARLIEST version >= the probe.
     def carry(desc):
         order = F.col(ts_col).desc() if desc else F.col(ts_col).asc()
+        tag_order = F.col("__tag").asc() if allow_exact else F.col("__tag").desc()
         w = (
             Window.partitionBy(on)
-            .orderBy(order, F.col("__tag").asc())
+            .orderBy(order, tag_order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         return (
@@ -222,7 +234,7 @@ def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec,
 
 
 def _asof_shuffle_join(probes, versions, on, ts_col, prefix, tolerance_sec,
-                       direction="backward"):
+                       direction="backward", allow_exact=True):
     """As-of via an explicit equi-JOIN + per-probe argmax.
 
     This is the classic join-then-reduce formulation: shuffle-join the two
@@ -246,12 +258,14 @@ def _asof_shuffle_join(probes, versions, on, ts_col, prefix, tolerance_sec,
     delta = p[ts_col].cast("double") - v["__vts"].cast("double")
     cond = p[on] == v["__von"]
     if direction == "backward":
-        cond &= v["__vts"] <= p[ts_col]
+        cond &= (v["__vts"] <= p[ts_col]) if allow_exact else (v["__vts"] < p[ts_col])
         tol_delta, order = delta, F.col("__vts").desc_nulls_last()
     elif direction == "forward":
-        cond &= v["__vts"] >= p[ts_col]
+        cond &= (v["__vts"] >= p[ts_col]) if allow_exact else (v["__vts"] > p[ts_col])
         tol_delta, order = -delta, F.col("__vts").asc_nulls_last()
     else:  # nearest: key-only join, rank by |Δ| with backward tie-break
+        if not allow_exact:
+            cond &= v["__vts"] != p[ts_col]
         tol_delta = F.abs(delta)
         order = None
     if tolerance_sec is not None:
@@ -281,7 +295,8 @@ def _asof_shuffle_join(probes, versions, on, ts_col, prefix, tolerance_sec,
 
 
 def _asof_union_window_sliced(probes, versions, on, ts_col, prefix,
-                              tolerance_sec, n_slices, ts_bounds=None):
+                              tolerance_sec, n_slices, ts_bounds=None,
+                              allow_exact=True):
     """Hot-key-safe as-of: uniform global time slices + per-slice seeding.
 
     1. rows map to slice = floor((ts − t0)/width) — a pure projection, so no
@@ -381,10 +396,14 @@ def _asof_union_window_sliced(probes, versions, on, ts_col, prefix,
         .unionByName(tagged(v, 0, F.col(ts_col), True, False))
         .unionByName(tagged(p, 1, F.lit(None).cast(versions.schema[ts_col].dataType), False, True))
     )
-    # seeds (__tag = -1, null ts) sort first via nulls-first; then by (ts, tag)
+    # seeds (__tag = -1, null ts) sort first via nulls-first; then by (ts,
+    # tag) — strict bounds flip the equal-ts tie so probes precede versions
+    # (a seed version from an earlier slice is strictly earlier by
+    # construction: equal timestamps land in the SAME slice)
+    tag_order = F.col("__tag").asc() if allow_exact else F.col("__tag").desc()
     w = (
         Window.partitionBy(on, "__slice")
-        .orderBy(F.col(ts_col).asc_nulls_first(), F.col("__tag").asc())
+        .orderBy(F.col(ts_col).asc_nulls_first(), tag_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in pay]
@@ -405,7 +424,7 @@ def _asof_union_window_sliced(probes, versions, on, ts_col, prefix,
 
 
 def _asof_cogroup_merge(probes, versions, on, ts_col, prefix, tolerance_sec,
-                        direction="backward"):
+                        direction="backward", allow_exact=True):
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
@@ -430,7 +449,8 @@ def _asof_cogroup_merge(probes, versions, on, ts_col, prefix, tolerance_sec,
         right = right.sort_values(ts_col, kind="mergesort")
         r = right.rename(columns={c: f"{prefix}{c}" for c in pay})
         r["matched_ts"] = r[ts_col]
-        kwargs = dict(on=ts_col, direction=direction)
+        kwargs = dict(on=ts_col, direction=direction,
+                      allow_exact_matches=allow_exact)
         if tol is not None:
             kwargs["tolerance"] = tol
         out = pd.merge_asof(left, r.drop(columns=[on]), **kwargs)

@@ -1522,6 +1522,63 @@ q90v AS (
   FROM q90 q JOIN cums c ON c.doc_id = q.doc_id AND c.bin = q.istar
   JOIN bw b ON b.doc_id = q.doc_id
 ),
+q25 AS (  -- p < 0.5 branch at p = 0.25
+  SELECT c.doc_id, MIN(c.bin) AS nstar
+  FROM cums c JOIN bw b USING (doc_id)
+  WHERE CAST(c.cum AS DOUBLE) / b.n >= 0.25
+  GROUP BY c.doc_id
+),
+q25v AS (
+  SELECT c.doc_id,
+         (b.mn + q.nstar * b.w)
+         + ((0.25 - CAST(c.cum - c.c AS DOUBLE) / b.n) / (CAST(c.c AS DOUBLE) / b.n)) * b.w AS v25
+  FROM q25 q JOIN cums c ON c.doc_id = q.doc_id AND c.bin = q.nstar
+  JOIN bw b ON b.doc_id = q.doc_id
+),
+q75 AS (  -- p >= 0.5 branch at p = 0.75
+  SELECT c.doc_id, MAX(c.bin) AS istar
+  FROM cums c JOIN bw b USING (doc_id)
+  WHERE CAST(c.cum - c.c AS DOUBLE) / b.n <= 0.75
+  GROUP BY c.doc_id
+),
+q75v AS (
+  SELECT c.doc_id,
+         (b.mn + (q.istar + 1.0) * b.w)
+         - ((CAST(c.cum AS DOUBLE) / b.n - 0.75) / (CAST(c.c AS DOUBLE) / b.n)) * b.w AS v75
+  FROM q75 q JOIN cums c ON c.doc_id = q.doc_id AND c.bin = q.istar
+  JOIN bw b ON b.doc_id = q.doc_id
+),
+pidx AS (  -- bin index of each interpolated quantile (kernel get_index_of)
+  SELECT b.doc_id,
+         LEAST(GREATEST(CAST(FLOOR((q1.v10 - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) AS i10,
+         LEAST(GREATEST(CAST(FLOOR((q2.v25 - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) AS i25,
+         LEAST(GREATEST(CAST(FLOOR((q7.v75 - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) AS i75,
+         LEAST(GREATEST(CAST(FLOOR((q9.v90 - b.mn) / b.w) AS INTEGER), 0), {nb - 1}) AS i90
+  FROM bw b JOIN q10v q1 USING (doc_id) JOIN q25v q2 USING (doc_id)
+  JOIN q75v q7 USING (doc_id) JOIN q90v q9 USING (doc_id)
+),
+devs AS (  -- exact-integer deviation numerators: Σf·|n·i − S1|, Σf·|i − med|
+  SELECT f.doc_id,
+         CAST(SUM(f.c * ABS(b.n * f.bin - i.s1)) AS BIGINT) AS madnum,
+         CAST(SUM(f.c * ABS(f.bin - m.med_bin)) AS BIGINT) AS medadnum
+  FROM freq f JOIN bw b USING (doc_id) JOIN isums i USING (doc_id)
+  JOIN med m USING (doc_id)
+  GROUP BY f.doc_id
+),
+band AS (  -- robust band [p10_idx, p90_idx]: exact count and Σf·i
+  SELECT f.doc_id,
+         CAST(SUM(f.c) AS BIGINT) AS rc,
+         CAST(SUM(f.c * f.bin) AS BIGINT) AS b1
+  FROM freq f JOIN pidx p USING (doc_id)
+  WHERE f.bin BETWEEN p.i10 AND p.i90
+  GROUP BY f.doc_id
+),
+rmadn AS (  -- Σ_band f·|rc·i − B1| (exact ints)
+  SELECT f.doc_id, CAST(SUM(f.c * ABS(d.rc * f.bin - d.b1)) AS BIGINT) AS num
+  FROM freq f JOIN pidx p USING (doc_id) JOIN band d USING (doc_id)
+  WHERE f.bin BETWEEN p.i10 AND p.i90
+  GROUP BY f.doc_id
+),
 grid AS (
   SELECT b.doc_id, CAST(u.p AS INTEGER) AS bin
   FROM bw b, unnest(range(0, {nb})) AS u(p)
@@ -1568,9 +1625,37 @@ SELECT b.doc_id,
             ELSE 0.0 END AS ih_max_grad,
        CAST(CASE WHEN ga.gmx > 0 THEN gi.mx_bin + 1 ELSE 0 END AS BIGINT) AS ih_max_grad_idx,
        FLOOR((ga.gmn) * 10000.0 + 0.5) / 10000.0 AS ih_min_grad,
-       CAST(gi.mn_bin + 1 AS BIGINT) AS ih_min_grad_idx
+       CAST(gi.mn_bin + 1 AS BIGINT) AS ih_min_grad_idx,
+       -- round-4 widening: same kernel IEEE op order, exact-int numerators
+       FLOOR((b.mn) * 10000.0 + 0.5) / 10000.0 AS ih_min_val,
+       FLOOR((b.mx) * 10000.0 + 0.5) / 10000.0 AS ih_max_val,
+       FLOOR(((CAST(s.s1 AS DOUBLE) / b.n) + 1.0) * 10000.0 + 0.5) / 10000.0 AS ih_mean_idx_val,
+       FLOOR((CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))
+             * 10000.0 + 0.5) / 10000.0 AS ih_var_idx_val,
+       FLOOR((q7.v75 - q2.v25) * 10000.0 + 0.5) / 10000.0 AS ih_iqr_val,
+       CAST(p.i75 - p.i25 AS BIGINT) AS ih_iqr_idx,
+       FLOOR(((q7.v75 - q2.v25) / (q7.v75 + q2.v25)) * 10000.0 + 0.5) / 10000.0 AS ih_qcod_val,
+       FLOOR((CAST(p.i75 - p.i25 AS DOUBLE) / (p.i75 + 1.0 + p.i25 + 1.0))
+             * 10000.0 + 0.5) / 10000.0 AS ih_qcod_idx,
+       FLOOR((sqrt((CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n)) * (b.w * b.w))
+              / (b.mn + (CAST(s.s1 AS DOUBLE) / b.n + 0.5) * b.w))
+             * 10000.0 + 0.5) / 10000.0 AS ih_cv_val,
+       FLOOR((sqrt(CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))
+              / (CAST(s.s1 AS DOUBLE) / b.n + 1.0))
+             * 10000.0 + 0.5) / 10000.0 AS ih_cv_idx,
+       FLOOR(((CAST(d.madnum AS DOUBLE) / (b.n * b.n)) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_mad_val,
+       FLOOR((CAST(d.madnum AS DOUBLE) / (b.n * b.n)) * 10000.0 + 0.5) / 10000.0 AS ih_mad_idx,
+       FLOOR(((CAST(d.medadnum AS DOUBLE) / b.n) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_medad_val,
+       FLOOR((CAST(d.medadnum AS DOUBLE) / b.n) * 10000.0 + 0.5) / 10000.0 AS ih_medad_idx,
+       FLOOR((b.mn + (CAST(ba.b1 AS DOUBLE) / ba.rc + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_rmean_val,
+       FLOOR((CAST(ba.b1 AS DOUBLE) / ba.rc) * 10000.0 + 0.5) / 10000.0 AS ih_rmean_idx,
+       FLOOR(((CAST(r.num AS DOUBLE) / (ba.rc * ba.rc)) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_rmad_val,
+       FLOOR((CAST(r.num AS DOUBLE) / (ba.rc * ba.rc)) * 10000.0 + 0.5) / 10000.0 AS ih_rmad_idx
 FROM bw b JOIN med m USING (doc_id) JOIN mode mo USING (doc_id)
 JOIN q10v q1 USING (doc_id) JOIN q90v q9 USING (doc_id)
+JOIN q25v q2 USING (doc_id) JOIN q75v q7 USING (doc_id)
+JOIN pidx p USING (doc_id) JOIN devs d USING (doc_id)
+JOIN band ba USING (doc_id) JOIN rmadn r USING (doc_id)
 JOIN isums s USING (doc_id)
 JOIN gagg ga USING (doc_id) JOIN gidx gi USING (doc_id)
 """

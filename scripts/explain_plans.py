@@ -51,6 +51,9 @@ def main() -> None:
                          ["MEAN", "ENTROPY"], keep_tokens=False)
     )
     sections["as-of join, salted (salt_slices=8)"] = plan_of(asof_join(p, v, salt_slices=8))
+    sections["as-of join, nearest direction (ONE Exchange, two window sorts)"] = plan_of(
+        asof_join(p, v.select("doc_id", "ts", "n_tok"), direction="nearest")
+    )
     sections["feature catalog (narrow — no exchange)"] = plan_of(
         extract_features(v, ["*ALL_INTENSITY*"], keep_tokens=False)
     )
@@ -194,6 +197,9 @@ def main() -> None:
     print("Exchanges per plan:", n_exch)
     assert "PushedFilters: [" in sections["filtered scan (predicate pushdown + column pruning)"]
     assert "Exchange" not in sections["feature catalog (narrow — no exchange)"]
+    # nearest = two window passes over the SAME hash partitioning: the plan
+    # must not add a second shuffle for the second sort order
+    assert n_exch["as-of join, nearest direction (ONE Exchange, two window sorts)"] == 1
     assert "PartitionFilters: [" in sections[
         "IVF search on the persisted index (PartitionFilters pruning)"
     ]

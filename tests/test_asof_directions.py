@@ -74,19 +74,23 @@ def test_nearest_hand_computed(fixture, strategy):
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
-def test_matches_pandas_random(spark, strategy, direction):
-    """Every strategy × direction equals pandas merge_asof on a
-    deterministic pseudo-random workload, with and without tolerance."""
+@pytest.mark.parametrize("exact", [True, False])
+def test_matches_pandas_random(spark, strategy, direction, exact):
+    """Every strategy × direction × allow_exact_matches equals pandas
+    merge_asof on a deterministic pseudo-random workload, with and without
+    tolerance. Probe timestamps are drawn from a small range so many land
+    EXACTLY on version timestamps — the strict-bound flip is exercised, not
+    incidental."""
     import numpy as np
 
     rng = np.random.RandomState(11)
     v_rows = [
         (int(k), _ts(int(t)), int(rng.randint(0, 1000)))
         for k in range(6)
-        for t in np.sort(rng.choice(10000, size=rng.randint(1, 40), replace=False))
+        for t in np.sort(rng.choice(2000, size=rng.randint(1, 40), replace=False))
     ]
     p_rows = [
-        (int(rng.randint(0, 8)), _ts(int(rng.randint(0, 10000))), i)
+        (int(rng.randint(0, 8)), _ts(int(rng.randint(0, 2000))), i)
         for i in range(300)
     ]
     versions = spark.createDataFrame(v_rows, "doc_id bigint, ts timestamp, n_tok bigint")
@@ -94,10 +98,11 @@ def test_matches_pandas_random(spark, strategy, direction):
 
     for tol in (None, 500.0):
         got = _run(probes, versions, strategy=strategy, direction=direction,
-                   tolerance_sec=tol)
+                   tolerance_sec=tol, allow_exact_matches=exact)
         vp = pd.DataFrame(v_rows, columns=["doc_id", "ts", "n_tok"]).sort_values("ts")
         pp = pd.DataFrame(p_rows, columns=["doc_id", "ts", "event_id"]).sort_values("ts")
-        kwargs = dict(on="ts", by="doc_id", direction=direction)
+        kwargs = dict(on="ts", by="doc_id", direction=direction,
+                      allow_exact_matches=exact)
         if tol is not None:
             kwargs["tolerance"] = pd.Timedelta(seconds=tol)
         exp_df = pd.merge_asof(pp, vp.rename(columns={"ts": "vts"})
@@ -110,7 +115,39 @@ def test_matches_pandas_random(spark, strategy, direction):
             )
             for r in exp_df.itertuples()
         }
-        assert got == exp, f"strategy={strategy} direction={direction} tol={tol}"
+        assert got == exp, (f"strategy={strategy} direction={direction} "
+                            f"tol={tol} exact={exact}")
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_salted_matches_unsalted_exactness(spark, exact):
+    """The time-sliced salted path honors allow_exact_matches identically to
+    the plain union_window (equal timestamps land in the same slice, so the
+    tie-flip is the whole story)."""
+    import numpy as np
+
+    from nyxus_spark.operators import asof_join
+
+    rng = np.random.RandomState(3)
+    v_rows = [(int(k), _ts(int(t)), int(rng.randint(0, 100)))
+              for k in range(4)
+              for t in np.sort(rng.choice(500, size=30, replace=False))]
+    p_rows = [(int(rng.randint(0, 4)), _ts(int(rng.randint(0, 500))), i)
+              for i in range(200)]
+    versions = spark.createDataFrame(v_rows, "doc_id bigint, ts timestamp, n_tok bigint")
+    probes = spark.createDataFrame(p_rows, "doc_id bigint, ts timestamp, event_id bigint")
+    plain = {(r["event_id"]): (r["matched_ts"], r["n_tok"])
+             for r in asof_join(probes, versions,
+                                allow_exact_matches=exact).collect()}
+    salted = {(r["event_id"]): (r["matched_ts"], r["n_tok"])
+              for r in asof_join(probes, versions, salt_slices=4,
+                                 allow_exact_matches=exact).collect()}
+    assert plain == salted
+    if not exact:
+        # at least one probe must sit exactly on a version ts for the strict
+        # flip to be exercised
+        vts = {(k, t) for k, t, _ in v_rows}
+        assert any((k, t) in vts for k, t, _ in p_rows)
 
 
 def test_salted_rejects_non_backward(fixture):
