@@ -536,11 +536,18 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch multi-query ANN through the IVF index: three queries each probe
     their top-2 centroid buckets; corpus rows are scored only against the
     queries probing their bucket (the corpus-scale batch plan — candidate
-    expansion is |probed fraction|·|Q|, not |corpus|·|Q|)."""
+    expansion is |probed fraction|·|Q|, not |corpus|·|Q|). Composed with
+    RECALL@5 evaluation: each result row carries its query's measured recall
+    vs the exact brute-force top-5 (|ivf ∩ brute|/5, exact integers + one
+    division) — the index-quality monitor, itself under the oracle gate."""
     _prep(spark)
     from pyspark.sql import functions as F
 
-    from nyxus_spark.operators.similarity import ivf_topk_batch
+    from nyxus_spark.operators.similarity import (
+        ivf_topk_batch,
+        recall_at_k,
+        topk_cosine_batch,
+    )
     from nyxus_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -550,7 +557,10 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk_batch(emb, cents, queries, k=5, n_probe=2)
+    ivf = ivf_topk_batch(emb, cents, queries, k=5, n_probe=2)
+    brute = topk_cosine_batch(emb, queries, k=5)
+    rec = recall_at_k(ivf, brute)
+    return ivf.join(rec, "query_id")
 
 
 def _q_multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2108,7 +2118,7 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # the persisted index is semantically the same search (assignment is
         # materialized, not recomputed) — gated by the identical oracle
         "ivf_persisted": oracles.SQL_IVF_TOPK,
-        "ivf_batch": oracles.sql_ivf_batch(),
+        "ivf_batch": oracles.sql_ivf_batch_recall(),
         # a format round-trip is content-preserving: one aggregate row per
         # staged format, all computed from the canonical parquet
         "multi_format_scan": """

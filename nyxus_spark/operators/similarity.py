@@ -303,6 +303,39 @@ def _partition_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> Da
     return scored.mapInArrow(gen, scored.schema)
 
 
+def recall_at_k(
+    ann: DataFrame,
+    exact: DataFrame,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN quality evaluation — per-query recall against an exact
+    (brute-force) ground truth: |ann ∩ exact| / |exact|, the standard
+    index-quality monitor a production ANN deployment runs on a sampled
+    query set ("measure, don't guess"). Exact integers + ONE final division.
+
+    Both inputs are (query, id) result sets of ~k rows per query, so the
+    intersection join is tiny regardless of corpus size — the expensive part
+    is producing `exact`, which callers run on a SAMPLE of queries (e.g.
+    `deterministic_sample` over the query log) while the ANN path serves
+    everything. Queries the ANN missed entirely still emit a row (recall 0).
+    """
+    hits = (
+        ann.select(query_id, id_col)
+        .join(exact.select(query_id, id_col), [query_id, id_col], "left_semi")
+        .groupBy(query_id)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    denom = exact.groupBy(query_id).agg(F.count("*").alias("n_exact"))
+    zero = F.lit(0).cast("long")
+    return denom.join(hits, query_id, "left").select(
+        query_id,
+        F.coalesce("n_hits", zero).cast("long").alias("n_hits"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        fround4(F.coalesce("n_hits", zero) / F.col("n_exact")).alias("recall"),
+    )
+
+
 def quantize_embedding(vec_col: str = "embedding", levels: int = 127):
     """Column expr: symmetric int8-style quantization of a float vector —
     q_i = floor(levels·x_i/max|x| + 0.5) (round-half-up), the standard

@@ -256,6 +256,45 @@ SELECT query_id, vec_id, cos FROM (
 """
 
 
+def sql_ivf_batch_recall(n_queries: int = 3, n_cents: int = 8, n_probe: int = 2,
+                         k: int = 5) -> str:
+    """Batch IVF + per-query RECALL@k vs the exact brute-force top-k
+    (replays operators/similarity.py recall_at_k: |ivf ∩ brute| / |brute|,
+    exact integers, one division)."""
+    cos = (
+        "FLOOR((list_inner_product({a}, {b})"
+        " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))))"
+        " * 10000.0 + 0.5) / 10000.0"
+    )
+    bc = cos.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")
+    return f"""
+WITH ivf AS ({sql_ivf_batch(n_queries, n_cents, n_probe, k)}),
+bq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {bc} DESC, e.vec_id ASC) AS rn
+    FROM embeddings e, bq q
+  ) WHERE rn <= {k}
+),
+rec AS (
+  SELECT b.query_id,
+         CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM brute b LEFT JOIN ivf i
+    ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+  GROUP BY b.query_id
+)
+SELECT i.query_id, i.vec_id, i.cos, r.n_hits, r.n_exact,
+       FLOOR((CAST(r.n_hits AS DOUBLE) / r.n_exact) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM ivf i JOIN rec r USING (query_id)
+"""
+
+
 def sql_cosine_dup(threshold: float = 0.99, n_planes: int = 16, quant: int = 1000) -> str:
     """Embedding-cosine near-dup oracle: replays the hyperplane-LSH blocking
     with the same integer arithmetic (quantized vectors × deterministic

@@ -64,3 +64,26 @@ def test_ivf_topk_accepts_precomputed_assignments(spark, tmp_path):
            for r in ivf_topk(emb, cents, qv, k=10, assigned=idx).collect()]
     exp = [(r.vec_id, r.cos) for r in ivf_topk(emb, cents, qv, k=10).collect()]
     assert got == exp
+
+
+def test_recall_at_k_hand_computed(spark):
+    """recall@k vs a known ground truth: hits/|exact| exact integers,
+    missed queries emit recall 0, ANN-only queries emit nothing."""
+    from nyxus_spark.operators.similarity import recall_at_k
+
+    ann = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 99),      # 2 of 3 right
+         (1, 20), (1, 21), (1, 22),      # perfect
+         (2, 98), (2, 97), (2, 96)],     # total miss
+        "query_id bigint, vec_id bigint",
+    )
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12),
+         (1, 20), (1, 21), (1, 22),
+         (2, 30), (2, 31), (2, 32)],
+        "query_id bigint, vec_id bigint",
+    )
+    rows = {r["query_id"]: r for r in recall_at_k(ann, exact).collect()}
+    assert (rows[0]["n_hits"], rows[0]["n_exact"], rows[0]["recall"]) == (2, 3, 0.6667)
+    assert (rows[1]["n_hits"], rows[1]["recall"]) == (3, 1.0)
+    assert (rows[2]["n_hits"], rows[2]["recall"]) == (0, 0.0)
