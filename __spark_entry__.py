@@ -979,7 +979,13 @@ def _q_gldzm(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
         t, ["GLDZM_LDE", "GLDZM_ZP", "GLDZM_HGLZE", "GLDZM_GLNU", "GLDZM_ZDNU",
             "GLDZM_GLNUN", "GLDZM_ZDNUN", "GLDZM_GLM", "GLDZM_ZDM",
-            "GLDZM_GLV", "GLDZM_ZDV"],
+            "GLDZM_GLV", "GLDZM_ZDV",
+            # inverse-weighted codes: per-term exact doubles folded in run
+            # order by np.bincount — the oracle replays the fold
+            # addition-for-addition (list_reduce ORDER BY run_id); LDHGLE is
+            # a pure exact-integer sum. ZDE (entropy) stays pytest-only.
+            "GLDZM_SDE", "GLDZM_LGLZE", "GLDZM_SDLGLE", "GLDZM_SDHGLE",
+            "GLDZM_LDLGLE", "GLDZM_LDHGLE"],
         keep_tokens=False,
     )
     return feats.select(
@@ -995,6 +1001,12 @@ def _q_gldzm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLDZM_ZDM").alias("gldzm_zdm"),
         _r4("GLDZM_GLV").alias("gldzm_glv"),
         _r4("GLDZM_ZDV").alias("gldzm_zdv"),
+        _r4("GLDZM_SDE").alias("gldzm_sde"),
+        _r4("GLDZM_LGLZE").alias("gldzm_lglze"),
+        _r4("GLDZM_SDLGLE").alias("gldzm_sdlgle"),
+        _r4("GLDZM_SDHGLE").alias("gldzm_sdhgle"),
+        _r4("GLDZM_LDLGLE").alias("gldzm_ldlgle"),
+        _r4("GLDZM_LDHGLE").alias("gldzm_ldhgle"),
     )
 
 

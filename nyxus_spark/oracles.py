@@ -634,17 +634,37 @@ islands AS (
   FROM flagged
 ),
 runs AS (
-  SELECT doc_id, g,
+  SELECT doc_id, g, run_id,
          LEAST(MIN(i) - 1, MAX(n_tok) - MAX(i)) + 1 AS d,
          MAX(n_tok) AS n_tok
   FROM islands GROUP BY doc_id, g, run_id
+),
+folds AS (
+  -- inverse-weighted sums are order-dependent float folds; the kernel
+  -- accumulates them via np.bincount = a sequential per-doc fold in run
+  -- order, replayed here addition-for-addition with list_reduce over
+  -- list(term ORDER BY run_id) (the NGTDM-COMPLEXITY replay pattern).
+  -- Every per-term value is exact (integer squares, one IEEE divide).
+  SELECT doc_id,
+         list_reduce(list(1.0 / CAST(d * d AS DOUBLE) ORDER BY run_id),
+                     (a, b) -> a + b) AS sde_s,
+         list_reduce(list(1.0 / CAST(g * g AS DOUBLE) ORDER BY run_id),
+                     (a, b) -> a + b) AS lglze_s,
+         list_reduce(list(1.0 / (CAST(g * g AS DOUBLE) * CAST(d * d AS DOUBLE))
+                          ORDER BY run_id), (a, b) -> a + b) AS sdlgle_s,
+         list_reduce(list(CAST(g * g AS DOUBLE) / CAST(d * d AS DOUBLE)
+                          ORDER BY run_id), (a, b) -> a + b) AS sdhgle_s,
+         list_reduce(list(CAST(d * d AS DOUBLE) / CAST(g * g AS DOUBLE)
+                          ORDER BY run_id), (a, b) -> a + b) AS ldlgle_s
+  FROM runs GROUP BY doc_id
 ),
 per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
          CAST(SUM(d * d) AS BIGINT) AS sdd,
          CAST(SUM(g * g) AS BIGINT) AS sgg,
          CAST(SUM(g) AS BIGINT) AS sg,
-         CAST(SUM(d) AS BIGINT) AS sd
+         CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(g * g * d * d) AS BIGINT) AS sggdd
   FROM runs GROUP BY doc_id
 ),
 glnu AS (
@@ -673,8 +693,15 @@ SELECT p.doc_id,
        FLOOR((CAST(p.nr * p.sgg - p.sg * p.sg AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
              * 10000.0 + 0.5) / 10000.0 AS gldzm_glv,
        FLOOR((CAST(p.nr * p.sdd - p.sd * p.sd AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
-             * 10000.0 + 0.5) / 10000.0 AS gldzm_zdv
+             * 10000.0 + 0.5) / 10000.0 AS gldzm_zdv,
+       FLOOR((fo.sde_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_sde,
+       FLOOR((fo.lglze_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_lglze,
+       FLOOR((fo.sdlgle_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_sdlgle,
+       FLOOR((fo.sdhgle_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_sdhgle,
+       FLOOR((fo.ldlgle_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_ldlgle,
+       FLOOR((CAST(p.sggdd AS DOUBLE) / p.nr) * 10000.0 + 0.5) / 10000.0 AS gldzm_ldhgle
 FROM per_doc p JOIN glnu USING (doc_id) JOIN zdnu USING (doc_id)
+JOIN folds fo USING (doc_id)
 """
 
 
