@@ -839,12 +839,15 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_static(spark, sf_dir).filter(
         F.array_max("tokens") > F.array_min("tokens")
     )
-    # integer-numerator features only: SRE/LGLRE sum 1/x² terms whose parallel
-    # summation order differs between engines and can flip the 4th decimal on
-    # exact-boundary rationals (those stay covered by the pytest scalar oracle)
+    # integer-numerator features + the inverse-weighted folds (SRE/LGLRE/
+    # SRLGLE/SRHGLE/LRLGLE): per-term exact doubles accumulated by
+    # np.bincount in run order, replayed addition-for-addition by the
+    # oracle's list_reduce ORDER BY run_id. RE (entropy) stays pytest-only.
     feats = extract_features(
         t, ["GLRLM_LRE", "GLRLM_RP", "GLRLM_HGLRE", "GLRLM_GLN", "GLRLM_RLN",
-            "GLRLM_GLNN", "GLRLM_RLNN", "GLRLM_LRHGLE", "GLRLM_GLV", "GLRLM_RV"],
+            "GLRLM_GLNN", "GLRLM_RLNN", "GLRLM_LRHGLE", "GLRLM_GLV", "GLRLM_RV",
+            "GLRLM_SRE", "GLRLM_LGLRE", "GLRLM_SRLGLE", "GLRLM_SRHGLE",
+            "GLRLM_LRLGLE"],
         keep_tokens=False,
     )
     return feats.select(
@@ -859,6 +862,11 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLRLM_LRHGLE").alias("glrlm_lrhgle"),
         _r4("GLRLM_GLV").alias("glrlm_glv"),
         _r4("GLRLM_RV").alias("glrlm_rv"),
+        _r4("GLRLM_SRE").alias("glrlm_sre"),
+        _r4("GLRLM_LGLRE").alias("glrlm_lglre"),
+        _r4("GLRLM_SRLGLE").alias("glrlm_srlgle"),
+        _r4("GLRLM_SRHGLE").alias("glrlm_srhgle"),
+        _r4("GLRLM_LRLGLE").alias("glrlm_lrlgle"),
     )
 
 
@@ -904,7 +912,11 @@ def _q_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(
         t, ["GLSZM_LAE", "GLSZM_ZP", "GLSZM_HGLZE", "GLSZM_GLN", "GLSZM_SZN",
-            "GLSZM_GLNN", "GLSZM_SZNN", "GLSZM_LAHGLE", "GLSZM_GLV", "GLSZM_ZV"],
+            "GLSZM_GLNN", "GLSZM_SZNN", "GLSZM_LAHGLE", "GLSZM_GLV", "GLSZM_ZV",
+            # inverse-weighted folds replayed by the oracle in bincount run
+            # order (same mechanism as glrlm/gldzm); ZE entropy stays pytest
+            "GLSZM_SAE", "GLSZM_LGLZE", "GLSZM_SALGLE", "GLSZM_SAHGLE",
+            "GLSZM_LALGLE"],
         keep_tokens=False,
     )
     return feats.select(
@@ -919,6 +931,11 @@ def _q_glszm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLSZM_LAHGLE").alias("glszm_lahgle"),
         _r4("GLSZM_GLV").alias("glszm_glv"),
         _r4("GLSZM_ZV").alias("glszm_zv"),
+        _r4("GLSZM_SAE").alias("glszm_sae"),
+        _r4("GLSZM_LGLZE").alias("glszm_lglze"),
+        _r4("GLSZM_SALGLE").alias("glszm_salgle"),
+        _r4("GLSZM_SAHGLE").alias("glszm_sahgle"),
+        _r4("GLSZM_LALGLE").alias("glszm_lalgle"),
     )
 
 
@@ -1707,7 +1724,10 @@ def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dependence-matrix kernel (integer-numerator features only)."""
+    """Dependence-matrix kernel: integer-numerator features + the
+    inverse-weighted and centered-square codes, whose np.bincount
+    token-order folds the oracle replays addition-for-addition
+    (list_reduce ORDER BY position). DE/DCENT (entropies) stay pytest."""
     _prep(spark)
     from pyspark.sql import functions as F
 
@@ -1717,7 +1737,10 @@ def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_static(spark, sf_dir).filter(F.array_max("tokens") > F.array_min("tokens"))
     feats = extract_features(
         t, ["GLDM_LDE", "GLDM_GLN", "GLDM_DN", "NGLDM_DCM", "NGLDM_GLM",
-            "GLDM_HGLE", "GLDM_DNN", "NGLDM_DCENE"],
+            "GLDM_HGLE", "GLDM_DNN", "NGLDM_DCENE",
+            "GLDM_SDE", "GLDM_LGLE", "GLDM_SDLGLE", "GLDM_SDHGLE",
+            "GLDM_LDLGLE", "GLDM_LDHGLE", "GLDM_GLV", "GLDM_DV",
+            "NGLDM_GLNUN"],
         keep_tokens=False,
     )
     return feats.select(
@@ -1730,6 +1753,15 @@ def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("GLDM_HGLE")).alias("gldm_hgle"),
         _r4(F.col("GLDM_DNN")).alias("gldm_dnn"),
         _r4(F.col("NGLDM_DCENE")).alias("ngldm_dcene"),
+        _r4(F.col("GLDM_SDE")).alias("gldm_sde"),
+        _r4(F.col("GLDM_LGLE")).alias("gldm_lgle"),
+        _r4(F.col("GLDM_SDLGLE")).alias("gldm_sdlgle"),
+        _r4(F.col("GLDM_SDHGLE")).alias("gldm_sdhgle"),
+        _r4(F.col("GLDM_LDLGLE")).alias("gldm_ldlgle"),
+        _r4(F.col("GLDM_LDHGLE")).alias("gldm_ldhgle"),
+        _r4(F.col("GLDM_GLV")).alias("gldm_glv"),
+        _r4(F.col("GLDM_DV")).alias("gldm_dv"),
+        _r4(F.col("NGLDM_GLNUN")).alias("ngldm_glnun"),
     )
 
 

@@ -473,8 +473,24 @@ islands AS (
   FROM flagged
 ),
 runs AS (
-  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS l, MAX(n_tok) AS n_tok
+  SELECT doc_id, g, run_id, CAST(COUNT(*) AS BIGINT) AS l, MAX(n_tok) AS n_tok
   FROM islands GROUP BY doc_id, g, run_id
+),
+folds AS (
+  -- inverse-weighted sums replay the kernel's np.bincount sequential fold
+  -- in run order (list_reduce ORDER BY run_id), per-term exact doubles
+  SELECT doc_id,
+         list_reduce(list(1.0 / CAST(l * l AS DOUBLE) ORDER BY run_id),
+                     (a, b) -> a + b) AS sre_s,
+         list_reduce(list(1.0 / CAST(g * g AS DOUBLE) ORDER BY run_id),
+                     (a, b) -> a + b) AS lglre_s,
+         list_reduce(list(1.0 / (CAST(g * g AS DOUBLE) * CAST(l * l AS DOUBLE))
+                          ORDER BY run_id), (a, b) -> a + b) AS srlgle_s,
+         list_reduce(list(CAST(g * g AS DOUBLE) / CAST(l * l AS DOUBLE)
+                          ORDER BY run_id), (a, b) -> a + b) AS srhgle_s,
+         list_reduce(list(CAST(l * l AS DOUBLE) / CAST(g * g AS DOUBLE)
+                          ORDER BY run_id), (a, b) -> a + b) AS lrlgle_s
+  FROM runs GROUP BY doc_id
 ),
 per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr, MAX(n_tok) AS np,
@@ -509,8 +525,14 @@ SELECT p.doc_id,
        FLOOR((CAST(p.nr * p.sgg - p.sg * p.sg AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
              * 10000.0 + 0.5) / 10000.0 AS glrlm_glv,
        FLOOR((CAST(p.nr * p.sll - p.sl * p.sl AS DOUBLE) / (CAST(p.nr AS DOUBLE) * p.nr))
-             * 10000.0 + 0.5) / 10000.0 AS glrlm_rv
+             * 10000.0 + 0.5) / 10000.0 AS glrlm_rv,
+       FLOOR((fo.sre_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_sre,
+       FLOOR((fo.lglre_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_lglre,
+       FLOOR((fo.srlgle_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_srlgle,
+       FLOOR((fo.srhgle_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_srhgle,
+       FLOOR((fo.lrlgle_s / p.nr) * 10000.0 + 0.5) / 10000.0 AS glrlm_lrlgle
 FROM per_doc p JOIN gln USING (doc_id) JOIN rln USING (doc_id)
+JOIN folds fo USING (doc_id)
 """
 
 
@@ -594,7 +616,10 @@ def sql_glszm(n_levels: int = 64) -> str:
     # longest names first: glrlm_glnn must not be clobbered by the glrlm_gln
     # substring replacement
     for rl, sz in [("glrlm_lrhgle", "glszm_lahgle"), ("glrlm_glnn", "glszm_glnn"),
-                   ("glrlm_rlnn", "glszm_sznn"), ("glrlm_lre", "glszm_lae"),
+                   ("glrlm_rlnn", "glszm_sznn"), ("glrlm_srlgle", "glszm_salgle"),
+                   ("glrlm_srhgle", "glszm_sahgle"), ("glrlm_lrlgle", "glszm_lalgle"),
+                   ("glrlm_lglre", "glszm_lglze"), ("glrlm_sre", "glszm_sae"),
+                   ("glrlm_lre", "glszm_lae"),
                    ("glrlm_rp", "glszm_zp"), ("glrlm_hglre", "glszm_hglze"),
                    ("glrlm_glv", "glszm_glv"), ("glrlm_rv", "glszm_zv"),
                    ("glrlm_gln", "glszm_gln"), ("glrlm_rln", "glszm_szn")]:
@@ -1340,7 +1365,7 @@ binned AS (
   FROM flat f JOIN stats s USING (doc_id) WHERE s.mx > s.mn
 ),
 deps AS (
-  SELECT doc_id, g,
+  SELECT doc_id, i, g,
          1 + CASE WHEN lag(g) OVER w = g THEN 1 ELSE 0 END
            + CASE WHEN lead(g) OVER w = g THEN 1 ELSE 0 END AS j
   FROM binned WINDOW w AS (PARTITION BY doc_id ORDER BY i)
@@ -1350,8 +1375,35 @@ per AS (
          CAST(SUM(j * j) AS BIGINT) AS sjj,
          CAST(SUM(j) AS BIGINT) AS sj,
          CAST(SUM(g) AS BIGINT) AS sg,
-         CAST(SUM(g * g) AS BIGINT) AS sgg
+         CAST(SUM(g * g) AS BIGINT) AS sgg,
+         CAST(SUM(g * g * j * j) AS BIGINT) AS sggjj
   FROM deps GROUP BY doc_id
+),
+folds AS (
+  -- inverse-weighted and centered-square sums replay the kernel's
+  -- np.bincount sequential fold in token-position order; the GLV/DV terms
+  -- are (x − Σx/N)² with the exact-rational mean, squared as t·t
+  SELECT d.doc_id,
+         list_reduce(list(1.0 / CAST(d.j * d.j AS DOUBLE) ORDER BY d.i),
+                     (a, b) -> a + b) AS sde_s,
+         list_reduce(list(1.0 / CAST(d.g * d.g AS DOUBLE) ORDER BY d.i),
+                     (a, b) -> a + b) AS lgle_s,
+         list_reduce(list(1.0 / (CAST(d.g * d.g AS DOUBLE) * CAST(d.j * d.j AS DOUBLE))
+                          ORDER BY d.i), (a, b) -> a + b) AS sdlgle_s,
+         list_reduce(list(CAST(d.g * d.g AS DOUBLE) / CAST(d.j * d.j AS DOUBLE)
+                          ORDER BY d.i), (a, b) -> a + b) AS sdhgle_s,
+         list_reduce(list(CAST(d.j * d.j AS DOUBLE) / CAST(d.g * d.g AS DOUBLE)
+                          ORDER BY d.i), (a, b) -> a + b) AS ldlgle_s,
+         list_reduce(list(
+             (CAST(d.g AS DOUBLE) - CAST(p.sg AS DOUBLE) / p.nz)
+             * (CAST(d.g AS DOUBLE) - CAST(p.sg AS DOUBLE) / p.nz)
+             ORDER BY d.i), (a, b) -> a + b) AS glv_s,
+         list_reduce(list(
+             (CAST(d.j AS DOUBLE) - CAST(p.sj AS DOUBLE) / p.nz)
+             * (CAST(d.j AS DOUBLE) - CAST(p.sj AS DOUBLE) / p.nz)
+             ORDER BY d.i), (a, b) -> a + b) AS dv_s
+  FROM deps d JOIN per p USING (doc_id)
+  GROUP BY d.doc_id
 ),
 gln AS (
   SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS v
@@ -1374,8 +1426,18 @@ SELECT p.doc_id,
        FLOOR((CAST(p.sg AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS ngldm_glm,
        FLOOR((CAST(p.sgg AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_hgle,
        FLOOR(((CAST(dn.v AS DOUBLE) / p.nz) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_dnn,
-       FLOOR((CAST(dcene.v AS DOUBLE) / (CAST(p.nz AS DOUBLE) * p.nz)) * 10000.0 + 0.5) / 10000.0 AS ngldm_dcene
+       FLOOR((CAST(dcene.v AS DOUBLE) / (CAST(p.nz AS DOUBLE) * p.nz)) * 10000.0 + 0.5) / 10000.0 AS ngldm_dcene,
+       FLOOR((fo.sde_s / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_sde,
+       FLOOR((fo.lgle_s / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_lgle,
+       FLOOR((fo.sdlgle_s / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_sdlgle,
+       FLOOR((fo.sdhgle_s / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_sdhgle,
+       FLOOR((fo.ldlgle_s / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_ldlgle,
+       FLOOR((CAST(p.sggjj AS DOUBLE) / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_ldhgle,
+       FLOOR((fo.glv_s / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_glv,
+       FLOOR((fo.dv_s / p.nz) * 10000.0 + 0.5) / 10000.0 AS gldm_dv,
+       FLOOR(((CAST(gln.v AS DOUBLE) / p.nz) / p.nz) * 10000.0 + 0.5) / 10000.0 AS ngldm_glnun
 FROM per p JOIN gln USING (doc_id) JOIN dn USING (doc_id) JOIN dcene USING (doc_id)
+JOIN folds fo USING (doc_id)
 """
 
 
