@@ -871,7 +871,13 @@ def _q_glrlm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-occurrence texture features (engine kernel) vs bigram-count SQL."""
+    """Co-occurrence texture features (engine kernel) vs bigram-count SQL.
+    Integer-numerator codes + the rational-weighted folds (HOM1/ID,
+    IDM/HOM2, IDN/IDMN, IV, the centered-square JVAR/SUMVAR/DIFVAR) and the
+    marginal-moment codes (VARIANCE/CLUTEND/CLUSHADE/CLUPROM/CORRELATION —
+    the px/py marginals themselves replayed as nested folds) in the kernel's
+    np.unique cell order; only the entropy codes (JE/SUMENTROPY/DIFENTRO/
+    INFOMEAS1/2 — libm log2 differs across engines) stay pytest-only."""
     _prep(spark)
     from pyspark.sql import functions as F
 
@@ -883,7 +889,12 @@ def _q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(
         t, ["GLCM_CONTRAST", "GLCM_ASM", "GLCM_DIS", "GLCM_SUMAVERAGE",
-            "GLCM_ACOR", "GLCM_JAVE", "GLCM_JMAX"], keep_tokens=False
+            "GLCM_ACOR", "GLCM_JAVE", "GLCM_JMAX",
+            "GLCM_HOM1", "GLCM_ID", "GLCM_IDM", "GLCM_HOM2", "GLCM_IDN",
+            "GLCM_IDMN", "GLCM_IV", "GLCM_JVAR", "GLCM_SUMVARIANCE",
+            "GLCM_DIFVAR", "GLCM_DIFAVE", "GLCM_ENERGY",
+            "GLCM_VARIANCE", "GLCM_CLUTEND", "GLCM_CLUSHADE", "GLCM_CLUPROM",
+            "GLCM_CORRELATION"], keep_tokens=False
     )
     return feats.select(
         "doc_id",
@@ -894,6 +905,23 @@ def _q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("GLCM_ACOR").alias("glcm_acor"),
         _r4("GLCM_JAVE").alias("glcm_jave"),
         _r4("GLCM_JMAX").alias("glcm_jmax"),
+        _r4("GLCM_HOM1").alias("glcm_hom1"),
+        _r4("GLCM_ID").alias("glcm_id"),
+        _r4("GLCM_IDM").alias("glcm_idm"),
+        _r4("GLCM_HOM2").alias("glcm_hom2"),
+        _r4("GLCM_IDN").alias("glcm_idn"),
+        _r4("GLCM_IDMN").alias("glcm_idmn"),
+        _r4("GLCM_IV").alias("glcm_iv"),
+        _r4("GLCM_JVAR").alias("glcm_jvar"),
+        _r4("GLCM_SUMVARIANCE").alias("glcm_sumvar"),
+        _r4("GLCM_DIFVAR").alias("glcm_difvar"),
+        _r4("GLCM_DIFAVE").alias("glcm_difave"),
+        _r4("GLCM_ENERGY").alias("glcm_energy"),
+        _r4("GLCM_VARIANCE").alias("glcm_variance"),
+        _r4("GLCM_CLUTEND").alias("glcm_clutend"),
+        _r4("GLCM_CLUSHADE").alias("glcm_clushade"),
+        _r4("GLCM_CLUPROM").alias("glcm_cluprom"),
+        _r4("GLCM_CORRELATION").alias("glcm_correlation"),
     )
 
 

@@ -983,6 +983,106 @@ sums AS (
          CAST(SUM(c * a) AS BIGINT) AS njave,
          CAST(MAX(c) AS BIGINT) AS cmax
   FROM cellcnt GROUP BY doc_id
+),
+folds AS (
+  -- rational-weighted sums replay the kernel's np.bincount sequential fold
+  -- over cells in ascending (a, b) order (np.unique-sorted keys); each term
+  -- is p = c/s divided/multiplied by exact-integer factors, and the
+  -- centered squares use the exact one-division means (jave/sumave/difave).
+  -- Ng = 64 fixed under matlab binning (glcm.cpp:400-407).
+  SELECT cc.doc_id,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s) / (1.0 + ABS(cc.a - cc.b))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS hom1_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          / (1.0 + (cc.a - cc.b) * (cc.a - cc.b))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS idm_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          / (1.0 + ABS(cc.a - cc.b) / 64.0)
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS idn_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          / (1.0 + (cc.a - cc.b) * (cc.a - cc.b) / 4096.0)
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS idmn_s,
+         list_reduce(list(CASE WHEN cc.a <> cc.b THEN
+                            (CAST(cc.c AS DOUBLE) / su.s)
+                            / ((cc.a - cc.b) * (cc.a - cc.b)) ELSE 0.0 END
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS iv_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          * ((CAST(cc.a AS DOUBLE) - CAST(su.njave AS DOUBLE) / su.s)
+                             * (CAST(cc.a AS DOUBLE) - CAST(su.njave AS DOUBLE) / su.s))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS jvar_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          * ((CAST(cc.a + cc.b AS DOUBLE) - CAST(su.nsumave AS DOUBLE) / su.s)
+                             * (CAST(cc.a + cc.b AS DOUBLE) - CAST(su.nsumave AS DOUBLE) / su.s))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS sumvar_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          * ((CAST(ABS(cc.a - cc.b) AS DOUBLE) - CAST(su.ndis AS DOUBLE) / su.s)
+                             * (CAST(ABS(cc.a - cc.b) AS DOUBLE) - CAST(su.ndis AS DOUBLE) / su.s))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS difvar_s
+  FROM cellcnt cc JOIN sums su USING (doc_id)
+  GROUP BY cc.doc_id
+),
+marg_a AS (  -- row marginal pxm[k] = fold of p over cells with a = k (b order)
+  SELECT cc.doc_id, cc.a AS k,
+         list_reduce(list(CAST(cc.c AS DOUBLE) / su.s ORDER BY cc.b),
+                     (x, y) -> x + y) AS pm
+  FROM cellcnt cc JOIN sums su USING (doc_id) GROUP BY cc.doc_id, cc.a
+),
+marg_b AS (
+  SELECT cc.doc_id, cc.b AS k,
+         list_reduce(list(CAST(cc.c AS DOUBLE) / su.s ORDER BY cc.a),
+                     (x, y) -> x + y) AS pm
+  FROM cellcnt cc JOIN sums su USING (doc_id) GROUP BY cc.doc_id, cc.b
+),
+-- absent-level terms are exact 0.0 in the kernel's dense 65-slot sum, so
+-- folding only the present levels (k ascending) is bit-identical
+mux AS (
+  SELECT doc_id, list_reduce(list(pm * CAST(k AS DOUBLE) ORDER BY k),
+                             (x, y) -> x + y) AS v
+  FROM marg_a GROUP BY doc_id
+),
+muy AS (
+  SELECT doc_id, list_reduce(list(pm * CAST(k AS DOUBLE) ORDER BY k),
+                             (x, y) -> x + y) AS v
+  FROM marg_b GROUP BY doc_id
+),
+sigx AS (
+  SELECT ma.doc_id,
+         sqrt(list_reduce(list(ma.pm * ((CAST(ma.k AS DOUBLE) - mx.v)
+                                        * (CAST(ma.k AS DOUBLE) - mx.v))
+                               ORDER BY ma.k), (x, y) -> x + y)) AS v
+  FROM marg_a ma JOIN mux mx USING (doc_id) GROUP BY ma.doc_id
+),
+sigy AS (
+  SELECT mb.doc_id,
+         sqrt(list_reduce(list(mb.pm * ((CAST(mb.k AS DOUBLE) - my.v)
+                                        * (CAST(mb.k AS DOUBLE) - my.v))
+                               ORDER BY mb.k), (x, y) -> x + y)) AS v
+  FROM marg_b mb JOIN muy my USING (doc_id) GROUP BY mb.doc_id
+),
+folds2 AS (  -- joint-matrix folds needing the marginal means
+  SELECT cc.doc_id,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          * ((CAST(cc.a AS DOUBLE) - mx.v)
+                             * (CAST(cc.a AS DOUBLE) - mx.v))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS var_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          * ((CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v))
+                             * (CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v)))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS clut_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          * (((CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v))
+                              * (CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v)))
+                             * (CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v)))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS clus_s,
+         list_reduce(list((CAST(cc.c AS DOUBLE) / su.s)
+                          * (((CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v))
+                              * (CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v)))
+                             * ((CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v))
+                                * (CAST(cc.a + cc.b AS DOUBLE) - (mx.v + my.v))))
+                          ORDER BY cc.a, cc.b), (x, y) -> x + y) AS clup_s
+  FROM cellcnt cc JOIN sums su USING (doc_id)
+  JOIN mux mx USING (doc_id) JOIN muy my USING (doc_id)
+  GROUP BY cc.doc_id
 )
 SELECT doc_id,
        FLOOR((CAST(ncontrast AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_contrast,
@@ -991,8 +1091,28 @@ SELECT doc_id,
        FLOOR((CAST(nsumave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_sumaverage,
        FLOOR((CAST(nacor AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_acor,
        FLOOR((CAST(njave AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jave,
-       FLOOR((CAST(cmax AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jmax
-FROM sums
+       FLOOR((CAST(cmax AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_jmax,
+       FLOOR((fo.hom1_s) * 10000.0 + 0.5) / 10000.0 AS glcm_hom1,
+       FLOOR((fo.hom1_s) * 10000.0 + 0.5) / 10000.0 AS glcm_id,
+       FLOOR((fo.idm_s) * 10000.0 + 0.5) / 10000.0 AS glcm_idm,
+       FLOOR((fo.idm_s) * 10000.0 + 0.5) / 10000.0 AS glcm_hom2,
+       FLOOR((fo.idn_s) * 10000.0 + 0.5) / 10000.0 AS glcm_idn,
+       FLOOR((fo.idmn_s) * 10000.0 + 0.5) / 10000.0 AS glcm_idmn,
+       FLOOR((fo.iv_s) * 10000.0 + 0.5) / 10000.0 AS glcm_iv,
+       FLOOR((fo.jvar_s) * 10000.0 + 0.5) / 10000.0 AS glcm_jvar,
+       FLOOR((fo.sumvar_s) * 10000.0 + 0.5) / 10000.0 AS glcm_sumvar,
+       FLOOR((fo.difvar_s) * 10000.0 + 0.5) / 10000.0 AS glcm_difvar,
+       FLOOR((CAST(ndis AS DOUBLE) / s) * 10000.0 + 0.5) / 10000.0 AS glcm_difave,
+       FLOOR((CAST(nasm AS DOUBLE) / (CAST(s AS DOUBLE) * s)) * 10000.0 + 0.5) / 10000.0 AS glcm_energy,
+       FLOOR((fo2.var_s) * 10000.0 + 0.5) / 10000.0 AS glcm_variance,
+       FLOOR((fo2.clut_s) * 10000.0 + 0.5) / 10000.0 AS glcm_clutend,
+       FLOOR((fo2.clus_s) * 10000.0 + 0.5) / 10000.0 AS glcm_clushade,
+       FLOOR((fo2.clup_s) * 10000.0 + 0.5) / 10000.0 AS glcm_cluprom,
+       FLOOR(((CAST(nacor AS DOUBLE) / s - mx.v * my.v) / (sx.v * sy.v))
+             * 10000.0 + 0.5) / 10000.0 AS glcm_correlation
+FROM sums JOIN folds fo USING (doc_id) JOIN folds2 fo2 USING (doc_id)
+JOIN mux mx USING (doc_id) JOIN muy my USING (doc_id)
+JOIN sigx sx USING (doc_id) JOIN sigy sy USING (doc_id)
 """
 
 
