@@ -330,7 +330,16 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         t,
         ["COUNT", "MIN", "MAX", "RANGE", "MEAN", "MEDIAN", "MODE", "ENERGY",
          "ENTROPY", "UNIFORMITY", "INTEGRATED_INTENSITY",
-         "ROOT_MEAN_SQUARED"],
+         "ROOT_MEAN_SQUARED",
+         # deviation/moment block: the kernel's seg_sum is np.bincount — a
+         # sequential per-doc fold in token order — so MAD/MedAD/the d²/d⁴
+         # sums replay in SQL as list_reduce over the position-ordered token
+         # array; STD/SE/COV/KURTOSIS are IEEE chains (sqrt + divisions) of
+         # those folds. SKEW/HYPER* need libm pow(x, 1.5/5/6) → pytest-only.
+         "MEAN_ABSOLUTE_DEVIATION", "MEDIAN_ABSOLUTE_DEVIATION",
+         "STANDARD_DEVIATION", "STANDARD_DEVIATION_BIASED",
+         "VARIANCE_BIASED", "STANDARD_ERROR", "COV",
+         "KURTOSIS", "EXCESS_KURTOSIS", "UNIFORMITY_PIU"],
         keep_tokens=False,
         # annotation passthrough (output_2_csv.cpp:62-80): `source` rides
         # through the kernel pass as the string column anno0
@@ -357,6 +366,16 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sqrt is correctly rounded in IEEE-754, so sqrt(e/n) of the exact
         # integer ratio is engine-deterministic like the single divisions
         _r4("ROOT_MEAN_SQUARED").alias("rms_tok"),
+        _r4("MEAN_ABSOLUTE_DEVIATION").alias("mad_tok"),
+        _r4("MEDIAN_ABSOLUTE_DEVIATION").alias("medad_tok"),
+        _r4("STANDARD_DEVIATION").alias("std_tok"),
+        _r4("STANDARD_DEVIATION_BIASED").alias("stdb_tok"),
+        _r4("VARIANCE_BIASED").alias("varb_tok"),
+        _r4("STANDARD_ERROR").alias("se_tok"),
+        _r4("COV").alias("cov_tok"),
+        _r4("KURTOSIS").alias("kurt_tok"),
+        _r4("EXCESS_KURTOSIS").alias("exkurt_tok"),
+        _r4("UNIFORMITY_PIU").alias("piu_tok"),
     )
     return out
 
@@ -1680,17 +1699,22 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("tokens") > F.array_min("tokens")
     )
     feats = extract_features(
-        t, ["P10", "P25", "P75", "P90", "INTERQUARTILE_RANGE", "QCOD"],
+        t, ["P01", "P10", "P25", "P75", "P90", "P99", "INTERQUARTILE_RANGE",
+            "QCOD", "ROBUST_MEAN", "ROBUST_MEAN_ABSOLUTE_DEVIATION"],
         keep_tokens=False,
     )
     return feats.select(
         "doc_id",
+        _r4("P01").alias("p01"),
         _r4("P10").alias("p10"),
         _r4("P25").alias("p25"),
         _r4("P75").alias("p75"),
         _r4("P90").alias("p90"),
+        _r4("P99").alias("p99"),
         _r4("INTERQUARTILE_RANGE").alias("iqr"),
         _r4("QCOD").alias("qcod"),
+        _r4("ROBUST_MEAN").alias("robust_mean"),
+        _r4("ROBUST_MEAN_ABSOLUTE_DEVIATION").alias("robust_mad"),
     )
 
 
@@ -2500,6 +2524,31 @@ hist AS (
          CAST(SUM(c * c) AS BIGINT) AS c2
   FROM binned b JOIN stats s USING (doc_id)
   GROUP BY b.doc_id, s.n
+),
+folds AS (
+  -- the kernel's seg_sum is np.bincount: a sequential per-doc fold in token
+  -- order — replayed here over the position-ordered token array (d = x − S/n
+  -- once per token, d², |d|, d⁴ = (d·d)·(d·d) with the kernel's multiply
+  -- chain)
+  SELECT t.doc_id,
+         list_reduce(list_transform(t.tokens,
+           x -> ABS(CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)),
+           (a, b) -> a + b) AS madn,
+         list_reduce(list_transform(t.tokens,
+           x -> ABS(CAST(x AS DOUBLE) - CAST(s.med AS DOUBLE))),
+           (a, b) -> a + b) AS medadn,
+         list_reduce(list_transform(t.tokens,
+           x -> (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)),
+           (a, b) -> a + b) AS ssq,
+         list_reduce(list_transform(t.tokens,
+           x -> ((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                 * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
+                * ((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                   * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))),
+           (a, b) -> a + b) AS m4
+  FROM tokens_static t JOIN stats s USING (doc_id)
+  WHERE s.mx > s.mn
 )
 SELECT s.doc_id,
        a.source AS anno0,
@@ -2512,9 +2561,30 @@ SELECT s.doc_id,
        FLOOR((h.ent) * 10000.0 + 0.5) / 10000.0 AS entropy_tok,
        FLOOR((CAST(h.c2 AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n)) * 10000.0 + 0.5) / 10000.0 AS uniformity_tok,
        s.s AS sum_tok,
-       FLOOR((sqrt(CAST(s.e AS DOUBLE) / s.n)) * 10000.0 + 0.5) / 10000.0 AS rms_tok
+       FLOOR((sqrt(CAST(s.e AS DOUBLE) / s.n)) * 10000.0 + 0.5) / 10000.0 AS rms_tok,
+       FLOOR((fo.madn / s.n) * 10000.0 + 0.5) / 10000.0 AS mad_tok,
+       FLOOR((fo.medadn / s.n) * 10000.0 + 0.5) / 10000.0 AS medad_tok,
+       FLOOR((CASE WHEN s.n > 1 THEN sqrt(fo.ssq / (s.n - 1)) ELSE 0.0 END)
+             * 10000.0 + 0.5) / 10000.0 AS std_tok,
+       FLOOR((CASE WHEN s.n > 1 THEN sqrt(fo.ssq / s.n) ELSE 0.0 END)
+             * 10000.0 + 0.5) / 10000.0 AS stdb_tok,
+       FLOOR((CASE WHEN s.n > 1 THEN fo.ssq / s.n ELSE 0.0 END)
+             * 10000.0 + 0.5) / 10000.0 AS varb_tok,
+       FLOOR((CASE WHEN s.n > 1 THEN sqrt(fo.ssq / (s.n - 1)) ELSE 0.0 END
+              / sqrt(CAST(s.n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS se_tok,
+       FLOOR((CASE WHEN s.n > 1 THEN sqrt(fo.ssq / (s.n - 1)) ELSE 0.0 END
+              / (CAST(s.s AS DOUBLE) / s.n)) * 10000.0 + 0.5) / 10000.0 AS cov_tok,
+       FLOOR((CASE WHEN s.n > 4 AND fo.ssq > 0
+                   THEN (CAST(s.n AS DOUBLE) * fo.m4) / (fo.ssq * fo.ssq)
+                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS kurt_tok,
+       FLOOR((CASE WHEN s.n > 4 AND fo.ssq > 0
+                   THEN (CAST(s.n AS DOUBLE) * fo.m4) / (fo.ssq * fo.ssq) - 3.0
+                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS exkurt_tok,
+       FLOOR(((1.0 - CAST(s.mx - s.mn AS DOUBLE) / (s.mx + s.mn)) * 100.0)
+             * 10000.0 + 0.5) / 10000.0 AS piu_tok
 FROM stats s JOIN modes m USING (doc_id) JOIN hist h USING (doc_id)
      JOIN tokens_static a USING (doc_id)
+     JOIN folds fo ON fo.doc_id = s.doc_id
 WHERE s.mx > s.mn
 """,
     }

@@ -1576,7 +1576,8 @@ def sql_percentiles() -> str:
     IQR and QCOD are derived from the matched P25/P75 with the same two-step
     float ops as the kernel.
     """
-    pcts = {"p10": "0.1", "p25": "0.25", "p75": "0.75", "p90": "0.9"}
+    pcts = {"p01": "0.01", "p10": "0.1", "p25": "0.25", "p75": "0.75",
+            "p90": "0.9", "p99": "0.99"}
     stacks, vals = [], []
     for nm, q in pcts.items():
         stacks.append(f"""
@@ -1625,13 +1626,41 @@ cums100 AS (
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM freq100
 ),
-{",".join(stacks)}
+{",".join(stacks)},
+rmean AS (  -- robust band [P10, P90] (histogram.h:86-108): exact int sum
+  SELECT t.doc_id,
+         CAST(list_sum(list_filter(t.tokens,
+           x -> CAST(x AS DOUBLE) >= p1.v AND CAST(x AS DOUBLE) <= p9.v)) AS BIGINT) AS sb,
+         len(list_filter(t.tokens,
+           x -> CAST(x AS DOUBLE) >= p1.v AND CAST(x AS DOUBLE) <= p9.v)) AS cb
+  FROM tokens_static t
+  JOIN v_p10 p1 ON p1.doc_id = t.doc_id
+  JOIN v_p90 p9 ON p9.doc_id = t.doc_id
+),
+rmad AS (  -- fold of |x − robust_mean| over the band in position order
+  SELECT t.doc_id,
+         list_reduce(list_transform(list_filter(t.tokens,
+             x -> CAST(x AS DOUBLE) >= p1.v AND CAST(x AS DOUBLE) <= p9.v),
+           x -> ABS(CAST(x AS DOUBLE) - CAST(r.sb AS DOUBLE) / r.cb)),
+           (a, b) -> a + b) AS s
+  FROM tokens_static t
+  JOIN v_p10 p1 ON p1.doc_id = t.doc_id
+  JOIN v_p90 p9 ON p9.doc_id = t.doc_id
+  JOIN rmean r ON r.doc_id = t.doc_id
+  WHERE r.cb > 0
+)
 SELECT b.doc_id,
        {", ".join(vals)},
        FLOOR((v_p75.v - v_p25.v) * 10000.0 + 0.5) / 10000.0 AS iqr,
-       FLOOR(((v_p75.v - v_p25.v) / (v_p75.v + v_p25.v)) * 10000.0 + 0.5) / 10000.0 AS qcod
+       FLOOR(((v_p75.v - v_p25.v) / (v_p75.v + v_p25.v)) * 10000.0 + 0.5) / 10000.0 AS qcod,
+       FLOOR((CASE WHEN r.cb > 0 THEN CAST(r.sb AS DOUBLE) / r.cb ELSE 0.0 END)
+             * 10000.0 + 0.5) / 10000.0 AS robust_mean,
+       FLOOR((CASE WHEN r.cb > 0 THEN ra.s / r.cb ELSE 0.0 END)
+             * 10000.0 + 0.5) / 10000.0 AS robust_mad
 FROM bw100 b
 {joins}
+JOIN rmean r ON r.doc_id = b.doc_id
+LEFT JOIN rmad ra ON ra.doc_id = b.doc_id
 """
 
 
