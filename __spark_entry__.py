@@ -335,11 +335,14 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
          # sequential per-doc fold in token order — so MAD/MedAD/the d²/d⁴
          # sums replay in SQL as list_reduce over the position-ordered token
          # array; STD/SE/COV/KURTOSIS are IEEE chains (sqrt + divisions) of
-         # those folds. SKEW/HYPER* need libm pow(x, 1.5/5/6) → pytest-only.
+         # those folds. SKEW/HYPER* denominators are explicit sqrt+multiply
+         # chains in the kernel (x·sqrt(x), (s²·s²)·s — never libm pow), so
+         # they replay op-for-op too: the whole 36-code family is gated.
          "MEAN_ABSOLUTE_DEVIATION", "MEDIAN_ABSOLUTE_DEVIATION",
          "STANDARD_DEVIATION", "STANDARD_DEVIATION_BIASED",
          "VARIANCE_BIASED", "STANDARD_ERROR", "COV",
-         "KURTOSIS", "EXCESS_KURTOSIS", "UNIFORMITY_PIU"],
+         "SKEWNESS", "KURTOSIS", "EXCESS_KURTOSIS",
+         "HYPERSKEWNESS", "HYPERFLATNESS", "UNIFORMITY_PIU"],
         keep_tokens=False,
         # annotation passthrough (output_2_csv.cpp:62-80): `source` rides
         # through the kernel pass as the string column anno0
@@ -373,8 +376,11 @@ def _q_firstorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("VARIANCE_BIASED").alias("varb_tok"),
         _r4("STANDARD_ERROR").alias("se_tok"),
         _r4("COV").alias("cov_tok"),
+        _r4("SKEWNESS").alias("skew_tok"),
         _r4("KURTOSIS").alias("kurt_tok"),
         _r4("EXCESS_KURTOSIS").alias("exkurt_tok"),
+        _r4("HYPERSKEWNESS").alias("hskew_tok"),
+        _r4("HYPERFLATNESS").alias("hflat_tok"),
         _r4("UNIFORMITY_PIU").alias("piu_tok"),
     )
     return out
@@ -1638,7 +1644,13 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
             "IH_MEDIAN_ABSOLUTE_DEVIATION_VAL", "IH_MEDIAN_ABSOLUTE_DEVIATION_IDX",
             "IH_ROBUST_MEAN_VAL", "IH_ROBUST_MEAN_IDX",
             "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_VAL",
-            "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX"],
+            "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX",
+            # round-4 wave 2: skew/kurtosis — the axis-1 sums run over 64
+            # bins (below numpy's 128-element pairwise threshold → a
+            # sequential fold in bin order the SQL replays via list_reduce);
+            # denominators are IEEE chains (var·sqrt(var), var·var)
+            "IH_SKEWNESS_VAL", "IH_SKEWNESS_IDX",
+            "IH_EXCESS_KURTOSIS_VAL", "IH_EXCESS_KURTOSIS_IDX"],
         keep_tokens=False,
     )
     return feats.select(
@@ -1681,6 +1693,10 @@ def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("IH_ROBUST_MEAN_IDX")).alias("ih_rmean_idx"),
         _r4(F.col("IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_VAL")).alias("ih_rmad_val"),
         _r4(F.col("IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX")).alias("ih_rmad_idx"),
+        _r4(F.col("IH_SKEWNESS_VAL")).alias("ih_skew_val"),
+        _r4(F.col("IH_SKEWNESS_IDX")).alias("ih_skew_idx"),
+        _r4(F.col("IH_EXCESS_KURTOSIS_VAL")).alias("ih_exkurt_val"),
+        _r4(F.col("IH_EXCESS_KURTOSIS_IDX")).alias("ih_exkurt_idx"),
     )
 
 
@@ -2546,9 +2562,48 @@ folds AS (
                  * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
                 * ((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
                    * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))),
-           (a, b) -> a + b) AS m4
+           (a, b) -> a + b) AS m4,
+         -- kernel: d3 = (d·d)·d, d5 = ((d·d)·(d·d))·d, d6 = ((d·d)·d)·((d·d)·d)
+         list_reduce(list_transform(t.tokens,
+           x -> ((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                 * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
+                * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)),
+           (a, b) -> a + b) AS m3,
+         list_reduce(list_transform(t.tokens,
+           x -> (((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                  * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
+                 * ((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                    * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)))
+                * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)),
+           (a, b) -> a + b) AS m5,
+         list_reduce(list_transform(t.tokens,
+           x -> (((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                  * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
+                 * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
+                * (((CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                    * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))
+                   * (CAST(x AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n))),
+           (a, b) -> a + b) AS m6
   FROM tokens_static t JOIN stats s USING (doc_id)
   WHERE s.mx > s.mn
+),
+hyper AS (
+  -- the kernel's x^1.5 / std^5 / std^6 are explicit IEEE chains:
+  -- ss·sqrt(ss) and pop·((s2·s2)·std) with s2 = std·std — replayed verbatim
+  SELECT f.doc_id,
+         CASE WHEN s.n > 3 AND f.ssq > 0
+              THEN (sqrt(CAST(s.n AS DOUBLE)) * f.m3) / (f.ssq * sqrt(f.ssq))
+              ELSE 0.0 END AS skew_v,
+         f.m5 / (CAST(s.n AS DOUBLE)
+                 * (((sqrt(f.ssq / (s.n - 1)) * sqrt(f.ssq / (s.n - 1)))
+                     * (sqrt(f.ssq / (s.n - 1)) * sqrt(f.ssq / (s.n - 1))))
+                    * sqrt(f.ssq / (s.n - 1)))) AS hskew_v,
+         f.m6 / (CAST(s.n AS DOUBLE)
+                 * (((sqrt(f.ssq / (s.n - 1)) * sqrt(f.ssq / (s.n - 1)))
+                     * (sqrt(f.ssq / (s.n - 1)) * sqrt(f.ssq / (s.n - 1))))
+                    * (sqrt(f.ssq / (s.n - 1)) * sqrt(f.ssq / (s.n - 1)))))
+           AS hflat_v
+  FROM folds f JOIN stats s USING (doc_id)
 )
 SELECT s.doc_id,
        a.source AS anno0,
@@ -2574,17 +2629,21 @@ SELECT s.doc_id,
               / sqrt(CAST(s.n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS se_tok,
        FLOOR((CASE WHEN s.n > 1 THEN sqrt(fo.ssq / (s.n - 1)) ELSE 0.0 END
               / (CAST(s.s AS DOUBLE) / s.n)) * 10000.0 + 0.5) / 10000.0 AS cov_tok,
+       FLOOR(hy.skew_v * 10000.0 + 0.5) / 10000.0 AS skew_tok,
        FLOOR((CASE WHEN s.n > 4 AND fo.ssq > 0
                    THEN (CAST(s.n AS DOUBLE) * fo.m4) / (fo.ssq * fo.ssq)
                    ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS kurt_tok,
        FLOOR((CASE WHEN s.n > 4 AND fo.ssq > 0
                    THEN (CAST(s.n AS DOUBLE) * fo.m4) / (fo.ssq * fo.ssq) - 3.0
                    ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS exkurt_tok,
+       FLOOR(hy.hskew_v * 10000.0 + 0.5) / 10000.0 AS hskew_tok,
+       FLOOR(hy.hflat_v * 10000.0 + 0.5) / 10000.0 AS hflat_tok,
        FLOOR(((1.0 - CAST(s.mx - s.mn AS DOUBLE) / (s.mx + s.mn)) * 100.0)
              * 10000.0 + 0.5) / 10000.0 AS piu_tok
 FROM stats s JOIN modes m USING (doc_id) JOIN hist h USING (doc_id)
      JOIN tokens_static a USING (doc_id)
      JOIN folds fo ON fo.doc_id = s.doc_id
+     JOIN hyper hy ON hy.doc_id = s.doc_id
 WHERE s.mx > s.mn
 """,
     }

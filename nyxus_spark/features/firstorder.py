@@ -152,13 +152,20 @@ def firstorder_section(seg: Segments, settings: FeatureSettings) -> dict[str, np
         d4 = d2 * d2
         m3 = seg.seg_sum(d3)
         m4 = seg.seg_sum(d4)
-        skew = np.where((pop > 3) & (ss > 0), np.sqrt(pop) * m3 / np.power(np.where(ss > 0, ss, 1), 1.5), 0.0)
-        kurt = np.where((pop > 4) & (ss > 0), pop * m4 / np.square(np.where(ss > 0, ss, 1)), 0.0)
+        # x^1.5 / x^5 / x^6 as explicit IEEE sqrt+multiply chains (not libm
+        # pow): every op is correctly rounded, so a SQL oracle that replays
+        # the same tree gets the identical double — this is what moves
+        # SKEW/HYPER* under the driver gate (and the chains are faster than
+        # the pow loop anyway).
+        ss_safe = np.where(ss > 0, ss, 1)
+        skew = np.where((pop > 3) & (ss > 0), np.sqrt(pop) * m3 / (ss_safe * np.sqrt(ss_safe)), 0.0)
+        kurt = np.where((pop > 4) & (ss > 0), pop * m4 / np.square(ss_safe), 0.0)
         exkurt = np.where((pop > 4) & (ss > 0), kurt - 3.0, 0.0)
         s5 = seg.seg_sum(d4 * d)
         s6 = seg.seg_sum(d3 * d3)
-        den5 = pop * np.power(std, 5.0)
-        den6 = pop * np.power(std, 6.0)
+        std2 = std * std
+        den5 = pop * ((std2 * std2) * std)
+        den6 = pop * ((std2 * std2) * std2)
         hskew = np.where(den5 != 0, s5 / np.where(den5 != 0, den5, 1), 0.0)
         hflat = np.where(den6 != 0, s6 / np.where(den6 != 0, den6, 1), 0.0)
 

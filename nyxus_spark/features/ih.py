@@ -138,9 +138,13 @@ def ih_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.ndarray
         di2 = di * di
         var_idx = (safe_total * S2 - S1 ** 2) / safe_total ** 2
         var_val = var_idx * (bw * bw)  # explicit x*x (single rounding, SQL-replayable)
+        # the axis-1 sums run over N = 64 bins — BELOW numpy's 128-element
+        # pairwise threshold, so they are sequential folds in bin order and
+        # replay in SQL as list_reduce(list(term ORDER BY bin)); the
+        # denominators are explicit IEEE chains (x·sqrt(x), x·x — never pow)
         skew_idx = (prob * di2 * di).sum(axis=1) / (var_idx * np.sqrt(var_idx))
         skew_val = skew_idx  # scale-invariant (bw³/bw³)
-        kurt_idx = (prob * di2 * di2).sum(axis=1) / (var_idx ** 2) - 3.0
+        kurt_idx = (prob * di2 * di2).sum(axis=1) / (var_idx * var_idx) - 3.0
         kurt_val = kurt_idx  # scale-invariant (bw⁴/bw⁴)
 
         mode_bin = np.argmax(freq, axis=1)  # first max (strict >)

@@ -1872,6 +1872,27 @@ grads AS (  -- central differences, forward/backward at edges (exact halves)
   FROM densef WINDOW w AS (PARTITION BY doc_id ORDER BY bin)
 ),
 gagg AS (SELECT doc_id, MAX(gr) AS gmx, MIN(gr) AS gmn FROM grads GROUP BY doc_id),
+skf AS (  -- skew/kurt numerators: the kernel's axis-1 sums run over 64 bins
+  -- (below numpy's 128-element pairwise threshold → sequential in bin
+  -- order), replayed addition-for-addition; per-bin term = ((p·d²)·d) with
+  -- p = c/n and d = bin − S1/n, matching the kernel's multiply tree
+  SELECT d.doc_id,
+         list_reduce(list(
+           ((CAST(d.c AS DOUBLE) / b.n)
+            * ((CAST(d.bin AS DOUBLE) - CAST(i.s1 AS DOUBLE) / b.n)
+               * (CAST(d.bin AS DOUBLE) - CAST(i.s1 AS DOUBLE) / b.n)))
+           * (CAST(d.bin AS DOUBLE) - CAST(i.s1 AS DOUBLE) / b.n)
+           ORDER BY d.bin), (a, x) -> a + x) AS s3,
+         list_reduce(list(
+           ((CAST(d.c AS DOUBLE) / b.n)
+            * ((CAST(d.bin AS DOUBLE) - CAST(i.s1 AS DOUBLE) / b.n)
+               * (CAST(d.bin AS DOUBLE) - CAST(i.s1 AS DOUBLE) / b.n)))
+           * ((CAST(d.bin AS DOUBLE) - CAST(i.s1 AS DOUBLE) / b.n)
+              * (CAST(d.bin AS DOUBLE) - CAST(i.s1 AS DOUBLE) / b.n))
+           ORDER BY d.bin), (a, x) -> a + x) AS s4
+  FROM densef d JOIN bw b USING (doc_id) JOIN isums i USING (doc_id)
+  GROUP BY d.doc_id
+),
 gidx AS (  -- first (lowest-bin) occurrence, matching np.argmax/argmin
   SELECT g.doc_id,
          MIN(g.bin) FILTER (g.gr = a.gmx) AS mx_bin,
@@ -1927,7 +1948,21 @@ SELECT b.doc_id,
        FLOOR((b.mn + (CAST(ba.b1 AS DOUBLE) / ba.rc + 0.5) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_rmean_val,
        FLOOR((CAST(ba.b1 AS DOUBLE) / ba.rc) * 10000.0 + 0.5) / 10000.0 AS ih_rmean_idx,
        FLOOR(((CAST(r.num AS DOUBLE) / (ba.rc * ba.rc)) * b.w) * 10000.0 + 0.5) / 10000.0 AS ih_rmad_val,
-       FLOOR((CAST(r.num AS DOUBLE) / (ba.rc * ba.rc)) * 10000.0 + 0.5) / 10000.0 AS ih_rmad_idx
+       FLOOR((CAST(r.num AS DOUBLE) / (ba.rc * ba.rc)) * 10000.0 + 0.5) / 10000.0 AS ih_rmad_idx,
+       -- skew/kurt: fold numerator / IEEE-chain denominator (var·sqrt(var),
+       -- var·var); VAL ≡ IDX because centers are affine in the index
+       FLOOR((sk.s3 / ((CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))
+                       * sqrt(CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))))
+             * 10000.0 + 0.5) / 10000.0 AS ih_skew_val,
+       FLOOR((sk.s3 / ((CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))
+                       * sqrt(CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))))
+             * 10000.0 + 0.5) / 10000.0 AS ih_skew_idx,
+       FLOOR((sk.s4 / ((CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))
+                       * (CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))) - 3.0)
+             * 10000.0 + 0.5) / 10000.0 AS ih_exkurt_val,
+       FLOOR((sk.s4 / ((CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))
+                       * (CAST(b.n * s.s2 - s.s1 * s.s1 AS DOUBLE) / (b.n * b.n))) - 3.0)
+             * 10000.0 + 0.5) / 10000.0 AS ih_exkurt_idx
 FROM bw b JOIN med m USING (doc_id) JOIN mode mo USING (doc_id)
 JOIN q10v q1 USING (doc_id) JOIN q90v q9 USING (doc_id)
 JOIN q25v q2 USING (doc_id) JOIN q75v q7 USING (doc_id)
@@ -1935,6 +1970,7 @@ JOIN pidx p USING (doc_id) JOIN devs d USING (doc_id)
 JOIN band ba USING (doc_id) JOIN rmadn r USING (doc_id)
 JOIN isums s USING (doc_id)
 JOIN gagg ga USING (doc_id) JOIN gidx gi USING (doc_id)
+JOIN skf sk USING (doc_id)
 """
 
 
