@@ -690,17 +690,19 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking (LLM packing pass): 32-token windows with
-    8-token overlap over the static corpus; per-chunk integer checksums.
-    Narrow posexplode — no shuffle (functions/text.py chunk_tokens)."""
+    """Context-window composition: 32/8 overlap chunking (narrow posexplode,
+    no shuffle) joined with shard-local concat-then-chunk sequence PACKING
+    (operators/packing.py — one hash exchange + per-shard window, all exact
+    BIGINT offsets: 128-token packs over 8 hash shards)."""
     _prep(spark)
     from pyspark.sql import functions as F
 
     from nyxus_spark.functions import chunk_tokens
+    from nyxus_spark.operators.packing import pack_sequences
     from nyxus_spark.sources import tokens_static
 
-    ch = chunk_tokens(tokens_static(spark, sf_dir), size=32, overlap=8)
-    return ch.select(
+    t = tokens_static(spark, sf_dir)
+    ch = chunk_tokens(t, size=32, overlap=8).select(
         "doc_id",
         "chunk_id",
         "chunk_len",
@@ -708,6 +710,21 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("chunk_sum"),
     )
+    pk = pack_sequences(
+        t.filter(F.col("n_tok") > 0),
+        capacity=128,
+        id_expr=F.expr("cast(substr(doc_id, 5) as bigint)"),
+        n_shards=8,
+    ).select(
+        "doc_id",
+        "pack_shard",
+        F.col("pack_start").alias("pack_start"),
+        "pack_first",
+        "pack_last",
+        "pack_spans",
+        "pack_head_fill",
+    )
+    return ch.join(pk, "doc_id")
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2304,11 +2321,39 @@ chunks AS (
   SELECT doc_id, chunk_id,
          tokens[start + 1 : LEAST(start + 32, n_tok)] AS ck
   FROM starts
+),
+packs AS (
+  -- shard-local concat-then-chunk packing, replayed exactly: shard =
+  -- pmod(pmod((id mod P31)·(MIX mod P31), P31), 8), offsets via a running
+  -- BIGINT window sum ordered by the numeric id, packs by integer division
+  SELECT doc_id,
+         CAST(sh AS INTEGER) AS pack_shard,
+         cum - n_tok AS pack_start,
+         (cum - n_tok) // 128 AS pack_first,
+         (cum - 1) // 128 AS pack_last,
+         CASE WHEN (cum - 1) // 128 > (cum - n_tok) // 128 THEN 1 ELSE 0 END AS pack_spans,
+         LEAST(CAST(n_tok AS BIGINT),
+               128 * ((cum - n_tok) // 128 + 1) - (cum - n_tok)) AS pack_head_fill
+  FROM (
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, sh,
+           CAST(SUM(CAST(n_tok AS BIGINT)) OVER (
+             PARTITION BY sh ORDER BY oid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM (
+      SELECT doc_id, n_tok,
+             CAST(substr(doc_id, 5) AS BIGINT) AS oid,
+             ((CAST(substr(doc_id, 5) AS BIGINT) % 2147483647) * (2654435761 % 2147483647))
+               % 2147483647 % 8 AS sh
+      FROM tokens_static WHERE n_tok > 0
+    )
+  )
 )
-SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       CAST(len(ck) AS BIGINT) AS chunk_len,
-       CAST(COALESCE(list_sum(ck), 0) AS BIGINT) AS chunk_sum
-FROM chunks
+SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(c.ck) AS BIGINT) AS chunk_len,
+       CAST(COALESCE(list_sum(c.ck), 0) AS BIGINT) AS chunk_sum,
+       p.pack_shard, p.pack_start, p.pack_first, p.pack_last,
+       p.pack_spans, p.pack_head_fill
+FROM chunks c JOIN packs p USING (doc_id)
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈

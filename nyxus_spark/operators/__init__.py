@@ -1,2 +1,3 @@
 from nyxus_spark.operators.asof_join import asof_join  # noqa: F401
+from nyxus_spark.operators.packing import pack_sequences  # noqa: F401
 from nyxus_spark.operators.windows import sessionize, with_lags, with_locf  # noqa: F401

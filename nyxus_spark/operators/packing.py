@@ -1,0 +1,84 @@
+"""Sequence packing: assign documents to fixed-capacity context windows.
+
+The training-batch packing pass of an LLM data pipeline: token streams are
+concatenated shard-locally in a deterministic order and sliced every
+`capacity` tokens (the standard concat-then-chunk model — a document
+starting at shard offset o lands in pack o // capacity and may span into
+the following pack). All arithmetic is exact BIGINT on integer token
+counts, so the assignment is engine-reproducible and SQL-replayable — the
+same property the repo's deterministic sampling and chunking ops carry.
+
+Scale shape: ONE hash exchange on the shard key, then a per-shard window
+sort that runs whole-stage in the JVM. Shards come from the same
+(id·MIX mod P31) mix as functions.text.deterministic_sample, so the
+layout is re-derivable forever; size n_shards to the cluster (each
+shard's window sorts independently, so 1000 executors want ≥ thousands of
+shards at 100 TB — the per-shard state is just a running BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MIX = 2654435761
+_P31 = 2147483647
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_expr: Column,
+    n_shards: int = 8,
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Assign each row (a document with `len_col` tokens) to context-window
+    packs of `capacity` tokens under shard-local concat-then-chunk.
+
+    `id_expr` must be a deterministic integer column expression (it drives
+    both the shard hash and the within-shard order, so ties are impossible
+    when ids are unique). Adds:
+
+    - pack_shard      hash shard in [0, n_shards)
+    - pack_start      starting token offset within the shard's concat stream
+    - pack_first      pack index of the document's first token
+    - pack_last       pack index of its last token
+    - pack_spans      1 when the document crosses a pack boundary
+    - pack_head_fill  tokens the document contributes to its first pack
+
+    Zero-length rows get pack_start at the running offset and
+    pack_head_fill = 0; their pack_last is degenerate (start − 1 offset) —
+    filter them out upstream when that matters.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = F.pmod(
+        F.pmod((id_expr.cast("bigint") % _P31) * F.lit(_MIX % _P31), F.lit(_P31)),
+        F.lit(n_shards),
+    ).cast("int")
+    out = df.withColumn("pack_shard", shard).withColumn("_pack_oid", id_expr.cast("bigint"))
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy("_pack_oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        out.withColumn("_pack_cum", F.sum(F.col(len_col).cast("bigint")).over(w))
+        .withColumn("pack_start", F.col("_pack_cum") - F.col(len_col))
+        # `div` is BIGINT integer division — offsets never round through a
+        # double, so the math stays exact past 2^53 tokens per shard
+        .withColumn("pack_first", F.expr(f"pack_start div {capacity}"))
+        .withColumn("pack_last", F.expr(f"(_pack_cum - 1) div {capacity}"))
+        .withColumn(
+            "pack_head_fill",
+            F.least(
+                F.col(len_col).cast("bigint"),
+                F.lit(capacity) * (F.col("pack_first") + 1) - F.col("pack_start"),
+            ),
+        )
+        .withColumn("pack_spans", (F.col("pack_last") > F.col("pack_first")).cast("int"))
+        .drop("_pack_cum", "_pack_oid")
+    )
+    return out
