@@ -1530,11 +1530,44 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok").alias(f"{tag}_n_tok"),
         )
 
+    # multi-source point-in-time join (feature-store shape): the same probe
+    # row picks up features from TWO independent version streams — token
+    # versions, then a purchase-price stream — by chaining as-of joins (each
+    # one exchange; the price stream is deduped per (doc, ts) so the match
+    # is tie-free on every engine)
+    from nyxus_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    px = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("doc_id", "ts")
+        .agg(F.max("cents").alias("cents"), F.count("*").alias("n"))
+    )
+    base = asof_join(p, v).select(
+        "doc_id", "event_id", "ts",
+        F.col("matched_ts").alias("_tok_mts"),
+        F.col("n_tok").alias("multi_n_tok"),
+    )
+    multi = asof_join(base, px, version_prefix="px_").select(
+        "doc_id", "event_id",
+        F.unix_micros(F.col("_tok_mts").cast("timestamp")).alias("multi_tok_ts_us"),
+        "multi_n_tok",
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("multi_px_ts_us"),
+        F.col("px_cents").alias("multi_px_cents"),
+        F.col("px_n").alias("multi_px_n"),
+    )
+
     return (
         merge.join(salted, ["doc_id", "event_id"])
         .join(directed("forward", "fwd"), ["doc_id", "event_id"])
         .join(directed("nearest", "near"), ["doc_id", "event_id"])
         .join(directed("backward", "strict", exact=False), ["doc_id", "event_id"])
+        .join(multi, ["doc_id", "event_id"])
     )
 
 
@@ -2145,6 +2178,19 @@ s AS (
          epoch_us(v.ts) AS s_ts, v.n_tok AS s_nt
   FROM probes p ASOF LEFT JOIN versions v
     ON p.doc_id = v.doc_id AND p.ts > v.ts
+),
+px AS (  -- second feature stream: purchase prices, deduped per (doc, ts)
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id, ts,
+         CAST(MAX(FLOOR(value * 100 + 0.5)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+multi AS (  -- chained point-in-time: the probe also picks up the price state
+  SELECT p.doc_id, p.event_id,
+         epoch_us(x.ts) AS px_ts, x.cents AS px_cents, x.n AS px_n
+  FROM probes p ASOF LEFT JOIN px x
+    ON p.doc_id = x.doc_id AND p.ts >= x.ts
 )
 SELECT b.doc_id, b.event_id, b.ts_us,
        b.b_ts AS merge_matched_ts_us, b.b_nt AS merge_n_tok,
@@ -2156,8 +2202,12 @@ SELECT b.doc_id, b.event_id, b.ts_us,
        CASE WHEN b.b_ts IS NOT NULL
              AND (f.f_ts IS NULL OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
             THEN b.b_nt ELSE f.f_nt END AS near_n_tok,
-       s.s_ts AS strict_matched_ts_us, s.s_nt AS strict_n_tok
+       s.s_ts AS strict_matched_ts_us, s.s_nt AS strict_n_tok,
+       b.b_ts AS multi_tok_ts_us, b.b_nt AS multi_n_tok,
+       m.px_ts AS multi_px_ts_us, m.px_cents AS multi_px_cents,
+       m.px_n AS multi_px_n
 FROM b JOIN f USING (doc_id, event_id) JOIN s USING (doc_id, event_id)
+     JOIN multi m USING (doc_id, event_id)
 """,
         "multimodal_decode": """
 WITH base AS (
