@@ -53,14 +53,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-expression first-order aggregates + order-sensitive token digest
-    (token-array equality proxy, BASELINE.md 'token-array parity')."""
+    (token-array equality proxy, BASELINE.md 'token-array parity') + raw
+    autocorrelation at lags 1/2/4 (the series recast of nyxus's GLCM
+    autocorrelation): R_k = Σ xᵢ·xᵢ₊ₖ is an exact BIGINT dot product of the
+    stream with its shift, and r_k = R_k/R_0 is one division of exact
+    integers — all JVM whole-stage exprs, zero Python."""
     _prep(spark)
     from pyspark.sql import functions as F
 
     from nyxus_spark.sources import tokens_static
 
+    def acf_num(k: int):
+        return F.expr(
+            f"CASE WHEN n_tok > {k} THEN "
+            f"aggregate(zip_with(slice(tokens, 1, n_tok - {k}),"
+            f"                   slice(tokens, {k} + 1, n_tok - {k}),"
+            f"                   (a, b) -> cast(a as bigint) * b),"
+            f"          0L, (s, x) -> s + x) ELSE 0L END"
+        )
+
+    energy = F.expr("aggregate(tokens, 0L, (a, x) -> a + cast(x as bigint) * x)")
     t = tokens_static(spark, sf_dir)
-    return t.select(
+    out = t.select(
         "doc_id",
         "n_tok",
         F.array_min("tokens").alias("tok_min"),
@@ -72,6 +86,15 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (a, x) -> a + x) % 1000003 END"
         ).alias("tok_digest"),
         "source",
+        energy.alias("tok_energy"),
+        acf_num(1).alias("acf1_num"),
+        acf_num(2).alias("acf2_num"),
+        acf_num(4).alias("acf4_num"),
+    )
+    return out.withColumn(
+        "acf1_r",
+        _r4(F.when(F.col("tok_energy") > 0,
+                   F.col("acf1_num") / F.col("tok_energy")).otherwise(F.lit(0.0))),
     )
 
 
@@ -649,11 +672,18 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (training-mixture control): each row carries the keep-decision of a
     per-source rate map (src0→1.0, src1→0.5, src2→0.25, others→0.1) on the
     same hash — the nested-sample property (same hash order per stratum)
-    gated as an exact 0/1 integer."""
+    gated as an exact 0/1 integer — and with the deterministic EPOCH
+    SHUFFLE keys (reproducible per-epoch training-order permutation,
+    epochs 0 and 1) plus the epoch-0 rank within the sample."""
     _prep(spark)
     from pyspark.sql import functions as F
+    from pyspark.sql import Window
 
-    from nyxus_spark.functions import deterministic_sample, stratified_keep
+    from nyxus_spark.functions import (
+        deterministic_sample,
+        epoch_shuffle_key,
+        stratified_keep,
+    )
     from nyxus_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -661,10 +691,16 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "source", F.col("doc_id"),
         default_rate=0.1,
     )
-    return deterministic_sample(docs, 0.2, F.col("doc_id")).select(
+    out = deterministic_sample(docs, 0.2, F.col("doc_id")).select(
         "doc_id", "source", "n_chars",
         keep.cast("long").alias("strat_keep"),
+        epoch_shuffle_key(F.col("doc_id"), 0).alias("shuf_e0"),
+        epoch_shuffle_key(F.col("doc_id"), 1).alias("shuf_e1"),
     )
+    # rank within source (partitioned window — the scale-safe shape; a
+    # global training order would come from repartitionByRange on the key)
+    w = Window.partitionBy("source").orderBy(F.col("shuf_e0").asc(), F.col("doc_id").asc())
+    return out.withColumn("order_e0", F.row_number().over(w).cast("long"))
 
 
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,12 +716,51 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantize_embedding("embedding").alias("q"))
-    return q.select(
+    per_vec = q.select(
         "vec_id",
         F.size("q").cast("long").alias("n_dims"),
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.array_min("q").cast("long").alias("q_min"),
         F.array_max("q").cast("long").alias("q_max"),
+    )
+    # one exact Lloyd iteration (IVF coarse-quantizer training) over the
+    # quantized corpus, seeded by the first 8 vectors; the per-(cluster, dim)
+    # sums roll back up per vector's assigned cluster so the gate stays one
+    # row per vec_id
+    from nyxus_spark.operators.similarity import kmeans_step
+
+    seeds = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cent_qvec")
+    )
+    step = kmeans_step(q, seeds, vec_col="q")
+    cluster_rollup = step.groupBy("assigned_cent").agg(
+        F.max("n").alias("cl_n"),
+        F.sum("coord_sum").alias("cl_sum"),
+        F.sum(F.col("dim").cast("bigint") * F.col("coord_sum")).alias("cl_moment"),
+    )
+    # re-derive each vector's assignment (same exact argmin) to attach its
+    # cluster's update summary
+    d2 = F.expr(
+        "aggregate(zip_with(q, cent_qvec, (x, y) -> cast(x - y as bigint) * (x - y)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+    avec = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("vec_id", F.col("cent_id"), d2.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cent_id").cast("long").alias("assigned_cent"), F.col("__d").alias("d2"))
+    )
+    return (
+        per_vec.join(avec, "vec_id")
+        .join(cluster_rollup, "assigned_cent")
+        .select(
+            "vec_id", "n_dims", "q_sum", "q_min", "q_max",
+            "assigned_cent", "d2", "cl_n", "cl_sum", "cl_moment",
+        )
     )
 
 
@@ -2322,17 +2397,29 @@ ORDER BY cnt DESC, token ASC LIMIT 100
         # + stratified keep flag: the SAME hash against a per-source CASE
         # cut (src0→1.0, src1→0.5, src2→0.25, default 0.1)
         "sample_hash": f"""
-SELECT doc_id, source, n_chars,
-       CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
-            % 2147483647
-            < CASE source WHEN 'src0' THEN {int(2147483647 * 1.0)}
-                          WHEN 'src1' THEN {int(2147483647 * 0.5)}
-                          WHEN 'src2' THEN {int(2147483647 * 0.25)}
-                          ELSE {int(2147483647 * 0.1)} END
-           AS BIGINT) AS strat_keep
-FROM documents
-WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
-      % 2147483647 < {int(2147483647 * 0.2)}
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+              % 2147483647
+              < CASE source WHEN 'src0' THEN {int(2147483647 * 1.0)}
+                            WHEN 'src1' THEN {int(2147483647 * 0.5)}
+                            WHEN 'src2' THEN {int(2147483647 * 0.25)}
+                            ELSE {int(2147483647 * 0.1)} END
+             AS BIGINT) AS strat_keep,
+         -- epoch-shuffle keys: pmod(pmod(id + epoch·OFFSET, P31)·MIX', P31)
+         CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+              % 2147483647 AS BIGINT) AS shuf_e0,
+         CAST((((((((doc_id + 506952122) % 2147483647) + 2147483647) % 2147483647)
+                 * 506952114) % 2147483647) + 2147483647) % 2147483647
+              AS BIGINT) AS shuf_e1
+  FROM documents
+  WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+        % 2147483647 < {int(2147483647 * 0.2)}
+)
+SELECT doc_id, source, n_chars, strat_keep, shuf_e0, shuf_e1,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
+            AS BIGINT) AS order_e0
+FROM base
 """,
         # int8 quantization: same element-wise IEEE expression tree
         "embed_quantize": """
@@ -2346,13 +2433,47 @@ WITH q AS (
                           + 0.5) AS INTEGER))
          END AS qv
   FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, qv AS cqv FROM q WHERE vec_id < 8),
+dists AS (  -- exact int64 squared L2 to every seed centroid
+  SELECT v.vec_id, c.cent_id,
+         (SELECT CAST(SUM(CAST(v.qv[u.i] - c.cqv[u.i] AS BIGINT)
+                          * (v.qv[u.i] - c.cqv[u.i])) AS BIGINT)
+          FROM (SELECT unnest(range(1, len(v.qv) + 1)) AS i) u) AS d
+  FROM q v, cents c
+),
+assign AS (  -- argmin distance, ties to the lowest centroid id
+  SELECT vec_id, cent_id, d FROM (
+    SELECT vec_id, cent_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cent_id ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+ex AS (
+  SELECT a.cent_id, u.ord - 1 AS dim, u.val
+  FROM assign a JOIN (
+    SELECT vec_id, unnest(qv) AS val, unnest(range(1, len(qv) + 1)) AS ord FROM q
+  ) u USING (vec_id)
+),
+upd AS (  -- one Lloyd step: per-(cluster, dim) exact sums + counts
+  SELECT cent_id, dim, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS s
+  FROM ex GROUP BY 1, 2
+),
+roll AS (
+  SELECT cent_id,
+         CAST(MAX(n) AS BIGINT) AS cl_n,
+         CAST(SUM(s) AS BIGINT) AS cl_sum,
+         CAST(SUM(dim * s) AS BIGINT) AS cl_moment
+  FROM upd GROUP BY 1
 )
 SELECT vec_id,
        CAST(len(qv) AS BIGINT) AS n_dims,
        CAST(list_sum(qv) AS BIGINT) AS q_sum,
        CAST(list_min(qv) AS BIGINT) AS q_min,
-       CAST(list_max(qv) AS BIGINT) AS q_max
-FROM q
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(a.cent_id AS BIGINT) AS assigned_cent,
+       a.d AS d2,
+       r.cl_n, r.cl_sum, r.cl_moment
+FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
         # are 1-based inclusive. Last start capped at n_tok - overlap - 1
@@ -2519,7 +2640,25 @@ SELECT doc_id, n_tok,
        CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
              (SELECT unnest(tokens) AS t, unnest(range(1, len(tokens)+1)) AS ord) u)
             % 1000003 AS BIGINT) AS tok_digest,
-       source
+       source,
+       CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.t) FROM
+             (SELECT unnest(tokens) AS t) u) AS BIGINT) AS tok_energy,
+       CAST(COALESCE((SELECT SUM(CAST(tokens[u.i] AS BIGINT) * tokens[u.i + 1]) FROM
+             (SELECT unnest(range(1, GREATEST(len(tokens) - 1, 0) + 1)) AS i) u), 0)
+            AS BIGINT) AS acf1_num,
+       CAST(COALESCE((SELECT SUM(CAST(tokens[u.i] AS BIGINT) * tokens[u.i + 2]) FROM
+             (SELECT unnest(range(1, GREATEST(len(tokens) - 2, 0) + 1)) AS i) u), 0)
+            AS BIGINT) AS acf2_num,
+       CAST(COALESCE((SELECT SUM(CAST(tokens[u.i] AS BIGINT) * tokens[u.i + 4]) FROM
+             (SELECT unnest(range(1, GREATEST(len(tokens) - 4, 0) + 1)) AS i) u), 0)
+            AS BIGINT) AS acf4_num,
+       CASE WHEN (SELECT SUM(CAST(u.t AS BIGINT) * u.t) FROM
+                  (SELECT unnest(tokens) AS t) u) > 0
+            THEN FLOOR((CAST(COALESCE((SELECT SUM(CAST(tokens[u.i] AS BIGINT) * tokens[u.i + 1]) FROM
+                   (SELECT unnest(range(1, GREATEST(len(tokens) - 1, 0) + 1)) AS i) u), 0) AS DOUBLE)
+                 / (SELECT SUM(CAST(u.t AS BIGINT) * u.t) FROM
+                    (SELECT unnest(tokens) AS t) u)) * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS acf1_r
 FROM tokens_static
 """,
         "prescan_sources": f"""

@@ -11,6 +11,7 @@ from nyxus_spark.functions.text import (  # noqa: F401
     contamination,
     stratified_keep,
     stratified_sample,
+    epoch_shuffle_key,
     STOPWORDS,
 )
 from nyxus_spark.functions.semistructured import parse_json_col  # noqa: F401

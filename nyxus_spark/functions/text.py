@@ -168,6 +168,28 @@ def stratified_sample(df, rates: dict, stratum_col, id_expr,
     return df.filter(keep)
 
 
+def epoch_shuffle_key(id_expr, epoch: int, mix: int = 2654435761,
+                      p31: int = 2147483647):
+    """Deterministic training-order shuffle: ORDER BY this key yields a
+    reproducible pseudo-random permutation of the corpus that changes with
+    `epoch` — the epoch-shuffle every training run needs, without
+    df.sample/shuffle nondeterminism. key = pmod(pmod(id + epoch·OFFSET,
+    P31) · (MIX mod P31), P31): the epoch offsets the id stream BEFORE the
+    multiplicative mix, so epochs decorrelate, while any (id, epoch) pair
+    re-derives its key on any engine forever (same contract as
+    `deterministic_sample`, whose hash this extends). Both factors are
+    reduced below 2³¹ first, so the product never wraps int64.
+
+    At scale this is a sortWithinPartitions/repartitionByRange key — the
+    permutation is data-independent, so range bounds can be computed from
+    the key space, not a sample of the data."""
+    if epoch < 0:
+        raise ValueError(f"epoch must be nonnegative, got {epoch}")
+    off = (epoch * 2654435769) % p31
+    a = F.pmod(id_expr.cast("bigint") + F.lit(off), F.lit(p31))
+    return F.pmod(a * F.lit(mix % p31), F.lit(p31))
+
+
 def ngram_keys(n: int, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
     """Array of the document's token n-grams, each serialized to a ','-joined
     string key. String keys keep the downstream groupBy/join in whole-stage

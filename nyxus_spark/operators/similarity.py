@@ -336,6 +336,52 @@ def recall_at_k(
     )
 
 
+def kmeans_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_qvec",
+) -> DataFrame:
+    """One Lloyd iteration over INTEGER-quantized embeddings — the IVF
+    coarse-quantizer training step, made engine-exact: assignment uses the
+    exact int64 squared L2 distance (|q| ≤ 127, so Σ(x−y)² ≤ dims·254² —
+    no rounding anywhere), ties to the lowest centroid id; the update
+    returns per-(cluster, dim) exact BIGINT coordinate sums + counts, with
+    the new coordinate as ONE final division. Iterating = re-seeding
+    `centroids` from the returned sums.
+
+    Plan shape: broadcast the (small) centroid table, per-row argmin via a
+    window on the id (one exchange), then posexplode + partial/final hash
+    agg — the shuffle after the explode carries only C·dims rows per map
+    task, so the update scales like any Catalyst aggregation."""
+    from pyspark.sql import Window
+
+    d2 = F.expr(
+        f"aggregate(zip_with({vec_col}, {cent_vec},"
+        f" (x, y) -> cast(x - y as bigint) * (x - y)),"
+        f" 0L, (a, v) -> a + v)"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col(cent_id).asc())
+    assigned = (
+        df.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, F.col(cent_id), d2.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col(cent_id).alias("assigned_cent"))
+    )
+    ex = assigned.select("assigned_cent", F.posexplode(vec_col).alias("dim", "__v"))
+    return (
+        ex.groupBy("assigned_cent", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("__v").cast("bigint")).alias("coord_sum"),
+        )
+        .withColumn("new_coord", fround4(F.col("coord_sum") / F.col("n")))
+    )
+
+
 def quantize_embedding(vec_col: str = "embedding", levels: int = 127):
     """Column expr: symmetric int8-style quantization of a float vector —
     q_i = floor(levels·x_i/max|x| + 0.5) (round-half-up), the standard
