@@ -185,6 +185,30 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
+    # sequence packing: ONE exchange (the shard hash), whole-stage window
+    from nyxus_spark.operators.packing import pack_sequences
+
+    sections["sequence packing (one shard exchange + JVM window)"] = plan_of(
+        pack_sequences(
+            tokens_static(spark, sf).filter(F.col("n_tok") > 0),
+            capacity=128,
+            id_expr=F.expr("cast(substr(doc_id, 5) as bigint)"),
+            n_shards=8,
+        )
+    )
+
+    # k-means step: broadcast centroids, argmin window on the id, then
+    # posexplode + partial/final hash agg for the exact coordinate sums
+    from nyxus_spark.operators.similarity import kmeans_step, quantize_embedding
+
+    qv = emb.select("vec_id", quantize_embedding("embedding").alias("qvec"))
+    seeds = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("qvec").alias("cent_qvec")
+    )
+    sections["k-means step (broadcast centroids + two-phase coordinate agg)"] = plan_of(
+        kmeans_step(qv, seeds)
+    )
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the flagship operators\n\n")
         f.write("Generated by `scripts/explain_plans.py` (sf0.01, local[8]).\n")
@@ -208,6 +232,10 @@ def main() -> None:
     ]
     assert "skew=true" in sections[
         "AQE skew-join split (hot key, shuffle_join strategy — EXECUTED plan)"
+    ]
+    assert n_exch["sequence packing (one shard exchange + JVM window)"] == 1
+    assert "BroadcastExchange" in sections[
+        "k-means step (broadcast centroids + two-phase coordinate agg)"
     ]
     batch_plan = sections["batch top-k cosine (local pre-top-k below the rank exchange)"]
     # formatted explain prints consumers first, so the pre-top-k MapInArrow
