@@ -1997,6 +1997,8 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MOM_SHAPE_RAW_3", "MOM_SHAPE_RAW_4"],
         keep_tokens=False,
     ).filter((F.col("MOM_RAW_0") > 0) & (F.col("MOM_SHAPE_RAW_0") > 0))
+    # the midpoint family's center h = (n−1)/2 uses the n_tok column the
+    # kernel pass already carries through
     m0, m1, m2 = F.col("MOM_RAW_0"), F.col("MOM_RAW_1"), F.col("MOM_RAW_2")
     s0, s1, s2 = (F.col("MOM_SHAPE_RAW_0"), F.col("MOM_SHAPE_RAW_1"),
                   F.col("MOM_SHAPE_RAW_2"))
@@ -2029,6 +2031,25 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
           - F.lit(3) * (s1i * s1i * s1i * s1i)).cast("decimal(27,0)")
     s02 = s0 * s0
     s03 = s02 * s0
+    # midpoint-central family (moments about the sequence center
+    # h = (n−1)/2): 2^p-scaled numerators are exact integers — binomial in
+    # the raw moments with q = n−1 — and the final /2^p is an exact
+    # power-of-two scaling
+    qd = (F.col("n_tok") - 1).cast("decimal(14,0)")
+    qd2 = qd * qd
+    mid1n = (F.lit(2) * m1i - qd * m0i).cast("decimal(19,0)")
+    mid2n = (F.lit(4) * m2i - F.lit(4) * (qd * m1i) + qd2 * m0i).cast("decimal(19,0)")
+    mid3n = (F.lit(8) * m3i - F.lit(12) * (qd * m2i) + F.lit(6) * (qd2 * m1i)
+             - (qd2 * qd) * m0i).cast("decimal(27,0)")
+    mid4n = (F.lit(16) * m4i - F.lit(32) * (qd * m3i) + F.lit(24) * (qd2 * m2i)
+             - F.lit(8) * ((qd2 * qd) * m1i)
+             + (qd2 * qd2) * m0i).cast("decimal(27,0)")
+    smid2n = (F.lit(4) * s2i - F.lit(4) * (qd * s1i) + qd2 * s0i).cast("decimal(19,0)")
+    smid3n = (F.lit(8) * s3i - F.lit(12) * (qd * s2i) + F.lit(6) * (qd2 * s1i)
+              - (qd2 * qd) * s0i).cast("decimal(27,0)")
+    smid4n = (F.lit(16) * s4i - F.lit(32) * (qd * s3i) + F.lit(24) * (qd2 * s2i)
+              - F.lit(8) * ((qd2 * qd) * s1i)
+              + (qd2 * qd2) * s0i).cast("decimal(27,0)")
     return feats.select(
         "doc_id",
         m0.cast("long").alias("m0"),
@@ -2087,6 +2108,13 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(As.cast("double") > 0,
                _r4((Cs * Cs).cast("double")
                    / ((As.cast("double") * As.cast("double")) * As.cast("double")))).alias("shape_hu5"),
+        _r4(mid1n.cast("double") / F.lit(2.0)).alias("mid1"),
+        _r4(mid2n.cast("double") / F.lit(4.0)).alias("mid2"),
+        _r4(mid3n.cast("double") / F.lit(8.0)).alias("mid3"),
+        _r4(mid4n.cast("double") / F.lit(16.0)).alias("mid4"),
+        _r4(smid2n.cast("double") / F.lit(4.0)).alias("shape_mid2"),
+        _r4(smid3n.cast("double") / F.lit(8.0)).alias("shape_mid3"),
+        _r4(smid4n.cast("double") / F.lit(16.0)).alias("shape_mid4"),
     )
 
 

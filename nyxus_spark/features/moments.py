@@ -48,6 +48,14 @@ MOMENTS_FEATURES = [
     "MOM_SHAPE_CENTRAL_4", "MOM_SHAPE_NORM_CENTRAL_2",
     "MOM_SHAPE_NORM_CENTRAL_3", "MOM_SHAPE_NORM_CENTRAL_4",
     "MOM_SHAPE_HU_4", "MOM_SHAPE_HU_5",
+    # midpoint-central family: moments about the sequence CENTER
+    # h = (n−1)/2 — the 1-D analog of the reference's moments about the
+    # ROI/bbox center (2d_geomoments.cpp origin-moment block), as opposed
+    # to the centroid-centered μ family. About a HALF-INTEGER center, the
+    # 2^p-scaled numerators are exact integers (binomial in the raw
+    # moments), so the driver gate recomputes them decimal-exactly.
+    "MOM_MID_1", "MOM_MID_2", "MOM_MID_3", "MOM_MID_4",
+    "MOM_SHAPE_MID_2", "MOM_SHAPE_MID_3", "MOM_SHAPE_MID_4",
 ]
 
 
@@ -112,6 +120,20 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         snr3 = s3 / ((s0 * s0) * sq_s0)
         snr4 = s4 / ((s0 * s0) * s0)
 
+        # midpoint-central family via the binomial chain in the raw moments
+        # (scalar ops on existing sums — no extra passes over the tokens)
+        h = (seg.lengths.astype(np.float64) - 1.0) * 0.5
+        h2 = h * h
+        mid1 = m1 - h * m0
+        mid2 = (m2 - (2.0 * h) * m1) + h2 * m0
+        mid3 = ((m3 - (3.0 * h) * m2) + (3.0 * h2) * m1) - (h2 * h) * m0
+        mid4 = (((m4 - (4.0 * h) * m3) + (6.0 * h2) * m2)
+                - (4.0 * (h2 * h)) * m1) + (h2 * h2) * m0
+        smid2 = (s2 - (2.0 * h) * s1) + h2 * s0
+        smid3 = ((s3 - (3.0 * h) * s2) + (3.0 * h2) * s1) - (h2 * h) * s0
+        smid4 = (((s4 - (4.0 * h) * s3) + (6.0 * h2) * s2)
+                 - (4.0 * (h2 * h)) * s1) + (h2 * h2) * s0
+
     ok = (seg.lengths > 0) & (m0 > 0)
     ok_s = (seg.lengths > 0) & (s0 > 0)
     out = {
@@ -155,5 +177,12 @@ def moments_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nd
         "MOM_SHAPE_NORM_RAW_2": np.where(ok_s, snr2, nan),
         "MOM_SHAPE_NORM_RAW_3": np.where(ok_s, snr3, nan),
         "MOM_SHAPE_NORM_RAW_4": np.where(ok_s, snr4, nan),
+        "MOM_MID_1": np.where(seg.lengths > 0, mid1, nan),
+        "MOM_MID_2": np.where(seg.lengths > 0, mid2, nan),
+        "MOM_MID_3": np.where(seg.lengths > 0, mid3, nan),
+        "MOM_MID_4": np.where(seg.lengths > 0, mid4, nan),
+        "MOM_SHAPE_MID_2": np.where(ok_s, smid2, nan),
+        "MOM_SHAPE_MID_3": np.where(ok_s, smid3, nan),
+        "MOM_SHAPE_MID_4": np.where(ok_s, smid4, nan),
     }
     return out

@@ -1384,6 +1384,7 @@ flat AS (
 ),
 m AS (
   SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nn,
          CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS m0,
          CAST(SUM(CAST(t AS BIGINT) * i) AS BIGINT) AS m1,
          CAST(SUM(CAST(t AS BIGINT) * i * i) AS BIGINT) AS m2,
@@ -1402,6 +1403,7 @@ m AS (
 --   HU1 = A/m0³, HU2 = C²/m0⁹, HU3 = (B − 3A²)/m0⁶
 mx AS (
   SELECT doc_id, m0, m1, m2, m3, m4, s0, s1, s2, s3, s4,
+         CAST(nn - 1 AS HUGEINT) AS q1,
          CAST(s0 AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS sa,
          CAST(s0 AS HUGEINT) * s0 * s3 - 3 * (CAST(s0 AS HUGEINT) * s1 * s2)
            + 2 * (CAST(s1 AS HUGEINT) * s1 * s1) AS scnum,
@@ -1463,7 +1465,29 @@ SELECT doc_id, m0, m1, m2, m3, m4,
        END AS shape_hu4,
        CASE WHEN CAST(sa AS DOUBLE) > 0 THEN
          FLOOR((CAST(scnum * scnum AS DOUBLE) / ((CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * CAST(sa AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
-       END AS shape_hu5
+       END AS shape_hu5,
+       -- midpoint-central family: 2^p-scaled numerators are exact HUGEINTs
+       -- (binomial in the raw moments about h = (nn−1)/2); /2^p is exact
+       FLOOR((CAST(2 * CAST(m1 AS HUGEINT) - q1 * m0 AS DOUBLE) / 2.0)
+             * 10000.0 + 0.5) / 10000.0 AS mid1,
+       FLOOR((CAST(4 * CAST(m2 AS HUGEINT) - 4 * (q1 * m1) + (q1 * q1) * m0 AS DOUBLE)
+              / 4.0) * 10000.0 + 0.5) / 10000.0 AS mid2,
+       FLOOR((CAST(8 * CAST(m3 AS HUGEINT) - 12 * (q1 * m2) + 6 * ((q1 * q1) * m1)
+                   - ((q1 * q1) * q1) * m0 AS DOUBLE)
+              / 8.0) * 10000.0 + 0.5) / 10000.0 AS mid3,
+       FLOOR((CAST(16 * CAST(m4 AS HUGEINT) - 32 * (q1 * m3) + 24 * ((q1 * q1) * m2)
+                   - 8 * (((q1 * q1) * q1) * m1)
+                   + ((q1 * q1) * (q1 * q1)) * m0 AS DOUBLE)
+              / 16.0) * 10000.0 + 0.5) / 10000.0 AS mid4,
+       FLOOR((CAST(4 * CAST(s2 AS HUGEINT) - 4 * (q1 * s1) + (q1 * q1) * s0 AS DOUBLE)
+              / 4.0) * 10000.0 + 0.5) / 10000.0 AS shape_mid2,
+       FLOOR((CAST(8 * CAST(s3 AS HUGEINT) - 12 * (q1 * s2) + 6 * ((q1 * q1) * s1)
+                   - ((q1 * q1) * q1) * s0 AS DOUBLE)
+              / 8.0) * 10000.0 + 0.5) / 10000.0 AS shape_mid3,
+       FLOOR((CAST(16 * CAST(s4 AS HUGEINT) - 32 * (q1 * s3) + 24 * ((q1 * q1) * s2)
+                   - 8 * (((q1 * q1) * q1) * s1)
+                   + ((q1 * q1) * (q1 * q1)) * s0 AS DOUBLE)
+              / 16.0) * 10000.0 + 0.5) / 10000.0 AS shape_mid4
 FROM mx WHERE m0 > 0 AND s0 > 0
 """
 
