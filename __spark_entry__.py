@@ -766,15 +766,25 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window composition: 32/8 overlap chunking (narrow posexplode,
-    no shuffle) joined with shard-local concat-then-chunk sequence PACKING
-    (operators/packing.py — one hash exchange + per-shard window, all exact
-    BIGINT offsets: 128-token packs over 8 hash shards)."""
+    no shuffle) joined with shard-local concat-then-chunk sequence PACKING —
+    driven through the STREAMING packer (streaming/pack.py: per-shard
+    running-offset GroupState over two id-split micro-batches, so the
+    second batch's offsets are only right via the state carry). The batch
+    packer (operators/packing.py) computes the identical assignment — the
+    stream-vs-batch parity test pins that — and the DuckDB oracle replays
+    the window-cumsum arithmetic, so the streaming operator itself sits
+    under the value gate."""
     _prep(spark)
+    import os
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from nyxus_spark.functions import chunk_tokens
-    from nyxus_spark.operators.packing import pack_sequences
+    from nyxus_spark.operators.packing import shard_expr
     from nyxus_spark.sources import tokens_static
+    from nyxus_spark.streaming import pack_stream
+    from nyxus_spark.streaming.pack import PACK_IN_SCHEMA
 
     t = tokens_static(spark, sf_dir)
     ch = chunk_tokens(t, size=32, overlap=8).select(
@@ -785,19 +795,40 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("chunk_sum"),
     )
-    pk = pack_sequences(
-        t.filter(F.col("n_tok") > 0),
-        capacity=128,
-        id_expr=F.expr("cast(substr(doc_id, 5) as bigint)"),
-        n_shards=8,
-    ).select(
+    oid = F.expr("cast(substr(doc_id, 5) as bigint)")
+    docs = t.filter(F.col("n_tok") > 0).select(
+        shard_expr(oid, 8).alias("pack_shard"),
         "doc_id",
-        "pack_shard",
-        F.col("pack_start").alias("pack_start"),
-        "pack_first",
-        "pack_last",
-        "pack_spans",
-        "pack_head_fill",
+        oid.alias("oid"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+    split_oid = docs.approxQuantile("oid", [0.5], 0.0)[0]
+    stream_dir = tempfile.mkdtemp(prefix="nyxus_pack_stream_")
+    f0 = os.path.join(stream_dir, "part-000.parquet")
+    f1 = os.path.join(stream_dir, "part-001.parquet")
+    # id-ranged files: every shard's documents arrive in id order across the
+    # two micro-batches (the streaming packer's ordering contract)
+    docs.filter(F.col("oid") <= split_oid).toPandas().to_parquet(f0)
+    docs.filter(F.col("oid") > split_oid).toPandas().to_parquet(f1)
+    os.utime(f0, (1_000_000, 1_000_000))
+    os.utime(f1, (2_000_000, 2_000_000))
+    src = (
+        spark.readStream.schema(PACK_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        pack_stream(src, capacity=128)
+        .writeStream.format("memory")
+        .queryName("pack_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pk = spark.sql(
+        "SELECT doc_id, pack_shard, pack_start, pack_first, pack_last,"
+        "       pack_spans, pack_head_fill FROM pack_stream_gate"
     )
     return ch.join(pk, "doc_id")
 

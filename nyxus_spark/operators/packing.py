@@ -25,6 +25,18 @@ _MIX = 2654435761
 _P31 = 2147483647
 
 
+def shard_expr(id_expr: Column, n_shards: int) -> Column:
+    """Deterministic shard in [0, n_shards) from the (id·MIX mod P31) mix —
+    shared by the batch packer and the streaming packer so both lay out the
+    same shard streams."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return F.pmod(
+        F.pmod((id_expr.cast("bigint") % _P31) * F.lit(_MIX % _P31), F.lit(_P31)),
+        F.lit(n_shards),
+    ).cast("int")
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,
@@ -52,13 +64,8 @@ def pack_sequences(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    if n_shards <= 0:
-        raise ValueError(f"n_shards must be positive, got {n_shards}")
-    shard = F.pmod(
-        F.pmod((id_expr.cast("bigint") % _P31) * F.lit(_MIX % _P31), F.lit(_P31)),
-        F.lit(n_shards),
-    ).cast("int")
-    out = df.withColumn("pack_shard", shard).withColumn("_pack_oid", id_expr.cast("bigint"))
+    out = (df.withColumn("pack_shard", shard_expr(id_expr, n_shards))
+           .withColumn("_pack_oid", id_expr.cast("bigint")))
     w = (
         Window.partitionBy("pack_shard")
         .orderBy("_pack_oid")
