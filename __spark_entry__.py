@@ -316,25 +316,43 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead/LOCF window features over the event stream."""
+    """lag/lead/LOCF window features over the event stream, composed with
+    ROLLING frames (operators/windows.with_rolling): last-3-rows and
+    last-2-hours sum/count/min/max of exact purchase cents — the
+    point-in-time rolling features every event model trains on. Row frames
+    are tie-broken on event_id; the range frame works on epoch-µs. All
+    frame aggregates are exact BIGINTs, so the DuckDB window-frame replay
+    hash-matches."""
     _prep(spark)
     from pyspark.sql import functions as F
 
-    from nyxus_spark.operators import with_lags, with_locf
+    from nyxus_spark.operators import with_lags, with_locf, with_rolling
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("doc_id"),
         "ts",
         "event_id",
         F.when(F.col("event_type") == "purchase", F.col("value")).alias("purchase_value"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("cents"),
     )
     out = with_locf(with_lags(ev, ["purchase_value"], [1]), ["purchase_value"])
+    out = with_rolling(out, "cents", n_rows=3, range_us=7_200_000_000,
+                       tiebreak="event_id")
     return out.select(
         "doc_id",
         "event_id",
         _r4("lag_purchase_value_1").alias("lag_v1"),
         _r4("lead_purchase_value_1").alias("lead_v1"),
         _r4("purchase_value_locf").alias("locf_v"),
+        F.col("roll3_sum_cents").alias("r3_sum"),
+        F.col("roll3_count_cents").alias("r3_n"),
+        F.col("roll3_min_cents").alias("r3_min"),
+        F.col("roll3_max_cents").alias("r3_max"),
+        F.col("rollr7200000000us_sum_cents").alias("r2h_sum"),
+        F.col("rollr7200000000us_count_cents").alias("r2h_n"),
     )
 
 
@@ -2787,7 +2805,10 @@ FROM sess
         "lag_lead_locf": """
 WITH ev AS (
   SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts,
-         CASE WHEN event_type = 'purchase' THEN value END AS pv
+         CASE WHEN event_type = 'purchase' THEN value END AS pv,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents,
+         epoch_us(ts) AS ts_us
   FROM events
 )
 SELECT doc_id, event_id,
@@ -2795,9 +2816,19 @@ SELECT doc_id, event_id,
        FLOOR((CAST(lead(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lead_v1,
        FLOOR((CAST(last_value(pv IGNORE NULLS) OVER
              (PARTITION BY doc_id ORDER BY ts
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS locf_v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS locf_v,
+       CAST(SUM(cents) OVER w3 AS BIGINT) AS r3_sum,
+       CAST(COUNT(cents) OVER w3 AS BIGINT) AS r3_n,
+       CAST(MIN(cents) OVER w3 AS BIGINT) AS r3_min,
+       CAST(MAX(cents) OVER w3 AS BIGINT) AS r3_max,
+       CAST(SUM(cents) OVER wr AS BIGINT) AS r2h_sum,
+       CAST(COUNT(cents) OVER wr AS BIGINT) AS r2h_n
 FROM ev
-WINDOW w AS (PARTITION BY doc_id ORDER BY ts)
+WINDOW w AS (PARTITION BY doc_id ORDER BY ts),
+       w3 AS (PARTITION BY doc_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       wr AS (PARTITION BY doc_id ORDER BY ts_us
+              RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
 """,
         "firstorder": f"""
 WITH {SQL_TOKENS_STATIC},

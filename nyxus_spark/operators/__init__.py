@@ -1,3 +1,8 @@
 from nyxus_spark.operators.asof_join import asof_join  # noqa: F401
 from nyxus_spark.operators.packing import pack_sequences  # noqa: F401
-from nyxus_spark.operators.windows import sessionize, with_lags, with_locf  # noqa: F401
+from nyxus_spark.operators.windows import (  # noqa: F401
+    sessionize,
+    with_lags,
+    with_locf,
+    with_rolling,
+)

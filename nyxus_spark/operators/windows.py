@@ -60,6 +60,54 @@ def with_locf(
     return out
 
 
+def with_rolling(
+    df: DataFrame,
+    col: str,
+    n_rows: int | None = None,
+    range_us: int | None = None,
+    partition: str = "doc_id",
+    order: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Rolling-window aggregates (sum/count/min/max) of `col` — the classic
+    point-in-time feature frames:
+
+    * ``n_rows=K``: the last K rows (ROWS BETWEEN K−1 PRECEDING AND CURRENT
+      ROW). Row frames are only deterministic under a TOTAL order, so pass
+      ``tiebreak`` (e.g. an event id) when the order column can tie.
+    * ``range_us=S``: event-time range frame over the last S microseconds
+      (RANGE BETWEEN S PRECEDING AND CURRENT ROW on epoch-µs) — immune to
+      ties by construction.
+
+    Appends ``roll{K}_{agg}_{col}`` / ``rollr{S}us_{agg}_{col}``. One
+    shuffle on the partition key; both frames run whole-stage in the JVM.
+    Nulls in `col` are skipped by sum/min/max and excluded from count —
+    identical semantics in ANSI SQL, which keeps the columns oracle-exact
+    when `col` is an exact integer (cents, counts).
+    """
+    if n_rows is None and range_us is None:
+        raise ValueError("pass n_rows and/or range_us")
+    if n_rows is not None and n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    if range_us is not None and range_us <= 0:
+        raise ValueError(f"range_us must be positive, got {range_us}")
+    out = df
+    aggs = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    if n_rows is not None:
+        ob = [F.col(order).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+        w = (Window.partitionBy(partition).orderBy(*ob)
+             .rowsBetween(-(n_rows - 1), 0))
+        for name, fn in aggs.items():
+            out = out.withColumn(f"roll{n_rows}_{name}_{col}", fn(col).over(w))
+    if range_us is not None:
+        wr = (Window.partitionBy(partition)
+              .orderBy(F.unix_micros(F.col(order).cast("timestamp")).asc())
+              .rangeBetween(-range_us, 0))
+        for name, fn in aggs.items():
+            out = out.withColumn(f"rollr{range_us}us_{name}_{col}", fn(col).over(wr))
+    return out
+
+
 def sessionize(
     df: DataFrame,
     gap_seconds: float,
