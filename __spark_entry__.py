@@ -673,14 +673,34 @@ def _q_multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary counting (the BPE-vocab-building analog): global
-    token frequencies over the static corpus, top-100 by (count DESC,
-    token ASC) — map-side partial counting, TakeOrderedAndProject final."""
+    """Corpus vocabulary counting (the BPE-vocab-building analog) COMPOSED
+    with the rare-token → UNK remap: top-10 vocabulary by (count DESC,
+    token ASC), then `remap_tokens` rewrites the corpus (everything outside
+    the top-10 becomes −1) and the remapped corpus is RE-counted — one row
+    per surviving token id (the 10 kept + the UNK bucket), with the
+    original count joined on (0 for UNK). The oracle recomputes the whole
+    remap from scratch, so a single mis-mapped token flips the counts."""
     _prep(spark)
-    from nyxus_spark.functions import vocab_topk
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.functions import remap_tokens, vocab_topk
     from nyxus_spark.sources import tokens_static
 
-    return vocab_topk(tokens_static(spark, sf_dir), k=100)
+    t = tokens_static(spark, sf_dir)
+    top = vocab_topk(t, k=10)
+    keep = [r.token for r in top.collect()]  # 10 ids — broadcast-tiny
+    rec = (
+        remap_tokens(t, keep, unk=-1)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt_remap"))
+    )
+    zero = F.lit(0).cast("long")
+    return rec.join(top, "token", "left").select(
+        "token",
+        F.coalesce("cnt", zero).alias("cnt"),
+        "cnt_remap",
+    )
 
 
 def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,10 +2483,24 @@ GROUP BY fmt
 """,
         "vocab_topk": f"""
 WITH {SQL_TOKENS_STATIC},
-flat AS (SELECT unnest(tokens) AS token FROM tokens_static)
-SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM flat GROUP BY token
-ORDER BY cnt DESC, token ASC LIMIT 100
+flat AS (SELECT unnest(tokens) AS token FROM tokens_static),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM flat GROUP BY token
+),
+top AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 10
+),
+remapped AS (  -- rare-token → UNK(-1) remap, recomputed from scratch
+  SELECT CASE WHEN f.token IN (SELECT token FROM top)
+              THEN f.token ELSE -1 END AS token
+  FROM flat f
+)
+SELECT r.token,
+       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt,
+       CAST(COUNT(*) AS BIGINT) AS cnt_remap
+FROM remapped r LEFT JOIN top t USING (token)
+GROUP BY r.token, t.cnt
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the

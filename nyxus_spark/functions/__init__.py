@@ -12,6 +12,7 @@ from nyxus_spark.functions.text import (  # noqa: F401
     stratified_keep,
     stratified_sample,
     epoch_shuffle_key,
+    remap_tokens,
     STOPWORDS,
 )
 from nyxus_spark.functions.semistructured import parse_json_col  # noqa: F401

@@ -114,6 +114,29 @@ def vocab_topk(df, tokens_col: str = "tokens", k: int = 100):
     )
 
 
+def remap_tokens(df, keep, unk: int, tokens_col: str = "tokens",
+                 out_col: str | None = None):
+    """Vocabulary-control pass: every token outside `keep` becomes `unk` —
+    the rare-token → UNK remap a training pipeline runs after vocabulary
+    counting. `keep` is a small id collection (e.g. the top-k vocab) shipped
+    as a map literal, so the remap is a pure element-wise transform: no
+    shuffle, no Python, and the same expression replays on any engine. For
+    vocabulary-scale keep-sets (100k+), ship the map via a broadcast join
+    on the exploded stream instead; this literal form is the right shape
+    for the top-k / special-token case."""
+    keep = sorted({int(t) for t in keep})
+    if not keep:
+        raise ValueError("keep set must be non-empty")
+    m = F.create_map(*[x for t in keep for x in (F.lit(t), F.lit(1))])
+    return df.withColumn(
+        out_col or tokens_col,
+        F.transform(
+            F.col(tokens_col),
+            lambda x: F.when(m[x].isNotNull(), x).otherwise(F.lit(int(unk))),
+        ),
+    )
+
+
 def deterministic_sample(df, rate: float, id_expr, mix: int = 2654435761,
                          p31: int = 2147483647):
     """Reproducible corpus subsampling: keep rows where
