@@ -1947,7 +1947,7 @@ def _q_catalog_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
         t, ["MEAN", "MEDIAN", "P25", "GLCM_CONTRAST", "GLRLM_LRE",
             "GLDZM_LDE", "GLDM_LDE", "IH_MEDIAN_IDX", "HISTO_BIN_0",
-            "MOM_RAW_1"],
+            "MOM_RAW_1", "MOM_MID_2", "IH_SKEWNESS_VAL"],
         keep_tokens=False,
     )
     return feats.select(
@@ -1962,6 +1962,12 @@ def _q_catalog_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("IH_MEDIAN_IDX").cast("long").alias("ih_median_idx"),
         F.col("HISTO_BIN_0").cast("long").alias("histo_bin_0"),
         F.col("MOM_RAW_1").cast("long").alias("m1"),
+        # round-4 families, taken straight from the KERNEL here (unlike the
+        # moments/ih queries, which recompute from raw sums) — the kernel's
+        # binomial midpoint chain and bin-order skew fold are exact /
+        # replayed at this corpus scale, so the direct values gate too
+        _r4("MOM_MID_2").alias("mom_mid2"),
+        _r4("IH_SKEWNESS_VAL").alias("ih_skew_val"),
     )
 
 

@@ -1724,7 +1724,7 @@ def sql_catalog_wide() -> str:
     return f"""
 SELECT f.doc_id, f.mean_tok, f.median_tok, p.p25, c.glcm_contrast,
        r.glrlm_lre, z.gldzm_lde, d.gldm_lde, i.ih_median_idx,
-       h.histo_bin_0, m.m1
+       h.histo_bin_0, m.m1, m.mid2 AS mom_mid2, i.ih_skew_val
 FROM (
   WITH {SQL_TOKENS_STATIC},
   flat AS (SELECT doc_id, unnest(tokens) AS t FROM tokens_static),
