@@ -100,19 +100,50 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source prescan aggregates (broadcast dim analog of SlideProps,
-    /root/reference/src/nyx/slideprops.h:6-76, workflow_2d_segmented.cpp:175-205)."""
+    /root/reference/src/nyx/slideprops.h:6-76, workflow_2d_segmented.cpp:175-205),
+    widened with GROUP-LEVEL exact analytics: the lower median of n_tok by
+    RANK (element at floor((n+1)/2) under a total order — an exact integer,
+    no interpolation ambiguity) and the exact Pearson correlation between
+    doc length and token mass (integer numerators N·Σxy − Σx·Σy in DECIMAL
+    vs HUGEINT; denominator = product of two correctly-rounded sqrts of
+    exact integers, one final division)."""
     _prep(spark)
     from pyspark.sql import functions as F
+    from pyspark.sql import Window
 
     from nyxus_spark.sources import tokens_static
 
-    t = tokens_static(spark, sf_dir)
-    return t.groupBy("source").agg(
+    t = tokens_static(spark, sf_dir).withColumn(
+        "y", F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")
+    )
+    base = t.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         F.min(F.array_min("tokens")).alias("src_min"),
         F.max(F.array_max("tokens")).alias("src_max"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(n_tok as bigint) * n_tok")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("cast(n_tok as bigint) * y")).alias("sxy"),
     )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d("n_docs") * d("sxy") - d("total_tokens") * d("sy")
+    denx = d("n_docs") * d("sxx") - d("total_tokens") * d("total_tokens")
+    deny = d("n_docs") * d("syy") - d("sy") * d("sy")
+    base = base.withColumn(
+        "corr_len_mass",
+        _r4(num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_tok").asc(), F.col("doc_id").asc())
+    med = (
+        t.select("source", "n_tok", "doc_id",
+                 F.row_number().over(w).alias("rn"),
+                 F.count("*").over(Window.partitionBy("source")).alias("cnt"))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("source", F.col("n_tok").cast("long").alias("median_n_tok"))
+    )
+    return base.join(med, "source").drop("sy", "sxx", "syy", "sxy")
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2779,13 +2810,41 @@ SELECT doc_id, n_tok,
 FROM tokens_static
 """,
         "prescan_sources": f"""
-WITH {SQL_TOKENS_STATIC}
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       MIN(list_min(tokens)) AS src_min,
-       MAX(list_max(tokens)) AS src_max
-FROM tokens_static GROUP BY source
+WITH {SQL_TOKENS_STATIC},
+docs AS (
+  SELECT source, doc_id, n_tok, tokens,
+         CAST(list_sum(tokens) AS BIGINT) AS y
+  FROM tokens_static
+),
+base AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         MIN(list_min(tokens)) AS src_min,
+         MAX(list_max(tokens)) AS src_max,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(n_tok AS BIGINT) * n_tok) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(CAST(n_tok AS BIGINT) * y) AS BIGINT) AS sxy
+  FROM docs GROUP BY source
+),
+med AS (  -- exact lower median by RANK under the same total order
+  SELECT source, CAST(n_tok AS BIGINT) AS median_n_tok FROM (
+    SELECT source, n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY n_tok ASC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM docs) WHERE rn = (cnt + 1) // 2
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
+       FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
+                   - CAST(b.total_tokens AS HUGEINT) * b.sy AS DOUBLE)
+              / (sqrt(CAST(CAST(b.n_docs AS HUGEINT) * b.sxx
+                           - CAST(b.total_tokens AS HUGEINT) * b.total_tokens AS DOUBLE))
+                 * sqrt(CAST(CAST(b.n_docs AS HUGEINT) * b.syy
+                             - CAST(b.sy AS HUGEINT) * b.sy AS DOUBLE))))
+             * 10000.0 + 0.5) / 10000.0 AS corr_len_mass,
+       m.median_n_tok
+FROM base b JOIN med m USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
