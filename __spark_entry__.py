@@ -1815,7 +1815,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id")
     zero = F.lit(0).cast("long")
-    return out.select(
+    out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
         "mean_word_len", "punct_ratio", "stopword_ratio", "quality_score",
         "fingerprint",
@@ -1826,6 +1826,14 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("rep_dup_ratio", F.lit(0.0)).alias("rep_dup_ratio"),
         "contam_hits", "contam_distinct", "is_contaminated",
     )
+    # curriculum bucketing: quality quartiles per language (ntile under a
+    # TOTAL order — quality_score ties broken by doc_id — so the bucket
+    # boundaries are engine-deterministic); partitioned window = scale-safe
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc())
+    return out.withColumn("curriculum_bucket", F.ntile(4).over(w).cast("long"))
 
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2684,6 +2692,10 @@ FROM chunks c JOIN packs p USING (doc_id)
         # injective, so the per-gram counts agree. rep ratio = two exact
         # BIGINTs, ONE division, fround4 on both engines.
         "text_stats": f"""
+SELECT *, CAST(ntile(4) OVER (PARTITION BY lang_pred
+             ORDER BY quality_score ASC, doc_id ASC) AS BIGINT)
+          AS curriculum_bucket
+FROM (
 WITH {SQL_TOKENS_STATIC},
 toks AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, tokens, n_tok
@@ -2741,6 +2753,7 @@ JOIN (
 ) f USING (doc_id)
 LEFT JOIN rep r USING (doc_id)
 LEFT JOIN contam c USING (doc_id)
+)
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
