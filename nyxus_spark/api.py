@@ -89,6 +89,64 @@ class NyxusSpark:
         )
         return self.featurize(df, keep_tokens=keep_tokens)
 
+    # -- parameter surface (reference nyxus.py:757-860 set_params/get_params)
+
+    _PARAMS = ("features", "coarse_gray_depth", "ibsi", "offset", "offsets",
+               "symmetric_glcm", "n_bins", "vocab_size", "tokens_col")
+
+    def set_params(self, **params) -> "NyxusSpark":
+        """Reference `set_params(**params)` contract (nyxus.py:757): unknown
+        keys raise ValueError; known keys update the engine settings. The
+        recast keeps the comparability-relevant subset — `coarse_gray_depth`
+        (drives histogram AND texture binning, like the reference),
+        `ibsi` (True → identity grey binning, the reference's IBSI mode),
+        `offset`/`offsets`, `symmetric_glcm`, `n_bins`, `vocab_size`,
+        `features`, `tokens_col`. Image-physical knobs (pixels_per_micron,
+        dynamic_range, GPU ids) have no token-stream meaning and are
+        intentionally NOT accepted. Returns self for chaining."""
+        for key, value in params.items():
+            if key not in self._PARAMS:
+                raise ValueError(f"Invalid parameter: {key}")
+            if key == "features":
+                self.features = list(value)
+            elif key == "tokens_col":
+                self.tokens_col = value
+            elif key == "coarse_gray_depth":
+                self.settings = replace(
+                    self.settings, n_bins=int(value), grey_info=int(value))
+            elif key == "ibsi":
+                # IBSI mode = identity grey binning (texture_feature.h:101-103
+                # grey_info == 0 selector)
+                cur = abs(self.settings.grey_info) or 64
+                self.settings = replace(
+                    self.settings, grey_info=0 if value else cur)
+            elif key == "offsets":
+                self.settings = replace(self.settings, offsets=tuple(value))
+            else:
+                self.settings = replace(self.settings, **{key: value})
+        return self
+
+    def get_params(self, *args) -> dict:
+        """Reference `get_params(*names)` contract (nyxus.py:821): no args →
+        all parameters; unknown names raise ValueError."""
+        all_params = {
+            "features": list(self.features),
+            "coarse_gray_depth": self.settings.n_bins,
+            "ibsi": self.settings.grey_info == 0,
+            "offset": self.settings.offset,
+            "offsets": tuple(self.settings.offsets),
+            "symmetric_glcm": self.settings.symmetric_glcm,
+            "n_bins": self.settings.n_bins,
+            "vocab_size": self.settings.vocab_size,
+            "tokens_col": self.tokens_col,
+        }
+        if not args:
+            return all_params
+        bad = [a for a in args if a not in all_params]
+        if bad:
+            raise ValueError(f"Invalid parameter: {bad[0]}")
+        return {a: all_params[a] for a in args}
+
     def featurize_asof(
         self, probes: DataFrame, versions: DataFrame, keep_tokens: bool = False,
         **asof_kwargs,

@@ -70,3 +70,32 @@ def test_featurize_annotations_passthrough(spark, sf_dir):
     clash = t.withColumnRenamed("source", "anno0")
     with _pytest.raises(ValueError, match="already present"):
         NyxusSpark(["MEAN"]).featurize(clash, annotations=["n_tok"])
+
+
+def test_set_get_params(spark, sf_dir):
+    """Reference set_params/get_params contract (nyxus.py:757-860): unknown
+    keys raise; coarse_gray_depth drives both binnings; ibsi toggles
+    identity grey binning; params actually change the output."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sources import tokens_static
+
+    nx = NyxusSpark(["IH_NUM_BINS"])
+    assert nx.get_params()["coarse_gray_depth"] == 64
+    nx.set_params(coarse_gray_depth=32)
+    p = nx.get_params("coarse_gray_depth", "n_bins")
+    assert p == {"coarse_gray_depth": 32, "n_bins": 32}
+    with pytest.raises(ValueError, match="Invalid parameter"):
+        nx.set_params(pixels_per_micron=1.0)
+    with pytest.raises(ValueError, match="Invalid parameter"):
+        nx.get_params("use_gpu_device")
+    nx.set_params(ibsi=True)
+    assert nx.get_params("ibsi") == {"ibsi": True}
+    nx.set_params(ibsi=False)
+    assert nx.get_params("ibsi")["ibsi"] is False
+
+    t = tokens_static(spark, sf_dir).filter(
+        F.array_max("tokens") > F.array_min("tokens")).limit(4)
+    out = nx.featurize(t).select("IH_NUM_BINS").collect()
+    assert all(r[0] == 32.0 for r in out)  # the param reached the kernel
