@@ -143,7 +143,37 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
         .select("source", F.col("n_tok").cast("long").alias("median_n_tok"))
     )
-    return base.join(med, "source").drop("sy", "sxx", "syy", "sxy")
+    # F4 label-merge ("wholeslide mode", nyxus single-ROI): collapse every
+    # source's documents into ONE merged pseudo-document (tokens concatenated
+    # in doc order) and run the KERNEL over it — the merged entity flows
+    # through the same mapInArrow path as any document. Gated on the
+    # order-independent exact integers (count / token sum / energy).
+    from nyxus_spark.features import extract_features
+
+    merged = (
+        t.select(
+            "source",
+            F.struct(
+                F.expr("cast(substr(doc_id, 5) as bigint)").alias("oid"),
+                F.col("tokens").alias("tokens"),
+            ).alias("s"),
+        )
+        .groupBy("source")
+        .agg(F.flatten(F.expr(
+            "transform(sort_array(collect_list(s)), x -> x.tokens)")).alias("tokens"))
+        .select(F.col("source").alias("doc_id"), "tokens",
+                F.size("tokens").alias("n_tok"))
+    )
+    ws = extract_features(
+        merged, ["COUNT", "INTEGRATED_INTENSITY", "ENERGY"], keep_tokens=False
+    ).select(
+        F.col("doc_id").alias("source"),
+        F.col("COUNT").cast("long").alias("ws_count"),
+        F.col("INTEGRATED_INTENSITY").cast("long").alias("ws_sum"),
+        F.col("ENERGY").cast("long").alias("ws_energy"),
+    )
+    return (base.join(med, "source").join(ws, "source")
+            .drop("sy", "sxx", "syy", "sxy"))
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2847,6 +2877,17 @@ med AS (  -- exact lower median by RANK under the same total order
            row_number() OVER (PARTITION BY source ORDER BY n_tok ASC, doc_id ASC) AS rn,
            COUNT(*) OVER (PARTITION BY source) AS cnt
     FROM docs) WHERE rn = (cnt + 1) // 2
+),
+ws AS (  -- merged-label (wholeslide) kernel stats: order-independent ints
+  SELECT source,
+         CAST(SUM(n_tok) AS BIGINT) AS ws_count,
+         CAST(SUM(y) AS BIGINT) AS ws_sum,
+         CAST(SUM(e) AS BIGINT) AS ws_energy
+  FROM (SELECT source, n_tok, y,
+               CAST((SELECT SUM(CAST(u.t AS BIGINT) * u.t)
+                     FROM (SELECT unnest(tokens) AS t) u) AS BIGINT) AS e
+        FROM docs)
+  GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -2856,8 +2897,9 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
                  * sqrt(CAST(CAST(b.n_docs AS HUGEINT) * b.syy
                              - CAST(b.sy AS HUGEINT) * b.sy AS DOUBLE))))
              * 10000.0 + 0.5) / 10000.0 AS corr_len_mass,
-       m.median_n_tok
-FROM base b JOIN med m USING (source)
+       m.median_n_tok,
+       w.ws_count, w.ws_sum, w.ws_energy
+FROM base b JOIN med m USING (source) JOIN ws w USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
