@@ -185,6 +185,18 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
+    # rolling frames: ONE exchange (the partition key); both the row frame
+    # and the epoch-µs range frame ride the same window sort
+    from nyxus_spark.operators.windows import with_rolling
+
+    evr = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"))
+    sections["rolling frames (rows + time-range, one exchange)"] = plan_of(
+        with_rolling(evr, "cents", n_rows=3, range_us=7_200_000_000,
+                     tiebreak="event_id")
+    )
+
     # sequence packing: ONE exchange (the shard hash), whole-stage window
     from nyxus_spark.operators.packing import pack_sequences
 
@@ -234,6 +246,7 @@ def main() -> None:
         "AQE skew-join split (hot key, shuffle_join strategy — EXECUTED plan)"
     ]
     assert n_exch["sequence packing (one shard exchange + JVM window)"] == 1
+    assert n_exch["rolling frames (rows + time-range, one exchange)"] == 1
     assert "BroadcastExchange" in sections[
         "k-means step (broadcast centroids + two-phase coordinate agg)"
     ]
