@@ -81,6 +81,31 @@ def to_iceberg(df: DataFrame, table: str, bucket_col: str = "doc_id", n_buckets:
     df.writeTo(table).append()
 
 
+def write_training_order(
+    df: DataFrame,
+    path: str,
+    epoch: int,
+    id_expr,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize one epoch's GLOBAL training order: rows range-partitioned
+    and sorted by the deterministic epoch-shuffle key
+    (functions.epoch_shuffle_key), so file 0 < file 1 < … and each file is
+    internally sorted — a sequential reader sees the full reproducible
+    permutation without any driver-side sort. The key is data-independent
+    (a mix of the id), so at 100 TB the RangePartitioning sampling is over
+    a uniform key space — no skew regardless of id clustering. One Exchange
+    (rangepartitioning) + in-partition sort, then a plain parquet write."""
+    from nyxus_spark.functions import epoch_shuffle_key
+
+    key = epoch_shuffle_key(id_expr, epoch)
+    (df.withColumn("__order_key", key)
+       .repartitionByRange(n_files, "__order_key")
+       .sortWithinPartitions("__order_key")
+       .write.mode(mode).parquet(path))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
