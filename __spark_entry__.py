@@ -366,7 +366,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize(ev, 3600.0), "props", {"k": "bigint"}, prefix="props_"
     )
     w = Window.partitionBy("doc_id", "session_id")
-    return s.select(
+    out = s.select(
         "doc_id",
         "event_id",
         "session_id",
@@ -374,6 +374,23 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("props_k").over(w).cast("long").alias("session_k_sum"),
         F.count("*").over(w).cast("long").alias("session_n_events"),
     )
+    # INTERVAL JOIN composition: each session's [min ts, max ts] becomes a
+    # validity window, and every event re-joins through the bucketed
+    # range-join operator (relations.interval_join, 1 h buckets). Sessions
+    # of one key are >1 h apart, so each event lands in exactly its own
+    # session — iv_n must equal session_n_events, but via an INDEPENDENT
+    # join path the oracle replays as a SQL range join.
+    from nyxus_spark.operators.relations import interval_join
+
+    iv = s.groupBy("doc_id", "session_id").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+    pts = ev.select("doc_id", "ts")
+    matched = interval_join(pts, iv, bucket_seconds=3600.0)
+    mt = matched.groupBy("doc_id", "session_id").agg(
+        F.count("*").cast("long").alias("iv_n")
+    )
+    return out.join(mt, ["doc_id", "session_id"])
 
 
 def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2948,13 +2965,25 @@ sess AS (
          CAST(SUM(f) OVER (PARTITION BY doc_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
   FROM flags
+),
+ivs AS (  -- session validity windows
+  SELECT s.doc_id, s.session_id, MIN(f.ts) AS lo, MAX(f.ts) AS hi
+  FROM sess s JOIN flags f USING (doc_id, event_id)
+  GROUP BY s.doc_id, s.session_id
+),
+ivn AS (  -- independent range join: every event into containing windows
+  SELECT i.doc_id, i.session_id, CAST(COUNT(*) AS BIGINT) AS iv_n
+  FROM ivs i JOIN flags e
+    ON e.doc_id = i.doc_id AND e.ts BETWEEN i.lo AND i.hi
+  GROUP BY i.doc_id, i.session_id
 )
-SELECT doc_id, event_id, session_id,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS props_k,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
-            OVER (PARTITION BY doc_id, session_id) AS BIGINT) AS session_k_sum,
-       CAST(COUNT(*) OVER (PARTITION BY doc_id, session_id) AS BIGINT) AS session_n_events
-FROM sess
+SELECT s.doc_id, s.event_id, s.session_id,
+       CAST(json_extract(s.props, '$.k') AS BIGINT) AS props_k,
+       CAST(SUM(CAST(json_extract(s.props, '$.k') AS BIGINT))
+            OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_k_sum,
+       CAST(COUNT(*) OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_n_events,
+       n.iv_n
+FROM sess s JOIN ivn n USING (doc_id, session_id)
 """,
         "lag_lead_locf": """
 WITH ev AS (

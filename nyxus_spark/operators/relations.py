@@ -108,6 +108,52 @@ def neighbor_stats(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "doc_id",
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Temporal interval (range) join: each point row matched to every
+    interval row of the same key with start ≤ ts ≤ end — the event-into-
+    session / point-into-validity-window shape the as-of join does not
+    cover (as-of picks ONE version; an interval join yields ALL containing
+    windows).
+
+    Default plan: equi-join on the key + range filter — the right call when
+    per-key row counts are bounded (AQE handles skew). With
+    ``bucket_seconds=B`` the broad phase joins on (key, time-bucket)
+    instead: each interval explodes into the ⌈len/B⌉ buckets it covers
+    while each point carries its single bucket, so the join never expands
+    beyond candidates within B seconds — the scale path when single keys
+    hold long histories. Each (point, interval) match appears exactly once
+    (a point's bucket is unique). Guard: Spark's sequence(a, b) DESCENDS
+    when b < a, so bucket ranges are built with floor(start) ≤ floor(end),
+    which interval validity (start ≤ end) guarantees.
+    """
+    p_ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    i_lo = F.unix_micros(F.col(start_col).cast("timestamp"))
+    i_hi = F.unix_micros(F.col(end_col).cast("timestamp"))
+    within = (F.col("__pts") >= F.col("__ilo")) & (F.col("__pts") <= F.col("__ihi"))
+    pts = points.withColumn("__pts", p_ts)
+    ivs = intervals.withColumn("__ilo", i_lo).withColumn("__ihi", i_hi)
+    if bucket_seconds is None:
+        out = pts.join(ivs.withColumnRenamed(on, f"__{on}"),
+                       (F.col(on) == F.col(f"__{on}")) & within)
+        return out.drop(f"__{on}", "__pts", "__ilo", "__ihi")
+    b_us = int(bucket_seconds * 1_000_000)
+    pts = pts.withColumn("__bk", F.expr(f"__pts div {b_us}"))
+    ivs = ivs.withColumn(
+        "__bkr", F.explode(F.expr(f"sequence(__ilo div {b_us}, __ihi div {b_us})"))
+    ).withColumnRenamed(on, f"__{on}")
+    out = pts.join(ivs, (F.col(on) == F.col(f"__{on}"))
+                   & (F.col("__bk") == F.col("__bkr")) & within)
+    return out.drop(f"__{on}", "__pts", "__ilo", "__ihi", "__bk", "__bkr")
+
+
 def rollup_parent(
     child: DataFrame,
     parent_key: str,
