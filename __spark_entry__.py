@@ -91,10 +91,35 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf_num(2).alias("acf2_num"),
         acf_num(4).alias("acf4_num"),
     )
-    return out.withColumn(
+    out = out.withColumn(
         "acf1_r",
         _r4(F.when(F.col("tok_energy") > 0,
                    F.col("acf1_num") / F.col("tok_energy")).otherwise(F.lit(0.0))),
+    )
+    # BPE merge step: find the corpus's top adjacent pair (count DESC, then
+    # (a, b) ASC — deterministic) and count each doc's greedy non-overlapping
+    # merges of it. One explode + hash-agg for the pair table; the winning
+    # pair is ONE collected row (broadcast-tiny, like the IVF probe ids).
+    from nyxus_spark.functions import bpe_merge_count
+
+    pair = (
+        t.select(F.expr(
+            "explode(CASE WHEN n_tok >= 2 THEN zip_with(slice(tokens, 1, n_tok - 1),"
+            " slice(tokens, 2, n_tok - 1), (a, b) -> struct(a, b)) ELSE array() END)"
+        ).alias("p"))
+        .groupBy("p").count()
+        .orderBy(F.col("count").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+        .limit(1)
+        .collect()[0]["p"]
+    )
+    return (
+        out.join(t.select("doc_id", "tokens", F.col("n_tok").alias("__nt")), "doc_id")
+        .withColumn("bpe_a", F.lit(int(pair["a"])))
+        .withColumn("bpe_b", F.lit(int(pair["b"])))
+        .withColumn("bpe_merges", bpe_merge_count(pair["a"], pair["b"],
+                                                  n_tok_col="__nt"))
+        .withColumn("bpe_new_len", (F.col("__nt") - F.col("bpe_merges")).cast("long"))
+        .drop("tokens", "__nt")
     )
 
 
@@ -2840,7 +2865,39 @@ JOIN ({oracles.sql_radial()}) r USING (doc_id)
     }
     return extra | {
         "tokens_basic": f"""
-WITH {SQL_TOKENS_STATIC}
+WITH {SQL_TOKENS_STATIC},
+adjp AS (
+  SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok)) AS i FROM tokens_static)
+),
+tp AS (  -- corpus top pair, same (count DESC, a ASC, b ASC) tie-break
+  SELECT a, b FROM adjp GROUP BY a, b
+  ORDER BY COUNT(*) DESC, a ASC, b ASC LIMIT 1
+),
+runsum AS (  -- a == b branch: greedy merges = Σ floor(run_len / 2)
+  SELECT doc_id, CAST(SUM(cnt // 2) AS BIGINT) AS m FROM (
+    SELECT doc_id, grp, COUNT(*) AS cnt FROM (
+      SELECT p.doc_id, p.i,
+             p.i - row_number() OVER (PARTITION BY p.doc_id ORDER BY p.i) AS grp
+      FROM (SELECT doc_id, tokens, unnest(range(1, n_tok + 1)) AS i
+            FROM tokens_static) p, tp
+      WHERE p.tokens[p.i] = tp.a)
+    GROUP BY doc_id, grp)
+  GROUP BY doc_id
+),
+adjcnt AS (  -- a <> b branch: overlaps impossible, plain adjacent count
+  SELECT adjp.doc_id, CAST(COUNT(*) AS BIGINT) AS m
+  FROM adjp, tp WHERE adjp.a = tp.a AND adjp.b = tp.b
+  GROUP BY adjp.doc_id
+),
+bpem AS (
+  SELECT s.doc_id,
+         CASE WHEN (SELECT a FROM tp) = (SELECT b FROM tp)
+              THEN COALESCE(r.m, 0) ELSE COALESCE(c.m, 0) END AS m
+  FROM tokens_static s
+  LEFT JOIN runsum r ON r.doc_id = s.doc_id
+  LEFT JOIN adjcnt c ON c.doc_id = s.doc_id
+)
 SELECT doc_id, n_tok,
        list_min(tokens) AS tok_min,
        list_max(tokens) AS tok_max,
@@ -2866,8 +2923,12 @@ SELECT doc_id, n_tok,
                    (SELECT unnest(range(1, GREATEST(len(tokens) - 1, 0) + 1)) AS i) u), 0) AS DOUBLE)
                  / (SELECT SUM(CAST(u.t AS BIGINT) * u.t) FROM
                     (SELECT unnest(tokens) AS t) u)) * 10000.0 + 0.5) / 10000.0
-            ELSE 0.0 END AS acf1_r
-FROM tokens_static
+            ELSE 0.0 END AS acf1_r,
+       (SELECT a FROM tp) AS bpe_a,
+       (SELECT b FROM tp) AS bpe_b,
+       bm.m AS bpe_merges,
+       CAST(n_tok - bm.m AS BIGINT) AS bpe_new_len
+FROM tokens_static JOIN bpem bm USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},

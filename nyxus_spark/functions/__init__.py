@@ -11,6 +11,7 @@ from nyxus_spark.functions.text import (  # noqa: F401
     contamination,
     stratified_keep,
     stratified_sample,
+    bpe_merge_count,
     epoch_shuffle_key,
     remap_tokens,
     STOPWORDS,

@@ -191,6 +191,34 @@ def stratified_sample(df, rates: dict, stratum_col, id_expr,
     return df.filter(keep)
 
 
+def bpe_merge_count(pair_a: int, pair_b: int, tokens_col: str = "tokens",
+                    n_tok_col: str = "n_tok"):
+    """Column expr: greedy left-to-right non-overlapping count of the
+    adjacent pair (a, b) — the BPE tokenizer-training inner loop's
+    application count (merging the winning pair shrinks a document by
+    exactly this many tokens). The generic fold handles a == b, where raw
+    occurrences overlap (aaa holds two adjacent (a,a) pairs but only ONE
+    greedy merge) and the consumed-next-token skip matters. JVM whole-stage
+    `aggregate` over the index sequence — no Python, no shuffle.
+
+    The count has closed forms (a ≠ b: plain adjacent-occurrence count,
+    overlap is impossible; a == b: Σ⌊run_len/2⌋ over maximal runs), which
+    is what lets a SQL oracle check the exact integer without replaying
+    the fold."""
+    a, b = int(pair_a), int(pair_b)
+    return F.expr(
+        f"CASE WHEN {n_tok_col} >= 2 THEN aggregate(sequence(1, {n_tok_col} - 1),"
+        f" named_struct('m', 0L, 'skip', false),"
+        f" (acc, i) -> CASE"
+        f"   WHEN acc.skip THEN named_struct('m', acc.m, 'skip', false)"
+        f"   WHEN element_at({tokens_col}, i) = {a}"
+        f"    AND element_at({tokens_col}, i + 1) = {b}"
+        f"   THEN named_struct('m', acc.m + 1L, 'skip', true)"
+        f"   ELSE named_struct('m', acc.m, 'skip', false) END,"
+        f" acc -> acc.m) ELSE 0L END"
+    )
+
+
 def epoch_shuffle_key(id_expr, epoch: int, mix: int = 2654435761,
                       p31: int = 2147483647):
     """Deterministic training-order shuffle: ORDER BY this key yields a
