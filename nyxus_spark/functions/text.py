@@ -191,6 +191,84 @@ def stratified_sample(df, rates: dict, stratum_col, id_expr,
     return df.filter(keep)
 
 
+def temperature_rates(df, stratum_col: str = "source", alpha: float = 0.5,
+                      scale: float = 1.0) -> dict:
+    """Temperature-based source-mixture rates (the multilingual/multi-source
+    upsampling rule p_s ∝ n_s^α used by large-corpus training recipes):
+    rate_s = scale · n_s^α / max_s n_s^α, so the largest stratum keeps
+    `scale` and smaller strata are downsampled LESS than proportionally —
+    α < 1 flattens the mixture toward uniform.
+
+    α is restricted to {1.0, 0.5, 0.25}: those powers are exact IEEE chains
+    (identity, sqrt, sqrt∘sqrt — each correctly rounded), so the resulting
+    per-stratum cut integers are bit-identical on every engine; arbitrary
+    libm pow(n, α) is not replayable cross-engine. Per-stratum counts are a
+    broadcast-dim-sized aggregate (same shape as prescan): one hash-agg
+    shuffle over strata, a driver-side dict of ≤ |strata| floats. Feed the
+    result to `stratified_keep`/`stratified_sample`."""
+    import math
+
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(f"alpha must be one of 1.0/0.5/0.25 (exact IEEE "
+                         f"chains), got {alpha}")
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"scale must be in (0, 1], got {scale}")
+    counts = {r[0]: r[1] for r in
+              df.groupBy(stratum_col).count().collect()}
+    if not counts:
+        return {}
+
+    def powa(n: float) -> float:
+        if alpha == 1.0:
+            return float(n)
+        if alpha == 0.5:
+            return math.sqrt(float(n))
+        return math.sqrt(math.sqrt(float(n)))
+
+    mx = powa(max(counts.values()))
+    # op order pinned for the SQL replay: ratio first (one rounding), then
+    # the scale multiply (one more)
+    return {s: scale * (powa(n) / mx) for s, n in counts.items()}
+
+
+def source_drift(df, src_a: str, src_b: str, tokens_col: str = "tokens",
+                 stratum_col: str = "source"):
+    """Per-token distribution drift between two corpus strata — the monitor
+    an LLM data pipeline runs when a new crawl/source lands: which tokens'
+    frequencies moved most between source A and source B?
+
+    Score = |c_a·N_b − c_b·N_a| (the cross-multiplied rate difference, an
+    exact BIGINT: zero iff the token's relative frequency is identical in
+    both strata), plus the normalized drift_rate = score/(N_a·N_b) as ONE
+    division of exact integers. Two-phase: one explode + hash-agg per
+    (token, stratum), then a broadcast of the 1-row totals — no second
+    corpus shuffle. BIGINT is exact while c·N < 2⁶³ (corpus pairs up to
+    ~3·10⁹ tokens); beyond that, swap the numerator to DECIMAL(38,0).
+
+    Returns (token, cnt_a, cnt_b, drift_num, drift_rate) — one row per
+    token observed in either stratum."""
+    flat = (
+        df.filter(F.col(stratum_col).isin([src_a, src_b]))
+        .select(F.explode(tokens_col).alias("token"),
+                (F.col(stratum_col) == src_a).alias("__is_a"))
+    )
+    counts = flat.groupBy("token").agg(
+        F.sum(F.when(F.col("__is_a"), 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.sum(F.when(F.col("__is_a"), 0).otherwise(1)).cast("long").alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    num = F.abs(F.col("cnt_a") * F.col("__nb") - F.col("cnt_b") * F.col("__na"))
+    return joined.select(
+        "token", "cnt_a", "cnt_b",
+        num.alias("drift_num"),
+        fround4(num.cast("double")
+                / (F.col("__na") * F.col("__nb")).cast("double")).alias("drift_rate"),
+    )
+
+
 def bpe_merge_count(pair_a: int, pair_b: int, tokens_col: str = "tokens",
                     n_tok_col: str = "n_tok"):
     """Column expr: greedy left-to-right non-overlapping count of the
@@ -326,6 +404,56 @@ def contamination(df, bench_df, n: int = 8, tokens_col: str = "tokens",
             .cast("long")
             .alias("is_contaminated"),
         )
+    )
+
+
+def split_on_token(df, delim: int, tokens_col: str = "tokens",
+                   n_tok_col: str = "n_tok", keep_empty: bool = False):
+    """Split each token sequence on a delimiter token — the sentence/
+    paragraph segmentation pass of an LLM data pipeline (documents arrive as
+    one flat stream; a sentinel token marks boundaries). Returns one row per
+    segment: (input columns minus `tokens`) + seg_id (dense 0-based, in
+    stream order), seg_tokens, seg_len.
+
+    Pure column expressions: boundary positions via a higher-order `filter`
+    over the index sequence, segments via one `zip_with` slice, one
+    posexplode — no shuffle, no Python, scale-safe at any corpus size.
+    With keep_empty=False (default) segments emptied by consecutive
+    delimiters (or leading/trailing ones) are dropped and seg_id stays
+    dense over the survivors. Delimiter tokens themselves never appear in
+    any segment. The `sequence()` guard matters: Spark's sequence(a, b)
+    DESCENDS when b < a, so zero-token rows must short-circuit.
+
+    Reference analog: nyxus ROI decomposition of one slide into independent
+    segments that then flow through the same kernels
+    (/root/reference/src/nyx/workflow_2d_segmented.cpp) — here the "slide"
+    is the flat token stream and the delimiter is the boundary label.
+    """
+    if not isinstance(delim, int):
+        raise ValueError(f"delim must be an int token id, got {delim!r}")
+    # 0-based positions of the delimiter (Spark SQL `arr[i]` is 0-based)
+    pos = (
+        f"CASE WHEN {n_tok_col} > 0 THEN "
+        f"filter(sequence(0, {n_tok_col} - 1), i -> {tokens_col}[i] = {delim}) "
+        "ELSE array() END"
+    )
+    # starts/ends of the n_delim+1 raw spans; slice() is 1-based
+    segs = (
+        f"zip_with(concat(array(0), transform({pos}, p -> p + 1)),"
+        f"         concat({pos}, array({n_tok_col})),"
+        f"         (s, e) -> slice({tokens_col}, s + 1, e - s))"
+    )
+    if not keep_empty:
+        segs = f"filter({segs}, x -> size(x) > 0)"
+    exploded = df.select(
+        "*", F.posexplode(F.expr(f"CASE WHEN {n_tok_col} > 0 THEN {segs} "
+                                 "ELSE array() END")).alias("seg_id", "seg_tokens")
+    )
+    return exploded.select(
+        *[c for c in df.columns if c != tokens_col],
+        F.col("seg_id").cast("long").alias("seg_id"),
+        "seg_tokens",
+        F.size("seg_tokens").cast("long").alias("seg_len"),
     )
 
 

@@ -382,6 +382,69 @@ def kmeans_step(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    sub_id: str = "sub_id",
+    cent_id: str = "cent_id",
+    cent_sub: str = "cent_sub",
+) -> DataFrame:
+    """Product-quantization encoding over integer-quantized embeddings — the
+    memory-scale ANN path beyond IVF: each vector splits into `m` contiguous
+    subvectors; each subvector is assigned its nearest codebook centroid by
+    EXACT int64 squared L2 (ties → lowest centroid id), shrinking a
+    D-dim vector to m small codes. `codebooks` has one row per
+    (sub_id, cent_id, cent_sub: array<int>) — broadcast-tiny (m·k rows).
+
+    Engine-exact by construction (integer arithmetic end-to-end), so the
+    encoding is oracle-checkable. Plan shape: one posexplode into m subvector
+    rows, broadcast-join the codebook on its ONE subspace key, per-(vector,
+    subspace) argmin via min(struct(d2, cent_id)) — a hash aggregation, no
+    window sort — then one groupBy(vector) to reassemble codes. Two narrow
+    hash-agg exchanges total, both over m·|corpus| short rows; nothing
+    quadratic, nothing driver-side.
+
+    Returns (id_col, pq_codes: array<int> ordered by sub_id,
+    pq_d2: BIGINT total quantization distortion). Requires m | D (each
+    subspace gets D div m dims; a ragged tail would be silently dropped, so
+    callers must pad or pick a divisor)."""
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    subs = df.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m} - 1), j -> slice({vec_col},"
+                f" j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
+            )
+        ).alias(sub_id, "__sub"),
+    )
+    d2 = F.expr(
+        f"aggregate(zip_with(__sub, {cent_sub},"
+        f" (x, y) -> cast(x - y as bigint) * (x - y)),"
+        f" 0L, (a, v) -> a + v)"
+    )
+    best = (
+        subs.join(F.broadcast(codebooks), sub_id)
+        .select(id_col, sub_id, F.struct(d2.alias("d"), F.col(cent_id).alias("c")).alias("__dc"))
+        .groupBy(id_col, sub_id)
+        .agg(F.min("__dc").alias("__best"))
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct({sub_id} as s,"
+                f" __best.c as c))), x -> x.c)"
+            ).alias("pq_codes"),
+            F.sum("__best.d").alias("pq_d2"),
+        )
+    )
+
+
 def quantize_embedding(vec_col: str = "embedding", levels: int = 127):
     """Column expr: symmetric int8-style quantization of a float vector —
     q_i = floor(levels·x_i/max|x| + 0.5) (round-half-up), the standard

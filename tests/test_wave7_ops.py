@@ -1,0 +1,212 @@
+"""Wave-7 operators: delimiter segmentation, temperature mixture rates,
+per-token source drift, product-quantization encoding."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyxus_spark.functions import (
+    source_drift,
+    split_on_token,
+    stratified_keep,
+    temperature_rates,
+)
+from nyxus_spark.operators.similarity import pq_encode
+
+
+# ---------------------------------------------------------------------------
+# split_on_token
+# ---------------------------------------------------------------------------
+
+def _py_split(tokens, delim, keep_empty):
+    segs, cur = [], []
+    for t in tokens:
+        if t == delim:
+            segs.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    segs.append(cur)
+    if not tokens:
+        segs = []  # zero-token rows short-circuit to no segments
+    if not keep_empty:
+        segs = [s for s in segs if s]
+    return segs
+
+
+@pytest.mark.parametrize("keep_empty", [False, True])
+def test_split_matches_python_reference(spark, keep_empty):
+    fixtures = [
+        [1, 2, 9, 3, 9, 9, 4],   # interior + consecutive delims
+        [9, 1, 2, 9],            # leading + trailing
+        [9, 9, 9],               # delimiter-only
+        [5, 6, 7],               # no delimiter
+        [],                      # empty
+        [9],                     # single delimiter
+        [1],                     # single non-delimiter
+    ]
+    df = spark.createDataFrame(
+        [(f"d{i}", t, len(t)) for i, t in enumerate(fixtures)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    rows = split_on_token(df, 9, keep_empty=keep_empty).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(fixtures):
+        want = _py_split(toks, 9, keep_empty)
+        have = sorted(got.get(f"d{i}", []), key=lambda r: r["seg_id"])
+        assert [r["seg_tokens"] for r in have] == want, (i, toks)
+        # dense 0-based seg ids, lengths consistent
+        assert [r["seg_id"] for r in have] == list(range(len(want)))
+        assert all(r["seg_len"] == len(r["seg_tokens"]) for r in have)
+
+
+def test_split_drops_delimiter_and_preserves_columns(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 9, 2], 3, "srcX")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = split_on_token(df, 9).collect()
+    assert {r["source"] for r in rows} == {"srcX"}
+    assert all(9 not in r["seg_tokens"] for r in rows)
+    assert "tokens" not in rows[0].asDict()
+
+
+def test_split_validation():
+    with pytest.raises(ValueError, match="int token id"):
+        split_on_token(None, "9")
+
+
+# ---------------------------------------------------------------------------
+# temperature_rates
+# ---------------------------------------------------------------------------
+
+def test_temperature_rates_values(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 16 + [("b",)] * 4 + [("c",)] * 1, "source string"
+    )
+    rates = temperature_rates(df, alpha=0.5)
+    # n = 16/4/1 → sqrt = 4/2/1 → rates 1, 0.5, 0.25 (exact IEEE)
+    assert rates == {"a": 1.0, "b": 0.5, "c": 0.25}
+    flat = temperature_rates(df, alpha=0.25)
+    assert flat["b"] == math.sqrt(math.sqrt(4.0)) / math.sqrt(math.sqrt(16.0))
+    # α < 1 flattens: small strata keep MORE than their proportional share
+    assert flat["c"] > rates["c"] > 1 / 16
+    prop = temperature_rates(df, alpha=1.0, scale=0.5)
+    assert prop == {"a": 0.5, "b": 0.5 * (4.0 / 16.0), "c": 0.5 * (1.0 / 16.0)}
+
+
+def test_temperature_rates_feed_stratified_keep(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i % 5 else "small") for i in range(500)],
+        "doc_id long, source string",
+    )
+    rates = temperature_rates(df, alpha=0.5)
+    kept = df.filter(
+        stratified_keep(rates, "source", F.col("doc_id"))
+    ).groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in kept}
+    # the largest stratum keeps rate 1.0 → everything
+    assert by["big"] == 400
+    # the smaller stratum is downsampled but by LESS than its 1/4 share
+    assert 0 < by.get("small", 0) <= 100
+
+
+def test_temperature_rates_validation():
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(None, alpha=0.3)
+    with pytest.raises(ValueError, match="scale"):
+        temperature_rates(None, alpha=0.5, scale=0.0)
+
+
+# ---------------------------------------------------------------------------
+# source_drift
+# ---------------------------------------------------------------------------
+
+def test_source_drift_exact(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", [1, 1, 2], "A"),
+            ("d2", [2, 3], "A"),
+            ("d3", [1, 2, 2, 2], "B"),
+            ("d4", [4], "B"),
+            ("d5", [1, 1, 1], "C"),  # other strata ignored
+        ],
+        "doc_id string, tokens array<int>, source string",
+    )
+    rows = {r["token"]: r for r in source_drift(df, "A", "B").collect()}
+    # N_a = 5, N_b = 5
+    # token 1: c_a=2, c_b=1 → |2·5 − 1·5| = 5 ;  token 4: only in B → 5
+    assert rows[1]["drift_num"] == 5 and rows[4]["drift_num"] == 5
+    # token 2: c_a=2, c_b=3 → |10 − 15| = 5
+    assert rows[2]["drift_num"] == 5
+    assert rows[2]["cnt_a"] == 2 and rows[2]["cnt_b"] == 3
+    assert rows[1]["drift_rate"] == pytest.approx(5 / 25.0)
+    assert 5 not in rows  # token from stratum C never appears
+
+
+def test_source_drift_zero_for_identical_rates(spark):
+    # token 7 has the same relative frequency in both strata → drift 0
+    df = spark.createDataFrame(
+        [("a", [7, 8], "A"), ("b", [7, 7, 8, 8], "B")],
+        "doc_id string, tokens array<int>, source string",
+    )
+    rows = {r["token"]: r for r in source_drift(df, "A", "B").collect()}
+    assert rows[7]["drift_num"] == 0 and rows[8]["drift_num"] == 0
+
+
+# ---------------------------------------------------------------------------
+# pq_encode
+# ---------------------------------------------------------------------------
+
+def _np_pq(vecs, books, m):
+    import numpy as np
+
+    out = {}
+    for vid, v in vecs:
+        d = len(v) // m
+        codes, tot = [], 0
+        for j in range(m):
+            sub = np.asarray(v[j * d:(j + 1) * d], dtype=np.int64)
+            best = None
+            for cid, cs in sorted(books[j]):
+                dist = int(((sub - np.asarray(cs, dtype=np.int64)) ** 2).sum())
+                if best is None or dist < best[0]:
+                    best = (dist, cid)
+            codes.append(best[1])
+            tot += best[0]
+        out[vid] = (codes, tot)
+    return out
+
+
+def test_pq_encode_matches_numpy(spark):
+    vecs = [(i, [((i * 7 + j * 13) % 19) - 9 for j in range(8)]) for i in range(12)]
+    books = {
+        j: [(c, [((c * 5 + j * 3 + k) % 17) - 8 for k in range(4)]) for c in range(4)]
+        for j in range(2)
+    }
+    df = spark.createDataFrame(vecs, "vec_id long, qvec array<int>")
+    cb = spark.createDataFrame(
+        [(j, c, cs) for j, lst in books.items() for c, cs in lst],
+        "sub_id int, cent_id int, cent_sub array<int>",
+    )
+    got = {r["vec_id"]: (r["pq_codes"], r["pq_d2"])
+           for r in pq_encode(df, cb, m=2).collect()}
+    assert got == _np_pq(vecs, books, 2)
+
+
+def test_pq_encode_tie_breaks_to_lowest_centroid(spark):
+    df = spark.createDataFrame([(0, [0, 0])], "vec_id long, qvec array<int>")
+    cb = spark.createDataFrame(
+        [(0, 2, [1, 0]), (0, 1, [0, 1]), (0, 3, [5, 5])],
+        "sub_id int, cent_id int, cent_sub array<int>",
+    )
+    r = pq_encode(df, cb, m=1).collect()[0]
+    assert r["pq_codes"] == [1] and r["pq_d2"] == 1  # tie (d2=1) → cent 1
+
+
+def test_pq_encode_validation():
+    with pytest.raises(ValueError, match="m must be positive"):
+        pq_encode(None, None, 0)
