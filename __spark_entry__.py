@@ -112,7 +112,7 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .collect()[0]["p"]
     )
-    return (
+    out = (
         out.join(t.select("doc_id", "tokens", F.col("n_tok").alias("__nt")), "doc_id")
         .withColumn("bpe_a", F.lit(int(pair["a"])))
         .withColumn("bpe_b", F.lit(int(pair["b"])))
@@ -120,6 +120,34 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   n_tok_col="__nt"))
         .withColumn("bpe_new_len", (F.col("__nt") - F.col("bpe_merges")).cast("long"))
         .drop("tokens", "__nt")
+    )
+    # delimiter segmentation (sentence/paragraph-split analog): split every
+    # doc on its most frequent token (104 in this corpus) via the REAL
+    # row-per-segment operator, then re-aggregate for the per-doc gate. The
+    # checksum Σ (seg_id+1)·(seg_sum+seg_len) is an exact BIGINT sensitive
+    # to content, order, and segment assignment — a single token landing in
+    # the wrong segment flips it.
+    from nyxus_spark.functions import split_on_token
+
+    segs = split_on_token(t.select("doc_id", "tokens", "n_tok"), 104)
+    seg_agg = (
+        segs.withColumn(
+            "__ss", F.aggregate("seg_tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.max("seg_len").cast("long").alias("max_seg_len"),
+            F.sum((F.col("seg_id") + 1) * (F.col("__ss") + F.col("seg_len")))
+            .cast("long").alias("seg_checksum"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return out.join(seg_agg, "doc_id", "left").select(
+        *[c for c in out.columns],
+        F.coalesce("n_segs", zero).alias("n_segs"),
+        F.coalesce("max_seg_len", zero).alias("max_seg_len"),
+        F.coalesce("seg_checksum", zero).alias("seg_checksum"),
     )
 
 
@@ -798,11 +826,26 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("cnt_remap"))
     )
+    # per-token distribution DRIFT between the two largest strata (the
+    # new-crawl monitor): |c_a·N_b − c_b·N_a| exact BIGINT + the normalized
+    # rate, attached to every surviving vocab row (UNK has no drift row →
+    # coalesced zeros)
+    from nyxus_spark.functions import source_drift
+
+    drift = source_drift(t, "src0", "src1")
     zero = F.lit(0).cast("long")
-    return rec.join(top, "token", "left").select(
-        "token",
-        F.coalesce("cnt", zero).alias("cnt"),
-        "cnt_remap",
+    return (
+        rec.join(top, "token", "left")
+        .join(drift, "token", "left")
+        .select(
+            "token",
+            F.coalesce("cnt", zero).alias("cnt"),
+            "cnt_remap",
+            F.coalesce("cnt_a", zero).alias("cnt_src0"),
+            F.coalesce("cnt_b", zero).alias("cnt_src1"),
+            F.coalesce("drift_num", zero).alias("drift_num"),
+            F.coalesce("drift_rate", F.lit(0.0)).alias("drift_rate"),
+        )
     )
 
 
@@ -832,9 +875,18 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "source", F.col("doc_id"),
         default_rate=0.1,
     )
+    # TEMPERATURE mixture rates (α=0.5, p_s ∝ √n_s — the multilingual
+    # upsampling rule): data-derived per-source rates on the FULL corpus,
+    # then the keep decision on the shared hash. The oracle re-derives the
+    # counts, the sqrt ratio, and the cut integer from scratch.
+    from nyxus_spark.functions import temperature_rates
+
+    t_rates = temperature_rates(docs, "source", alpha=0.5)
+    temp_keep = stratified_keep(t_rates, "source", F.col("doc_id"))
     out = deterministic_sample(docs, 0.2, F.col("doc_id")).select(
         "doc_id", "source", "n_chars",
         keep.cast("long").alias("strat_keep"),
+        temp_keep.cast("long").alias("temp_keep"),
         epoch_shuffle_key(F.col("doc_id"), 0).alias("shuf_e0"),
         epoch_shuffle_key(F.col("doc_id"), 1).alias("shuf_e1"),
     )
@@ -895,12 +947,33 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("vec_id", F.col("cent_id").cast("long").alias("assigned_cent"), F.col("__d").alias("d2"))
     )
+    # PRODUCT-QUANTIZATION encode (the beyond-IVF memory-scale ANN path):
+    # 4 subspaces × 16 dims, codebooks = the 8 seed vectors' subvectors,
+    # exact int64 argmin per subspace — every code and the total distortion
+    # re-derived from scratch by the oracle.
+    from nyxus_spark.operators.similarity import pq_encode
+
+    books = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cent_id"),
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3),"
+            " j -> slice(q, j * (size(q) div 4) + 1, size(q) div 4))"
+        )).alias("sub_id", "cent_sub"),
+    )
+    pq = pq_encode(q, books, m=4, vec_col="q").select(
+        "vec_id",
+        *[F.element_at("pq_codes", j + 1).cast("long").alias(f"pq_code_{j}")
+          for j in range(4)],
+        F.col("pq_d2").cast("long").alias("pq_d2"),
+    )
     return (
         per_vec.join(avec, "vec_id")
         .join(cluster_rollup, "assigned_cent")
+        .join(pq, "vec_id")
         .select(
             "vec_id", "n_dims", "q_sum", "q_min", "q_max",
             "assigned_cent", "d2", "cl_n", "cl_sum", "cl_moment",
+            "pq_code_0", "pq_code_1", "pq_code_2", "pq_code_3", "pq_d2",
         )
     )
 
@@ -2612,11 +2685,36 @@ remapped AS (  -- rare-token → UNK(-1) remap, recomputed from scratch
   SELECT CASE WHEN f.token IN (SELECT token FROM top)
               THEN f.token ELSE -1 END AS token
   FROM flat f
+),
+dflat AS (  -- src0↔src1 distribution drift, recomputed from scratch
+  SELECT unnest(tokens) AS token, source = 'src0' AS is_a
+  FROM tokens_static WHERE source IN ('src0', 'src1')
+),
+dcounts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+  FROM dflat GROUP BY token
+),
+dtot AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS na, CAST(SUM(cnt_b) AS BIGINT) AS nb
+  FROM dcounts
+),
+drift AS (
+  SELECT token, cnt_a, cnt_b,
+         CAST(abs(cnt_a * nb - cnt_b * na) AS BIGINT) AS drift_num,
+         FLOOR(CAST(abs(cnt_a * nb - cnt_b * na) AS DOUBLE)
+               / CAST(na * nb AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS drift_rate
+  FROM dcounts, dtot
 )
 SELECT r.token,
        CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt,
-       CAST(COUNT(*) AS BIGINT) AS cnt_remap
-FROM remapped r LEFT JOIN top t USING (token)
+       CAST(COUNT(*) AS BIGINT) AS cnt_remap,
+       COALESCE(ANY_VALUE(d.cnt_a), 0) AS cnt_src0,
+       COALESCE(ANY_VALUE(d.cnt_b), 0) AS cnt_src1,
+       COALESCE(ANY_VALUE(d.drift_num), 0) AS drift_num,
+       COALESCE(ANY_VALUE(d.drift_rate), 0.0) AS drift_rate
+FROM remapped r LEFT JOIN top t USING (token) LEFT JOIN drift d USING (token)
 GROUP BY r.token, t.cnt
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
@@ -2625,7 +2723,17 @@ GROUP BY r.token, t.cnt
         # + stratified keep flag: the SAME hash against a per-source CASE
         # cut (src0→1.0, src1→0.5, src2→0.25, default 0.1)
         "sample_hash": f"""
-WITH base AS (
+WITH scnt AS (  -- temperature rates α=0.5 re-derived from scratch:
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY source
+),
+scut AS (  -- cut = trunc(P31 · sqrt(n_s)/sqrt(n_max)), each op IEEE-exact
+  SELECT source,
+         CAST(2147483647.0 * (sqrt(CAST(cnt AS DOUBLE))
+              / sqrt(CAST((SELECT MAX(cnt) FROM scnt) AS DOUBLE)))
+              AS BIGINT) AS tcut
+  FROM scnt
+),
+base AS (
   SELECT doc_id, source, n_chars,
          CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
               % 2147483647
@@ -2634,17 +2742,19 @@ WITH base AS (
                             WHEN 'src2' THEN {int(2147483647 * 0.25)}
                             ELSE {int(2147483647 * 0.1)} END
              AS BIGINT) AS strat_keep,
+         CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+              % 2147483647 < sc.tcut AS BIGINT) AS temp_keep,
          -- epoch-shuffle keys: pmod(pmod(id + epoch·OFFSET, P31)·MIX', P31)
          CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
               % 2147483647 AS BIGINT) AS shuf_e0,
          CAST((((((((doc_id + 506952122) % 2147483647) + 2147483647) % 2147483647)
                  * 506952114) % 2147483647) + 2147483647) % 2147483647
               AS BIGINT) AS shuf_e1
-  FROM documents
+  FROM documents JOIN scut sc USING (source)
   WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
         % 2147483647 < {int(2147483647 * 0.2)}
 )
-SELECT doc_id, source, n_chars, strat_keep, shuf_e0, shuf_e1,
+SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0
 FROM base
@@ -2692,6 +2802,39 @@ roll AS (
          CAST(SUM(s) AS BIGINT) AS cl_sum,
          CAST(SUM(dim * s) AS BIGINT) AS cl_moment
   FROM upd GROUP BY 1
+),
+pjs AS (SELECT unnest(range(0, 4)) AS sub_id),
+books AS (  -- PQ codebooks: the 8 seed vectors' 16-dim subvectors
+  SELECT j.sub_id, vec_id AS pcent,
+         qv[CAST(j.sub_id * 16 + 1 AS BIGINT) : CAST(j.sub_id * 16 + 16 AS BIGINT)] AS cs
+  FROM q, pjs j WHERE vec_id < 8
+),
+psubs AS (
+  SELECT vec_id, j.sub_id,
+         qv[CAST(j.sub_id * 16 + 1 AS BIGINT) : CAST(j.sub_id * 16 + 16 AS BIGINT)] AS sv
+  FROM q, pjs j
+),
+pqd AS (  -- exact int64 subspace distances to every codebook entry
+  SELECT s.vec_id, s.sub_id, b.pcent,
+         (SELECT CAST(SUM(CAST(s.sv[u.i] - b.cs[u.i] AS BIGINT)
+                          * (s.sv[u.i] - b.cs[u.i])) AS BIGINT)
+          FROM (SELECT unnest(range(1, 17)) AS i) u) AS d
+  FROM psubs s JOIN books b USING (sub_id)
+),
+pqa AS (  -- per-(vector, subspace) argmin, ties to the lowest centroid id
+  SELECT vec_id, sub_id, pcent, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                 ORDER BY d ASC, pcent ASC) AS rn
+    FROM pqd) WHERE rn = 1
+),
+pq AS (
+  SELECT vec_id,
+         CAST(MAX(CASE WHEN sub_id = 0 THEN pcent END) AS BIGINT) AS pq_code_0,
+         CAST(MAX(CASE WHEN sub_id = 1 THEN pcent END) AS BIGINT) AS pq_code_1,
+         CAST(MAX(CASE WHEN sub_id = 2 THEN pcent END) AS BIGINT) AS pq_code_2,
+         CAST(MAX(CASE WHEN sub_id = 3 THEN pcent END) AS BIGINT) AS pq_code_3,
+         CAST(SUM(d) AS BIGINT) AS pq_d2
+  FROM pqa GROUP BY vec_id
 )
 SELECT vec_id,
        CAST(len(qv) AS BIGINT) AS n_dims,
@@ -2700,8 +2843,10 @@ SELECT vec_id,
        CAST(list_max(qv) AS BIGINT) AS q_max,
        CAST(a.cent_id AS BIGINT) AS assigned_cent,
        a.d AS d2,
-       r.cl_n, r.cl_sum, r.cl_moment
+       r.cl_n, r.cl_sum, r.cl_moment,
+       p.pq_code_0, p.pq_code_1, p.pq_code_2, p.pq_code_3, p.pq_d2
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
+JOIN pq p USING (vec_id)
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
         # are 1-based inclusive. Last start capped at n_tok - overlap - 1
@@ -2897,6 +3042,31 @@ bpem AS (
   FROM tokens_static s
   LEFT JOIN runsum r ON r.doc_id = s.doc_id
   LEFT JOIN adjcnt c ON c.doc_id = s.doc_id
+),
+segflat AS (  -- delimiter segmentation replay: segr = #delims at-or-before
+  SELECT doc_id, tok, i,
+         SUM(CASE WHEN tok = 104 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segr
+  FROM (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS i
+        FROM tokens_static)
+),
+segrows AS (  -- non-empty segments with dense 0-based ids in stream order
+  SELECT doc_id, segr,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY segr) - 1
+              AS BIGINT) AS seg_id,
+         CAST(SUM(tok) AS BIGINT) AS seg_sum,
+         CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM segflat WHERE tok <> 104
+  GROUP BY doc_id, segr
+),
+segagg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(MAX(seg_len) AS BIGINT) AS max_seg_len,
+         CAST(SUM((seg_id + 1) * (seg_sum + seg_len)) AS BIGINT) AS seg_checksum
+  FROM segrows GROUP BY doc_id
 )
 SELECT doc_id, n_tok,
        list_min(tokens) AS tok_min,
@@ -2927,8 +3097,12 @@ SELECT doc_id, n_tok,
        (SELECT a FROM tp) AS bpe_a,
        (SELECT b FROM tp) AS bpe_b,
        bm.m AS bpe_merges,
-       CAST(n_tok - bm.m AS BIGINT) AS bpe_new_len
+       CAST(n_tok - bm.m AS BIGINT) AS bpe_new_len,
+       COALESCE(sa.n_segs, 0) AS n_segs,
+       COALESCE(sa.max_seg_len, 0) AS max_seg_len,
+       COALESCE(sa.seg_checksum, 0) AS seg_checksum
 FROM tokens_static JOIN bpem bm USING (doc_id)
+LEFT JOIN segagg sa USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},
