@@ -609,12 +609,16 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data cleaning pipeline: exact dedup → MinHash-LSH
-    near-dup removal (drop the higher id of each pair ≥ 0.5 Jaccard) — the
-    dedup operators COMPOSED, as a real corpus pipeline would run them."""
+    near-dup removal (drop the higher id of each pair ≥ 0.5 Jaccard) →
+    SEGMENT-level exact dedup of the survivors (the CCNet/Gopher line-dedup
+    pass: split on the corpus's top token, first occurrence of each distinct
+    segment wins corpus-wide) — the dedup operators COMPOSED, as a real
+    corpus pipeline would run them. Per-doc columns gate every segment keep
+    decision (counts + exact kept-token sums)."""
     _prep(spark)
     from pyspark.sql import functions as F
 
-    from nyxus_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from nyxus_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, segment_dedup
 
     aug = _aug_corpus(spark, sf_dir).withColumn(
         "key", F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
@@ -622,7 +626,24 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = exact_dedup(aug, ["key"]).drop("key")
     near = minhash_lsh_pairs(survivors, jaccard_threshold=0.5)
     drop_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
-    return survivors.join(drop_ids, "doc_id", "left_anti").select("doc_id", "source")
+    cleaned = survivors.join(drop_ids, "doc_id", "left_anti")
+    segd = segment_dedup(cleaned, delim=104)
+    per_doc = segd.groupBy("doc_id").agg(
+        F.sum("seg_kept").cast("long").alias("segs_kept"),
+        (F.count("*") - F.sum("seg_kept")).cast("long").alias("segs_removed"),
+        F.sum(F.when(F.col("seg_kept") == 1, F.col("seg_len")).otherwise(0))
+        .cast("long").alias("clean_n_tok"),
+        F.sum(F.when(F.col("seg_kept") == 1, F.col("seg_sum")).otherwise(0))
+        .cast("long").alias("clean_tok_sum"),
+    )
+    zero = F.lit(0).cast("long")
+    return cleaned.join(per_doc, "doc_id", "left").select(
+        "doc_id", "source",
+        F.coalesce("segs_kept", zero).alias("segs_kept"),
+        F.coalesce("segs_removed", zero).alias("segs_removed"),
+        F.coalesce("clean_n_tok", zero).alias("clean_n_tok"),
+        F.coalesce("clean_tok_sum", zero).alias("clean_tok_sum"),
+    )
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,6 +98,50 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    delim: int,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment-level (line/paragraph-level) exact dedup — the CCNet/Gopher
+    pipeline pass that removes paragraphs duplicated ACROSS documents
+    (boilerplate, headers, licence blocks) while keeping each document's
+    surviving segments in order. Documents split on the delimiter token
+    (`functions.split_on_token`), and each distinct segment keeps only its
+    FIRST occurrence corpus-wide (lowest (id, seg_id) under the total
+    order).
+
+    Returns the segment table (id_col, seg_id, seg_len, seg_sum,
+    seg_kept: 0/1) — callers rebuild cleaned documents by filtering
+    seg_kept = 1 and re-concatenating in seg_id order, or aggregate the
+    flags for removal stats.
+
+    Scale shape: the split is pure column expressions (no shuffle); the
+    first-occurrence choice is ONE hash shuffle on the segment content key
+    (same cost profile as exact document dedup — segments are smaller but
+    more numerous, so partition counts should scale with corpus tokens,
+    not doc count). The ','-joined string key keeps the window in
+    whole-stage hash exchange rather than array-key sort."""
+    from nyxus_spark.functions import split_on_token
+
+    segs = split_on_token(df, delim, tokens_col, n_tok_col)
+    key = F.concat_ws(",", F.transform("seg_tokens", lambda x: x.cast("string")))
+    w = Window.partitionBy("__key").orderBy(
+        F.col(id_col).asc(), F.col("seg_id").asc()
+    )
+    return (
+        segs.withColumn("__key", key)
+        .withColumn("seg_kept", (F.row_number().over(w) == 1).cast("int"))
+        .withColumn(
+            "seg_sum",
+            F.aggregate("seg_tokens", F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .select(id_col, "seg_id", "seg_len", "seg_sum", "seg_kept")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -384,10 +384,53 @@ near_pairs AS (
   SELECT id_a, id_b FROM cand
   WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
         / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}
+),
+cleaned AS (
+  SELECT s.doc_id, s.tokens, s.source
+  FROM survivors s
+  WHERE s.doc_id NOT IN (SELECT id_b FROM near_pairs)
+),
+segflat AS (  -- segment-level dedup replay: split the CLEANED docs on 104
+  SELECT doc_id, tok, i,
+         SUM(CASE WHEN tok = 104 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segr
+  FROM (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS i FROM cleaned)
+),
+segrows AS (
+  SELECT doc_id, segr,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY segr) - 1
+              AS BIGINT) AS seg_id,
+         CAST(SUM(tok) AS BIGINT) AS seg_sum,
+         CAST(COUNT(*) AS BIGINT) AS seg_len,
+         list_aggregate(list_transform(list(tok ORDER BY i),
+                                       x -> CAST(x AS VARCHAR)),
+                        'string_agg', ',') AS seg_key
+  FROM segflat WHERE tok <> 104
+  GROUP BY doc_id, segr
+),
+segkept AS (  -- first occurrence of each distinct segment wins corpus-wide
+  SELECT doc_id, seg_id, seg_sum, seg_len,
+         CASE WHEN row_number() OVER (PARTITION BY seg_key
+                                      ORDER BY doc_id ASC, seg_id ASC) = 1
+              THEN 1 ELSE 0 END AS seg_kept
+  FROM segrows
+),
+segdoc AS (
+  SELECT doc_id,
+         CAST(SUM(seg_kept) AS BIGINT) AS segs_kept,
+         CAST(COUNT(*) - SUM(seg_kept) AS BIGINT) AS segs_removed,
+         CAST(SUM(CASE WHEN seg_kept = 1 THEN seg_len ELSE 0 END) AS BIGINT) AS clean_n_tok,
+         CAST(SUM(CASE WHEN seg_kept = 1 THEN seg_sum ELSE 0 END) AS BIGINT) AS clean_tok_sum
+  FROM segkept GROUP BY doc_id
 )
-SELECT s.doc_id, s.source
-FROM survivors s
-WHERE s.doc_id NOT IN (SELECT id_b FROM near_pairs)
+SELECT c.doc_id, c.source,
+       COALESCE(d.segs_kept, 0) AS segs_kept,
+       COALESCE(d.segs_removed, 0) AS segs_removed,
+       COALESCE(d.clean_n_tok, 0) AS clean_n_tok,
+       COALESCE(d.clean_tok_sum, 0) AS clean_tok_sum
+FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
 """
 
 

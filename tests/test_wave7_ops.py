@@ -158,6 +158,54 @@ def test_source_drift_zero_for_identical_rates(spark):
 
 
 # ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from nyxus_spark.operators.dedup import segment_dedup
+
+    # segment [1,2] appears in a (seg 0), b (seg 1) and twice in c;
+    # delimiter = 9
+    data = [
+        ("a", [1, 2, 9, 3], 4),
+        ("b", [4, 9, 1, 2], 4),
+        ("c", [1, 2, 9, 1, 2], 5),
+        ("d", [5], 1),
+    ]
+    df = spark.createDataFrame(data, "doc_id string, tokens array<int>, n_tok int")
+    rows = {(r["doc_id"], r["seg_id"]): r for r in segment_dedup(df, 9).collect()}
+    assert rows[("a", 0)]["seg_kept"] == 1   # first occurrence of [1,2]
+    assert rows[("a", 1)]["seg_kept"] == 1   # [3] unique
+    assert rows[("b", 0)]["seg_kept"] == 1   # [4] unique
+    assert rows[("b", 1)]["seg_kept"] == 0   # duplicate of a/seg0
+    assert rows[("c", 0)]["seg_kept"] == 0
+    assert rows[("c", 1)]["seg_kept"] == 0   # in-document duplicate also dropped
+    assert rows[("d", 0)]["seg_kept"] == 1
+    assert rows[("a", 0)]["seg_sum"] == 3 and rows[("a", 0)]["seg_len"] == 2
+
+
+def test_segment_dedup_python_reference(spark):
+    from nyxus_spark.operators.dedup import segment_dedup
+
+    docs = [(f"d{i:02d}",
+             [((i * 13 + j * 7) % 5) for j in range((i % 6) + 1)])
+            for i in range(20)]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in docs],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {(r["doc_id"], r["seg_id"]): r["seg_kept"]
+           for r in segment_dedup(df, 2).collect()}
+    seen, want = set(), {}
+    for d, t in sorted(docs):  # doc order = string sort = first occurrence
+        for sid, seg in enumerate(_py_split(t, 2, False)):
+            k = tuple(seg)
+            want[(d, sid)] = 0 if k in seen else 1
+            seen.add(k)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # pq_encode
 # ---------------------------------------------------------------------------
 
