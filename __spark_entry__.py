@@ -778,7 +778,45 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk_batch(emb, cents, queries, k=5, n_probe=2)
     brute = topk_cosine_batch(emb, queries, k=5)
     rec = recall_at_k(ivf, brute)
-    return ivf.join(rec, "query_id")
+    out = ivf.join(rec, "query_id")
+    # PQ-ADC search for the same queries (the lookup-table scan that
+    # replaces per-row vector arithmetic at the 100 TB tier): quantize →
+    # encode (4×16 PQ, 8 seed codebooks) → exact int64 ADC top-5. Joined by
+    # per-query rank, so every ADC hit and its exact distance is gated.
+    from pyspark.sql import Window
+
+    from nyxus_spark.operators.similarity import (
+        pq_encode,
+        pq_search_adc,
+        quantize_embedding,
+    )
+
+    qz = emb.select("vec_id", quantize_embedding("embedding").alias("q"))
+    books = qz.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cent_id"),
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3),"
+            " j -> slice(q, j * (size(q) div 4) + 1, size(q) div 4))"
+        )).alias("sub_id", "cent_sub"),
+    )
+    codes = pq_encode(qz, books, m=4, vec_col="q")
+    qvq = qz.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("query_qvec")
+    )
+    adc = pq_search_adc(codes, books, qvq, m=4, k=5).select(
+        "query_id", F.col("vec_id").alias("adc_vec_id"), "adc_d", "rank"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(adc, ["query_id", "rank"])
+        .select(
+            "query_id", "vec_id", "cos", "n_hits", "n_exact", "recall",
+            "rank", "adc_vec_id", "adc_d",
+        )
+    )
 
 
 def _q_multi_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2680,7 +2718,7 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # the persisted index is semantically the same search (assignment is
         # materialized, not recomputed) — gated by the identical oracle
         "ivf_persisted": oracles.SQL_IVF_TOPK,
-        "ivf_batch": oracles.sql_ivf_batch_recall(),
+        "ivf_batch": oracles.sql_ivf_batch_adc(),
         # a format round-trip is content-preserving: one aggregate row per
         # staged format, all computed from the canonical parquet
         "multi_format_scan": """

@@ -273,10 +273,11 @@ def ivf_topk_batch(
     )
 
 
-def _partition_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> DataFrame:
-    """Reduce each partition of (query_id, id, cos) rows to its per-query
-    top-k under (cos DESC, id ASC) — a map-side combine for the rank that
-    follows, carrying O(|Q|·k) state per partition."""
+def _partition_topk(scored: DataFrame, k: int, query_id: str, id_col: str,
+                    score_col: str = "cos", ascending: bool = False) -> DataFrame:
+    """Reduce each partition of (query_id, id, score) rows to its per-query
+    top-k under (score DESC|ASC, id ASC) — a map-side combine for the rank
+    that follows, carrying O(|Q|·k) state per partition."""
 
     def gen(batches):
         import pandas as pd
@@ -290,8 +291,8 @@ def _partition_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> Da
             if carry is not None:
                 part = pd.concat([carry, part], ignore_index=True)
             part = part.sort_values(
-                [query_id, "cos", id_col],
-                ascending=[True, False, True],
+                [query_id, score_col, id_col],
+                ascending=[True, ascending, True],
                 kind="mergesort",
             )
             carry = part.groupby(query_id, sort=False).head(k)
@@ -442,6 +443,84 @@ def pq_encode(
             ).alias("pq_codes"),
             F.sum("__best.d").alias("pq_d2"),
         )
+    )
+
+
+def pq_search_adc(
+    codes: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    m: int,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_qvec",
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    sub_id: str = "sub_id",
+    cent_id: str = "cent_id",
+    cent_sub: str = "cent_sub",
+) -> DataFrame:
+    """Asymmetric-distance PQ search (ADC) — the scan that makes PQ an ANN
+    index: each query precomputes an m×C lookup table of exact int64
+    subspace distances to every codebook centroid, then every corpus row is
+    scored by m ARRAY LOOKUPS on its codes (no per-row vector arithmetic at
+    all): d_ADC(q, x) = Σ_j ‖q_j − c[code_j]‖². With integer queries and
+    codebooks the score is exact, so the whole search is oracle-checkable.
+
+    Plan shape: the LUT build touches only queries × codebooks (|Q|·m·C
+    rows, broadcast both ways); the corpus scan is ONE broadcast
+    nested-loop over the code table with a JVM `aggregate` per (row, query),
+    followed by the same per-partition pre-top-k combine the brute path
+    uses — the rank exchange carries partitions·|Q|·k rows, never
+    |corpus|·|Q|. Requires centroid ids dense 0..C−1 within each subspace
+    (they index the LUT row).
+
+    Returns (query_id, id_col, adc_d: BIGINT, rank)."""
+    if m <= 0 or k <= 0:
+        raise ValueError(f"need m > 0 and k > 0, got {m}, {k}")
+    from pyspark.sql import Window
+
+    qsubs = queries.select(
+        query_id,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m} - 1), j -> slice({query_vec},"
+                f" j * (size({query_vec}) div {m}) + 1, size({query_vec}) div {m}))"
+            )
+        ).alias(sub_id, "__qsub"),
+    )
+    d2 = F.expr(
+        f"aggregate(zip_with(__qsub, {cent_sub},"
+        f" (x, y) -> cast(x - y as bigint) * (x - y)),"
+        f" 0L, (a, v) -> a + v)"
+    )
+    lut = (
+        qsubs.join(F.broadcast(books), sub_id)
+        .select(query_id, sub_id, F.col(cent_id).alias("__c"), d2.alias("__d"))
+        .groupBy(query_id, sub_id)
+        .agg(F.expr("transform(array_sort(collect_list(struct(__c as c,"
+                    " __d as d))), x -> x.d)").alias("__ds"))
+        .groupBy(query_id)
+        .agg(F.expr(f"transform(array_sort(collect_list(struct({sub_id} as s,"
+                    " __ds as ds))), x -> x.ds)").alias("__lut"))
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        query_id,
+        id_col,
+        F.expr(
+            f"aggregate(zip_with({codes_col}, __lut, (c, row) -> row[c]),"
+            " 0L, (a, v) -> a + v)"
+        ).alias("adc_d"),
+    )
+    pre = _partition_topk(scored, k, query_id, id_col,
+                          score_col="adc_d", ascending=True)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d").asc(), F.col(id_col).asc()
+    )
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "adc_d", F.col("rank").cast("long").alias("rank"))
     )
 
 

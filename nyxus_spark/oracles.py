@@ -295,6 +295,81 @@ FROM ivf i JOIN rec r USING (query_id)
 """
 
 
+def sql_ivf_batch_adc(n_queries: int = 3, n_cents: int = 8, n_probe: int = 2,
+                      k: int = 5, m: int = 4, subdim: int = 16) -> str:
+    """Batch IVF + recall + PQ-ADC replay: quantize the corpus from scratch,
+    rebuild the 4×16 PQ codebooks from the 8 seed vectors, encode every
+    vector (exact int64 subspace argmin, ties to lowest centroid), score the
+    query set by asymmetric distance d_ADC = Σ_j ‖q_j − c[code_j]‖², and
+    join the per-query ADC top-k to the IVF rows by rank — replays
+    operators/similarity.py pq_encode + pq_search_adc."""
+    return f"""
+WITH base AS ({sql_ivf_batch_recall(n_queries, n_cents, n_probe, k)}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM base
+),
+qz AS (  -- int8 quantization, same IEEE expression tree as the Spark side
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
+              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0)
+              ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(FLOOR(127.0 * x
+                          / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+                          + 0.5) AS INTEGER))
+         END AS qv
+  FROM embeddings
+),
+pjs AS (SELECT unnest(range(0, {m})) AS sub_id),
+pbooks AS (
+  SELECT j.sub_id, vec_id AS pcent,
+         qv[CAST(j.sub_id * {subdim} + 1 AS BIGINT) : CAST(j.sub_id * {subdim} + {subdim} AS BIGINT)] AS cs
+  FROM qz, pjs j WHERE vec_id < {n_cents}
+),
+psubs AS (
+  SELECT vec_id, j.sub_id,
+         qv[CAST(j.sub_id * {subdim} + 1 AS BIGINT) : CAST(j.sub_id * {subdim} + {subdim} AS BIGINT)] AS sv
+  FROM qz, pjs j
+),
+pqd AS (
+  SELECT s.vec_id, s.sub_id, b.pcent,
+         (SELECT CAST(SUM(CAST(s.sv[u.i] - b.cs[u.i] AS BIGINT)
+                          * (s.sv[u.i] - b.cs[u.i])) AS BIGINT)
+          FROM (SELECT unnest(range(1, {subdim} + 1)) AS i) u) AS d
+  FROM psubs s JOIN pbooks b USING (sub_id)
+),
+pqa AS (  -- per-(vector, subspace) code: argmin, ties to lowest centroid
+  SELECT vec_id, sub_id, pcent FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                 ORDER BY d ASC, pcent ASC) AS rn
+    FROM pqd) WHERE rn = 1
+),
+qlut AS (  -- query-side LUT: exact subspace distance to every centroid
+  SELECT s.vec_id AS query_id, s.sub_id, b.pcent,
+         (SELECT CAST(SUM(CAST(s.sv[u.i] - b.cs[u.i] AS BIGINT)
+                          * (s.sv[u.i] - b.cs[u.i])) AS BIGINT)
+          FROM (SELECT unnest(range(1, {subdim} + 1)) AS i) u) AS d
+  FROM psubs s JOIN pbooks b USING (sub_id)
+  WHERE s.vec_id < {n_queries}
+),
+adc AS (  -- ADC score = m lookups summed over the row's codes
+  SELECT l.query_id, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_d
+  FROM pqa a JOIN qlut l ON a.sub_id = l.sub_id AND a.pcent = l.pcent
+  GROUP BY 1, 2
+),
+adctop AS (
+  SELECT query_id, vec_id AS adc_vec_id, adc_d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d ASC, vec_id ASC) AS rank
+  FROM adc QUALIFY rank <= {k}
+)
+SELECT r.query_id, r.vec_id, r.cos, r.n_hits, r.n_exact, r.recall,
+       CAST(r.rank AS BIGINT) AS rank, t.adc_vec_id, t.adc_d
+FROM ranked r JOIN adctop t USING (query_id, rank)
+"""
+
+
 def sql_cosine_dup(threshold: float = 0.99, n_planes: int = 16, quant: int = 1000) -> str:
     """Embedding-cosine near-dup oracle: replays the hyperplane-LSH blocking
     with the same integer arithmetic (quantized vectors × deterministic

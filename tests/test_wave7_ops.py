@@ -258,3 +258,45 @@ def test_pq_encode_tie_breaks_to_lowest_centroid(spark):
 def test_pq_encode_validation():
     with pytest.raises(ValueError, match="m must be positive"):
         pq_encode(None, None, 0)
+
+
+def test_pq_search_adc_matches_numpy(spark):
+    import numpy as np
+
+    from nyxus_spark.operators.similarity import pq_search_adc
+
+    m, d, C = 2, 8, 4
+    vecs = [(i, [((i * 11 + j * 5) % 21) - 10 for j in range(d)]) for i in range(15)]
+    books = {
+        j: [(c, [((c * 7 + j * 2 + k * 3) % 15) - 7 for k in range(d // m)])
+            for c in range(C)]
+        for j in range(m)
+    }
+    qs = [(100, [((j * 9) % 13) - 6 for j in range(d)]),
+          (101, [((j * 4 + 1) % 13) - 6 for j in range(d)])]
+    df = spark.createDataFrame(vecs, "vec_id long, qvec array<int>")
+    cb = spark.createDataFrame(
+        [(j, c, cs) for j, lst in books.items() for c, cs in lst],
+        "sub_id int, cent_id int, cent_sub array<int>",
+    )
+    qdf = spark.createDataFrame(qs, "query_id long, query_qvec array<int>")
+    codes = pq_encode(df, cb, m=m)
+    got = [(r["query_id"], r["rank"], r["vec_id"], r["adc_d"])
+           for r in pq_search_adc(codes, cb, qdf, m=m, k=4).collect()]
+
+    # numpy reference: encode, then ADC = sum of LUT entries, top-k (d, id)
+    np_codes = _np_pq(vecs, books, m)
+    want = []
+    for qid, qv in qs:
+        scored = []
+        for vid, _ in vecs:
+            cs = np_codes[vid][0]
+            dist = 0
+            for j in range(m):
+                sub = np.asarray(qv[j * (d // m):(j + 1) * (d // m)], dtype=np.int64)
+                cent = np.asarray(dict(books[j])[cs[j]], dtype=np.int64)
+                dist += int(((sub - cent) ** 2).sum())
+            scored.append((dist, vid))
+        for rank, (dist, vid) in enumerate(sorted(scored)[:4], start=1):
+            want.append((qid, rank, vid, dist))
+    assert sorted(got) == sorted(want)
