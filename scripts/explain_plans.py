@@ -221,6 +221,46 @@ def main() -> None:
         kmeans_step(qv, seeds)
     )
 
+    # delimiter segmentation: pure higher-order expressions + posexplode —
+    # NO exchange anywhere (the split itself is embarrassingly parallel)
+    from nyxus_spark.functions import split_on_token
+
+    ts = tokens_static(spark, sf)
+    sections["delimiter segmentation (split_on_token — no exchange)"] = plan_of(
+        split_on_token(ts, 104)
+    )
+
+    # segment-level dedup: the split is narrow; the ONLY exchange is the
+    # first-occurrence window on the segment content key
+    from nyxus_spark.operators.dedup import segment_dedup
+
+    sections["segment-level dedup (one content-key exchange)"] = plan_of(
+        segment_dedup(ts, 104)
+    )
+
+    # PQ encode: broadcast codebooks; the argmin is a hash AGGREGATION
+    # (min(struct)) rather than a window sort, then one reassembly agg
+    from nyxus_spark.operators.similarity import pq_encode, pq_search_adc
+
+    books = qv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cent_id"),
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3),"
+            " j -> slice(qvec, j * (size(qvec) div 4) + 1, size(qvec) div 4))"
+        )).alias("sub_id", "cent_sub"),
+    )
+    codes = pq_encode(qv, books, m=4, vec_col="qvec")
+    sections["PQ encode (broadcast codebooks + min-struct hash agg)"] = plan_of(codes)
+
+    # PQ ADC search: broadcast LUT over the code table; per-partition
+    # pre-top-k (MapInArrow) below the per-query rank exchange
+    qpq = qv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("query_qvec")
+    )
+    sections["PQ ADC search (broadcast LUT, pre-top-k below rank exchange)"] = plan_of(
+        pq_search_adc(codes, books, qpq, m=4, k=5)
+    )
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the flagship operators\n\n")
         f.write("Generated by `scripts/explain_plans.py` (sf0.01, local[8]).\n")
@@ -256,6 +296,16 @@ def main() -> None:
     assert batch_plan.index("MapInArrow") > batch_plan.index("Exchange"), (
         "pre-top-k must feed the rank exchange"
     )
+    assert "Exchange" not in sections[
+        "delimiter segmentation (split_on_token — no exchange)"
+    ]
+    assert n_exch["segment-level dedup (one content-key exchange)"] == 1
+    pq_plan = sections["PQ encode (broadcast codebooks + min-struct hash agg)"]
+    assert "BroadcastExchange" in pq_plan and "Window" not in pq_plan
+    adc_plan = sections["PQ ADC search (broadcast LUT, pre-top-k below rank exchange)"]
+    # consumers print first: the rank exchange is the FIRST Exchange in the
+    # text and the pre-top-k MapInArrow must sit below (after) it
+    assert adc_plan.index("MapInArrow") > adc_plan.index("Exchange")
     print("EXPLAIN.md written")
     spark.stop()
 
