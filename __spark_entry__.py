@@ -618,7 +618,12 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from pyspark.sql import functions as F
 
-    from nyxus_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, segment_dedup
+    from nyxus_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        reassemble_segments,
+        segment_dedup,
+    )
 
     aug = _aug_corpus(spark, sf_dir).withColumn(
         "key", F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
@@ -627,7 +632,7 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = minhash_lsh_pairs(survivors, jaccard_threshold=0.5)
     drop_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
     cleaned = survivors.join(drop_ids, "doc_id", "left_anti")
-    segd = segment_dedup(cleaned, delim=104)
+    segd = segment_dedup(cleaned, delim=104, keep_tokens=True)
     per_doc = segd.groupBy("doc_id").agg(
         F.sum("seg_kept").cast("long").alias("segs_kept"),
         (F.count("*") - F.sum("seg_kept")).cast("long").alias("segs_removed"),
@@ -636,13 +641,32 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("seg_kept") == 1, F.col("seg_sum")).otherwise(0))
         .cast("long").alias("clean_tok_sum"),
     )
+    # REASSEMBLY: rebuild each cleaned doc from its kept segments (in
+    # seg_id order, delimiters gone) and gate the order-sensitive digest
+    # Σ token·(position+1) mod 1000003 — one wrong token, order flip, or
+    # segment mis-assignment flips it. Docs whose every segment was a
+    # duplicate drop out of the rebuilt table → digest −1.
+    rebuilt = reassemble_segments(segd).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN n_tok = 0 THEN 0L ELSE "
+            "aggregate(zip_with(tokens, sequence(1, n_tok),"
+            " (t, i) -> cast(t as bigint) * i), 0L, (a, x) -> a + x)"
+            " % 1000003 END"
+        ).alias("clean_digest"),
+    )
     zero = F.lit(0).cast("long")
-    return cleaned.join(per_doc, "doc_id", "left").select(
-        "doc_id", "source",
-        F.coalesce("segs_kept", zero).alias("segs_kept"),
-        F.coalesce("segs_removed", zero).alias("segs_removed"),
-        F.coalesce("clean_n_tok", zero).alias("clean_n_tok"),
-        F.coalesce("clean_tok_sum", zero).alias("clean_tok_sum"),
+    return (
+        cleaned.join(per_doc, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("segs_kept", zero).alias("segs_kept"),
+            F.coalesce("segs_removed", zero).alias("segs_removed"),
+            F.coalesce("clean_n_tok", zero).alias("clean_n_tok"),
+            F.coalesce("clean_tok_sum", zero).alias("clean_tok_sum"),
+            F.coalesce("clean_digest", F.lit(-1).cast("long")).alias("clean_digest"),
+        )
     )
 
 
@@ -2016,8 +2040,19 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = contamination(toks, bench, n=8).select(
         nid.alias("doc_id"), "contam_hits", "contam_distinct", "is_contaminated",
     )
+    # n-gram NOVELTY (memorization-risk monitor: distinct 8-grams appearing
+    # in no other doc) + deterministic MLM MASKING (rate 0.15, position-hash
+    # re-derivable — n_masked + the position checksum pin every decision)
+    from nyxus_spark.functions import mask_tokens, ngram_novelty
+
+    nov = ngram_novelty(toks, n=8).select(
+        nid.alias("doc_id"), "grams_distinct", "grams_novel", "novelty",
+    )
+    msk = mask_tokens(toks, 0.15).select(
+        nid.alias("doc_id"), "n_masked", "mask_checksum",
+    )
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
-    out = out.join(cont, "doc_id")
+    out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2029,6 +2064,10 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("rep_top_ngram_count", zero).alias("rep_top_ngram_count"),
         F.coalesce("rep_dup_ratio", F.lit(0.0)).alias("rep_dup_ratio"),
         "contam_hits", "contam_distinct", "is_contaminated",
+        F.coalesce("grams_distinct", zero).alias("grams_distinct"),
+        F.coalesce("grams_novel", zero).alias("grams_novel"),
+        F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+        "n_masked", "mask_checksum",
     )
     # curriculum bucketing: quality quartiles per language (ntile under a
     # TOTAL order — quality_score ties broken by doc_id — so the bucket
@@ -3005,6 +3044,30 @@ contam AS (
          CAST(COUNT(DISTINCT d.g) AS BIGINT) AS contam_distinct
   FROM g8 d JOIN bench b ON d.g = b.g
   GROUP BY d.doc_id
+),
+nov8 AS (SELECT DISTINCT doc_id, g FROM g8),
+gfreq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS dc FROM nov8 GROUP BY g),
+nov AS (  -- novelty: distinct 8-grams appearing in no other document
+  SELECT n.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS grams_distinct,
+         CAST(SUM(CASE WHEN f.dc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS grams_novel,
+         FLOOR((CAST(SUM(CASE WHEN f.dc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS novelty
+  FROM nov8 n JOIN gfreq f USING (g) GROUP BY n.doc_id
+),
+msk AS (  -- deterministic MLM masking replay: position-hash < cut
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(range(0, CAST(n_tok AS BIGINT)),
+           i -> CASE WHEN (((doc_id % 2147483647) * 40503 + i * 506952122)
+                           % 2147483647) * 506952114 % 2147483647
+                     < {int(2147483647 * 0.15)} THEN 1 ELSE 0 END)), 0)
+              AS BIGINT) AS n_masked,
+         CAST(COALESCE(list_sum(list_transform(range(0, CAST(n_tok AS BIGINT)),
+           i -> CASE WHEN (((doc_id % 2147483647) * 40503 + i * 506952122)
+                           % 2147483647) * 506952114 % 2147483647
+                     < {int(2147483647 * 0.15)} THEN i + 1 ELSE 0 END)), 0)
+              AS BIGINT) AS mask_checksum
+  FROM toks
 )
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
@@ -3017,7 +3080,11 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(r.rep_dup_ratio, 0.0) AS rep_dup_ratio,
        COALESCE(c.contam_hits, 0) AS contam_hits,
        COALESCE(c.contam_distinct, 0) AS contam_distinct,
-       CAST(COALESCE(c.contam_hits, 0) > 0 AS BIGINT) AS is_contaminated
+       CAST(COALESCE(c.contam_hits, 0) > 0 AS BIGINT) AS is_contaminated,
+       COALESCE(n.grams_distinct, 0) AS grams_distinct,
+       COALESCE(n.grams_novel, 0) AS grams_novel,
+       COALESCE(n.novelty, 0.0) AS novelty,
+       m.n_masked, m.mask_checksum
 FROM ({oracles.sql_langid(STOPWORDS)}) l
 JOIN ({oracles.sql_text_quality(STOPWORDS["en"])}) q USING (doc_id)
 JOIN (
@@ -3029,6 +3096,8 @@ JOIN (
 ) f USING (doc_id)
 LEFT JOIN rep r USING (doc_id)
 LEFT JOIN contam c USING (doc_id)
+LEFT JOIN nov n USING (doc_id)
+JOIN msk m USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

@@ -319,6 +319,84 @@ def epoch_shuffle_key(id_expr, epoch: int, mix: int = 2654435761,
     return F.pmod(a * F.lit(mix % p31), F.lit(p31))
 
 
+def mask_tokens(df, rate: float, mask_id: int = -100,
+                tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                id_expr_sql: str = "cast(substr(doc_id, 5) as bigint)",
+                seed: int = 0, mix: int = 2654435761, p31: int = 2147483647):
+    """Deterministic MLM-style token masking — the BERT/T5 corruption pass,
+    reproducible forever: position p of document d is masked iff
+    pmod(pmod(d·K1 + (p+seed)·K2, P31) · (MIX mod P31), P31) < ⌊P31·rate⌋,
+    so any (doc, position) re-derives its mask decision on any engine and
+    any partitioning (df.sample-style randomness would not). Changing
+    `seed` yields a fresh independent corruption of the same corpus —
+    the per-epoch mask refresh dynamic-masking training uses.
+
+    Pure column expressions (one transform over the token array, no
+    shuffle, no Python). Adds masked_tokens (masked positions replaced by
+    `mask_id`), n_masked, and mask_checksum = Σ (p+1) over masked
+    positions (an exact BIGINT pinning WHICH positions were masked).
+    `id_expr_sql` must evaluate to a nonnegative integer document id."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(p31 * rate)
+    k1, k2 = 40503, 2654435769 % p31
+    # p is the 0-based position (Spark lambda index via zip_with sequence)
+    h = (
+        f"pmod(pmod(({id_expr_sql}) % {p31} * {k1}"
+        f" + (cast(i as bigint) + {seed}) * {k2}, {p31})"
+        f" * {mix % p31} % {p31}, {p31})"
+    )
+    masked = (
+        f"CASE WHEN {n_tok_col} > 0 THEN "
+        f"zip_with({tokens_col}, sequence(0, {n_tok_col} - 1),"
+        f" (t, i) -> CASE WHEN {h} < {cut} THEN {mask_id} ELSE t END)"
+        f" ELSE array() END"
+    )
+    flags = (
+        f"CASE WHEN {n_tok_col} > 0 THEN "
+        f"transform(sequence(0, {n_tok_col} - 1),"
+        f" i -> CASE WHEN {h} < {cut} THEN cast(i + 1 as bigint) ELSE 0L END)"
+        f" ELSE array() END"
+    )
+    return df.select(
+        "*",
+        F.expr(masked).alias("masked_tokens"),
+        F.expr(f"aggregate({flags}, 0L, (a, x) -> a + CASE WHEN x > 0"
+               " THEN 1L ELSE 0L END)").alias("n_masked"),
+        F.expr(f"aggregate({flags}, 0L, (a, x) -> a + x)").alias("mask_checksum"),
+    )
+
+
+def ngram_novelty(df, n: int = 8, tokens_col: str = "tokens",
+                  n_tok_col: str = "n_tok", id_col: str = "doc_id"):
+    """Per-document n-gram NOVELTY — the memorization-risk monitor: which
+    fraction of a document's distinct n-grams appears in NO other document?
+    Low novelty ⇒ the document is largely assembled from corpus-common
+    spans (boilerplate / near-dup residue); high novelty ⇒ unique content.
+
+    Two-phase: one explode + hash-agg counts each gram's distinct-document
+    frequency, then grams with doc_freq = 1 join back per document — the
+    same shuffle profile as vocabulary counting, nothing quadratic. Exact
+    integers + ONE division. Returns (id_col, grams_distinct, grams_novel,
+    novelty)."""
+    grams = df.select(
+        id_col, F.explode(F.array_distinct(ngram_keys(n, tokens_col, n_tok_col)))
+        .alias("__g")
+    )
+    freq = grams.groupBy("__g").agg(
+        F.count("*").cast("long").alias("__docs")  # grams pre-deduped per doc
+    )
+    per_doc = grams.join(freq, "__g").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("grams_distinct"),
+        F.sum(F.when(F.col("__docs") == 1, 1).otherwise(0))
+        .cast("long").alias("grams_novel"),
+    )
+    return per_doc.select(
+        id_col, "grams_distinct", "grams_novel",
+        fround4(F.col("grams_novel") / F.col("grams_distinct")).alias("novelty"),
+    )
+
+
 def ngram_keys(n: int, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
     """Array of the document's token n-grams, each serialized to a ','-joined
     string key. String keys keep the downstream groupBy/join in whole-stage

@@ -104,6 +104,7 @@ def segment_dedup(
     tokens_col: str = "tokens",
     n_tok_col: str = "n_tok",
     id_col: str = "doc_id",
+    keep_tokens: bool = False,
 ) -> DataFrame:
     """Segment-level (line/paragraph-level) exact dedup — the CCNet/Gopher
     pipeline pass that removes paragraphs duplicated ACROSS documents
@@ -113,10 +114,10 @@ def segment_dedup(
     FIRST occurrence corpus-wide (lowest (id, seg_id) under the total
     order).
 
-    Returns the segment table (id_col, seg_id, seg_len, seg_sum,
-    seg_kept: 0/1) — callers rebuild cleaned documents by filtering
-    seg_kept = 1 and re-concatenating in seg_id order, or aggregate the
-    flags for removal stats.
+    Returns the segment table (id_col, seg_id, [seg_tokens if keep_tokens],
+    seg_len, seg_sum, seg_kept: 0/1) — callers rebuild cleaned documents
+    with `reassemble_segments` (keep_tokens=True), or aggregate the flags
+    for removal stats.
 
     Scale shape: the split is pure column expressions (no shuffle); the
     first-occurrence choice is ONE hash shuffle on the segment content key
@@ -131,6 +132,9 @@ def segment_dedup(
     w = Window.partitionBy("__key").orderBy(
         F.col(id_col).asc(), F.col("seg_id").asc()
     )
+    cols = [id_col, "seg_id", "seg_len", "seg_sum", "seg_kept"]
+    if keep_tokens:
+        cols.insert(2, "seg_tokens")
     return (
         segs.withColumn("__key", key)
         .withColumn("seg_kept", (F.row_number().over(w) == 1).cast("int"))
@@ -138,7 +142,32 @@ def segment_dedup(
             "seg_sum",
             F.aggregate("seg_tokens", F.lit(0).cast("long"), lambda a, x: a + x),
         )
-        .select(id_col, "seg_id", "seg_len", "seg_sum", "seg_kept")
+        .select(*cols)
+    )
+
+
+def reassemble_segments(segs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rebuild cleaned documents from their surviving segments — the output
+    stage of the line-dedup pass: kept segments concatenate back in seg_id
+    order into a token table (id, tokens, n_tok) ready for the rest of the
+    pipeline (chunking, packing, feature kernels). One hash aggregation on
+    the document id; segment order is restored by an in-group array_sort
+    (no window, no second shuffle). Documents whose every segment was a
+    duplicate drop out (zero kept tokens ⇒ no training value).
+
+    Input must come from `segment_dedup(..., keep_tokens=True)`."""
+    return (
+        segs.filter(F.col("seg_kept") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(seg_id as s, seg_tokens as t))), x -> x.t))"
+            ).alias("tokens"),
+        )
+        .select(
+            id_col, "tokens", F.size("tokens").cast("int").alias("n_tok")
+        )
     )
 
 

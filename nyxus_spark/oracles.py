@@ -486,11 +486,22 @@ segrows AS (
   GROUP BY doc_id, segr
 ),
 segkept AS (  -- first occurrence of each distinct segment wins corpus-wide
-  SELECT doc_id, seg_id, seg_sum, seg_len,
+  SELECT doc_id, segr, seg_id, seg_sum, seg_len,
          CASE WHEN row_number() OVER (PARTITION BY seg_key
                                       ORDER BY doc_id ASC, seg_id ASC) = 1
               THEN 1 ELSE 0 END AS seg_kept
   FROM segrows
+),
+rebuilt AS (  -- reassembly digest: kept segments concatenated in order
+  SELECT doc_id,
+         CAST(SUM(CAST(tok AS BIGINT) * rn) % 1000003 AS BIGINT) AS clean_digest
+  FROM (
+    SELECT f.doc_id, f.tok,
+           row_number() OVER (PARTITION BY f.doc_id
+                              ORDER BY f.segr, f.i) AS rn
+    FROM segflat f JOIN segkept k ON f.doc_id = k.doc_id AND f.segr = k.segr
+    WHERE f.tok <> 104 AND k.seg_kept = 1
+  ) GROUP BY doc_id
 ),
 segdoc AS (
   SELECT doc_id,
@@ -504,8 +515,10 @@ SELECT c.doc_id, c.source,
        COALESCE(d.segs_kept, 0) AS segs_kept,
        COALESCE(d.segs_removed, 0) AS segs_removed,
        COALESCE(d.clean_n_tok, 0) AS clean_n_tok,
-       COALESCE(d.clean_tok_sum, 0) AS clean_tok_sum
+       COALESCE(d.clean_tok_sum, 0) AS clean_tok_sum,
+       COALESCE(rb.clean_digest, -1) AS clean_digest
 FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
+LEFT JOIN rebuilt rb USING (doc_id)
 """
 
 
