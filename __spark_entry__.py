@@ -916,10 +916,19 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions import source_drift
 
     drift = source_drift(t, "src0", "src1")
+    # PMI collocations: each kept token's best right-collocate by bigram
+    # count (ties → lowest successor id), association = the exact IEEE
+    # chain (c_ab/c_a)·N/c_b under fround4 — the oracle recomputes bigram
+    # and unigram counts from scratch. UNK(-1) has no anchor row →
+    # coalesced sentinels.
+    from nyxus_spark.functions import pmi_best_next
+
+    pmi = pmi_best_next(t, keep)
     zero = F.lit(0).cast("long")
     return (
         rec.join(top, "token", "left")
         .join(drift, "token", "left")
+        .join(pmi, "token", "left")
         .select(
             "token",
             F.coalesce("cnt", zero).alias("cnt"),
@@ -928,6 +937,9 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cnt_b", zero).alias("cnt_src1"),
             F.coalesce("drift_num", zero).alias("drift_num"),
             F.coalesce("drift_rate", F.lit(0.0)).alias("drift_rate"),
+            F.coalesce("next_token", F.lit(-1)).cast("long").alias("next_token"),
+            F.coalesce("big_cnt", zero).alias("big_cnt"),
+            F.coalesce("pmi4", F.lit(0.0)).alias("pmi4"),
         )
     )
 
@@ -1127,7 +1139,23 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, pack_shard, pack_start, pack_first, pack_last,"
         "       pack_spans, pack_head_fill FROM pack_stream_gate"
     )
-    return ch.join(pk, "doc_id")
+    # CONTENT-DEFINED chunking + chunk-level dedup (the shift-robust pass):
+    # boundary rule replayed term-for-term by the oracle; per-doc chunk
+    # count, corpus-wide first-occurrence keeps, and the kept token mass
+    # pin every boundary decision AND every dedup decision.
+    from nyxus_spark.operators.dedup import cdc_chunks
+
+    cdc = (
+        cdc_chunks(t, div=16)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("cdc_n"),
+            F.sum("cdc_kept").cast("long").alias("cdc_kept_n"),
+            F.sum(F.col("cdc_sum") * F.col("cdc_kept")).cast("long")
+            .alias("cdc_kept_sum"),
+        )
+    )
+    return ch.join(pk, "doc_id").join(cdc, "doc_id")
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2051,8 +2079,15 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     msk = mask_tokens(toks, 0.15).select(
         nid.alias("doc_id"), "n_masked", "mask_checksum",
     )
+    # hashed-bigram linear scorer (fastText/DSIR-style quality classifier):
+    # exact BIGINT weight sum + ONE final division — zero shuffle, pure map
+    from nyxus_spark.functions import hashed_bigram_score
+
+    hb_score, hb_rate = hashed_bigram_score(toks)
+    hb = toks.select(nid.alias("doc_id"), hb_score, hb_rate)
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
+    out = out.join(hb, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2068,6 +2103,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("grams_novel", zero).alias("grams_novel"),
         F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
         "n_masked", "mask_checksum",
+        "hb_score", "hb_rate",
     )
     # curriculum bucketing: quality quartiles per language (ntile under a
     # TOTAL order — quality_score ties broken by doc_id — so the bucket
@@ -2804,6 +2840,33 @@ drift AS (
          FLOOR(CAST(abs(cnt_a * nb - cnt_b * na) AS DOUBLE)
                / CAST(na * nb AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS drift_rate
   FROM dcounts, dtot
+),
+bg AS (  -- adjacent-bigram counts, recomputed from scratch
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS big_cnt
+  FROM (SELECT tokens[i] AS a, tokens[i+1] AS b
+        FROM (SELECT tokens, unnest(range(1, n_tok)) AS i
+              FROM tokens_static WHERE n_tok >= 2))
+  GROUP BY a, b
+),
+best AS (  -- best right-collocate per kept anchor: count DESC, b ASC
+  SELECT a AS token, b AS next_token, big_cnt FROM (
+    SELECT a, b, big_cnt,
+           ROW_NUMBER() OVER (PARTITION BY a
+                              ORDER BY big_cnt DESC, b ASC) AS rn
+    FROM bg WHERE a IN (SELECT token FROM top)
+  ) WHERE rn = 1
+),
+ntot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+pmi AS (  -- exact IEEE chain (c_ab/c_a)·N/c_b, left-to-right, fround4
+  SELECT best.token,
+         CAST(best.next_token AS BIGINT) AS next_token,
+         best.big_cnt,
+         FLOOR((CAST(best.big_cnt AS DOUBLE) / ca.cnt
+                * (SELECT n_total FROM ntot) / cb.cnt)
+               * 10000.0 + 0.5) / 10000.0 AS pmi4
+  FROM best
+  JOIN counts ca ON ca.token = best.token
+  JOIN counts cb ON cb.token = best.next_token
 )
 SELECT r.token,
        CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt,
@@ -2811,8 +2874,12 @@ SELECT r.token,
        COALESCE(ANY_VALUE(d.cnt_a), 0) AS cnt_src0,
        COALESCE(ANY_VALUE(d.cnt_b), 0) AS cnt_src1,
        COALESCE(ANY_VALUE(d.drift_num), 0) AS drift_num,
-       COALESCE(ANY_VALUE(d.drift_rate), 0.0) AS drift_rate
+       COALESCE(ANY_VALUE(d.drift_rate), 0.0) AS drift_rate,
+       COALESCE(ANY_VALUE(p.next_token), -1) AS next_token,
+       COALESCE(ANY_VALUE(p.big_cnt), 0) AS big_cnt,
+       COALESCE(ANY_VALUE(p.pmi4), 0.0) AS pmi4
 FROM remapped r LEFT JOIN top t USING (token) LEFT JOIN drift d USING (token)
+     LEFT JOIN pmi p USING (token)
 GROUP BY r.token, t.cnt
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
@@ -2989,13 +3056,50 @@ packs AS (
       FROM tokens_static WHERE n_tok > 0
     )
   )
+),
+cdcb AS (
+  -- content-defined boundaries, replayed term-for-term: 1-based j in
+  -- [4, n-1] ⇔ the Spark kernel's 0-based i in [3, n-2]; same window
+  -- multipliers, same mod chain
+  SELECT doc_id, tokens, n_tok,
+         list_filter(range(4, n_tok), j ->
+           (CAST(tokens[j] AS BIGINT) * 1000003
+            + CAST(tokens[j-1] AS BIGINT) * 40503
+            + CAST(tokens[j-2] AS BIGINT) * 69061
+            + CAST(tokens[j-3] AS BIGINT) * 9973)
+           % 2147483647 % 16 = 0) AS bnd
+  FROM tokens_static WHERE n_tok > 0
+),
+cdcc AS (
+  SELECT doc_id,
+         unnest(range(0, len(bnd) + 1)) AS cdc_id,
+         unnest(list_transform(range(1, len(bnd) + 2), k ->
+           tokens[list_prepend(1, list_transform(bnd, j -> j + 1))[k]
+                  : list_append(bnd, n_tok)[k]])) AS ck
+  FROM cdcb
+),
+cdcf AS (
+  SELECT doc_id, cdc_id,
+         CAST(COALESCE(list_sum(ck), 0) AS BIGINT) AS cdc_sum,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY array_to_string(ck, ',')
+                ORDER BY doc_id ASC, cdc_id ASC) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM cdcc
+),
+cdcd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cdc_n,
+         CAST(SUM(kept) AS BIGINT) AS cdc_kept_n,
+         CAST(SUM(kept * cdc_sum) AS BIGINT) AS cdc_kept_sum
+  FROM cdcf GROUP BY doc_id
 )
 SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        CAST(len(c.ck) AS BIGINT) AS chunk_len,
        CAST(COALESCE(list_sum(c.ck), 0) AS BIGINT) AS chunk_sum,
        p.pack_shard, p.pack_start, p.pack_first, p.pack_last,
-       p.pack_spans, p.pack_head_fill
-FROM chunks c JOIN packs p USING (doc_id)
+       p.pack_spans, p.pack_head_fill,
+       d.cdc_n, d.cdc_kept_n, d.cdc_kept_sum
+FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈
@@ -3068,6 +3172,26 @@ msk AS (  -- deterministic MLM masking replay: position-hash < cut
                      < {int(2147483647 * 0.15)} THEN i + 1 ELSE 0 END)), 0)
               AS BIGINT) AS mask_checksum
   FROM toks
+),
+hb AS (  -- hashed-bigram linear scorer: exact BIGINT weight sum + ONE div
+  SELECT doc_id,
+         CASE WHEN n_tok >= 2 THEN
+           CAST(COALESCE(list_sum(list_transform(range(1, n_tok), i ->
+             (CAST(tokens[i] AS BIGINT) * 506952114
+              + CAST(tokens[i+1] AS BIGINT) * 40503)
+             % 2147483647 % 1024 * 2654435761 % 2147483647 % 2001
+             - 1000)), 0) AS BIGINT)
+         ELSE 0 END AS hb_score,
+         CASE WHEN n_tok >= 2 THEN
+           CAST(CASE WHEN n_tok >= 2 THEN
+             CAST(COALESCE(list_sum(list_transform(range(1, n_tok), i ->
+               (CAST(tokens[i] AS BIGINT) * 506952114
+                + CAST(tokens[i+1] AS BIGINT) * 40503)
+               % 2147483647 % 1024 * 2654435761 % 2147483647 % 2001
+               - 1000)), 0) AS BIGINT)
+           ELSE 0 END AS DOUBLE) / (n_tok - 1)
+         ELSE 0.0 END AS hb_rate
+  FROM toks
 )
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
@@ -3084,7 +3208,8 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(n.grams_distinct, 0) AS grams_distinct,
        COALESCE(n.grams_novel, 0) AS grams_novel,
        COALESCE(n.novelty, 0.0) AS novelty,
-       m.n_masked, m.mask_checksum
+       m.n_masked, m.mask_checksum,
+       h.hb_score, h.hb_rate
 FROM ({oracles.sql_langid(STOPWORDS)}) l
 JOIN ({oracles.sql_text_quality(STOPWORDS["en"])}) q USING (doc_id)
 JOIN (
@@ -3098,6 +3223,7 @@ LEFT JOIN rep r USING (doc_id)
 LEFT JOIN contam c USING (doc_id)
 LEFT JOIN nov n USING (doc_id)
 JOIN msk m USING (doc_id)
+JOIN hb h USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

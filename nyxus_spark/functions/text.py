@@ -568,3 +568,126 @@ def chunk_tokens(df, size: int, overlap: int = 0, tokens_col: str = "tokens",
         chunk.alias("chunk_tokens"),
         F.size(chunk).cast("long").alias("chunk_len"),
     )
+
+
+def bigram_counts(df, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
+    """Adjacent-bigram counts over the corpus: one row per (token,
+    next_token) with its occurrence count. The collocation-mining input
+    (BPE pair statistics, PMI association). Pure column expressions (one
+    zip_with of the two shifted slices, one posexplode) followed by ONE
+    hash aggregation — no Python, no window.
+
+    The `sequence`/`slice` guard: rows with n_tok < 2 contribute nothing
+    (and Spark's slice with length 0 is safely empty)."""
+    pairs = F.expr(
+        f"CASE WHEN {n_tok_col} >= 2 THEN "
+        f"zip_with(slice({tokens_col}, 1, {n_tok_col} - 1),"
+        f"         slice({tokens_col}, 2, {n_tok_col} - 1),"
+        f"         (a, b) -> struct(a, b)) "
+        "ELSE array() END"
+    )
+    return (
+        df.select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.a").alias("token"), F.col("bg.b").alias("next_token"))
+        .groupBy("token", "next_token")
+        .agg(F.count("*").cast("long").alias("big_cnt"))
+    )
+
+
+def pmi_best_next(df, keep, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
+    """Best right-collocate per anchor token, scored by a PMI-monotone
+    exact chain — the collocation/multi-word-expression miner of a
+    vocabulary-building pipeline. For each anchor token a in `keep`, pick
+    the successor b maximizing the adjacent-bigram count (ties broken by
+    b ASC — a total order), and report the association strength
+
+        assoc = (c_ab / c_a) · N / c_b      (= p(b|a) / p(b), e^PMI)
+
+    computed as the EXACT left-to-right IEEE chain
+    ``cast(c_ab as double) / c_a * N / c_b`` (every operand an exact
+    BIGINT; every op correctly rounded, so the double is bit-identical
+    across engines) and gated through `fround4`.
+
+    Returns (token, next_token, big_cnt, pmi4). Scale shape: two hash
+    aggregations (bigram + unigram counts, both map-side partial), one
+    partitioned top-1 window over the keep-set's bigram rows only, and a
+    broadcast-scalar join for N — no corpus-sized window, no cartesian."""
+    from pyspark.sql import Window
+
+    keep = [int(x) for x in keep]
+    if not keep:
+        raise ValueError("keep must be a non-empty token-id list")
+    big = bigram_counts(df, tokens_col, n_tok_col).filter(
+        F.col("token").isin(keep)
+    )
+    uni = (
+        df.select(F.explode(tokens_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("ucnt"))
+    )
+    tot = df.agg(F.sum(F.col(n_tok_col).cast("long")).alias("n_total"))
+    w = Window.partitionBy("token").orderBy(
+        F.col("big_cnt").desc(), F.col("next_token").asc()
+    )
+    best = big.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    out = (
+        best.join(uni.withColumnRenamed("tok", "token")
+                     .withColumnRenamed("ucnt", "cnt_a"), "token")
+        .join(uni.withColumnRenamed("tok", "next_token")
+                 .withColumnRenamed("ucnt", "cnt_b"), "next_token")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = (
+        F.col("big_cnt").cast("double") / F.col("cnt_a")
+        * F.col("n_total") / F.col("cnt_b")
+    )
+    return out.select(
+        "token", "next_token", "big_cnt", fround4(pmi).alias("pmi4")
+    )
+
+
+#: hashed-bigram scorer constants (bucket mix, weight mix, bucket count)
+MIX_CONST = 2654435761  # Knuth multiplicative constant (weight derivation)
+HB_P31 = 2147483647
+HB_K1 = 506952114     # 2654435761 mod P31
+HB_K2 = 40503         # 16-bit Knuth constant
+HB_BUCKETS = 1024
+HB_WSPAN = 2001       # integer weights in [-1000, 1000]
+
+
+def hashed_bigram_score(df, tokens_col: str = "tokens",
+                        n_tok_col: str = "n_tok"):
+    """Hashed-bigram linear scorer — the fastText/DSIR-style quality- or
+    domain-classifier pass: every adjacent bigram hashes into one of 1024
+    buckets, each bucket carries a fixed integer weight derived from its id
+    (a deterministic stand-in for trained classifier weights; swap in a
+    broadcast weight map in production), and the document score is the sum
+    of its bigrams' weights.
+
+        bucket(a,b) = pmod(a·K1 + b·K2, P31) mod 1024
+        w(bucket)   = pmod(bucket·2654435761, P31) mod 2001 − 1000
+        score       = Σ_bigrams w(bucket)           (exact BIGINT)
+        score_rate  = score / (n_tok − 1)           (ONE final division)
+
+    Everything integer until the single division, so the gate is exact.
+    a·K1 ≤ 2^31·2^29 and the sum of two such terms stays well under 2^63.
+    Column-expression aggregate over the in-row bigram list — zero shuffle,
+    zero Python; at 100 TB this is a pure map stage."""
+    t, n = tokens_col, n_tok_col
+    wexpr = (
+        f"aggregate(zip_with(slice({t}, 1, {n} - 1), slice({t}, 2, {n} - 1),"
+        f" (a, b) -> pmod(pmod(cast(a as bigint) * {HB_K1}"
+        f" + cast(b as bigint) * {HB_K2}, {HB_P31}) % {HB_BUCKETS}"
+        f" * cast({MIX_CONST} as bigint), {HB_P31}) % {HB_WSPAN} - 1000),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
+    score = F.expr(
+        f"CASE WHEN {n} >= 2 THEN {wexpr} ELSE 0L END"
+    ).alias("hb_score")
+    rate = F.expr(
+        f"CASE WHEN {n} >= 2 THEN CAST(({wexpr}) AS DOUBLE) / ({n} - 1) "
+        "ELSE 0.0D END"
+    ).alias("hb_rate")
+    return score, rate

@@ -171,6 +171,96 @@ def reassemble_segments(segs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+#: fixed window multipliers for the CDC rolling hash (position i takes
+#: t[i]·K0 + t[i−1]·K1 + t[i−2]·K2 + t[i−3]·K3) — int32 tokens keep every
+#: product under 2^51, so the BIGINT sum is exact in Spark AND DuckDB.
+CDC_K = (1000003, 40503, 69061, 9973)
+CDC_WINDOW = len(CDC_K)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    div: int = 16,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """Content-defined chunking (CDC) + chunk-level exact dedup — the
+    shift-robust dedup pass (FastCDC/rsync family): chunk boundaries come
+    from the CONTENT (a rolling hash over the last 4 tokens hitting
+    0 mod `div`), not from fixed offsets, so inserting one token near the
+    head of a near-duplicate document re-aligns after the next boundary and
+    the downstream chunks still dedup exactly — fixed-size chunking loses
+    every chunk after the edit point.
+
+    Boundary rule: position i (0-based, full window i ≥ 3, never the last
+    position) ends a chunk when
+    ``(t[i]·K0 + t[i−1]·K1 + t[i−2]·K2 + t[i−3]·K3) mod P31 mod div == 0``
+    — expected chunk length ≈ `div` tokens. Deterministic, re-derivable,
+    and replayed term-for-term by the DuckDB oracle.
+
+    Returns one row per chunk: (id, cdc_id, [cdc_tokens], cdc_len, cdc_sum,
+    cdc_kept) where cdc_kept=1 marks the FIRST occurrence of that chunk
+    content corpus-wide (lowest (id, cdc_id) under the total order), the
+    same first-occurrence-wins contract as `segment_dedup`.
+
+    Scale shape: boundary detection + slicing are pure column expressions
+    (no shuffle, no Python); the only exchange is the hash shuffle on the
+    chunk content key for the first-occurrence window — cost scales with
+    corpus tokens, the same profile as segment-level dedup.
+
+    Reference analog: nyxus decomposes a slide into content-driven ROIs
+    (connected components) rather than fixed tiles; CDC is the 1-D stream
+    analog of content-driven segmentation.
+    """
+    if div <= 1:
+        raise ValueError(f"div must be > 1, got {div}")
+    k0, k1, k2, k3 = CDC_K
+    t, n = tokens_col, n_tok_col
+    h = (
+        f"(cast({t}[i] as bigint) * {k0} + cast({t}[i-1] as bigint) * {k1}"
+        f" + cast({t}[i-2] as bigint) * {k2} + cast({t}[i-3] as bigint) * {k3})"
+    )
+    # boundary positions: i in [3, n−2] (full window, never the final
+    # position) — sequence() DESCENDS when the bound inverts, hence the
+    # n ≥ 5 guard
+    bpos = (
+        f"CASE WHEN {n} >= 5 THEN "
+        f"filter(sequence(3, {n} - 2), i -> pmod({h}, {P31}) % {div} = 0) "
+        "ELSE array() END"
+    )
+    chunks = (
+        f"zip_with(concat(array(0), transform({bpos}, p -> p + 1)),"
+        f"         concat({bpos}, array({n} - 1)),"
+        f"         (s, e) -> slice({t}, s + 1, e - s + 1))"
+    )
+    exploded = df.select(
+        "*",
+        F.posexplode(
+            F.expr(f"CASE WHEN {n} > 0 THEN {chunks} ELSE array() END")
+        ).alias("cdc_id", "cdc_tokens"),
+    )
+    key = F.concat_ws(",", F.transform("cdc_tokens", lambda x: x.cast("string")))
+    w = Window.partitionBy("__key").orderBy(
+        F.col(id_col).asc(), F.col("cdc_id").asc()
+    )
+    cols = [id_col, "cdc_id", "cdc_len", "cdc_sum", "cdc_kept"]
+    if keep_tokens:
+        cols.insert(2, "cdc_tokens")
+    return (
+        exploded.withColumn("__key", key)
+        .withColumn("cdc_kept", (F.row_number().over(w) == 1).cast("int"))
+        .withColumn("cdc_id", F.col("cdc_id").cast("long"))
+        .withColumn("cdc_len", F.size("cdc_tokens").cast("long"))
+        .withColumn(
+            "cdc_sum",
+            F.aggregate("cdc_tokens", F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .select(*cols)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
