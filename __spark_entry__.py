@@ -2049,7 +2049,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join, identically in SQL."""
     from pyspark.sql import functions as F
 
-    from nyxus_spark.functions import contamination, repetition_stats
+    from nyxus_spark.functions import repetition_stats
     from nyxus_spark.sources import tokens_static
 
     lid = _q_langid(spark, sf_dir)
@@ -2065,7 +2065,14 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_dup_ngrams", "rep_top_ngram_count", "rep_dup_ratio",
     )
     bench = toks.filter(nid % 97 == 0)
-    cont = contamination(toks, bench, n=8).select(
+    # driven through the Bloom-bitset prefilter path (the shape this scan
+    # takes when the benchmark gram set outgrows a broadcast hash table);
+    # output provably identical to the exact `contamination` — Bloom false
+    # positives die in the verify join — so the same oracle gates it, and
+    # tests/test_wave9_ops.py pins per-row equality of the two paths
+    from nyxus_spark.functions import contamination_bloom
+
+    cont = contamination_bloom(toks, bench, n=8).select(
         nid.alias("doc_id"), "contam_hits", "contam_distinct", "is_contaminated",
     )
     # n-gram NOVELTY (memorization-risk monitor: distinct 8-grams appearing

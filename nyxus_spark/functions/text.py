@@ -485,6 +485,97 @@ def contamination(df, bench_df, n: int = 8, tokens_col: str = "tokens",
     )
 
 
+def bloom_bitset(keys_df, key_col: str = "gram", bits: int = 1 << 16):
+    """Build a Bloom-filter bitset TABLE from a key column: two xxhash64
+    probes per key, OR-folded into 64-bit words — at most bits/64 rows
+    (KBs even for millions of keys), so the result broadcasts no matter
+    how large the key set is. Pure DataFrame ops: explode the two bit
+    positions, one `bit_or` hash aggregation. Returns (bloom_word:
+    bigint, bloom_mask: bigint)."""
+    if bits < 64 or bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two >= 64, got {bits}")
+    pos = F.explode(
+        F.array(
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(bits)),
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(2)), F.lit(bits)),
+        )
+    ).alias("bit")
+    return (
+        keys_df.select(pos)
+        .select(
+            F.expr("CAST(bit DIV 64 AS BIGINT)").alias("bloom_word"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("bloom_mask"),
+        )
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bloom_mask").alias("bloom_mask"))
+    )
+
+
+def contamination_bloom(df, bench_df, n: int = 8, bits: int = 1 << 16,
+                        tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                        id_col: str = "doc_id"):
+    """Benchmark decontamination with a Bloom-bitset prefilter — the shape
+    this scan takes when the benchmark gram set is too large to broadcast
+    as an exact hash table (a full eval-suite union at production scale):
+
+    1. fold the benchmark grams into a ≤ bits/64-row bitset table
+       (`bloom_bitset`) — KBs regardless of benchmark size, always
+       broadcastable;
+    2. map-side prefilter: each corpus gram keeps only if BOTH its probe
+       bits are set (two broadcast joins + mask tests, no corpus shuffle);
+    3. exact verify: the surviving candidates (a small superset of the true
+       hits — Bloom false positives only ADD candidates) join the real
+       benchmark gram set with a plain shuffled join that now touches a
+       tiny fraction of the corpus.
+
+    Output is IDENTICAL to `contamination` (false positives die in step 3),
+    so the same oracle gates both paths; per-row equality is also pinned by
+    a dedicated test. Spark-internal hashing only (xxhash64) — the filter
+    never crosses engines, correctness never depends on it."""
+    bench = bench_df.select(
+        F.explode(ngram_keys(n, tokens_col, n_tok_col)).alias("gram")
+    ).distinct()
+    bloom = bloom_bitset(bench, "gram", bits)
+    grams = df.select(
+        F.col(id_col), F.explode(ngram_keys(n, tokens_col, n_tok_col)).alias("gram")
+    )
+    zero = F.lit(0).cast("long")
+    cand = grams
+    for seed in (1, 2):
+        w = F.pmod(F.xxhash64(F.col("gram"), F.lit(seed)), F.lit(bits))
+        b = bloom.withColumnRenamed("bloom_word", f"w{seed}").withColumnRenamed(
+            "bloom_mask", f"m{seed}"
+        )
+        cand = (
+            cand.withColumn("__bit", w)
+            .withColumn(f"w{seed}", F.expr("CAST(__bit DIV 64 AS BIGINT)"))
+            .withColumn(f"p{seed}", F.expr("shiftleft(1L, CAST(__bit % 64 AS INT))"))
+            .drop("__bit")
+            .join(F.broadcast(b), f"w{seed}", "left")
+            .filter(F.coalesce(F.col(f"m{seed}"), zero).bitwiseAND(F.col(f"p{seed}")) != 0)
+        )
+    hits = (
+        cand.select(id_col, "gram")
+        .join(bench, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("contam_hits"),
+            F.count_distinct("gram").cast("long").alias("contam_distinct"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contam_hits", zero).alias("contam_hits"),
+            F.coalesce("contam_distinct", zero).alias("contam_distinct"),
+            (F.coalesce("contam_hits", zero) > 0).cast("long")
+            .alias("is_contaminated"),
+        )
+    )
+
+
 def split_on_token(df, delim: int, tokens_col: str = "tokens",
                    n_tok_col: str = "n_tok", keep_empty: bool = False):
     """Split each token sequence on a delimiter token — the sentence/

@@ -182,3 +182,53 @@ def test_hashed_bigram_score_short_rows_zero(spark):
     score, rate = hashed_bigram_score(df)
     for r in df.select("doc_id", score, rate).collect():
         assert (r.hb_score, r.hb_rate) == (0, 0.0)
+
+
+# ------------------------------------------------- bloom decontamination
+
+
+def test_contamination_bloom_equals_exact(spark, sf_dir):
+    from nyxus_spark.functions import contamination, contamination_bloom
+    from nyxus_spark.sources import tokens_static
+
+    toks = tokens_static(spark, sf_dir)
+    nid = F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+    bench = toks.filter(nid % 97 == 0)
+    exact = {r.doc_id: (r.contam_hits, r.contam_distinct, r.is_contaminated)
+             for r in contamination(toks, bench, n=8).collect()}
+    bloom = {r.doc_id: (r.contam_hits, r.contam_distinct, r.is_contaminated)
+             for r in contamination_bloom(toks, bench, n=8).collect()}
+    assert bloom == exact
+    assert any(v[2] == 1 for v in exact.values()), "fixture has no hits"
+
+
+def test_contamination_bloom_tiny_bitset_still_exact(spark):
+    """bits=64 (one word, everything collides): the prefilter passes nearly
+    all grams through, and the exact verify join must still produce the
+    true result — false positives can never leak into the output."""
+    from nyxus_spark.functions import contamination, contamination_bloom
+
+    df = _corpus_df(spark, _toy_corpus())
+    bench = df.limit(2)
+    exact = {r.doc_id: (r.contam_hits, r.contam_distinct)
+             for r in contamination(df, bench, n=4).collect()}
+    bloom = {r.doc_id: (r.contam_hits, r.contam_distinct)
+             for r in contamination_bloom(df, bench, n=4, bits=64).collect()}
+    assert bloom == exact
+
+
+def test_bloom_bitset_bounded_and_hits(spark):
+    from nyxus_spark.functions import bloom_bitset
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "gram string")
+    bs = bloom_bitset(keys, bits=1 << 10).collect()
+    assert len(bs) <= (1 << 10) // 64
+    assert all(r.bloom_mask != 0 for r in bs)
+
+
+def test_bloom_bitset_validation():
+    from nyxus_spark.functions import bloom_bitset
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bloom_bitset(None, bits=100)
