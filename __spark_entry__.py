@@ -700,7 +700,16 @@ def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(aug)
     # threshold on the RAW ratio (mirrors the oracle WHERE clause); the
     # emitted jaccard column is the rounded one
-    return ngram_jaccard(aug, pairs, threshold=0.5)
+    ver = ngram_jaccard(aug, pairs, threshold=0.5)
+    # Levenshtein verification (order/multiplicity-aware precision stage)
+    # in the cross-engine "wide" encoding: two ASCII chars per token, so
+    # the char-DP and DuckDB's byte-DP compute the identical value (the
+    # 1-char true-token mode is Spark-side and pytest-pinned — DuckDB's
+    # levenshtein is byte-based and overcharges code points >= 128)
+    from nyxus_spark.operators.dedup import edit_distance_verify
+
+    lev = edit_distance_verify(aug, pairs, encoding="wide")
+    return ver.join(lev, ["id_a", "id_b"])
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,11 +933,18 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions import pmi_best_next
 
     pmi = pmi_best_next(t, keep)
+    # word2vec negative-sampling distribution over the kept vocabulary:
+    # p ∝ cnt^0.75 as the exact sqrt(sqrt(cnt³)) chain; the normalizer is a
+    # token-ordered sequential fold the oracle replays with list_reduce
+    from nyxus_spark.functions import neg_sampling_shares
+
+    neg = neg_sampling_shares(top)
     zero = F.lit(0).cast("long")
     return (
         rec.join(top, "token", "left")
         .join(drift, "token", "left")
         .join(pmi, "token", "left")
+        .join(neg, "token", "left")
         .select(
             "token",
             F.coalesce("cnt", zero).alias("cnt"),
@@ -940,6 +956,7 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("next_token", F.lit(-1)).cast("long").alias("next_token"),
             F.coalesce("big_cnt", zero).alias("big_cnt"),
             F.coalesce("pmi4", F.lit(0.0)).alias("pmi4"),
+            F.coalesce("neg_share4", F.lit(0.0)).alias("neg_share4"),
         )
     )
 
@@ -1993,12 +2010,27 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px_n").alias("multi_px_n"),
     )
 
+    # TOMBSTONE semantics (feature-store deletions): versions whose
+    # n_tok % 7 == 0 are marked deleted — a probe whose latest visible
+    # version is a tombstone must get NULLs, not the resurrected prior
+    # value. The flag is data-derived so the oracle re-derives it.
+    from nyxus_spark.operators.asof_join import asof_join_tombstones
+
+    vd = v.withColumn("deleted", (F.col("n_tok") % 7 == 0).cast("int"))
+    tomb = asof_join_tombstones(p, vd).select(
+        "doc_id", "event_id",
+        F.unix_micros(F.col("matched_ts").cast("timestamp"))
+        .alias("tomb_matched_ts_us"),
+        F.col("n_tok").alias("tomb_n_tok"),
+    )
+
     return (
         merge.join(salted, ["doc_id", "event_id"])
         .join(directed("forward", "fwd"), ["doc_id", "event_id"])
         .join(directed("nearest", "near"), ["doc_id", "event_id"])
         .join(directed("backward", "strict", exact=False), ["doc_id", "event_id"])
         .join(multi, ["doc_id", "event_id"])
+        .join(tomb, ["doc_id", "event_id"])
     )
 
 
@@ -2694,6 +2726,18 @@ multi AS (  -- chained point-in-time: the probe also picks up the price state
          epoch_us(x.ts) AS px_ts, x.cents AS px_cents, x.n AS px_n
   FROM probes p ASOF LEFT JOIN px x
     ON p.doc_id = x.doc_id AND p.ts >= x.ts
+),
+vt AS (  -- tombstoned version stream: the flag re-derived from the data
+  SELECT doc_id, ts, n_tok, CAST(n_tok % 7 = 0 AS INTEGER) AS deleted
+  FROM versions
+),
+tomb AS (  -- deletion semantics: latest visible version wins, THEN a
+           -- tombstone match nulls out — never resurrect the prior value
+  SELECT p.doc_id, p.event_id,
+         CASE WHEN v.deleted = 1 THEN NULL ELSE epoch_us(v.ts) END AS t_ts,
+         CASE WHEN v.deleted = 1 THEN NULL ELSE v.n_tok END AS t_nt
+  FROM probes p ASOF LEFT JOIN vt v
+    ON p.doc_id = v.doc_id AND p.ts >= v.ts
 )
 SELECT b.doc_id, b.event_id, b.ts_us,
        b.b_ts AS merge_matched_ts_us, b.b_nt AS merge_n_tok,
@@ -2708,9 +2752,11 @@ SELECT b.doc_id, b.event_id, b.ts_us,
        s.s_ts AS strict_matched_ts_us, s.s_nt AS strict_n_tok,
        b.b_ts AS multi_tok_ts_us, b.b_nt AS multi_n_tok,
        m.px_ts AS multi_px_ts_us, m.px_cents AS multi_px_cents,
-       m.px_n AS multi_px_n
+       m.px_n AS multi_px_n,
+       t.t_ts AS tomb_matched_ts_us, t.t_nt AS tomb_n_tok
 FROM b JOIN f USING (doc_id, event_id) JOIN s USING (doc_id, event_id)
      JOIN multi m USING (doc_id, event_id)
+     JOIN tomb t USING (doc_id, event_id)
 """,
         "multimodal_decode": """
 WITH base AS (
@@ -2791,7 +2837,7 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set
-        "ngram_verify": oracles.sql_minhash_pairs(0.5),
+        "ngram_verify": oracles.sql_minhash_pairs(0.5, with_lev=True),
         "dedup_clusters": oracles.sql_dedup_clusters(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
@@ -2864,6 +2910,20 @@ best AS (  -- best right-collocate per kept anchor: count DESC, b ASC
   ) WHERE rn = 1
 ),
 ntot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+negt AS (  -- negative-sampling normalizer: token-ordered sequential fold,
+           -- seeded 0.0 on the Spark side (first addition exact)
+  SELECT list_reduce(list(w ORDER BY token), (a, b) -> a + b) AS neg_total
+  FROM (SELECT token,
+               sqrt(sqrt(CAST(CAST(cnt AS BIGINT) * cnt * cnt AS DOUBLE))) AS w
+        FROM top)
+),
+neg AS (  -- p ∝ cnt^0.75 = sqrt(sqrt(cnt³)), exact chain + fround4
+  SELECT token,
+         FLOOR(sqrt(sqrt(CAST(CAST(cnt AS BIGINT) * cnt * cnt AS DOUBLE)))
+               / (SELECT neg_total FROM negt) * 10000.0 + 0.5) / 10000.0
+           AS neg_share4
+  FROM top
+),
 pmi AS (  -- exact IEEE chain (c_ab/c_a)·N/c_b, left-to-right, fround4
   SELECT best.token,
          CAST(best.next_token AS BIGINT) AS next_token,
@@ -2884,9 +2944,10 @@ SELECT r.token,
        COALESCE(ANY_VALUE(d.drift_rate), 0.0) AS drift_rate,
        COALESCE(ANY_VALUE(p.next_token), -1) AS next_token,
        COALESCE(ANY_VALUE(p.big_cnt), 0) AS big_cnt,
-       COALESCE(ANY_VALUE(p.pmi4), 0.0) AS pmi4
+       COALESCE(ANY_VALUE(p.pmi4), 0.0) AS pmi4,
+       COALESCE(ANY_VALUE(g.neg_share4), 0.0) AS neg_share4
 FROM remapped r LEFT JOIN top t USING (token) LEFT JOIN drift d USING (token)
-     LEFT JOIN pmi p USING (token)
+     LEFT JOIN pmi p USING (token) LEFT JOIN neg g USING (token)
 GROUP BY r.token, t.cnt
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash

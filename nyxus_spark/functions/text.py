@@ -782,3 +782,33 @@ def hashed_bigram_score(df, tokens_col: str = "tokens",
         "ELSE 0.0D END"
     ).alias("hb_rate")
     return score, rate
+
+
+def neg_sampling_shares(top, cnt_col: str = "cnt", token_col: str = "token"):
+    """word2vec negative-sampling distribution over a vocabulary table:
+    p(t) ∝ cnt^0.75. The 3/4 power is the EXACT IEEE chain
+    ``sqrt(sqrt(cnt³))`` — cnt³ is an exact BIGINT (and exact in double
+    while cnt ≤ ~208k, i.e. cnt³ < 2^53; raise the cap by pre-scaling
+    counts if a corpus exceeds it), and both sqrts are correctly rounded —
+    so every weight is ONE deterministic double. The normalizer folds the
+    weights SEQUENTIALLY in token order (aggregate over the sorted struct
+    array), which the DuckDB oracle replays addition-for-addition with
+    ``list_reduce(list(w ORDER BY token), (a,b) -> a+b)``; Spark's fold
+    seeds with 0.0, whose first addition is exact, so the two folds are
+    bit-identical. Vocabulary tables are top-k (they feed a sampler), so
+    the one-row total broadcasts.
+
+    Returns (token_col, neg_share4) with neg_share4 = fround4(w / total)."""
+    w3 = f"cast({cnt_col} as bigint) * {cnt_col} * {cnt_col}"
+    w = F.expr(f"sqrt(sqrt(cast({w3} as double)))")
+    tot = top.agg(
+        F.expr(
+            f"aggregate(array_sort(collect_list(struct({token_col} as t,"
+            f" sqrt(sqrt(cast({w3} as double))) as w))),"
+            " cast(0.0 as double), (a, x) -> a + x.w)"
+        ).alias("neg_total")
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col(token_col),
+        fround4(w / F.col("neg_total")).alias("neg_share4"),
+    )

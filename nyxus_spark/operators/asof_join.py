@@ -461,3 +461,57 @@ def _asof_cogroup_merge(probes, versions, on, ts_col, prefix, tolerance_sec,
         .cogroup(versions.groupBy(on))
         .applyInPandas(lambda l, r: merge(l, r), schema)
     )
+
+
+def asof_join_tombstones(
+    probes: DataFrame,
+    versions: DataFrame,
+    on: str = "doc_id",
+    ts_col: str = "ts",
+    tombstone_col: str = "deleted",
+    version_prefix: str = "",
+    **kwargs,
+) -> DataFrame:
+    """Point-in-time join with DELETION semantics — the feature-store
+    tombstone contract: a version row whose `tombstone_col` is truthy
+    ERASES its key's state at that timestamp. A probe whose latest visible
+    version is a tombstone gets NULLs (matched_ts included), exactly as if
+    no version had ever existed — it must NOT resurrect the value before
+    the delete, and a later re-insert becomes visible again only from its
+    own timestamp on.
+
+    Implementation: the flag rides the normal as-of plan as one extra
+    payload column, and matched version columns are nulled when the flag
+    on the MATCHED row is set — same shuffle count and same physical plan
+    family as `asof_join` (every strategy/direction kwarg passes through).
+
+    Reference analog: nyxus ROI blacklists remove a label from every
+    downstream aggregation (/root/reference/src/nyx/roi_blacklist.h); here
+    the removal is temporal — scoped to the interval from the tombstone to
+    the next live version."""
+    if tombstone_col not in versions.columns:
+        raise ValueError(
+            f"versions has no tombstone column {tombstone_col!r}; "
+            f"columns = {versions.columns}"
+        )
+    out = asof_join(probes, versions, on=on, ts_col=ts_col,
+                    version_prefix=version_prefix, **kwargs)
+    flag = f"{version_prefix}{tombstone_col}"
+    dead = F.coalesce(F.col(flag).cast("boolean"), F.lit(False))
+    vcols = {"matched_ts"} | {
+        f"{version_prefix}{c}"
+        for c in versions.columns
+        if c not in (on, ts_col, tombstone_col)
+    }
+    sel = []
+    for c in out.columns:
+        if c == flag:
+            continue
+        if c in vcols:
+            sel.append(
+                F.when(dead, F.lit(None).cast(out.schema[c].dataType))
+                .otherwise(F.col(c)).alias(c)
+            )
+        else:
+            sel.append(F.col(c))
+    return out.select(*sel)

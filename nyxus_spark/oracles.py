@@ -80,7 +80,7 @@ shingled AS (
 SQL_SHINGLES = sql_shingles()
 
 
-def sql_minhash_pairs(jaccard_threshold: float = 0.5) -> str:
+def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False) -> str:
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)
@@ -93,6 +93,30 @@ def sql_minhash_pairs(jaccard_threshold: float = 0.5) -> str:
         band_rows.append(
             f"SELECT doc_id, sh, {band} AS band_idx, ({' + '.join(parts)}) % {P31} AS band_key FROM sigs"
         )
+    # optional Levenshtein verification columns in the WIDE encoding (two
+    # ASCII chars per token — chr(65 + t//16), chr(97 + t%16)): all-ASCII
+    # strings make DuckDB's byte-based levenshtein identical to Spark's
+    # char-based one; d is the fixed-width-encoding metric (d_tok <= d <=
+    # 2*d_tok), normalized by 2*max(len)
+    lv_cte, lv_cols, lv_join = "", "", ""
+    if with_lev:
+        lv_cte = """,
+lv AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(tokens,
+           t -> chr(65 + t // 16) || chr(97 + t % 16)), 'string_agg', '') AS s,
+         CAST(len(tokens) AS BIGINT) AS ln
+  FROM aug
+)"""
+        lv_cols = """,
+       la.ln AS len_a, lb.ln AS len_b,
+       CAST(levenshtein(la.s, lb.s) AS BIGINT) AS lev_dist,
+       CASE WHEN GREATEST(la.ln, lb.ln) > 0 THEN
+         FLOOR((1.0 - CAST(levenshtein(la.s, lb.s) AS DOUBLE)
+                      / CAST(GREATEST(la.ln, lb.ln) * 2 AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 1.0 END AS lev_sim4"""
+        lv_join = " JOIN lv la ON la.doc_id = id_a JOIN lv lb ON lb.doc_id = id_b"
     return f"""
 WITH {SQL_AUG},
 {SQL_SHINGLES},
@@ -102,11 +126,11 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
   FROM banded a JOIN banded b USING (band_idx, band_key)
   WHERE a.doc_id < b.doc_id
-)
+){lv_cte}
 SELECT id_a, id_b,
        FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
-FROM cand
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}
+FROM cand{lv_join}
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}
 """
