@@ -261,6 +261,44 @@ def main() -> None:
         pq_search_adc(codes, books, qpq, m=4, k=5)
     )
 
+    # CDC chunking: boundary detection + slicing are pure expressions; the
+    # ONLY exchange is the first-occurrence window on the chunk content key
+    from nyxus_spark.operators.dedup import cdc_chunks, edit_distance_verify
+
+    sections["CDC chunk dedup (one content-key exchange)"] = plan_of(
+        cdc_chunks(ts, div=16)
+    )
+
+    # Bloom-prefiltered decontamination: the bitset table broadcasts (two
+    # BroadcastHashJoins = the map-side prefilter); no corpus-gram shuffle
+    # before the exact verify join
+    from nyxus_spark.functions import contamination_bloom
+
+    bench = ts.filter(F.expr("CAST(substring(doc_id, 5) AS BIGINT) % 97 = 0"))
+    sections["bloom decontamination (broadcast bitset prefilter)"] = plan_of(
+        contamination_bloom(ts, bench, n=8)
+    )
+
+    # edit-distance verify: candidates join the token strings (hash joins
+    # on ids), the levenshtein kernel runs inside whole-stage codegen
+    from nyxus_spark.operators.dedup import minhash_candidate_pairs
+
+    cand = minhash_candidate_pairs(ts)
+    sections["edit-distance verify (candidate joins, JVM levenshtein)"] = plan_of(
+        edit_distance_verify(ts, cand, encoding="wide")
+    )
+
+    # tombstone as-of: the deletion flag rides the unchanged union_window
+    # plan — still exactly one Exchange
+    from nyxus_spark.operators.asof_join import asof_join_tombstones
+
+    vd = v.select("doc_id", "ts", "n_tok").withColumn(
+        "deleted", (F.col("n_tok") % 7 == 0).cast("int")
+    )
+    sections["tombstone as-of join (flag rides the plan, ONE Exchange)"] = plan_of(
+        asof_join_tombstones(p, vd)
+    )
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the flagship operators\n\n")
         f.write("Generated by `scripts/explain_plans.py` (sf0.01, local[8]).\n")
@@ -306,6 +344,14 @@ def main() -> None:
     # consumers print first: the rank exchange is the FIRST Exchange in the
     # text and the pre-top-k MapInArrow must sit below (after) it
     assert adc_plan.index("MapInArrow") > adc_plan.index("Exchange")
+    # wave 9/10: CDC shuffles once (content-key window); the bloom prefilter
+    # is broadcast-only on the probe side; tombstones add no exchange over
+    # the plain union_window as-of
+    assert n_exch["CDC chunk dedup (one content-key exchange)"] == 1
+    assert "BroadcastExchange" in sections[
+        "bloom decontamination (broadcast bitset prefilter)"
+    ]
+    assert n_exch["tombstone as-of join (flag rides the plan, ONE Exchange)"] == 1
     print("EXPLAIN.md written")
     spark.stop()
 
