@@ -2124,9 +2124,25 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hb_score, hb_rate = hashed_bigram_score(toks)
     hb = toks.select(nid.alias("doc_id"), hb_score, hb_rate)
+    # PII-style scrubbing over deterministically-augmented text: docs with
+    # id % 7 == 0 carry a synthetic contact suffix (email + long number +
+    # URL, derived from the id the same way in SQL), so the scrubber has
+    # real work and every count/length decision is value-gated
+    from nyxus_spark.functions import gopher_pass_expr, scrub_exprs
+    from nyxus_spark.sources import load_table
+
+    doc_tbl = load_table(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    aug_text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"), ids,
+                 F.lit("@example.com ref 123456789 see https://ex.org/"), ids),
+    ).otherwise(F.col("text"))
+    scr = doc_tbl.select(F.col("doc_id"), aug_text.alias("text"))
+    scr = scr.select("doc_id", *[v.alias(k) for k, v in scrub_exprs("text").items()])
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
-    out = out.join(hb, "doc_id")
+    out = out.join(hb, "doc_id").join(scr, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2143,7 +2159,10 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
         "n_masked", "mask_checksum",
         "hb_score", "hb_rate",
+        "n_url", "n_email", "n_longnum", "scrub_len",
     )
+    # Gopher-style quality rule: pure boolean algebra over the gated stats
+    out = out.withColumn("gopher_pass", gopher_pass_expr())
     # curriculum bucketing: quality quartiles per language (ntile under a
     # TOTAL order — quality_score ties broken by doc_id — so the bucket
     # boundaries are engine-deterministic); partitioned window = scale-safe
@@ -3260,6 +3279,23 @@ hb AS (  -- hashed-bigram linear scorer: exact BIGINT weight sum + ONE div
            ELSE 0 END AS DOUBLE) / (n_tok - 1)
          ELSE 0.0 END AS hb_rate
   FROM toks
+),
+scr AS (  -- PII scrubbing over the same deterministically-augmented text
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t2, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+         CAST(len(regexp_extract_all(t2, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(t2, '[0-9]{{6,}}')) AS BIGINT) AS n_longnum,
+         CAST(length(regexp_replace(regexp_replace(regexp_replace(t2,
+              'https?://[^ ]+', '<URL>', 'g'),
+              '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+              '[0-9]{{6,}}', '<NUM>', 'g')) AS BIGINT) AS scrub_len
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com ref 123456789 see https://ex.org/'
+                      || CAST(doc_id AS VARCHAR)
+               ELSE text END AS t2
+        FROM documents)
 )
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
@@ -3277,7 +3313,12 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(n.grams_novel, 0) AS grams_novel,
        COALESCE(n.novelty, 0.0) AS novelty,
        m.n_masked, m.mask_checksum,
-       h.hb_score, h.hb_rate
+       h.hb_score, h.hb_rate,
+       sc.n_url, sc.n_email, sc.n_longnum, sc.scrub_len,
+       CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
+            AND q.mean_word_len <= 12.0
+            AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
+            AND q.stopword_ratio > 0.0 AS BIGINT) AS gopher_pass
 FROM ({oracles.sql_langid(STOPWORDS)}) l
 JOIN ({oracles.sql_text_quality(STOPWORDS["en"])}) q USING (doc_id)
 JOIN (
@@ -3292,6 +3333,7 @@ LEFT JOIN contam c USING (doc_id)
 LEFT JOIN nov n USING (doc_id)
 JOIN msk m USING (doc_id)
 JOIN hb h USING (doc_id)
+JOIN scr sc USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

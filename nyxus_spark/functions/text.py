@@ -812,3 +812,49 @@ def neg_sampling_shares(top, cnt_col: str = "cnt", token_col: str = "token"):
         F.col(token_col),
         fround4(w / F.col("neg_total")).alias("neg_share4"),
     )
+
+
+#: scrub patterns restricted to the regex subset Spark (Java) and DuckDB
+#: (RE2) interpret identically: literal classes + bounded quantifiers only
+SCRUB_URL = "https?://[^ ]+"
+SCRUB_EMAIL = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+SCRUB_LONGNUM = "[0-9]{6,}"
+
+
+def scrub_exprs(text_col: str = "text") -> dict:
+    """PII-style scrubbing pass — the redaction step a training pipeline
+    runs before anything else sees the text: URLs, e-mail addresses, and
+    long digit runs (phone/account numbers) are counted and masked.
+    Counts come off the ORIGINAL text; `scrub_len` is the length after
+    replacing in the fixed order url → email → longnum (the same three
+    `regexp_replace` calls replay in DuckDB with the 'g' flag — patterns
+    stay inside the regex subset both engines share). Pure column
+    expressions: a map-only stage at any corpus size."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, SCRUB_URL, "<URL>"),
+            SCRUB_EMAIL, "<EMAIL>"),
+        SCRUB_LONGNUM, "<NUM>")
+    return {
+        "n_url": F.regexp_count(t, F.lit(SCRUB_URL)).cast("long"),
+        "n_email": F.regexp_count(t, F.lit(SCRUB_EMAIL)).cast("long"),
+        "n_longnum": F.regexp_count(t, F.lit(SCRUB_LONGNUM)).cast("long"),
+        "scrub_len": F.length(scrubbed).cast("long"),
+    }
+
+
+def gopher_pass_expr(n_words="n_words", mean_word_len="mean_word_len",
+                     rep_dup_ratio="rep_dup_ratio",
+                     stopword_ratio="stopword_ratio"):
+    """Gopher-style document quality RULE — the pass/fail filter decision
+    composed from already-computed stats (Rae et al. 2021 §A1.1 shape):
+    enough words, sane mean word length, bounded duplicate-n-gram mass,
+    and at least one stopword hit. Pure boolean algebra over gated
+    columns, emitted as an exact 0/1 integer."""
+    return (
+        (F.col(n_words) >= 5)
+        & (F.col(mean_word_len) >= 2.0) & (F.col(mean_word_len) <= 12.0)
+        & (F.col(rep_dup_ratio) <= 0.3)
+        & (F.col(stopword_ratio) > 0.0)
+    ).cast("long")

@@ -89,13 +89,14 @@ def simhash32(shingles_col: str):
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per exact key (hash-aggregate, one shuffle)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    """Keep the lowest-id row per exact key. min-AGGREGATE + left-semi join
+    rather than a row_number window: the aggregation combines map-side (the
+    shuffle carries one winner candidate per key per partition, not every
+    duplicate), and the semi-join is AQE-skew-splittable where a window
+    over a hyper-duplicated key is not. Assumes `id_col` values are unique
+    (a duplicated (key, id) row would keep both copies)."""
+    wins = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(wins, [*key_cols, id_col], "left_semi")
 
 
 def segment_dedup(
@@ -129,20 +130,46 @@ def segment_dedup(
 
     segs = split_on_token(df, delim, tokens_col, n_tok_col)
     key = F.concat_ws(",", F.transform("seg_tokens", lambda x: x.cast("string")))
-    w = Window.partitionBy("__key").orderBy(
-        F.col(id_col).asc(), F.col("seg_id").asc()
-    )
     cols = [id_col, "seg_id", "seg_len", "seg_sum", "seg_kept"]
     if keep_tokens:
         cols.insert(2, "seg_tokens")
     return (
-        segs.withColumn("__key", key)
-        .withColumn("seg_kept", (F.row_number().over(w) == 1).cast("int"))
+        _first_occurrence_flag(
+            segs.withColumn("__key", key), "__key", [id_col, "seg_id"], "seg_kept"
+        )
         .withColumn(
             "seg_sum",
             F.aggregate("seg_tokens", F.lit(0).cast("long"), lambda a, x: a + x),
         )
         .select(*cols)
+    )
+
+
+def _first_occurrence_flag(df: DataFrame, key_col: str, order_cols: list[str],
+                           flag_name: str) -> DataFrame:
+    """Mark the first occurrence (min over `order_cols`) of every `key_col`
+    group with flag 1, everything else 0 — WITHOUT a window function.
+
+    Scale rationale: ``row_number() OVER (PARTITION BY key)`` shuffles every
+    row of a key to one task and AQE cannot split a skewed window — a
+    hyper-duplicated boilerplate segment (licence block across millions of
+    docs) becomes a straggler. The min-struct AGGREGATION path gets
+    map-side partial combine (the shuffle carries one candidate per key per
+    partition, not every duplicate row), and the join back is a plain
+    equi-join that OptimizeSkewedJoin CAN split at runtime. Results are
+    identical when `order_cols` are unique per row (tested window-vs-agg).
+    """
+    wins = df.groupBy(key_col).agg(
+        F.min(F.struct(*[F.col(c) for c in order_cols])).alias("__w")
+    )
+    return (
+        df.join(wins, key_col)
+        .withColumn(
+            flag_name,
+            (F.struct(*[F.col(c) for c in order_cols]) == F.col("__w"))
+            .cast("int"),
+        )
+        .drop("__w")
     )
 
 
@@ -242,15 +269,14 @@ def cdc_chunks(
         ).alias("cdc_id", "cdc_tokens"),
     )
     key = F.concat_ws(",", F.transform("cdc_tokens", lambda x: x.cast("string")))
-    w = Window.partitionBy("__key").orderBy(
-        F.col(id_col).asc(), F.col("cdc_id").asc()
-    )
     cols = [id_col, "cdc_id", "cdc_len", "cdc_sum", "cdc_kept"]
     if keep_tokens:
         cols.insert(2, "cdc_tokens")
     return (
-        exploded.withColumn("__key", key)
-        .withColumn("cdc_kept", (F.row_number().over(w) == 1).cast("int"))
+        _first_occurrence_flag(
+            exploded.withColumn("__key", key), "__key", [id_col, "cdc_id"],
+            "cdc_kept",
+        )
         .withColumn("cdc_id", F.col("cdc_id").cast("long"))
         .withColumn("cdc_len", F.size("cdc_tokens").cast("long"))
         .withColumn(

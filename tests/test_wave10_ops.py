@@ -192,3 +192,36 @@ def test_edit_distance_wide_mode_matches_python(spark):
 def test_edit_distance_encoding_validation(spark):
     with pytest.raises(ValueError):
         edit_distance_verify(None, None, encoding="bytes")
+
+
+def test_tombstone_random_vs_python(spark):
+    """Random versions/probes vs a pure-Python reference of the deletion
+    semantics: latest version at-or-before the probe wins; if it is a
+    tombstone the probe sees NOTHING (no resurrection of older values)."""
+    rng = random.Random(99)
+    vers = {}
+    for i in range(120):
+        k = f"k{rng.randrange(6)}"
+        t = rng.randrange(0, 59)
+        vers[(k, t)] = (i, int(rng.random() < 0.3))  # val, deleted
+    probes = [(f"k{rng.randrange(6)}", rng.randrange(0, 59), i)
+              for i in range(80)]
+    vdf = spark.createDataFrame(
+        [(k, _ts(t), v, d) for (k, t), (v, d) in vers.items()],
+        "doc_id string, ts timestamp, val int, deleted int",
+    )
+    pdf = spark.createDataFrame(
+        [(k, _ts(t), i) for k, t, i in probes],
+        "doc_id string, ts timestamp, event_id int",
+    )
+    got = {r.event_id: (r.matched_ts, r.val)
+           for r in asof_join_tombstones(pdf, vdf).collect()}
+    for k, t, i in probes:
+        cand = [(vt, vv, vd) for (vk, vt), (vv, vd) in vers.items()
+                if vk == k and vt <= t]
+        if not cand:
+            want = (None, None)
+        else:
+            vt, vv, vd = max(cand)
+            want = (None, None) if vd else (_ts(vt), vv)
+        assert got[i] == want, (k, t, i)
