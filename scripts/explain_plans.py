@@ -230,11 +230,13 @@ def main() -> None:
         split_on_token(ts, 104)
     )
 
-    # segment-level dedup: the split is narrow; the ONLY exchange is the
-    # first-occurrence window on the segment content key
+    # segment-level dedup: the split is narrow; first-occurrence winners
+    # come from a PARTIAL(map-side)+FINAL min-struct aggregate — only one
+    # candidate per key per partition ships — and the flag join broadcasts
+    # (small winners) or SMJs (AQE-skew-splittable), never a window
     from nyxus_spark.operators.dedup import segment_dedup
 
-    sections["segment-level dedup (one content-key exchange)"] = plan_of(
+    sections["segment-level dedup (map-side-combine agg + broadcast flag join)"] = plan_of(
         segment_dedup(ts, 104)
     )
 
@@ -265,7 +267,7 @@ def main() -> None:
     # ONLY exchange is the first-occurrence window on the chunk content key
     from nyxus_spark.operators.dedup import cdc_chunks, edit_distance_verify
 
-    sections["CDC chunk dedup (one content-key exchange)"] = plan_of(
+    sections["CDC chunk dedup (map-side-combine agg + broadcast flag join)"] = plan_of(
         cdc_chunks(ts, div=16)
     )
 
@@ -337,7 +339,11 @@ def main() -> None:
     assert "Exchange" not in sections[
         "delimiter segmentation (split_on_token — no exchange)"
     ]
-    assert n_exch["segment-level dedup (one content-key exchange)"] == 1
+    seg_plan = sections["segment-level dedup (map-side-combine agg + broadcast flag join)"]
+    # two SortAggregates = partial (map-side) + final; the flag join must be
+    # a real join (broadcast here; SMJ -> AQE-splittable at scale), NO window
+    assert seg_plan.count("SortAggregate") == 2 and "Window" not in seg_plan
+    assert "BroadcastHashJoin" in seg_plan or "SortMergeJoin" in seg_plan
     pq_plan = sections["PQ encode (broadcast codebooks + min-struct hash agg)"]
     assert "BroadcastExchange" in pq_plan and "Window" not in pq_plan
     adc_plan = sections["PQ ADC search (broadcast LUT, pre-top-k below rank exchange)"]
@@ -347,7 +353,9 @@ def main() -> None:
     # wave 9/10: CDC shuffles once (content-key window); the bloom prefilter
     # is broadcast-only on the probe side; tombstones add no exchange over
     # the plain union_window as-of
-    assert n_exch["CDC chunk dedup (one content-key exchange)"] == 1
+    cdc_plan = sections["CDC chunk dedup (map-side-combine agg + broadcast flag join)"]
+    assert cdc_plan.count("SortAggregate") == 2 and "Window" not in cdc_plan
+    assert "BroadcastHashJoin" in cdc_plan or "SortMergeJoin" in cdc_plan
     assert "BroadcastExchange" in sections[
         "bloom decontamination (broadcast bitset prefilter)"
     ]
