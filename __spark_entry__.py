@@ -1172,7 +1172,31 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cdc_kept_sum"),
         )
     )
-    return ch.join(pk, "doc_id").join(cdc, "doc_id")
+    # PACKING EFFICIENCY (the padding-waste metric): per shard, total
+    # tokens = max running offset, pack count from the last offset, waste
+    # = capacity·packs − tokens, fill = ONE exact division under fround4.
+    # Joined onto every row of the shard, replayed from the oracle's own
+    # cumulative-sum CTE.
+    from nyxus_spark.compare import fround4 as _f4
+
+    pkj = pk.select(
+        "doc_id", F.col("pack_shard").alias("__ps"), "pack_start"
+    ).join(docs.select("doc_id", "n_tok"), "doc_id")
+    sh = (
+        pkj.groupBy("__ps")
+        .agg(F.max(F.col("pack_start") + F.col("n_tok")).alias("shard_tokens"))
+        .withColumn("shard_packs", F.expr("(shard_tokens - 1) div 128 + 1"))
+        .withColumn("shard_waste", F.col("shard_packs") * 128 - F.col("shard_tokens"))
+        .withColumn(
+            "shard_fill4",
+            _f4(F.col("shard_tokens").cast("double")
+                / (F.col("shard_packs") * 128).cast("double")),
+        )
+        .withColumnRenamed("__ps", "pack_shard")
+    )
+    return (
+        ch.join(pk, "doc_id").join(cdc, "doc_id").join(sh, "pack_shard")
+    )
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3118,10 +3142,22 @@ chunks AS (
          tokens[start + 1 : LEAST(start + 32, n_tok)] AS ck
   FROM starts
 ),
+packcum AS (
+  -- shard-local running offsets: shard = pmod(pmod((id mod P31)·(MIX mod
+  -- P31), P31), 8), cum via a BIGINT window sum ordered by the numeric id
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, sh,
+         CAST(SUM(CAST(n_tok AS BIGINT)) OVER (
+           PARTITION BY sh ORDER BY oid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM (
+    SELECT doc_id, n_tok,
+           CAST(substr(doc_id, 5) AS BIGINT) AS oid,
+           ((CAST(substr(doc_id, 5) AS BIGINT) % 2147483647) * (2654435761 % 2147483647))
+             % 2147483647 % 8 AS sh
+    FROM tokens_static WHERE n_tok > 0
+  )
+),
 packs AS (
-  -- shard-local concat-then-chunk packing, replayed exactly: shard =
-  -- pmod(pmod((id mod P31)·(MIX mod P31), P31), 8), offsets via a running
-  -- BIGINT window sum ordered by the numeric id, packs by integer division
   SELECT doc_id,
          CAST(sh AS INTEGER) AS pack_shard,
          cum - n_tok AS pack_start,
@@ -3130,19 +3166,18 @@ packs AS (
          CASE WHEN (cum - 1) // 128 > (cum - n_tok) // 128 THEN 1 ELSE 0 END AS pack_spans,
          LEAST(CAST(n_tok AS BIGINT),
                128 * ((cum - n_tok) // 128 + 1) - (cum - n_tok)) AS pack_head_fill
-  FROM (
-    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, sh,
-           CAST(SUM(CAST(n_tok AS BIGINT)) OVER (
-             PARTITION BY sh ORDER BY oid
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-    FROM (
-      SELECT doc_id, n_tok,
-             CAST(substr(doc_id, 5) AS BIGINT) AS oid,
-             ((CAST(substr(doc_id, 5) AS BIGINT) % 2147483647) * (2654435761 % 2147483647))
-               % 2147483647 % 8 AS sh
-      FROM tokens_static WHERE n_tok > 0
-    )
-  )
+  FROM packcum
+),
+shardstats AS (
+  -- packing efficiency: total tokens = max running offset per shard
+  SELECT CAST(sh AS INTEGER) AS pack_shard,
+         CAST(MAX(cum) AS BIGINT) AS shard_tokens,
+         CAST((MAX(cum) - 1) // 128 + 1 AS BIGINT) AS shard_packs,
+         CAST(((MAX(cum) - 1) // 128 + 1) * 128 - MAX(cum) AS BIGINT) AS shard_waste,
+         FLOOR((CAST(MAX(cum) AS DOUBLE)
+                / CAST(((MAX(cum) - 1) // 128 + 1) * 128 AS BIGINT))
+               * 10000.0 + 0.5) / 10000.0 AS shard_fill4
+  FROM packcum GROUP BY sh
 ),
 cdcb AS (
   -- content-defined boundaries, replayed term-for-term: 1-based j in
@@ -3185,8 +3220,10 @@ SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        CAST(COALESCE(list_sum(c.ck), 0) AS BIGINT) AS chunk_sum,
        p.pack_shard, p.pack_start, p.pack_first, p.pack_last,
        p.pack_spans, p.pack_head_fill,
-       d.cdc_n, d.cdc_kept_n, d.cdc_kept_sum
+       d.cdc_n, d.cdc_kept_n, d.cdc_kept_sum,
+       ss.shard_tokens, ss.shard_packs, ss.shard_waste, ss.shard_fill4
 FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
+     JOIN shardstats ss USING (pack_shard)
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈

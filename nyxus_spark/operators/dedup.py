@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nyxus_spark.compare import fround4
@@ -121,11 +121,10 @@ def segment_dedup(
     for removal stats.
 
     Scale shape: the split is pure column expressions (no shuffle); the
-    first-occurrence choice is ONE hash shuffle on the segment content key
-    (same cost profile as exact document dedup — segments are smaller but
-    more numerous, so partition counts should scale with corpus tokens,
-    not doc count). The ','-joined string key keeps the window in
-    whole-stage hash exchange rather than array-key sort."""
+    first-occurrence choice is the skew-safe min-struct aggregation + join
+    (`_first_occurrence_flag` — map-side partial combine, AQE-splittable
+    join, no window). The ','-joined string key keeps the aggregation in
+    hash exchange rather than array-key sort."""
     from nyxus_spark.functions import split_on_token
 
     segs = split_on_token(df, delim, tokens_col, n_tok_col)
