@@ -587,7 +587,35 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _aug_corpus(spark, sf_dir).withColumn(
         "key", F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
     )
-    return exact_dedup(aug, ["key"]).select("doc_id", "source")
+    # INCREMENTAL dedup composed in: split the corpus by the id's last
+    # digit (old = even, new = odd — re-derivable in SQL), dedup the new
+    # batch against the old batch's key index only, and flag every
+    # corpus-wide survivor with the incremental outcome: 1 = survived the
+    # incremental path, 0 = new-batch row the incremental path dropped,
+    # −1 = old batch (not part of the increment). The oracle recomputes
+    # the split, the anti-join, and the intra-batch first occurrence.
+    from nyxus_spark.operators.dedup import dedup_incremental
+
+    is_new = F.expr("CAST(substring(doc_id, length(doc_id), 1) AS INT) % 2")
+    inc = (
+        dedup_incremental(
+            aug.filter(is_new == 1), aug.filter(is_new == 0).select("key"),
+            ["key"],
+        )
+        .select("doc_id")
+        .withColumn("__inc", F.lit(1))
+    )
+    return (
+        exact_dedup(aug, ["key"])
+        .select("doc_id", "source", is_new.alias("__n"))
+        .join(inc, "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.when(F.col("__n") == 0, F.lit(-1))
+            .otherwise(F.coalesce("__inc", F.lit(0)))
+            .cast("long").alias("inc_kept"),
+        )
+    )
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2875,7 +2903,7 @@ SELECT v.sdoc AS doc_id,
        CAST(u.p AS INTEGER) AS byte_offset
 FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
 """,
-        "dedup_exact": oracles.SQL_EXACT_DEDUP,
+        "dedup_exact": oracles.SQL_EXACT_DEDUP_INC,
         "minhash_pairs": oracles.sql_minhash_pairs(0.5),
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         # blocking+verification composition shares the minhash oracle: exact

@@ -99,6 +99,34 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     return df.join(wins, [*key_cols, id_col], "left_semi")
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_keys: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (online) exact dedup — the production shape: a NEW crawl
+    batch dedups against the accumulated corpus without reprocessing it.
+    `seen_keys` is the persisted key index of everything already ingested
+    (at scale an Iceberg table bucketed on the key, so this left-anti join
+    prunes buckets); rows whose key already exists are dropped, then the
+    survivors dedup among THEMSELVES (first occurrence by lowest id, the
+    same skew-safe min-aggregate path as `exact_dedup`).
+
+    Returns the new batch's surviving rows. Equivalent to re-running
+    `exact_dedup` over old ∪ new and keeping the new-batch survivors,
+    WITHOUT touching the old rows — the invariant the oracle checks.
+
+    Scale shape: one left-anti hash join against the key index (broadcast
+    when the day's index partition fits, SMJ + AQE otherwise) plus the
+    intra-batch min-agg — the old corpus is never scanned beyond its key
+    index."""
+    fresh = new_df.join(
+        seen_keys.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return exact_dedup(fresh, key_cols, id_col)
+
+
 def segment_dedup(
     df: DataFrame,
     delim: int,

@@ -166,6 +166,37 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
 """
 
 
+SQL_EXACT_DEDUP_INC = f"""
+WITH {{SQL_AUG}},
+keyed AS (
+  SELECT doc_id, source,
+         CAST(substr(doc_id, length(doc_id), 1) AS INTEGER) % 2 AS is_new,
+         list_aggregate(list_transform(tokens, x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS key
+  FROM aug
+),
+ranked AS (
+  SELECT doc_id, source, key, is_new,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+  FROM keyed
+),
+seen AS (SELECT DISTINCT key FROM keyed WHERE is_new = 0),
+fresh AS (  -- new batch anti-joined against the old batch's key index
+  SELECT k.doc_id, k.key FROM keyed k LEFT JOIN seen s USING (key)
+  WHERE k.is_new = 1 AND s.key IS NULL
+),
+inc AS (  -- intra-batch first occurrence among the survivors
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+    FROM fresh
+  ) WHERE rn = 1
+)
+SELECT r.doc_id, r.source,
+       CAST(CASE WHEN r.is_new = 0 THEN -1
+                 WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS inc_kept
+FROM ranked r LEFT JOIN inc i USING (doc_id)
+WHERE r.rn = 1
+""".replace("{SQL_AUG}", SQL_AUG)
+
 SQL_EXACT_DEDUP = f"""
 WITH {SQL_AUG},
 keyed AS (

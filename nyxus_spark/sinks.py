@@ -131,3 +131,29 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_sized(df: DataFrame, path: str, target_rows_per_file: int,
+                total_rows: int | None = None) -> int:
+    """Parquet writer with FILE-SIZE control — the small-file / giant-file
+    guard a 100 TB pipeline needs at every sink: target a fixed row count
+    per output file by repartitioning to ceil(total/target) even-sized
+    partitions AND capping with maxRecordsPerFile (the cap alone cannot
+    MERGE small partitions; the repartition alone cannot split a surprise
+    giant one — together they bound the file size from both ends).
+
+    `total_rows` skips the count scan when the caller already knows it
+    (Iceberg/manifest stats at scale; the count() fallback is one
+    columnar-metadata pass on parquet sources). Returns the partition
+    count used.
+
+    Reference analog: nyxus splits CSV output per slide/segment rather
+    than one unbounded file (output_writers.h:26-92)."""
+    if target_rows_per_file <= 0:
+        raise ValueError(f"target_rows_per_file must be > 0, got {target_rows_per_file}")
+    n = total_rows if total_rows is not None else df.count()
+    parts = max(1, -(-n // target_rows_per_file))
+    (df.repartition(parts)
+       .write.option("maxRecordsPerFile", target_rows_per_file)
+       .mode("overwrite").parquet(path))
+    return parts
