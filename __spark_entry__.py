@@ -142,12 +142,34 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("seg_checksum"),
         )
     )
+    # lexical diversity (corpus-quality metrics): distinct token types,
+    # hapax count (types occurring once IN the doc), and the type-token
+    # ratio — two-phase (doc, token) aggregation, exact ints + ONE division
+    lex = (
+        t.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("distinct_tokens"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long")
+            .alias("hapax_tokens"),
+        )
+    )
     zero = F.lit(0).cast("long")
-    return out.join(seg_agg, "doc_id", "left").select(
+    out = out.join(seg_agg, "doc_id", "left").join(lex, "doc_id", "left").select(
         *[c for c in out.columns],
         F.coalesce("n_segs", zero).alias("n_segs"),
         F.coalesce("max_seg_len", zero).alias("max_seg_len"),
         F.coalesce("seg_checksum", zero).alias("seg_checksum"),
+        F.coalesce("distinct_tokens", zero).alias("distinct_tokens"),
+        F.coalesce("hapax_tokens", zero).alias("hapax_tokens"),
+    )
+    return out.withColumn(
+        "ttr4",
+        F.when(F.col("n_tok") > 0,
+               _r4(F.col("distinct_tokens") / F.col("n_tok")))
+        .otherwise(F.lit(0.0)),
     )
 
 
@@ -225,7 +247,22 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("INTEGRATED_INTENSITY").cast("long").alias("ws_sum"),
         F.col("ENERGY").cast("long").alias("ws_energy"),
     )
-    return (base.join(med, "source").join(ws, "source")
+    # per-source MODE token (argmax count, ties → lowest token id): the
+    # per-domain vocabulary monitor — two-phase (source, token) agg, then a
+    # max-struct pick (count DESC encoded as negative for the struct max)
+    mode = (
+        t.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("source")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("tok")).alias("nt"))).alias("m"))
+        .select(
+            "source",
+            (-F.col("m.nt")).cast("long").alias("src_mode_token"),
+            F.col("m.c").alias("src_mode_cnt"),
+        )
+    )
+    return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -3496,6 +3533,15 @@ segagg AS (
          CAST(MAX(seg_len) AS BIGINT) AS max_seg_len,
          CAST(SUM((seg_id + 1) * (seg_sum + seg_len)) AS BIGINT) AS seg_checksum
   FROM segrows GROUP BY doc_id
+),
+lex AS (  -- lexical diversity: two-phase (doc, token) aggregation
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tokens) AS tok FROM tokens_static)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
 )
 SELECT doc_id, n_tok,
        list_min(tokens) AS tok_min,
@@ -3529,9 +3575,15 @@ SELECT doc_id, n_tok,
        CAST(n_tok - bm.m AS BIGINT) AS bpe_new_len,
        COALESCE(sa.n_segs, 0) AS n_segs,
        COALESCE(sa.max_seg_len, 0) AS max_seg_len,
-       COALESCE(sa.seg_checksum, 0) AS seg_checksum
+       COALESCE(sa.seg_checksum, 0) AS seg_checksum,
+       COALESCE(lx.distinct_tokens, 0) AS distinct_tokens,
+       COALESCE(lx.hapax_tokens, 0) AS hapax_tokens,
+       CASE WHEN n_tok > 0 THEN
+         FLOOR((COALESCE(lx.distinct_tokens, 0) / n_tok) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS ttr4
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
+LEFT JOIN lex lx USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},
@@ -3569,6 +3621,17 @@ ws AS (  -- merged-label (wholeslide) kernel stats: order-independent ints
                      FROM (SELECT unnest(tokens) AS t) u) AS BIGINT) AS e
         FROM docs)
   GROUP BY source
+),
+md AS (  -- per-source mode token: argmax count, ties -> lowest token id
+  SELECT source, CAST(tok AS BIGINT) AS src_mode_token, c AS src_mode_cnt
+  FROM (
+    SELECT source, tok, c,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, tok ASC) AS rn
+    FROM (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest(tokens) AS tok FROM tokens_static)
+          GROUP BY source, tok)
+  ) WHERE rn = 1
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -3579,8 +3642,10 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
                              - CAST(b.sy AS HUGEINT) * b.sy AS DOUBLE))))
              * 10000.0 + 0.5) / 10000.0 AS corr_len_mass,
        m.median_n_tok,
-       w.ws_count, w.ws_sum, w.ws_energy
+       w.ws_count, w.ws_sum, w.ws_energy,
+       d.src_mode_token, d.src_mode_cnt
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
+     JOIN md d USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
