@@ -698,6 +698,12 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
     cleaned = survivors.join(drop_ids, "doc_id", "left_anti")
     segd = segment_dedup(cleaned, delim=104, keep_tokens=True)
+    # BOILERPLATE pass (distinct from first-wins dedup): segments whose
+    # content appears in >= 2 DISTINCT docs are flagged in every doc,
+    # including the first occurrence that seg_kept retains
+    from nyxus_spark.operators.dedup import boilerplate_segments
+
+    segd = boilerplate_segments(segd, min_docs=2)
     per_doc = segd.groupBy("doc_id").agg(
         F.sum("seg_kept").cast("long").alias("segs_kept"),
         (F.count("*") - F.sum("seg_kept")).cast("long").alias("segs_removed"),
@@ -705,6 +711,9 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("clean_n_tok"),
         F.sum(F.when(F.col("seg_kept") == 1, F.col("seg_sum")).otherwise(0))
         .cast("long").alias("clean_tok_sum"),
+        F.sum("bp_flag").cast("long").alias("bp_segs"),
+        F.sum(F.when(F.col("bp_flag") == 1, F.col("seg_len")).otherwise(0))
+        .cast("long").alias("bp_tok"),
     )
     # REASSEMBLY: rebuild each cleaned doc from its kept segments (in
     # seg_id order, delimiters gone) and gate the order-sensitive digest
@@ -731,6 +740,8 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_n_tok", zero).alias("clean_n_tok"),
             F.coalesce("clean_tok_sum", zero).alias("clean_tok_sum"),
             F.coalesce("clean_digest", F.lit(-1).cast("long")).alias("clean_digest"),
+            F.coalesce("bp_segs", zero).alias("bp_segs"),
+            F.coalesce("bp_tok", zero).alias("bp_tok"),
         )
     )
 
@@ -751,7 +762,28 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(aug, jaccard_threshold=0.5)
     comps = connected_components(pairs)
     sizes = comps.groupBy("rep").agg(F.count("*").cast("long").alias("cluster_size"))
-    return comps.join(sizes, "rep").select("doc_id", "rep", "cluster_size")
+    # QUALITY-AWARE representative: production near-dup removal keeps the
+    # best document of each cluster, not the lowest id — here quality =
+    # n_tok (keep-the-longest policy), ties -> lowest doc_id. Max-struct
+    # aggregation (partial-combine, no window); doc_id order is inverted
+    # through a reversed-string trick-free struct: strings can't negate, so
+    # rank by (n_tok DESC) then min doc_id among the max-n_tok members.
+    sized = comps.join(aug.select("doc_id", "n_tok"), "doc_id")
+    mx = sized.groupBy("rep").agg(F.max("n_tok").alias("best_n_tok"))
+    best = (
+        sized.join(mx, "rep")
+        .filter(F.col("n_tok") == F.col("best_n_tok"))
+        .groupBy("rep")
+        .agg(F.min("doc_id").alias("best_doc"),
+             F.max("n_tok").cast("long").alias("best_n_tok"))
+    )
+    return (
+        comps.join(sizes, "rep").join(best, "rep")
+        .select(
+            "doc_id", "rep", "cluster_size", "best_doc", "best_n_tok",
+            (F.col("doc_id") == F.col("best_doc")).cast("int").alias("is_best"),
+        )
+    )
 
 
 def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,7 +1037,7 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     neg = neg_sampling_shares(top)
     zero = F.lit(0).cast("long")
-    return (
+    out = (
         rec.join(top, "token", "left")
         .join(drift, "token", "left")
         .join(pmi, "token", "left")
@@ -1022,6 +1054,29 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("big_cnt", zero).alias("big_cnt"),
             F.coalesce("pmi4", F.lit(0.0)).alias("pmi4"),
             F.coalesce("neg_share4", F.lit(0.0)).alias("neg_share4"),
+        )
+    )
+    # VOCABULARY COVERAGE CURVE (the vocab-size-selection metric): each row
+    # gets its rank over the remapped counts (cnt_remap DESC, token ASC)
+    # plus the cumulative token mass and the covered fraction of the WHOLE
+    # corpus — exact BIGINT running sum over the post-aggregation top-k
+    # frame (k+1 rows, so the single-partition window is broadcast-tiny; at
+    # scale the heavy work stays in the two-phase count aggregation above)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
+    wall = Window.partitionBy()
+    return (
+        out.withColumn("vrank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_mass",
+            F.sum("cnt_remap").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .withColumn(
+            "cov4",
+            _r4(F.col("cum_mass") / F.sum("cnt_remap").over(wall)),
         )
     )
 
@@ -3042,21 +3097,35 @@ pmi AS (  -- exact IEEE chain (c_ab/c_a)·N/c_b, left-to-right, fround4
   FROM best
   JOIN counts ca ON ca.token = best.token
   JOIN counts cb ON cb.token = best.next_token
+),
+final AS (
+  SELECT r.token,
+         CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt,
+         CAST(COUNT(*) AS BIGINT) AS cnt_remap,
+         COALESCE(ANY_VALUE(d.cnt_a), 0) AS cnt_src0,
+         COALESCE(ANY_VALUE(d.cnt_b), 0) AS cnt_src1,
+         COALESCE(ANY_VALUE(d.drift_num), 0) AS drift_num,
+         COALESCE(ANY_VALUE(d.drift_rate), 0.0) AS drift_rate,
+         COALESCE(ANY_VALUE(p.next_token), -1) AS next_token,
+         COALESCE(ANY_VALUE(p.big_cnt), 0) AS big_cnt,
+         COALESCE(ANY_VALUE(p.pmi4), 0.0) AS pmi4,
+         COALESCE(ANY_VALUE(g.neg_share4), 0.0) AS neg_share4
+  FROM remapped r LEFT JOIN top t USING (token) LEFT JOIN drift d USING (token)
+       LEFT JOIN pmi p USING (token) LEFT JOIN neg g USING (token)
+  GROUP BY r.token, t.cnt
 )
-SELECT r.token,
-       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS cnt,
-       CAST(COUNT(*) AS BIGINT) AS cnt_remap,
-       COALESCE(ANY_VALUE(d.cnt_a), 0) AS cnt_src0,
-       COALESCE(ANY_VALUE(d.cnt_b), 0) AS cnt_src1,
-       COALESCE(ANY_VALUE(d.drift_num), 0) AS drift_num,
-       COALESCE(ANY_VALUE(d.drift_rate), 0.0) AS drift_rate,
-       COALESCE(ANY_VALUE(p.next_token), -1) AS next_token,
-       COALESCE(ANY_VALUE(p.big_cnt), 0) AS big_cnt,
-       COALESCE(ANY_VALUE(p.pmi4), 0.0) AS pmi4,
-       COALESCE(ANY_VALUE(g.neg_share4), 0.0) AS neg_share4
-FROM remapped r LEFT JOIN top t USING (token) LEFT JOIN drift d USING (token)
-     LEFT JOIN pmi p USING (token) LEFT JOIN neg g USING (token)
-GROUP BY r.token, t.cnt
+SELECT *,
+       CAST(row_number() OVER (ORDER BY cnt_remap DESC, token ASC)
+            AS BIGINT) AS vrank,
+       CAST(SUM(cnt_remap) OVER (ORDER BY cnt_remap DESC, token ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_mass,
+       FLOOR(CAST(SUM(cnt_remap) OVER (ORDER BY cnt_remap DESC, token ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(cnt_remap) OVER () AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS cov4
+FROM final
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the

@@ -172,6 +172,40 @@ def segment_dedup(
     )
 
 
+def boilerplate_segments(
+    segs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "seg_tokens",
+) -> DataFrame:
+    """Boilerplate detection — the CCNet/RefinedWeb pass that differs from
+    line-dedup: a segment whose content appears in >= `min_docs` DISTINCT
+    documents (navigation bars, licence blocks, cookie banners) is flagged
+    in EVERY document, including its first occurrence — first-wins dedup
+    keeps one copy of boilerplate; this removes them all. Within-document
+    repetition alone does not trigger the flag (doc-frequency, not raw
+    count).
+
+    Input is a segment table from `functions.split_on_token` (or
+    `segment_dedup(..., keep_tokens=True)`). Returns it with `bp_flag`
+    (1 = boilerplate) added.
+
+    Scale shape: one (content-key → approx-distinct-doc) hash aggregation —
+    count_distinct gets Catalyst's two-phase expand with partial combine —
+    then an equi-join back that AQE can split on a hyper-duplicated key.
+    No window over the key (same rationale as `_first_occurrence_flag`)."""
+    key = F.concat_ws(",", F.transform(tokens_col, lambda x: x.cast("string")))
+    keyed = segs.withColumn("__bk", key)
+    freq = keyed.groupBy("__bk").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    return (
+        keyed.join(freq, "__bk")
+        .withColumn("bp_flag", (F.col("__df") >= min_docs).cast("int"))
+        .drop("__bk", "__df")
+    )
+
+
 def _first_occurrence_flag(df: DataFrame, key_col: str, order_cols: list[str],
                            flag_name: str) -> DataFrame:
     """Mark the first occurrence (min over `order_cols`) of every `key_col`

@@ -53,8 +53,20 @@ reach(id, label) AS (
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
 ),
 comp AS (SELECT id AS doc_id, min(label) AS rep FROM reach GROUP BY id),
-sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY rep)
-SELECT c.doc_id, c.rep, s.cluster_size FROM comp c JOIN sizes s USING (rep)
+sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY rep),
+{SQL_AUG},
+best AS (  -- quality-aware representative: longest doc, ties -> lowest id
+  SELECT rep, doc_id AS best_doc, CAST(n_tok AS BIGINT) AS best_n_tok
+  FROM (
+    SELECT c.rep, c.doc_id, a.n_tok,
+           row_number() OVER (PARTITION BY c.rep
+                              ORDER BY a.n_tok DESC, c.doc_id ASC) AS rn
+    FROM comp c JOIN aug a USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
+       CASE WHEN c.doc_id = b.best_doc THEN 1 ELSE 0 END AS is_best
+FROM comp c JOIN sizes s USING (rep) JOIN best b USING (rep)
 """
 
 
@@ -565,15 +577,28 @@ segdoc AS (
          CAST(SUM(CASE WHEN seg_kept = 1 THEN seg_len ELSE 0 END) AS BIGINT) AS clean_n_tok,
          CAST(SUM(CASE WHEN seg_kept = 1 THEN seg_sum ELSE 0 END) AS BIGINT) AS clean_tok_sum
   FROM segkept GROUP BY doc_id
+),
+bpkeys AS (  -- boilerplate: content in >= 2 DISTINCT docs (not raw count)
+  SELECT seg_key FROM segrows GROUP BY seg_key
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+bpdoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS bp_segs,
+         CAST(SUM(seg_len) AS BIGINT) AS bp_tok
+  FROM segrows s JOIN bpkeys USING (seg_key) GROUP BY doc_id
 )
 SELECT c.doc_id, c.source,
        COALESCE(d.segs_kept, 0) AS segs_kept,
        COALESCE(d.segs_removed, 0) AS segs_removed,
        COALESCE(d.clean_n_tok, 0) AS clean_n_tok,
        COALESCE(d.clean_tok_sum, 0) AS clean_tok_sum,
-       COALESCE(rb.clean_digest, -1) AS clean_digest
+       COALESCE(rb.clean_digest, -1) AS clean_digest,
+       COALESCE(bp.bp_segs, 0) AS bp_segs,
+       COALESCE(bp.bp_tok, 0) AS bp_tok
 FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
 LEFT JOIN rebuilt rb USING (doc_id)
+LEFT JOIN bpdoc bp USING (doc_id)
 """
 
 

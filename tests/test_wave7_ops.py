@@ -300,3 +300,58 @@ def test_pq_search_adc_matches_numpy(spark):
         for rank, (dist, vid) in enumerate(sorted(scored)[:4], start=1):
             want.append((qid, rank, vid, dist))
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_segments
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_flags_all_occurrences(spark):
+    from nyxus_spark.operators.dedup import boilerplate_segments, segment_dedup
+
+    # [1,2] appears in docs a, b and twice in c -> boilerplate everywhere
+    # (including the first occurrence that seg_kept retains); [7,7] repeats
+    # WITHIN d only -> doc-frequency 1, NOT boilerplate
+    data = [
+        ("a", [1, 2, 9, 3], 4),
+        ("b", [4, 9, 1, 2], 4),
+        ("c", [1, 2, 9, 1, 2], 5),
+        ("d", [7, 7, 9, 7, 7], 5),
+    ]
+    df = spark.createDataFrame(data, "doc_id string, tokens array<int>, n_tok int")
+    segd = boilerplate_segments(
+        segment_dedup(df, 9, keep_tokens=True), min_docs=2
+    )
+    rows = {(r["doc_id"], r["seg_id"]): r for r in segd.collect()}
+    assert rows[("a", 0)]["bp_flag"] == 1 and rows[("a", 0)]["seg_kept"] == 1
+    assert rows[("b", 1)]["bp_flag"] == 1
+    assert rows[("c", 0)]["bp_flag"] == 1 and rows[("c", 1)]["bp_flag"] == 1
+    assert rows[("a", 1)]["bp_flag"] == 0  # [3] unique
+    assert rows[("d", 0)]["bp_flag"] == 0  # within-doc repetition only
+    assert rows[("d", 1)]["bp_flag"] == 0
+
+
+def test_boilerplate_python_reference(spark):
+    from collections import defaultdict
+
+    from nyxus_spark.operators.dedup import boilerplate_segments, segment_dedup
+
+    docs = [(f"d{i:02d}",
+             [((i * 11 + j * 5) % 4) for j in range((i % 7) + 1)])
+            for i in range(24)]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in docs],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {(r["doc_id"], r["seg_id"]): r["bp_flag"]
+           for r in boilerplate_segments(
+               segment_dedup(df, 2, keep_tokens=True), min_docs=2).collect()}
+    docfreq = defaultdict(set)
+    for d, t in docs:
+        for seg in _py_split(t, 2, False):
+            docfreq[tuple(seg)].add(d)
+    want = {}
+    for d, t in docs:
+        for sid, seg in enumerate(_py_split(t, 2, False)):
+            want[(d, sid)] = 1 if len(docfreq[tuple(seg)]) >= 2 else 0
+    assert got == want
