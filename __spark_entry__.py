@@ -656,11 +656,18 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs verified by exact Jaccard."""
+    """MinHash+LSH near-dup candidate pairs verified by exact Jaccard,
+    each pair also carrying the SKETCH's own Jaccard estimate (fraction of
+    agreeing signature slots, Broder 1997) — gating both the exact verifier
+    and the estimator the sketch would use where verification is
+    unaffordable."""
     _prep(spark)
-    from nyxus_spark.operators.dedup import minhash_lsh_pairs
+    from nyxus_spark.operators.dedup import minhash_estimate, minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_aug_corpus(spark, sf_dir), jaccard_threshold=0.5)
+    aug = _aug_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(aug, jaccard_threshold=0.5)
+    est = minhash_estimate(aug, pairs)
+    return pairs.join(est, ["id_a", "id_b"])
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1314,8 +1321,36 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("__ps", "pack_shard")
     )
+    # LENGTH-BUCKET batching stats (the dynamic-batching alternative to
+    # packing: pad each doc to the next power of two): per-doc bucket +
+    # padding waste, and the per-bucket fill rate — exact ints, ONE
+    # division. The pow-2 bucket is bit arithmetic (shiftleft of the
+    # bit-length), replayed identically by DuckDB's bin()/<<.
+    lb = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN n_tok <= 1 THEN n_tok"
+            " ELSE shiftleft(1L, length(bin(n_tok - 1))) END"
+        ).alias("len_bucket"),
+        "n_tok",
+    ).withColumn("pad_waste", F.col("len_bucket") - F.col("n_tok"))
+    bstats = (
+        lb.groupBy("len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("bucket_docs"),
+            F.sum("n_tok").cast("long").alias("__bmass"),
+        )
+        .withColumn(
+            "bucket_fill4",
+            _f4(F.col("__bmass").cast("double")
+                / (F.col("len_bucket") * F.col("bucket_docs")).cast("double")),
+        )
+        .drop("__bmass")
+    )
+    lbj = lb.select("doc_id", "len_bucket", "pad_waste").join(bstats, "len_bucket")
     return (
         ch.join(pk, "doc_id").join(cdc, "doc_id").join(sh, "pack_shard")
+        .join(lbj, "doc_id")
     )
 
 
@@ -2262,6 +2297,13 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     msk = mask_tokens(toks, 0.15).select(
         nid.alias("doc_id"), "n_masked", "mask_checksum",
     )
+    # TF-IDF keyword extraction (log-free: tf·N/df — exact product + ONE
+    # division, argmax per doc with ties to the lowest token id)
+    from nyxus_spark.functions import tfidf_top_term
+
+    tfi = tfidf_top_term(toks).select(
+        nid.alias("doc_id"), "top_tfidf_token", "top_tf", "top_df", "tfidf4",
+    )
     # hashed-bigram linear scorer (fastText/DSIR-style quality classifier):
     # exact BIGINT weight sum + ONE final division — zero shuffle, pure map
     from nyxus_spark.functions import hashed_bigram_score
@@ -2286,7 +2328,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scr = scr.select("doc_id", *[v.alias(k) for k, v in scrub_exprs("text").items()])
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
-    out = out.join(hb, "doc_id").join(scr, "doc_id")
+    out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2304,6 +2346,11 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_masked", "mask_checksum",
         "hb_score", "hb_rate",
         "n_url", "n_email", "n_longnum", "scrub_len",
+        F.coalesce("top_tfidf_token", F.lit(-1).cast("long"))
+        .alias("top_tfidf_token"),
+        F.coalesce("top_tf", zero).alias("top_tf"),
+        F.coalesce("top_df", zero).alias("top_df"),
+        F.coalesce("tfidf4", F.lit(0.0)).alias("tfidf4"),
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -2996,7 +3043,7 @@ SELECT v.sdoc AS doc_id,
 FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
 """,
         "dedup_exact": oracles.SQL_EXACT_DEDUP_INC,
-        "minhash_pairs": oracles.sql_minhash_pairs(0.5),
+        "minhash_pairs": oracles.sql_minhash_pairs(0.5, with_sig=True),
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set
@@ -3348,6 +3395,22 @@ cdcd AS (
          CAST(SUM(kept) AS BIGINT) AS cdc_kept_n,
          CAST(SUM(kept * cdc_sum) AS BIGINT) AS cdc_kept_sum
   FROM cdcf GROUP BY doc_id
+),
+lb AS (  -- pow-2 length bucket: bit arithmetic, engine-identical
+  SELECT doc_id,
+         CASE WHEN n_tok <= 1 THEN CAST(n_tok AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << length(bin(n_tok - 1)) END
+           AS len_bucket,
+         CAST(n_tok AS BIGINT) AS n_tok
+  FROM tokens_static WHERE n_tok > 0
+),
+lbs AS (  -- per-bucket fill: exact int mass, ONE division
+  SELECT len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS bucket_docs,
+         FLOOR((CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)
+                / CAST(len_bucket * COUNT(*) AS BIGINT))
+               * 10000.0 + 0.5) / 10000.0 AS bucket_fill4
+  FROM lb GROUP BY len_bucket
 )
 SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        CAST(len(c.ck) AS BIGINT) AS chunk_len,
@@ -3355,9 +3418,12 @@ SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        p.pack_shard, p.pack_start, p.pack_first, p.pack_last,
        p.pack_spans, p.pack_head_fill,
        d.cdc_n, d.cdc_kept_n, d.cdc_kept_sum,
-       ss.shard_tokens, ss.shard_packs, ss.shard_waste, ss.shard_fill4
+       ss.shard_tokens, ss.shard_packs, ss.shard_waste, ss.shard_fill4,
+       b.len_bucket, b.len_bucket - b.n_tok AS pad_waste,
+       bs.bucket_docs, bs.bucket_fill4
 FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
      JOIN shardstats ss USING (pack_shard)
+     JOIN lb b USING (doc_id) JOIN lbs bs USING (len_bucket)
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈
@@ -3467,6 +3533,27 @@ scr AS (  -- PII scrubbing over the same deterministically-augmented text
                       || CAST(doc_id AS VARCHAR)
                ELSE text END AS t2
         FROM documents)
+),
+tfc AS (  -- per-(doc, token) term frequency
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tfc GROUP BY tok),
+ndoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM toks),
+tfi AS (  -- log-free TF-IDF argmax: score = tf·N/df, ties -> lowest token
+  SELECT doc_id,
+         CAST(tok AS BIGINT) AS top_tfidf_token, tf AS top_tf,
+         dfreq AS top_df,
+         FLOOR(CAST(tf * nd AS DOUBLE) / dfreq * 10000.0 + 0.5) / 10000.0
+           AS tfidf4
+  FROM (
+    SELECT t.doc_id, t.tok, t.tf, d.dfreq, n.nd,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY CAST(t.tf * n.nd AS DOUBLE) / d.dfreq
+                                       DESC, t.tok ASC) AS rn
+    FROM tfc t JOIN dfc d USING (tok), ndoc n
+  ) WHERE rn = 1
 )
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
@@ -3486,6 +3573,10 @@ SELECT l.doc_id, l.lang_pred,
        m.n_masked, m.mask_checksum,
        h.hb_score, h.hb_rate,
        sc.n_url, sc.n_email, sc.n_longnum, sc.scrub_len,
+       COALESCE(tt.top_tfidf_token, -1) AS top_tfidf_token,
+       COALESCE(tt.top_tf, 0) AS top_tf,
+       COALESCE(tt.top_df, 0) AS top_df,
+       COALESCE(tt.tfidf4, 0.0) AS tfidf4,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -3505,6 +3596,7 @@ LEFT JOIN nov n USING (doc_id)
 JOIN msk m USING (doc_id)
 JOIN hb h USING (doc_id)
 JOIN scr sc USING (doc_id)
+LEFT JOIN tfi tt USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

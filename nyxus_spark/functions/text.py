@@ -858,3 +858,51 @@ def gopher_pass_expr(n_words="n_words", mean_word_len="mean_word_len",
         & (F.col(rep_dup_ratio) <= 0.3)
         & (F.col(stopword_ratio) > 0.0)
     ).cast("long")
+
+
+def tfidf_top_term(df, id_col: str = "doc_id", tokens_col: str = "tokens"):
+    """Each document's most characteristic token by LOG-FREE TF-IDF:
+    score = tf · N_docs / df (the rank order of classic tf·log(N/df) within
+    a document whenever df ordering agrees; the log is dropped so the score
+    is ONE exact-integer product and ONE division — engine-replayable,
+    unlike cross-engine transcendentals). Ties break to the lowest token
+    id. The keyword-extraction pass of a topic/domain tagger.
+
+    Returns one row per document: (id, top_tfidf_token, top_tf, top_df,
+    tfidf4).
+
+    Scale shape: two-phase (doc, token) aggregation for tf, a token-keyed
+    aggregation for df, one equi-join tf⋈df on the token, the corpus size
+    broadcast as a 1-row cross join, and a max-struct argmax per doc (no
+    window) — every shuffle carries aggregated rows, never raw tokens."""
+
+    flat = df.select(F.col(id_col), F.explode(tokens_col).alias("tok"))
+    tf = flat.groupBy(id_col, "tok").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("dfreq"))
+    nd = df.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("dfreq"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("tok")).alias("nt"),
+                    F.col("tf"), F.col("dfreq"),
+                )
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            (-F.col("m.nt")).cast("long").alias("top_tfidf_token"),
+            F.col("m.tf").alias("top_tf"),
+            F.col("m.dfreq").alias("top_df"),
+            fround4(F.col("m.score")).alias("tfidf4"),
+        )
+    )

@@ -491,6 +491,55 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Sketch-quality monitor: the Jaccard estimate the MinHash signature
+    ITSELF implies for each candidate pair — the fraction of agreeing hash
+    slots (an unbiased estimator of true Jaccard; Broder 1997). Comparing
+    `est4` against the exact `jaccard` from ngram_jaccard measures how well
+    the 16-slot sketch resolves near the LSH threshold — the number you
+    check before trusting the sketch at corpus scale where exact
+    verification of every pair is unaffordable.
+
+    Returns (id_a, id_b, sig_match, est4). Exact integers + one division:
+    gateable cross-engine.
+
+    Scale shape: signatures are recomputed for candidate ids only (two
+    equi-joins on the pair table — candidates are a vanishing fraction of
+    the corpus); the agreement count is a JVM zip_with fold, no shuffle
+    beyond the joins."""
+    from nyxus_spark.compare import fround4
+
+    sig = (
+        df.select(F.col(id_col), token_shingles(tokens_col, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature("shingles", num_hashes))
+        .select(id_col, "sig")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+              "id_a")
+        .join(sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+              "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b,"
+                " (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),"
+                " 0L, (a, x) -> a + x)"
+            ).alias("sig_match"),
+        )
+        .withColumn("est4", fround4(F.col("sig_match") / F.lit(num_hashes)))
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

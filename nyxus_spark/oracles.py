@@ -92,7 +92,8 @@ shingled AS (
 SQL_SHINGLES = sql_shingles()
 
 
-def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False) -> str:
+def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False,
+                      with_sig: bool = False) -> str:
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)
@@ -129,6 +130,17 @@ lv AS (
                * 10000.0 + 0.5) / 10000.0
        ELSE 1.0 END AS lev_sim4"""
         lv_join = " JOIN lv la ON la.doc_id = id_a JOIN lv lb ON lb.doc_id = id_b"
+    # signature-agreement Jaccard estimate (fraction of agreeing slots)
+    sg_cols, sg_join = "", ""
+    if with_sig:
+        sg_cols = f""",
+       CAST(list_sum(list_transform(range(1, {NUM_HASHES + 1}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS BIGINT) AS sig_match,
+       FLOOR(CAST(list_sum(list_transform(range(1, {NUM_HASHES + 1}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             AS DOUBLE) / {NUM_HASHES}.0 * 10000.0 + 0.5) / 10000.0 AS est4"""
+        sg_join = " JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b"
     return f"""
 WITH {SQL_AUG},
 {SQL_SHINGLES},
@@ -141,8 +153,8 @@ cand AS (
 ){lv_cte}
 SELECT id_a, id_b,
        FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}
-FROM cand{lv_join}
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}{sg_cols}
+FROM cand{lv_join}{sg_join}
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}
 """

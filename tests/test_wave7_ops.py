@@ -355,3 +355,51 @@ def test_boilerplate_python_reference(spark):
         for sid, seg in enumerate(_py_split(t, 2, False)):
             want[(d, sid)] = 1 if len(docfreq[tuple(seg)]) >= 2 else 0
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_term / minhash_estimate
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_term_python_reference(spark):
+    from collections import Counter
+
+    from nyxus_spark.functions import tfidf_top_term
+
+    docs = [(f"d{i}", [((i * 7 + j * 3) % 6) for j in range((i % 5) + 2)])
+            for i in range(15)]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in docs],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {r["doc_id"]: (r["top_tfidf_token"], r["top_tf"], r["top_df"])
+           for r in tfidf_top_term(df).collect()}
+    dfreq = Counter()
+    for _, t in docs:
+        for tok in set(t):
+            dfreq[tok] += 1
+    n = len(docs)
+    want = {}
+    for d, t in docs:
+        tf = Counter(t)
+        # score = tf*N/df, ties -> lowest token
+        best = min(tf, key=lambda k: (-(tf[k] * n / dfreq[k]), k))
+        want[d] = (best, tf[best], dfreq[best])
+    assert got == want
+
+
+def test_minhash_estimate_bounds_and_identity(spark):
+    from nyxus_spark.operators.dedup import minhash_estimate
+
+    base = [((j * 13 + 7) % 50) for j in range(30)]
+    df = spark.createDataFrame(
+        [("a", base, 30), ("b", base, 30),          # identical -> est 1.0
+         ("c", base[:15] + [99] * 15, 30)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "id_a string, id_b string")
+    rows = {(r["id_a"], r["id_b"]): r for r in minhash_estimate(df, pairs).collect()}
+    assert rows[("a", "b")]["sig_match"] == 16
+    assert rows[("a", "b")]["est4"] == 1.0
+    assert 0 <= rows[("a", "c")]["sig_match"] < 16
