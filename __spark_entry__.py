@@ -262,7 +262,14 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.c").alias("src_mode_cnt"),
         )
     )
+    # total-variation distance of each source's token distribution from
+    # src0 (the new-crawl-vs-reference composition monitor): exact BIGINT
+    # numerator + ONE division
+    from nyxus_spark.functions import source_tv
+
+    tv = source_tv(t, ref="src0")
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
+            .join(tv, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -662,12 +669,24 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the estimator the sketch would use where verification is
     unaffordable."""
     _prep(spark)
-    from nyxus_spark.operators.dedup import minhash_estimate, minhash_lsh_pairs
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import (
+        lsh_recall_audit,
+        minhash_estimate,
+        minhash_lsh_pairs,
+    )
 
     aug = _aug_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(aug, jaccard_threshold=0.5)
     est = minhash_estimate(aug, pairs)
-    return pairs.join(est, ["id_a", "id_b"])
+    # blocking-RECALL audit on a deterministic id-sample: brute-force truth
+    # on the sample, measure the fraction LSH surfaced — one broadcast row
+    audit = lsh_recall_audit(
+        aug, pairs,
+        F.expr("CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0"),
+    )
+    return pairs.join(est, ["id_a", "id_b"]).crossJoin(F.broadcast(audit))
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,7 +1151,15 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank within source (partitioned window — the scale-safe shape; a
     # global training order would come from repartitionByRange on the key)
     w = Window.partitionBy("source").orderBy(F.col("shuf_e0").asc(), F.col("doc_id").asc())
-    return out.withColumn("order_e0", F.row_number().over(w).cast("long"))
+    out = out.withColumn("order_e0", F.row_number().over(w).cast("long"))
+    # DATA-BUDGET PLANNER (the LLaMA-style mixture table): per-source epoch
+    # allocation under a half-corpus char budget with a 4-epoch repeat cap,
+    # derived from the FULL corpus, joined onto every sampled row
+    from nyxus_spark.functions import budget_allocation
+
+    plan = budget_allocation(docs, "n_chars", cap_epochs=4,
+                             budget_num=1, budget_den=2)
+    return out.join(plan, "source")
 
 
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3043,7 +3070,8 @@ SELECT v.sdoc AS doc_id,
 FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
 """,
         "dedup_exact": oracles.SQL_EXACT_DEDUP_INC,
-        "minhash_pairs": oracles.sql_minhash_pairs(0.5, with_sig=True),
+        "minhash_pairs": oracles.sql_minhash_pairs(0.5, with_sig=True,
+                                                   with_audit=True),
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set
@@ -3210,11 +3238,29 @@ base AS (
   FROM documents JOIN scut sc USING (source)
   WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
         % 2147483647 < {int(2147483647 * 0.2)}
+),
+bplan AS (  -- budget planner: half-corpus char budget, equal shares,
+            -- 4-epoch repeat cap, exact integer floor divisions
+  SELECT source,
+         CAST(n_s AS BIGINT) AS budget_mass,
+         CAST(share AS BIGINT) AS budget_share,
+         CAST(LEAST(4 * n_s, share) AS BIGINT) AS budget_alloc,
+         FLOOR(CAST(LEAST(4 * n_s, share) AS DOUBLE)
+               / CAST(n_s AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           AS budget_epochs4
+  FROM (
+    SELECT source, n_s, (n_total // 2) // k AS share
+    FROM (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_s
+          FROM documents GROUP BY source),
+         (SELECT CAST(SUM(n_chars) AS BIGINT) AS n_total,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS k FROM documents)
+  )
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
-            AS BIGINT) AS order_e0
-FROM base
+            AS BIGINT) AS order_e0,
+       bp.budget_mass, bp.budget_share, bp.budget_alloc, bp.budget_epochs4
+FROM base JOIN bplan bp USING (source)
 """,
         # int8 quantization: same element-wise IEEE expression tree
         "embed_quantize": """
@@ -3793,6 +3839,31 @@ md AS (  -- per-source mode token: argmax count, ties -> lowest token id
           FROM (SELECT source, unnest(tokens) AS tok FROM tokens_static)
           GROUP BY source, tok)
   ) WHERE rn = 1
+),
+tvc AS (  -- total-variation distance vs src0: exact BIGINT numerator
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(tokens) AS tok FROM tokens_static)
+  GROUP BY source, tok
+),
+tvt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM tvc GROUP BY source),
+tvr AS (SELECT tok, c AS c_ref FROM tvc WHERE source = 'src0'),
+tvrn AS (SELECT n_s AS n_ref FROM tvt WHERE source = 'src0'),
+tva AS (
+  SELECT c.source,
+         CAST(SUM(abs(c.c * rn.n_ref - COALESCE(r.c_ref, 0) * t.n_s))
+              AS BIGINT) AS s1,
+         CAST(SUM(COALESCE(r.c_ref, 0)) AS BIGINT) AS cm,
+         ANY_VALUE(t.n_s) AS n_s, ANY_VALUE(rn.n_ref) AS n_ref
+  FROM tvc c LEFT JOIN tvr r USING (tok) JOIN tvt t USING (source), tvrn rn
+  GROUP BY c.source
+),
+tv AS (
+  SELECT source,
+         CAST(s1 + (n_ref - cm) * n_s AS BIGINT) AS tv_num,
+         FLOOR(CAST(s1 + (n_ref - cm) * n_s AS DOUBLE)
+               / CAST(2 * n_s * n_ref AS BIGINT) * 10000.0 + 0.5) / 10000.0
+           AS tv4
+  FROM tva
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -3804,9 +3875,10 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
              * 10000.0 + 0.5) / 10000.0 AS corr_len_mass,
        m.median_n_tok,
        w.ws_count, w.ws_sum, w.ws_energy,
-       d.src_mode_token, d.src_mode_cnt
+       d.src_mode_token, d.src_mode_cnt,
+       v.tv_num, v.tv4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
-     JOIN md d USING (source)
+     JOIN md d USING (source) JOIN tv v USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

@@ -906,3 +906,93 @@ def tfidf_top_term(df, id_col: str = "doc_id", tokens_col: str = "tokens"):
             fround4(F.col("m.score")).alias("tfidf4"),
         )
     )
+
+
+def source_tv(df, ref: str, source_col: str = "source",
+              tokens_col: str = "tokens"):
+    """Per-source TOTAL-VARIATION distance from a reference stratum's token
+    distribution — the corpus-composition monitor that aggregates
+    `source_drift`'s per-token numerators into one number per source:
+    TV(s, ref) = ½ Σ_tok |c_s/N_s − c_ref/N_ref|. Computed exactly: the
+    BIGINT numerator Σ_tok |c_s·N_ref − c_ref·N_s| over the source's
+    vocabulary, plus (N_ref − Σ matched c_ref)·N_s for reference-only
+    tokens, then ONE division by 2·N_s·N_ref — engine-replayable.
+
+    Returns one row per source: (source, tv_num, tv4). TV(ref, ref) = 0.
+
+    Scale shape: two-phase (source, token) aggregation, a token-keyed left
+    join against the reference's aggregated vocabulary, the two scalars
+    broadcast; no window, no raw-token shuffle beyond the first count."""
+    flat = df.select(
+        F.col(source_col).alias("source"), F.explode(tokens_col).alias("tok")
+    )
+    cnt = flat.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    refc = cnt.filter(F.col("source") == ref).select(
+        "tok", F.col("c").alias("c_ref")
+    )
+    refn = tot.filter(F.col("source") == ref).select(
+        F.col("n_s").alias("n_ref")
+    )
+    zero = F.lit(0).cast("long")
+    j = (
+        cnt.join(refc, "tok", "left")
+        .crossJoin(F.broadcast(refn))
+        .join(tot, "source")
+    )
+    agg = j.groupBy("source", "n_s", "n_ref").agg(
+        F.sum(
+            F.abs(F.col("c") * F.col("n_ref")
+                  - F.coalesce("c_ref", zero) * F.col("n_s"))
+        ).cast("long").alias("s1"),
+        F.sum(F.coalesce("c_ref", zero)).cast("long").alias("cm"),
+    )
+    num = (F.col("s1") + (F.col("n_ref") - F.col("cm")) * F.col("n_s"))
+    return agg.select(
+        "source",
+        num.cast("long").alias("tv_num"),
+        fround4(
+            num.cast("double")
+            / (2 * F.col("n_s") * F.col("n_ref")).cast("double")
+        ).alias("tv4"),
+    )
+
+
+def budget_allocation(df, weight_col: str, source_col: str = "source",
+                      cap_epochs: int = 4, budget_num: int = 1,
+                      budget_den: int = 2):
+    """Training-data BUDGET PLANNER — the mixture-table arithmetic behind a
+    LLaMA-style data recipe: given a token budget T = total·num/den split
+    equally across sources, each source s with mass n_s receives
+    alloc_s = min(cap_epochs·n_s, T/k) (no source repeats more than
+    `cap_epochs` epochs), and its epoch count is alloc_s/n_s. All quantities
+    are exact BIGINT integer arithmetic (floor divisions) except the ONE
+    final epochs division under fround4 — engine-replayable.
+
+    Returns one row per source: (source, budget_mass, budget_share,
+    budget_alloc, budget_epochs4).
+
+    Scale shape: one partial+final aggregation per source, the corpus
+    totals broadcast as a 1-row cross join — the plan is metadata-sized."""
+    per = df.groupBy(source_col).agg(
+        F.sum(weight_col).cast("long").alias("budget_mass")
+    )
+    tot = per.agg(
+        F.sum("budget_mass").cast("long").alias("__n_total"),
+        F.count("*").cast("long").alias("__k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.expr(
+        f"((__n_total * {int(budget_num)}) div {int(budget_den)}) div __k"
+    )
+    j = j.withColumn("budget_share", share.cast("long"))
+    alloc = F.least(
+        F.lit(int(cap_epochs)) * F.col("budget_mass"), F.col("budget_share")
+    )
+    return j.select(
+        source_col, "budget_mass", "budget_share",
+        alloc.cast("long").alias("budget_alloc"),
+        fround4(
+            alloc.cast("double") / F.col("budget_mass").cast("double")
+        ).alias("budget_epochs4"),
+    )

@@ -540,6 +540,52 @@ def minhash_estimate(
     )
 
 
+def lsh_recall_audit(
+    df: DataFrame,
+    pairs: DataFrame,
+    sample_pred,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Blocking-recall audit — the production monitor for a sketch you
+    cannot exhaustively verify: brute-force the TRUE near-dup pairs on a
+    deterministic sample of the corpus (`sample_pred` must be re-derivable,
+    e.g. an id-hash predicate), then measure what fraction the LSH blocking
+    output actually surfaced. The same measure-what-you-cannot-afford shape
+    as `similarity.recall_at_k` for ANN.
+
+    Returns ONE row: (sample_true_pairs, lsh_found_pairs, lsh_recall4) —
+    broadcast it onto the pair table or log it.
+
+    Scale shape: the cartesian product is confined to the sampled subset
+    (choose the rate so |sample|² stays trivial); the containment check is
+    a left-semi equi-join against the pair table."""
+    from nyxus_spark.compare import fround4
+
+    samp = df.filter(sample_pred)
+    truth = ngram_jaccard(
+        samp, None, id_col, tokens_col, k,
+        all_pairs=True, threshold=jaccard_threshold,
+    )
+    found = truth.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    t = truth.agg(F.count("*").cast("long").alias("sample_true_pairs"))
+    fnd = found.agg(F.count("*").cast("long").alias("lsh_found_pairs"))
+    return (
+        t.crossJoin(fnd)
+        .withColumn(
+            "lsh_recall4",
+            F.when(
+                F.col("sample_true_pairs") > 0,
+                fround4(F.col("lsh_found_pairs") / F.col("sample_true_pairs")),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

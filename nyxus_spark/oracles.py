@@ -93,7 +93,7 @@ SQL_SHINGLES = sql_shingles()
 
 
 def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False,
-                      with_sig: bool = False) -> str:
+                      with_sig: bool = False, with_audit: bool = False) -> str:
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)
@@ -141,7 +141,13 @@ lv AS (
                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
              AS DOUBLE) / {NUM_HASHES}.0 * 10000.0 + 0.5) / 10000.0 AS est4"""
         sg_join = " JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b"
-    return f"""
+    res_sql = f"""SELECT id_a, id_b,
+       FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}{sg_cols}
+FROM cand{lv_join}{sg_join}
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}"""
+    head = f"""
 WITH {SQL_AUG},
 {SQL_SHINGLES},
 sigs AS (SELECT doc_id, sh, [{', '.join(sig_terms)}] AS sig FROM shingled),
@@ -150,13 +156,36 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
   FROM banded a JOIN banded b USING (band_idx, band_key)
   WHERE a.doc_id < b.doc_id
-){lv_cte}
-SELECT id_a, id_b,
-       FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}{sg_cols}
-FROM cand{lv_join}{sg_join}
-WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}
+){lv_cte}"""
+    if not with_audit:
+        return f"{head}\n{res_sql}\n"
+    # blocking-recall audit: brute-force truth on the deterministic
+    # id-suffix sample, fraction surfaced by the LSH result itself
+    return f"""{head},
+res AS ({res_sql}),
+sampsh AS (
+  SELECT doc_id, sh FROM shingled
+  WHERE TRY_CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sampsh a, sampsh b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {jaccard_threshold}
+),
+audit AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS sample_true_pairs,
+         CAST((SELECT COUNT(*) FROM truth t
+               JOIN res USING (id_a, id_b)) AS BIGINT) AS lsh_found_pairs
+)
+SELECT res.*, audit.sample_true_pairs, audit.lsh_found_pairs,
+       CASE WHEN audit.sample_true_pairs > 0 THEN
+         FLOOR((CAST(audit.lsh_found_pairs AS DOUBLE)
+                / audit.sample_true_pairs) * 10000.0 + 0.5) / 10000.0
+       ELSE 1.0 END AS lsh_recall4
+FROM res CROSS JOIN audit
 """
 
 

@@ -403,3 +403,75 @@ def test_minhash_estimate_bounds_and_identity(spark):
     assert rows[("a", "b")]["sig_match"] == 16
     assert rows[("a", "b")]["est4"] == 1.0
     assert 0 <= rows[("a", "c")]["sig_match"] < 16
+
+
+# ---------------------------------------------------------------------------
+# source_tv / budget_allocation / lsh_recall_audit
+# ---------------------------------------------------------------------------
+
+def test_source_tv_python_reference(spark):
+    from collections import Counter
+    from fractions import Fraction
+
+    from nyxus_spark.functions import source_tv
+
+    data = [
+        ("src0", [1, 1, 2, 3]), ("src0", [2, 4]),
+        ("src1", [1, 2, 2, 5]), ("src1", [5, 5]),
+        ("src2", [1, 1, 1, 1]),
+    ]
+    df = spark.createDataFrame(
+        [(s, t, len(t)) for s, t in data],
+        "source string, tokens array<int>, n_tok int",
+    )
+    got = {r["source"]: r["tv_num"] for r in source_tv(df, "src0").collect()}
+    counts = {}
+    for s, t in data:
+        counts.setdefault(s, Counter()).update(t)
+    n = {s: sum(c.values()) for s, c in counts.items()}
+    for s in counts:
+        toks = set(counts[s]) | set(counts["src0"])
+        want = sum(abs(counts[s][tk] * n["src0"] - counts["src0"][tk] * n[s])
+                   for tk in toks)
+        assert got[s] == want, s
+        # and the exact rational TV is num / (2 n_s n_ref)
+        tv = Fraction(want, 2 * n[s] * n["src0"])
+        assert 0 <= tv <= 1
+    assert got["src0"] == 0
+
+
+def test_budget_allocation_arithmetic(spark):
+    from nyxus_spark.functions import budget_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 700), ("c", 10)],
+        "source string, n_chars int",
+    )
+    rows = {r["source"]: r for r in
+            budget_allocation(df, "n_chars", cap_epochs=4).collect()}
+    # total 910, budget 455, k 3, share 151
+    for s, mass in (("a", 200), ("b", 700), ("c", 10)):
+        r = rows[s]
+        assert r["budget_mass"] == mass
+        assert r["budget_share"] == 151
+        assert r["budget_alloc"] == min(4 * mass, 151)
+    assert rows["c"]["budget_epochs4"] == 4.0   # capped
+    assert rows["b"]["budget_alloc"] == 151     # share-limited
+
+
+def test_lsh_recall_audit_counts(spark):
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import lsh_recall_audit
+
+    base = [((j * 7 + 1) % 40) for j in range(24)]
+    df = spark.createDataFrame(
+        [("d1", base, 24), ("d2", base, 24), ("d3", list(range(24)), 24)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    # blocking "found" only the (d1, d2) pair; sample = everything
+    pairs = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
+    row = lsh_recall_audit(df, pairs, F.lit(True)).collect()[0]
+    assert row["sample_true_pairs"] == 1      # only d1~d2 >= 0.5 jaccard
+    assert row["lsh_found_pairs"] == 1
+    assert row["lsh_recall4"] == 1.0
