@@ -165,7 +165,15 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("distinct_tokens", zero).alias("distinct_tokens"),
         F.coalesce("hapax_tokens", zero).alias("hapax_tokens"),
     )
-    return out.withColumn(
+    # T5-style deterministic SPAN corruption stats (trigger starts every
+    # ~20 positions, 3-token spans, overlaps merged) — the denoising
+    # objective's data pass, each span decision pinned by the checksum
+    from nyxus_spark.functions import span_corruption_stats
+
+    spn = span_corruption_stats(t, every=20, span=3).select(
+        "doc_id", "n_corrupt_spans", "n_corrupt_tokens", "corrupt_checksum",
+    )
+    return out.join(spn, "doc_id").withColumn(
         "ttr4",
         F.when(F.col("n_tok") > 0,
                _r4(F.col("distinct_tokens") / F.col("n_tok")))
@@ -268,8 +276,28 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions import source_tv
 
     tv = source_tv(t, ref="src0")
+    # TOKENIZER FERTILITY per source (chars per token — the tokenizer-eval
+    # metric that decides whether a vocab suits a domain): exact char and
+    # token masses, ONE division
+    from nyxus_spark.sources import load_table
+
+    chars = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("src_chars"))
+    )
+    fert = (
+        t.groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("__tk"))
+        .join(chars, "source")
+        .select(
+            "source", "src_chars",
+            _r4(F.col("src_chars").cast("double")
+                / F.col("__tk").cast("double")).alias("chars_per_tok4"),
+        )
+    )
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
-            .join(tv, "source")
+            .join(tv, "source").join(fert, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -3749,6 +3777,21 @@ lex AS (  -- lexical diversity: two-phase (doc, token) aggregation
         FROM (SELECT doc_id, unnest(tokens) AS tok FROM tokens_static)
         GROUP BY doc_id, tok)
   GROUP BY doc_id
+),
+spn AS (  -- T5-style span corruption replay: trigger + 3-window coverage
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, n_tok + 1), j ->
+           (CAST(substr(doc_id, 5) AS BIGINT) % 2147483647 * 1000003
+            + j * 8191) % 2147483647 % 20 = 0)) AS BIGINT)
+           AS n_corrupt_spans,
+         CAST(len(cov) AS BIGINT) AS n_corrupt_tokens,
+         CAST(COALESCE(list_sum(cov), 0) AS BIGINT) AS corrupt_checksum
+  FROM (SELECT doc_id, n_tok,
+               list_filter(range(1, n_tok + 1), i ->
+                 len(list_filter(range(GREATEST(1, i - 2), i + 1), j ->
+                   (CAST(substr(doc_id, 5) AS BIGINT) % 2147483647 * 1000003
+                    + j * 8191) % 2147483647 % 20 = 0)) > 0) AS cov
+        FROM tokens_static)
 )
 SELECT doc_id, n_tok,
        list_min(tokens) AS tok_min,
@@ -3785,12 +3828,14 @@ SELECT doc_id, n_tok,
        COALESCE(sa.seg_checksum, 0) AS seg_checksum,
        COALESCE(lx.distinct_tokens, 0) AS distinct_tokens,
        COALESCE(lx.hapax_tokens, 0) AS hapax_tokens,
+       sp.n_corrupt_spans, sp.n_corrupt_tokens, sp.corrupt_checksum,
        CASE WHEN n_tok > 0 THEN
          FLOOR((COALESCE(lx.distinct_tokens, 0) / n_tok) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS ttr4
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
+JOIN spn sp USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},
@@ -3864,6 +3909,16 @@ tv AS (
                / CAST(2 * n_s * n_ref AS BIGINT) * 10000.0 + 0.5) / 10000.0
            AS tv4
   FROM tva
+),
+fert AS (  -- tokenizer fertility: exact char/token masses, ONE division
+  SELECT source,
+         CAST(c.src_chars AS BIGINT) AS src_chars,
+         FLOOR(CAST(c.src_chars AS DOUBLE) / CAST(k.tk AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS chars_per_tok4
+  FROM (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        FROM documents GROUP BY source) c
+  JOIN (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tk
+        FROM tokens_static GROUP BY source) k USING (source)
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -3876,9 +3931,11 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        m.median_n_tok,
        w.ws_count, w.ws_sum, w.ws_energy,
        d.src_mode_token, d.src_mode_cnt,
-       v.tv_num, v.tv4
+       v.tv_num, v.tv4,
+       fe.src_chars, fe.chars_per_tok4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
+     JOIN fert fe USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

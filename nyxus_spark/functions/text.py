@@ -996,3 +996,48 @@ def budget_allocation(df, weight_col: str, source_col: str = "source",
             alloc.cast("double") / F.col("budget_mass").cast("double")
         ).alias("budget_epochs4"),
     )
+
+
+def span_corruption_stats(df, every: int = 20, span: int = 3,
+                          tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                          id_expr_sql: str = "cast(substr(doc_id, 5) as bigint)",
+                          p31: int = 2147483647):
+    """Deterministic SPAN corruption — the T5/UL2 denoising objective's data
+    pass: position j (1-based) STARTS a `span`-long corruption span iff
+    (d·1000003 + j·8191) mod P31 ≡ 0 (mod `every`), and a position is
+    corrupted iff any start in the preceding `span` window covers it (so
+    overlapping spans merge, exactly as T5's span sampler collapses them).
+    Re-derivable on any engine — the masking analog of `mask_tokens`, but
+    span-shaped.
+
+    Adds: n_corrupt_spans (trigger starts), n_corrupt_tokens (covered
+    positions), corrupt_checksum = Σ covered positions (1-based) — exact
+    BIGINTs pinning WHICH spans were chosen.
+
+    Pure column expressions: one sequence + filter per row, no shuffle."""
+    if every < 1 or span < 1:
+        raise ValueError("every and span must be >= 1")
+    trig = (
+        f"(({id_expr_sql}) % {p31} * 1000003 + cast(j as bigint) * 8191)"
+        f" % {p31} % {every} = 0"
+    )
+    cover = (
+        f"exists(sequence(greatest(1, i - {span - 1}), i),"
+        f" j -> {trig})"
+    )
+    starts = (
+        f"CASE WHEN {n_tok_col} > 0 THEN "
+        f"size(filter(sequence(1, {n_tok_col}), j -> {trig})) ELSE 0 END"
+    )
+    covered = (
+        f"CASE WHEN {n_tok_col} > 0 THEN "
+        f"filter(sequence(1, {n_tok_col}), i -> {cover})"
+        f" ELSE array() END"
+    )
+    return df.select(
+        "*",
+        F.expr(starts).cast("long").alias("n_corrupt_spans"),
+        F.expr(f"size({covered})").cast("long").alias("n_corrupt_tokens"),
+        F.expr(f"aggregate({covered}, 0L, (a, i) -> a + cast(i as bigint))")
+        .alias("corrupt_checksum"),
+    )
