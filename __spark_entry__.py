@@ -860,7 +860,14 @@ def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import edit_distance_verify
 
     lev = edit_distance_verify(aug, pairs, encoding="wide")
-    return ver.join(lev, ["id_a", "id_b"])
+    # asymmetric n-gram CONTAINMENT (the decontamination measure, Broder
+    # 1997): |sh(a)∩sh(b)|/|sh(a)| catches near-containment pairs whose
+    # Jaccard is diluted by a size mismatch. Exact set sizes gate the
+    # underlying integers; one fround4 division each side.
+    from nyxus_spark.operators.dedup import ngram_containment
+
+    cont = ngram_containment(aug, pairs)
+    return ver.join(lev, ["id_a", "id_b"]).join(cont, ["id_a", "id_b"])
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,6 +1123,18 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus — exact BIGINT running sum over the post-aggregation top-k
     # frame (k+1 rows, so the single-partition window is broadcast-tiny; at
     # scale the heavy work stays in the two-phase count aggregation above)
+    # COUNT-MIN-SKETCH heavy-hitter estimate (the monitoring-tick analog of
+    # the exact vocab count): depth-4 x width-64 sketch built in ONE
+    # map-side-combinable aggregation over the token stream, point-queried
+    # for every gate row. cms_est >= cnt is the CMS guarantee; cms_over is
+    # the collision overcount — both exact integers the oracle re-derives by
+    # rebuilding the whole sketch from scratch.
+    from nyxus_spark.functions import cms_estimate, cms_table
+
+    cms = cms_table(t)
+    out = cms_estimate(out, cms).withColumn(
+        "cms_over", (F.col("cms_est") - F.col("cnt")).cast("long")
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -1187,7 +1206,24 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     plan = budget_allocation(docs, "n_chars", cap_epochs=4,
                              budget_num=1, budget_den=2)
-    return out.join(plan, "source")
+    # HYPERLOGLOG per-source cardinality monitor (the at-scale stand-in for
+    # COUNT(DISTINCT) on every monitoring tick): m=64 exact-integer
+    # registers over the FULL corpus — the register state (present/V/Rmax/
+    # S-numerator) is gated as exact bigints and the raw estimate as ONE
+    # IEEE chain; hll_true (the exact distinct count) rides along so the
+    # artifact itself shows the estimator envelope. A different mixer than
+    # the sampling hash keeps the keep-filter uncorrelated with buckets.
+    from nyxus_spark.functions import hll_summary
+
+    hll = hll_summary(docs, "source", "doc_id")
+    true_cnt = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("hll_true")
+    )
+    return (
+        out.join(plan, "source")
+        .join(hll, "source")
+        .join(true_cnt, "source")
+    )
 
 
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3103,7 +3139,8 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set
-        "ngram_verify": oracles.sql_minhash_pairs(0.5, with_lev=True),
+        "ngram_verify": oracles.sql_minhash_pairs(0.5, with_lev=True,
+                                                  with_cont=True),
         "dedup_clusters": oracles.sql_dedup_clusters(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
@@ -3216,8 +3253,33 @@ final AS (
   FROM remapped r LEFT JOIN top t USING (token) LEFT JOIN drift d USING (token)
        LEFT JOIN pmi p USING (token) LEFT JOIN neg g USING (token)
   GROUP BY r.token, t.cnt
+),
+cmsb AS (  -- Count-Min sketch rebuilt from scratch: depth 4 x width 64
+  SELECT u.j,
+         CASE u.j WHEN 0 THEN {oracles.sql_cms_bucket('f.token', 0)}
+                  WHEN 1 THEN {oracles.sql_cms_bucket('f.token', 1)}
+                  WHEN 2 THEN {oracles.sql_cms_bucket('f.token', 2)}
+                  ELSE {oracles.sql_cms_bucket('f.token', 3)} END AS bucket
+  FROM flat f, (SELECT unnest(range(0, 4)) AS j) u
+),
+cms AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cmsb GROUP BY 1, 2),
+cmsq AS (  -- point query: est = min over rows, empty cells -> 0
+  SELECT token,
+         CAST(LEAST(
+           COALESCE((SELECT c FROM cms WHERE j = 0
+                     AND bucket = {oracles.sql_cms_bucket('token', 0)}), 0),
+           COALESCE((SELECT c FROM cms WHERE j = 1
+                     AND bucket = {oracles.sql_cms_bucket('token', 1)}), 0),
+           COALESCE((SELECT c FROM cms WHERE j = 2
+                     AND bucket = {oracles.sql_cms_bucket('token', 2)}), 0),
+           COALESCE((SELECT c FROM cms WHERE j = 3
+                     AND bucket = {oracles.sql_cms_bucket('token', 3)}), 0)
+         ) AS BIGINT) AS cms_est
+  FROM (SELECT DISTINCT token FROM final)
 )
-SELECT *,
+SELECT f.*, q.cms_est,
+       CAST(q.cms_est - f.cnt AS BIGINT) AS cms_over,
        CAST(row_number() OVER (ORDER BY cnt_remap DESC, token ASC)
             AS BIGINT) AS vrank,
        CAST(SUM(cnt_remap) OVER (ORDER BY cnt_remap DESC, token ASC
@@ -3228,7 +3290,7 @@ SELECT *,
                                        AND CURRENT ROW) AS DOUBLE)
              / CAST(SUM(cnt_remap) OVER () AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS cov4
-FROM final
+FROM final f JOIN cmsq q USING (token)
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the
@@ -3283,12 +3345,21 @@ bplan AS (  -- budget planner: half-corpus char budget, equal shares,
          (SELECT CAST(SUM(n_chars) AS BIGINT) AS n_total,
                  CAST(COUNT(DISTINCT source) AS BIGINT) AS k FROM documents)
   )
+),
+{oracles.sql_hll_cte('source', 'doc_id', 'documents').strip()},
+htrue AS (
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS hll_true
+  FROM documents GROUP BY source
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
-       bp.budget_mass, bp.budget_share, bp.budget_alloc, bp.budget_epochs4
+       bp.budget_mass, bp.budget_share, bp.budget_alloc, bp.budget_epochs4,
+       h.hll_present, h.hll_v, h.hll_rmax, h.hll_snum, h.hll_est4,
+       ht.hll_true
 FROM base JOIN bplan bp USING (source)
+     JOIN hll h ON h.g = base.source
+     JOIN htrue ht ON ht.source = base.source
 """,
         # int8 quantization: same element-wise IEEE expression tree
         "embed_quantize": """

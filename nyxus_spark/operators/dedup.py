@@ -832,3 +832,39 @@ def connected_components(
             "partial labels would silently split clusters — raise max_iter"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("rep"))
+
+
+def ngram_containment(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                      tokens_col: str = "tokens", k: int = 3) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs — the
+    decontamination measure: containment(a in b) = |sh(a) ∩ sh(b)| / |sh(a)|.
+
+    Jaccard under-reports when one document nearly contains the other but
+    their sizes differ (a benchmark question embedded in a long crawl page);
+    containment is the standard fix (Broder 1997, "On the resemblance and
+    containment of documents"). Same scale shape as ngram_jaccard: each side
+    equi-joins the corpus by id, so only candidate rows carry shingle sets
+    through the shuffle — never a cross product.
+
+    Emits exact integers (n_sh_a, n_sh_b, n_inter) — the set sizes
+    themselves are gated — plus cont_a4/cont_b4, each ONE division under
+    fround4 (empty shingle sets, i.e. docs shorter than k tokens, coalesce
+    to 0.0 rather than NULL).
+    """
+    from nyxus_spark.compare import fround4
+
+    sh = df.select(F.col(id_col), token_shingles(tokens_col, k).alias("sh"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("long")
+    na = F.size("a.sh").cast("long")
+    nb = F.size("b.sh").cast("long")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sh.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
+        .join(sh.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            na.alias("n_sh_a"), nb.alias("n_sh_b"), inter.alias("n_inter"),
+            F.when(na > 0, fround4(inter / na)).otherwise(F.lit(0.0)).alias("cont_a4"),
+            F.when(nb > 0, fround4(inter / nb)).otherwise(F.lit(0.0)).alias("cont_b4"),
+        )
+    )

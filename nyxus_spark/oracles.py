@@ -9,6 +9,7 @@ oracle rather than a tautology.
 
 from __future__ import annotations
 
+from nyxus_spark.functions.sketch import sql_cms_bucket, sql_hll_cte  # noqa: F401
 from nyxus_spark.operators.dedup import MIX, P31
 from nyxus_spark.sources.tables import SQL_TOKENS_STATIC
 
@@ -93,7 +94,8 @@ SQL_SHINGLES = sql_shingles()
 
 
 def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False,
-                      with_sig: bool = False, with_audit: bool = False) -> str:
+                      with_sig: bool = False, with_audit: bool = False,
+                      with_cont: bool = False) -> str:
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)
@@ -130,6 +132,23 @@ lv AS (
                * 10000.0 + 0.5) / 10000.0
        ELSE 1.0 END AS lev_sim4"""
         lv_join = " JOIN lv la ON la.doc_id = id_a JOIN lv lb ON lb.doc_id = id_b"
+    # asymmetric n-gram containment (decontamination measure): exact set
+    # sizes as BIGINTs + one fround4 division per side (empty shingle set →
+    # 0.0, matching the Spark coalesce)
+    ct_cols = ""
+    if with_cont:
+        ct_cols = """,
+       CAST(len(sh_a) AS BIGINT) AS n_sh_a,
+       CAST(len(sh_b) AS BIGINT) AS n_sh_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_inter,
+       CASE WHEN len(sh_a) > 0 THEN
+         FLOOR(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / CAST(len(sh_a) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS cont_a4,
+       CASE WHEN len(sh_b) > 0 THEN
+         FLOOR(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / CAST(len(sh_b) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS cont_b4"""
     # signature-agreement Jaccard estimate (fraction of agreeing slots)
     sg_cols, sg_join = "", ""
     if with_sig:
@@ -143,7 +162,7 @@ lv AS (
         sg_join = " JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b"
     res_sql = f"""SELECT id_a, id_b,
        FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}{sg_cols}
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}{ct_cols}{sg_cols}
 FROM cand{lv_join}{sg_join}
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}"""

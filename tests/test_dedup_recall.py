@@ -74,3 +74,38 @@ def test_ngram_jaccard_pairs_contract(spark):
     # no cartesian product in the plan of the pair path
     plan = ngram_jaccard(aug, pairs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_containment_properties(spark):
+    """Containment semantics: identical docs → 1.0 both sides; a strict
+    shingle-subset doc → 1.0 on the contained side, < 1.0 on the container
+    side and a Jaccard strictly below both; short docs (< k tokens, empty
+    shingle set) coalesce to 0.0 rather than NULL."""
+    from pyspark.sql import Row
+
+    from nyxus_spark.operators.dedup import ngram_containment
+
+    docs = spark.createDataFrame([
+        Row(doc_id="long", tokens=[1, 2, 3, 4, 5, 6, 7, 8]),
+        Row(doc_id="sub", tokens=[3, 4, 5, 6]),      # shingles ⊂ long's
+        Row(doc_id="twin", tokens=[1, 2, 3, 4, 5, 6, 7, 8]),
+        Row(doc_id="tiny", tokens=[9, 9]),            # < k → empty set
+    ])
+    pairs = spark.createDataFrame([
+        Row(id_a="long", id_b="twin"),
+        Row(id_a="sub", id_b="long"),
+        Row(id_a="tiny", id_b="long"),
+    ])
+    got = {(r.id_a, r.id_b): r for r in ngram_containment(docs, pairs).collect()}
+    twin = got[("long", "twin")]
+    assert twin.cont_a4 == 1.0 and twin.cont_b4 == 1.0
+    assert twin.n_inter == twin.n_sh_a == twin.n_sh_b
+    sub = got[("sub", "long")]
+    assert sub.cont_a4 == 1.0          # sub fully contained in long
+    assert sub.cont_b4 < 1.0           # long not contained in sub
+    assert sub.n_inter == sub.n_sh_a < sub.n_sh_b
+    tiny = got[("tiny", "long")]
+    assert tiny.n_sh_a == 0 and tiny.cont_a4 == 0.0 and tiny.cont_b4 == 0.0
+    # pair path must stay equi-join shaped (no cartesian at scale)
+    plan = ngram_containment(docs, pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
