@@ -867,7 +867,14 @@ def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import ngram_containment
 
     cont = ngram_containment(aug, pairs)
-    return ver.join(lev, ["id_a", "id_b"]).join(cont, ["id_a", "id_b"])
+    # winnowing-fingerprint verify (MOSS, Schleimer/Wilkerson/Aiken 2003):
+    # guarantee-carrying local overlap — any shared token run >= k+w-1 = 7
+    # yields a shared fingerprint; exact set sizes + one fround4 division
+    from nyxus_spark.operators.dedup import winnow_verify
+
+    wnv = winnow_verify(aug, pairs)
+    return (ver.join(lev, ["id_a", "id_b"]).join(cont, ["id_a", "id_b"])
+               .join(wnv, ["id_a", "id_b"]))
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2395,6 +2402,16 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfi = tfidf_top_term(toks).select(
         nid.alias("doc_id"), "top_tfidf_token", "top_tf", "top_df", "tfidf4",
     )
+    # degenerate-repetition periodicity (stuck-generation filter; exact
+    # cross-multiplied rational argmax over periods 1..8) + blocklist
+    # sequence matcher (overlapping occurrence counts of broadcast-tiny
+    # banned token runs) — both pure column expressions, zero shuffle
+    from nyxus_spark.functions import banned_sequence_hits, periodicity_exprs
+
+    pe = periodicity_exprs()
+    blx = banned_sequence_hits([[104, 117], [104, 104, 104]])
+    pb = toks.select(nid.alias("doc_id"),
+                     *[v.alias(k) for k, v in {**pe, **blx}.items()])
     # hashed-bigram linear scorer (fastText/DSIR-style quality classifier):
     # exact BIGINT weight sum + ONE final division — zero shuffle, pure map
     from nyxus_spark.functions import hashed_bigram_score
@@ -2420,6 +2437,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
+    out = out.join(pb, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2442,6 +2460,8 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("top_tf", zero).alias("top_tf"),
         F.coalesce("top_df", zero).alias("top_df"),
         F.coalesce("tfidf4", F.lit(0.0)).alias("tfidf4"),
+        "period_best", "period_matches", "period_frac4",
+        "bl_hits_0", "bl_hits_1", "bl_blocked",
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -3140,7 +3160,8 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set
         "ngram_verify": oracles.sql_minhash_pairs(0.5, with_lev=True,
-                                                  with_cont=True),
+                                                  with_cont=True,
+                                                  with_winnow=True),
         "dedup_clusters": oracles.sql_dedup_clusters(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
@@ -3679,6 +3700,37 @@ scr AS (  -- PII scrubbing over the same deterministically-augmented text
                ELSE text END AS t2
         FROM documents)
 ),
+per AS (  -- periodicity argmax: exact rational fold, ties -> smallest p
+  SELECT doc_id,
+    list_reduce(
+      [{{'num': CAST(0 AS BIGINT), 'den': CAST(1 AS BIGINT),
+         'p': CAST(0 AS BIGINT)}}] ||
+      list_transform(range(1, 9), p -> {{
+        'num': CASE WHEN n_tok > p THEN
+                 CAST(list_sum(list_transform(range(p, CAST(n_tok AS BIGINT)),
+                   i -> CASE WHEN tokens[i+1] = tokens[i-p+1]
+                        THEN 1 ELSE 0 END)) AS BIGINT)
+               ELSE CAST(-1 AS BIGINT) END,
+        'den': CAST(n_tok - p AS BIGINT),
+        'p': CAST(p AS BIGINT)}}),
+      (a, x) -> CASE WHEN x.num >= 0 AND x.num * a.den > a.num * x.den
+                THEN x ELSE a END) AS best
+  FROM toks
+),
+bl AS (  -- blocklist sequences: overlapping occurrence counts
+  SELECT doc_id,
+    CASE WHEN n_tok >= 2 THEN
+      CAST(COALESCE(list_sum(list_transform(range(1, CAST(n_tok AS BIGINT)),
+        i -> CASE WHEN tokens[i] = 104 AND tokens[i+1] = 117
+             THEN 1 ELSE 0 END)), 0) AS BIGINT)
+    ELSE 0 END AS bl_hits_0,
+    CASE WHEN n_tok >= 3 THEN
+      CAST(COALESCE(list_sum(list_transform(range(1, CAST(n_tok AS BIGINT) - 1),
+        i -> CASE WHEN tokens[i] = 104 AND tokens[i+1] = 104
+                   AND tokens[i+2] = 104 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+    ELSE 0 END AS bl_hits_1
+  FROM toks
+),
 tfc AS (  -- per-(doc, token) term frequency
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
@@ -3722,6 +3774,11 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(tt.top_tf, 0) AS top_tf,
        COALESCE(tt.top_df, 0) AS top_df,
        COALESCE(tt.tfidf4, 0.0) AS tfidf4,
+       p.best.p AS period_best, p.best.num AS period_matches,
+       FLOOR(CAST(p.best.num AS DOUBLE) / p.best.den * 10000.0 + 0.5)
+         / 10000.0 AS period_frac4,
+       b.bl_hits_0, b.bl_hits_1,
+       CAST(b.bl_hits_0 > 0 OR b.bl_hits_1 > 0 AS BIGINT) AS bl_blocked,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -3742,6 +3799,8 @@ JOIN msk m USING (doc_id)
 JOIN hb h USING (doc_id)
 JOIN scr sc USING (doc_id)
 LEFT JOIN tfi tt USING (doc_id)
+JOIN per p USING (doc_id)
+JOIN bl b USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

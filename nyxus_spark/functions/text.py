@@ -1041,3 +1041,144 @@ def span_corruption_stats(df, every: int = 20, span: int = 3,
         F.expr(f"aggregate({covered}, 0L, (a, i) -> a + cast(i as bigint))")
         .alias("corrupt_checksum"),
     )
+
+
+def winnow_exprs(tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                 k: int = 4, w: int = 4,
+                 base: int = 1000003, p31: int = 2147483647) -> dict:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local fingerprinting algorithm, the guarantee-carrying
+    alternative to MinHash sampling: any shared substring of length
+    >= k + w - 1 is ALWAYS detected).
+
+    k-gram hashes h_i = fold((a·base + t) mod p31) over tokens[i..i+k-1];
+    each window of `w` consecutive hashes selects its minimal hash, ties
+    broken by the RIGHTMOST position (standard winnowing); consecutive
+    windows picking the same (position, hash) collapse to one fingerprint.
+
+    Returns pure-column expressions (zero shuffle, exact integers):
+      wn_fps  — array<bigint> of distinct selected fingerprints encoded
+                pos·2^31 + hash (position disambiguates repeats),
+      wn_set  — array<bigint> of distinct selected HASH values (the set MOSS
+                compares between documents).
+    """
+    if k < 2 or w < 1:
+        raise ValueError("winnowing needs k >= 2 and w >= 1")
+    hs = (
+        f"CASE WHEN {n_tok_col} >= {k} THEN "
+        f"transform(sequence(0, cast({n_tok_col} as int) - {k}), i -> "
+        f"aggregate(slice({tokens_col}, i + 1, {k}), 0L,"
+        f" (a, t) -> (a * {base} + t) % {p31}))"
+        f" ELSE array() END"
+    )
+    # rightmost index of the window minimum: left-to-right fold keeping the
+    # LAST matching offset (init -1; every j that equals the min overwrites)
+    jstar = (
+        f"aggregate(sequence(0, {w - 1}), -1, (acc, j) -> "
+        f"IF(element_at(hs, s + j + 1) = array_min(slice(hs, s + 1, {w})),"
+        f" j, acc))"
+    )
+    enc = (
+        f"cast(s + {jstar} as bigint) * 2147483648"
+        f" + array_min(slice(hs, s + 1, {w}))"
+    )
+    sel = (
+        f"CASE WHEN {n_tok_col} >= {k + w - 1} THEN "
+        f"array_distinct(transform(sequence(0, size(hs) - {w}), s -> {enc}))"
+        f" ELSE array() END"
+    )
+    # bind hs once via a lateral-style nested expression: wrap in a
+    # higher-order transform over a 1-element array so `hs` is named
+    wrapped = lambda body: (  # noqa: E731
+        f"element_at(transform(array({hs}), hs -> {body}), 1)"
+    )
+    fps = F.expr(wrapped(sel)).cast("array<bigint>")
+    return {
+        "wn_fps": fps,
+        "wn_set": F.array_distinct(
+            F.expr(f"transform({wrapped(sel)}, e -> e % 2147483648)")
+        ).cast("array<bigint>"),
+    }
+
+
+def periodicity_exprs(tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                      max_p: int = 8) -> dict:
+    """Degenerate-repetition (looping-generation) detector: for each period
+    p in 1..max_p, matches_p = #{i : t[i] == t[i-p]}; the best period is the
+    argmax of matches_p/(n-p) under EXACT cross-multiplied rational
+    comparison (strict >, so ties keep the smallest p — 'abab' reports
+    period 2, not 4). The filter every synthetic-data pipeline runs to drop
+    stuck-generation loops.
+
+    Returns: period_best (0 = none), period_matches, period_frac4 (ONE
+    division under fround4). Pure column expressions, zero shuffle."""
+    if max_p < 1:
+        raise ValueError("max_p must be >= 1")
+    # One candidate struct per period; the argmax is an aggregate() fold so
+    # `acc` is a LAMBDA VARIABLE — a chained when/otherwise here duplicates
+    # the accumulator 3x per round (3^max_p plan blowup, measured 16.9M plan
+    # chars at max_p=8 vs 2.3K for this form).
+    cands = []
+    for p in range(1, max_p + 1):
+        m = F.expr(
+            f"CASE WHEN {n_tok_col} > {p} THEN "
+            f"aggregate(zip_with(slice({tokens_col}, 1, {n_tok_col} - {p}),"
+            f" slice({tokens_col}, {p} + 1, {n_tok_col} - {p}),"
+            f" (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, b) -> a + b)"
+            f" ELSE -1L END"
+        )
+        cands.append(F.struct(
+            m.alias("num"),
+            F.expr(f"cast({n_tok_col} - {p} as bigint)").alias("den"),
+            F.lit(p).cast("long").alias("p"),
+        ))
+    init = F.struct(
+        F.lit(0).cast("long").alias("num"),
+        F.lit(1).cast("long").alias("den"),
+        F.lit(0).cast("long").alias("p"),
+    )
+    best = F.aggregate(
+        F.array(*cands), init,
+        lambda acc, x: F.when(
+            (x["num"] >= 0) & (x["num"] * acc["den"] > acc["num"] * x["den"]),
+            x,
+        ).otherwise(acc),
+    )
+    return {
+        "period_best": best["p"],
+        "period_matches": best["num"],
+        "period_frac4": fround4(best["num"] / best["den"]),
+    }
+
+
+def banned_sequence_hits(patterns: list, tokens_col: str = "tokens",
+                         n_tok_col: str = "n_tok") -> dict:
+    """Blocklist sequence matcher — the bad-content filter pass: count
+    OVERLAPPING occurrences of each banned token sequence (broadcast-tiny
+    literal patterns; at scale the blocklist ships as literals or a
+    broadcast join — never a shuffle). Returns one exact-count column per
+    pattern (bl_hits_0, bl_hits_1, ...) plus bl_blocked = 1 iff any pattern
+    occurs. Pure column expressions."""
+    if not patterns or any(len(p) < 1 for p in patterns):
+        raise ValueError("need at least one non-empty pattern")
+    out: dict = {}
+    hit_cols = []
+    for pi, pat in enumerate(patterns):
+        L = len(pat)
+        cond = " AND ".join(
+            f"element_at({tokens_col}, i + {j}) = {int(v)}"
+            for j, v in enumerate(pat)
+        )
+        c = F.expr(
+            f"CASE WHEN {n_tok_col} >= {L} THEN "
+            f"aggregate(transform(sequence(1, cast({n_tok_col} as int) - {L - 1}),"
+            f" i -> IF({cond}, 1L, 0L)), 0L, (a, b) -> a + b)"
+            f" ELSE 0L END"
+        )
+        out[f"bl_hits_{pi}"] = c
+        hit_cols.append(c)
+    blocked = hit_cols[0] > 0
+    for c in hit_cols[1:]:
+        blocked = blocked | (c > 0)
+    out["bl_blocked"] = blocked.cast("long")
+    return out

@@ -868,3 +868,50 @@ def ngram_containment(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             F.when(nb > 0, fround4(inter / nb)).otherwise(F.lit(0.0)).alias("cont_b4"),
         )
     )
+
+
+def winnow_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  tokens_col: str = "tokens", k: int = 4, w: int = 4) -> DataFrame:
+    """Winnowing-fingerprint verification for candidate pairs — the MOSS
+    similarity stage (Schleimer, Wilkerson & Aiken, SIGMOD 2003): compare
+    the documents' winnowed fingerprint hash SETS. Unlike MinHash (a random
+    sample), winnowing carries a guarantee: any shared run of
+    >= k + w - 1 tokens yields at least one shared fingerprint, so
+    wn_common > 0 is a certificate of local overlap, not a probability.
+
+    Same scale shape as ngram_containment: fingerprints are pure column
+    expressions, each side equi-joins the corpus by id — only candidate
+    rows carry fingerprint sets through the shuffle, never a cross product.
+
+    Emits exact integers (wn_fp_a/wn_fp_b = distinct (pos, hash)
+    fingerprint counts; wn_a/wn_b = distinct hash-set sizes; wn_common =
+    |hash-set intersection|) plus wn_sim4 = wn_common / min(wn_a, wn_b),
+    ONE division under fround4 (docs shorter than k + w - 1 tokens have
+    empty fingerprint sets and coalesce to 0.0).
+    """
+    from nyxus_spark.compare import fround4
+    from nyxus_spark.functions.text import winnow_exprs
+
+    wn = winnow_exprs(tokens_col, f"size({tokens_col})", k=k, w=w)
+    d = df.select(
+        F.col(id_col),
+        wn["wn_fps"].alias("fps"),
+        wn["wn_set"].alias("hset"),
+    )
+    common = F.size(F.array_intersect("a.hset", "b.hset")).cast("long")
+    na = F.size("a.hset").cast("long")
+    nb = F.size("b.hset").cast("long")
+    denom = F.least(na, nb)
+    return (
+        pairs.select("id_a", "id_b")
+        .join(d.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
+        .join(d.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            F.size("a.fps").cast("long").alias("wn_fp_a"),
+            F.size("b.fps").cast("long").alias("wn_fp_b"),
+            na.alias("wn_a"), nb.alias("wn_b"), common.alias("wn_common"),
+            F.when(denom > 0, fround4(common / denom))
+            .otherwise(F.lit(0.0)).alias("wn_sim4"),
+        )
+    )

@@ -95,7 +95,7 @@ SQL_SHINGLES = sql_shingles()
 
 def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False,
                       with_sig: bool = False, with_audit: bool = False,
-                      with_cont: bool = False) -> str:
+                      with_cont: bool = False, with_winnow: bool = False) -> str:
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)
@@ -149,6 +149,52 @@ lv AS (
          FLOOR(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
                / CAST(len(sh_b) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS cont_b4"""
+    # winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS): k-gram
+    # rolling hashes, per-window minimum with RIGHTMOST tie-break (the
+    # list_reduce over window offsets replays the Spark fold exactly —
+    # init offset 0 is equivalent to Spark's -1 because the window minimum
+    # always occurs at some offset), distinct (pos,hash) encodings, hash-set
+    # intersection + one fround4 division
+    wn_cte, wn_cols, wn_join = "", "", ""
+    if with_winnow:
+        wn_cte = """,
+wnh AS (
+  SELECT doc_id,
+    CASE WHEN n_tok >= 4 THEN
+      list_transform(range(0, n_tok - 3),
+        i -> list_reduce(list_transform(tokens[i+1:i+4], t -> CAST(t AS BIGINT)),
+                         (a, t) -> (a * 1000003 + t) % 2147483647))
+    ELSE [] END AS hs
+  FROM aug
+),
+wnf AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN
+      list_distinct(list_transform(range(0, len(hs) - 3),
+        s -> CAST(s + list_reduce(range(0, 4),
+               (acc, j) -> CASE WHEN hs[s + j + 1] = list_min(hs[s+1:s+4])
+                           THEN j ELSE acc END) AS BIGINT) * 2147483648
+             + list_min(hs[s+1:s+4])))
+    ELSE [] END AS fps
+  FROM wnh
+),
+wns AS (
+  SELECT doc_id, fps,
+         list_distinct(list_transform(fps, e -> e % 2147483648)) AS hset
+  FROM wnf
+)"""
+        wn_cols = """,
+       CAST(len(wa.fps) AS BIGINT) AS wn_fp_a,
+       CAST(len(wb.fps) AS BIGINT) AS wn_fp_b,
+       CAST(len(wa.hset) AS BIGINT) AS wn_a,
+       CAST(len(wb.hset) AS BIGINT) AS wn_b,
+       CAST(len(list_intersect(wa.hset, wb.hset)) AS BIGINT) AS wn_common,
+       CASE WHEN LEAST(len(wa.hset), len(wb.hset)) > 0 THEN
+         FLOOR(CAST(len(list_intersect(wa.hset, wb.hset)) AS DOUBLE)
+               / CAST(LEAST(len(wa.hset), len(wb.hset)) AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS wn_sim4"""
+        wn_join = " JOIN wns wa ON wa.doc_id = id_a JOIN wns wb ON wb.doc_id = id_b"
     # signature-agreement Jaccard estimate (fraction of agreeing slots)
     sg_cols, sg_join = "", ""
     if with_sig:
@@ -162,8 +208,8 @@ lv AS (
         sg_join = " JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b"
     res_sql = f"""SELECT id_a, id_b,
        FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}{ct_cols}{sg_cols}
-FROM cand{lv_join}{sg_join}
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0 AS jaccard{lv_cols}{ct_cols}{sg_cols}{wn_cols}
+FROM cand{lv_join}{sg_join}{wn_join}
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {jaccard_threshold}"""
     head = f"""
@@ -175,7 +221,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
   FROM banded a JOIN banded b USING (band_idx, band_key)
   WHERE a.doc_id < b.doc_id
-){lv_cte}"""
+){lv_cte}{wn_cte}"""
     if not with_audit:
         return f"{head}\n{res_sql}\n"
     # blocking-recall audit: brute-force truth on the deterministic
