@@ -296,8 +296,17 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("__tk").cast("double")).alias("chars_per_tok4"),
         )
     )
+    # per-source top-ASSOCIATION token (log-free PMI/chi-square drift
+    # monitor: lift = c_ts·N/(c_t·c_s), exact-integer products + one IEEE
+    # division as the ranking key) and cross-source 8-gram LEAKAGE
+    # (train/eval hygiene: distinct grams shared with any other source)
+    from nyxus_spark.functions import cross_source_leakage, source_assoc_top
+
+    assoc = source_assoc_top(t, min_count=2)
+    leak = cross_source_leakage(t, n=8)
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
+            .join(assoc, "source").join(leak, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -1226,10 +1235,21 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_cnt = docs.groupBy("source").agg(
         F.countDistinct("doc_id").cast("long").alias("hll_true")
     )
+    # QUOTA sampling (exactly-k-per-source holdout selection): rank over the
+    # FULL corpus on a different mixer than the sampling hash, joined onto
+    # the sampled rows — each row carries its corpus-wide quota rank/keep
+    from nyxus_spark.functions import quota_sample
+
+    # mix=1103515245: the default mixer reduces to the SAME multiplier as
+    # the sampling hash mod P31, which would make quota_rank a restatement
+    # of order_e0 — a distinct mixer makes it an independent order
+    quota = quota_sample(docs, k=40, mix=1103515245).select(
+        "doc_id", "quota_rank", "quota_keep")
     return (
         out.join(plan, "source")
         .join(hll, "source")
         .join(true_cnt, "source")
+        .join(quota, "doc_id")
     )
 
 
@@ -3371,16 +3391,27 @@ bplan AS (  -- budget planner: half-corpus char budget, equal shares,
 htrue AS (
   SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS hll_true
   FROM documents GROUP BY source
+),
+quota AS (  -- exactly-k-per-source rank over the FULL corpus, mixer
+            -- 1103515245 (independent of the sampling hash's order)
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY
+              ((((doc_id % 2147483647) * 1103515245) % 2147483647)
+               + 2147483647) % 2147483647 ASC, doc_id ASC)
+              AS BIGINT) AS quota_rank
+  FROM documents
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
        bp.budget_mass, bp.budget_share, bp.budget_alloc, bp.budget_epochs4,
        h.hll_present, h.hll_v, h.hll_rmax, h.hll_snum, h.hll_est4,
-       ht.hll_true
+       ht.hll_true,
+       q.quota_rank, CAST(q.quota_rank <= 40 AS BIGINT) AS quota_keep
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
+     JOIN quota q USING (doc_id)
 """,
         # int8 quantization: same element-wise IEEE expression tree
         "embed_quantize": """
@@ -4049,6 +4080,50 @@ fert AS (  -- tokenizer fertility: exact char/token masses, ONE division
         FROM documents GROUP BY source) c
   JOIN (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tk
         FROM tokens_static GROUP BY source) k USING (source)
+),
+acnt AS (  -- contingency counts for the association monitor
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS assoc_cts
+  FROM (SELECT source, unnest(tokens) AS tok FROM tokens_static)
+  GROUP BY source, tok
+),
+atok AS (SELECT tok, CAST(SUM(assoc_cts) AS BIGINT) AS assoc_ct
+         FROM acnt GROUP BY tok),
+asrc AS (SELECT source, CAST(SUM(assoc_cts) AS BIGINT) AS assoc_cs
+         FROM acnt GROUP BY source),
+aall AS (SELECT CAST(SUM(assoc_cts) AS BIGINT) AS n_all FROM acnt),
+assoc AS (  -- top lift token per source: one IEEE division as ranking key
+  SELECT source, CAST(tok AS BIGINT) AS top_assoc_token,
+         assoc_cts, assoc_ct, assoc_cs,
+         FLOOR(CAST(assoc_cts * n_all AS DOUBLE)
+               / CAST(assoc_ct * assoc_cs AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS lift4
+  FROM (
+    SELECT c.source, c.tok, c.assoc_cts, t.assoc_ct, s.assoc_cs, a.n_all,
+           row_number() OVER (PARTITION BY c.source
+             ORDER BY CAST(c.assoc_cts * a.n_all AS DOUBLE)
+                      / CAST(t.assoc_ct * s.assoc_cs AS DOUBLE) DESC,
+                      c.tok ASC) AS rn
+    FROM acnt c JOIN atok t USING (tok) JOIN asrc s USING (source), aall a
+    WHERE c.assoc_cts >= 2
+  ) WHERE rn = 1
+),
+lkg AS (  -- distinct (source, 8-gram) pairs
+  SELECT DISTINCT source, tokens[i : i + 7] AS g
+  FROM (SELECT source, tokens, unnest(range(1, n_tok - 6)) AS i
+        FROM tokens_static WHERE n_tok >= 8)
+),
+lks AS (SELECT g, CAST(COUNT(DISTINCT source) AS BIGINT) AS nsrc
+        FROM lkg GROUP BY g),
+leak AS (  -- cross-source n-gram leakage per source
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS grams_total,
+         CAST(SUM(CASE WHEN n.nsrc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS grams_leaked,
+         CASE WHEN COUNT(*) > 0 THEN
+           FLOOR(CAST(SUM(CASE WHEN n.nsrc >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0
+         ELSE 0.0 END AS leak_frac4
+  FROM lkg l JOIN lks n USING (g) GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -4062,10 +4137,13 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        w.ws_count, w.ws_sum, w.ws_energy,
        d.src_mode_token, d.src_mode_cnt,
        v.tv_num, v.tv4,
-       fe.src_chars, fe.chars_per_tok4
+       fe.src_chars, fe.chars_per_tok4,
+       aa.top_assoc_token, aa.assoc_cts, aa.assoc_ct, aa.assoc_cs, aa.lift4,
+       lk.grams_total, lk.grams_leaked, lk.leak_frac4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
+     JOIN assoc aa USING (source) JOIN leak lk USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

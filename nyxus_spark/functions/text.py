@@ -1182,3 +1182,104 @@ def banned_sequence_hits(patterns: list, tokens_col: str = "tokens",
         blocked = blocked | (c > 0)
     out["bl_blocked"] = blocked.cast("long")
     return out
+
+
+def quota_sample(df, k: int, stratum_col: str = "source",
+                 id_expr=None, mix: int = 2654435761,
+                 p31: int = 2147483647):
+    """Exactly-k-per-stratum deterministic sampling (the eval/holdout-set
+    builder): rank rows within each stratum by the reproducible
+    pmod((id mod P31)·MIX, P31) hash (ties broken by id) and keep the first
+    k. Unlike rate-based `stratified_keep` the output SIZE is exact, and
+    like it the selection is re-derivable forever and nested in k.
+
+    Adds `quota_rank` (1-based within stratum) and `quota_keep` (0/1).
+    One per-stratum sort (partitioned window) — the scale-safe shape for
+    bounded-k holdout selection; for unbounded sampling at 10^12 rows use
+    `stratified_keep` (zero shuffle) instead.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    if id_expr is None:
+        id_expr = F.col("doc_id")
+    h = F.pmod((id_expr.cast("bigint") % p31) * F.lit(mix % p31), F.lit(p31))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), id_expr.asc())
+    out = df.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+    return out.withColumn(
+        "quota_keep", (F.col("quota_rank") <= k).cast("long"))
+
+
+def source_assoc_top(df, source_col: str = "source",
+                     tokens_col: str = "tokens", min_count: int = 2):
+    """Per-source most-ASSOCIATED token — the log-free PMI/chi-square
+    monitor for domain-vocabulary drift: lift(t, s) = c(t,s)·N /
+    (c(t)·c(s)) (observed over expected co-occurrence mass), argmax per
+    source with ties to the lowest token id. All four counts are exact
+    BIGINTs; the ranking key is ONE IEEE division of two exact integer
+    products, so the argmax is engine-reproducible (same pattern as the
+    TF-IDF gate). Tokens with c(t,s) < min_count are excluded (a rare
+    token seen once in one source has unbounded lift).
+
+    Two-phase (source, token) aggregation + broadcast of the 1-row total —
+    one shuffle on token, scale-safe."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    expl = df.select(source_col, F.explode(tokens_col).alias("tok"))
+    cts = expl.groupBy(source_col, "tok").agg(
+        F.count("*").cast("long").alias("assoc_cts"))
+    ct = cts.groupBy("tok").agg(
+        F.sum("assoc_cts").cast("long").alias("assoc_ct"))
+    cs = cts.groupBy(source_col).agg(
+        F.sum("assoc_cts").cast("long").alias("assoc_cs"))
+    ntot = cts.agg(F.sum("assoc_cts").cast("long").alias("n_all"))
+    j = (cts.join(ct, "tok").join(cs, source_col)
+            .crossJoin(F.broadcast(ntot))
+            .filter(F.col("assoc_cts") >= min_count))
+    ratio = ((F.col("assoc_cts") * F.col("n_all")).cast("double")
+             / (F.col("assoc_ct") * F.col("assoc_cs")).cast("double"))
+    w = Window.partitionBy(source_col).orderBy(
+        ratio.desc(), F.col("tok").asc())
+    return (j.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1)
+             .select(source_col,
+                     F.col("tok").cast("long").alias("top_assoc_token"),
+                     "assoc_cts", "assoc_ct", "assoc_cs",
+                     fround4(ratio).alias("lift4")))
+
+
+def cross_source_leakage(df, n: int = 8, source_col: str = "source",
+                         tokens_col: str = "tokens"):
+    """Cross-source n-gram LEAKAGE monitor (train/eval-split hygiene): for
+    each source, how many of its distinct n-grams also appear in at least
+    one OTHER source. grams_total / grams_leaked are exact BIGINTs;
+    leak_frac4 is ONE fround4 division.
+
+    Shape: distinct (source, gram) pairs → per-gram distinct-source count →
+    per-source rollup. Two shuffles, both keyed on the gram (two-phase
+    partial aggregation applies) — never a pairwise source join, so the
+    cost is O(distinct grams), not O(|S|²·grams)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    g = df.select(
+        source_col,
+        F.explode(F.expr(
+            f"CASE WHEN size({tokens_col}) >= {n} THEN "
+            f"transform(sequence(0, size({tokens_col}) - {n}),"
+            f" i -> slice({tokens_col}, i + 1, {n}))"
+            f" ELSE array() END")).alias("g"),
+    ).distinct()
+    nsrc = g.groupBy("g").agg(
+        F.countDistinct(source_col).cast("long").alias("__nsrc"))
+    per = g.join(nsrc, "g").groupBy(source_col).agg(
+        F.count("*").cast("long").alias("grams_total"),
+        F.sum((F.col("__nsrc") >= 2).cast("long")).cast("long")
+         .alias("grams_leaked"))
+    return per.select(
+        source_col, "grams_total", "grams_leaked",
+        F.when(F.col("grams_total") > 0,
+               fround4(F.col("grams_leaked") / F.col("grams_total")))
+         .otherwise(F.lit(0.0)).alias("leak_frac4"))
