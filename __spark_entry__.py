@@ -173,7 +173,15 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     spn = span_corruption_stats(t, every=20, span=3).select(
         "doc_id", "n_corrupt_spans", "n_corrupt_tokens", "corrupt_checksum",
     )
-    return out.join(spn, "doc_id").withColumn(
+    # deterministic FIM (fill-in-the-middle) transform stats: hash-decided
+    # application + two hash-derived cut points; segment lengths and the
+    # position-weighted checksum of the PSM-reordered stream pin every
+    # decision (pure exprs, zero shuffle)
+    from nyxus_spark.functions import fim_stats
+
+    fim = fim_stats("cast(substring(doc_id, 5) as bigint)")
+    fimdf = t.select("doc_id", *[v.alias(k) for k, v in fim.items()])
+    return out.join(spn, "doc_id").join(fimdf, "doc_id").withColumn(
         "ttr4",
         F.when(F.col("n_tok") > 0,
                _r4(F.col("distinct_tokens") / F.col("n_tok")))
@@ -304,9 +312,15 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assoc = source_assoc_top(t, min_count=2)
     leak = cross_source_leakage(t, n=8)
+    # order-independent corpus DIGEST (data-versioning/lineage monitor):
+    # XOR + SUM of exact per-doc content hashes — both commutative, so the
+    # aggregation is map-side-combinable at any parallelism
+    from nyxus_spark.functions import corpus_digest
+
+    dig = corpus_digest(t)
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
-            .join(assoc, "source").join(leak, "source")
+            .join(assoc, "source").join(leak, "source").join(dig, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -3939,6 +3953,42 @@ lex AS (  -- lexical diversity: two-phase (doc, token) aggregation
         GROUP BY doc_id, tok)
   GROUP BY doc_id
 ),
+fim1 AS (  -- FIM replay: double-multiply pmod hashes for apply/i/j
+  SELECT doc_id, tokens, n, app, i,
+         i + (((((((((nid % 2147483647) * 69621) % 2147483647) + 2147483647)
+                  % 2147483647) * 69621) % 2147483647) + 2147483647)
+              % 2147483647) % (n - i + 1) AS j
+  FROM (
+    SELECT doc_id, nid, tokens, n,
+           ((((((((nid % 2147483647) * 40692) % 2147483647) + 2147483647)
+              % 2147483647) * 40692) % 2147483647) + 2147483647)
+           % 2147483647 < {int(2147483647 * 0.5)} AS app,
+           ((((((((nid % 2147483647) * 48271) % 2147483647) + 2147483647)
+              % 2147483647) * 48271) % 2147483647) + 2147483647)
+           % 2147483647 % (n + 1) AS i
+    FROM (SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS nid, tokens,
+                 CAST(n_tok AS BIGINT) AS n FROM tokens_static))
+),
+fim AS (
+  SELECT doc_id,
+         CAST(app AS BIGINT) AS fim_applied,
+         CAST(CASE WHEN app THEN i ELSE n END AS BIGINT) AS fim_prefix_len,
+         CAST(CASE WHEN app THEN j - i ELSE 0 END AS BIGINT) AS fim_middle_len,
+         CAST(CASE WHEN app THEN n - j ELSE 0 END AS BIGINT) AS fim_suffix_len,
+         CAST(CASE WHEN app THEN
+           COALESCE((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+             (SELECT unnest(r) AS t, unnest(range(1, len(r)+1)) AS ord) u), 0)
+           % 1000003
+         ELSE
+           COALESCE((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+             (SELECT unnest(tokens) AS t,
+                     unnest(range(1, len(tokens)+1)) AS ord) u), 0)
+           % 1000003
+         END AS BIGINT) AS fim_checksum
+  FROM (SELECT doc_id, tokens, n, app, i, j,
+               tokens[1:i] || tokens[j+1:n] || tokens[i+1:j] AS r
+        FROM fim1)
+),
 spn AS (  -- T5-style span corruption replay: trigger + 3-window coverage
   SELECT doc_id,
          CAST(len(list_filter(range(1, n_tok + 1), j ->
@@ -3990,6 +4040,8 @@ SELECT doc_id, n_tok,
        COALESCE(lx.distinct_tokens, 0) AS distinct_tokens,
        COALESCE(lx.hapax_tokens, 0) AS hapax_tokens,
        sp.n_corrupt_spans, sp.n_corrupt_tokens, sp.corrupt_checksum,
+       fm.fim_applied, fm.fim_prefix_len, fm.fim_middle_len,
+       fm.fim_suffix_len, fm.fim_checksum,
        CASE WHEN n_tok > 0 THEN
          FLOOR((COALESCE(lx.distinct_tokens, 0) / n_tok) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS ttr4
@@ -3997,6 +4049,7 @@ FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
 JOIN spn sp USING (doc_id)
+JOIN fim fm USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},
@@ -4124,6 +4177,20 @@ leak AS (  -- cross-source n-gram leakage per source
                  / COUNT(*) * 10000.0 + 0.5) / 10000.0
          ELSE 0.0 END AS leak_frac4
   FROM lkg l JOIN lks n USING (g) GROUP BY source
+),
+dig AS (  -- order-independent corpus digest: XOR + SUM of content hashes
+  SELECT source,
+         CAST(bit_xor(h) AS BIGINT) AS digest_xor,
+         CAST(SUM(h) AS BIGINT) AS digest_sum,
+         CAST(COUNT(*) AS BIGINT) AS digest_docs
+  FROM (
+    SELECT source,
+           (COALESCE((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+             (SELECT unnest(tokens) AS t,
+                     unnest(range(1, len(tokens)+1)) AS ord) u), 0)
+            % 1000003) * 131 + CAST(n_tok AS BIGINT) AS h
+    FROM tokens_static)
+  GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -4139,11 +4206,13 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        v.tv_num, v.tv4,
        fe.src_chars, fe.chars_per_tok4,
        aa.top_assoc_token, aa.assoc_cts, aa.assoc_ct, aa.assoc_cs, aa.lift4,
-       lk.grams_total, lk.grams_leaked, lk.leak_frac4
+       lk.grams_total, lk.grams_leaked, lk.leak_frac4,
+       dg.digest_xor, dg.digest_sum, dg.digest_docs
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
      JOIN assoc aa USING (source) JOIN leak lk USING (source)
+     JOIN dig dg USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

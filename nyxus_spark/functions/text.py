@@ -1283,3 +1283,92 @@ def cross_source_leakage(df, n: int = 8, source_col: str = "source",
         F.when(F.col("grams_total") > 0,
                fround4(F.col("grams_leaked") / F.col("grams_total")))
          .otherwise(F.lit(0.0)).alias("leak_frac4"))
+
+
+def fim_stats(id_sql: str, tokens_col: str = "tokens",
+              n_tok_col: str = "n_tok", rate: float = 0.5,
+              p31: int = 2147483647) -> dict:
+    """Deterministic FIM (fill-in-the-middle) transform stats — the
+    infilling-objective data pass (Bavarian et al. 2022): with probability
+    `rate` (decided by a re-derivable pmod hash of the doc id, NOT a RNG),
+    split the doc at two hash-derived cut points 0 <= i <= j <= n into
+    (prefix, middle, suffix) and reorder to PSM token order
+    prefix ++ suffix ++ middle. Every decision is pinned by exact
+    integers: the three segment lengths and a position-weighted checksum
+    of the REORDERED stream (mod 1000003) that flips if any token lands
+    in the wrong segment or order.
+
+    Mixers 48271 / 69621 / 40692 (classic MINSTD variants) keep the three
+    decisions mutually independent. Pure column expressions, zero shuffle.
+
+    Returns: fim_applied (0/1), fim_prefix_len, fim_middle_len,
+    fim_suffix_len, fim_checksum.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(p31 * rate)
+    # double multiply: a single id·mix stays below P31 for small ids (no
+    # wraparound -> no mixing); the second multiply wraps for any id >= 1
+    def _h(mix: int) -> str:
+        return (f"pmod(pmod(({id_sql} % {p31}) * {mix}, {p31})"
+                f" * {mix}, {p31})")
+    n = f"cast({n_tok_col} as bigint)"
+    app = f"({_h(40692)} < {cut})"
+    i = f"cast({_h(48271)} % ({n} + 1) as int)"
+    j = f"cast({i} + cast({_h(69621)} % ({n} - {i} + 1) as int) as int)"
+    # PSM reorder: prefix ++ suffix ++ middle (empty slices are safe:
+    # slice(xs, k, 0) = [] for any k)
+    reord = (
+        f"concat(slice({tokens_col}, 1, {i}),"
+        f" slice({tokens_col}, {j} + 1, cast({n} as int) - {j}),"
+        f" slice({tokens_col}, {i} + 1, {j} - {i}))"
+    )
+    csum = (
+        f"CASE WHEN size({tokens_col}) = 0 THEN 0L ELSE "
+        f"aggregate(zip_with({reord}, sequence(1, size({tokens_col})),"
+        f" (t, k) -> cast(t as bigint) * k), 0L, (a, x) -> a + x)"
+        f" % 1000003 END"
+    )
+    orig_csum = (
+        f"CASE WHEN size({tokens_col}) = 0 THEN 0L ELSE "
+        f"aggregate(zip_with({tokens_col}, sequence(1, size({tokens_col})),"
+        f" (t, k) -> cast(t as bigint) * k), 0L, (a, x) -> a + x)"
+        f" % 1000003 END"
+    )
+    return {
+        "fim_applied": F.expr(f"CAST({app} AS BIGINT)"),
+        "fim_prefix_len": F.expr(
+            f"CAST(IF({app}, {i}, {n}) AS BIGINT)"),
+        "fim_middle_len": F.expr(
+            f"CAST(IF({app}, {j} - {i}, 0) AS BIGINT)"),
+        "fim_suffix_len": F.expr(
+            f"CAST(IF({app}, {n} - {j}, 0) AS BIGINT)"),
+        "fim_checksum": F.expr(f"IF({app}, {csum}, {orig_csum})"),
+    }
+
+
+def corpus_digest(df, group_col: str = "source", tokens_col: str = "tokens",
+                  n_tok_col: str = "n_tok", p31: int = 2147483647):
+    """Order-independent per-group corpus DIGEST — the data-versioning /
+    lineage monitor: each doc contributes one exact content hash
+    h = (position-weighted token fold mod 1000003) * 131 + n_tok, and the
+    group digest is both the XOR and the SUM of member hashes (either
+    detects any changed/added/dropped doc; both are commutative, so the
+    aggregation is partial+final map-side-combinable — no order
+    sensitivity at any parallelism). Emits digest_xor, digest_sum,
+    digest_docs per group."""
+    h = F.expr(
+        f"(CASE WHEN size({tokens_col}) = 0 THEN 0L ELSE "
+        f"aggregate(zip_with({tokens_col}, sequence(1, size({tokens_col})),"
+        f" (t, k) -> cast(t as bigint) * k), 0L, (a, x) -> a + x)"
+        f" % 1000003 END) * 131 + cast({n_tok_col} as bigint)"
+    )
+    return (
+        df.select(group_col, h.alias("__h"))
+        .groupBy(group_col)
+        .agg(
+            F.expr("bit_xor(__h)").cast("long").alias("digest_xor"),
+            F.sum("__h").cast("long").alias("digest_sum"),
+            F.count("*").cast("long").alias("digest_docs"),
+        )
+    )
