@@ -924,7 +924,21 @@ def _q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return topk_cosine_batch(emb, queries, k=5)
+    out = topk_cosine_batch(emb, queries, k=5)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    out = out.withColumn("rank", F.row_number().over(w).cast("long"))
+    # two-stage int8→float rerank (cheap exact-integer first stage, exact
+    # cosine second stage) joined by rank position — both engines compute
+    # the same deterministic pipeline, so the gate pins candidate
+    # generation AND the final order
+    from nyxus_spark.operators.similarity import rerank_topk
+
+    rr = rerank_topk(emb, queries, k=5, m=20).withColumnRenamed(
+        "rr_rank", "rank")
+    return out.join(rr, ["query_id", "rank"])
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3199,7 +3213,7 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         "dedup_clusters": oracles.sql_dedup_clusters(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,
-        "topk_batch": oracles.SQL_TOPK_BATCH,
+        "topk_batch": oracles.sql_topk_batch_rerank(5, 20),
         "ivf_topk": oracles.SQL_IVF_TOPK,
         # the persisted index is semantically the same search (assignment is
         # materialized, not recomputed) — gated by the identical oracle

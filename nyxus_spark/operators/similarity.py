@@ -538,3 +538,66 @@ def quantize_embedding(vec_col: str = "embedding", levels: int = 127):
         f"ELSE transform({vec_col}, x -> cast(floor({levels}D * cast(x as double)"
         f" / {mx} + 0.5D) as int)) END"
     )
+
+
+def rerank_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Two-stage retrieval (the production cheap-filter + exact-rerank
+    architecture): stage 1 scores int8-QUANTIZED vectors with an EXACT
+    int64 dot product and keeps the top `m` candidates per query (rank on
+    exact integers, ties to the lowest id — fully engine-reproducible);
+    stage 2 re-joins only those m ids to the float corpus and re-ranks by
+    the exact cosine (fround4) down to the final top `k`.
+
+    Scale shape: stage 1 is the same broadcast-query × corpus expansion as
+    `topk_cosine_batch`, shrunk below the rank exchange by the per-partition
+    top-m combine — but each pair costs an int8 dot product instead of a
+    float cosine, which is the whole point of quantized first-stage
+    scoring. Stage 2 touches m·|Q| rows. At full corpus scale stage 1 runs
+    over the IVF-probed buckets rather than the whole corpus.
+
+    Emits (query_id, rr_rank 1..k, rr_vec_id, rr_int8_score, rr_cos4).
+    """
+    if not 1 <= k <= m:
+        raise ValueError(f"need 1 <= k <= m, got k={k} m={m}")
+    from pyspark.sql import Window
+
+    q8 = df.select(id_col, quantize_embedding(vec_col).alias("__q8"))
+    qq = queries.select(query_id, F.col(query_vec),
+                        quantize_embedding(query_vec).alias("__qq8"))
+    scored = q8.crossJoin(
+        F.broadcast(qq.select(query_id, "__qq8"))
+    ).select(
+        query_id, id_col,
+        F.expr(
+            "aggregate(zip_with(__q8, __qq8, (a, b) -> cast(a as bigint) * b),"
+            " 0L, (s, x) -> s + x)"
+        ).alias("rr_int8_score"),
+    )
+    scored = _partition_topk(scored, m, query_id, id_col,
+                             score_col="rr_int8_score")
+    w1 = Window.partitionBy(query_id).orderBy(
+        F.col("rr_int8_score").desc(), F.col(id_col).asc())
+    cand = (scored.withColumn("__r1", F.row_number().over(w1))
+                  .filter(F.col("__r1") <= m).drop("__r1"))
+    # stage 2: re-join the m survivors to the float corpus (only candidate
+    # ids carry vectors through this join) and rank by exact cosine
+    re = (cand.join(df.select(id_col, vec_col), id_col)
+              .join(F.broadcast(qq.select(query_id, query_vec)), query_id)
+              .select(query_id, id_col, "rr_int8_score",
+                      fround4(cosine_col(vec_col, query_vec)).alias("rr_cos4")))
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("rr_cos4").desc(), F.col(id_col).asc())
+    return (re.withColumn("rr_rank", F.row_number().over(w2).cast("long"))
+              .filter(F.col("rr_rank") <= k)
+              .select(query_id, "rr_rank",
+                      F.col(id_col).cast("long").alias("rr_vec_id"),
+                      "rr_int8_score", "rr_cos4"))

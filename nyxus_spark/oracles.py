@@ -2334,3 +2334,73 @@ ranked AS (
 )
 SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 5
 """
+
+
+def sql_topk_batch_rerank(k: int = 5, m: int = 20) -> str:
+    """Brute top-k per query (SQL_TOPK_BATCH semantics, rank emitted) joined
+    on (query_id, rank) with the two-stage int8->float RERANK replay:
+    stage 1 = exact int64 dot product of int8-quantized vectors, top-m per
+    query (int desc, id asc); stage 2 = exact fround4 cosine over the m
+    survivors, top-k. Every stage-1 score is an exact integer, so the
+    candidate set is engine-identical by construction."""
+    quant = """
+    CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
+         THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0)
+         ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(FLOOR(127.0 * x
+                     / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+                     + 0.5) AS INTEGER))
+    END"""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         FLOOR((list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(q.qv, q.qv)))) * 10000.0 + 0.5) / 10000.0 AS cos
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+),
+q8 AS (SELECT vec_id, {quant} AS qv8 FROM embeddings),
+qq8 AS (SELECT vec_id AS query_id, qv8 AS qq FROM q8 WHERE vec_id < 3),
+s1 AS (  -- stage 1: exact int64 dot product of the int8 codes
+  SELECT qq8.query_id, c.vec_id,
+         CAST(COALESCE(list_sum(list_transform(range(1, len(c.qv8) + 1),
+           i -> CAST(c.qv8[i] AS BIGINT) * qq8.qq[i])), 0) AS BIGINT)
+           AS rr_int8_score
+  FROM q8 c, qq8
+),
+cand AS (
+  SELECT query_id, vec_id, rr_int8_score FROM (
+    SELECT query_id, vec_id, rr_int8_score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rr_int8_score DESC, vec_id ASC) AS r1
+    FROM s1) WHERE r1 <= {m}
+),
+s2 AS (  -- stage 2: exact cosine over the m survivors only
+  SELECT cd.query_id, cd.vec_id, cd.rr_int8_score,
+         FLOOR((list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(q.qv, q.qv)))) * 10000.0 + 0.5) / 10000.0 AS rr_cos4
+  FROM cand cd JOIN embeddings e USING (vec_id)
+       JOIN q ON q.query_id = cd.query_id
+),
+rr AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rr_cos4 DESC, vec_id ASC) AS BIGINT) AS rr_rank,
+         CAST(vec_id AS BIGINT) AS rr_vec_id, rr_int8_score, rr_cos4
+  FROM s2
+)
+SELECT r.query_id, r.vec_id, r.cos, CAST(r.rn AS BIGINT) AS rank,
+       rr.rr_vec_id, rr.rr_int8_score, rr.rr_cos4
+FROM ranked r JOIN rr ON rr.query_id = r.query_id AND rr.rr_rank = r.rn
+WHERE r.rn <= {k}
+"""
