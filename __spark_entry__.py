@@ -2460,6 +2460,12 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blx = banned_sequence_hits([[104, 117], [104, 104, 104]])
     pb = toks.select(nid.alias("doc_id"),
                      *[v.alias(k) for k, v in {**pe, **blx}.items()])
+    # bigram-LM next-token top-1 accuracy: the perplexity-filter analog on
+    # exact integers (corpus model two-phase agg + broadcast join)
+    from nyxus_spark.functions import bigram_accuracy
+
+    big = bigram_accuracy(toks).withColumn(
+        "doc_id", F.expr("CAST(substring(doc_id, 5) AS BIGINT)"))
     # hashed-bigram linear scorer (fastText/DSIR-style quality classifier):
     # exact BIGINT weight sum + ONE final division — zero shuffle, pure map
     from nyxus_spark.functions import hashed_bigram_score
@@ -2485,7 +2491,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
-    out = out.join(pb, "doc_id")
+    out = out.join(pb, "doc_id").join(big, "doc_id", "left")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2510,6 +2516,9 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("tfidf4", F.lit(0.0)).alias("tfidf4"),
         "period_best", "period_matches", "period_frac4",
         "bl_hits_0", "bl_hits_1", "bl_blocked",
+        F.coalesce("bigram_positions", zero).alias("bigram_positions"),
+        F.coalesce("bigram_hits", zero).alias("bigram_hits"),
+        F.coalesce("bigram_acc4", F.lit(0.0)).alias("bigram_acc4"),
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -3790,6 +3799,28 @@ bl AS (  -- blocklist sequences: overlapping occurrence counts
     ELSE 0 END AS bl_hits_1
   FROM toks
 ),
+bgp AS (  -- exploded (doc, prefix, next) bigram positions
+  SELECT doc_id, tokens[i] AS p, tokens[i+1] AS nx
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok)) AS i
+        FROM toks WHERE n_tok >= 2)
+),
+bgm AS (  -- corpus bigram model: top-1 next per prefix, ties -> lowest
+  SELECT p, nx AS top_next FROM (
+    SELECT p, nx,
+           row_number() OVER (PARTITION BY p
+                              ORDER BY COUNT(*) DESC, nx ASC) AS rn
+    FROM bgp GROUP BY p, nx) WHERE rn = 1
+),
+bga AS (  -- per-doc next-token top-1 accuracy: exact ints + ONE division
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS bigram_positions,
+         CAST(SUM(CASE WHEN g.nx = m.top_next THEN 1 ELSE 0 END) AS BIGINT)
+           AS bigram_hits,
+         FLOOR(CAST(SUM(CASE WHEN g.nx = m.top_next THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+           AS bigram_acc4
+  FROM bgp g JOIN bgm m USING (p) GROUP BY g.doc_id
+),
 tfc AS (  -- per-(doc, token) term frequency
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
@@ -3838,6 +3869,9 @@ SELECT l.doc_id, l.lang_pred,
          / 10000.0 AS period_frac4,
        b.bl_hits_0, b.bl_hits_1,
        CAST(b.bl_hits_0 > 0 OR b.bl_hits_1 > 0 AS BIGINT) AS bl_blocked,
+       COALESCE(bg.bigram_positions, 0) AS bigram_positions,
+       COALESCE(bg.bigram_hits, 0) AS bigram_hits,
+       COALESCE(bg.bigram_acc4, 0.0) AS bigram_acc4,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -3860,6 +3894,7 @@ JOIN scr sc USING (doc_id)
 LEFT JOIN tfi tt USING (doc_id)
 JOIN per p USING (doc_id)
 JOIN bl b USING (doc_id)
+LEFT JOIN bga bg USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

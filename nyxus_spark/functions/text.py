@@ -1372,3 +1372,47 @@ def corpus_digest(df, group_col: str = "source", tokens_col: str = "tokens",
             F.count("*").cast("long").alias("digest_docs"),
         )
     )
+
+
+def bigram_accuracy(df, tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                    id_col: str = "doc_id"):
+    """LM-based quality scoring with EXACT arithmetic — the
+    perplexity-filter analog that needs no logs: train the corpus bigram
+    model's top-1 predictor (per prefix token, the most frequent next
+    token, ties to the lowest id) and score each doc by its next-token
+    top-1 accuracy. Degenerate/repetitive docs score near 1, random noise
+    scores near 1/|V| — the same separation a perplexity filter buys,
+    but every number is an exact integer (hits/positions) + ONE fround4
+    division, so the gate is engine-exact.
+
+    Scale shape: one (prefix, next) two-phase aggregation builds the model
+    (|V|² rows max — broadcast-tiny for any sub-word vocab); scoring is the
+    exploded positions broadcast-joined to the model and re-aggregated per
+    doc. Docs with < 2 tokens emit no rows (left-join + coalesce at the
+    call site)."""
+    pos = df.select(
+        id_col,
+        F.explode(F.expr(
+            f"CASE WHEN {n_tok_col} >= 2 THEN "
+            f"transform(sequence(1, cast({n_tok_col} as int) - 1),"
+            f" i -> named_struct('p', element_at({tokens_col}, i),"
+            f"                   'nx', element_at({tokens_col}, i + 1)))"
+            f" ELSE array() END")).alias("g"),
+    ).select(id_col, F.col("g.p").alias("p"), F.col("g.nx").alias("nx"))
+    model = (
+        pos.groupBy("p", "nx").agg(F.count("*").alias("c"))
+        .groupBy("p")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("nx")).alias("neg"))).alias("m"))
+        .select("p", (-F.col("m.neg")).cast("int").alias("top_next"))
+    )
+    scored = pos.join(F.broadcast(model), "p").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("bigram_positions"),
+        F.sum((F.col("nx") == F.col("top_next")).cast("long")).cast("long")
+         .alias("bigram_hits"),
+    )
+    return scored.select(
+        id_col, "bigram_positions", "bigram_hits",
+        F.when(F.col("bigram_positions") > 0,
+               fround4(F.col("bigram_hits") / F.col("bigram_positions")))
+         .otherwise(F.lit(0.0)).alias("bigram_acc4"),
+    )
