@@ -168,6 +168,15 @@ def main() -> None:
         topk_cosine_batch(emb, qdf, k=5)
     )
 
+    # two-stage rerank: stage-1 int8 scoring with the same pre-top-k
+    # combine, stage-2 exact cosine over only m candidate ids (broadcast
+    # query vectors, corpus join carries vectors for candidates only)
+    from nyxus_spark.operators.similarity import rerank_topk
+
+    sections["two-stage rerank (int8 stage-1 combine, float stage-2 on m ids)"] = plan_of(
+        rerank_topk(emb, qdf, k=5, m=20)
+    )
+
     # batch IVF: broadcast probe table joined on the corpus's single
     # assigned_cent column — candidate expansion is |probed fraction|·|Q|
     from nyxus_spark.operators.similarity import ivf_topk_batch
