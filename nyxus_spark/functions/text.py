@@ -1356,7 +1356,12 @@ def corpus_digest(df, group_col: str = "source", tokens_col: str = "tokens",
     detects any changed/added/dropped doc; both are commutative, so the
     aggregation is partial+final map-side-combinable — no order
     sensitivity at any parallelism). Emits digest_xor, digest_sum,
-    digest_docs per group."""
+    digest_docs per group.
+
+    Bounds: h < 1000003·131 + n_tok ≈ 1.32·10⁸, so the BIGINT digest_sum
+    is exact up to ~7·10¹⁰ docs per group; past that rely on digest_xor
+    (never overflows) or digest per bucket(doc_id) shard and keep the
+    shard sums."""
     h = F.expr(
         f"(CASE WHEN size({tokens_col}) = 0 THEN 0L ELSE "
         f"aggregate(zip_with({tokens_col}, sequence(1, size({tokens_col})),"
