@@ -806,10 +806,28 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " % 1000003 END"
         ).alias("clean_digest"),
     )
+    # PREFIX-CONTAINMENT (the truncation-duplicate class Jaccard misses):
+    # pairs over the FULL aug corpus. Exact dups orient higher-id-contained
+    # (dup_X contained by X), so every original whose dup_ copy was
+    # injected carries pfx_contains ≥ 1 on its surviving row; a genuinely
+    # truncated prefix would survive exact dedup and carry pfx_contained=1.
+    from nyxus_spark.operators.dedup import (
+        prefix_containment,
+        prefix_containment_agg,
+    )
+
+    pfx_pairs = prefix_containment(aug, k=8)
+    cont = prefix_containment_agg(pfx_pairs)
+    contr = pfx_pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("pfx_contains"),
+        F.sum("n_tok_a").cast("long").alias("pfx_contained_mass"),
+    )
     zero = F.lit(0).cast("long")
     return (
         cleaned.join(per_doc, "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(contr, "doc_id", "left")
         .select(
             "doc_id", "source",
             F.coalesce("segs_kept", zero).alias("segs_kept"),
@@ -819,6 +837,12 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_digest", F.lit(-1).cast("long")).alias("clean_digest"),
             F.coalesce("bp_segs", zero).alias("bp_segs"),
             F.coalesce("bp_tok", zero).alias("bp_tok"),
+            F.when(F.col("pfx_container").isNull(), zero)
+            .otherwise(F.lit(1).cast("long")).alias("pfx_contained"),
+            F.coalesce("pfx_container", F.lit("")).alias("pfx_container"),
+            F.coalesce("pfx_n_containers", zero).alias("pfx_n_containers"),
+            F.coalesce("pfx_contains", zero).alias("pfx_contains"),
+            F.coalesce("pfx_contained_mass", zero).alias("pfx_contained_mass"),
         )
     )
 
@@ -1243,6 +1267,17 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global training order would come from repartitionByRange on the key)
     w = Window.partitionBy("source").orderBy(F.col("shuf_e0").asc(), F.col("doc_id").asc())
     out = out.withColumn("order_e0", F.row_number().over(w).cast("long"))
+    # STRIDE-SCHEDULING interleave (the data-mixing ORDER, not just rates):
+    # the i-th doc of source s runs at virtual time i/w_s; key = i·(L/w_s)
+    # keeps the order exact-BIGINT. mix_admit gates the weight-exact
+    # property directly: key ≤ 50·L admits exactly min(n_s, 50·w_s) docs
+    # of each source — 4:2:1 for src0:src1:rest until a source runs dry.
+    from nyxus_spark.functions import stride_interleave_key
+
+    out = out.withColumn(
+        "mix_key",
+        stride_interleave_key(F.col("order_e0"), {"src0": 4, "src1": 2}),
+    ).withColumn("mix_admit", (F.col("mix_key") <= 200).cast("long"))
     # DATA-BUDGET PLANNER (the LLaMA-style mixture table): per-source epoch
     # allocation under a half-corpus char budget with a 4-epoch repeat cap,
     # derived from the FULL corpus, joined onto every sampled row
@@ -1467,6 +1502,47 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("__ps", "pack_shard")
     )
+    # PACK SEGMENTS (the trainer-facing inversion of the packer: per-(doc,
+    # pack) attention segments with in-pack offset, token count, and the
+    # within-pack ordinal). Per-doc conservation (pseg_sum = n_tok), an
+    # offset digest pinning every boundary, the doc's first-pack ordinal
+    # (pins the seg_idx window order), and the first pack's segment count
+    # and fill — all exact bigints the oracle re-derives from its own
+    # cumulative-sum CTE.
+    from nyxus_spark.operators.packing import pack_segments
+
+    seg_in = pk.join(docs.select("doc_id", "n_tok"), "doc_id")
+    psegs = pack_segments(seg_in, 128)
+    pdoc = psegs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("pseg_n"),
+        F.sum("seg_len").cast("long").alias("pseg_sum"),
+        F.sum((F.col("seg_pack") * 131 + F.col("seg_off")) * F.col("seg_len"))
+        .cast("long").alias("pseg_digest"),
+    )
+    pidx = psegs.filter(F.col("seg_pack") == F.col("pack_first")).select(
+        "doc_id", F.col("seg_idx").alias("pseg_idx0")
+    )
+    pgrp = (
+        psegs.select(
+            F.col("pack_shard").alias("__fpsh"),
+            F.col("seg_pack").alias("__fppk"),
+            "seg_len",
+        )
+        .groupBy("__fpsh", "__fppk")
+        .agg(
+            F.count("*").cast("long").alias("fp_segs"),
+            F.sum("seg_len").cast("long").alias("fp_fill"),
+        )
+    )
+    fp = (
+        seg_in.select("doc_id", "pack_shard", "pack_first")
+        .join(
+            pgrp,
+            (F.col("pack_shard") == F.col("__fpsh"))
+            & (F.col("pack_first") == F.col("__fppk")),
+        )
+        .select("doc_id", "fp_segs", "fp_fill")
+    )
     # LENGTH-BUCKET batching stats (the dynamic-batching alternative to
     # packing: pad each doc to the next power of two): per-doc bucket +
     # padding waste, and the per-bucket fill rate — exact ints, ONE
@@ -1497,6 +1573,7 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ch.join(pk, "doc_id").join(cdc, "doc_id").join(sh, "pack_shard")
         .join(lbj, "doc_id")
+        .join(pdoc, "doc_id").join(pidx, "doc_id").join(fp, "doc_id")
     )
 
 
@@ -3441,6 +3518,13 @@ quota AS (  -- exactly-k-per-source rank over the FULL corpus, mixer
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
+       -- stride-scheduling interleave: rank · (L / w_s), L = lcm(4,2,1)
+       CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
+            * CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 ELSE 4 END
+            AS BIGINT) AS mix_key,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
+            * CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 ELSE 4 END
+            <= 200 AS BIGINT) AS mix_admit,
        bp.budget_mass, bp.budget_share, bp.budget_alloc, bp.budget_epochs4,
        h.hll_present, h.hll_v, h.hll_rmax, h.hll_snum, h.hll_est4,
        ht.hll_true,
@@ -3594,6 +3678,42 @@ shardstats AS (
                * 10000.0 + 0.5) / 10000.0 AS shard_fill4
   FROM packcum GROUP BY sh
 ),
+psegy AS (
+  -- pack-segment inversion: a doc spans packs (cum-n)//128 .. (cum-1)//128;
+  -- per pack p, segment = [max(start, p·128), min((p+1)·128, start+n))
+  SELECT doc_id, pack_shard, p,
+         GREATEST(pack_start, p * 128) - p * 128 AS seg_off,
+         LEAST((p + 1) * 128, pack_start + n_tok)
+           - GREATEST(pack_start, p * 128) AS seg_len,
+         pack_start
+  FROM (
+    SELECT doc_id, CAST(sh AS INTEGER) AS pack_shard,
+           unnest(range((cum - n_tok) // 128, (cum - 1) // 128 + 1)) AS p,
+           cum - n_tok AS pack_start, n_tok
+    FROM packcum
+  )
+),
+psegdoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS pseg_n,
+         CAST(SUM(seg_len) AS BIGINT) AS pseg_sum,
+         CAST(SUM((p * 131 + seg_off) * seg_len) AS BIGINT) AS pseg_digest
+  FROM psegy GROUP BY doc_id
+),
+psegidx AS (  -- the doc's segment ordinal within its FIRST pack
+  SELECT doc_id, CAST(seg_idx AS BIGINT) AS pseg_idx0 FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY pack_shard, p
+                              ORDER BY pack_start) - 1 AS seg_idx,
+           row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rnd
+    FROM psegy) WHERE rnd = 1
+),
+psegpack AS (
+  SELECT pack_shard, p,
+         CAST(COUNT(*) AS BIGINT) AS fp_segs,
+         CAST(SUM(seg_len) AS BIGINT) AS fp_fill
+  FROM psegy GROUP BY pack_shard, p
+),
 cdcb AS (
   -- content-defined boundaries, replayed term-for-term: 1-based j in
   -- [4, n-1] ⇔ the Spark kernel's 0-based i in [3, n-2]; same window
@@ -3654,10 +3774,14 @@ SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        d.cdc_n, d.cdc_kept_n, d.cdc_kept_sum,
        ss.shard_tokens, ss.shard_packs, ss.shard_waste, ss.shard_fill4,
        b.len_bucket, b.len_bucket - b.n_tok AS pad_waste,
-       bs.bucket_docs, bs.bucket_fill4
+       bs.bucket_docs, bs.bucket_fill4,
+       pd.pseg_n, pd.pseg_sum, pd.pseg_digest, pi.pseg_idx0,
+       pp.fp_segs, pp.fp_fill
 FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
      JOIN shardstats ss USING (pack_shard)
      JOIN lb b USING (doc_id) JOIN lbs bs USING (len_bucket)
+     JOIN psegdoc pd USING (doc_id) JOIN psegidx pi USING (doc_id)
+     JOIN psegpack pp ON pp.pack_shard = p.pack_shard AND pp.p = p.pack_first
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈

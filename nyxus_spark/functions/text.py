@@ -8,6 +8,8 @@ the syntax both engines share).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from nyxus_spark.compare import fround4
@@ -317,6 +319,42 @@ def epoch_shuffle_key(id_expr, epoch: int, mix: int = 2654435761,
     off = (epoch * 2654435769) % p31
     a = F.pmod(id_expr.cast("bigint") + F.lit(off), F.lit(p31))
     return F.pmod(a * F.lit(mix % p31), F.lit(p31))
+
+
+def stride_interleave_key(rank_col, weights: dict[str, int],
+                          source_col: str = "source",
+                          default_weight: int = 1):
+    """Deterministic stride-scheduling mixture key — the data-mixing ORDER
+    (not just per-source rates): the i-th document (1-based rank within its
+    source) of a source with integer weight w runs at virtual time i/w, so
+    ordering the union of every source's stream by this key interleaves
+    sources in EXACT weight proportion — every L consecutive virtual-time
+    units admit exactly w_s documents of source s (until s runs dry), with
+    zero randomness. Same guarantee as lottery/stride scheduling
+    (Waldspurger '95) applied to corpus mixing.
+
+    The comparison stays exact BIGINT: key = rank · (L / w_s) with
+    L = lcm(weights), so i/w ordering never touches a float. `rank_col`
+    must be the deterministic 1-based within-source rank (e.g. a
+    row_number over an `epoch_shuffle_key` order, which makes the
+    interleave a weight-exact reshuffle per epoch).
+
+    At 100 TB the global order is repartitionByRange(key) +
+    sortWithinPartitions (`sinks.write_training_order`) — the key space is
+    data-independent given per-source counts, so range bounds need no
+    sampling pass and no single-partition sort exists anywhere."""
+    ws = dict(weights)
+    ws["__default__"] = default_weight
+    for s, w in ws.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weights must be positive ints, got {s}={w!r}")
+    lcm = 1
+    for w in ws.values():
+        lcm = lcm * w // math.gcd(lcm, w)
+    stride = F.lit(lcm // default_weight)
+    for s, w in sorted(weights.items()):
+        stride = F.when(F.col(source_col) == s, F.lit(lcm // w)).otherwise(stride)
+    return (rank_col.cast("bigint") * stride).cast("bigint")
 
 
 def mask_tokens(df, rate: float, mask_id: int = -100,

@@ -915,3 +915,73 @@ def winnow_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .otherwise(F.lit(0.0)).alias("wn_sim4"),
         )
     )
+
+
+def prefix_containment(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                       tokens_col: str = "tokens",
+                       len_col: str = "n_tok") -> DataFrame:
+    """Exact prefix-containment dedup pairs: (contained, container) where
+    the contained document's FULL token sequence equals the container's
+    first n tokens — the truncation/re-crawl duplicate class that Jaccard
+    near-dup misses at low overlap ratios (a 50-token prefix of a
+    5000-token page is ~1% Jaccard but still redundant training signal).
+
+    Blocking: equi-join on the string-serialized first-k-token prefix, so
+    only documents sharing an exact k-prefix ever meet — ONE shuffle on the
+    prefix key, never a cross product. A hot boilerplate prefix is a plain
+    equi-join hot key (AQE skew-split applies; raise k to sharpen the
+    block). Both sides need >= k tokens: shorter documents cannot carry the
+    block key and are exact-dedup territory (or re-run with a smaller k).
+
+    Pair orientation is total and consistent with exact_dedup: the
+    contained side is strictly shorter, or — for byte-identical documents —
+    the higher id (so the exact-dup survivor is never marked contained).
+    Verification compares the container's length-n prefix slice
+    element-for-element; no hashing is trusted.
+
+    Returns containment PAIRS: `id_a` (contained), `id_b` (container),
+    `n_tok_a` (the contained document's length — the redundant token mass
+    the pair represents). Aggregate per side with
+    `prefix_containment_agg` or a plain groupBy."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.concat_ws(
+        ",", F.transform(F.slice(tokens_col, 1, k), lambda x: x.cast("string"))
+    )
+    base = (
+        df.filter(F.col(len_col) >= k)
+        .select(
+            F.col(id_col).alias("_pc_id"),
+            F.col(tokens_col).alias("_pc_tokens"),
+            F.col(len_col).cast("bigint").alias("_pc_n"),
+            key.alias("_pc_key"),
+        )
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(b, F.col("a._pc_key") == F.col("b._pc_key"))
+        .filter(
+            (F.col("a._pc_n") < F.col("b._pc_n"))
+            | ((F.col("a._pc_n") == F.col("b._pc_n"))
+               & (F.col("a._pc_id") > F.col("b._pc_id")))
+        )
+        .filter(
+            F.expr("slice(b._pc_tokens, 1, cast(a._pc_n as int)) = a._pc_tokens")
+        )
+        .select(F.col("a._pc_id").alias("id_a"),
+                F.col("b._pc_id").alias("id_b"),
+                F.col("a._pc_n").alias("n_tok_a"))
+    )
+    return pairs
+
+
+def prefix_containment_agg(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-contained-document rollup of `prefix_containment` pairs:
+    `{id_col}` (the contained id), `pfx_container` (the MINIMUM container
+    id — deterministic), `pfx_n_containers` (exact count). Drop rows whose
+    id appears here to remove the truncation-duplicate class."""
+    return pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.min("id_b").alias("pfx_container"),
+        F.count("*").cast("long").alias("pfx_n_containers"),
+    )

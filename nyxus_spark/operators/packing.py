@@ -89,3 +89,46 @@ def pack_sequences(
         .drop("_pack_cum", "_pack_oid")
     )
     return out
+
+
+def pack_segments(packed: DataFrame, capacity: int,
+                  len_col: str = "n_tok") -> DataFrame:
+    """Invert the doc→pack assignment of `pack_sequences` into per-(doc,
+    pack) SEGMENT rows — the attention-boundary metadata a trainer actually
+    consumes from a packed shard (segment ids for the block-diagonal
+    attention mask, per-segment position-id reset offsets):
+
+    - seg_pack  pack index this segment lives in (pack_first..pack_last)
+    - seg_off   starting token offset WITHIN the pack (0..capacity-1)
+    - seg_len   tokens this document contributes to this pack (≥ 1)
+    - doc_off   offset of the segment's first token WITHIN the document
+                (the position-id base when positions restart per document)
+    - seg_idx   segment ordinal within the pack (0-based, by in-pack
+                offset — unambiguous: offsets within a pack are distinct)
+
+    All arithmetic is exact BIGINT off pack_start/len, so the layout is
+    engine-reproducible and SQL-replayable like the packer itself.
+
+    Scale shape: one narrow explode (a document spans at most
+    n_tok/capacity + 1 packs, so output ≈ input + total_tokens/capacity
+    rows) plus one window keyed (pack_shard, seg_pack) for seg_idx — the
+    same hash-exchange family the packer already paid; no new wide
+    dependency. Zero-length documents are skipped (they occupy no tokens
+    in any pack)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    cap = F.lit(capacity).cast("bigint")
+    segs = (
+        packed.filter(F.col(len_col) > 0)
+        .withColumn("seg_pack", F.expr("explode(sequence(pack_first, pack_last))"))
+    )
+    seg_lo = F.greatest(F.col("seg_pack") * cap, F.col("pack_start"))
+    seg_hi = F.least((F.col("seg_pack") + 1) * cap,
+                     F.col("pack_start") + F.col(len_col).cast("bigint"))
+    segs = (
+        segs.withColumn("seg_off", (seg_lo - F.col("seg_pack") * cap).cast("bigint"))
+        .withColumn("seg_len", (seg_hi - seg_lo).cast("bigint"))
+        .withColumn("doc_off", (seg_lo - F.col("pack_start")).cast("bigint"))
+    )
+    w = Window.partitionBy("pack_shard", "seg_pack").orderBy("seg_off")
+    return segs.withColumn("seg_idx", (F.row_number().over(w) - 1).cast("bigint"))

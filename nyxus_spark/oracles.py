@@ -693,6 +693,28 @@ bpdoc AS (
          CAST(COUNT(*) AS BIGINT) AS bp_segs,
          CAST(SUM(seg_len) AS BIGINT) AS bp_tok
   FROM segrows s JOIN bpkeys USING (seg_key) GROUP BY doc_id
+),
+pfxbase AS (  -- prefix-containment: block on the exact first-8 prefix
+  SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+         tokens[1:8] AS pkey
+  FROM aug WHERE n_tok >= 8
+),
+pfxpairs AS (  -- contained = strictly shorter, or higher id when equal;
+               -- verified element-for-element on the container's prefix
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_tok AS n_tok_a
+  FROM pfxbase a JOIN pfxbase b ON a.pkey = b.pkey
+  WHERE (a.n_tok < b.n_tok OR (a.n_tok = b.n_tok AND a.doc_id > b.doc_id))
+    AND list_slice(b.tokens, 1, CAST(a.n_tok AS INTEGER)) = a.tokens
+),
+pfxcont AS (
+  SELECT id_a AS doc_id, MIN(id_b) AS pfx_container,
+         CAST(COUNT(*) AS BIGINT) AS pfx_n_containers
+  FROM pfxpairs GROUP BY id_a
+),
+pfxcontr AS (
+  SELECT id_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS pfx_contains,
+         CAST(SUM(n_tok_a) AS BIGINT) AS pfx_contained_mass
+  FROM pfxpairs GROUP BY id_b
 )
 SELECT c.doc_id, c.source,
        COALESCE(d.segs_kept, 0) AS segs_kept,
@@ -701,10 +723,18 @@ SELECT c.doc_id, c.source,
        COALESCE(d.clean_tok_sum, 0) AS clean_tok_sum,
        COALESCE(rb.clean_digest, -1) AS clean_digest,
        COALESCE(bp.bp_segs, 0) AS bp_segs,
-       COALESCE(bp.bp_tok, 0) AS bp_tok
+       COALESCE(bp.bp_tok, 0) AS bp_tok,
+       CAST(CASE WHEN pc.pfx_container IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS pfx_contained,
+       COALESCE(pc.pfx_container, '') AS pfx_container,
+       COALESCE(pc.pfx_n_containers, 0) AS pfx_n_containers,
+       COALESCE(pr.pfx_contains, 0) AS pfx_contains,
+       COALESCE(pr.pfx_contained_mass, 0) AS pfx_contained_mass
 FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
 LEFT JOIN rebuilt rb USING (doc_id)
 LEFT JOIN bpdoc bp USING (doc_id)
+LEFT JOIN pfxcont pc USING (doc_id)
+LEFT JOIN pfxcontr pr USING (doc_id)
 """
 
 

@@ -1,0 +1,172 @@
+"""Wave-20 operators: stride-scheduling interleave, pack-segment inversion,
+prefix-containment dedup."""
+import pytest
+from pyspark.sql import functions as F
+
+from nyxus_spark.functions import stride_interleave_key
+from nyxus_spark.operators.dedup import (
+    prefix_containment,
+    prefix_containment_agg,
+)
+from nyxus_spark.operators.packing import pack_segments, pack_sequences
+
+
+# ---------------------------------------------------------------------------
+# stride interleave
+# ---------------------------------------------------------------------------
+
+def test_stride_interleave_exact_proportion(spark):
+    # weights 3:2:1 (L = 6): within every full round of 6 virtual-time
+    # units, sources contribute exactly 3/2/1 docs until one runs dry
+    rows = [(s, i) for s in ("a", "b", "c") for i in range(1, 61)]
+    df = spark.createDataFrame(rows, ["source", "rank"])
+    out = df.select(
+        "source", "rank",
+        stride_interleave_key(
+            F.col("rank"), {"a": 3, "b": 2}, default_weight=1
+        ).alias("key"),
+    ).collect()
+    keys = {(r.source, r.rank): r.key for r in out}
+    # key = rank * (L / w): a -> 2, b -> 3, c (default) -> 6
+    assert keys[("a", 1)] == 2 and keys[("a", 10)] == 20
+    assert keys[("b", 1)] == 3 and keys[("b", 10)] == 30
+    assert keys[("c", 1)] == 6 and keys[("c", 10)] == 60
+    # admitted below any multiple of L: exactly proportional
+    for t in (1, 5, 10):
+        admitted = [(s, i) for (s, i), k in keys.items() if k <= 6 * t]
+        per = {s: sum(1 for x in admitted if x[0] == s) for s in "abc"}
+        assert per == {"a": 3 * t, "b": 2 * t, "c": t}
+
+
+def test_stride_interleave_validates_weights(spark):
+    with pytest.raises(ValueError):
+        stride_interleave_key(F.lit(1), {"a": 0})
+    with pytest.raises(ValueError):
+        stride_interleave_key(F.lit(1), {"a": 2.5})  # type: ignore[dict-item]
+
+
+# ---------------------------------------------------------------------------
+# pack segments
+# ---------------------------------------------------------------------------
+
+def _brute_segments(docs, capacity, n_shards=4):
+    """Python reference: concat-then-chunk per shard, then slice per pack."""
+    MIX, P31 = 2654435761, 2147483647
+    shards = {}
+    for oid, n in sorted(docs):
+        sh = ((oid % P31) * (MIX % P31)) % P31 % n_shards
+        shards.setdefault(sh, []).append((oid, n))
+    segs = {}
+    for sh, items in shards.items():
+        off = 0
+        for oid, n in items:
+            start, end = off, off + n
+            p = start // capacity
+            while p * capacity < end:
+                lo = max(start, p * capacity)
+                hi = min(end, (p + 1) * capacity)
+                segs[(oid, p)] = (sh, lo - p * capacity, hi - lo, lo - start)
+                p += 1
+            off = end
+    return segs
+
+
+def test_pack_segments_matches_brute(spark):
+    docs = [(i, 1 + (i * 37) % 50) for i in range(1, 120)]
+    df = spark.createDataFrame(docs, ["oid", "n_tok"])
+    packed = pack_sequences(df, capacity=32, id_expr=F.col("oid"), n_shards=4)
+    segs = pack_segments(packed, 32).collect()
+    ref = _brute_segments(docs, 32, 4)
+    got = {(r.oid, r.seg_pack): (r.pack_shard, r.seg_off, r.seg_len, r.doc_off)
+           for r in segs}
+    assert got == ref
+    # conservation: per-doc seg_len sums to n_tok
+    per_doc = {}
+    for r in segs:
+        per_doc[r.oid] = per_doc.get(r.oid, 0) + r.seg_len
+    assert per_doc == dict(docs)
+
+
+def test_pack_segments_idx_is_in_pack_order(spark):
+    docs = [(i, 7) for i in range(1, 40)]
+    df = spark.createDataFrame(docs, ["oid", "n_tok"])
+    packed = pack_sequences(df, capacity=32, id_expr=F.col("oid"), n_shards=2)
+    segs = pack_segments(packed, 32).collect()
+    by_pack = {}
+    for r in segs:
+        by_pack.setdefault((r.pack_shard, r.seg_pack), []).append(
+            (r.seg_idx, r.seg_off))
+    for items in by_pack.values():
+        items.sort()
+        # ordinals are 0..n-1 and strictly follow in-pack offset order
+        assert [i for i, _ in items] == list(range(len(items)))
+        offs = [o for _, o in items]
+        assert offs == sorted(offs)
+
+
+def test_pack_segments_skips_zero_length(spark):
+    df = spark.createDataFrame([(1, 10), (2, 0), (3, 5)], ["oid", "n_tok"])
+    packed = pack_sequences(df, capacity=8, id_expr=F.col("oid"), n_shards=1)
+    segs = pack_segments(packed, 8)
+    assert segs.filter(F.col("oid") == 2).count() == 0
+    assert segs.groupBy().sum("seg_len").collect()[0][0] == 15
+
+
+def test_pack_segments_validates_capacity(spark):
+    df = spark.createDataFrame([(1, 10)], ["oid", "n_tok"])
+    packed = pack_sequences(df, capacity=8, id_expr=F.col("oid"))
+    with pytest.raises(ValueError):
+        pack_segments(packed, 0)
+
+
+# ---------------------------------------------------------------------------
+# prefix containment
+# ---------------------------------------------------------------------------
+
+def _docs_df(spark, rows):
+    data = [(d, toks, len(toks)) for d, toks in rows]
+    return spark.createDataFrame(data, ["doc_id", "tokens", "n_tok"])
+
+
+def test_prefix_containment_finds_truncations(spark):
+    full = list(range(100, 140))
+    rows = [
+        ("doc_a", full),                # container
+        ("doc_b", full[:20]),           # truncated prefix of a
+        ("doc_c", full[:12]),           # shorter prefix of a (and of b)
+        ("doc_d", full[5:25]),          # mid-slice, NOT a prefix
+        ("doc_e", list(range(500, 520))),  # unrelated
+    ]
+    pairs = prefix_containment(_docs_df(spark, rows), k=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {("doc_b", "doc_a"), ("doc_c", "doc_a"), ("doc_c", "doc_b")}
+    agg = {r.doc_id: (r.pfx_container, r.pfx_n_containers)
+           for r in prefix_containment_agg(pairs).collect()}
+    assert agg == {"doc_b": ("doc_a", 1), "doc_c": ("doc_a", 2)}
+
+
+def test_prefix_containment_exact_dups_orient_to_lowest(spark):
+    toks = list(range(50, 70))
+    rows = [("doc_1", toks), ("doc_2", toks), ("doc_3", toks)]
+    pairs = prefix_containment(_docs_df(spark, rows), k=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # higher ids contained by every lower id; doc_1 never contained
+    assert got == {("doc_2", "doc_1"), ("doc_3", "doc_1"), ("doc_3", "doc_2")}
+
+
+def test_prefix_containment_requires_k_tokens(spark):
+    rows = [("doc_a", list(range(20))), ("doc_b", list(range(5)))]
+    pairs = prefix_containment(_docs_df(spark, rows), k=8)
+    # doc_b (5 tokens < k) cannot participate even though it IS a prefix
+    assert pairs.count() == 0
+    with pytest.raises(ValueError):
+        prefix_containment(_docs_df(spark, rows), k=0)
+
+
+def test_prefix_containment_rejects_near_miss(spark):
+    base = list(range(100, 130))
+    mutated = base[:15]
+    mutated[14] = 999  # same 8-prefix block key, fails verification
+    rows = [("doc_a", base), ("doc_b", mutated)]
+    pairs = prefix_containment(_docs_df(spark, rows), k=8)
+    assert pairs.count() == 0
