@@ -218,6 +218,30 @@ def main() -> None:
         )
     )
 
+    # pack segments: the explode is narrow (rides the packer's output);
+    # the seg_idx window re-uses the (shard, pack) hash family
+    from nyxus_spark.operators.packing import pack_segments
+
+    sections["pack segments (narrow explode + window on packer keys)"] = plan_of(
+        pack_segments(
+            pack_sequences(
+                tokens_static(spark, sf).filter(F.col("n_tok") > 0),
+                capacity=128,
+                id_expr=F.expr("cast(substr(doc_id, 5) as bigint)"),
+                n_shards=8,
+            ),
+            128,
+        )
+    )
+
+    # prefix containment: ONE equi-join exchange on the serialized first-k
+    # prefix; the slice verification is a JVM filter above the join
+    from nyxus_spark.operators.dedup import prefix_containment
+
+    sections["prefix containment (prefix-key equi-join, slice verify)"] = plan_of(
+        prefix_containment(tokens_static(spark, sf), k=8)
+    )
+
     # k-means step: broadcast centroids, argmin window on the id, then
     # posexplode + partial/final hash agg for the exact coordinate sums
     from nyxus_spark.operators.similarity import kmeans_step, quantize_embedding
