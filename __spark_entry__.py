@@ -2165,17 +2165,29 @@ def _q_gabor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal neighbor self-join (bucketed range join): per event, neighbor
-    count + distance to the closest 1/2 within R = 4h."""
+    count + distance to the closest 1/2 within R = 4h — composed with the
+    SKEW REPORT over the same join key (the pre-shuffle diagnostic you run
+    before exactly this kind of self-join at 100 TB): per user, exact row
+    count, reproducible shuffle bucket, reducer mass, and integer
+    cross-multiplied hot flags."""
     _prep(spark)
     from pyspark.sql import functions as F
 
+    from nyxus_spark.operators.prescan import skew_report
     from nyxus_spark.operators.relations import neighbor_stats
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
         F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id"
     )
     out = neighbor_stats(ev, 14400.0)
-    return out.select("doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us")
+    sk = skew_report(raw, F.col("user_id"), n_buckets=16).select(
+        F.col("sk_key").cast("string").alias("doc_id"),
+        "sk_rows", "sk_bucket", "sk_bucket_rows", "sk_key_hot", "sk_bucket_hot",
+    )
+    return out.select(
+        "doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us"
+    ).join(sk, "doc_id")
 
 
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2565,10 +2577,20 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     scr = doc_tbl.select(F.col("doc_id"), aug_text.alias("text"))
     scr = scr.select("doc_id", *[v.alias(k) for k, v in scrub_exprs("text").items()])
+    # ExactSubstr-style cross-doc duplicate SPANS (Lee et al. ACL'22):
+    # length-8 windows occurring in >= 2 distinct docs, merged into maximal
+    # spans — hit count, span count, covered tokens, and the first
+    # duplicated position all exact integers.
+    from nyxus_spark.operators.dedup import duplicate_spans
+
+    ds = duplicate_spans(toks, L=8).select(
+        nid.alias("doc_id"), "ds_hits", "ds_spans", "ds_cover", "ds_first",
+    )
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     out = out.join(pb, "doc_id").join(big, "doc_id", "left")
+    out = out.join(ds, "doc_id", "left")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2596,6 +2618,10 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("bigram_positions", zero).alias("bigram_positions"),
         F.coalesce("bigram_hits", zero).alias("bigram_hits"),
         F.coalesce("bigram_acc4", F.lit(0.0)).alias("bigram_acc4"),
+        F.coalesce("ds_hits", zero).alias("ds_hits"),
+        F.coalesce("ds_spans", zero).alias("ds_spans"),
+        F.coalesce("ds_cover", zero).alias("ds_cover"),
+        F.coalesce("ds_first", F.lit(-1).cast("long")).alias("ds_first"),
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -3104,11 +3130,31 @@ agg AS (
          CAST(min(d) AS BIGINT) AS closest1_us,
          CAST((list(d ORDER BY d))[2] AS BIGINT) AS closest2_us
   FROM pairs GROUP BY doc_id, event_id
+),
+sk AS (  -- skew report: per key, rows + reproducible bucket (MIX mod P31)
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS sk_rows,
+         CAST((user_id % 2147483647) * 506952114 % 2147483647 % 16
+              AS INTEGER) AS sk_bucket
+  FROM events GROUP BY user_id
+),
+skb AS (
+  SELECT sk_bucket, CAST(SUM(sk_rows) AS BIGINT) AS sk_bucket_rows
+  FROM sk GROUP BY sk_bucket
+),
+skt AS (
+  SELECT CAST(SUM(sk_rows) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS nkeys
+  FROM sk
 )
 SELECT e.doc_id, e.event_id,
        COALESCE(a.num_neighbors, 0) AS num_neighbors,
-       a.closest1_us, a.closest2_us
+       a.closest1_us, a.closest2_us,
+       s.sk_rows, s.sk_bucket, b.sk_bucket_rows,
+       CAST(s.sk_rows * t.nkeys > 2 * t.total AS BIGINT) AS sk_key_hot,
+       CAST(b.sk_bucket_rows * 16 > 2 * t.total AS BIGINT) AS sk_bucket_hot
 FROM ev e LEFT JOIN agg a USING (doc_id, event_id)
+JOIN sk s USING (doc_id) JOIN skb b USING (sk_bucket), skt t
 """,
         "rollup_wide": f"""
 WITH {SQL_VERSIONS}
@@ -3802,6 +3848,39 @@ toks AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, tokens, n_tok
   FROM tokens_static
 ),
+dswin AS (  -- ExactSubstr windows: length-8, 0-based positions
+  SELECT doc_id, i - 1 AS pos, array_to_string(tokens[i : i + 7], ',') AS gram
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok - 8 + 2)) AS i
+        FROM toks WHERE n_tok >= 8)
+),
+dsdup AS (
+  SELECT gram FROM dswin GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dshit AS (SELECT doc_id, pos FROM dswin JOIN dsdup USING (gram)),
+dsisl AS (  -- gaps-and-islands: [p, p+8) windows merge while p <= prev + 8
+  SELECT doc_id, pos,
+         SUM(CASE WHEN lagp IS NULL OR pos > lagp + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagp
+        FROM dshit)
+),
+dsspan AS (
+  SELECT doc_id, isl,
+         MAX(pos) - MIN(pos) + 8 AS span_len, MIN(pos) AS span_start
+  FROM dsisl GROUP BY doc_id, isl
+),
+dsdoc AS (
+  SELECT s.doc_id,
+         CAST(h.hits AS BIGINT) AS ds_hits,
+         CAST(COUNT(*) AS BIGINT) AS ds_spans,
+         CAST(SUM(span_len) AS BIGINT) AS ds_cover,
+         CAST(MIN(span_start) AS BIGINT) AS ds_first
+  FROM dsspan s JOIN (
+    SELECT doc_id, COUNT(*) AS hits FROM dshit GROUP BY doc_id
+  ) h USING (doc_id)
+  GROUP BY s.doc_id, h.hits
+),
 g3 AS (
   SELECT doc_id, tokens[i : i + 2] AS g
   FROM (SELECT doc_id, tokens, unnest(range(1, n_tok - 1)) AS i
@@ -3996,6 +4075,10 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(bg.bigram_positions, 0) AS bigram_positions,
        COALESCE(bg.bigram_hits, 0) AS bigram_hits,
        COALESCE(bg.bigram_acc4, 0.0) AS bigram_acc4,
+       COALESCE(dsd.ds_hits, 0) AS ds_hits,
+       COALESCE(dsd.ds_spans, 0) AS ds_spans,
+       COALESCE(dsd.ds_cover, 0) AS ds_cover,
+       COALESCE(dsd.ds_first, -1) AS ds_first,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -4019,6 +4102,7 @@ LEFT JOIN tfi tt USING (doc_id)
 JOIN per p USING (doc_id)
 JOIN bl b USING (doc_id)
 LEFT JOIN bga bg USING (doc_id)
+LEFT JOIN dsdoc dsd USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

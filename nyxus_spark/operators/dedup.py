@@ -985,3 +985,72 @@ def prefix_containment_agg(pairs: DataFrame, id_col: str = "doc_id") -> DataFram
         F.min("id_b").alias("pfx_container"),
         F.count("*").cast("long").alias("pfx_n_containers"),
     )
+
+
+def duplicate_spans(df: DataFrame, L: int = 8, id_col: str = "doc_id",
+                    tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                    min_docs: int = 2) -> DataFrame:
+    """ExactSubstr-style cross-document duplicate-SPAN detection (the Lee
+    et al. ACL'22 'Deduplicating Training Data Makes Language Models
+    Better' pass): every length-L token window that occurs in >= min_docs
+    DISTINCT documents marks its positions, and overlapping/adjacent
+    marked windows merge into MAXIMAL duplicated spans per document — the
+    unit ExactSubstr dedup actually removes. Intra-document repetition is
+    deliberately out of scope (that is `functions.repetition_stats`).
+
+    Plan shape (the suffix-array build this replaces is a global sort —
+    this is the distributable alternative):
+      1. ONE (gram) hash aggregation over all ~n_tok windows per doc —
+         map-side combine ships distinct grams per partition;
+      2. qualifying grams equi-join back to window positions;
+      3. per-document span merge = one partitioned window
+         (gaps-and-islands: sorted starts p, intervals [p, p+L) merge
+         while the next start <= prev + L).
+    Window keys are string-serialized (injective → exact, and keeps
+    stage 1 in whole-stage hash agg); a 100 TB run swaps in a 128-bit
+    rolling hash + a verify join — same plan, collision-checked.
+
+    Returns per document (only docs with >= 1 duplicated window):
+    ds_hits (duplicated windows), ds_spans (maximal spans), ds_cover
+    (tokens inside duplicated spans), ds_first (first duplicated
+    position, 0-based)."""
+    from pyspark.sql import Window
+
+    from nyxus_spark.functions.text import ngram_keys
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    win = df.select(
+        F.col(id_col),
+        F.posexplode(ngram_keys(L, tokens_col, n_tok_col)).alias("pos", "gram"),
+    )
+    dup = (
+        win.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = win.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        hits.withColumn("_lag", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_lag").isNull() | (F.col("pos") > F.col("_lag") + L), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(cum))
+    )
+    spans = isl.groupBy(id_col, "_isl").agg(
+        (F.max("pos") - F.min("pos") + L).cast("long").alias("_span_len"),
+        F.min("pos").cast("long").alias("_span_start"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("ds_spans"),
+        F.sum("_span_len").cast("long").alias("ds_cover"),
+        F.min("_span_start").cast("long").alias("ds_first"),
+    )
+    hit_cnt = hits.groupBy(id_col).agg(F.count("*").cast("long").alias("ds_hits"))
+    return hit_cnt.join(per_doc, id_col)

@@ -38,3 +38,63 @@ def covered_range_col(tokens_col: str = "tokens"):
     rng = F.array_max(tokens_col) - F.array_min(tokens_col)
     srng = F.col("src_max") - F.col("src_min")
     return (rng.cast("double") / srng.cast("double")).alias("COVERED_IMAGE_INTENSITY_RANGE")
+
+
+def skew_report(df: DataFrame, id_expr, n_buckets: int = 16,
+                hot_factor: int = 2) -> DataFrame:
+    """Pre-shuffle SKEW diagnostic — the ops pass a 100 TB pipeline runs
+    BEFORE a big join/aggregation to find hot keys and unbalanced
+    reducers (the inputs to a salting / AQE-skew-join decision, see
+    tests/test_asof_skew_aqe.py for what happens without one).
+
+    `id_expr` is an integer column expression for the join key. Emits one
+    row per distinct key: `sk_rows` (exact row count), `sk_bucket` (the
+    key's shuffle bucket under the engine-reproducible
+    (key·MIX mod P31) mod n_buckets mix — re-derivable on any engine,
+    unlike Spark's internal hash), `sk_bucket_rows` (that reducer's total
+    rows), and two hot flags by exact integer CROSS-MULTIPLICATION (no
+    division, no float): `sk_key_hot` = rows·n_keys > hot_factor·total,
+    `sk_bucket_hot` = bucket_rows·n_buckets > hot_factor·total.
+
+    Plan shape: ONE (key) hash aggregation (map-side combine — the
+    shuffle carries distinct keys, not rows), a bucket-level re-agg of
+    the tiny key table, and a broadcast of the 1-row totals. Strictly
+    cheaper than the join it diagnoses."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if hot_factor <= 0:
+        raise ValueError(f"hot_factor must be positive, got {hot_factor}")
+    keyed = (
+        df.groupBy(id_expr.cast("bigint").alias("sk_key"))
+        .agg(F.count("*").cast("long").alias("sk_rows"))
+        .withColumn(
+            "sk_bucket",
+            F.pmod(
+                F.pmod(
+                    (F.col("sk_key") % 2147483647) * F.lit(2654435761 % 2147483647),
+                    F.lit(2147483647),
+                ),
+                F.lit(n_buckets),
+            ).cast("int"),
+        )
+    )
+    buckets = keyed.groupBy("sk_bucket").agg(
+        F.sum("sk_rows").cast("long").alias("sk_bucket_rows")
+    )
+    totals = keyed.agg(
+        F.sum("sk_rows").cast("long").alias("_sk_total"),
+        F.count("*").cast("long").alias("_sk_nkeys"),
+    )
+    return (
+        keyed.join(buckets, "sk_bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "sk_key", "sk_rows", "sk_bucket", "sk_bucket_rows",
+            (F.col("sk_rows") * F.col("_sk_nkeys")
+             > F.lit(hot_factor) * F.col("_sk_total"))
+            .cast("long").alias("sk_key_hot"),
+            (F.col("sk_bucket_rows") * F.lit(n_buckets)
+             > F.lit(hot_factor) * F.col("_sk_total"))
+            .cast("long").alias("sk_bucket_hot"),
+        )
+    )

@@ -170,3 +170,100 @@ def test_prefix_containment_rejects_near_miss(spark):
     rows = [("doc_a", base), ("doc_b", mutated)]
     pairs = prefix_containment(_docs_df(spark, rows), k=8)
     assert pairs.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicate spans (ExactSubstr analog)
+# ---------------------------------------------------------------------------
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows], ["doc_id", "tokens", "n_tok"])
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    from nyxus_spark.operators.dedup import duplicate_spans
+    shared = list(range(100, 112))  # 12 tokens -> 5 windows of L=8
+    rows = [
+        ("a", shared + [1, 2, 3]),
+        ("b", [7, 8, 9] + shared),
+        ("c", list(range(300, 320))),  # no cross-doc windows
+    ]
+    out = {r.doc_id: (r.ds_hits, r.ds_spans, r.ds_cover, r.ds_first)
+           for r in duplicate_spans(_tok_df(spark, rows), L=8).collect()}
+    # 5 overlapping windows merge into ONE span covering the 12 shared tokens
+    assert out["a"] == (5, 1, 12, 0)
+    assert out["b"] == (5, 1, 12, 3)
+    assert "c" not in out
+
+
+def test_duplicate_spans_two_separate_spans(spark):
+    from nyxus_spark.operators.dedup import duplicate_spans
+    s1, s2 = list(range(100, 108)), list(range(200, 208))
+    gap = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+    rows = [("a", s1 + gap + s2), ("b", s1 + [99] * 12 + s2)]
+    out = {r.doc_id: (r.ds_hits, r.ds_spans, r.ds_cover)
+           for r in duplicate_spans(_tok_df(spark, rows), L=8).collect()}
+    assert out["a"] == (2, 2, 16)
+    assert out["b"] == (2, 2, 16)
+
+
+def test_duplicate_spans_ignores_intra_doc_repeats(spark):
+    from nyxus_spark.operators.dedup import duplicate_spans
+    block = list(range(100, 108))
+    rows = [("a", block + [0] * 10 + block)]  # repeated WITHIN one doc only
+    assert duplicate_spans(_tok_df(spark, rows), L=8).count() == 0
+
+
+def test_duplicate_spans_validates_min_docs(spark):
+    from nyxus_spark.operators.dedup import duplicate_spans
+    with pytest.raises(ValueError):
+        duplicate_spans(_tok_df(spark, [("a", [1])]), min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# skew report
+# ---------------------------------------------------------------------------
+
+def test_skew_report_counts_and_flags(spark):
+    from nyxus_spark.operators.prescan import skew_report
+    # key 7 is hot: 30 of 39 rows; keys 1..9 carry one row each
+    rows = [(7,)] * 30 + [(k,) for k in range(1, 10) if k != 7] + [(7,)] * 0
+    df = spark.createDataFrame(rows, ["user_id"])
+    out = {r.sk_key: r for r in
+           skew_report(df, F.col("user_id"), n_buckets=4).collect()}
+    assert len(out) == 9
+    assert out[7].sk_rows == 30
+    # key_hot: 30 * 9 keys > 2 * 38 total
+    assert out[7].sk_key_hot == 1 and out[1].sk_key_hot == 0
+    # bucket mass: every key's bucket_rows equals the sum of its bucket peers
+    P31, MIXR = 2147483647, 2654435761 % 2147483647
+    per_bucket = {}
+    for k, r in out.items():
+        b = (k % P31) * MIXR % P31 % 4
+        assert r.sk_bucket == b
+        per_bucket[b] = per_bucket.get(b, 0) + r.sk_rows
+    for r in out.values():
+        assert r.sk_bucket_rows == per_bucket[r.sk_bucket]
+    # hot key's bucket is hot too: bucket_rows*4 > 2*38
+    hot_bucket = out[7].sk_bucket
+    for r in out.values():
+        assert r.sk_bucket_hot == (1 if r.sk_bucket == hot_bucket else 0)
+
+
+def test_skew_report_uniform_has_no_hot(spark):
+    from nyxus_spark.operators.prescan import skew_report
+    df = spark.createDataFrame([(k,) for k in range(100) for _ in range(3)],
+                               ["user_id"])
+    out = skew_report(df, F.col("user_id"), n_buckets=8).collect()
+    assert all(r.sk_key_hot == 0 for r in out)
+    assert sum(r.sk_rows for r in out) == 300
+
+
+def test_skew_report_validates(spark):
+    from nyxus_spark.operators.prescan import skew_report
+    df = spark.createDataFrame([(1,)], ["user_id"])
+    with pytest.raises(ValueError):
+        skew_report(df, F.col("user_id"), n_buckets=0)
+    with pytest.raises(ValueError):
+        skew_report(df, F.col("user_id"), hot_factor=0)
