@@ -1278,6 +1278,27 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mix_key",
         stride_interleave_key(F.col("order_e0"), {"src0": 4, "src1": 2}),
     ).withColumn("mix_admit", (F.col("mix_key") <= 200).cast("long"))
+    # DETERMINISTIC repartitionByRange bounds (Spark's RangePartitioner
+    # samples nondeterministically; these are exact): 8 equal-count ranges
+    # of the epoch-0 shuffle key. The ≤7-value bound list is collected
+    # driver-side (same tiny-dim pattern as _probe_cents) and every doc's
+    # partition assignment + its partition's exact row count are gated.
+    from nyxus_spark.operators.prescan import exact_range_bounds
+
+    bvals = [
+        int(r.bound_val)
+        for r in exact_range_bounds(out, "shuf_e0", 8)
+        .orderBy("bound_idx").collect()
+    ]
+    barr = F.array(*[F.lit(b) for b in bvals])
+    out = out.withColumn(
+        "rp8",
+        F.size(F.filter(barr, lambda b: b < F.col("shuf_e0"))).cast("long"),
+    )
+    rp_sizes = out.groupBy("rp8").agg(
+        F.count("*").cast("long").alias("rp8_rows")
+    )
+    out = out.join(rp_sizes, "rp8")
     # DATA-BUDGET PLANNER (the LLaMA-style mixture table): per-source epoch
     # allocation under a half-corpus char budget with a 4-epoch repeat cap,
     # derived from the FULL corpus, joined onto every sampled row
@@ -3499,6 +3520,8 @@ FROM final f JOIN cmsq q USING (token)
         # + stratified keep flag: the SAME hash against a per-source CASE
         # cut (src0→1.0, src1→0.5, src2→0.25, default 0.1)
         "sample_hash": f"""
+SELECT *, CAST(COUNT(*) OVER (PARTITION BY rp8) AS BIGINT) AS rp8_rows
+FROM (
 WITH scnt AS (  -- temperature rates α=0.5 re-derived from scratch:
   SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY source
 ),
@@ -3560,6 +3583,16 @@ quota AS (  -- exactly-k-per-source rank over the FULL corpus, mixer
                + 2147483647) % 2147483647 ASC, doc_id ASC)
               AS BIGINT) AS quota_rank
   FROM documents
+),
+rcc AS (  -- exact range-bound planner: cumulative counts per key value
+  SELECT v, c, SUM(c) OVER (ORDER BY v) AS ccum, SUM(c) OVER () AS nn
+  FROM (SELECT shuf_e0 AS v, COUNT(*) AS c FROM base GROUP BY shuf_e0)
+),
+rbk AS (  -- bound_k = smallest value with ccum >= ceil(k*N/8)
+  SELECT kk.k, MIN(v) AS bound_val
+  FROM rcc, (SELECT unnest(range(1, 8)) AS k) kk
+  WHERE ccum >= (kk.k * nn + 7) // 8
+  GROUP BY kk.k
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
@@ -3574,11 +3607,14 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        bp.budget_mass, bp.budget_share, bp.budget_alloc, bp.budget_epochs4,
        h.hll_present, h.hll_v, h.hll_rmax, h.hll_snum, h.hll_est4,
        ht.hll_true,
-       q.quota_rank, CAST(q.quota_rank <= 40 AS BIGINT) AS quota_keep
+       q.quota_rank, CAST(q.quota_rank <= 40 AS BIGINT) AS quota_keep,
+       CAST((SELECT COUNT(*) FROM rbk WHERE bound_val < base.shuf_e0)
+            AS BIGINT) AS rp8
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
      JOIN quota q USING (doc_id)
+)
 """,
         # int8 quantization: same element-wise IEEE expression tree
         "embed_quantize": """

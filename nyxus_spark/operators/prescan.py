@@ -98,3 +98,48 @@ def skew_report(df: DataFrame, id_expr, n_buckets: int = 16,
             .cast("long").alias("sk_bucket_hot"),
         )
     )
+
+
+def exact_range_bounds(df: DataFrame, value_col: str, n_parts: int) -> DataFrame:
+    """Deterministic range-partition boundary planner — the exact,
+    re-derivable replacement for Spark's RangePartitioner bounds (which
+    come from a nondeterministic reservoir sample, so two runs of
+    repartitionByRange can split differently). bound_k (k = 1..n_parts-1)
+    is the SMALLEST value whose cumulative row count reaches
+    ceil(k·N/n_parts) — pure integer arithmetic, identical on any engine,
+    so a training-order layout planned from these bounds is reproducible
+    forever (the property `sinks.write_training_order` wants).
+
+    Plan shape: one (value) hash aggregation (map-side combine — the
+    shuffle carries distinct values, not rows), then a cumulative window
+    over the per-VALUE count table. That window is global but runs at the
+    dim grain (|distinct values| rows); for genuinely unbounded key
+    domains, replace it with the two-pass distributed prefix sum
+    (per-partition subtotals + broadcast offsets) — the boundary
+    definition is unchanged.
+
+    Returns (bound_idx ∈ 1..n_parts-1, bound_val). Partition of a value v
+    = |{k : bound_k < v}| — ranges (bound_k, bound_{k+1}]."""
+    from pyspark.sql import Window
+
+    if n_parts < 2:
+        raise ValueError(f"n_parts must be >= 2, got {n_parts}")
+    counts = df.groupBy(F.col(value_col).alias("bound_val")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.orderBy("bound_val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cc = counts.withColumn("_ccum", F.sum("_c").over(w))
+    tot = counts.agg(F.sum("_c").cast("long").alias("_n"))
+    karr = F.array(*[F.lit(k) for k in range(1, n_parts)])
+    return (
+        cc.crossJoin(F.broadcast(tot))
+        .withColumn("_k", F.explode(karr))
+        .withColumn("_tgt", F.expr(f"(_k * _n + {n_parts - 1}) div {n_parts}"))
+        .filter(
+            (F.col("_ccum") - F.col("_c") < F.col("_tgt"))
+            & (F.col("_tgt") <= F.col("_ccum"))
+        )
+        .select(F.col("_k").cast("int").alias("bound_idx"), "bound_val")
+    )

@@ -267,3 +267,48 @@ def test_skew_report_validates(spark):
         skew_report(df, F.col("user_id"), n_buckets=0)
     with pytest.raises(ValueError):
         skew_report(df, F.col("user_id"), hot_factor=0)
+
+
+# ---------------------------------------------------------------------------
+# exact range bounds
+# ---------------------------------------------------------------------------
+
+def _brute_bounds(vals, n_parts):
+    import math
+    s = sorted(vals)
+    n = len(s)
+    out = {}
+    for k in range(1, n_parts):
+        tgt = math.ceil(k * n / n_parts)
+        # smallest value whose cumulative count reaches tgt
+        out[k] = s[tgt - 1]
+    return out
+
+
+def test_exact_range_bounds_matches_brute(spark):
+    from nyxus_spark.operators.prescan import exact_range_bounds
+    vals = [(v * 7919) % 1000 for v in range(257)]  # collisions included
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r.bound_idx: r.bound_val
+           for r in exact_range_bounds(df, "v", 8).collect()}
+    assert got == _brute_bounds(vals, 8)
+
+
+def test_exact_range_bounds_heavy_duplicates(spark):
+    from nyxus_spark.operators.prescan import exact_range_bounds
+    vals = [5] * 50 + [9] * 30 + [1] * 20
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r.bound_idx: r.bound_val
+           for r in exact_range_bounds(df, "v", 4).collect()}
+    assert got == _brute_bounds(vals, 4)
+    # assignment |{k : bound_k < v}| is deterministic and monotone
+    bounds = sorted(got.values())
+    part = {v: sum(1 for b in bounds if b < v) for v in (1, 5, 9)}
+    assert part[1] <= part[5] <= part[9]
+
+
+def test_exact_range_bounds_validates(spark):
+    from nyxus_spark.operators.prescan import exact_range_bounds
+    df = spark.createDataFrame([(1,)], ["v"])
+    with pytest.raises(ValueError):
+        exact_range_bounds(df, "v", 1)
