@@ -318,9 +318,41 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions import corpus_digest
 
     dig = corpus_digest(t)
+    # dataset-version CHURN audit (snapshot_diff): a deterministic "next
+    # refresh" of the corpus — drop oid%5 docs, content-modify the
+    # retained oid%7 docs, add a renamed copy of oid%11 docs — one
+    # full-outer diff by content key, rolled up per source.
+    from nyxus_spark.operators.prescan import snapshot_diff
+
+    keyed = t.select(
+        "doc_id", "source",
+        F.expr("cast(substr(doc_id, 5) as bigint)").alias("__oid"),
+        F.concat_ws(
+            ",", F.transform("tokens", lambda x: x.cast("string"))
+        ).alias("key"),
+    )
+    new_base = keyed.filter(F.col("__oid") % 5 != 0).withColumn(
+        "key",
+        F.when(F.col("__oid") % 7 == 0,
+               F.concat(F.col("key"), F.lit(",7"))).otherwise(F.col("key")),
+    )
+    added = keyed.filter(F.col("__oid") % 11 == 0).withColumn(
+        "doc_id", F.concat(F.lit("add_"), F.col("doc_id"))
+    )
+    diff = snapshot_diff(
+        keyed, new_base.unionByName(added), carry_cols=("source",)
+    )
+    churn = diff.groupBy("source").agg(
+        *[
+            F.sum((F.col("diff_status") == s).cast("long"))
+            .alias(f"diff_{s}")
+            for s in ("added", "removed", "modified", "unchanged")
+        ]
+    )
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
+            .join(churn, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -1203,6 +1235,16 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cms_estimate(out, cms).withColumn(
         "cms_over", (F.col("cms_est") - F.col("cnt")).cast("long")
     )
+    # Kneser-Ney continuation counts (the KN-smoothing statistics): per
+    # token, distinct LEFT contexts N1+(·w) and distinct RIGHT
+    # continuations N1+(w·) over the ORIGINAL corpus — exact integers
+    # from one distinct-bigram dim agg (UNK/-1 coalesces to 0).
+    from nyxus_spark.functions import kn_continuation
+
+    knz = F.lit(0).cast("long")
+    out = out.join(kn_continuation(t), "token", "left").withColumn(
+        "kn_left", F.coalesce("kn_left", knz)
+    ).withColumn("kn_right", F.coalesce("kn_right", knz))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -3476,6 +3518,15 @@ final AS (
        LEFT JOIN pmi p USING (token) LEFT JOIN neg g USING (token)
   GROUP BY r.token, t.cnt
 ),
+knp AS (  -- Kneser-Ney continuation stats: the DISTINCT bigram dim table
+  SELECT DISTINCT tokens[i] AS v, tokens[i + 1] AS w
+  FROM (SELECT tokens, unnest(range(1, n_tok)) AS i
+        FROM tokens_static WHERE n_tok >= 2)
+),
+knl AS (SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS kn_left
+        FROM knp GROUP BY w),
+knr AS (SELECT v AS token, CAST(COUNT(*) AS BIGINT) AS kn_right
+        FROM knp GROUP BY v),
 cmsb AS (  -- Count-Min sketch rebuilt from scratch: depth 4 x width 64
   SELECT u.j,
          CASE u.j WHEN 0 THEN {oracles.sql_cms_bucket('f.token', 0)}
@@ -3502,6 +3553,8 @@ cmsq AS (  -- point query: est = min over rows, empty cells -> 0
 )
 SELECT f.*, q.cms_est,
        CAST(q.cms_est - f.cnt AS BIGINT) AS cms_over,
+       COALESCE(kl.kn_left, 0) AS kn_left,
+       COALESCE(kr.kn_right, 0) AS kn_right,
        CAST(row_number() OVER (ORDER BY cnt_remap DESC, token ASC)
             AS BIGINT) AS vrank,
        CAST(SUM(cnt_remap) OVER (ORDER BY cnt_remap DESC, token ASC
@@ -3513,6 +3566,7 @@ SELECT f.*, q.cms_est,
              / CAST(SUM(cnt_remap) OVER () AS DOUBLE)
              * 10000.0 + 0.5) / 10000.0 AS cov4
 FROM final f JOIN cmsq q USING (token)
+LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the
@@ -4484,6 +4538,40 @@ dig AS (  -- order-independent corpus digest: XOR + SUM of content hashes
             % 1000003) * 131 + CAST(n_tok AS BIGINT) AS h
     FROM tokens_static)
   GROUP BY source
+),
+sdkey AS (  -- snapshot churn: deterministic "next refresh" construction
+  SELECT doc_id, source, CAST(substr(doc_id, 5) AS BIGINT) AS oid,
+         list_aggregate(list_transform(tokens, x -> CAST(x AS VARCHAR)),
+                        'string_agg', ',') AS key
+  FROM tokens_static
+),
+sdnew AS (
+  SELECT doc_id, source,
+         key || CASE WHEN oid % 7 = 0 THEN ',7' ELSE '' END AS key
+  FROM sdkey WHERE oid % 5 <> 0
+  UNION ALL
+  SELECT 'add_' || doc_id, source, key FROM sdkey WHERE oid % 11 = 0
+),
+sdiff AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+         CASE WHEN o.key IS NULL THEN 'added'
+              WHEN n.key IS NULL THEN 'removed'
+              WHEN o.key = n.key THEN 'unchanged'
+              ELSE 'modified' END AS st
+  FROM (SELECT doc_id, key, source FROM sdkey) o
+  FULL OUTER JOIN sdnew n USING (doc_id)
+),
+sdagg AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+           AS diff_added,
+         CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS diff_removed,
+         CAST(SUM(CASE WHEN st = 'modified' THEN 1 ELSE 0 END) AS BIGINT)
+           AS diff_modified,
+         CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+           AS diff_unchanged
+  FROM sdiff GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -4500,12 +4588,14 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        fe.src_chars, fe.chars_per_tok4,
        aa.top_assoc_token, aa.assoc_cts, aa.assoc_ct, aa.assoc_cs, aa.lift4,
        lk.grams_total, lk.grams_leaked, lk.leak_frac4,
-       dg.digest_xor, dg.digest_sum, dg.digest_docs
+       dg.digest_xor, dg.digest_sum, dg.digest_docs,
+       sd.diff_added, sd.diff_removed, sd.diff_modified, sd.diff_unchanged
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
      JOIN assoc aa USING (source) JOIN leak lk USING (source)
      JOIN dig dg USING (source)
+     JOIN sdagg sd USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

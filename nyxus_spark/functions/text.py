@@ -1459,3 +1459,41 @@ def bigram_accuracy(df, tokens_col: str = "tokens", n_tok_col: str = "n_tok",
                fround4(F.col("bigram_hits") / F.col("bigram_positions")))
          .otherwise(F.lit(0.0)).alias("bigram_acc4"),
     )
+
+
+def kn_continuation(df, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
+    """Kneser-Ney CONTINUATION counts over corpus bigrams — the smoothing
+    statistics a KN language model is built on: per token w,
+    kn_left = N1+(·w) = |{v : count(v, w) > 0}| (how many distinct LEFT
+    contexts w continues — KN's unigram numerator, famously better than
+    raw frequency for backoff) and kn_right = N1+(w·). Both exact
+    integers; the KN continuation probability is kn_left / N1+(··), ONE
+    division away, and N1+(··) is just SUM(kn_left).
+
+    Plan shape: exploded bigram pairs reduce to the DISTINCT-pair dim
+    table in one hash aggregation (map-side combine — the shuffle carries
+    distinct pairs per partition, not positions), then two tiny re-aggs
+    of that dim table. Documents shorter than 2 tokens emit nothing."""
+    pairs = df.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN {n_tok_col} >= 2 THEN zip_with("
+                f"slice({tokens_col}, 1, {n_tok_col} - 1),"
+                f" slice({tokens_col}, 2, {n_tok_col} - 1),"
+                f" (a, b) -> struct(a AS v, b AS w)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.v", "bg.w").distinct()
+    left = pairs.groupBy(F.col("w").alias("token")).agg(
+        F.count("*").cast("long").alias("kn_left")
+    )
+    right = pairs.groupBy(F.col("v").alias("token")).agg(
+        F.count("*").cast("long").alias("kn_right")
+    )
+    zero = F.lit(0).cast("long")
+    return left.join(right, "token", "full_outer").select(
+        "token",
+        F.coalesce("kn_left", zero).alias("kn_left"),
+        F.coalesce("kn_right", zero).alias("kn_right"),
+    )

@@ -143,3 +143,39 @@ def exact_range_bounds(df: DataFrame, value_col: str, n_parts: int) -> DataFrame
         )
         .select(F.col("_k").cast("int").alias("bound_idx"), "bound_val")
     )
+
+
+def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
+                  id_col: str = "doc_id", key_col: str = "key",
+                  carry_cols: tuple = ()) -> DataFrame:
+    """Dataset-VERSION audit between two corpus snapshots — the lineage
+    pass a managed 100 TB corpus runs on every refresh: one full-outer
+    join on the document id comparing content keys yields a per-id status
+    in {added, removed, modified, unchanged}. `key_col` is any injective
+    content serialization (or a collision-checked content hash at scale).
+
+    `carry_cols` are passed through via COALESCE(old, new) — e.g. the
+    source, for per-source churn rollups.
+
+    Scale shape: ONE join; with both snapshots bucketed on the id
+    (Iceberg bucket(id), see sinks.write_bucketed) it is exchange-free —
+    the audit costs a co-partitioned scan, not a shuffle."""
+    o = old_df.select(
+        F.col(id_col), F.col(key_col).alias("_old_key"),
+        *[F.col(c).alias(f"_o_{c}") for c in carry_cols],
+    )
+    n = new_df.select(
+        F.col(id_col), F.col(key_col).alias("_new_key"),
+        *[F.col(c).alias(f"_n_{c}") for c in carry_cols],
+    )
+    status = (
+        F.when(F.col("_old_key").isNull(), F.lit("added"))
+        .when(F.col("_new_key").isNull(), F.lit("removed"))
+        .when(F.col("_old_key") == F.col("_new_key"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col),
+        status.alias("diff_status"),
+        *[F.coalesce(f"_o_{c}", f"_n_{c}").alias(c) for c in carry_cols],
+    )

@@ -312,3 +312,53 @@ def test_exact_range_bounds_validates(spark):
     df = spark.createDataFrame([(1,)], ["v"])
     with pytest.raises(ValueError):
         exact_range_bounds(df, "v", 1)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney continuation counts
+# ---------------------------------------------------------------------------
+
+def test_kn_continuation_exact(spark):
+    from nyxus_spark.functions import kn_continuation
+    rows = [
+        ("a", [1, 2, 3]),        # bigrams (1,2) (2,3)
+        ("b", [4, 2, 3]),        # (4,2) (2,3) -> (2,3) repeated: distinct
+        ("c", [2, 2]),           # (2,2)
+        ("d", [9]),              # too short, no bigram
+    ]
+    out = {r.token: (r.kn_left, r.kn_right)
+           for r in kn_continuation(_tok_df(spark, rows)).collect()}
+    # distinct pairs: (1,2) (2,3) (4,2) (2,2)
+    # token 2: left contexts {1,4,2} -> 3; right continuations {3,2} -> 2
+    assert out[2] == (3, 2)
+    assert out[3] == (1, 0)   # left {2}; never a left context
+    assert out[1] == (0, 1)
+    assert out[4] == (0, 1)
+    assert 9 not in out
+    # N1+(..) identity: sum of kn_left == distinct bigrams == 4
+    assert sum(left for left, _ in out.values()) == 4
+    assert sum(right for _, right in out.values()) == 4
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark):
+    from nyxus_spark.operators.prescan import snapshot_diff
+    old = spark.createDataFrame(
+        [("d1", "k1", "s0"), ("d2", "k2", "s0"), ("d3", "k3", "s1")],
+        ["doc_id", "key", "source"])
+    new = spark.createDataFrame(
+        [("d1", "k1", "s0"),       # unchanged
+         ("d2", "k2x", "s0"),      # modified
+         ("d4", "k4", "s1")],      # added; d3 removed
+        ["doc_id", "key", "source"])
+    out = {r.doc_id: (r.diff_status, r.source)
+           for r in snapshot_diff(old, new, carry_cols=("source",)).collect()}
+    assert out == {
+        "d1": ("unchanged", "s0"),
+        "d2": ("modified", "s0"),
+        "d3": ("removed", "s1"),
+        "d4": ("added", "s1"),
+    }
