@@ -1651,8 +1651,51 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     out = decode_media(attach_fake_media(docs), codec="fake")
-    return out.select("doc_id", "media_type", "out_width", "out_height",
-                      "mean_intensity")
+    # TEXT-SIDE EMBEDDING FUSION: the multimodal record carries its pooled
+    # text embedding next to the decoded-media features. Token-embedding
+    # table = the int8-quantized embeddings (vec_id == token id; every
+    # token < 251 < |V| matches); per-doc exact BIGINT digests of the
+    # pooled coordinate sums — bit-reproducible doc representations.
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.similarity import (
+        mean_pool_docs,
+        quantize_embedding,
+    )
+    from nyxus_spark.sources import tokens_static
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("token"),
+        quantize_embedding("embedding").alias("qvec"),
+    )
+    pool = mean_pool_docs(tokens_static(spark, sf_dir), emb)
+    zero = F.lit(0).cast("long")
+    pd_ = (
+        pool.groupBy("doc_id")
+        .agg(
+            F.max("pool_n").cast("long").alias("pool_tok"),
+            F.sum((F.col("dim") + 1) * F.col("coord_sum"))
+            .cast("long").alias("pool_digest"),
+            F.sum(F.abs(F.col("coord_sum"))).cast("long").alias("pool_abs"),
+        )
+        .select(
+            F.expr("CAST(substring(doc_id, 5) AS BIGINT)")
+            .cast("string").alias("doc_id"),
+            "pool_tok", "pool_digest", "pool_abs",
+        )
+    )
+    return (
+        out.select("doc_id", "media_type", "out_width", "out_height",
+                   "mean_intensity")
+        .join(pd_, "doc_id", "left")
+        .select(
+            "doc_id", "media_type", "out_width", "out_height",
+            "mean_intensity",
+            F.coalesce("pool_tok", zero).alias("pool_tok"),
+            F.coalesce("pool_digest", zero).alias("pool_digest"),
+            F.coalesce("pool_abs", zero).alias("pool_abs"),
+        )
+    )
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3322,8 +3365,9 @@ FROM b JOIN f USING (doc_id, event_id) JOIN s USING (doc_id, event_id)
      JOIN multi m USING (doc_id, event_id)
      JOIN tomb t USING (doc_id, event_id)
 """,
-        "multimodal_decode": """
-WITH base AS (
+        "multimodal_decode": f"""
+WITH {SQL_TOKENS_STATIC},
+base AS (
   SELECT CAST(doc_id AS VARCHAR) AS sdoc,
          ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
          text, CAST(strlen(text) AS BIGINT) AS n
@@ -3336,11 +3380,47 @@ vals AS (
          CAST(SUM(ascii(substr(b.text, CAST(p % b.n AS INTEGER) + 1, 1))) AS BIGINT) AS s
   FROM base b, unnest(range(0, 256)) AS u(p)
   GROUP BY b.sdoc
+),
+mq AS (  -- int8 quantization, same IEEE expression tree as embed_quantize
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
+              THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0)
+              ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(FLOOR(127.0 * x
+                          / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+                          + 0.5) AS INTEGER))
+         END AS qv
+  FROM embeddings
+),
+mtok AS (
+  SELECT CAST(CAST(substr(doc_id, 5) AS BIGINT) AS VARCHAR) AS sdoc,
+         unnest(tokens) AS t
+  FROM tokens_static
+),
+mpool AS (  -- pooled per-(doc, dim) exact BIGINT coordinate sums
+  SELECT m.sdoc, u.dim, COUNT(*) AS pn, CAST(SUM(u.val) AS BIGINT) AS cs
+  FROM mtok m JOIN (
+    SELECT vec_id, unnest(qv) AS val,
+           unnest(range(0, len(qv))) AS dim
+    FROM mq
+  ) u ON u.vec_id = m.t
+  GROUP BY m.sdoc, u.dim
+),
+mdig AS (
+  SELECT sdoc,
+         CAST(MAX(pn) AS BIGINT) AS pool_tok,
+         CAST(SUM((dim + 1) * cs) AS BIGINT) AS pool_digest,
+         CAST(SUM(ABS(cs)) AS BIGINT) AS pool_abs
+  FROM mpool GROUP BY sdoc
 )
 SELECT b.sdoc AS doc_id, b.media_type,
        16 AS out_width, 16 AS out_height,
-       CAST(v.s // 256 AS BIGINT) AS mean_intensity
+       CAST(v.s // 256 AS BIGINT) AS mean_intensity,
+       COALESCE(d.pool_tok, 0) AS pool_tok,
+       COALESCE(d.pool_digest, 0) AS pool_digest,
+       COALESCE(d.pool_abs, 0) AS pool_abs
 FROM base b JOIN vals v USING (sdoc)
+LEFT JOIN mdig d USING (sdoc)
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -601,3 +601,43 @@ def rerank_topk(
               .select(query_id, "rr_rank",
                       F.col(id_col).cast("long").alias("rr_vec_id"),
                       "rr_int8_score", "rr_cos4"))
+
+
+def mean_pool_docs(
+    docs: DataFrame,
+    token_emb: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    emb_id: str = "token",
+    emb_col: str = "qvec",
+) -> DataFrame:
+    """Document embeddings by MEAN-POOLING token embeddings — the
+    bag-of-embeddings doc representation (fastText/sentence-pooling
+    style), made engine-exact over INTEGER-quantized vectors: per (doc,
+    dim), the pooled coordinate numerator is an exact BIGINT sum of int8
+    values (the mean is ONE division away), so the representation is
+    bit-reproducible on any engine.
+
+    `token_emb` is the |V|-row (token id → quantized vector) table.
+    Tokens without an embedding row are skipped and do not count toward
+    the pool (emit an UNK row in `token_emb` for the other behavior).
+
+    Returns the LONG format (id, dim, pool_n, coord_sum): the grain every
+    downstream consumer of exact sums wants (re-assembly to an array is
+    one array_agg ORDER BY dim away; digests/norms are one re-agg).
+
+    Plan shape (same family as `kmeans_step`'s update): one explode of
+    the token stream, a broadcast equi-join against the |V|-row embedding
+    dim, posexplode to (doc, dim) cells, and a partial/final hash agg —
+    the shuffle after the explode carries docs·dims cells per map task,
+    not token positions."""
+    toks = docs.select(F.col(id_col), F.explode(tokens_col).alias("__t"))
+    joined = toks.join(
+        F.broadcast(token_emb.select(F.col(emb_id).alias("__t"), emb_col)),
+        "__t",
+    )
+    ex = joined.select(F.col(id_col), F.posexplode(emb_col).alias("dim", "__v"))
+    return ex.groupBy(id_col, "dim").agg(
+        F.count("*").cast("long").alias("pool_n"),
+        F.sum(F.col("__v").cast("bigint")).alias("coord_sum"),
+    )

@@ -362,3 +362,29 @@ def test_snapshot_diff_statuses(spark):
         "d3": ("removed", "s1"),
         "d4": ("added", "s1"),
     }
+
+
+# ---------------------------------------------------------------------------
+# mean-pool doc embeddings
+# ---------------------------------------------------------------------------
+
+def test_mean_pool_docs_exact_sums(spark):
+    from nyxus_spark.operators.similarity import mean_pool_docs
+    docs = _tok_df(spark, [("a", [0, 1, 0]), ("b", [2]), ("c", [])])
+    emb = spark.createDataFrame(
+        [(0, [1, -2]), (1, [10, 20]), (2, [-5, 7])], ["token", "qvec"])
+    out = {(r.doc_id, r.dim): (r.pool_n, r.coord_sum)
+           for r in mean_pool_docs(docs, emb).collect()}
+    # doc a: tokens 0,1,0 -> dim0: 1+10+1=12, dim1: -2+20-2=16, n=3
+    assert out[("a", 0)] == (3, 12) and out[("a", 1)] == (3, 16)
+    assert out[("b", 0)] == (1, -5) and out[("b", 1)] == (1, 7)
+    assert ("c", 0) not in out  # empty doc pools nothing
+
+
+def test_mean_pool_docs_skips_unmatched_tokens(spark):
+    from nyxus_spark.operators.similarity import mean_pool_docs
+    docs = _tok_df(spark, [("a", [0, 99])])  # 99 has no embedding row
+    emb = spark.createDataFrame([(0, [4, 4])], ["token", "qvec"])
+    out = {(r.doc_id, r.dim): (r.pool_n, r.coord_sum)
+           for r in mean_pool_docs(docs, emb).collect()}
+    assert out == {("a", 0): (1, 4), ("a", 1): (1, 4)}
