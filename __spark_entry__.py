@@ -1298,12 +1298,17 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_rates = temperature_rates(docs, "source", alpha=0.5)
     temp_keep = stratified_keep(t_rates, "source", F.col("doc_id"))
+    # deterministic 3-way holdout (train/val/test disjoint by one hash,
+    # independent MINSTD mixer — ids never migrate between splits)
+    from nyxus_spark.functions import holdout_split
+
     out = deterministic_sample(docs, 0.2, F.col("doc_id")).select(
         "doc_id", "source", "n_chars",
         keep.cast("long").alias("strat_keep"),
         temp_keep.cast("long").alias("temp_keep"),
         epoch_shuffle_key(F.col("doc_id"), 0).alias("shuf_e0"),
         epoch_shuffle_key(F.col("doc_id"), 1).alias("shuf_e1"),
+        holdout_split(F.col("doc_id"), 0.05, 0.05).alias("holdout"),
     )
     # rank within source (partitioned window — the scale-safe shape; a
     # global training order would come from repartitionByRange on the key)
@@ -2627,6 +2632,17 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = contamination_bloom(toks, bench, n=8).select(
         nid.alias("doc_id"), "contam_hits", "contam_distinct", "is_contaminated",
     )
+    # Bloom-prefilter FPR audit with ENGINE-REPRODUCIBLE probes
+    # (base-131/257 polynomial gram hashes): the bitset construction and
+    # its measured selectivity become oracle-checked artifacts —
+    # bloom_cand = positions passing the prefilter, bloom_fp = the wasted
+    # verify work (cand − exact hits, ≥ 0 by the Bloom no-false-negative
+    # guarantee).
+    from nyxus_spark.functions import bloom_fpr_audit
+
+    bfa = bloom_fpr_audit(toks, bench, n=8).select(
+        nid.alias("doc_id"), "bloom_cand",
+    )
     # n-gram NOVELTY (memorization-risk monitor: distinct 8-grams appearing
     # in no other doc) + deterministic MLM MASKING (rate 0.15, position-hash
     # re-derivable — n_masked + the position checksum pin every decision)
@@ -2696,7 +2712,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     out = out.join(pb, "doc_id").join(big, "doc_id", "left")
-    out = out.join(ds, "doc_id", "left")
+    out = out.join(ds, "doc_id", "left").join(bfa, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -2728,6 +2744,9 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("ds_spans", zero).alias("ds_spans"),
         F.coalesce("ds_cover", zero).alias("ds_cover"),
         F.coalesce("ds_first", F.lit(-1).cast("long")).alias("ds_first"),
+        "bloom_cand",
+        (F.col("bloom_cand") - F.col("contam_hits")).cast("long")
+        .alias("bloom_fp"),
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -3212,6 +3231,15 @@ def oracle_sql() -> dict[str, str]:
     from nyxus_spark.functions import STOPWORDS
     from nyxus_spark.sources.tables import SQL_PROBES, SQL_TOKENS_STATIC, SQL_VERSIONS
 
+    _p31 = 2147483647
+    _bf1 = " + ".join(
+        f"CAST(tokens[i + {j}] AS BIGINT) * {pow(131, j, _p31)}"
+        for j in range(8)
+    )
+    _bf2 = " + ".join(
+        f"CAST(tokens[i + {j}] AS BIGINT) * {pow(257, j, _p31)}"
+        for j in range(8)
+    )
     extra = {
         "ih": oracles.sql_ih(64),
         "percentiles": oracles.sql_percentiles(),
@@ -3677,6 +3705,12 @@ base AS (
              AS BIGINT) AS strat_keep,
          CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
               % 2147483647 < sc.tcut AS BIGINT) AS temp_keep,
+         -- 3-way holdout: Knuth LCG mixer 1566083941 (large: wraps from id 2)
+         CAST(CASE WHEN ((doc_id % 2147483647) * 1566083941) % 2147483647
+                        < {int(2147483647 * 0.05)} THEN 2
+                   WHEN ((doc_id % 2147483647) * 1566083941) % 2147483647
+                        < {int(2147483647 * 0.1)} THEN 1
+                   ELSE 0 END AS BIGINT) AS holdout,
          -- epoch-shuffle keys: pmod(pmod(id + epoch·OFFSET, P31)·MIX', P31)
          CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
               % 2147483647 AS BIGINT) AS shuf_e0,
@@ -3729,6 +3763,7 @@ rbk AS (  -- bound_k = smallest value with ccum >= ceil(k*N/8)
   GROUP BY kk.k
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
+       holdout,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
        -- stride-scheduling interleave: rank · (L / w_s), L = lcm(4,2,1)
@@ -4018,6 +4053,26 @@ toks AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, tokens, n_tok
   FROM tokens_static
 ),
+bfh AS (  -- engine-reproducible polynomial gram probes (base 131 / 257)
+  SELECT doc_id, ({_bf1}) % 2147483647 AS h1, ({_bf2}) % 2147483647 AS h2
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok - 8 + 2)) AS i
+        FROM toks WHERE n_tok >= 8)
+),
+bfbits AS (  -- 63-bit words: shifting into the int64 sign bit errors here
+  SELECT bit // 63 AS w,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 63 AS INTEGER)) AS m
+  FROM (SELECT unnest([h1 % 65536, h2 % 65536]) AS bit FROM bfh
+        WHERE doc_id % 97 = 0)
+  GROUP BY 1
+),
+bfcand AS (  -- corpus gram passes iff BOTH probe bits are set
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_cand
+  FROM bfh c JOIN bfbits q1 ON q1.w = (c.h1 % 65536) // 63
+             JOIN bfbits q2 ON q2.w = (c.h2 % 65536) // 63
+  WHERE (q1.m & (CAST(1 AS BIGINT) << CAST(c.h1 % 65536 % 63 AS INTEGER))) <> 0
+    AND (q2.m & (CAST(1 AS BIGINT) << CAST(c.h2 % 65536 % 63 AS INTEGER))) <> 0
+  GROUP BY 1
+),
 dswin AS (  -- ExactSubstr windows: length-8, 0-based positions
   SELECT doc_id, i - 1 AS pos, array_to_string(tokens[i : i + 7], ',') AS gram
   FROM (SELECT doc_id, tokens, unnest(range(1, n_tok - 8 + 2)) AS i
@@ -4249,6 +4304,9 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(dsd.ds_spans, 0) AS ds_spans,
        COALESCE(dsd.ds_cover, 0) AS ds_cover,
        COALESCE(dsd.ds_first, -1) AS ds_first,
+       COALESCE(bf.bloom_cand, 0) AS bloom_cand,
+       CAST(COALESCE(bf.bloom_cand, 0) - COALESCE(c.contam_hits, 0)
+            AS BIGINT) AS bloom_fp,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -4273,6 +4331,7 @@ JOIN per p USING (doc_id)
 JOIN bl b USING (doc_id)
 LEFT JOIN bga bg USING (doc_id)
 LEFT JOIN dsdoc dsd USING (doc_id)
+LEFT JOIN bfcand bf USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

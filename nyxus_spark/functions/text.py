@@ -1497,3 +1497,125 @@ def kn_continuation(df, tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
         F.coalesce("kn_left", zero).alias("kn_left"),
         F.coalesce("kn_right", zero).alias("kn_right"),
     )
+
+
+def holdout_split(id_expr, val_rate: float = 0.01, test_rate: float = 0.01,
+                  mix: int = 1566083941, p31: int = 2147483647):
+    """Deterministic 3-way train/val/test split — disjoint BY CONSTRUCTION
+    (one hash, three half-open ranges): 2 (test) when h < ⌊P31·test⌋,
+    1 (val) when h < ⌊P31·(test+val)⌋, else 0 (train). Same
+    (id mod P31)·(MIX mod P31) mod P31 family as `deterministic_sample`
+    but with an INDEPENDENT mixer (Knuth's LCG multiplier 1566083941 by
+    default — LARGE, so the product wraps P31 from id = 2 up; a small
+    mixer like MINSTD 48271 leaves every id below ~44k/test_rate in the
+    test split because id·mix never wraps), so holdout
+    membership is uncorrelated with the sampling/shuffle hashes and every
+    id re-derives its split on any engine forever — the property that
+    makes eval sets stable across corpus refreshes (a doc never migrates
+    between train and test when unrelated docs are added/removed)."""
+    if val_rate < 0 or test_rate < 0 or val_rate + test_rate > 1:
+        raise ValueError(
+            f"rates must be nonnegative with sum <= 1, got val={val_rate} "
+            f"test={test_rate}")
+    h = F.pmod((id_expr.cast("bigint") % p31) * F.lit(mix % p31), F.lit(p31))
+    tcut = int(p31 * test_rate)
+    vcut = int(p31 * (test_rate + val_rate))
+    return (
+        F.when(h < tcut, F.lit(2)).when(h < vcut, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def gram_poly_hash(n: int, base: int, tokens_col: str = "tokens",
+                   n_tok_col: str = "n_tok", p31: int = 2147483647):
+    """Array of ENGINE-REPRODUCIBLE polynomial hashes of the document's
+    token n-grams: h(i) = Σ_j t_{i+j}·base^j mod P31 — plain integer
+    arithmetic (tokens < 2⁸ · weights < 2³¹ · n terms stays far inside
+    int64), so DuckDB replays the chain integer-for-integer where
+    xxhash64 cannot cross engines. Same short-row guard as ngram_keys."""
+    if n <= 0:
+        raise ValueError(f"need n > 0, got {n}")
+    weights = [pow(base, j, p31) for j in range(n)]
+    terms = " + ".join(
+        f"cast(element_at({tokens_col}, i + {j + 1}) as bigint) * {w}"
+        for j, w in enumerate(weights)
+    )
+    # sequence over INT bounds: element_at requires an INT index (an
+    # incoming bigint n_tok would make the lambda var bigint and fail)
+    return F.expr(
+        f"CASE WHEN {n_tok_col} >= {n} THEN "
+        f"transform(sequence(0, cast({n_tok_col} - {n} as int)),"
+        f" i -> ({terms}) % {p31}) "
+        "ELSE array() END"
+    )
+
+
+def bloom_fpr_audit(df, bench_df, n: int = 8, bits: int = 1 << 16,
+                    tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                    id_col: str = "doc_id"):
+    """Bloom-prefilter FALSE-POSITIVE audit with engine-reproducible
+    probes. `contamination_bloom`'s bitset hashes with xxhash64 — correct
+    by construction (false positives die in the verify join) but
+    unauditable cross-engine. This variant builds the same ≤ bits/64-row
+    bitset from two POLYNOMIAL gram hashes (base-131/base-257 chains mod
+    P31, `gram_poly_hash`) that an oracle replays exactly — so the
+    prefilter construction AND its measured selectivity become checkable
+    artifacts: bloom_cand per document is the count of gram positions
+    passing the prefilter; bloom_cand − exact hits is the wasted verify
+    work, the number a capacity plan needs before sizing `bits`.
+
+    Same plan shape as contamination_bloom: bitset = one bit_or hash agg
+    (KBs, always broadcastable); the corpus-side test is two broadcast
+    joins + mask ANDs — zero corpus shuffle before the per-doc count.
+    Words hold 63 bits (shifts 0..62): shifting into the int64 sign bit
+    is an ERROR in DuckDB while Spark wraps silently — 63-bit words keep
+    the mask arithmetic identical on both engines."""
+    if bits < 64 or bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two >= 64, got {bits}")
+    h1 = gram_poly_hash(n, 131, tokens_col, n_tok_col)
+    h2 = gram_poly_hash(n, 257, tokens_col, n_tok_col)
+    bench_bits = bench_df.select(
+        F.explode(
+            F.concat(
+                F.transform(h1, lambda x: x % bits),
+                F.transform(h2, lambda x: x % bits),
+            )
+        ).alias("bit")
+    )
+    bloom = (
+        bench_bits.select(
+            F.expr("CAST(bit DIV 63 AS BIGINT)").alias("bloom_word"),
+            F.expr("shiftleft(1L, CAST(bit % 63 AS INT))").alias("bloom_mask"),
+        )
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bloom_mask").alias("bloom_mask"))
+    )
+    pos = df.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(h1.alias("h1"), h2.alias("h2"))).alias("__p"),
+    ).select(id_col, F.col("__p.h1").alias("__h1"), F.col("__p.h2").alias("__h2"))
+    zero = F.lit(0).cast("long")
+    cand = pos
+    for i in (1, 2):
+        b = bloom.withColumnRenamed("bloom_word", f"w{i}").withColumnRenamed(
+            "bloom_mask", f"m{i}"
+        )
+        cand = (
+            cand.withColumn("__bit", F.col(f"__h{i}") % bits)
+            .withColumn(f"w{i}", F.expr("CAST(__bit DIV 63 AS BIGINT)"))
+            .withColumn(f"p{i}", F.expr("shiftleft(1L, CAST(__bit % 63 AS INT))"))
+            .drop("__bit")
+            .join(F.broadcast(b), f"w{i}", "left")
+            .filter(
+                F.coalesce(F.col(f"m{i}"), zero).bitwiseAND(F.col(f"p{i}")) != 0
+            )
+        )
+    return (
+        df.select(id_col)
+        .join(
+            cand.groupBy(id_col).agg(
+                F.count("*").cast("long").alias("bloom_cand")
+            ),
+            id_col, "left",
+        )
+        .select(id_col, F.coalesce("bloom_cand", zero).alias("bloom_cand"))
+    )

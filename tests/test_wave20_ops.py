@@ -388,3 +388,56 @@ def test_mean_pool_docs_skips_unmatched_tokens(spark):
     out = {(r.doc_id, r.dim): (r.pool_n, r.coord_sum)
            for r in mean_pool_docs(docs, emb).collect()}
     assert out == {("a", 0): (1, 4), ("a", 1): (1, 4)}
+
+
+# ---------------------------------------------------------------------------
+# holdout split / poly-hash bloom audit
+# ---------------------------------------------------------------------------
+
+def test_holdout_split_deterministic_and_disjoint(spark):
+    from nyxus_spark.functions import holdout_split
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = df.select(
+        "doc_id", holdout_split(F.col("doc_id"), 0.1, 0.1).alias("s")
+    ).collect()
+    got = {r.doc_id: r.s for r in out}
+    # re-derivable in plain python: same hash, same cuts
+    P31 = 2147483647
+    for i, s in got.items():
+        h = ((i % P31) * 1566083941) % P31
+        exp = 2 if h < int(P31 * 0.1) else (1 if h < int(P31 * 0.2) else 0)
+        assert s == exp
+    # rough proportions (hash-uniform: each cut ~10%)
+    n = len(got)
+    for cls, frac in ((2, 0.1), (1, 0.1), (0, 0.8)):
+        share = sum(1 for s in got.values() if s == cls) / n
+        assert abs(share - frac) < 0.05
+    with pytest.raises(ValueError):
+        holdout_split(F.col("doc_id"), 0.6, 0.5)
+
+
+def test_bloom_fpr_audit_superset_of_exact(spark):
+    from nyxus_spark.functions import bloom_fpr_audit, contamination
+    rows = [(f"d{i}", [(i * 13 + j) % 97 for j in range(20)]) for i in range(30)]
+    df = _tok_df(spark, rows)
+    bench = df.filter(F.col("doc_id").isin("d0", "d7"))
+    cand = {r.doc_id: r.bloom_cand
+            for r in bloom_fpr_audit(df, bench, n=8).collect()}
+    exact = {r.doc_id: r.contam_hits
+             for r in contamination(df, bench, n=8).collect()}
+    # no false negatives: every exact hit passes the prefilter
+    for d in exact:
+        assert cand.get(d, 0) >= exact[d]
+    # bench docs fully self-match
+    assert cand["d0"] >= 13 and exact["d0"] == 13
+
+
+def test_gram_poly_hash_matches_python(spark):
+    from nyxus_spark.functions import gram_poly_hash
+    toks = [5, 250, 0, 17, 99, 3, 42, 8, 1]
+    df = _tok_df(spark, [("a", toks)])
+    out = df.select(gram_poly_hash(4, 131).alias("h")).collect()[0].h
+    P31 = 2147483647
+    exp = [sum(toks[i + j] * pow(131, j, P31) for j in range(4)) % P31
+           for i in range(len(toks) - 3)]
+    assert list(out) == exp
