@@ -242,6 +242,40 @@ def main() -> None:
         prefix_containment(tokens_static(spark, sf), k=8)
     )
 
+    # duplicate spans: gram hash agg (map-side combine) -> position join
+    # -> per-doc gaps-and-islands window
+    from nyxus_spark.operators.dedup import duplicate_spans
+
+    sections["duplicate spans (gram agg + position join + island window)"] = plan_of(
+        duplicate_spans(tokens_static(spark, sf), L=8)
+    )
+
+    # skew report: one key agg, bucket re-agg of the key dim, broadcast totals
+    from nyxus_spark.operators.prescan import exact_range_bounds, skew_report
+
+    evr2 = spark.read.parquet(f"{sf}/events.parquet")
+    sections["skew report (key agg + broadcast totals)"] = plan_of(
+        skew_report(evr2, F.col("user_id"), n_buckets=16)
+    )
+
+    # exact range bounds: value-grain agg + dim-grain cumulative window
+    sections["exact range bounds (value agg + dim-grain window)"] = plan_of(
+        exact_range_bounds(
+            tokens_static(spark, sf).select(F.col("n_tok").alias("v")), "v", 8
+        )
+    )
+
+    # mean-pool doc embeddings: explode + broadcast |V|-row join +
+    # (doc, dim) partial/final agg — same family as the k-means update
+    from nyxus_spark.operators.similarity import mean_pool_docs, quantize_embedding
+
+    emb_pool = emb.select(
+        F.col("vec_id").alias("token"), quantize_embedding("embedding").alias("qvec")
+    )
+    sections["mean-pool doc embeddings (broadcast join + cell agg)"] = plan_of(
+        mean_pool_docs(tokens_static(spark, sf), emb_pool)
+    )
+
     # k-means step: broadcast centroids, argmin window on the id, then
     # posexplode + partial/final hash agg for the exact coordinate sums
     from nyxus_spark.operators.similarity import kmeans_step, quantize_embedding
