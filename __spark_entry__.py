@@ -769,7 +769,59 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, pairs,
         F.expr("CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0"),
     )
-    return pairs.join(est, ["id_a", "id_b"]).crossJoin(F.broadcast(audit))
+    # STREAMING near-dup parity, driven through the driver gate: the same
+    # banded rows replay as two micro-batches through the cross-batch
+    # band-bucket GroupState (streaming/neardup.py); every batch candidate
+    # pair must be re-discovered by the stream — stream_seen is 1 on every
+    # gated row and the oracle emits literal 1, so one missed pair is a
+    # value mismatch.
+    import os
+    import tempfile
+
+    from nyxus_spark.operators.dedup import lsh_band_rows
+    from nyxus_spark.streaming.neardup import NEARDUP_IN_SCHEMA, neardup_stream
+
+    banded = lsh_band_rows(aug).select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        F.col("band_key").cast("long").alias("band_key"),
+        "doc_id",
+        F.xxhash64("doc_id").alias("oid"),
+    )
+    sdir = tempfile.mkdtemp(prefix="nyxus_neardup_stream_")
+    f0 = os.path.join(sdir, "part-000.parquet")
+    f1 = os.path.join(sdir, "part-001.parquet")
+    banded.filter(F.pmod(F.col("oid"), F.lit(2)) == 0).toPandas().to_parquet(f0)
+    banded.filter(F.pmod(F.col("oid"), F.lit(2)) == 1).toPandas().to_parquet(f1)
+    os.utime(f0, (1_000_000, 1_000_000))
+    os.utime(f1, (2_000_000, 2_000_000))
+    src = (
+        spark.readStream.schema(NEARDUP_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        neardup_stream(src)
+        .writeStream.format("memory")
+        .queryName("neardup_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spairs = (
+        spark.sql(
+            "SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b "
+            "FROM neardup_stream_gate"
+        )
+        .distinct()
+        .withColumn("stream_seen", F.lit(1).cast("long"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        pairs.join(est, ["id_a", "id_b"]).crossJoin(F.broadcast(audit))
+        .join(spairs, ["id_a", "id_b"], "left")
+        .withColumn("stream_seen", F.coalesce("stream_seen", zero))
+    )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3505,8 +3557,11 @@ SELECT v.sdoc AS doc_id,
 FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
 """,
         "dedup_exact": oracles.SQL_EXACT_DEDUP_INC,
-        "minhash_pairs": oracles.sql_minhash_pairs(0.5, with_sig=True,
-                                                   with_audit=True),
+        # stream_seen: literal 1 — the streaming band-state replay must
+        # re-discover EVERY batch pair, so a stream miss (0) hash-mismatches
+        "minhash_pairs": "SELECT *, CAST(1 AS BIGINT) AS stream_seen FROM ("
+        + oracles.sql_minhash_pairs(0.5, with_sig=True, with_audit=True)
+        + ")",
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         # blocking+verification composition shares the minhash oracle: exact
         # Jaccard over the same candidate set must yield the same pair set

@@ -462,6 +462,29 @@ def minhash_lsh_pairs(
     return ngram_jaccard(df, cand, id_col, tokens_col, k, threshold=jaccard_threshold)
 
 
+def lsh_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """One row per (id, band_idx, band_key) — the LSH blocking exchange as
+    a reusable stage (batch candidate join and the streaming band-bucket
+    state both consume it). Pure column expressions before the explode."""
+    rows_per_band = num_hashes // num_bands
+    sh = df.select(
+        F.col(id_col), token_shingles(tokens_col, k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return (
+        sh.withColumn("sig", minhash_signature("shingles", num_hashes))
+        .select(id_col, F.explode(lsh_bands("sig", num_bands, rows_per_band)).alias("b"))
+        .select(id_col, F.col("b.band_idx").alias("band_idx"),
+                F.col("b.band_key").alias("band_key"))
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -472,16 +495,7 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Unverified LSH bucket-mate candidates (id_a, id_b) — the blocking
     stage alone, for feeding a downstream verifier such as ngram_jaccard."""
-    rows_per_band = num_hashes // num_bands
-    sh = df.select(
-        F.col(id_col), token_shingles(tokens_col, k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    banded = (
-        sh.withColumn("sig", minhash_signature("shingles", num_hashes))
-        .select(id_col, F.explode(lsh_bands("sig", num_bands, rows_per_band)).alias("b"))
-        .select(id_col, F.col("b.band_idx").alias("band_idx"),
-                F.col("b.band_key").alias("band_key"))
-    )
+    banded = lsh_band_rows(df, id_col, tokens_col, k, num_hashes, num_bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_idx", "band_key"])
