@@ -2965,7 +2965,7 @@ def _q_catalog_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MOM_RAW_1", "MOM_MID_2", "IH_SKEWNESS_VAL"],
         keep_tokens=False,
     )
-    return feats.select(
+    feats = feats.select(
         "doc_id",
         _r4("MEAN").alias("mean_tok"),
         _r4("MEDIAN").alias("median_tok"),
@@ -2983,6 +2983,21 @@ def _q_catalog_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replayed at this corpus scale, so the direct values gate too
         _r4("MOM_MID_2").alias("mom_mid2"),
         _r4("IH_SKEWNESS_VAL").alias("ih_skew_val"),
+    )
+    # CATALOG-INVENTORY tripwire: the registered feature counts ride as
+    # constants computed FROM THE LIVE REGISTRY while the oracle pins the
+    # expected literals — a feature accidentally dropped from (or added
+    # to) the default catalog or the Gabor escape group flips the value
+    # and fails the gate, instead of silently shrinking coverage.
+    from nyxus_spark.features.registry import resolve_features
+
+    n_default = len(resolve_features(["*ALL_BUT_GABOR*"]))
+    n_all = len(resolve_features(["*ALL*"]))
+    n_gabor = len(resolve_features(["*ALL_GABOR*"]))
+    return (
+        feats.withColumn("catalog_n_default", F.lit(n_default).cast("long"))
+        .withColumn("catalog_n_all", F.lit(n_all).cast("long"))
+        .withColumn("catalog_n_gabor", F.lit(n_gabor).cast("long"))
     )
 
 

@@ -641,3 +641,32 @@ def mean_pool_docs(
         F.count("*").cast("long").alias("pool_n"),
         F.sum(F.col("__v").cast("bigint")).alias("coord_sum"),
     )
+
+
+def ivf_index_stream(stream_df, centroids: DataFrame, path: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     cent_id: str = "cent_id", cent_vec: str = "cent_vec",
+                     checkpoint: str | None = None):
+    """STREAMING IVF index maintenance — the index-freshness half of the
+    ANN story: every micro-batch of newly-embedded vectors is assigned to
+    its nearest coarse centroid and APPENDED to the bucket-partitioned
+    index, so searches see new vectors as soon as their batch commits.
+
+    Assignment is deliberately STATELESS: the production IVF contract is
+    a coarse quantizer trained offline and FROZEN (retraining centroids
+    re-keys every posting list — that is a rebuild, not maintenance), so
+    the stream needs only the broadcast centroid table, no GroupState.
+    `ivf_search` over `path` prunes to probed buckets exactly as for the
+    batch-built index — the scan sees one more file per bucket per batch
+    (compact periodically, e.g. Iceberg rewrite_data_files, at scale).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    def _append(batch_df, batch_id: int) -> None:
+        assigned = ivf_assign(batch_df, centroids, id_col, vec_col,
+                              cent_id, cent_vec)
+        assigned.write.mode("append").partitionBy("assigned_cent").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(_append).outputMode("append")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

@@ -2071,7 +2071,11 @@ def sql_catalog_wide() -> str:
     return f"""
 SELECT f.doc_id, f.mean_tok, f.median_tok, p.p25, c.glcm_contrast,
        r.glrlm_lre, z.gldzm_lde, d.gldm_lde, i.ih_median_idx,
-       h.histo_bin_0, m.m1, m.mid2 AS mom_mid2, i.ih_skew_val
+       h.histo_bin_0, m.m1, m.mid2 AS mom_mid2, i.ih_skew_val,
+       -- catalog-inventory tripwire: pinned expected registry counts
+       CAST(257 AS BIGINT) AS catalog_n_default,
+       CAST(265 AS BIGINT) AS catalog_n_all,
+       CAST(8 AS BIGINT) AS catalog_n_gabor
 FROM (
   WITH {SQL_TOKENS_STATIC},
   flat AS (SELECT doc_id, unnest(tokens) AS t FROM tokens_static),
