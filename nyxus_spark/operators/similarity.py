@@ -670,3 +670,29 @@ def ivf_index_stream(stream_df, centroids: DataFrame, path: str,
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def ivf_index_compact(spark, path: str) -> None:
+    """Compact the IVF index to ONE file per bucket — the maintenance pass
+    a streamed index needs (`ivf_index_stream` appends one file per bucket
+    per micro-batch; scan cost grows with file COUNT even when pruning is
+    perfect). One hash repartition on the bucket column clusters every
+    bucket into a single task (so partitionBy emits exactly one file per
+    bucket), and DYNAMIC partition overwrite swaps only the buckets being
+    rewritten — the partition layout searches prune on is untouched. The
+    Iceberg analog is rewrite_data_files.
+
+    Reads THEN overwrites the same path: the input is persisted and
+    materialized first so the rewrite never races its own scan; the
+    parquet committer stages output before the swap, so a crash
+    mid-compact leaves the old files in place."""
+    idx = spark.read.parquet(path)
+    idx = idx.repartition("assigned_cent")
+    idx.persist()
+    try:
+        idx.count()
+        (idx.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("assigned_cent").parquet(path))
+    finally:
+        idx.unpersist()

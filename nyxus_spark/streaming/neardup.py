@@ -79,11 +79,12 @@ def _make_neardup_fn(max_bucket: int):
 
 def neardup_stream(banded: DataFrame, max_bucket: int = 256) -> DataFrame:
     """Streaming LSH candidate pairs over a NEARDUP_IN_SCHEMA stream (one
-    row per (band, doc) — produce it with `operators.dedup.lsh_bands`
-    exploded, which is pure column expressions). Emits (id_a, id_b) with
+    row per (band, doc) — produce it with `operators.dedup.lsh_band_rows`,
+    which is pure column expressions). Emits (id_a, id_b) with
     id_a the earlier arrival; the same pair can surface from several bands
     (and, for re-keyed replays, several batches) — consumers de-duplicate,
-    exactly as they do for the batch band join."""
+    exactly as they do for the batch band join. Stored ids are serialized
+    with a \\x1f separator — doc ids must not contain that byte."""
     if max_bucket <= 0:
         raise ValueError(f"max_bucket must be positive, got {max_bucket}")
     return (
