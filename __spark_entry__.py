@@ -342,6 +342,27 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = snapshot_diff(
         keyed, new_base.unionByName(added), carry_cols=("source",)
     )
+    # INCREMENTAL digest maintenance: update the per-source lineage digest
+    # from the refresh DIFF alone (digest_update — XOR self-inverse, SUM
+    # subtracts) and gate it against the oracle recomputing the refreshed
+    # corpus's digest FROM SCRATCH — equality proves the algebra, the
+    # property that makes digests maintainable without a corpus rescan.
+    from nyxus_spark.functions import digest_update
+
+    oidc = F.expr("cast(substr(doc_id, 5) as bigint)")
+    mod_old = t.filter((oidc % 5 != 0) & (oidc % 7 == 0))
+    removed_all = t.filter(oidc % 5 == 0).unionByName(mod_old)
+    mod_new = (
+        mod_old.withColumn("tokens", F.concat("tokens", F.array(F.lit(7))))
+        .withColumn("n_tok", F.col("n_tok") + 1)
+    )
+    added_all = mod_new.unionByName(t.filter(oidc % 11 == 0))
+    dig2 = digest_update(dig, removed_all, added_all).select(
+        "source",
+        F.col("digest_xor").alias("dig2_xor"),
+        F.col("digest_sum").alias("dig2_sum"),
+        F.col("digest_docs").alias("dig2_docs"),
+    )
     churn = diff.groupBy("source").agg(
         *[
             F.sum((F.col("diff_status") == s).cast("long"))
@@ -352,7 +373,7 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
-            .join(churn, "source")
+            .join(churn, "source").join(dig2, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -906,12 +927,30 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("pfx_contains"),
         F.sum("n_tok_a").cast("long").alias("pfx_contained_mass"),
     )
+    # SUFFIX containment (header-prepended re-crawls): the injected
+    # near_ docs ARE suffix truncations (original minus its first token),
+    # so every surviving original with an injected near_ copy carries
+    # sfx_contains >= 1 — the class the prefix pass cannot see.
+    from nyxus_spark.operators.dedup import suffix_containment
+
+    sfx_pairs = suffix_containment(aug, k=8)
+    scont = prefix_containment_agg(sfx_pairs).select(
+        "doc_id",
+        F.col("pfx_container").alias("sfx_container"),
+        F.col("pfx_n_containers").alias("sfx_n_containers"),
+    )
+    scontr = sfx_pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("sfx_contains"),
+        F.sum("n_tok_a").cast("long").alias("sfx_contained_mass"),
+    )
     zero = F.lit(0).cast("long")
     return (
         cleaned.join(per_doc, "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .join(contr, "doc_id", "left")
+        .join(scont, "doc_id", "left")
+        .join(scontr, "doc_id", "left")
         .select(
             "doc_id", "source",
             F.coalesce("segs_kept", zero).alias("segs_kept"),
@@ -927,6 +966,12 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pfx_n_containers", zero).alias("pfx_n_containers"),
             F.coalesce("pfx_contains", zero).alias("pfx_contains"),
             F.coalesce("pfx_contained_mass", zero).alias("pfx_contained_mass"),
+            F.when(F.col("sfx_container").isNull(), zero)
+            .otherwise(F.lit(1).cast("long")).alias("sfx_contained"),
+            F.coalesce("sfx_container", F.lit("")).alias("sfx_container"),
+            F.coalesce("sfx_n_containers", zero).alias("sfx_n_containers"),
+            F.coalesce("sfx_contains", zero).alias("sfx_contains"),
+            F.coalesce("sfx_contained_mass", zero).alias("sfx_contained_mass"),
         )
     )
 
@@ -4781,6 +4826,36 @@ sdagg AS (
          CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
            AS diff_unchanged
   FROM sdiff GROUP BY source
+),
+rfr AS (  -- the refreshed corpus at TOKEN level (same refresh as sdnew)
+  SELECT source,
+         CASE WHEN oid % 7 = 0 THEN list_append(tokens, 7) ELSE tokens END
+           AS tokens,
+         CAST(CASE WHEN oid % 7 = 0 THEN n_tok + 1 ELSE n_tok END AS BIGINT)
+           AS n_tok
+  FROM (SELECT source, tokens, n_tok,
+               CAST(substr(doc_id, 5) AS BIGINT) AS oid FROM tokens_static)
+  WHERE oid % 5 <> 0
+  UNION ALL
+  SELECT source, tokens, CAST(n_tok AS BIGINT) AS n_tok
+  FROM (SELECT source, tokens, n_tok,
+               CAST(substr(doc_id, 5) AS BIGINT) AS oid FROM tokens_static)
+  WHERE oid % 11 = 0
+),
+dig2 AS (  -- refreshed digest FROM SCRATCH — must equal the Spark side's
+           -- incremental diff-only update (digest_update)
+  SELECT source,
+         CAST(bit_xor(h) AS BIGINT) AS dig2_xor,
+         CAST(SUM(h) AS BIGINT) AS dig2_sum,
+         CAST(COUNT(*) AS BIGINT) AS dig2_docs
+  FROM (
+    SELECT source,
+           (COALESCE((SELECT SUM(CAST(u.t AS BIGINT) * u.ord) FROM
+             (SELECT unnest(tokens) AS t,
+                     unnest(range(1, len(tokens)+1)) AS ord) u), 0)
+            % 1000003) * 131 + n_tok AS h
+    FROM rfr)
+  GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -4798,13 +4873,15 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        aa.top_assoc_token, aa.assoc_cts, aa.assoc_ct, aa.assoc_cs, aa.lift4,
        lk.grams_total, lk.grams_leaked, lk.leak_frac4,
        dg.digest_xor, dg.digest_sum, dg.digest_docs,
-       sd.diff_added, sd.diff_removed, sd.diff_modified, sd.diff_unchanged
+       sd.diff_added, sd.diff_removed, sd.diff_modified, sd.diff_unchanged,
+       d2.dig2_xor, d2.dig2_sum, d2.dig2_docs
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
      JOIN assoc aa USING (source) JOIN leak lk USING (source)
      JOIN dig dg USING (source)
      JOIN sdagg sd USING (source)
+     JOIN dig2 d2 USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

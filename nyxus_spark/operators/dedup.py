@@ -1068,3 +1068,17 @@ def duplicate_spans(df: DataFrame, L: int = 8, id_col: str = "doc_id",
     )
     hit_cnt = hits.groupBy(id_col).agg(F.count("*").cast("long").alias("ds_hits"))
     return hit_cnt.join(per_doc, id_col)
+
+
+def suffix_containment(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                       tokens_col: str = "tokens",
+                       len_col: str = "n_tok") -> DataFrame:
+    """Exact SUFFIX-containment pairs — the header-prepended re-crawl
+    duplicate class (the contained document equals the container's LAST
+    n tokens, e.g. the same article re-fetched behind a new banner):
+    exactly `prefix_containment` over the REVERSED token arrays, so the
+    blocking (first-k of the reversal = last-k of the original), pair
+    orientation, and element-for-element verification semantics are
+    shared. Same (id_a = contained, id_b = container, n_tok_a) output."""
+    rev = df.withColumn(tokens_col, F.reverse(F.col(tokens_col)))
+    return prefix_containment(rev, k, id_col, tokens_col, len_col)

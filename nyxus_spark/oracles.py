@@ -715,6 +715,28 @@ pfxcontr AS (
   SELECT id_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS pfx_contains,
          CAST(SUM(n_tok_a) AS BIGINT) AS pfx_contained_mass
   FROM pfxpairs GROUP BY id_b
+),
+sfxbase AS (  -- suffix containment = prefix containment over the reversal
+  SELECT doc_id, list_reverse(tokens) AS tokens,
+         CAST(n_tok AS BIGINT) AS n_tok,
+         list_reverse(tokens)[1:8] AS pkey
+  FROM aug WHERE n_tok >= 8
+),
+sfxpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_tok AS n_tok_a
+  FROM sfxbase a JOIN sfxbase b ON a.pkey = b.pkey
+  WHERE (a.n_tok < b.n_tok OR (a.n_tok = b.n_tok AND a.doc_id > b.doc_id))
+    AND list_slice(b.tokens, 1, CAST(a.n_tok AS INTEGER)) = a.tokens
+),
+sfxcont AS (
+  SELECT id_a AS doc_id, MIN(id_b) AS sfx_container,
+         CAST(COUNT(*) AS BIGINT) AS sfx_n_containers
+  FROM sfxpairs GROUP BY id_a
+),
+sfxcontr AS (
+  SELECT id_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS sfx_contains,
+         CAST(SUM(n_tok_a) AS BIGINT) AS sfx_contained_mass
+  FROM sfxpairs GROUP BY id_b
 )
 SELECT c.doc_id, c.source,
        COALESCE(d.segs_kept, 0) AS segs_kept,
@@ -729,12 +751,20 @@ SELECT c.doc_id, c.source,
        COALESCE(pc.pfx_container, '') AS pfx_container,
        COALESCE(pc.pfx_n_containers, 0) AS pfx_n_containers,
        COALESCE(pr.pfx_contains, 0) AS pfx_contains,
-       COALESCE(pr.pfx_contained_mass, 0) AS pfx_contained_mass
+       COALESCE(pr.pfx_contained_mass, 0) AS pfx_contained_mass,
+       CAST(CASE WHEN sc.sfx_container IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS sfx_contained,
+       COALESCE(sc.sfx_container, '') AS sfx_container,
+       COALESCE(sc.sfx_n_containers, 0) AS sfx_n_containers,
+       COALESCE(sr.sfx_contains, 0) AS sfx_contains,
+       COALESCE(sr.sfx_contained_mass, 0) AS sfx_contained_mass
 FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
 LEFT JOIN rebuilt rb USING (doc_id)
 LEFT JOIN bpdoc bp USING (doc_id)
 LEFT JOIN pfxcont pc USING (doc_id)
 LEFT JOIN pfxcontr pr USING (doc_id)
+LEFT JOIN sfxcont sc USING (doc_id)
+LEFT JOIN sfxcontr sr USING (doc_id)
 """
 
 

@@ -441,3 +441,17 @@ def test_gram_poly_hash_matches_python(spark):
     exp = [sum(toks[i + j] * pow(131, j, P31) for j in range(4)) % P31
            for i in range(len(toks) - 3)]
     assert list(out) == exp
+
+
+def test_suffix_containment_finds_header_prepends(spark):
+    from nyxus_spark.operators.dedup import suffix_containment
+    body = list(range(100, 130))
+    rows = [
+        ("doc_a", [9, 9, 9] + body),   # container (banner + body)
+        ("doc_b", body),               # the re-crawled bare body
+        ("doc_c", body[:20]),          # prefix of body, NOT a suffix of a
+        ("doc_d", body[10:]),          # tail of body -> suffix of a AND b
+    ]
+    pairs = suffix_containment(_docs_df(spark, rows), k=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {("doc_b", "doc_a"), ("doc_d", "doc_a"), ("doc_d", "doc_b")}
