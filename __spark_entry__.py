@@ -234,6 +234,33 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
         .select("source", F.col("n_tok").cast("long").alias("median_n_tok"))
     )
+    # ROBUST per-source stats, both exact integers by construction:
+    # MAD = lower median (same rank rule) of |n_tok − median|, and the
+    # quartile-trimmed mass (drop lowest/highest ⌊n/4⌋ by the doc_id-
+    # tie-broken rank — the outlier-insensitive length monitor pair)
+    dev = t.join(med, "source").select(
+        "source", "doc_id",
+        F.abs(F.col("n_tok").cast("long") - F.col("median_n_tok")).alias("dev"),
+    )
+    wd = Window.partitionBy("source").orderBy(
+        F.col("dev").asc(), F.col("doc_id").asc())
+    mad = (
+        dev.select("source", "dev",
+                   F.row_number().over(wd).alias("rn"),
+                   F.count("*").over(Window.partitionBy("source")).alias("cnt"))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("source", F.col("dev").cast("long").alias("mad_n_tok"))
+    )
+    trim = (
+        t.select("source", "n_tok",
+                 F.row_number().over(w).alias("rn"),
+                 F.count("*").over(Window.partitionBy("source")).alias("cnt"))
+        .filter((F.col("rn") > F.expr("cnt div 4"))
+                & (F.col("rn") <= F.expr("cnt - cnt div 4")))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("trim_sum"),
+             F.count("*").cast("long").alias("trim_cnt"))
+    )
     # F4 label-merge ("wholeslide mode", nyxus single-ROI): collapse every
     # source's documents into ONE merged pseudo-document (tokens concatenated
     # in doc order) and run the KERNEL over it — the merged entity flows
@@ -370,10 +397,18 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in ("added", "removed", "modified", "unchanged")
         ]
     )
+    # per-source MinHash CORPUS sketch, built from 4 per-shard partial
+    # signatures merged by per-slot MIN (the cluster composition); the
+    # oracle recomputes every slot from scratch — mergeability gate,
+    # same discipline as the HLL-register and digest gates
+    from nyxus_spark.operators.dedup import minhash_corpus_sketch
+
+    mhsk = minhash_corpus_sketch(t, "source", "doc_id", "tokens")
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
-            .join(churn, "source").join(dig2, "source")
+            .join(churn, "source").join(dig2, "source").join(mhsk, "source")
+            .join(mad, "source").join(trim, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -605,7 +640,12 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from pyspark.sql import functions as F
 
-    from nyxus_spark.operators import with_lags, with_locf, with_rolling
+    from nyxus_spark.operators import (
+        scd2_intervals,
+        with_lags,
+        with_locf,
+        with_rolling,
+    )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("doc_id"),
@@ -620,6 +660,10 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_locf(with_lags(ev, ["purchase_value"], [1]), ["purchase_value"])
     out = with_rolling(out, "cents", n_rows=3, range_us=7_200_000_000,
                        tiebreak="event_id")
+    # SCD2 validity intervals (Kimball type-2 history table): every event
+    # version carries [valid_from_us, valid_to_us) with the open version
+    # flagged — the materialized counterpart of the as-of window join
+    out = scd2_intervals(out, "doc_id", "ts", "event_id")
     return out.select(
         "doc_id",
         "event_id",
@@ -632,6 +676,7 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("roll3_max_cents").alias("r3_max"),
         F.col("rollr7200000000us_sum_cents").alias("r2h_sum"),
         F.col("rollr7200000000us_count_cents").alias("r2h_n"),
+        "scd_from_us", "scd_to_us", "scd_current",
     )
 
 
@@ -943,6 +988,24 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("sfx_contains"),
         F.sum("n_tok_a").cast("long").alias("sfx_contained_mass"),
     )
+    # EXACT set-similarity join (AllPairs/PPJoin prefix filtering) over the
+    # exact-dedup SURVIVORS (the same base the LSH pass blocks on): every
+    # shingle-set Jaccard >= 0.6 pair with ZERO false negatives — the
+    # deterministic peer of the LSH pass above; gated through per-doc
+    # aggregates so the complete pair set is value-checked.
+    from nyxus_spark.operators.dedup import prefix_filter_pairs
+
+    ppj = prefix_filter_pairs(survivors, 3, 5)
+    ppj_sym = ppj.select(
+        F.col("id_a").alias("doc_id"), "ppj_inter", "ppj_union"
+    ).unionByName(
+        ppj.select(F.col("id_b").alias("doc_id"), "ppj_inter", "ppj_union")
+    )
+    ppjd = ppj_sym.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("ppj_partners"),
+        F.sum("ppj_inter").cast("long").alias("ppj_inter_sum"),
+        F.sum("ppj_union").cast("long").alias("ppj_union_sum"),
+    )
     zero = F.lit(0).cast("long")
     return (
         cleaned.join(per_doc, "doc_id", "left")
@@ -951,6 +1014,7 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contr, "doc_id", "left")
         .join(scont, "doc_id", "left")
         .join(scontr, "doc_id", "left")
+        .join(ppjd, "doc_id", "left")
         .select(
             "doc_id", "source",
             F.coalesce("segs_kept", zero).alias("segs_kept"),
@@ -972,6 +1036,9 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sfx_n_containers", zero).alias("sfx_n_containers"),
             F.coalesce("sfx_contains", zero).alias("sfx_contains"),
             F.coalesce("sfx_contained_mass", zero).alias("sfx_contained_mass"),
+            F.coalesce("ppj_partners", zero).alias("ppj_partners"),
+            F.coalesce("ppj_inter_sum", zero).alias("ppj_inter_sum"),
+            F.coalesce("ppj_union_sum", zero).alias("ppj_union_sum"),
         )
     )
 
@@ -1457,11 +1524,24 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE chain; hll_true (the exact distinct count) rides along so the
     # artifact itself shows the estimator envelope. A different mixer than
     # the sampling hash keeps the keep-filter uncorrelated with buckets.
-    from nyxus_spark.functions import hll_summary
+    from nyxus_spark.functions import hll_merged_summary, hll_summary
 
     hll = hll_summary(docs, "source", "doc_id")
     true_cnt = docs.groupBy("source").agg(
         F.countDistinct("doc_id").cast("long").alias("hll_true")
+    )
+    # SKETCH MERGEABILITY gate: the same HLL computed as 4 per-shard
+    # partial register tables merged by per-bucket MAX — the composition a
+    # real cluster does (one sketch per split/day, merged centrally). The
+    # oracle recomputes FROM SCRATCH, so equality proves the merge is
+    # lossless, the property that makes the sketch usable at 100 TB.
+    hllm = hll_merged_summary(docs, "source", "doc_id", shards=4).select(
+        "source",
+        F.col("hll_present").alias("hllm_present"),
+        F.col("hll_v").alias("hllm_v"),
+        F.col("hll_rmax").alias("hllm_rmax"),
+        F.col("hll_snum").alias("hllm_snum"),
+        F.col("hll_est4").alias("hllm_est4"),
     )
     # QUOTA sampling (exactly-k-per-source holdout selection): rank over the
     # FULL corpus on a different mixer than the sampling hash, joined onto
@@ -1473,11 +1553,21 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of order_e0 — a distinct mixer makes it an independent order
     quota = quota_sample(docs, k=40, mix=1103515245).select(
         "doc_id", "quota_rank", "quota_keep")
+    # PRIORITY sampling (Duffield–Lund–Thorup): weighted-without-replacement
+    # on n_chars over the FULL corpus — heavy docs near-certain, light docs
+    # sampled, ŵ = max(w, τ) the unbiased subset-sum estimator; one exact
+    # bigint numerator and ONE IEEE division per row (see priority_sample)
+    from nyxus_spark.functions import priority_sample
+
+    psamp = priority_sample(docs, k=10, weight_col="n_chars").select(
+        "doc_id", "pri4", "pri_rank", "pri_keep", "pri_ht4")
     return (
         out.join(plan, "source")
         .join(hll, "source")
         .join(true_cnt, "source")
+        .join(hllm, "source")
         .join(quota, "doc_id")
+        .join(psamp, "doc_id")
     )
 
 
@@ -3876,6 +3966,10 @@ rbk AS (  -- bound_k = smallest value with ccum >= ceil(k*N/8)
   FROM rcc, (SELECT unnest(range(1, 8)) AS k) kk
   WHERE ccum >= (kk.k * nn + 7) // 8
   GROUP BY kk.k
+),
+psamp AS (  -- priority sampling: pri = (w·P31)/(h+1), ONE IEEE division;
+            -- τ = the (k+1)-th priority, ŵ = max(w, τ) on kept rows
+{oracles.sql_priority_sample('n_chars', 10)}
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout,
@@ -3891,13 +3985,21 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        bp.budget_mass, bp.budget_share, bp.budget_alloc, bp.budget_epochs4,
        h.hll_present, h.hll_v, h.hll_rmax, h.hll_snum, h.hll_est4,
        ht.hll_true,
+       -- mergeability gate: the Spark side built these from 4 per-shard
+       -- partial register tables merged by MAX; the from-scratch values
+       -- here must match exactly or the merge lost information
+       h.hll_present AS hllm_present, h.hll_v AS hllm_v,
+       h.hll_rmax AS hllm_rmax, h.hll_snum AS hllm_snum,
+       h.hll_est4 AS hllm_est4,
        q.quota_rank, CAST(q.quota_rank <= 40 AS BIGINT) AS quota_keep,
+       ps.pri4, ps.pri_rank, ps.pri_keep, ps.pri_ht4,
        CAST((SELECT COUNT(*) FROM rbk WHERE bound_val < base.shuf_e0)
             AS BIGINT) AS rp8
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
      JOIN quota q USING (doc_id)
+     JOIN psamp ps USING (doc_id)
 )
 """,
         # int8 quantization: same element-wise IEEE expression tree
@@ -4856,6 +4958,29 @@ dig2 AS (  -- refreshed digest FROM SCRATCH — must equal the Spark side's
             % 1000003) * 131 + n_tok AS h
     FROM rfr)
   GROUP BY source
+),
+{oracles.sql_shingles('tokens_static').strip()},
+{oracles.sql_minhash_corpus_cte('source', doc_table='tokens_static').strip()},
+mad AS (  -- lower median of |n_tok - median|, same rank rule as med
+  SELECT source, CAST(dev AS BIGINT) AS mad_n_tok FROM (
+    SELECT d.source, ABS(CAST(d.n_tok AS BIGINT) - m.median_n_tok) AS dev,
+           row_number() OVER (PARTITION BY d.source
+             ORDER BY ABS(CAST(d.n_tok AS BIGINT) - m.median_n_tok) ASC,
+                      d.doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY d.source) AS cnt
+    FROM docs d JOIN med m USING (source))
+  WHERE rn = (cnt + 1) // 2
+),
+trimq AS (  -- quartile-trimmed mass: drop lowest/highest floor(n/4) ranks
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS trim_sum,
+         CAST(COUNT(*) AS BIGINT) AS trim_cnt
+  FROM (SELECT source, n_tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_tok ASC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM docs)
+  WHERE rn > cnt // 4 AND rn <= cnt - cnt // 4
+  GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -4874,7 +4999,9 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        lk.grams_total, lk.grams_leaked, lk.leak_frac4,
        dg.digest_xor, dg.digest_sum, dg.digest_docs,
        sd.diff_added, sd.diff_removed, sd.diff_modified, sd.diff_unchanged,
-       d2.dig2_xor, d2.dig2_sum, d2.dig2_docs
+       d2.dig2_xor, d2.dig2_sum, d2.dig2_docs,
+       mk.mh_s0, mk.mh_s1, mk.mh_s2, mk.mh_s3, mk.mh_sig_sum,
+       ma.mad_n_tok, tq.trim_sum, tq.trim_cnt
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -4882,6 +5009,9 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN dig dg USING (source)
      JOIN sdagg sd USING (source)
      JOIN dig2 d2 USING (source)
+     JOIN mhsk mk ON mk.g = b.source
+     JOIN mad ma USING (source)
+     JOIN trimq tq USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
@@ -4970,13 +5100,18 @@ SELECT doc_id, event_id,
        CAST(MIN(cents) OVER w3 AS BIGINT) AS r3_min,
        CAST(MAX(cents) OVER w3 AS BIGINT) AS r3_max,
        CAST(SUM(cents) OVER wr AS BIGINT) AS r2h_sum,
-       CAST(COUNT(cents) OVER wr AS BIGINT) AS r2h_n
+       CAST(COUNT(cents) OVER wr AS BIGINT) AS r2h_n,
+       CAST(ts_us AS BIGINT) AS scd_from_us,
+       CAST(COALESCE(lead(ts_us) OVER wt, 9223372036854775807) AS BIGINT)
+         AS scd_to_us,
+       CAST(lead(ts_us) OVER wt IS NULL AS BIGINT) AS scd_current
 FROM ev
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts),
        w3 AS (PARTITION BY doc_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
        wr AS (PARTITION BY doc_id ORDER BY ts_us
-              RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+              RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW),
+       wt AS (PARTITION BY doc_id ORDER BY ts, event_id)
 """,
         "firstorder": f"""
 WITH {SQL_TOKENS_STATIC},

@@ -144,7 +144,6 @@ def hll_summary(df: DataFrame, group_col: str = "source",
     """
     if m not in (16, 32, 64):
         raise ValueError(f"m must be 16, 32 or 64, got {m}")
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
     h = _pmod(_pmod(F.col(id_col).cast("bigint")) * F.lit(HLL_MIX))
     br = hll_rho(h, m)
     regs = (
@@ -153,6 +152,12 @@ def hll_summary(df: DataFrame, group_col: str = "source",
         .groupBy("g", "bucket")
         .agg(F.max("rho").alias("mreg"))
     )
+    return _hll_regs_to_summary(regs, group_col, m)
+
+
+def _hll_regs_to_summary(regs: DataFrame, group_col: str, m: int) -> DataFrame:
+    """(g, bucket, mreg) register table -> the hll_summary output schema."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
     from pyspark.sql import Window
 
     wg = Window.partitionBy("g")
@@ -186,6 +191,41 @@ def hll_summary(df: DataFrame, group_col: str = "source",
         "hll_snum",
         fround4(est).alias("hll_est4"),
     )
+
+
+def hll_merged_summary(df: DataFrame, group_col: str = "source",
+                       id_col: str = "doc_id", m: int = 64,
+                       shards: int = 4) -> DataFrame:
+    """hll_summary computed the way a 1000-executor cluster actually would:
+    per-(group, SHARD) partial register tables first (shard = id mod
+    `shards` — standing in for "one sketch per input split / per day of
+    ingest"), then the shard partials MERGED by per-bucket MAX, then the
+    same registers→estimate step. HLL's whole value at 100 TB is that this
+    merge is lossless — max is associative/commutative, so sharded partials
+    compose to exactly the from-scratch sketch. The gate makes that algebra
+    a checked artifact: the oracle recomputes the summary FROM SCRATCH
+    (no shards) and every register-state integer and the estimate must
+    agree bit-for-bit. Same output schema as `hll_summary`.
+    """
+    if m not in (16, 32, 64):
+        raise ValueError(f"m must be 16, 32 or 64, got {m}")
+    if shards < 2:
+        raise ValueError(f"shards must be >= 2, got {shards}")
+    h = _pmod(_pmod(F.col(id_col).cast("bigint")) * F.lit(HLL_MIX))
+    br = hll_rho(h, m)
+    partials = (
+        df.select(
+            F.col(group_col).alias("g"),
+            _pmod(F.col(id_col).cast("bigint"), shards).alias("shard"),
+            br.alias("br"),
+        )
+        .select("g", "shard", F.col("br.bucket").alias("bucket"),
+                F.col("br.rho").alias("rho"))
+        .groupBy("g", "shard", "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    merged = partials.groupBy("g", "bucket").agg(F.max("mreg").alias("mreg"))
+    return _hll_regs_to_summary(merged, group_col, m)
 
 
 # --- SQL replay fragments (DuckDB) -----------------------------------------

@@ -1249,6 +1249,103 @@ def quota_sample(df, k: int, stratum_col: str = "source",
         "quota_keep", (F.col("quota_rank") <= k).cast("long"))
 
 
+def priority_sample(df, k: int, weight_col: str, stratum_col: str = "source",
+                    id_expr=None, mix: int = 1566083941,
+                    p31: int = 2147483647):
+    """Deterministic weighted sampling WITHOUT replacement — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row draws
+    u = (h+1)/P31 from its reproducible id hash and gets priority
+    q = w/u; the k highest-priority rows per stratum form the sample, and
+    the (k+1)-th priority τ is the threshold that makes
+    ŵ = max(w, τ) an unbiased per-row estimator of w over the sample
+    (subset-sum estimation: Σ_sample ŵ estimates Σ w). This is the
+    weight-aware counterpart of `quota_sample` — heavy documents are
+    near-certain to be kept while light ones are sampled, with ONE
+    partitioned sort and no RNG: the sample is re-derivable forever.
+
+    Exactness contract (CLAUDE.md): q = (w·P31)/(h+1) — the numerator is an
+    exact bigint whose double conversion is exact for w < 2^53/P31 ≈ 4.19e6
+    (true for any char/token-count weight; larger weights stay
+    cross-engine-identical — same IEEE conversion — but w·P31 must stay
+    below 2^63, i.e. w < ~4.3e9, or the bigint product wraps), the
+    denominator an exact positive integer, so the priority is ONE
+    correctly-rounded IEEE division that every engine reproduces
+    bit-for-bit; ranking ties break on id. Emitted values are `fround4`ed
+    doubles plus exact-integer rank/keep.
+
+    Adds: pri4 (rounded priority), pri_rank (1-based, priority desc),
+    pri_keep (0/1), pri_ht4 (rounded max(w, τ) for kept rows, w itself
+    when the stratum has ≤ k rows — the HT estimator weight; 0.0 for
+    dropped rows).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    from nyxus_spark.compare import fround4
+
+    if id_expr is None:
+        id_expr = F.col("doc_id")
+    h = F.pmod((id_expr.cast("bigint") % p31) * F.lit(mix % p31), F.lit(p31))
+    wcol = F.col(weight_col).cast("bigint")
+    pri = (wcol * F.lit(p31)).cast("double") / (h + 1).cast("double")
+    df = df.withColumn("__pri", pri)
+    wnd = Window.partitionBy(stratum_col).orderBy(
+        F.col("__pri").desc(), id_expr.asc())
+    wall = Window.partitionBy(stratum_col)
+    out = (
+        df.withColumn("pri_rank", F.row_number().over(wnd).cast("long"))
+        .withColumn(
+            "__tau",
+            F.max(F.when(F.col("pri_rank") == k + 1, F.col("__pri"))).over(wall),
+        )
+    )
+    keep = F.col("pri_rank") <= k
+    ht = F.when(
+        keep,
+        F.greatest(wcol.cast("double"), F.coalesce("__tau", F.lit(0.0))),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *[c for c in df.columns if c != "__pri"],
+        fround4(F.col("__pri")).alias("pri4"),
+        "pri_rank",
+        keep.cast("long").alias("pri_keep"),
+        fround4(ht).alias("pri_ht4"),
+    )
+
+
+def sql_priority_sample(weight_expr: str, k: int,
+                        stratum_col: str = "source",
+                        id_expr: str = "doc_id",
+                        table: str = "documents",
+                        mix: int = 1566083941,
+                        p31: int = 2147483647) -> str:
+    """DuckDB subquery body replaying `priority_sample` op-for-op: a full
+    SELECT (embed as a CTE body) emitting (doc_id, pri4, pri_rank,
+    pri_keep, pri_ht4). Two layers because DuckDB forbids nesting the
+    τ-window over the rank-window."""
+    h = (f"(((({id_expr} % {p31}) * {mix % p31}) % {p31} + {p31}) % {p31})")
+    pri = (f"(CAST(CAST({weight_expr} AS BIGINT) * {p31} AS DOUBLE)"
+           f" / CAST({h} + 1 AS DOUBLE))")
+    tau = (f"COALESCE(MAX(CASE WHEN rnk = {k + 1} THEN pri END)"
+           f" OVER (PARTITION BY strat), 0.0)")
+    ht = (f"CASE WHEN rnk <= {k} THEN GREATEST(CAST(w AS DOUBLE), {tau})"
+          f" ELSE 0.0 END")
+    return f"""
+  SELECT doc_id,
+         FLOOR(pri * 10000.0 + 0.5) / 10000.0 AS pri4,
+         CAST(rnk AS BIGINT) AS pri_rank,
+         CAST(rnk <= {k} AS BIGINT) AS pri_keep,
+         FLOOR(({ht}) * 10000.0 + 0.5) / 10000.0 AS pri_ht4
+  FROM (
+    SELECT {id_expr} AS doc_id, {stratum_col} AS strat,
+           CAST({weight_expr} AS BIGINT) AS w, {pri} AS pri,
+           row_number() OVER (PARTITION BY {stratum_col}
+                              ORDER BY {pri} DESC, {id_expr} ASC) AS rnk
+    FROM {table}
+  )"""
+
+
 def source_assoc_top(df, source_col: str = "source",
                      tokens_col: str = "tokens", min_count: int = 2):
     """Per-source most-ASSOCIATED token — the log-free PMI/chi-square

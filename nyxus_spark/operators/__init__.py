@@ -5,4 +5,5 @@ from nyxus_spark.operators.windows import (  # noqa: F401
     with_lags,
     with_locf,
     with_rolling,
+    scd2_intervals,
 )

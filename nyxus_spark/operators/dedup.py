@@ -1082,3 +1082,178 @@ def suffix_containment(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     shared. Same (id_a = contained, id_b = container, n_tok_a) output."""
     rev = df.withColumn(tokens_col, F.reverse(F.col(tokens_col)))
     return prefix_containment(rev, k, id_col, tokens_col, len_col)
+
+
+def prefix_filter_pairs(df: DataFrame, t_num: int = 3, t_den: int = 5,
+                        id_col: str = "doc_id",
+                        tokens_col: str = "tokens",
+                        shingle_k: int = 3) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering — AllPairs/PPJoin
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08): every pair of documents
+    whose k-SHINGLE-SET Jaccard is >= t = t_num/t_den (the same shingle
+    space MinHash sketches — raw token SETS are too dense to discriminate:
+    any two long docs over a shared vocabulary look alike), with zero false
+    negatives — the deterministic counterpart of MinHash-LSH blocking
+    (which trades recall for cost; `lsh_recall_audit` measures that trade,
+    this operator removes it where exactness is required).
+
+    The prefix-filtering principle: order every document's token set by a
+    GLOBAL canonical order (document frequency ascending, token ascending —
+    rarest first) and keep only the first |x| - ceil(t*|x|) + 1 tokens as
+    the "prefix". If J(x, y) >= t then |x n y| >= ceil(t*|x|) for both
+    records (via the length bound t*|x| <= |y| <= |x|/t), so by pigeonhole
+    the two prefixes must share a token — candidates come from an
+    EQUI-JOIN on prefix tokens only, never a cartesian. Rarest-first makes
+    those join buckets the smallest possible ones.
+
+    Scale shape: one token-frequency aggregation (shuffle on token), one
+    per-doc sort (groupBy + sort_array — the canonical order is computed
+    distributed, no broadcast dictionary), one equi-join that carries only
+    prefix tokens, then per-pair verification by array_intersect on the
+    two full sets. Every count is an exact integer; the threshold test is
+    the cross-multiplication inter*t_den >= t_num*union (never a float
+    ratio — CLAUDE.md unrounded-threshold discipline).
+
+    Returns (id_a, id_b, set_a, set_b, ppj_inter, ppj_union) with
+    orientation |set_a| < |set_b| (ties: id_a < id_b).
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(tokens_col, shingle_k).alias("ts"),
+    )
+    ex = sets.select("id", F.explode("ts").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    ordered = (
+        ex.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("cnt", "tok"))).alias("st"))
+        .select(
+            "id",
+            F.col("st.tok").alias("ots"),
+            F.size("st").cast("long").alias("s"),
+        )
+    )
+    # prefix length |x| - ceil(t*|x|) + 1, exact integer arithmetic
+    plen = f"CAST(s - ({t_num} * s + {t_den - 1}) DIV {t_den} + 1 AS INT)"
+    pref = ordered.select(
+        "id", "s", F.explode(F.expr(f"slice(ots, 1, {plen})")).alias("tok")
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), "tok")
+    b = pref.select(F.col("id").alias("id_b"), F.col("s").alias("sb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("sa") < F.col("sb"))
+            | ((F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+        )
+        # length filter: |b| <= |a|/t, else Jaccard < t regardless of overlap
+        .filter(F.col("sa") * t_den >= t_num * F.col("sb"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    oa = ordered.select(F.col("id").alias("id_a"), F.col("ots").alias("set_a"),
+                        F.col("s").alias("sa"))
+    ob = ordered.select(F.col("id").alias("id_b"), F.col("ots").alias("set_b"),
+                        F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    return (
+        cand.join(oa, "id_a").join(ob, "id_b")
+        .withColumn("ppj_inter", inter)
+        .withColumn("ppj_union",
+                    (F.col("sa") + F.col("sb") - F.col("ppj_inter")).cast("long"))
+        .filter(F.col("ppj_inter") * t_den >= t_num * F.col("ppj_union"))
+        .select("id_a", "id_b", "set_a", "set_b", "ppj_inter", "ppj_union")
+    )
+
+
+def minhash_corpus_sketch(df: DataFrame, group_col: str = "source",
+                          id_col: str = "doc_id",
+                          tokens_col: str = "tokens",
+                          num_hashes: int = 16, shards: int = 4,
+                          shingle_k: int = 3) -> DataFrame:
+    """Per-GROUP MinHash signature (corpus-level sketch, not per-doc),
+    computed the way a cluster would: per-(group, shard) partial
+    signatures first (shard = id mod `shards` — one sketch per input
+    split), then shard partials MERGED by per-slot MIN. MinHash's merge is
+    lossless for exactly the same reason HLL's is — min is associative and
+    commutative — and the per-group signature supports corpus-vs-corpus
+    resemblance estimates (Broder 1997) without touching documents twice.
+
+    The gate discipline: the oracle recomputes each slot FROM SCRATCH
+    (min over every shingle of every doc in the group), so equality proves
+    the sharded-merge algebra. Every value is exact integer arithmetic
+    ((x·a_i + b_i) mod P31 with the same slot constants as
+    `minhash_signature`).
+
+    Returns one row per group: (group_col, mh_s0..mh_s3, mh_sig_sum) —
+    the first four slots plus the sum over all `num_hashes` slots (a
+    change in ANY slot moves the sum; the four raw slots pin the values).
+    """
+    if shards < 2:
+        raise ValueError(f"shards must be >= 2, got {shards}")
+    sh = df.select(
+        F.col(group_col).alias("g"),
+        # shard assignment only routes rows to partial sketches — the merged
+        # result is shard-invariant (that IS the property under test), so
+        # any deterministic spread works, including over string ids
+        F.pmod(F.xxhash64(id_col), F.lit(shards)).alias("shard"),
+        F.explode(token_shingles(tokens_col, shingle_k)).alias("x"),
+    )
+    slot_exprs = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % P31 | 1
+        b = (MIX * (i + 7)) % P31
+        slot_exprs.append(
+            F.min((F.col("x") * a + b) % P31).alias(f"__m{i}")
+        )
+    partial = sh.groupBy("g", "shard").agg(*slot_exprs)
+    merged = partial.groupBy("g").agg(
+        *[F.min(f"__m{i}").alias(f"__m{i}") for i in range(num_hashes)]
+    )
+    total = sum((F.col(f"__m{i}") for i in range(num_hashes)),
+                F.lit(0).cast("bigint"))
+    return merged.select(
+        F.col("g").alias(group_col),
+        *[F.col(f"__m{i}").cast("long").alias(f"mh_s{i}") for i in range(4)],
+        total.cast("long").alias("mh_sig_sum"),
+    )
+
+
+def sql_minhash_corpus_cte(group_col: str = "source",
+                           num_hashes: int = 16,
+                           shingled: str = "shingled",
+                           doc_table: str | None = None) -> str:
+    """DuckDB CTE `mhsk(g, mh_s0..mh_s3, mh_sig_sum)` replaying
+    `minhash_corpus_sketch` FROM SCRATCH (no shards) over a `shingled`
+    CTE with (doc_id, sh list<bigint>). When the shingled CTE does not
+    carry the group column, pass `doc_table` to join it back by doc_id."""
+    params = ", ".join(
+        f"({i}, {(1103515245 * (i + 1) + 12345) % P31 | 1}, "
+        f"{(MIX * (i + 7)) % P31})"
+        for i in range(num_hashes)
+    )
+    if doc_table:
+        flat = (f"SELECT t.{group_col} AS g, unnest(s.sh) AS x\n"
+                f"  FROM {shingled} s JOIN {doc_table} t USING (doc_id)")
+    else:
+        flat = f"SELECT {group_col} AS g, unnest(sh) AS x FROM {shingled}"
+    return f"""
+mhflat AS (
+  {flat}
+),
+mhmin AS (
+  SELECT g, p.slot, MIN((x * p.a + p.b) % {P31}) AS v
+  FROM mhflat, (VALUES {params}) AS p(slot, a, b)
+  GROUP BY g, p.slot
+),
+mhsk AS (
+  SELECT g,
+         CAST(MAX(CASE WHEN slot = 0 THEN v END) AS BIGINT) AS mh_s0,
+         CAST(MAX(CASE WHEN slot = 1 THEN v END) AS BIGINT) AS mh_s1,
+         CAST(MAX(CASE WHEN slot = 2 THEN v END) AS BIGINT) AS mh_s2,
+         CAST(MAX(CASE WHEN slot = 3 THEN v END) AS BIGINT) AS mh_s3,
+         CAST(SUM(v) AS BIGINT) AS mh_sig_sum
+  FROM mhmin GROUP BY g
+)"""

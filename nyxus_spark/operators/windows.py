@@ -133,3 +133,32 @@ def sessionize(
     return df.withColumn("__new", new_sess).withColumn(
         session_col, F.sum("__new").over(cum) - F.lit(1)
     ).drop("__new")
+
+
+def scd2_intervals(df, key_col: str = "doc_id", ts_col: str = "ts",
+                   tiebreak: str = "event_id",
+                   open_end_us: int = 9223372036854775807):
+    """Slowly-Changing-Dimension type-2 validity intervals — the lakehouse
+    history-table builder: each version row of a key gets
+    [valid_from_us, valid_to_us) with valid_to = the NEXT version's
+    timestamp (epoch micros — the repo's cross-engine timestamp currency)
+    and the open (current) version capped at `open_end_us`; `scd_current`
+    flags it. An as-of lookup at time t is then a plain range predicate
+    valid_from_us <= t < valid_to_us — the join `asof_join` answers with a
+    window instead; materializing SCD2 trades storage for O(1) interval
+    predicates and is the standard dimension-table shape (Kimball).
+
+    One partitioned window per key (scale-safe: the shuffle is on the key,
+    versions per key are bounded); deterministic under timestamp ties via
+    `tiebreak`. Adds scd_from_us, scd_to_us (exact bigints), scd_current
+    (0/1)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc())
+    nxt = F.lead(us).over(w)
+    return (
+        df.withColumn("scd_from_us", us.cast("long"))
+        .withColumn("scd_to_us",
+                    F.coalesce(nxt, F.lit(open_end_us)).cast("long"))
+        .withColumn("scd_current", nxt.isNull().cast("long"))
+    )

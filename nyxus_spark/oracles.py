@@ -10,6 +10,8 @@ oracle rather than a tautology.
 from __future__ import annotations
 
 from nyxus_spark.functions.sketch import sql_cms_bucket, sql_hll_cte  # noqa: F401
+from nyxus_spark.functions.text import sql_priority_sample  # noqa: F401
+from nyxus_spark.operators.dedup import sql_minhash_corpus_cte  # noqa: F401
 from nyxus_spark.operators.dedup import MIX, P31
 from nyxus_spark.sources.tables import SQL_TOKENS_STATIC
 
@@ -737,6 +739,46 @@ sfxcontr AS (
   SELECT id_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS sfx_contains,
          CAST(SUM(n_tok_a) AS BIGINT) AS sfx_contained_mass
   FROM sfxpairs GROUP BY id_b
+),
+ppjex AS (  -- PPJoin over the SHINGLE sets; canonical global order =
+            -- (doc-frequency asc, shingle asc)
+  SELECT doc_id, unnest(sh) AS tok FROM shingled
+),
+ppjfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ppjex GROUP BY tok),
+ppjord AS (
+  SELECT doc_id, list(tok ORDER BY cnt, tok) AS ots,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM ppjex JOIN ppjfreq USING (tok) GROUP BY doc_id
+),
+ppjpref AS (  -- prefix length |x| - ceil(t|x|) + 1, t = 3/5
+  SELECT doc_id, s,
+         unnest(list_slice(ots, 1, CAST(s - (3 * s + 4) // 5 + 1 AS BIGINT)))
+           AS tok
+  FROM ppjord
+),
+ppjcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ppjpref a JOIN ppjpref b USING (tok)
+  WHERE (a.s < b.s OR (a.s = b.s AND a.doc_id < b.doc_id))
+    AND a.s * 5 >= 3 * b.s
+),
+ppjver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(x.ots, y.ots)) AS BIGINT) AS inter,
+         CAST(x.s + y.s - len(list_intersect(x.ots, y.ots)) AS BIGINT) AS uni
+  FROM ppjcand c JOIN ppjord x ON x.doc_id = c.id_a
+                 JOIN ppjord y ON y.doc_id = c.id_b
+  WHERE len(list_intersect(x.ots, y.ots)) * 5
+        >= 3 * (x.s + y.s - len(list_intersect(x.ots, y.ots)))
+),
+ppjdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ppj_partners,
+         CAST(SUM(inter) AS BIGINT) AS ppj_inter_sum,
+         CAST(SUM(uni) AS BIGINT) AS ppj_union_sum
+  FROM (SELECT id_a AS doc_id, inter, uni FROM ppjver
+        UNION ALL SELECT id_b AS doc_id, inter, uni FROM ppjver)
+  GROUP BY doc_id
 )
 SELECT c.doc_id, c.source,
        COALESCE(d.segs_kept, 0) AS segs_kept,
@@ -757,7 +799,10 @@ SELECT c.doc_id, c.source,
        COALESCE(sc.sfx_container, '') AS sfx_container,
        COALESCE(sc.sfx_n_containers, 0) AS sfx_n_containers,
        COALESCE(sr.sfx_contains, 0) AS sfx_contains,
-       COALESCE(sr.sfx_contained_mass, 0) AS sfx_contained_mass
+       COALESCE(sr.sfx_contained_mass, 0) AS sfx_contained_mass,
+       COALESCE(pj.ppj_partners, 0) AS ppj_partners,
+       COALESCE(pj.ppj_inter_sum, 0) AS ppj_inter_sum,
+       COALESCE(pj.ppj_union_sum, 0) AS ppj_union_sum
 FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
 LEFT JOIN rebuilt rb USING (doc_id)
 LEFT JOIN bpdoc bp USING (doc_id)
@@ -765,6 +810,7 @@ LEFT JOIN pfxcont pc USING (doc_id)
 LEFT JOIN pfxcontr pr USING (doc_id)
 LEFT JOIN sfxcont sc USING (doc_id)
 LEFT JOIN sfxcontr sr USING (doc_id)
+LEFT JOIN ppjdoc pj USING (doc_id)
 """
 
 

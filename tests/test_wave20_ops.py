@@ -455,3 +455,161 @@ def test_suffix_containment_finds_header_prepends(spark):
     pairs = suffix_containment(_docs_df(spark, rows), k=8)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {("doc_b", "doc_a"), ("doc_d", "doc_a"), ("doc_d", "doc_b")}
+
+
+def test_priority_sample_matches_python_reference(spark):
+    from nyxus_spark.functions import priority_sample
+
+    P31 = 2147483647
+    MIX = 1566083941
+    rows = [(i, "s%d" % (i % 2), 10 + (i * 37) % 500) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    k = 5
+    got = {
+        r.doc_id: (r.pri4, r.pri_rank, r.pri_keep, r.pri_ht4)
+        for r in priority_sample(
+            df, k=k, weight_col="w", id_expr=F.col("doc_id")
+        ).collect()
+    }
+
+    def fr4(x):
+        import math
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    by_src = {}
+    for i, s, w in rows:
+        h = (i % P31) * MIX % P31
+        by_src.setdefault(s, []).append((i, w, (w * P31) / (h + 1)))
+    for s, items in by_src.items():
+        items.sort(key=lambda t: (-t[2], t[0]))
+        tau = items[k][2] if len(items) > k else 0.0
+        for rank, (i, w, pri) in enumerate(items, 1):
+            ht = max(float(w), tau) if rank <= k else 0.0
+            assert got[i] == (fr4(pri), rank, int(rank <= k), fr4(ht)), i
+
+    # subset-sum sanity: every kept row's HT weight >= its raw weight,
+    # and the heaviest row per source is (near-)certain to be kept
+    kept = [i for i, v in got.items() if v[2] == 1]
+    assert len(kept) == 2 * k
+
+
+def test_priority_sample_heavy_row_always_kept(spark):
+    from nyxus_spark.functions import priority_sample
+
+    # one row with overwhelming weight: its priority floor w/1 exceeds any
+    # light row's ceiling w'*P31, so it MUST be in every sample
+    rows = [(i, "s", 1) for i in range(1, 30)] + [(99, "s", 1 << 32)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    out = {r.doc_id: r.pri_keep for r in priority_sample(
+        df, k=3, weight_col="w", id_expr=F.col("doc_id")).collect()}
+    assert out[99] == 1
+
+
+def test_hll_merged_equals_from_scratch(spark):
+    from nyxus_spark.functions import hll_merged_summary, hll_summary
+
+    rows = [(i * 131 + 7, "s%d" % (i % 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = {tuple(r) for r in hll_summary(df, "source", "doc_id").collect()}
+    for shards in (2, 4):
+        b = {tuple(r) for r in hll_merged_summary(
+            df, "source", "doc_id", shards=shards).collect()}
+        assert a == b
+
+
+def test_prefix_filter_pairs_complete_vs_bruteforce(spark):
+    """Zero-false-negative guarantee: every shingle-set pair with
+    Jaccard >= t must be produced (prefix-filtering completeness)."""
+    from nyxus_spark.operators.dedup import prefix_filter_pairs
+
+    import random
+    rng = random.Random(7)
+    docs = []
+    base = [rng.randrange(50) for _ in range(40)]
+    for i in range(30):
+        if i % 3 == 0:   # near-dup of base: flip a couple of tokens
+            t = list(base)
+            for _ in range(rng.randrange(3)):
+                t[rng.randrange(len(t))] = rng.randrange(50)
+        else:            # unrelated
+            t = [rng.randrange(50) for _ in range(rng.randrange(20, 60))]
+        docs.append((f"d{i:02d}", t))
+    df = spark.createDataFrame(docs, ["doc_id", "tokens"])
+    got = {(r.id_a, r.id_b) for r in
+           prefix_filter_pairs(df, 3, 5).collect()}
+
+    # brute-force truth over shingle sets
+    P31 = 2147483647
+    def sh(toks):
+        return {(toks[i] * 961 + toks[i + 1] * 31 + toks[i + 2]) % P31
+                for i in range(len(toks) - 2)}
+    sets = {d: sh(t) for d, t in docs}
+    truth = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter * 5 >= 3 * uni:
+                x, y = (a, b) if (len(sets[a]), a) < (len(sets[b]), b) else (b, a)
+                truth.add((x, y))
+    assert got == truth and len(truth) > 3
+
+
+def test_minhash_corpus_sketch_shard_invariant_and_exact(spark):
+    from nyxus_spark.operators.dedup import minhash_corpus_sketch
+
+    P31 = 2147483647
+    MIX = 2654435761
+    rows = [("d%02d" % i, "s%d" % (i % 2),
+             [(i * 13 + j) % 40 for j in range(30)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tokens"])
+    outs = []
+    for shards in (2, 4):
+        got = {r.source: (r.mh_s0, r.mh_s1, r.mh_s2, r.mh_s3, r.mh_sig_sum)
+               for r in minhash_corpus_sketch(
+                   df, "source", "doc_id", "tokens", shards=shards).collect()}
+        outs.append(got)
+    assert outs[0] == outs[1]  # shard-invariance = merge is lossless
+
+    # python from-scratch reference
+    def shingles(t):
+        return {(t[i] * 961 + t[i + 1] * 31 + t[i + 2]) % P31
+                for i in range(len(t) - 2)}
+    ref = {}
+    for s in ("s0", "s1"):
+        xs = set()
+        for d, src, t in rows:
+            if src == s:
+                xs |= shingles(t)
+        slots = []
+        for i in range(16):
+            a = (1103515245 * (i + 1) + 12345) % P31 | 1
+            b = (MIX * (i + 7)) % P31
+            slots.append(min((x * a + b) % P31 for x in xs))
+        ref[s] = (slots[0], slots[1], slots[2], slots[3], sum(slots))
+    assert outs[0] == ref
+
+
+def test_scd2_intervals_tile_and_flag_current(spark):
+    from datetime import datetime
+
+    from nyxus_spark.operators import scd2_intervals
+
+    rows = [
+        ("k1", datetime(2024, 1, 1, 0, 0, 0), 1),
+        ("k1", datetime(2024, 1, 1, 0, 0, 5), 2),
+        ("k1", datetime(2024, 1, 1, 0, 0, 5), 3),  # tie -> event_id order
+        ("k2", datetime(2024, 1, 2, 0, 0, 0), 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "event_id"])
+    out = {r.event_id: (r.scd_from_us, r.scd_to_us, r.scd_current)
+           for r in scd2_intervals(df).collect()}
+    OPEN = 9223372036854775807
+    # per key: intervals tile (to == next from), exactly one current
+    assert out[1][1] == out[2][0] and out[2][1] == out[3][0]
+    assert (out[1][2], out[2][2], out[3][2]) == (0, 0, 1)
+    assert out[3][1] == OPEN
+    assert out[4] == (out[4][0], OPEN, 1)
+    # tie rows ordered by event_id: 2 before 3
+    assert out[2][0] == out[2][0] and out[2][1] == out[3][0]
