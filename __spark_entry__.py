@@ -798,15 +798,58 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__inc", F.lit(1))
     )
+    # STREAMING exact dedup, driver-gated: replay the corpus as two
+    # micro-batches (batch 0 = even last digit — the same split the
+    # incremental gate uses, so the oracle re-derives it), dedup through
+    # the engine's cross-batch key state (dropDuplicates), and gate per
+    # key that the stream emitted EXACTLY ONE survivor and that it came
+    # from the EARLIEST batch containing the key — one duplicate leaking
+    # through a later batch flips stream_cnt, one first-arrival lost
+    # flips stream_batch.
+    import os
+    import tempfile
+
+    from nyxus_spark.streaming.dedup import DEDUP_IN_SCHEMA, dedup_stream
+
+    sd = aug.select("key", "doc_id", is_new.cast("long").alias("batch"))
+    sdir = tempfile.mkdtemp(prefix="nyxus_dedup_stream_")
+    for bi in (0, 1):
+        fp = os.path.join(sdir, f"part-{bi:03d}.parquet")
+        sd.filter(F.col("batch") == bi).toPandas().to_parquet(fp)
+        os.utime(fp, (1_000_000 * (bi + 1), 1_000_000 * (bi + 1)))
+    src = (
+        spark.readStream.schema(DEDUP_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        dedup_stream(src)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sflags = (
+        spark.table("dedup_stream_gate")
+        .groupBy("key")
+        .agg(
+            F.min("batch").cast("long").alias("stream_batch"),
+            F.count("*").cast("long").alias("stream_cnt"),
+        )
+    )
     return (
         exact_dedup(aug, ["key"])
-        .select("doc_id", "source", is_new.alias("__n"))
+        .select("doc_id", "source", "key", is_new.alias("__n"))
         .join(inc, "doc_id", "left")
+        .join(sflags, "key")
         .select(
             "doc_id", "source",
             F.when(F.col("__n") == 0, F.lit(-1))
             .otherwise(F.coalesce("__inc", F.lit(0)))
             .cast("long").alias("inc_kept"),
+            "stream_batch", "stream_cnt",
         )
     )
 

@@ -1756,3 +1756,80 @@ def digest_update(old_digest, removed, added, group_col: str = "source",
         (cx("digest_docs") - cx("__rn") + cx("__an"))
         .cast("long").alias("digest_docs"),
     )
+
+
+def bpe_apply_merge(tokens_col, pair_a: int, pair_b: int, new_id: int):
+    """Column expr: GREEDY left-to-right application of one BPE merge —
+    every non-overlapping adjacent (a, b) becomes `new_id` (the merge the
+    count in `bpe_merge_count` prices). Same fold discipline as the
+    counter: a JVM whole-stage `aggregate` over the index sequence carrying
+    (out array, skip flag) — no Python, no shuffle. The per-step array
+    concat makes one pass O(n²) in array copies; fine for tokenizer
+    TRAINING (short docs / sampled corpus), not meant as a corpus-rewrite
+    pass — `remap_tokens` handles bulk vocabulary rewrites."""
+    a, b, n = int(pair_a), int(pair_b), int(new_id)
+    t = tokens_col
+    return F.expr(
+        f"CASE WHEN size({t}) = 0 THEN cast(array() as array<bigint>) ELSE "
+        f"aggregate(sequence(1, size({t})),"
+        f" named_struct('out', cast(array() as array<bigint>), 'skip', false),"
+        f" (acc, i) -> CASE"
+        f"   WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)"
+        f"   WHEN i < size({t}) AND element_at({t}, i) = {a}"
+        f"    AND element_at({t}, i + 1) = {b}"
+        f"   THEN named_struct('out', concat(acc.out, array({n}L)), 'skip', true)"
+        f"   ELSE named_struct('out',"
+        f"        concat(acc.out, array(cast(element_at({t}, i) as bigint))),"
+        f"        'skip', false) END,"
+        f" acc -> acc.out) END"
+    )
+
+
+def bpe_train(df, n_merges: int, new_id_start: int,
+              tokens_col: str = "tokens"):
+    """Corpus-level BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    full iterative loop, not just one step: each round counts every
+    adjacent token pair corpus-wide (one explode + hash aggregation —
+    map-side combinable, the only shuffle per round), picks the argmax
+    (ties: count desc, then lowest a, then lowest b — fully deterministic),
+    and rewrites the corpus with `bpe_apply_merge` before the next round.
+    Mirrors `connected_components`' iterative discipline: one bounded
+    driver-side collect of a SINGLE winner row per round, never the corpus.
+
+    Returns (merges, df): `merges` is a list of dicts
+    {rank, a, b, new_id, count} (count = naive adjacent-occurrence count
+    that ranked the winner, the classic BPE statistic), `df` the rewritten
+    corpus with `tokens_col` as array<bigint>.
+
+    Iterative + greedy ⇒ not SQL-replayable in one query; pinned against a
+    pure-Python reference in tests/test_wave20_ops.py instead (the brief's
+    weaker-gate class for iterative algorithms)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    out = df.withColumn(
+        tokens_col, F.col(tokens_col).cast("array<bigint>"))
+    merges = []
+    for r in range(n_merges):
+        pairs = out.select(
+            F.explode(F.expr(
+                f"CASE WHEN size({tokens_col}) < 2 THEN array() ELSE "
+                f"zip_with(slice({tokens_col}, 1, size({tokens_col}) - 1),"
+                f" slice({tokens_col}, 2, size({tokens_col}) - 1),"
+                f" (x, y) -> named_struct('a', x, 'b', y)) END"
+            )).alias("p")
+        ).groupBy("p.a", "p.b").agg(F.count("*").alias("cnt"))
+        win = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not win:
+            break
+        w = win[0]
+        new_id = new_id_start + r
+        merges.append({"rank": r, "a": int(w.a), "b": int(w.b),
+                       "new_id": new_id, "count": int(w.cnt)})
+        out = out.withColumn(
+            tokens_col, bpe_apply_merge(tokens_col, w.a, w.b, new_id))
+        # truncate lineage the same way connected_components does: each
+        # round's plan otherwise nests the previous round's fold
+        out = out.localCheckpoint(eager=False)
+    return merges, out

@@ -309,11 +309,18 @@ inc AS (  -- intra-batch first occurrence among the survivors
     SELECT doc_id, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
     FROM fresh
   ) WHERE rn = 1
+),
+sbatch AS (  -- streaming-dedup expectation: the EARLIEST batch holding the
+             -- key; the stream must emit its one survivor from there
+  SELECT key, CAST(MIN(is_new) AS BIGINT) AS stream_batch FROM keyed GROUP BY key
 )
 SELECT r.doc_id, r.source,
        CAST(CASE WHEN r.is_new = 0 THEN -1
-                 WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS inc_kept
+                 WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS inc_kept,
+       sb.stream_batch,
+       CAST(1 AS BIGINT) AS stream_cnt
 FROM ranked r LEFT JOIN inc i USING (doc_id)
+JOIN sbatch sb USING (key)
 WHERE r.rn = 1
 """.replace("{SQL_AUG}", SQL_AUG)
 

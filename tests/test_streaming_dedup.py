@@ -1,81 +1,80 @@
-"""Streaming exact dedup (streaming/stream.py dedup_stream).
-
-First-arrival-wins across micro-batches; the within-watermark variant keeps
-bounded state (eviction) at the price of the arrival-distance guarantee.
-"""
+"""Streaming exact dedup (streaming/dedup.py): cross-batch key state and
+the bounded-state watermark variant's eviction/re-admission contract."""
 
 import os
 
-import pytest
+import pandas as pd
+from pyspark.sql import functions as F
 
-from nyxus_spark.streaming import dedup_stream
+from nyxus_spark.streaming.dedup import (
+    DEDUP_IN_SCHEMA,
+    dedup_stream,
+    dedup_stream_within_watermark,
+)
 
-
-def _replay(spark, tmp_path, batches, schema):
-    import pandas as pd
-
-    d = str(tmp_path / "stream")
-    os.makedirs(d, exist_ok=True)
-    for i, rows in enumerate(batches):
-        f = os.path.join(d, f"part-{i:03d}.parquet")
-        pd.DataFrame(rows).to_parquet(f)
-        os.utime(f, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
-    return (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
-    )
+BASE_US = 1_700_000_000_000_000
 
 
-def test_dedup_stream_unbounded_state(spark, tmp_path):
-    """No-watermark mode: exact at ANY arrival distance — in-batch dups,
-    cross-batch dups, and value-carrying first arrivals all resolved."""
-    batches = [
-        [{"k": 1, "v": "a1"}, {"k": 2, "v": "b1"}, {"k": 1, "v": "a2"}],
-        [{"k": 3, "v": "c1"}, {"k": 2, "v": "b2"}, {"k": 1, "v": "a3"}],
-    ]
-    src = _replay(spark, tmp_path, batches, "k long, v string")
-    q = (
-        dedup_stream(src, ["k"])
-        .writeStream.format("memory")
-        .queryName("dedup_unbounded")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+def _write(path, rows, cols, mtime):
+    pd.DataFrame(rows, columns=cols).to_parquet(path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    # batch 0: k1 (twice, same batch), k2; batch 1: k1 again, k3
+    _write(os.path.join(d, "b0.parquet"),
+           [("k1", "a", 0), ("k1", "b", 0), ("k2", "c", 0)],
+           ["key", "doc_id", "batch"], 1_000_000)
+    _write(os.path.join(d, "b1.parquet"),
+           [("k1", "d", 1), ("k3", "e", 1)],
+           ["key", "doc_id", "batch"], 2_000_000)
+    src = (spark.readStream.schema(DEDUP_IN_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (dedup_stream(src).writeStream.format("memory")
+         .queryName("t_dedup_stream").outputMode("append")
+         .trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM dedup_unbounded").collect()}
-    assert rows == {1: "a1", 2: "b1", 3: "c1"}  # first arrival wins
+    out = spark.table("t_dedup_stream").collect()
+    got = {(r.key, r.batch) for r in out}
+    assert len(out) == 3  # one survivor per key
+    assert got == {("k1", 0), ("k2", 0), ("k3", 1)}
 
 
-def test_dedup_stream_within_watermark(spark, tmp_path):
-    """Watermarked mode: duplicates arriving within the delay are dropped;
-    state is evictable (the unbounded-stream shape)."""
-    t0 = 1_700_000_000_000_000  # epoch micros
-    s = 1_000_000
-    batches = [
-        [{"k": 10, "ts_us": t0}, {"k": 11, "ts_us": t0 + 5 * s},
-         {"k": 10, "ts_us": t0 + 10 * s}],           # in-batch dup
-        [{"k": 11, "ts_us": t0 + 60 * s},            # cross-batch dup, close
-         {"k": 12, "ts_us": t0 + 70 * s}],
-    ]
-    import pandas as pd  # noqa: F401
+def test_dedup_within_watermark_evicts_then_readmits(spark, tmp_path):
+    d = str(tmp_path / "in")
+    os.makedirs(d)
 
-    src = _replay(spark, tmp_path, batches, "k long, ts_us long")
-    from pyspark.sql import functions as F
+    def ts(minutes):
+        return BASE_US + minutes * 60_000_000
 
-    withts = src.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
-    q = (
-        dedup_stream(withts, ["k"], ts_col="ts", watermark="1 hour")
-        .writeStream.format("memory")
-        .queryName("dedup_wm")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # batch 0: k1 at t=0; batch 1: k1 dup at t=1 (inside 5-min window,
+    # dropped) plus a watermark-advancing row at t=60; batch 2: another
+    # advancing row (the drop/evict filter lags the progress-reported
+    # watermark by ONE batch — measured, tests/test_streaming_late_data.py);
+    # batch 3: k1 again at t=62 — state evicted (committed watermark ~t=55
+    # > t=0 + 5 min) → ADMITTED
+    _write(os.path.join(d, "b0.parquet"), [("k1", "a", ts(0))],
+           ["key", "doc_id", "ts_us"], 1_000_000)
+    _write(os.path.join(d, "b1.parquet"),
+           [("k1", "b", ts(1)), ("adv", "w", ts(60))],
+           ["key", "doc_id", "ts_us"], 2_000_000)
+    _write(os.path.join(d, "b2.parquet"), [("adv2", "x", ts(61))],
+           ["key", "doc_id", "ts_us"], 3_000_000)
+    _write(os.path.join(d, "b3.parquet"), [("k1", "c", ts(62))],
+           ["key", "doc_id", "ts_us"], 4_000_000)
+    src = (
+        spark.readStream.schema("key string, doc_id string, ts_us long")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select("key", "doc_id", F.timestamp_micros("ts_us").alias("ts"))
     )
+    q = (dedup_stream_within_watermark(src, ("key",), "ts", "5 minutes")
+         .writeStream.format("memory").queryName("t_dedup_wm")
+         .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
-    ks = [r["k"] for r in spark.sql("SELECT k FROM dedup_wm").collect()]
-    assert sorted(ks) == [10, 11, 12]
-
-
-def test_dedup_stream_validation(spark):
-    with pytest.raises(ValueError, match="ts_col"):
-        dedup_stream(spark.range(1), ["id"], watermark="1 hour")
+    out = [(r.key, r.doc_id) for r in spark.table("t_dedup_wm").collect()]
+    k1_docs = sorted(doc for k, doc in out if k == "k1")
+    # the in-window duplicate "b" is dropped; the post-eviction "c" is
+    # re-admitted — the bounded-state contract
+    assert k1_docs == ["a", "c"]

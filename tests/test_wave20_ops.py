@@ -613,3 +613,70 @@ def test_scd2_intervals_tile_and_flag_current(spark):
     assert out[4] == (out[4][0], OPEN, 1)
     # tie rows ordered by event_id: 2 before 3
     assert out[2][0] == out[2][0] and out[2][1] == out[3][0]
+
+
+def _bpe_python(docs, n_merges, new_id_start):
+    """Pure-Python BPE reference: naive adjacent counts rank the winner
+    (ties: count desc, lowest a, lowest b), greedy left-to-right merge."""
+    docs = [list(map(int, t)) for t in docs]
+    merges = []
+    for r in range(n_merges):
+        cnt = {}
+        for t in docs:
+            for x, y in zip(t, t[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + 1
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        new = new_id_start + r
+        merges.append({"rank": r, "a": a, "b": b, "new_id": new, "count": c})
+        nxt = []
+        for t in docs:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            nxt.append(out)
+        docs = nxt
+    return merges, docs
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from nyxus_spark.functions import bpe_train
+
+    corpus = [
+        ("d0", [1, 2, 1, 2, 1, 2, 3]),
+        ("d1", [1, 2, 3, 1, 2, 3]),
+        ("d2", [2, 2, 2, 2]),        # overlapping-run case
+        ("d3", [5]),
+        ("d4", []),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "tokens"])
+    merges, out = bpe_train(df, n_merges=4, new_id_start=100)
+    ref_merges, ref_docs = _bpe_python([t for _, t in corpus], 4, 100)
+    assert merges == ref_merges
+    got = {r.doc_id: list(r.tokens) for r in out.collect()}
+    for (d, _), ref in zip(corpus, ref_docs):
+        assert got[d] == ref, d
+
+
+def test_bpe_apply_merge_greedy_nonoverlap(spark):
+    from nyxus_spark.functions import bpe_apply_merge, bpe_merge_count
+
+    df = spark.createDataFrame(
+        [("a", [7, 7, 7, 7, 7], 5), ("b", [1, 7, 7, 2], 4)],
+        ["doc_id", "tokens", "n_tok"],
+    ).withColumn("n_tok", F.col("n_tok").cast("int"))  # bigint sequence
+    # bounds make the fold's lambda var bigint -> element_at analysis error
+    out = {r.doc_id: (list(r.m), r.c) for r in df.select(
+        "doc_id",
+        bpe_apply_merge("tokens", 7, 7, 99).alias("m"),
+        bpe_merge_count(7, 7).alias("c"),
+    ).collect()}
+    # greedy on a run of 5: two merges + trailing single; count agrees
+    assert out["a"] == ([99, 99, 7], 2)
+    assert out["b"] == ([1, 99, 2], 1)
