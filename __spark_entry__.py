@@ -1117,11 +1117,19 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("best_doc"),
              F.max("n_tok").cast("long").alias("best_n_tok"))
     )
+    # GRAPH analytics over the near-dup graph (the spam-farm/template-chain
+    # monitor): exact degree, wedge-close triangle counts, and the local
+    # clustering coefficient — dense cliques (true dup farms) score
+    # clust4→1, chain-shaped template families score →0.
+    from nyxus_spark.operators.dedup import graph_node_stats
+
+    gns = graph_node_stats(pairs)
     return (
-        comps.join(sizes, "rep").join(best, "rep")
+        comps.join(sizes, "rep").join(best, "rep").join(gns, "doc_id")
         .select(
             "doc_id", "rep", "cluster_size", "best_doc", "best_n_tok",
             (F.col("doc_id") == F.col("best_doc")).cast("int").alias("is_best"),
+            "deg_cnt", "tri_cnt", "clust4",
         )
     )
 
@@ -1449,9 +1457,45 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions import kn_continuation
 
     knz = F.lit(0).cast("long")
-    out = out.join(kn_continuation(t), "token", "left").withColumn(
+    kn = kn_continuation(t)
+    out = out.join(kn, "token", "left").withColumn(
         "kn_left", F.coalesce("kn_left", knz)
     ).withColumn("kn_right", F.coalesce("kn_right", knz))
+    # FULL interpolated Kneser-Ney bigram probability (Chen & Goodman
+    # 1999, d = 0.75) of each kept token's best collocate:
+    #   P(w|v) = max(c_vw − d, 0)/c_v• + (d·N1+(v·)/c_v•)·(N1+(·w)/N1++)
+    # — every operand an exact integer (d = 0.75 is exactly binary), the
+    # value a FIXED IEEE chain the oracle replays op-for-op.
+    from nyxus_spark.functions import bigram_counts
+
+    cv = (
+        bigram_counts(t).groupBy("token")
+        .agg(F.sum("big_cnt").cast("long").alias("kn_cv"))
+    )
+    knw = kn.select(F.col("token").alias("next_token"),
+                    F.col("kn_left").alias("__knl_w"))
+    n1pp = kn.agg(F.sum("kn_left").cast("long").alias("__kn_n1pp"))
+    out = (
+        out.join(cv, "token", "left")
+        .join(knw, "next_token", "left")
+        .crossJoin(F.broadcast(n1pp))
+        .withColumn("kn_cv", F.coalesce("kn_cv", knz))
+    )
+    knp_val = (
+        F.greatest(F.col("big_cnt").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("kn_cv").cast("double")
+        + (F.lit(0.75) * F.col("kn_right").cast("double")
+           / F.col("kn_cv").cast("double"))
+        * (F.col("__knl_w").cast("double") / F.col("__kn_n1pp").cast("double"))
+    )
+    out = out.withColumn(
+        "kn_p4",
+        F.when(
+            (F.col("big_cnt") > 0) & (F.col("kn_cv") > 0)
+            & F.col("__knl_w").isNotNull(),
+            _r4(knp_val),
+        ).otherwise(F.lit(0.0)),
+    ).drop("__knl_w", "__kn_n1pp")
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -3883,6 +3927,9 @@ knl AS (SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS kn_left
         FROM knp GROUP BY w),
 knr AS (SELECT v AS token, CAST(COUNT(*) AS BIGINT) AS kn_right
         FROM knp GROUP BY v),
+kncv AS (SELECT a AS token, CAST(SUM(big_cnt) AS BIGINT) AS kn_cv
+         FROM bg GROUP BY a),
+knpp AS (SELECT CAST(SUM(kn_left) AS BIGINT) AS kn_n1pp FROM knl),
 cmsb AS (  -- Count-Min sketch rebuilt from scratch: depth 4 x width 64
   SELECT u.j,
          CASE u.j WHEN 0 THEN {oracles.sql_cms_bucket('f.token', 0)}
@@ -3911,6 +3958,17 @@ SELECT f.*, q.cms_est,
        CAST(q.cms_est - f.cnt AS BIGINT) AS cms_over,
        COALESCE(kl.kn_left, 0) AS kn_left,
        COALESCE(kr.kn_right, 0) AS kn_right,
+       COALESCE(cv.kn_cv, 0) AS kn_cv,
+       CASE WHEN f.big_cnt > 0 AND COALESCE(cv.kn_cv, 0) > 0
+                 AND klw.kn_left IS NOT NULL THEN
+         FLOOR((GREATEST(CAST(f.big_cnt AS DOUBLE) - 0.75, 0.0)
+                  / CAST(cv.kn_cv AS DOUBLE)
+                + 0.75 * CAST(COALESCE(kr.kn_right, 0) AS DOUBLE)
+                    / CAST(cv.kn_cv AS DOUBLE)
+                  * (CAST(klw.kn_left AS DOUBLE)
+                     / CAST((SELECT kn_n1pp FROM knpp) AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS kn_p4,
        CAST(row_number() OVER (ORDER BY cnt_remap DESC, token ASC)
             AS BIGINT) AS vrank,
        CAST(SUM(cnt_remap) OVER (ORDER BY cnt_remap DESC, token ASC
@@ -3923,6 +3981,8 @@ SELECT f.*, q.cms_est,
              * 10000.0 + 0.5) / 10000.0 AS cov4
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
+LEFT JOIN kncv cv USING (token)
+LEFT JOIN knl klw ON klw.token = f.next_token
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the

@@ -1257,3 +1257,56 @@ mhsk AS (
          CAST(SUM(v) AS BIGINT) AS mh_sig_sum
   FROM mhmin GROUP BY g
 )"""
+
+
+def graph_node_stats(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b") -> DataFrame:
+    """Exact per-node graph statistics over an undirected simple graph
+    given CANONICAL edges (id_a < id_b — the orientation every pair
+    operator here emits): degree, triangle count, and the local
+    clustering coefficient C(v) = 2·tri / (deg·(deg−1)) — the standard
+    near-dup-graph health monitors (a spam farm shows as a dense clique:
+    high degree AND high clustering; a template chain shows as high
+    degree, near-zero clustering).
+
+    Triangle enumeration is the classic distributed wedge-close join
+    (each triangle a<b<c found exactly once): edges(a,b) ⋈ edges(b,c)
+    builds the wedge, a third equi-join on (a,c) closes it — three hash
+    joins on node keys, no cartesian, the plan every BSP/graph system
+    lowers this to. Counts are exact integers; the coefficient is ONE
+    IEEE division of exact integers (fround4ed).
+
+    Returns (doc_id, deg_cnt, tri_cnt, clust4).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionByName(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("deg_cnt"))
+    )
+    wedge = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedge.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    tric = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("tri_cnt"))
+    )
+    zero = F.lit(0).cast("long")
+    out = deg.join(tric, "doc_id", "left").withColumn(
+        "tri_cnt", F.coalesce("tri_cnt", zero)
+    )
+    return out.withColumn(
+        "clust4",
+        F.when(
+            F.col("deg_cnt") >= 2,
+            fround4((2 * F.col("tri_cnt")).cast("double")
+                    / (F.col("deg_cnt") * (F.col("deg_cnt") - 1)).cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -66,10 +66,35 @@ best AS (  -- quality-aware representative: longest doc, ties -> lowest id
                               ORDER BY a.n_tok DESC, c.doc_id ASC) AS rn
     FROM comp c JOIN aug a USING (doc_id)
   ) WHERE rn = 1
+),
+tri AS (  -- wedge-close triangle enumeration: each a<b<c exactly once
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+       JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg_cnt FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b AS doc_id FROM pairs) GROUP BY doc_id
+),
+tric AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b AS doc_id FROM tri
+    UNION ALL SELECT c AS doc_id FROM tri) GROUP BY doc_id
 )
 SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
-       CASE WHEN c.doc_id = b.best_doc THEN 1 ELSE 0 END AS is_best
+       CASE WHEN c.doc_id = b.best_doc THEN 1 ELSE 0 END AS is_best,
+       dg.deg_cnt,
+       COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+       CASE WHEN dg.deg_cnt >= 2 THEN
+         FLOOR((CAST(2 * COALESCE(tc.tri_cnt, 0) AS DOUBLE)
+                / CAST(dg.deg_cnt * (dg.deg_cnt - 1) AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS clust4
 FROM comp c JOIN sizes s USING (rep) JOIN best b USING (rep)
+JOIN deg dg USING (doc_id)
+LEFT JOIN tric tc USING (doc_id)
 """
 
 

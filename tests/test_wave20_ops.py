@@ -680,3 +680,20 @@ def test_bpe_apply_merge_greedy_nonoverlap(spark):
     # greedy on a run of 5: two merges + trailing single; count agrees
     assert out["a"] == ([99, 99, 7], 2)
     assert out["b"] == ([1, 99, 2], 1)
+
+
+def test_graph_node_stats_triangle_plus_chain(spark):
+    from nyxus_spark.operators.dedup import graph_node_stats
+
+    # K3 on {a,b,c} plus a pendant chain c-d-e
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.doc_id: (r.deg_cnt, r.tri_cnt, r.clust4)
+           for r in graph_node_stats(df).collect()}
+    assert got == {
+        "a": (2, 1, 1.0),
+        "b": (2, 1, 1.0),
+        "c": (3, 1, round(2 * 1 / 6, 4)),
+        "d": (2, 0, 0.0),
+        "e": (1, 0, 0.0),
+    }
