@@ -926,10 +926,21 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("stream_seen", F.lit(1).cast("long"))
     )
     zero = F.lit(0).cast("long")
+    # LSH S-CURVE calculator, made a checked artifact: under (b=4, r=4)
+    # banding, a pair with sketch similarity s collides with probability
+    # p = 1 − (1 − s⁴)⁴ — the design curve every LSH deployment is tuned
+    # on. s = sig_match/16 is ONE division of exact integers and the
+    # quartic powers are explicit multiply chains (never pow()), so the
+    # oracle replays the value bit-for-bit.
+    s = F.col("sig_match").cast("double") / F.lit(16.0)
+    s4 = (s * s) * (s * s)
+    tt = F.lit(1.0) - s4
+    t4 = (tt * tt) * (tt * tt)
     return (
         pairs.join(est, ["id_a", "id_b"]).crossJoin(F.broadcast(audit))
         .join(spairs, ["id_a", "id_b"], "left")
         .withColumn("stream_seen", F.coalesce("stream_seen", zero))
+        .withColumn("scurve4", _r4(F.lit(1.0) - t4))
     )
 
 
@@ -1496,6 +1507,26 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(knp_val),
         ).otherwise(F.lit(0.0)),
     ).drop("__knl_w", "__kn_n1pp")
+    # HEAPS-LAW vocabulary-growth audit (the vocab-scaling monitor: does
+    # distinct-type count keep growing with corpus size, or has the token
+    # space saturated?): |vocab| over the first ⌊n/4⌋ and ⌊n/2⌋ documents
+    # (deterministic prefix by numeric doc id) vs the full corpus — three
+    # exact integers from ONE conditional-distinct aggregation.
+    ex_g = t.select(
+        F.expr("cast(substr(doc_id, 5) as bigint)").alias("oid"),
+        F.explode("tokens").alias("tok"),
+    )
+    nd = t.agg(F.countDistinct("doc_id").cast("long").alias("__nd"))
+    growth = ex_g.crossJoin(F.broadcast(nd)).agg(
+        F.countDistinct(
+            F.when(F.col("oid") < F.expr("__nd div 4"), F.col("tok"))
+        ).cast("long").alias("vocab_q1"),
+        F.countDistinct(
+            F.when(F.col("oid") < F.expr("__nd div 2"), F.col("tok"))
+        ).cast("long").alias("vocab_h1"),
+        F.countDistinct("tok").cast("long").alias("vocab_full"),
+    )
+    out = out.crossJoin(F.broadcast(growth))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -3930,6 +3961,17 @@ knr AS (SELECT v AS token, CAST(COUNT(*) AS BIGINT) AS kn_right
 kncv AS (SELECT a AS token, CAST(SUM(big_cnt) AS BIGINT) AS kn_cv
          FROM bg GROUP BY a),
 knpp AS (SELECT CAST(SUM(kn_left) AS BIGINT) AS kn_n1pp FROM knl),
+ndg AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tokens_static),
+growth AS (  -- Heaps-law vocabulary growth: prefix by numeric doc id
+  SELECT CAST(COUNT(DISTINCT CASE WHEN oid < (SELECT nd FROM ndg) // 4
+                                  THEN tok END) AS BIGINT) AS vocab_q1,
+         CAST(COUNT(DISTINCT CASE WHEN oid < (SELECT nd FROM ndg) // 2
+                                  THEN tok END) AS BIGINT) AS vocab_h1,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_full
+  FROM (SELECT CAST(substr(doc_id, 5) AS BIGINT) AS oid,
+               unnest(tokens) AS tok
+        FROM tokens_static)
+),
 cmsb AS (  -- Count-Min sketch rebuilt from scratch: depth 4 x width 64
   SELECT u.j,
          CASE u.j WHEN 0 THEN {oracles.sql_cms_bucket('f.token', 0)}
@@ -3959,6 +4001,7 @@ SELECT f.*, q.cms_est,
        COALESCE(kl.kn_left, 0) AS kn_left,
        COALESCE(kr.kn_right, 0) AS kn_right,
        COALESCE(cv.kn_cv, 0) AS kn_cv,
+       g.vocab_q1, g.vocab_h1, g.vocab_full,
        CASE WHEN f.big_cnt > 0 AND COALESCE(cv.kn_cv, 0) > 0
                  AND klw.kn_left IS NOT NULL THEN
          FLOOR((GREATEST(CAST(f.big_cnt AS DOUBLE) - 0.75, 0.0)
@@ -3983,6 +4026,7 @@ FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
 LEFT JOIN knl klw ON klw.token = f.next_token
+CROSS JOIN growth g
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the

@@ -1279,6 +1279,11 @@ def graph_node_stats(pairs: DataFrame, id_a: str = "id_a",
     Returns (doc_id, deg_cnt, tri_cnt, clust4).
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    # the edge list feeds FOUR plan branches (degree + three triangle-join
+    # legs); without truncation Catalyst inlines the whole upstream
+    # candidate pipeline once per branch — checkpoint it so the (small,
+    # candidate-sized) edge table computes once
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("doc_id"))
         .unionByName(e.select(F.col("b").alias("doc_id")))

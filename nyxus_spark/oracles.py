@@ -276,7 +276,9 @@ SELECT res.*, audit.sample_true_pairs, audit.lsh_found_pairs,
        CASE WHEN audit.sample_true_pairs > 0 THEN
          FLOOR((CAST(audit.lsh_found_pairs AS DOUBLE)
                 / audit.sample_true_pairs) * 10000.0 + 0.5) / 10000.0
-       ELSE 1.0 END AS lsh_recall4
+       ELSE 1.0 END AS lsh_recall4,
+       -- (4,4)-banding S-curve 1 - (1 - s^4)^4, explicit multiply chains
+       FLOOR((1.0 - (((1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)))) * (1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0))))) * ((1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)))) * (1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0))))))) * 10000.0 + 0.5) / 10000.0 AS scurve4
 FROM res CROSS JOIN audit
 """
 

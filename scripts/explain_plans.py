@@ -368,6 +368,32 @@ def main() -> None:
         asof_join_tombstones(p, vd)
     )
 
+    # PPJoin prefix-filter similarity join: candidates come from EQUI-joins
+    # (prefix-token hash joins), never a cartesian — no
+    # BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan
+    from nyxus_spark.operators.dedup import graph_node_stats, prefix_filter_pairs
+
+    sections["PPJoin prefix-filter similarity join (equi-joins only)"] = plan_of(
+        prefix_filter_pairs(ts, 3, 5)
+    )
+
+    # near-dup graph analytics: wedge-close triangle enumeration = three
+    # hash joins on node keys (again: no cartesian)
+    sections["graph node stats (wedge-close triangles, hash joins only)"] = plan_of(
+        graph_node_stats(cand)
+    )
+
+    # priority sampling: ONE exchange (the per-stratum sort), everything
+    # else column expressions
+    from nyxus_spark.functions import priority_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    sections["priority sampling (one per-stratum sort exchange)"] = plan_of(
+        priority_sample(docs, k=10, weight_col="n_chars")
+    )
+
     with open("EXPLAIN.md", "w") as f:
         f.write("# Physical plans of the flagship operators\n\n")
         f.write("Generated by `scripts/explain_plans.py` (sf0.01, local[8]).\n")
@@ -427,6 +453,12 @@ def main() -> None:
         "bloom decontamination (broadcast bitset prefilter)"
     ]
     assert n_exch["tombstone as-of join (flag rides the plan, ONE Exchange)"] == 1
+    ppj_plan = sections["PPJoin prefix-filter similarity join (equi-joins only)"]
+    assert "CartesianProduct" not in ppj_plan
+    assert "BroadcastNestedLoopJoin" not in ppj_plan
+    tri_plan = sections["graph node stats (wedge-close triangles, hash joins only)"]
+    assert "CartesianProduct" not in tri_plan
+    assert "BroadcastNestedLoopJoin" not in tri_plan
     print("EXPLAIN.md written")
     spark.stop()
 
