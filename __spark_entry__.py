@@ -644,7 +644,9 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_intervals,
         with_lags,
         with_locf,
+        with_nocb,
         with_rolling,
+        with_time_interp,
     )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -658,6 +660,11 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
     )
     out = with_locf(with_lags(ev, ["purchase_value"], [1]), ["purchase_value"])
+    # the other two members of the backfill family: NOCB (time-reversed
+    # LOCF) and event-time-weighted LINEAR INTERPOLATION (fixed IEEE chain
+    # v0 + (v1−v0)·(Δ/D), oracle-replayed op-for-op)
+    out = with_nocb(out, ["purchase_value"])
+    out = with_time_interp(out, "purchase_value")
     out = with_rolling(out, "cents", n_rows=3, range_us=7_200_000_000,
                        tiebreak="event_id")
     # SCD2 validity intervals (Kimball type-2 history table): every event
@@ -670,6 +677,8 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("lag_purchase_value_1").alias("lag_v1"),
         _r4("lead_purchase_value_1").alias("lead_v1"),
         _r4("purchase_value_locf").alias("locf_v"),
+        _r4("purchase_value_nocb").alias("nocb_v"),
+        _r4("purchase_value_interp").alias("interp_v"),
         F.col("roll3_sum_cents").alias("r3_sum"),
         F.col("roll3_count_cents").alias("r3_n"),
         F.col("roll3_min_cents").alias("r3_min"),
@@ -5242,6 +5251,16 @@ SELECT doc_id, event_id,
        FLOOR((CAST(last_value(pv IGNORE NULLS) OVER
              (PARTITION BY doc_id ORDER BY ts
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS locf_v,
+       FLOOR((CAST(first_value(pv IGNORE NULLS) OVER
+             (PARTITION BY doc_id ORDER BY ts
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS nocb_v,
+       FLOOR((CASE WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+            WHEN CAST(last_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) IS NULL THEN CAST(first_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+            WHEN CAST(first_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) IS NULL THEN CAST(last_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            WHEN first_value(CASE WHEN pv IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) = last_value(CASE WHEN pv IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) THEN CAST(last_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            ELSE CAST(last_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) + (CAST(first_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) - CAST(last_value(pv IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+                 * (CAST(ts_us - last_value(CASE WHEN pv IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    / CAST(first_value(CASE WHEN pv IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - last_value(CASE WHEN pv IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) END) * 10000.0 + 0.5) / 10000.0 AS interp_v,
        CAST(SUM(cents) OVER w3 AS BIGINT) AS r3_sum,
        CAST(COUNT(cents) OVER w3 AS BIGINT) AS r3_n,
        CAST(MIN(cents) OVER w3 AS BIGINT) AS r3_min,

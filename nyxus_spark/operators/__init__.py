@@ -5,5 +5,7 @@ from nyxus_spark.operators.windows import (  # noqa: F401
     with_lags,
     with_locf,
     with_rolling,
+    with_nocb,
+    with_time_interp,
     scd2_intervals,
 )

@@ -60,6 +60,67 @@ def with_locf(
     return out
 
 
+def with_nocb(
+    df: DataFrame,
+    cols: list[str],
+    partition: str = "doc_id",
+    order: str = "ts",
+    suffix: str = "_nocb",
+) -> DataFrame:
+    """Next-observation-carried-BACKWARD — `with_locf`'s time-reversed
+    twin (the leading-edge backfill a feature table needs for entities
+    whose first observations arrive late)."""
+    w = _w(partition, order).rowsBetween(0, Window.unboundedFollowing)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def with_time_interp(
+    df: DataFrame,
+    col: str,
+    partition: str = "doc_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Event-TIME-weighted linear interpolation fill — the third member of
+    the backfill family: a null between two observations gets
+    v0 + (v1 − v0)·((t − t0)/(t1 − t0)) with (v0, t0) the previous and
+    (v1, t1) the next non-null observation by event time (epoch micros).
+    Nulls before the first / after the last observation fall back to
+    NOCB / LOCF respectively; a null exactly at an observation timestamp
+    (t1 = t0 cannot happen between DISTINCT observations, but ties at the
+    boundary can) takes v0.
+
+    Determinism contract: the interpolation is the FIXED IEEE chain
+    v0 + ((v1 − v0) · (Δ/D)) — two exact-bigint time differences, one
+    division, one multiply, one add — replayed op-for-op by the oracle;
+    window order is tie-broken on `tiebreak`. Two partitioned windows on
+    the same sort — one Exchange in the plan."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = Window.partitionBy(partition).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc())
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    c = F.col(col)
+    v0 = F.last(c, ignorenulls=True).over(wb).cast("double")
+    t0 = F.last(F.when(c.isNotNull(), us), ignorenulls=True).over(wb)
+    v1 = F.first(c, ignorenulls=True).over(wf).cast("double")
+    t1 = F.first(F.when(c.isNotNull(), us), ignorenulls=True).over(wf)
+    interp = (
+        F.when(c.isNotNull(), c.cast("double"))
+        .when(v0.isNull(), v1)
+        .when(v1.isNull(), v0)
+        .when(t1 == t0, v0)
+        .otherwise(
+            v0 + (v1 - v0) * ((us - t0).cast("double") / (t1 - t0).cast("double"))
+        )
+    )
+    return df.withColumn(f"{col}{suffix}", interp)
+
+
 def with_rolling(
     df: DataFrame,
     col: str,

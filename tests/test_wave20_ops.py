@@ -697,3 +697,32 @@ def test_graph_node_stats_triangle_plus_chain(spark):
         "d": (2, 0, 0.0),
         "e": (1, 0, 0.0),
     }
+
+
+def test_backfill_family_nocb_and_interp(spark):
+    from datetime import datetime
+
+    from nyxus_spark.operators import with_nocb, with_time_interp
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        ("k", ts(0), 1, 10.0),
+        ("k", ts(10), 2, None),   # 1/4 of the way 10 -> 30: interp 15.0
+        ("k", ts(30), 3, None),   # 3/4 of the way:            interp 25.0
+        ("k", ts(40), 4, 30.0),
+        ("k", ts(50), 5, None),   # after last obs -> LOCF 30.0
+        ("k2", ts(0), 6, None),   # before first obs -> NOCB 7.0
+        ("k2", ts(10), 7, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "event_id", "v"])
+    out = with_time_interp(with_nocb(df, ["v"]), "v")
+    got = {r.event_id: (r.v_nocb, r.v_interp) for r in out.collect()}
+    assert got[1] == (10.0, 10.0)
+    assert got[2] == (30.0, 15.0)
+    assert got[3] == (30.0, 25.0)
+    assert got[4] == (30.0, 30.0)
+    assert got[5] == (None, 30.0)
+    assert got[6] == (7.0, 7.0)
+    assert got[7] == (7.0, 7.0)
