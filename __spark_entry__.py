@@ -2100,7 +2100,21 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     aug = emb.unionByName(exact).unionByName(near)
-    return cosine_dup_pairs(aug, threshold=0.99)
+    pairs = cosine_dup_pairs(aug, threshold=0.99)
+    # EVAL-SET DECONTAMINATION at the embedding level (SemDeDup-style):
+    # each near-dup pair carries both members' deterministic 3-way split
+    # (20/20/60 here so cross-split pairs actually occur at test scale) and
+    # the LEAK flag — a train↔held-out near-duplicate is exactly the
+    # contamination an embedding-level decontam pass must surface.
+    from nyxus_spark.functions import holdout_split
+
+    sa = holdout_split(F.col("id_a"), 0.2, 0.2).cast("long")
+    sb = holdout_split(F.col("id_b"), 0.2, 0.2).cast("long")
+    return pairs.select(
+        "id_a", "id_b", "cos",
+        sa.alias("split_a"), sb.alias("split_b"),
+        (sa != sb).cast("long").alias("xsplit_leak"),
+    )
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -612,6 +612,13 @@ sigs AS (
 ),
 keyed AS (SELECT vec_id, embedding, {sig} AS sig FROM sigs)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_a,
+       CAST(CASE WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_b,
+       CAST((CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2
+                  WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END)
+            <> (CASE WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2
+                     WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END)
+            AS BIGINT) AS xsplit_leak,
        FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
               * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
