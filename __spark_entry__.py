@@ -3036,11 +3036,24 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = duplicate_spans(toks, L=8).select(
         nid.alias("doc_id"), "ds_hits", "ds_spans", "ds_cover", "ds_first",
     )
+    # DSIR importance weights (Xie et al. 2023): target domain = docs with
+    # id % 5 == 0; hashed-bigram bucket ratios are single exact-BIGINT
+    # divisions, the per-doc weight a position-order multiply fold the SQL
+    # replays via list_reduce — scoring itself is a pure map stage over a
+    # broadcast 1024-double dense ratio array (zero shuffle at 100 TB)
+    from nyxus_spark.functions import dsir_weights
+
+    _, dsir = dsir_weights(
+        toks.select(nid.alias("doc_id"), "tokens", "n_tok"),
+        (F.col("doc_id") % 5 == 0),
+    )
+    dsw = dsir.select("doc_id", "dsir_pairs", "dsir_w4", "dsir_keep")
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     out = out.join(pb, "doc_id").join(big, "doc_id", "left")
     out = out.join(ds, "doc_id", "left").join(bfa, "doc_id")
+    out = out.join(dsw, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -3075,6 +3088,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_cand",
         (F.col("bloom_cand") - F.col("contam_hits")).cast("long")
         .alias("bloom_fp"),
+        "dsir_pairs", "dsir_w4", "dsir_keep",
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -4656,6 +4670,28 @@ tfi AS (  -- log-free TF-IDF argmax: score = tf·N/df, ties -> lowest token
                                        DESC, t.tok ASC) AS rn
     FROM tfc t JOIN dfc d USING (tok), ndoc n
   ) WHERE rn = 1
+),
+dsx AS (  -- DSIR: hashed-bigram bucket per position (i kept for the fold order)
+  SELECT doc_id, i,
+         ((CAST(tokens[i] AS BIGINT) * 506952114
+           + CAST(tokens[i+1] AS BIGINT) * 40503) % 2147483647) % 1024 AS bkt
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok)) AS i
+        FROM toks WHERE n_tok >= 2)
+),
+dsct AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+                CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ct
+         FROM dsx GROUP BY bkt),
+dsn AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+               CAST(SUM(ct) AS BIGINT) AS nt FROM dsct),
+dsrt AS (  -- smoothed ratio: ONE IEEE division of two exact BIGINTs
+  SELECT bkt, CAST((ct + 1) * (nr + 1024) AS DOUBLE)
+            / CAST((cr + 1) * (nt + 1024) AS DOUBLE) AS rr
+  FROM dsct CROSS JOIN dsn),
+dsiw AS (  -- per-doc weight: position-order multiply fold, replayed exactly
+  SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS npairs,
+         list_reduce(list(r.rr ORDER BY x.i), (a, v) -> a * v) AS w
+  FROM dsx x JOIN dsrt r USING (bkt) GROUP BY x.doc_id
 )
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
@@ -4694,6 +4730,9 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(bf.bloom_cand, 0) AS bloom_cand,
        CAST(COALESCE(bf.bloom_cand, 0) - COALESCE(c.contam_hits, 0)
             AS BIGINT) AS bloom_fp,
+       COALESCE(dw.npairs, 0) AS dsir_pairs,
+       FLOOR(COALESCE(dw.w, 1.0) * 10000.0 + 0.5) / 10000.0 AS dsir_w4,
+       CAST(COALESCE(dw.w, 1.0) > 1.0 AS BIGINT) AS dsir_keep,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -4719,6 +4758,7 @@ JOIN bl b USING (doc_id)
 LEFT JOIN bga bg USING (doc_id)
 LEFT JOIN dsdoc dsd USING (doc_id)
 LEFT JOIN bfcand bf USING (doc_id)
+LEFT JOIN dsiw dw USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

@@ -1833,3 +1833,89 @@ def bpe_train(df, n_merges: int, new_id_start: int,
         # round's plan otherwise nests the previous round's fold
         out = out.localCheckpoint(eager=False)
     return merges, out
+
+
+def dsir_weights(df, target_flag, tokens_col: str = "tokens",
+                 n_tok_col: str = "n_tok", id_col: str = "doc_id",
+                 buckets: int = HB_BUCKETS):
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data Selection
+    via Importance Resampling), log-free so the gate is exact: the raw and
+    target corpora are modeled as hashed-bigram bag-of-features
+    distributions, and each document's importance weight is
+
+        w(doc) = Π_positions  p_target(bucket_i) / p_raw(bucket_i)
+
+    with add-1 smoothing. Every per-bucket ratio is ONE IEEE division of
+    two exact BIGINTs,
+
+        r(b) = ((c_t(b)+1)·(N_r+B)) / ((c_r(b)+1)·(N_t+B)),
+
+    (c = bucket count, N = total positions, B = bucket count 1024), exact
+    while (max c+1)·(N+B) < 2^53 — ~10^8 corpus positions with a 10^7-hot
+    bucket; beyond that pre-scale counts or go log-domain (and lose the
+    cross-engine gate). The per-doc product folds the ratios SEQUENTIALLY
+    in position order (seed 1.0; 1.0·r1 == r1 exactly), which DuckDB
+    replays multiply-for-multiply with list_reduce(list(r ORDER BY i)).
+    A doc with heavy target-side features scores > 1; DSIR keeps a
+    weight-proportional resample — here the deterministic analog
+    dsir_keep = [w > 1] rides along (both engines compare bit-identical
+    doubles). Very long non-target docs can underflow to 0.0 — IEEE
+    underflow is deterministic and identical cross-engine.
+
+    Plan shape at 100 TB: one explode + two map-side-combinable hash aggs
+    build the 1024-row ratio table; the table collapses to a DENSE
+    1024-double array broadcast to every task; scoring is then a PURE MAP
+    stage (in-row fold, zero shuffle, zero Python).
+
+    `target_flag` is a boolean Column marking target-domain rows.
+    Returns (ratios_row, scored): `ratios_row` the one-row DataFrame
+    carrying the dense ratio array (inspectable), `scored` = df with
+    dsir_pairs / dsir_w (raw double) / dsir_w4 / dsir_keep appended.
+    """
+    t, n = tokens_col, n_tok_col
+    b = int(buckets)
+    bucket_list = (
+        f"CASE WHEN {n} >= 2 THEN zip_with(slice({t}, 1, {n} - 1),"
+        f" slice({t}, 2, {n} - 1),"
+        f" (a, c) -> pmod(cast(a as bigint) * {HB_K1}"
+        f" + cast(c as bigint) * {HB_K2}, {HB_P31}) % {b})"
+        f" ELSE cast(array() as array<bigint>) END"
+    )
+    ex = df.select(
+        F.col(id_col), target_flag.alias("_is_t"),
+        F.explode(F.expr(bucket_list)).alias("b"),
+    )
+    cnt = ex.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("_is_t").cast("bigint")).alias("ct"),
+    )
+    # one-row totals + dense ratio array: absent buckets (no raw
+    # occurrence anywhere) are never looked up — their slot still gets the
+    # smoothed (0, 0) ratio for cleanliness
+    ratios_row = cnt.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt"),
+        F.map_from_arrays(
+            F.collect_list(F.col("b").cast("int")),
+            F.collect_list(F.struct("cr", "ct")),
+        ).alias("m"),
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {b} - 1), i ->"
+            " CAST((coalesce(element_at(m, cast(i as int)).ct, 0L) + 1L)"
+            f" * (nr + {b}) AS DOUBLE)"
+            " / CAST((coalesce(element_at(m, cast(i as int)).cr, 0L) + 1L)"
+            f" * (nt + {b}) AS DOUBLE))"
+        ).alias("dsir_arr"),
+    )
+    w = F.expr(
+        f"aggregate({bucket_list}, CAST(1.0 AS DOUBLE),"
+        " (acc, x) -> acc * element_at(dsir_arr, cast(x as int) + 1))"
+    )
+    scored = df.crossJoin(F.broadcast(ratios_row)).select(
+        *df.columns,
+        F.expr(f"CAST(greatest({n} - 1, 0) AS BIGINT)").alias("dsir_pairs"),
+        w.alias("dsir_w"),
+        fround4(w).alias("dsir_w4"),
+        (w > F.lit(1.0)).cast("long").alias("dsir_keep"),
+    )
+    return ratios_row, scored
