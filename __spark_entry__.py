@@ -1591,7 +1591,11 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp_keep = stratified_keep(t_rates, "source", F.col("doc_id"))
     # deterministic 3-way holdout (train/val/test disjoint by one hash,
     # independent MINSTD mixer — ids never migrate between splits)
-    from nyxus_spark.functions import holdout_split
+    # deterministic k-FOLD assignment (cross-validation partition: every
+    # doc evals exactly once; independent mixer keeps folds uncorrelated
+    # with the sampling/holdout/quota hashes) — per-row fold id plus the
+    # FULL-corpus fold-balance audit (exact per-fold row counts)
+    from nyxus_spark.functions import cv_fold, holdout_split
 
     out = deterministic_sample(docs, 0.2, F.col("doc_id")).select(
         "doc_id", "source", "n_chars",
@@ -1600,6 +1604,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_shuffle_key(F.col("doc_id"), 0).alias("shuf_e0"),
         epoch_shuffle_key(F.col("doc_id"), 1).alias("shuf_e1"),
         holdout_split(F.col("doc_id"), 0.05, 0.05).alias("holdout"),
+        cv_fold(F.col("doc_id"), 5).alias("cv_fold"),
     )
     # rank within source (partitioned window — the scale-safe shape; a
     # global training order would come from repartitionByRange on the key)
@@ -1688,6 +1693,11 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     psamp = priority_sample(docs, k=10, weight_col="n_chars").select(
         "doc_id", "pri4", "pri_rank", "pri_keep", "pri_ht4")
+    fold_sizes = docs.select(
+        cv_fold(F.col("doc_id"), 5).alias("cv_fold")
+    ).groupBy("cv_fold").agg(
+        F.count("*").cast("long").alias("cv_fold_rows")
+    )
     return (
         out.join(plan, "source")
         .join(hll, "source")
@@ -1695,6 +1705,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hllm, "source")
         .join(quota, "doc_id")
         .join(psamp, "doc_id")
+        .join(fold_sizes, "cv_fold")
     )
 
 
@@ -4105,7 +4116,11 @@ base AS (
               % 2147483647 AS BIGINT) AS shuf_e0,
          CAST((((((((doc_id + 506952122) % 2147483647) + 2147483647) % 2147483647)
                  * 506952114) % 2147483647) + 2147483647) % 2147483647
-              AS BIGINT) AS shuf_e1
+              AS BIGINT) AS shuf_e1,
+         -- k-fold CV assignment: ((id·1181783497 mod P31) mod 5), mixer
+         -- independent of every other decision hash on the same ids
+         CAST(((((doc_id % 2147483647) * 1181783497) % 2147483647)
+               + 2147483647) % 2147483647 % 5 AS BIGINT) AS cv_fold
   FROM documents JOIN scut sc USING (source)
   WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
         % 2147483647 < {int(2147483647 * 0.2)}
@@ -4154,9 +4169,15 @@ rbk AS (  -- bound_k = smallest value with ccum >= ceil(k*N/8)
 psamp AS (  -- priority sampling: pri = (w·P31)/(h+1), ONE IEEE division;
             -- τ = the (k+1)-th priority, ŵ = max(w, τ) on kept rows
 {oracles.sql_priority_sample('n_chars', 10)}
+),
+fsize AS (  -- FULL-corpus fold balance: exact per-fold row counts
+  SELECT CAST(((((doc_id % 2147483647) * 1181783497) % 2147483647)
+              + 2147483647) % 2147483647 % 5 AS BIGINT) AS cv_fold,
+         CAST(COUNT(*) AS BIGINT) AS cv_fold_rows
+  FROM documents GROUP BY 1
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
-       holdout,
+       holdout, base.cv_fold, fs.cv_fold_rows,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
        -- stride-scheduling interleave: rank · (L / w_s), L = lcm(4,2,1)
@@ -4184,6 +4205,7 @@ FROM base JOIN bplan bp USING (source)
      JOIN htrue ht ON ht.source = base.source
      JOIN quota q USING (doc_id)
      JOIN psamp ps USING (doc_id)
+     JOIN fsize fs ON fs.cv_fold = base.cv_fold
 )
 """,
         # int8 quantization: same element-wise IEEE expression tree

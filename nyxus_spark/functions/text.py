@@ -1622,6 +1622,25 @@ def holdout_split(id_expr, val_rate: float = 0.01, test_rate: float = 0.01,
     ).cast("long")
 
 
+def cv_fold(id_expr, k: int, mix: int = 1181783497, p31: int = 2147483647):
+    """Deterministic k-fold cross-validation assignment: fold(id) =
+    ((id mod P31)·MIX mod P31) mod k — the complement of `holdout_split`
+    when EVERY doc must serve as eval exactly once (k disjoint folds
+    covering the corpus; train_f = corpus ∖ fold_f). Same re-derivability
+    property: any engine, any corpus refresh, a doc's fold never moves.
+    The default mixer (2654435761 mod P31) is LARGE (id·mix wraps P31 from
+    id ≈ 4), so the low-id bias of small multipliers (see `holdout_split`)
+    cannot occur (and mod-k assignment has no range-cut to starve anyway);
+    the default mixer is independent of the sampling (2654435761), holdout
+    (1566083941), quota (1103515245), and shuffle hashes so the fold
+    partition is uncorrelated with every other decision drawn on the same
+    ids. k must be ≥ 2 (k=1 is no split)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.pmod((id_expr.cast("bigint") % p31) * F.lit(mix % p31), F.lit(p31))
+    return (h % k).cast("long")
+
+
 def gram_poly_hash(n: int, base: int, tokens_col: str = "tokens",
                    n_tok_col: str = "n_tok", p31: int = 2147483647):
     """Array of ENGINE-REPRODUCIBLE polynomial hashes of the document's

@@ -416,6 +416,28 @@ def test_holdout_split_deterministic_and_disjoint(spark):
         holdout_split(F.col("doc_id"), 0.6, 0.5)
 
 
+def test_cv_fold_covers_and_balances(spark):
+    from nyxus_spark.functions import cv_fold
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    got = {r.doc_id: r.f for r in df.select(
+        "doc_id", cv_fold(F.col("doc_id"), 5).alias("f")).collect()}
+    # re-derivable in plain python: same mixer, same mod-k assignment
+    P31 = 2147483647
+    for i, f in got.items():
+        assert f == (((i % P31) * 1181783497) % P31) % 5
+    # every doc lands in exactly one fold; folds are hash-balanced
+    assert set(got.values()) <= set(range(5))
+    n = len(got)
+    for k in range(5):
+        share = sum(1 for f in got.values() if f == k) / n
+        assert abs(share - 0.2) < 0.05
+    # mod-k has no range cut: small ids spread across folds (the
+    # small-multiplier starvation mode of rate-cut hashes cannot occur)
+    assert len({got[i] for i in range(10)}) >= 3
+    with pytest.raises(ValueError):
+        cv_fold(F.col("doc_id"), 1)
+
+
 def test_bloom_fpr_audit_superset_of_exact(spark):
     from nyxus_spark.functions import bloom_fpr_audit, contamination
     rows = [(f"d{i}", [(i * 13 + j) % 97 for j in range(20)]) for i in range(30)]
