@@ -2121,10 +2121,44 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sa = holdout_split(F.col("id_a"), 0.2, 0.2).cast("long")
     sb = holdout_split(F.col("id_b"), 0.2, 0.2).cast("long")
-    return pairs.select(
+    flagged = pairs.select(
         "id_a", "id_b", "cos",
         sa.alias("split_a"), sb.alias("split_b"),
         (sa != sb).cast("long").alias("xsplit_leak"),
+    )
+    # SemDeDup (cluster-then-dedup-within-cluster, Abbas et al. 2023) over
+    # the SAME augmented corpus: integer-quantize, k-means-assign to the
+    # first-8-vector seeds (exact int64 L2 argmin), exact-integer cosine
+    # within clusters, keep-lowest-id drop policy. Each LSH pair row carries
+    # both members' cluster + drop flag and the dropped member's max cosine
+    # to a lower-id cluster-mate — the two blocking strategies (SRP bands vs
+    # k-means cells) cross-check each other on the injected duplicates.
+    from nyxus_spark.operators.dedup import semdedup
+    from nyxus_spark.operators.similarity import quantize_embedding
+
+    q = aug.select("vec_id", quantize_embedding("embedding").alias("qv"))
+    seeds = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qvec")
+    )
+    sd = semdedup(q, seeds, threshold=0.98, vec_col="qv")
+    return (
+        flagged.join(
+            sd.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("sd_cluster").cast("long").alias("sd_cluster_a"),
+                F.col("sd_drop").alias("sd_drop_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sd.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("sd_cluster").cast("long").alias("sd_cluster_b"),
+                F.col("sd_drop").alias("sd_drop_b"),
+                F.col("sd_max_cos4").alias("sd_maxcos_b4"),
+            ),
+            "id_b",
+        )
     )
 
 

@@ -773,6 +773,80 @@ def cosine_dup_pairs(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_qvec",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding corpus, then search
+    for near-duplicates ONLY within each cluster — the published trick that
+    turns an O(N²) semantic-dedup pass into Σ|cluster|², with k chosen so
+    clusters stay bounded as the corpus grows. Drop policy matches the
+    paper's keep-one-per-group: a row is dropped when a LOWER-id member of
+    its cluster is within ε (cosine ≥ threshold, compared UNROUNDED).
+
+    Engine-exact arithmetic over INTEGER-quantized vectors (`qvec` from
+    `quantize_embedding`): cluster assignment is the exact int64 L2 argmin
+    (`assign_nearest`), and each pair cosine is the fixed IEEE chain
+    dot / (sqrt(n_a)·sqrt(n_b)) on exact integer dot products and norms —
+    bit-identical in any engine. Zero vectors never pair (n2 > 0 guard).
+
+    Returns one row per input id: (id, sd_cluster, sd_drop,
+    sd_max_cos4) where sd_max_cos4 is the 4-decimal max cosine to a
+    lower-id cluster-mate (−2.0 when none qualifies).
+
+    Scale shape: one broadcast argmin + ONE shuffle on the cluster id for
+    the self-join; candidate volume is Σ|cluster|² by construction, the
+    algorithm's own contract (k grows with the corpus)."""
+    from nyxus_spark.operators.similarity import assign_nearest
+
+    n2 = F.expr(
+        f"aggregate(transform({vec_col},"
+        " x -> cast(x as bigint) * cast(x as bigint)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    m = assign_nearest(df, centroids, id_col, vec_col, cent_id, cent_vec).select(
+        F.col(id_col), F.col(vec_col), F.col("assigned_cent"), n2.alias("__n2")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dot = F.expr(
+        f"aggregate(zip_with(a.{vec_col}, b.{vec_col},"
+        " (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.assigned_cent") == F.col("b.assigned_cent"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter((F.col("a.__n2") > 0) & (F.col("b.__n2") > 0))
+        .select(
+            F.col(f"b.{id_col}").alias("__hi"),
+            (
+                dot.cast("double")
+                / (F.sqrt(F.col("a.__n2")) * F.sqrt(F.col("b.__n2")))
+            ).alias("__cos"),
+        )
+    )
+    dropped = (
+        pairs.filter(F.col("__cos") >= threshold)
+        .groupBy(F.col("__hi").alias(id_col))
+        .agg(F.max("__cos").alias("__maxcos"))
+    )
+    return m.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("assigned_cent").alias("sd_cluster"),
+        F.col("__maxcos").isNotNull().cast("long").alias("sd_drop"),
+        F.coalesce(fround4(F.col("__maxcos")), F.lit(-2.0)).alias("sd_max_cos4"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -337,6 +337,45 @@ def recall_at_k(
     )
 
 
+def assign_nearest(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_qvec",
+) -> DataFrame:
+    """Exact nearest-centroid assignment over INTEGER-quantized vectors:
+    broadcast the (small, by IVF construction) centroid table, per-row
+    argmin of the exact int64 squared L2 distance (|q| ≤ 127 ⇒
+    Σ(x−y)² ≤ dims·254², no rounding anywhere), ties to the lowest
+    centroid id. Returns (id, vec, assigned_cent). The shared first step
+    of Lloyd iteration (`kmeans_step`) and SemDeDup cluster blocking.
+
+    Plan shape: the centroid table is folded into ONE array-of-structs row
+    and broadcast, so the argmin is array_min(transform(...)) — a pure
+    column expression whose struct ordering (d ASC, cid ASC) IS the
+    tie-break. ZERO exchange and zero row expansion: the naive alternative
+    (crossJoin ×C + a row_number window partitioned by the id) shuffles
+    corpus·C rows through an id-hash exchange that this shape never pays.
+    An EMPTY centroid table yields NULL assignments (not zero rows)."""
+    cents1 = centroids.agg(
+        F.collect_list(
+            F.struct(F.col(cent_id).alias("cid"), F.col(cent_vec).alias("cv"))
+        ).alias("__cents")
+    )
+    best = F.expr(
+        f"array_min(transform(__cents, c -> struct("
+        f"aggregate(zip_with({vec_col}, c.cv,"
+        f" (x, y) -> cast(x - y as bigint) * (x - y)),"
+        f" 0L, (a, v) -> a + v) as d,"
+        f" c.cid as cid)))"
+    )
+    return df.crossJoin(F.broadcast(cents1)).select(
+        id_col, vec_col, best.getField("cid").alias("assigned_cent")
+    )
+
+
 def kmeans_step(
     df: DataFrame,
     centroids: DataFrame,
@@ -357,21 +396,7 @@ def kmeans_step(
     window on the id (one exchange), then posexplode + partial/final hash
     agg — the shuffle after the explode carries only C·dims rows per map
     task, so the update scales like any Catalyst aggregation."""
-    from pyspark.sql import Window
-
-    d2 = F.expr(
-        f"aggregate(zip_with({vec_col}, {cent_vec},"
-        f" (x, y) -> cast(x - y as bigint) * (x - y)),"
-        f" 0L, (a, v) -> a + v)"
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col(cent_id).asc())
-    assigned = (
-        df.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, F.col(cent_id), d2.alias("__d"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col(cent_id).alias("assigned_cent"))
-    )
+    assigned = assign_nearest(df, centroids, id_col, vec_col, cent_id, cent_vec)
     ex = assigned.select("assigned_cent", F.posexplode(vec_col).alias("dim", "__v"))
     return (
         ex.groupBy("assigned_cent", "dim")

@@ -610,8 +610,59 @@ sigs AS (
              x -> CAST(FLOOR(CAST(x AS DOUBLE) * {quant}.0 + 0.5) AS BIGINT)) AS q
   FROM aug
 ),
-keyed AS (SELECT vec_id, embedding, {sig} AS sig FROM sigs)
+keyed AS (SELECT vec_id, embedding, {sig} AS sig FROM sigs),
+sdq AS (  -- SemDeDup replay: integer-quantize (levels=127, max-abs scale)
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(FLOOR(127.0 * CAST(x AS DOUBLE)
+                        / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                        + 0.5) AS BIGINT)) END AS qv
+  FROM aug
+),
+sdn AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM sdq
+),
+sdc AS (SELECT vec_id AS cid, qv AS cv FROM sdq WHERE vec_id < 8),
+sdd AS (  -- exact int64 L2 to every seed centroid
+  SELECT v.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+              i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM sdq v, sdc c
+),
+sda AS (  -- argmin assignment, ties to the lowest centroid id
+  SELECT vec_id, cid AS sd_cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM sdd) WHERE rn = 1
+),
+sdpair AS (  -- within-cluster pairs: cos = dot/(sqrt(na)*sqrt(nb)), exact
+             -- integer dot/norms, the same fixed IEEE chain as the kernel
+  SELECT pb.vec_id AS hi,
+         CAST(list_sum(list_transform(range(1, len(na.qv) + 1),
+              i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+  FROM sda pa JOIN sda pb ON pa.sd_cluster = pb.sd_cluster AND pa.vec_id < pb.vec_id
+  JOIN sdn na ON na.vec_id = pa.vec_id
+  JOIN sdn nb ON nb.vec_id = pb.vec_id
+  WHERE na.n2 > 0 AND nb.n2 > 0
+),
+sddrop AS (  -- keep-lowest-id drop policy, threshold on the UNROUNDED cos
+  SELECT hi AS vec_id, MAX(c) AS mc FROM sdpair WHERE c >= 0.98 GROUP BY 1
+),
+sd AS (
+  SELECT a.vec_id, CAST(a.sd_cluster AS BIGINT) AS sd_cluster,
+         CAST(d.mc IS NOT NULL AS BIGINT) AS sd_drop,
+         COALESCE(FLOOR(d.mc * 10000.0 + 0.5) / 10000.0, -2.0) AS sd_max_cos4
+  FROM sda a LEFT JOIN sddrop d USING (vec_id)
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       sa.sd_cluster AS sd_cluster_a, sa.sd_drop AS sd_drop_a,
+       sb.sd_cluster AS sd_cluster_b, sb.sd_drop AS sd_drop_b,
+       sb.sd_max_cos4 AS sd_maxcos_b4,
        CAST(CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_a,
        CAST(CASE WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_b,
        CAST((CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2
@@ -624,6 +675,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
              * 10000.0 + 0.5) / 10000.0 AS cos
 FROM keyed a JOIN keyed b ON a.sig = b.sig AND a.vec_id < b.vec_id
+JOIN sd sa ON sa.vec_id = a.vec_id
+JOIN sd sb ON sb.vec_id = b.vec_id
 WHERE FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))

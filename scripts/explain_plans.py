@@ -185,6 +185,20 @@ def main() -> None:
         ivf_topk_batch(emb, cents, qdf, k=5)
     )
 
+    # SemDeDup: broadcast centroid argmin, then ONE exchange on the cluster
+    # id for the within-cluster self-join — candidate volume is
+    # sum(|cluster|^2) by the algorithm's construction, never |corpus|^2
+    from nyxus_spark.operators.dedup import semdedup
+    from nyxus_spark.operators.similarity import quantize_embedding
+
+    qemb = emb.select("vec_id", quantize_embedding("embedding").alias("qv"))
+    qseeds = qemb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qvec")
+    )
+    sections["SemDeDup (broadcast argmin + one cluster-id exchange)"] = plan_of(
+        semdedup(qemb, qseeds, vec_col="qv")
+    )
+
     # relational path: broadcast dim join + partial/final hash agg
     o = spark.read.parquet(f"{sf}/orders.parquet")
     c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_mktsegment")

@@ -93,3 +93,80 @@ def test_dsir_ratio_array_shape(spark, dsir_fixture):
     arr = ratios_row.collect()[0].dsir_arr
     assert len(arr) == 1024
     assert all(math.isfinite(v) and v > 0 for v in arr)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedup-within-cluster)
+# ---------------------------------------------------------------------------
+
+def _sd_df(spark):
+    # two well-separated clusters on axes e0 and e1; one exact dup (id 10)
+    # and one near dup (id 11) of id 0; id 20 is an exact dup of id 1 —
+    # but ids 0/10/11 and 1/20 live in DIFFERENT clusters
+    rows = [
+        (0, [100, 1, 0, 0]),
+        (10, [100, 1, 0, 0]),          # exact dup of 0
+        (11, [100, 2, 0, 0]),          # near dup of 0
+        (1, [1, 100, 0, 0]),
+        (20, [1, 100, 0, 0]),          # exact dup of 1
+        (2, [0, 90, 40, 0]),           # cluster-1 member, not a dup
+        (30, [0, 0, 0, 0]),            # zero vector: never pairs
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "qv"])
+
+
+def test_semdedup_keeps_lowest_id_within_cluster(spark):
+    from nyxus_spark.operators.dedup import semdedup
+
+    df = _sd_df(spark)
+    seeds = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qvec"))
+    out = {r.vec_id: r for r in
+           semdedup(df, seeds, threshold=0.98, vec_col="qv").collect()}
+    assert len(out) == 7
+    # exact dups drop against their lower-id original; originals survive
+    assert out[0].sd_drop == 0 and out[10].sd_drop == 1 and out[20].sd_drop == 1
+    assert out[10].sd_max_cos4 == 1.0 and out[20].sd_max_cos4 == 1.0
+    # near dup (cos ~0.99995) drops too
+    assert out[11].sd_drop == 1 and out[11].sd_max_cos4 >= 0.9999
+    # non-dup cluster member survives with the sentinel max-cos
+    assert out[2].sd_drop == 0 and out[2].sd_max_cos4 == -2.0
+    # zero vector never pairs (n2 > 0 guard), never drops
+    assert out[30].sd_drop == 0
+    # cluster blocking: members of cluster 0 vs cluster 1 never compared
+    assert out[0].sd_cluster == 0 and out[1].sd_cluster == 1
+    assert out[10].sd_cluster == 0 and out[20].sd_cluster == 1
+
+
+def test_semdedup_cluster_boundary_bounds_recall(spark):
+    """The published algorithm's documented recall limit: a near-identical
+    pair SPLIT across clusters is not found — pin it so the blocking
+    contract stays explicit."""
+    from nyxus_spark.operators.dedup import semdedup
+
+    # v and w are near-identical but each sits nearer a different seed
+    rows = [
+        (0, [100, 0, 50, 0]),
+        (1, [0, 100, 0, 50]),
+        (5, [60, 55, 30, 27]),   # nearer seed 0
+        (6, [55, 60, 27, 30]),   # nearer seed 1; cos(5,6) ~ 0.99
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "qv"])
+    seeds = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qvec"))
+    out = {r.vec_id: r for r in
+           semdedup(df, seeds, threshold=0.95, vec_col="qv").collect()}
+    assert out[5].sd_cluster != out[6].sd_cluster
+    assert out[6].sd_drop == 0  # missed by design: different cells
+
+
+def test_assign_nearest_ties_to_lowest_centroid(spark):
+    from nyxus_spark.operators.similarity import assign_nearest
+
+    df = spark.createDataFrame([(7, [5, 5])], ["vec_id", "qv"])
+    cents = spark.createDataFrame(
+        [(3, [5, 6]), (1, [6, 5]), (2, [4, 4])],
+        ["cent_id", "cent_qvec"])
+    # distances: to 3 → 1, to 1 → 1, to 2 → 2 ⇒ tie between 3 and 1 → 1
+    got = assign_nearest(df, cents, vec_col="qv").collect()
+    assert got[0].assigned_cent == 1
