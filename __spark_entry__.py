@@ -1552,6 +1552,18 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov4",
             _r4(F.col("cum_mass") / F.sum("cnt_remap").over(wall)),
         )
+        # ZIPF audit: rank·frequency is ~constant under Zipf's law — the
+        # product is an exact BIGINT per row, and its ratio to the rank-1
+        # mass (ONE division) is the normalized curve a tokenizer/corpus
+        # monitor tracks for distribution shift
+        .withColumn("zipf_fr", (F.col("cnt_remap") * F.col("vrank")).cast("long"))
+        .withColumn(
+            "zipf_ratio4",
+            _r4(
+                F.col("zipf_fr").cast("double")
+                / F.max("cnt_remap").over(wall).cast("double")
+            ),
+        )
     )
 
 
@@ -1642,6 +1654,26 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("rp8_rows")
     )
     out = out.join(rp_sizes, "rp8")
+    # SHUFFLE-MIXING audit: how well the epoch-0 shuffle interleaves
+    # sources WITHIN each range partition (= one output file's local read
+    # order). mix_prev_same flags a same-source adjacency; rp8_same_adj is
+    # the partition's adjacency count — a well-mixed shuffle drives it
+    # toward sum(p_s²)·n. Partitioned by rp8, so the window never sees more
+    # than one partition's rows (at scale the bound count grows with the
+    # corpus and each range stays file-sized).
+    wm = Window.partitionBy("rp8").orderBy(
+        F.col("shuf_e0").asc(), F.col("doc_id").asc()
+    )
+    out = out.withColumn(
+        "mix_prev_same",
+        F.coalesce(
+            (F.col("source") == F.lag("source").over(wm)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+    ).withColumn(
+        "rp8_same_adj",
+        F.sum("mix_prev_same").over(Window.partitionBy("rp8")).cast("long"),
+    )
     # DATA-BUDGET PLANNER (the LLaMA-style mixture table): per-source epoch
     # allocation under a half-corpus char budget with a 4-epoch repeat cap,
     # derived from the FULL corpus, joined onto every sampled row
@@ -1722,12 +1754,28 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantize_embedding("embedding").alias("q"))
+    # Matryoshka-style truncation audit: how much of each vector's energy
+    # the first 32 of 64 dims retain — exact integer norms, ONE division
+    n2 = F.expr(
+        "aggregate(transform(q, x -> cast(x as bigint) * cast(x as bigint)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    head_n2 = F.expr(
+        "aggregate(transform(slice(q, 1, 32),"
+        " x -> cast(x as bigint) * cast(x as bigint)),"
+        " 0L, (a, v) -> a + v)"
+    )
     per_vec = q.select(
         "vec_id",
         F.size("q").cast("long").alias("n_dims"),
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.array_min("q").cast("long").alias("q_min"),
         F.array_max("q").cast("long").alias("q_max"),
+        n2.alias("q_n2"),
+        head_n2.alias("q_head_n2"),
+        F.when(
+            n2 > 0, _r4(head_n2.cast("double") / n2.cast("double"))
+        ).otherwise(F.lit(-1.0)).alias("q_head_frac4"),
     )
     # one exact Lloyd iteration (IVF coarse-quantizer training) over the
     # quantized corpus, seeded by the first 8 vectors; the per-(cluster, dim)
@@ -1760,6 +1808,11 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("vec_id", F.col("cent_id").cast("long").alias("assigned_cent"), F.col("__d").alias("d2"))
     )
+    # per-cluster INERTIA (within-cluster SSE) — the k-means quality/elbow
+    # metric, an exact BIGINT sum of the exact int64 distances
+    inertia = avec.groupBy("assigned_cent").agg(
+        F.sum("d2").cast("long").alias("cl_inertia")
+    )
     # PRODUCT-QUANTIZATION encode (the beyond-IVF memory-scale ANN path):
     # 4 subspaces × 16 dims, codebooks = the 8 seed vectors' subvectors,
     # exact int64 argmin per subspace — every code and the total distortion
@@ -1782,10 +1835,12 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_vec.join(avec, "vec_id")
         .join(cluster_rollup, "assigned_cent")
+        .join(inertia, "assigned_cent")
         .join(pq, "vec_id")
         .select(
             "vec_id", "n_dims", "q_sum", "q_min", "q_max",
-            "assigned_cent", "d2", "cl_n", "cl_sum", "cl_moment",
+            "q_n2", "q_head_n2", "q_head_frac4",
+            "assigned_cent", "d2", "cl_n", "cl_sum", "cl_moment", "cl_inertia",
             "pq_code_0", "pq_code_1", "pq_code_2", "pq_code_3", "pq_d2",
         )
     )
@@ -4103,7 +4158,13 @@ SELECT f.*, q.cms_est,
                                        ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS DOUBLE)
              / CAST(SUM(cnt_remap) OVER () AS DOUBLE)
-             * 10000.0 + 0.5) / 10000.0 AS cov4
+             * 10000.0 + 0.5) / 10000.0 AS cov4,
+       CAST(cnt_remap * row_number() OVER (ORDER BY cnt_remap DESC, token ASC)
+            AS BIGINT) AS zipf_fr,
+       FLOOR((CAST(cnt_remap * row_number() OVER (ORDER BY cnt_remap DESC,
+                                                  token ASC) AS DOUBLE)
+              / CAST(MAX(cnt_remap) OVER () AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS zipf_ratio4
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
@@ -4116,7 +4177,15 @@ CROSS JOIN growth g
         # + stratified keep flag: the SAME hash against a per-source CASE
         # cut (src0→1.0, src1→0.5, src2→0.25, default 0.1)
         "sample_hash": f"""
-SELECT *, CAST(COUNT(*) OVER (PARTITION BY rp8) AS BIGINT) AS rp8_rows
+SELECT *, CAST(SUM(mix_prev_same) OVER (PARTITION BY rp8) AS BIGINT) AS rp8_same_adj
+FROM (
+SELECT *, CAST(COUNT(*) OVER (PARTITION BY rp8) AS BIGINT) AS rp8_rows,
+       -- shuffle-mixing audit: same-source adjacency in the within-range
+       -- (shuf_e0, doc_id) read order (DuckDB forbids nested windows —
+       -- the SUM per range lives one layer up)
+       CAST(COALESCE(CAST(source = lag(source) OVER (
+              PARTITION BY rp8 ORDER BY shuf_e0 ASC, doc_id ASC) AS BIGINT),
+            0) AS BIGINT) AS mix_prev_same
 FROM (
 WITH scnt AS (  -- temperature rates α=0.5 re-derived from scratch:
   SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY source
@@ -4241,6 +4310,7 @@ FROM base JOIN bplan bp USING (source)
      JOIN psamp ps USING (doc_id)
      JOIN fsize fs ON fs.cv_fold = base.cv_fold
 )
+)
 """,
         # int8 quantization: same element-wise IEEE expression tree
         "embed_quantize": """
@@ -4286,6 +4356,9 @@ roll AS (
          CAST(SUM(dim * s) AS BIGINT) AS cl_moment
   FROM upd GROUP BY 1
 ),
+inert AS (  -- within-cluster SSE: exact BIGINT sum of the exact distances
+  SELECT cent_id, CAST(SUM(d) AS BIGINT) AS cl_inertia FROM assign GROUP BY 1
+),
 pjs AS (SELECT unnest(range(0, 4)) AS sub_id),
 books AS (  -- PQ codebooks: the 8 seed vectors' 16-dim subvectors
   SELECT j.sub_id, vec_id AS pcent,
@@ -4324,11 +4397,19 @@ SELECT vec_id,
        CAST(list_sum(qv) AS BIGINT) AS q_sum,
        CAST(list_min(qv) AS BIGINT) AS q_min,
        CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_n2,
+       CAST(list_sum(list_transform(qv[1:32], x -> x * x)) AS BIGINT) AS q_head_n2,
+       CASE WHEN list_sum(list_transform(qv, x -> x * x)) > 0
+            THEN FLOOR((CAST(list_sum(list_transform(qv[1:32], x -> x * x)) AS DOUBLE)
+                        / CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+                       * 10000.0 + 0.5) / 10000.0
+            ELSE -1.0 END AS q_head_frac4,
        CAST(a.cent_id AS BIGINT) AS assigned_cent,
        a.d AS d2,
-       r.cl_n, r.cl_sum, r.cl_moment,
+       r.cl_n, r.cl_sum, r.cl_moment, i.cl_inertia,
        p.pq_code_0, p.pq_code_1, p.pq_code_2, p.pq_code_3, p.pq_d2
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
+JOIN inert i ON i.cent_id = a.cent_id
 JOIN pq p USING (vec_id)
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
