@@ -626,7 +626,60 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt = matched.groupBy("doc_id", "session_id").agg(
         F.count("*").cast("long").alias("iv_n")
     )
-    return out.join(mt, ["doc_id", "session_id"])
+    # STREAMING sessionization (§2.7) value-gated on the same rows: the
+    # identical events replay as TWO time-split micro-batch files through
+    # session_window + watermark (streaming/stream.py), so a session whose
+    # events straddle the split only counts right via the cross-batch
+    # session-state merge. The complete-mode result joins back per
+    # (key, session-start) and the driver hash-gates every streamed count.
+    # Boundary note: session_window opens a NEW session at diff == gap
+    # while the batch rule (> gap) keeps it — no exact-gap pair exists at
+    # any test SF, and this inner join would shrink the row count (loud
+    # gate failure) if one appeared.
+    import os
+    import tempfile
+
+    from nyxus_spark.streaming import sessionize_stream
+    from nyxus_spark.streaming.stream import run_availablenow
+
+    evs = ev.select("doc_id", "ts", "event_id").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    split_us = evs.approxQuantile("ts_us", [0.5], 0.0)[0]
+    sdir = tempfile.mkdtemp(prefix="nyxus_sess_stream_")
+    f0 = os.path.join(sdir, "part-000.parquet")
+    f1 = os.path.join(sdir, "part-001.parquet")
+    evf = evs.select("doc_id", "ts_us", "event_id")
+    evf.filter(F.col("ts_us") <= split_us).toPandas().to_parquet(f0)
+    evf.filter(F.col("ts_us") > split_us).toPandas().to_parquet(f1)
+    os.utime(f0, (1_000_000, 1_000_000))
+    os.utime(f1, (2_000_000, 2_000_000))
+    src = (
+        spark.readStream.schema("doc_id STRING, ts_us BIGINT, event_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    run_availablenow(sessionize_stream(src, 3600.0), "sess_stream_gate")
+    sm = spark.sql(
+        "SELECT doc_id, unix_micros(session_start) AS ss_us,"
+        " CAST(n_events AS BIGINT) AS stream_n_events FROM sess_stream_gate"
+    )
+    bk = iv.select(
+        "doc_id", "session_id",
+        F.unix_micros(F.col("start").cast("timestamp")).alias("ss_us"),
+    )
+    smj = bk.join(sm, ["doc_id", "ss_us"]).select(
+        "doc_id", "session_id", "stream_n_events"
+    )
+    return (
+        out.join(mt, ["doc_id", "session_id"])
+        .join(smj, ["doc_id", "session_id"])
+        .withColumn(
+            "stream_match",
+            (F.col("stream_n_events") == F.col("session_n_events")).cast("long"),
+        )
+    )
 
 
 def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1725,6 +1778,13 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     psamp = priority_sample(docs, k=10, weight_col="n_chars").select(
         "doc_id", "pri4", "pri_rank", "pri_keep", "pri_ht4")
+    # LARGEST-REMAINDER apportionment (exactly-100 overall, proportional
+    # per-source): floors + ranked remainders over the FULL corpus;
+    # lr_keep composes it with the per-source quota rank, so exactly
+    # Σ alloc_s = 100 docs are admitted corpus-wide
+    from nyxus_spark.functions import largest_remainder_alloc
+
+    lra = largest_remainder_alloc(docs, 100)
     fold_sizes = docs.select(
         cv_fold(F.col("doc_id"), 5).alias("cv_fold")
     ).groupBy("cv_fold").agg(
@@ -1738,6 +1798,11 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quota, "doc_id")
         .join(psamp, "doc_id")
         .join(fold_sizes, "cv_fold")
+        .join(lra, "source")
+        .withColumn(
+            "lr_keep",
+            (F.col("quota_rank") <= F.col("lr_alloc")).cast("long"),
+        )
     )
 
 
@@ -4278,6 +4343,23 @@ fsize AS (  -- FULL-corpus fold balance: exact per-fold row counts
               + 2147483647) % 2147483647 % 5 AS BIGINT) AS cv_fold,
          CAST(COUNT(*) AS BIGINT) AS cv_fold_rows
   FROM documents GROUP BY 1
+),
+lrb AS (  -- largest-remainder apportionment of exactly 100 slots
+  SELECT source, CAST(cnt AS BIGINT) AS lr_n,
+         CAST((100 * cnt) // (SELECT SUM(cnt) FROM scnt) AS BIGINT) AS lr_floor,
+         CAST((100 * cnt) % (SELECT SUM(cnt) FROM scnt) AS BIGINT) AS lr_rem
+  FROM scnt
+),
+lra AS (
+  SELECT source, lr_n, lr_floor, lr_rem,
+         CAST(lr_rrank <= lr_left AS BIGINT) AS lr_bonus,
+         CAST(lr_floor + CAST(lr_rrank <= lr_left AS BIGINT) AS BIGINT) AS lr_alloc
+  FROM (
+    SELECT *,
+           CAST(row_number() OVER (ORDER BY lr_rem DESC, source ASC) AS BIGINT)
+             AS lr_rrank,
+           CAST(100 - SUM(lr_floor) OVER () AS BIGINT) AS lr_left
+    FROM lrb)
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
@@ -4300,6 +4382,8 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        h.hll_rmax AS hllm_rmax, h.hll_snum AS hllm_snum,
        h.hll_est4 AS hllm_est4,
        q.quota_rank, CAST(q.quota_rank <= 40 AS BIGINT) AS quota_keep,
+       lr.lr_n, lr.lr_floor, lr.lr_rem, lr.lr_bonus, lr.lr_alloc,
+       CAST(q.quota_rank <= lr.lr_alloc AS BIGINT) AS lr_keep,
        ps.pri4, ps.pri_rank, ps.pri_keep, ps.pri_ht4,
        CAST((SELECT COUNT(*) FROM rbk WHERE bound_val < base.shuf_e0)
             AS BIGINT) AS rp8
@@ -4309,6 +4393,7 @@ FROM base JOIN bplan bp USING (source)
      JOIN quota q USING (doc_id)
      JOIN psamp ps USING (doc_id)
      JOIN fsize fs ON fs.cv_fold = base.cv_fold
+     JOIN lra lr ON lr.source = base.source
 )
 )
 """,
@@ -5424,7 +5509,12 @@ SELECT s.doc_id, s.event_id, s.session_id,
        CAST(SUM(CAST(json_extract(s.props, '$.k') AS BIGINT))
             OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_k_sum,
        CAST(COUNT(*) OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_n_events,
-       n.iv_n
+       n.iv_n,
+       -- the streamed session count must agree with the from-scratch
+       -- batch count (the Spark side computes it via session_window
+       -- cross-batch state; any divergence breaks the value hash here)
+       CAST(COUNT(*) OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS stream_n_events,
+       CAST(1 AS BIGINT) AS stream_match
 FROM sess s JOIN ivn n USING (doc_id, session_id)
 """,
         "lag_lead_locf": """

@@ -1036,6 +1036,53 @@ def budget_allocation(df, weight_col: str, source_col: str = "source",
     )
 
 
+def largest_remainder_alloc(df, k: int, source_col: str = "source"):
+    """Largest-remainder (Hamilton) APPORTIONMENT — allocate exactly `k`
+    sample slots across sources proportional to their row counts: each
+    source gets floor(k·n_s/N) slots, and the L = k − Σfloor leftover
+    slots go to the L largest remainders (k·n_s mod N), ties to the
+    lowest source name. The standard exactly-K mixture allocator (the
+    "sample exactly 100k docs with proportional per-source shares" op);
+    Σ alloc_s = k ALWAYS, by construction.
+
+    Every quantity is exact BIGINT arithmetic (floor division + modulo +
+    an integer rank) — engine-replayable bit-for-bit.
+
+    Returns one row per source: (source, lr_n, lr_floor, lr_rem,
+    lr_bonus, lr_alloc).
+
+    Scale shape: one partial+final count aggregation; the windows below it
+    run over the |sources|-row aggregate (metadata-sized), never the
+    corpus."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count("*").cast("long").alias("lr_n"))
+    w = Window.partitionBy()
+    c = (
+        counts.withColumn("__tot", F.sum("lr_n").over(w).cast("long"))
+        .withColumn("lr_floor", F.expr(f"CAST(({int(k)} * lr_n) DIV __tot AS BIGINT)"))
+        .withColumn("lr_rem", F.expr(f"CAST(({int(k)} * lr_n) % __tot AS BIGINT)"))
+    )
+    c = c.withColumn(
+        "__left", (F.lit(int(k)) - F.sum("lr_floor").over(w)).cast("long")
+    ).withColumn(
+        "__rrank",
+        F.row_number().over(
+            Window.orderBy(F.desc("lr_rem"), F.asc(source_col))
+        ).cast("long"),
+    )
+    return c.select(
+        source_col, "lr_n", "lr_floor", "lr_rem",
+        (F.col("__rrank") <= F.col("__left")).cast("long").alias("lr_bonus"),
+        (
+            F.col("lr_floor")
+            + (F.col("__rrank") <= F.col("__left")).cast("long")
+        ).cast("long").alias("lr_alloc"),
+    )
+
+
 def span_corruption_stats(df, every: int = 20, span: int = 3,
                           tokens_col: str = "tokens", n_tok_col: str = "n_tok",
                           id_expr_sql: str = "cast(substr(doc_id, 5) as bigint)",

@@ -170,3 +170,45 @@ def test_assign_nearest_ties_to_lowest_centroid(spark):
     # distances: to 3 → 1, to 1 → 1, to 2 → 2 ⇒ tie between 3 and 1 → 1
     got = assign_nearest(df, cents, vec_col="qv").collect()
     assert got[0].assigned_cent == 1
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+def test_largest_remainder_allocates_exactly_k(spark):
+    from nyxus_spark.functions import largest_remainder_alloc
+
+    # skewed counts that do NOT divide k evenly: 7/5/3/2 of 17 rows, k=10
+    rows = [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 3 + [("d",)] * 2
+    df = spark.createDataFrame(rows, ["source"])
+    out = {r.source: r for r in largest_remainder_alloc(df, 10).collect()}
+    # floors: 70//17=4, 50//17=2, 30//17=1, 20//17=1 → 8; leftovers = 2
+    assert {s: r.lr_floor for s, r in out.items()} == {"a": 4, "b": 2, "c": 1, "d": 1}
+    # remainders: a=2, b=16, c=13, d=3 → bonuses to b and c
+    assert {s: r.lr_bonus for s, r in out.items()} == {"a": 0, "b": 1, "c": 1, "d": 0}
+    assert sum(r.lr_alloc for r in out.values()) == 10
+    # python cross-check of the whole rule
+    n = {"a": 7, "b": 5, "c": 3, "d": 2}
+    tot = sum(n.values())
+    fl = {s: 10 * v // tot for s, v in n.items()}
+    rem = {s: 10 * v % tot for s, v in n.items()}
+    left = 10 - sum(fl.values())
+    ranked = sorted(n, key=lambda s: (-rem[s], s))[:left]
+    for s in n:
+        assert out[s].lr_alloc == fl[s] + (1 if s in ranked else 0)
+    with pytest.raises(ValueError):
+        largest_remainder_alloc(df, 0)
+
+
+def test_largest_remainder_tie_breaks_on_source(spark):
+    from nyxus_spark.functions import largest_remainder_alloc
+
+    # two sources with IDENTICAL remainders competing for one slot → the
+    # lexicographically lower source wins
+    rows = [("x",)] * 3 + [("y",)] * 3 + [("z",)] * 2
+    df = spark.createDataFrame(rows, ["source"])
+    out = {r.source: r for r in largest_remainder_alloc(df, 5).collect()}
+    # floors: 15//8=1, 15//8=1, 10//8=1 → 3; rems: 7, 7, 2; left=2 → x,y
+    assert (out["x"].lr_bonus, out["y"].lr_bonus, out["z"].lr_bonus) == (1, 1, 0)
+    assert sum(r.lr_alloc for r in out.values()) == 5
