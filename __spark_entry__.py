@@ -672,9 +672,24 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     smj = bk.join(sm, ["doc_id", "ss_us"]).select(
         "doc_id", "session_id", "stream_n_events"
     )
+    # CO-ACTIVITY degree via the interval×interval OVERLAP join
+    # (relations.interval_overlap_join, bucketed broad phase, each pair
+    # emitted once): how many OTHER users' sessions intersect this
+    # session's validity window — the two-sided range-join primitive the
+    # point-into-window iv_n path does not cover
+    from nyxus_spark.operators.relations import interval_overlap_join
+
+    ov = interval_overlap_join(iv, iv, bucket_seconds=3600.0)
+    co = (
+        ov.filter(F.col("doc_id") != F.col("doc_id_r"))
+        .groupBy("doc_id", "session_id")
+        .agg(F.count("*").cast("long").alias("co_n"))
+    )
     return (
         out.join(mt, ["doc_id", "session_id"])
         .join(smj, ["doc_id", "session_id"])
+        .join(co, ["doc_id", "session_id"], "left")
+        .withColumn("co_n", F.coalesce("co_n", F.lit(0).cast("long")))
         .withColumn(
             "stream_match",
             (F.col("stream_n_events") == F.col("session_n_events")).cast("long"),
@@ -5503,6 +5518,13 @@ ivn AS (  -- independent range join: every event into containing windows
   FROM ivs i JOIN flags e
     ON e.doc_id = i.doc_id AND e.ts BETWEEN i.lo AND i.hi
   GROUP BY i.doc_id, i.session_id
+),
+con AS (  -- co-activity: other-key sessions overlapping this window
+          -- (inclusive boundaries, l.lo <= r.hi AND r.lo <= l.hi)
+  SELECT i.doc_id, i.session_id, CAST(COUNT(*) AS BIGINT) AS co_n
+  FROM ivs i JOIN ivs j
+    ON j.doc_id <> i.doc_id AND i.lo <= j.hi AND j.lo <= i.hi
+  GROUP BY i.doc_id, i.session_id
 )
 SELECT s.doc_id, s.event_id, s.session_id,
        CAST(json_extract(s.props, '$.k') AS BIGINT) AS props_k,
@@ -5514,8 +5536,10 @@ SELECT s.doc_id, s.event_id, s.session_id,
        -- batch count (the Spark side computes it via session_window
        -- cross-batch state; any divergence breaks the value hash here)
        CAST(COUNT(*) OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS stream_n_events,
+       CAST(COALESCE(c.co_n, 0) AS BIGINT) AS co_n,
        CAST(1 AS BIGINT) AS stream_match
 FROM sess s JOIN ivn n USING (doc_id, session_id)
+LEFT JOIN con c USING (doc_id, session_id)
 """,
         "lag_lead_locf": """
 WITH ev AS (

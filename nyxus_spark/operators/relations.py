@@ -154,6 +154,60 @@ def interval_join(
     return out.drop(f"__{on}", "__pts", "__ilo", "__ihi", "__bk", "__bkr")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: float = 3600.0,
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Interval×interval OVERLAP join: every (left, right) pair whose
+    validity windows intersect (l.start ≤ r.end AND r.start ≤ l.end,
+    boundaries inclusive) — the span-overlap primitive behind co-activity
+    windows, decontamination span intersection, and downtime attribution.
+    The point-into-interval case is `interval_join`; this is the
+    two-sided generalization.
+
+    Plan (scale path): both sides explode their intervals into the
+    ⌈len/B⌉ time buckets they cover and equi-join on the bucket — never a
+    cartesian. Each qualifying pair is emitted EXACTLY ONCE without a
+    dedup shuffle: the join keeps only the bucket containing
+    max(l.start, r.start) — the first bucket of the intersection, which
+    floor-monotonicity makes max(bucket(l.start), bucket(r.start)) — a
+    bucket both sides cover iff the intervals overlap.
+
+    Right columns come back renamed with `rsuffix`. Guard: Spark's
+    sequence(a, b) DESCENDS when b < a; interval validity (start ≤ end)
+    keeps every bucket range ascending."""
+    b_us = int(bucket_seconds * 1_000_000)
+    lo = F.unix_micros(F.col(start_col).cast("timestamp"))
+    hi = F.unix_micros(F.col(end_col).cast("timestamp"))
+    l = (
+        left.withColumn("__llo", lo).withColumn("__lhi", hi)
+        .withColumn(
+            "__bk", F.explode(F.expr(f"sequence(__llo div {b_us}, __lhi div {b_us})"))
+        )
+    )
+    r = right.select(
+        *[F.col(c).alias(f"{c}{rsuffix}") for c in right.columns]
+    )
+    rlo = F.unix_micros(F.col(f"{start_col}{rsuffix}").cast("timestamp"))
+    rhi = F.unix_micros(F.col(f"{end_col}{rsuffix}").cast("timestamp"))
+    r = (
+        r.withColumn("__rlo", rlo).withColumn("__rhi", rhi)
+        .withColumn(
+            "__rbk", F.explode(F.expr(f"sequence(__rlo div {b_us}, __rhi div {b_us})"))
+        )
+    )
+    overlap = (F.col("__llo") <= F.col("__rhi")) & (F.col("__rlo") <= F.col("__lhi"))
+    first_shared = F.col("__bk") == F.greatest(
+        F.expr(f"__llo div {b_us}"), F.expr(f"__rlo div {b_us}")
+    )
+    out = l.join(r, (F.col("__bk") == F.col("__rbk")) & overlap & first_shared)
+    return out.drop("__llo", "__lhi", "__bk", "__rlo", "__rhi", "__rbk")
+
+
 def rollup_parent(
     child: DataFrame,
     parent_key: str,
