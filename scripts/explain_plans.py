@@ -95,6 +95,20 @@ def main() -> None:
     )
     sections["neighbor range join + rank top-2"] = plan_of(neighbor_stats(ev, 14400.0))
 
+    # interval-overlap join: bucketed broad phase on BOTH sides, one
+    # exchange per side, no distinct (first-shared-bucket emits each pair
+    # exactly once)
+    from nyxus_spark.operators import sessionize as _sess
+    from nyxus_spark.operators.relations import interval_overlap_join
+
+    iv = (
+        _sess(ev, 3600.0).groupBy("doc_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+    sections["interval-overlap join (bucketed both sides, once per pair)"] = plan_of(
+        interval_overlap_join(iv, iv)
+    )
+
     # persisted IVF index: the probe filter must land as PartitionFilters on
     # the scan (bucket pruning at the source, not a post-scan filter)
 
