@@ -3228,12 +3228,21 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5 == 0),
     )
     dsw = dsir.select("doc_id", "dsir_pairs", "dsir_w4", "dsir_keep")
+    # corpus bigram-LM likelihood probe (CCNet perplexity-filter analog):
+    # add-1 smoothed p(w|v) and its gain over unigram, position-order
+    # multiply folds over the first 32 positions (bounded-range doubles —
+    # no cross-engine under/overflow edge), replayed by list_reduce
+    from nyxus_spark.functions import bigram_lm_score
+
+    lm = bigram_lm_score(
+        toks.select(nid.alias("doc_id"), "tokens", "n_tok")
+    )
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     out = out.join(pb, "doc_id").join(big, "doc_id", "left")
     out = out.join(ds, "doc_id", "left").join(bfa, "doc_id")
-    out = out.join(dsw, "doc_id")
+    out = out.join(dsw, "doc_id").join(lm, "doc_id", "left")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -3269,6 +3278,10 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bloom_cand") - F.col("contam_hits")).cast("long")
         .alias("bloom_fp"),
         "dsir_pairs", "dsir_w4", "dsir_keep",
+        F.coalesce("lm_terms", zero).alias("lm_terms"),
+        F.coalesce("lm_p32", F.lit(1.0)).alias("lm_p32"),
+        F.coalesce("lm_gain32", F.lit(1.0)).alias("lm_gain32"),
+        F.coalesce("lm_keep", zero).alias("lm_keep"),
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -4929,7 +4942,35 @@ dsiw AS (  -- per-doc weight: position-order multiply fold, replayed exactly
   SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS npairs,
          list_reduce(list(r.rr ORDER BY x.i), (a, v) -> a * v) AS w
   FROM dsx x JOIN dsrt r USING (bkt) GROUP BY x.doc_id
-)
+),
+lmx AS (  -- bigram-LM probe: (pos, v, w), position kept for the fold order
+  SELECT doc_id, i, tokens[i] AS v, tokens[i+1] AS w
+  FROM (SELECT doc_id, tokens, unnest(range(1, n_tok)) AS i
+        FROM toks WHERE n_tok >= 2)
+),
+lmbc AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw FROM lmx GROUP BY 1, 2),
+lmuc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c_v FROM lmx GROUP BY 1),
+lmwc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM lmx GROUP BY 1),
+lmvv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv
+         FROM (SELECT unnest(tokens) AS tok FROM toks)),
+lmnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM lmx),
+lmt AS (  -- add-1 smoothed p(w|v) + its gain over unigram: each term ONE
+          -- IEEE division of exact BIGINT products
+  SELECT x.doc_id, x.i,
+         CAST(b.c_vw + 1 AS DOUBLE) / CAST(u.c_v + t.vv AS DOUBLE) AS tp,
+         CAST((b.c_vw + 1) * (t2.nn + t.vv) AS DOUBLE)
+           / CAST((u.c_v + t.vv) * (w2.c_w + 1) AS DOUBLE) AS tg
+  FROM lmx x JOIN lmbc b USING (v, w) JOIN lmuc u USING (v)
+       JOIN lmwc w2 USING (w), lmvv t, lmnn t2
+),
+lmf AS (  -- position-order multiply folds over the first 32 positions
+  SELECT doc_id,
+         list_reduce(list(tp ORDER BY i), (a, v) -> a * v) AS lm_p32,
+         list_reduce(list(tg ORDER BY i), (a, v) -> a * v) AS lm_gain32
+  FROM lmt WHERE i <= 32 GROUP BY doc_id
+),
+lmc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS lm_terms
+        FROM lmt GROUP BY doc_id)
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
        q.punct_ratio, q.stopword_ratio, q.quality_score,
@@ -4970,6 +5011,10 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(dw.npairs, 0) AS dsir_pairs,
        FLOOR(COALESCE(dw.w, 1.0) * 10000.0 + 0.5) / 10000.0 AS dsir_w4,
        CAST(COALESCE(dw.w, 1.0) > 1.0 AS BIGINT) AS dsir_keep,
+       COALESCE(lc.lm_terms, 0) AS lm_terms,
+       COALESCE(lf.lm_p32, 1.0) AS lm_p32,
+       COALESCE(lf.lm_gain32, 1.0) AS lm_gain32,
+       CAST(COALESCE(lf.lm_gain32, 1.0) > 1.0 AS BIGINT) AS lm_keep,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -4996,6 +5041,8 @@ LEFT JOIN bga bg USING (doc_id)
 LEFT JOIN dsdoc dsd USING (doc_id)
 LEFT JOIN bfcand bf USING (doc_id)
 LEFT JOIN dsiw dw USING (doc_id)
+LEFT JOIN lmc lc USING (doc_id)
+LEFT JOIN lmf lf USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

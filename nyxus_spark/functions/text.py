@@ -1901,6 +1901,86 @@ def bpe_train(df, n_merges: int, new_id_start: int,
     return merges, out
 
 
+def bigram_lm_score(df, tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+                    id_col: str = "doc_id", probe: int = 32):
+    """Per-doc likelihood under the corpus add-1-smoothed bigram LM — the
+    CCNet-style perplexity filter, log-free so the gate stays engine-exact:
+
+        p(w|v) = (c(v,w) + 1) / (c(v) + V)          (conditional MLE)
+        gain_i = p(w|v) / p_uni(w)
+               = ((c(v,w)+1)·(N+V)) / ((c(v)+V)·(c(w)+1))
+
+    with c(v) = v's left-context count, c(w) = w's right-occurrence count,
+    N = total bigram positions, V = |corpus vocabulary|. Every term is ONE
+    IEEE division of two exact BIGINT products (< 2⁵³ up to ~10⁸ positions
+    with 10⁷-hot tokens — pre-scale beyond that); the per-doc folds
+    multiply SEQUENTIALLY in position order (seed 1.0; 1.0·t₁ == t₁
+    exactly), which DuckDB replays multiply-for-multiply with
+    list_reduce(list(term ORDER BY pos)).
+
+    The folds run over the first `probe` positions only: a bounded window
+    keeps both products inside the normal double range by construction
+    (term ∈ [1/(N+V)², N+V] ⇒ 32 multiplies stay within ±10^192 for any
+    corpus under 10⁶ positions), so no underflow-to-zero/overflow-to-inf
+    edge can differ across engines. `lm_terms` still counts ALL positions.
+    lm_gain32 > 1 ⇔ the bigram model beats unigram on the probe — the
+    predictability signal a perplexity filter thresholds (degenerate
+    repetition scores high, shuffled noise ≈ 1).
+
+    Returns one row per doc with ≥ 2 tokens: (doc_id, lm_terms, lm_p32,
+    lm_gain32, lm_keep); shorter docs emit nothing (left-join + coalesce
+    at the call site).
+
+    Scale shape: the (v,w) count table is the one heavy aggregation
+    (map-side combinable); scoring joins the exploded positions back on
+    (v,w)/(v)/(w) — the standard score-corpus-against-LM-table pipeline —
+    then ONE per-doc re-aggregation. No Python anywhere."""
+    t, n = tokens_col, n_tok_col
+    pos = df.select(
+        id_col,
+        F.posexplode(F.expr(
+            f"CASE WHEN {n} >= 2 THEN "
+            f"transform(sequence(1, cast({n} as int) - 1),"
+            f" i -> named_struct('v', cast(element_at({t}, i) as bigint),"
+            f"                   'w', cast(element_at({t}, i + 1) as bigint)))"
+            f" ELSE array() END")).alias("pos", "g"),
+    ).select(id_col, "pos", F.col("g.v").alias("v"), F.col("g.w").alias("w"))
+    bc = pos.groupBy("v", "w").agg(F.count("*").cast("long").alias("c_vw"))
+    uc = pos.groupBy("v").agg(F.count("*").cast("long").alias("c_v"))
+    wc = pos.groupBy("w").agg(F.count("*").cast("long").alias("c_w"))
+    tot = df.select(F.explode(tokens_col).alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("lm_V")
+    ).crossJoin(pos.agg(F.count("*").cast("long").alias("lm_N")))
+    j = (
+        pos.join(bc, ["v", "w"])
+        .join(uc, ["v"])
+        .join(wc, ["w"])
+        .crossJoin(F.broadcast(tot))
+    )
+    tp = (
+        (F.col("c_vw") + 1).cast("double")
+        / (F.col("c_v") + F.col("lm_V")).cast("double")
+    )
+    tg = (
+        ((F.col("c_vw") + 1) * (F.col("lm_N") + F.col("lm_V"))).cast("double")
+        / ((F.col("c_v") + F.col("lm_V")) * (F.col("c_w") + 1)).cast("double")
+    )
+    per = j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("lm_terms"),
+        F.collect_list(
+            F.when(F.col("pos") < probe,
+                   F.struct(F.col("pos"), tp.alias("tp"), tg.alias("tg")))
+        ).alias("__lst"),
+    )
+    fold = "aggregate(sort_array(__lst), cast(1.0 as double), (a, x) -> a * x.{})"
+    return per.select(
+        id_col, "lm_terms",
+        F.expr(fold.format("tp")).alias("lm_p32"),
+        F.expr(fold.format("tg")).alias("lm_gain32"),
+        (F.expr(fold.format("tg")) > 1.0).cast("long").alias("lm_keep"),
+    )
+
+
 def dsir_weights(df, target_flag, tokens_col: str = "tokens",
                  n_tok_col: str = "n_tok", id_col: str = "doc_id",
                  buckets: int = HB_BUCKETS):
