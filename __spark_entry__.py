@@ -404,11 +404,17 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import minhash_corpus_sketch
 
     mhsk = minhash_corpus_sketch(t, "source", "doc_id", "tokens")
+    # exact two-sample KS drift of each source's LENGTH distribution vs the
+    # rest of the corpus (shape-shift monitor; integer numerator max, ONE
+    # final division)
+    from nyxus_spark.operators.prescan import ks_drift
+
+    ks = ks_drift(load_table(spark, sf_dir, "documents"), "source", "n_chars")
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
             .join(churn, "source").join(dig2, "source").join(mhsk, "source")
-            .join(mad, "source").join(trim, "source")
+            .join(mad, "source").join(trim, "source").join(ks, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -5475,6 +5481,37 @@ trimq AS (  -- quartile-trimmed mass: drop lowest/highest floor(n/4) ranks
         FROM docs)
   WHERE rn > cnt // 4 AND rn <= cnt - cnt // 4
   GROUP BY source
+),
+ksx AS (SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+ksv AS (SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM documents GROUP BY 1),
+kscum AS (  -- per-source cumulative counts over the FULL value grid
+  SELECT j.source, j.x,
+         SUM(j.c) OVER (PARTITION BY j.source ORDER BY j.x) AS cum_s,
+         SUM(j.ct) OVER (PARTITION BY j.source ORDER BY j.x) AS cum_all
+  FROM (
+    SELECT g.source, v.x, COALESCE(k.c, 0) AS c, v.ct
+    FROM (SELECT DISTINCT source FROM documents) g
+    CROSS JOIN ksv v
+    LEFT JOIN ksx k ON k.source = g.source AND k.x = v.x) j
+),
+ksn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY 1),
+ks AS (  -- exact KS numerator max + ONE division
+  SELECT c.source,
+         CAST(MAX(ABS(c.cum_s * (a.n_all - n.n_s)
+                      - (c.cum_all - c.cum_s) * n.n_s)) AS BIGINT) AS ks_num,
+         CAST(n.n_s * (a.n_all - n.n_s) AS BIGINT) AS ks_den,
+         CASE WHEN n.n_s * (a.n_all - n.n_s) > 0 THEN
+           FLOOR(CAST(MAX(ABS(c.cum_s * (a.n_all - n.n_s)
+                              - (c.cum_all - c.cum_s) * n.n_s)) AS DOUBLE)
+                 / CAST(n.n_s * (a.n_all - n.n_s) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0
+         ELSE 0.0 END AS ks_d4
+  FROM kscum c JOIN ksn n USING (source),
+       (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents) a
+  GROUP BY c.source, n.n_s, a.n_all
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -5495,7 +5532,8 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        sd.diff_added, sd.diff_removed, sd.diff_modified, sd.diff_unchanged,
        d2.dig2_xor, d2.dig2_sum, d2.dig2_docs,
        mk.mh_s0, mk.mh_s1, mk.mh_s2, mk.mh_s3, mk.mh_sig_sum,
-       ma.mad_n_tok, tq.trim_sum, tq.trim_cnt
+       ma.mad_n_tok, tq.trim_sum, tq.trim_cnt,
+       kd.ks_num, kd.ks_den, kd.ks_d4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -5506,6 +5544,7 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN mhsk mk ON mk.g = b.source
      JOIN mad ma USING (source)
      JOIN trimq tq USING (source)
+     JOIN ks kd USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

@@ -179,3 +179,67 @@ def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
         status.alias("diff_status"),
         *[F.coalesce(f"_o_{c}", f"_n_{c}").alias(c) for c in carry_cols],
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift of each group's value
+    distribution against its COMPLEMENT (rest of the corpus) — the
+    distribution-shift monitor that catches what a mean/χ² drift check
+    misses (shape changes at equal totals). Engine-exact: at every
+    observed value x,
+
+        |F_s(x) − F_rest(x)| = |cum_s(x)·(N−n_s) − (cum_all(x)−cum_s(x))·n_s|
+                               ───────────────────────────────────────────
+                                            n_s·(N−n_s)
+
+    and the KS statistic's NUMERATOR max is an exact BIGINT (the max of
+    integers); only the one final division is IEEE. Groups covering the
+    whole corpus (empty complement) return D = 0 by convention.
+
+    Returns one row per group: (group, ks_num, ks_den, ks_d4).
+
+    Scale shape: one (group, value) + one (value) aggregation, then a
+    cumulative window PARTITIONED BY GROUP over the |groups|·|distinct x|
+    grid — no global sort, no per-row state. At 100 TB bucket the value
+    first (the KS of the bucketed distribution bounds the raw one within
+    one bucket mass)."""
+    from pyspark.sql import Window
+
+    gv = df.groupBy(group_col, value_col).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    xv = df.groupBy(value_col).agg(F.count("*").cast("long").alias("__ct"))
+    grid = gv.select(group_col).distinct().crossJoin(xv)
+    j = grid.join(gv, [group_col, value_col], "left").withColumn(
+        "__c", F.coalesce("__c", F.lit(0).cast("long"))
+    )
+    wg = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    j = (
+        j.withColumn("__cum_s", F.sum("__c").over(wg).cast("long"))
+        .withColumn("__cum_all", F.sum("__ct").over(wg).cast("long"))
+    )
+    tot = df.groupBy(group_col).agg(F.count("*").cast("long").alias("__n_s"))
+    n_all = df.agg(F.count("*").cast("long").alias("__n_all"))
+    j = j.join(tot, group_col).crossJoin(F.broadcast(n_all))
+    num = F.abs(
+        F.col("__cum_s") * (F.col("__n_all") - F.col("__n_s"))
+        - (F.col("__cum_all") - F.col("__cum_s")) * F.col("__n_s")
+    )
+    per = j.groupBy(group_col).agg(
+        F.max(num).cast("long").alias("ks_num"),
+        F.max(F.col("__n_s") * (F.col("__n_all") - F.col("__n_s")))
+         .cast("long").alias("ks_den"),
+    )
+    from nyxus_spark.compare import fround4
+
+    return per.select(
+        group_col, "ks_num", "ks_den",
+        F.when(
+            F.col("ks_den") > 0,
+            fround4(F.col("ks_num").cast("double") / F.col("ks_den").cast("double")),
+        ).otherwise(F.lit(0.0)).alias("ks_d4"),
+    )

@@ -1,0 +1,75 @@
+"""Catalyst-native firstorder backend: BIT-exact parity with the Arrow
+kernel (features/sqlback.py vs features/compute.py) — real corpus rows plus
+the blank/empty/short edge paths of intensity.cpp:60-96."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyxus_spark.features import extract_features
+from nyxus_spark.features.sqlback import (
+    SQL_FIRSTORDER_FEATURES,
+    extract_features_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cmp(a, b, name, doc):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return
+        assert a == b, f"{name} mismatch on {doc}: kernel={a!r} sql={b!r}"
+    else:
+        assert a == b, f"{name} mismatch on {doc}: kernel={a!r} sql={b!r}"
+
+
+def _assert_parity(df):
+    k = {r.doc_id: r for r in
+         extract_features(df, SQL_FIRSTORDER_FEATURES,
+                          keep_tokens=False).collect()}
+    s = {r.doc_id: r for r in
+         extract_features_sql(df, SQL_FIRSTORDER_FEATURES).collect()}
+    assert set(k) == set(s)
+    for doc in k:
+        for name in SQL_FIRSTORDER_FEATURES:
+            _cmp(float(k[doc][name]), float(s[doc][name]), name, doc)
+
+
+def test_sql_backend_matches_kernel_on_corpus(spark):
+    from nyxus_spark.sources import tokens_static
+
+    df = tokens_static(spark, SF).select("doc_id", "tokens", "n_tok")
+    _assert_parity(df)
+
+
+def test_sql_backend_matches_kernel_on_edges(spark):
+    rows = [
+        ("empty", [], 0),
+        ("blank", [7, 7, 7, 7], 4),      # min == max: the blank-ROI path
+        ("single", [9], 1),               # pop 1: var/skew guards
+        ("pair", [3, 9], 2),              # pop 2: even median, pop>3 guards
+        ("skewed", [1, 1, 1, 1, 50], 5),
+        ("zeros", [0, 0, 0], 3),          # blank at value 0 (PIU edge)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens", "n_tok"]).withColumn(
+        "tokens", F.col("tokens").cast("array<int>"))
+    _assert_parity(df)
+
+
+def test_sql_backend_rejects_non_expressible(spark):
+    df = spark.createDataFrame([("d", [1, 2], 2)],
+                               ["doc_id", "tokens", "n_tok"])
+    with pytest.raises(ValueError):
+        extract_features_sql(df, ["ENTROPY"])
+
+
+def test_sql_backend_plan_is_python_free(spark):
+    from nyxus_spark.sources import tokens_static
+
+    df = extract_features_sql(
+        tokens_static(spark, SF).select("doc_id", "tokens", "n_tok"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange" not in plan  # narrow: projection over the scan

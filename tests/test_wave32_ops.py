@@ -272,3 +272,41 @@ def test_bigram_lm_score_matches_python_reference(spark):
     # probe window: doc 4 scores on 32 of its 79 positions
     assert got[4].lm_terms == 79
     assert got[0].lm_keep == 1
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample KS drift
+# ---------------------------------------------------------------------------
+
+def test_ks_drift_matches_python_reference(spark):
+    from nyxus_spark.operators.prescan import ks_drift
+
+    rows = (
+        [("a", v) for v in (1, 1, 2, 3, 5, 8, 8, 9)]
+        + [("b", v) for v in (4, 5, 6, 6, 7)]
+        + [("c", v) for v in (1, 9)]
+    )
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {r.source: r for r in ks_drift(df).collect()}
+    xs = sorted({v for _, v in rows})
+    n_all = len(rows)
+    for s in ("a", "b", "c"):
+        mine = [v for g, v in rows if g == s]
+        rest = [v for g, v in rows if g != s]
+        num = max(
+            abs(sum(v <= x for v in mine) * len(rest)
+                - sum(v <= x for v in rest) * len(mine))
+            for x in xs)
+        assert got[s].ks_num == num
+        assert got[s].ks_den == len(mine) * (n_all - len(mine))
+        import math
+        assert got[s].ks_d4 == math.floor(num / got[s].ks_den * 10000 + 0.5) / 10000
+
+
+def test_ks_drift_whole_corpus_group_is_zero(spark):
+    from nyxus_spark.operators.prescan import ks_drift
+
+    df = spark.createDataFrame([("only", v) for v in (1, 2, 3)],
+                               ["source", "n_chars"])
+    r = ks_drift(df).collect()[0]
+    assert (r.ks_num, r.ks_den, r.ks_d4) == (0, 0, 0.0)
