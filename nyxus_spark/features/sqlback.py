@@ -4,7 +4,7 @@ first-order features.
 The default engine runs the numpy kernels over Arrow batches (mapInArrow,
 features/compute.py) — the right call for the full catalog. But for narrow
 feature sets the statistical family is expressible as PURE column
-expressions, and then the whole job is one WholeStageCodegen projection:
+expressions, and then the whole job is whole-stage-codegen projections:
 no Python workers, no Arrow crossing, pushdown/pruning/AQE all free. This
 module provides that alternative path with BIT-IDENTICAL results.
 
@@ -19,15 +19,30 @@ addition; the power chains are the kernel's explicit IEEE chains
 (d³ = (d·d)·d, x^1.5 = x·sqrt(x), …; firstorder.py:149-171), every op
 correctly rounded, so the JVM reproduces numpy double-for-double.
 
+STAGING MATTERS: per-row scalars (mean, min, range, median) are computed
+as COLUMNS in earlier projections and only REFERENCED inside the later
+deviation-fold lambdas. Inlining the mean fold into the per-element
+lambda would re-evaluate it per element — O(n²) per row, measured ~400×
+slower at sf0.1 — and Catalyst's CollapseProject keeps multiply-referenced
+non-cheap expressions staged rather than re-inlining them. The histogram
+uniformity likewise runs as ONE run-length fold over sorted bin ids
+(O(n log n)), not a per-bin rescan (O(64·n), another ~3× of wall).
+
+Measured trade (sf0.1, 5000 rows, local[8], best-of-3 on cached input):
+kernel 0.43 s vs SQL 1.64 s — the Arrow-vectorized kernel stays ~4×
+faster per row. Choose this path for its OPERATIONAL properties, not raw
+speed: no Python workers to provision, pure-JVM plans that compose into
+SQL views / Structured Streaming stages without an Arrow boundary, and
+engine-portable semantics — with bit-identical values when you switch.
+
 Blank/empty semantics replicate intensity.cpp:60-96 via firstorder.py's
 `fin`: empty rows → NaN (COUNT → 0); blank rows (min == max) → NaN except
 MIN/MAX → the value, RANGE → 0, MEAN/MEDIAN → min.
 
 Not expressible here (stay on the kernel path): the interpolated
-percentile walk (P01…QCOD, ROBUST_*), ENTROPY (libm log2 differs across
-engines), MEDIAN_ABSOLUTE_DEVIATION's dependence on the in-row median is
-expressible and included. Parity is enforced by
-tests/test_sqlback.py against the kernel on real data + edge rows.
+percentile walk (P01…QCOD, ROBUST_*) and ENTROPY (libm log2 differs
+across engines). Parity is enforced by tests/test_sqlback.py against the
+kernel on real data + edge rows.
 """
 
 from __future__ import annotations
@@ -36,61 +51,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_BINS = 64
-
-# ---- shared sub-expression builders (SQL text, inlined where needed) ------
-
-
-def _x(tok: str) -> dict[str, str]:
-    pop = f"cast(size({tok}) as double)"
-    vmin = f"cast(array_min({tok}) as double)"
-    vmax = f"cast(array_max({tok}) as double)"
-    rng = f"({vmax} - {vmin})"
-    s1 = f"aggregate({tok}, 0D, (a, x) -> a + cast(x as double))"
-    mean = f"({s1} / {pop})"
-    d = f"(cast(x as double) - {mean})"
-    dd = f"({d} * {d})"
-    energy = f"aggregate({tok}, 0D, (a, x) -> a + cast(x as double) * cast(x as double))"
-    ss = f"aggregate({tok}, 0D, (a, x) -> a + {dd})"
-    mad = f"(aggregate({tok}, 0D, (a, x) -> a + abs({d})) / {pop})"
-    m3 = f"aggregate({tok}, 0D, (a, x) -> a + {dd} * {d})"
-    m4 = f"aggregate({tok}, 0D, (a, x) -> a + {dd} * {dd})"
-    s5 = f"aggregate({tok}, 0D, (a, x) -> a + ({dd} * {dd}) * {d})"
-    s6 = f"aggregate({tok}, 0D, (a, x) -> a + ({dd} * {d}) * ({dd} * {d}))"
-    var = f"(CASE WHEN {pop} > 1D THEN {ss} / ({pop} - 1D) ELSE 0D END)"
-    var_b = f"(CASE WHEN {pop} > 1D THEN {ss} / {pop} ELSE 0D END)"
-    std = f"sqrt({var})"
-    std_b = f"sqrt({var_b})"
-    srt = f"array_sort({tok})"
-    n = f"size({tok})"
-    # element_at needs an INT index: `div` yields BIGINT (see CLAUDE.md)
-    mid = f"cast({n} div 2 as int)"
-    median = (
-        f"(CASE WHEN {n} % 2 = 1 THEN cast(element_at({srt}, {mid} + 1) as double)"
-        f" ELSE (cast(element_at({srt}, {mid}) as double)"
-        f"       + cast(element_at({srt}, {mid} + 1) as double)) / 2.0D END)"
-    )
-    medad = f"(aggregate({tok}, 0D, (a, x) -> a + abs(cast(x as double) - {median})) / {pop})"
-    # mode: smallest value of the highest frequency — max over (count, -v)
-    mode = (
-        f"cast(-(array_max(transform(array_distinct({tok}),"
-        f" u -> struct(size(filter({tok}, x -> x = u)) as c, -u as nv))).nv)"
-        f" as double)"
-    )
-    # custom N-bin histogram uniformity: bin = int((v-min)/range*N), clipped
-    # to [0, N] with the overflow bin folded into N-1 ⇒ effective bin =
-    # least(int(...), N-1); counts are exact ints, ONE final division
-    binid = f"least(cast((cast(x as double) - {vmin}) / {rng} * {N_BINS}D as int), {N_BINS - 1})"
-    cnt_b = f"size(filter({tok}, x -> {binid} = b))"
-    uni = (
-        f"(aggregate(sequence(0, {N_BINS - 1}), 0D,"
-        f" (a, b) -> a + cast({cnt_b} as double) * cast({cnt_b} as double))"
-        f" / ({pop} * {pop}))"
-    )
-    return dict(pop=pop, vmin=vmin, vmax=vmax, rng=rng, s1=s1, mean=mean,
-                energy=energy, ss=ss, mad=mad, m3=m3, m4=m4, s5=s5, s6=s6,
-                var=var, var_b=var_b, std=std, std_b=std_b, median=median,
-                medad=medad, mode=mode, uni=uni)
-
 
 SQL_FIRSTORDER_FEATURES = [
     "COUNT", "MIN", "MAX", "RANGE", "MEAN", "MEDIAN", "MODE",
@@ -104,69 +64,151 @@ SQL_FIRSTORDER_FEATURES = [
 ]
 
 
-def sql_firstorder_exprs(tokens_col: str = "tokens"):
-    """Column expressions replicating firstorder_section bit-for-bit for
-    SQL_FIRSTORDER_FEATURES (op-order notes in the module docstring)."""
-    e = _x(tokens_col)
-    pop, ss, std = e["pop"], e["ss"], e["std"]
+def _staged(df: DataFrame, tok: str) -> DataFrame:
+    """Chained projections computing every per-row scalar exactly once."""
+    n = f"size({tok})"
+    # element_at needs an INT index: `div` yields BIGINT (see CLAUDE.md)
+    mid = f"cast({n} div 2 as int)"
+    stage1 = df.selectExpr(
+        "*",
+        f"cast({n} as double) AS __pop",
+        f"cast(array_min({tok}) as double) AS __vmin",
+        f"cast(array_max({tok}) as double) AS __vmax",
+        f"aggregate({tok}, 0D, (a, x) -> a + cast(x as double)) AS __s1",
+        f"aggregate({tok}, 0D, (a, x) -> a + cast(x as double)"
+        f" * cast(x as double)) AS __energy",
+        f"array_sort({tok}) AS __srt",
+    )
+    # staged divisions/index lookups are EAGER (unlike the lazily-evaluated
+    # CASE dispatch below), so each needs its own empty-row guard under
+    # ANSI mode; the guarded 0 values are never read (dispatch overrides)
+    stage2 = stage1.selectExpr(
+        "*",
+        "(__vmax - __vmin) AS __rng",
+        "(CASE WHEN __pop > 0D THEN __s1 / __pop ELSE 0D END) AS __mean",
+        f"(CASE WHEN {n} = 0 THEN 0D"
+        f" WHEN {n} % 2 = 1 THEN cast(element_at(__srt, {mid} + 1) as double)"
+        f" ELSE (cast(element_at(__srt, {mid}) as double)"
+        f"       + cast(element_at(__srt, {mid} + 1) as double)) / 2.0D END)"
+        " AS __median",
+        # mode: smallest value of the highest frequency — ONE O(n) fold
+        # over the sorted array tracking (current run, best run); a later
+        # equal-count run never replaces, so ties go to the smallest value
+        "cast((aggregate(__srt,"
+        " named_struct('bc', 0, 'bv', 0, 'cc', 0, 'pv', cast(null as int)),"
+        " (s, x) -> named_struct("
+        "   'bc', CASE WHEN (CASE WHEN s.pv IS NOT NULL AND x = s.pv"
+        "                    THEN s.cc + 1 ELSE 1 END) > s.bc"
+        "              THEN (CASE WHEN s.pv IS NOT NULL AND x = s.pv"
+        "                    THEN s.cc + 1 ELSE 1 END) ELSE s.bc END,"
+        "   'bv', CASE WHEN (CASE WHEN s.pv IS NOT NULL AND x = s.pv"
+        "                    THEN s.cc + 1 ELSE 1 END) > s.bc"
+        "              THEN x ELSE s.bv END,"
+        "   'cc', CASE WHEN s.pv IS NOT NULL AND x = s.pv"
+        "              THEN s.cc + 1 ELSE 1 END,"
+        "   'pv', cast(x as int))).bv) as double) AS __mode",
+    )
+    d = "(cast(x as double) - __mean)"
+    dd = f"({d} * {d})"
+    binid = (
+        f"least(cast((cast(x as double) - __vmin) / __rng * {N_BINS}D as int),"
+        f" {N_BINS - 1})"
+    )
+    # Σ cbin² from ONE pass over the sorted bin ids (run-length fold with a
+    # finish step for the last run) — bin counts are exact ints, so the
+    # bin-order sum matches the kernel's regardless of accumulation order
+    uni_runs = (
+        f"aggregate(array_sort(transform({tok}, x -> {binid})),"
+        " named_struct('s', 0D, 'cc', 0D, 'pv', cast(null as int)),"
+        " (st, b) -> CASE WHEN st.pv IS NULL OR b != st.pv THEN"
+        "   named_struct('s', st.s + st.cc * st.cc, 'cc', 1D, 'pv', cast(b as int))"
+        " ELSE named_struct('s', st.s, 'cc', st.cc + 1D, 'pv', st.pv) END,"
+        " st -> st.s + st.cc * st.cc)"
+    )
+    stage3 = stage2.selectExpr(
+        "*",
+        f"aggregate({tok}, 0D, (a, x) -> a + {dd}) AS __ss",
+        f"(CASE WHEN __pop > 0D THEN"
+        f" aggregate({tok}, 0D, (a, x) -> a + abs({d})) / __pop"
+        " ELSE 0D END) AS __mad",
+        f"aggregate({tok}, 0D, (a, x) -> a + {dd} * {d}) AS __m3",
+        f"aggregate({tok}, 0D, (a, x) -> a + {dd} * {dd}) AS __m4",
+        f"aggregate({tok}, 0D, (a, x) -> a + ({dd} * {dd}) * {d}) AS __s5",
+        f"aggregate({tok}, 0D, (a, x) -> a + ({dd} * {d}) * ({dd} * {d})) AS __s6",
+        f"(CASE WHEN __pop > 0D THEN"
+        f" aggregate({tok}, 0D, (a, x) -> a + abs(cast(x as double) - __median))"
+        " / __pop ELSE 0D END) AS __medad",
+        f"(CASE WHEN __pop = 0D OR __rng = 0D THEN 0D ELSE"
+        f" {uni_runs} / (__pop * __pop) END) AS __uni",
+    )
+    return stage3.selectExpr(
+        "*",
+        "(CASE WHEN __pop > 1D THEN __ss / (__pop - 1D) ELSE 0D END) AS __var",
+        "(CASE WHEN __pop > 1D THEN __ss / __pop ELSE 0D END) AS __var_b",
+    ).selectExpr("*", "sqrt(__var) AS __std", "sqrt(__var_b) AS __std_b")
+
+
+def sql_firstorder_exprs():
+    """Final-feature expressions over the staged scalar columns —
+    op-order-identical to firstorder_section (see module docstring)."""
     raw = {
-        "COUNT": pop,
-        "MIN": e["vmin"],
-        "MAX": e["vmax"],
-        "RANGE": e["rng"],
-        "MEAN": e["mean"],
-        "MEDIAN": e["median"],
-        "MODE": e["mode"],
-        "ENERGY": e["energy"],
-        "ROOT_MEAN_SQUARED": f"sqrt({e['energy']} / {pop})",
-        "INTEGRATED_INTENSITY": e["s1"],
-        "MEAN_ABSOLUTE_DEVIATION": e["mad"],
-        "MEDIAN_ABSOLUTE_DEVIATION": e["medad"],
-        "VARIANCE": e["var"],
-        "VARIANCE_BIASED": e["var_b"],
-        "STANDARD_DEVIATION": std,
-        "STANDARD_DEVIATION_BIASED": e["std_b"],
-        "STANDARD_ERROR": f"({std} / sqrt({pop}))",
-        "COV": f"({std} / {e['mean']})",
+        "COUNT": "__pop",
+        "MIN": "__vmin",
+        "MAX": "__vmax",
+        "RANGE": "__rng",
+        "MEAN": "__mean",
+        "MEDIAN": "__median",
+        "MODE": "__mode",
+        "ENERGY": "__energy",
+        "ROOT_MEAN_SQUARED": "sqrt(__energy / __pop)",
+        "INTEGRATED_INTENSITY": "__s1",
+        "MEAN_ABSOLUTE_DEVIATION": "__mad",
+        "MEDIAN_ABSOLUTE_DEVIATION": "__medad",
+        "VARIANCE": "__var",
+        "VARIANCE_BIASED": "__var_b",
+        "STANDARD_DEVIATION": "__std",
+        "STANDARD_DEVIATION_BIASED": "__std_b",
+        "STANDARD_ERROR": "(__std / sqrt(__pop))",
+        "COV": "(__std / __mean)",
         # explicit IEEE chains — same tree as the kernel (firstorder.py)
         "SKEWNESS": (
-            f"(CASE WHEN {pop} > 3D AND {ss} > 0D"
-            f" THEN sqrt({pop}) * {e['m3']} / ({ss} * sqrt({ss}))"
-            f" ELSE 0D END)"
+            "(CASE WHEN __pop > 3D AND __ss > 0D"
+            " THEN sqrt(__pop) * __m3 / (__ss * sqrt(__ss)) ELSE 0D END)"
         ),
         "KURTOSIS": (
-            f"(CASE WHEN {pop} > 4D AND {ss} > 0D"
-            f" THEN {pop} * {e['m4']} / ({ss} * {ss}) ELSE 0D END)"
+            "(CASE WHEN __pop > 4D AND __ss > 0D"
+            " THEN __pop * __m4 / (__ss * __ss) ELSE 0D END)"
         ),
         "EXCESS_KURTOSIS": (
-            f"(CASE WHEN {pop} > 4D AND {ss} > 0D"
-            f" THEN {pop} * {e['m4']} / ({ss} * {ss}) - 3.0D ELSE 0D END)"
+            "(CASE WHEN __pop > 4D AND __ss > 0D"
+            " THEN __pop * __m4 / (__ss * __ss) - 3.0D ELSE 0D END)"
         ),
         "HYPERSKEWNESS": (
-            f"(CASE WHEN {pop} * ((({std} * {std}) * ({std} * {std})) * {std}) != 0D"
-            f" THEN {e['s5']} / ({pop} * ((({std} * {std}) * ({std} * {std})) * {std}))"
-            f" ELSE 0D END)"
+            "(CASE WHEN __pop * (((__std * __std) * (__std * __std)) * __std) != 0D"
+            " THEN __s5 / (__pop * (((__std * __std) * (__std * __std)) * __std))"
+            " ELSE 0D END)"
         ),
         "HYPERFLATNESS": (
-            f"(CASE WHEN {pop} * ((({std} * {std}) * ({std} * {std})) * ({std} * {std})) != 0D"
-            f" THEN {e['s6']} / ({pop} * ((({std} * {std}) * ({std} * {std})) * ({std} * {std})))"
-            f" ELSE 0D END)"
+            "(CASE WHEN __pop * (((__std * __std) * (__std * __std))"
+            " * (__std * __std)) != 0D"
+            " THEN __s6 / (__pop * (((__std * __std) * (__std * __std))"
+            " * (__std * __std))) ELSE 0D END)"
         ),
-        "UNIFORMITY": e["uni"],
-        "UNIFORMITY_PIU": f"((1.0D - {e['rng']} / ({e['vmax']} + {e['vmin']})) * 100.0D)",
+        "UNIFORMITY": "__uni",
+        "UNIFORMITY_PIU": "((1.0D - __rng / (__vmax + __vmin)) * 100.0D)",
     }
     # blank/empty dispatch (intensity.cpp:60-96 via firstorder.fin)
-    empty = f"size({tokens_col}) = 0"
-    blank = f"size({tokens_col}) > 0 AND {e['rng']} = 0D"
+    empty = "__pop = 0D"
+    blank = "__pop > 0D AND __rng = 0D"
     nan = "cast('NaN' as double)"
     blank_val = {
-        "MIN": e["vmin"], "MAX": e["vmax"], "RANGE": "0D",
-        "MEAN": e["vmin"], "MEDIAN": e["vmin"],
+        "MIN": "__vmin", "MAX": "__vmax", "RANGE": "0D",
+        "MEAN": "__vmin", "MEDIAN": "__vmin",
     }
     out = {}
     for name, expr in raw.items():
         if name == "COUNT":
-            out[name] = F.expr(f"CASE WHEN {empty} THEN 0D ELSE {pop} END")
+            out[name] = F.expr(f"CASE WHEN {empty} THEN 0D ELSE __pop END")
             continue
         bv = blank_val.get(name, nan)
         out[name] = F.expr(
@@ -186,13 +228,15 @@ def extract_features_sql(
     """Feature extraction through pure Catalyst expressions — the
     zero-Python alternative to features.extract_features for the
     SQL-expressible statistical family. Identical values (parity-pinned);
-    the plan is a single whole-stage-codegen projection over the scan."""
+    the plan is whole-stage-codegen projections over the scan (no
+    exchange, no Python)."""
     feats = features or SQL_FIRSTORDER_FEATURES
     bad = [f for f in feats if f not in SQL_FIRSTORDER_FEATURES]
     if bad:
         raise ValueError(
             f"not SQL-expressible (use the kernel backend): {bad}"
         )
-    exprs = sql_firstorder_exprs(tokens_col)
+    staged = _staged(df, tokens_col)
+    exprs = sql_firstorder_exprs()
     keep = [c for c in df.columns if keep_tokens or c != tokens_col]
-    return df.select(*keep, *[exprs[f].alias(f) for f in feats])
+    return staged.select(*keep, *[exprs[f].alias(f) for f in feats])
