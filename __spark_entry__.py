@@ -1806,6 +1806,25 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions import largest_remainder_alloc
 
     lra = largest_remainder_alloc(docs, 100)
+    # Z-ORDER layout key (Delta/Iceberg OPTIMIZE ZORDER analog): interleave
+    # (source index, n_chars) bits → z32; the locality audit gates each
+    # top-level z bucket's 2-D EXTENTS (a z range is a rectangle: bounded
+    # n_chars AND source spread per bucket — the property that makes both
+    # columns prunable after a z-sort)
+    from nyxus_spark.functions import zorder_key
+
+    si_sql = "cast(substring(source, 4) as bigint)"
+    out = out.withColumn(
+        "z32", zorder_key(si_sql, "cast(n_chars as bigint)", 16).cast("long")
+    ).withColumn("zb", F.expr("z32 div 4096"))
+    zext = out.groupBy("zb").agg(
+        F.count("*").cast("long").alias("zb_rows"),
+        F.min("n_chars").cast("long").alias("zb_n_min"),
+        F.max("n_chars").cast("long").alias("zb_n_max"),
+        F.min(F.expr(si_sql)).cast("long").alias("zb_src_min"),
+        F.max(F.expr(si_sql)).cast("long").alias("zb_src_max"),
+    )
+    out = out.join(zext, "zb")
     fold_sizes = docs.select(
         cv_fold(F.col("doc_id"), 5).alias("cv_fold")
     ).groupBy("cv_fold").agg(
@@ -4394,6 +4413,21 @@ lra AS (
              AS lr_rrank,
            CAST(100 - SUM(lr_floor) OVER () AS BIGINT) AS lr_left
     FROM lrb)
+),
+zed AS (  -- z-order key: exact bit interleave of (source idx, n_chars)
+  SELECT doc_id,
+         CAST({oracles.sql_zorder("CAST(substr(source, 4) AS BIGINT)",
+                                  "CAST(n_chars AS BIGINT)")} AS BIGINT) AS z32
+  FROM base
+),
+zext AS (  -- per-z-bucket 2-D extents: a z range is a rectangle
+  SELECT z.z32 // 4096 AS zb,
+         CAST(COUNT(*) AS BIGINT) AS zb_rows,
+         CAST(MIN(b.n_chars) AS BIGINT) AS zb_n_min,
+         CAST(MAX(b.n_chars) AS BIGINT) AS zb_n_max,
+         CAST(MIN(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS zb_src_min,
+         CAST(MAX(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS zb_src_max
+  FROM base b JOIN zed z USING (doc_id) GROUP BY 1
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
@@ -4418,6 +4452,8 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        q.quota_rank, CAST(q.quota_rank <= 40 AS BIGINT) AS quota_keep,
        lr.lr_n, lr.lr_floor, lr.lr_rem, lr.lr_bonus, lr.lr_alloc,
        CAST(q.quota_rank <= lr.lr_alloc AS BIGINT) AS lr_keep,
+       z.z32, CAST(z.z32 // 4096 AS BIGINT) AS zb,
+       ze.zb_rows, ze.zb_n_min, ze.zb_n_max, ze.zb_src_min, ze.zb_src_max,
        ps.pri4, ps.pri_rank, ps.pri_keep, ps.pri_ht4,
        CAST((SELECT COUNT(*) FROM rbk WHERE bound_val < base.shuf_e0)
             AS BIGINT) AS rp8
@@ -4428,6 +4464,8 @@ FROM base JOIN bplan bp USING (source)
      JOIN psamp ps USING (doc_id)
      JOIN fsize fs ON fs.cv_fold = base.cv_fold
      JOIN lra lr ON lr.source = base.source
+     JOIN zed z ON z.doc_id = base.doc_id
+     JOIN zext ze ON ze.zb = z.z32 // 4096
 )
 )
 """,

@@ -1036,6 +1036,27 @@ def budget_allocation(df, weight_col: str, source_col: str = "source",
     )
 
 
+def zorder_key(a_sql: str, b_sql: str, bits: int = 16):
+    """Z-ORDER (Morton) clustering key over two integer dimensions — the
+    layout primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`:
+    interleaving the low `bits` bits of each dimension yields a 1-D sort
+    key whose ranges are 2-D rectangles, so files sorted/range-partitioned
+    by it prune on EITHER column's predicate. Pure integer bit arithmetic
+    (unrolled shifts ≤ 2·bits+1 ≤ 62 — inside the cross-engine 63-bit
+    shift constraint, see CLAUDE.md), bit-identical in any engine. Bits
+    above `bits` are dropped (fixed-precision z-map — quantize or clamp
+    wider dimensions first). `a_sql`/`b_sql` are SQL texts of BIGINT
+    expressions; a gets the even bit positions, b the odd."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    terms = [
+        f"(shiftleft(shiftright({a_sql}, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright({b_sql}, {i}) & 1, {2 * i + 1}))"
+        for i in range(bits)
+    ]
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
 def largest_remainder_alloc(df, k: int, source_col: str = "source"):
     """Largest-remainder (Hamilton) APPORTIONMENT — allocate exactly `k`
     sample slots across sources proportional to their row counts: each

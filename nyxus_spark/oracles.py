@@ -579,6 +579,18 @@ FROM ranked r JOIN adctop t USING (query_id, rank)
 """
 
 
+def sql_zorder(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB replay of functions.zorder_key: the same unrolled bit
+    interleave (shifts ≤ 2·bits+1 ≤ 62 — under the 63-bit cross-engine
+    shift constraint); + of disjoint bit terms equals the bitwise OR."""
+    terms = [
+        f"(((({a}) >> {i}) & 1) << {2 * i})"
+        f" + (((({b}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def sql_cosine_dup(threshold: float = 0.99, n_planes: int = 16, quant: int = 1000) -> str:
     """Embedding-cosine near-dup oracle: replays the hyperplane-LSH blocking
     with the same integer arithmetic (quantized vectors × deterministic

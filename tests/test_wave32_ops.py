@@ -310,3 +310,55 @@ def test_ks_drift_whole_corpus_group_is_zero(spark):
                                ["source", "n_chars"])
     r = ks_drift(df).collect()[0]
     assert (r.ks_num, r.ks_den, r.ks_d4) == (0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering key
+# ---------------------------------------------------------------------------
+
+def _py_z(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from nyxus_spark.functions import zorder_key
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535),
+            (70000, 2), (12345, 54321)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select(
+        "a", "b",
+        zorder_key("cast(a as bigint)", "cast(b as bigint)").alias("z"),
+    ).collect()
+    for r in got:
+        # bits above 16 are dropped (fixed-precision z-map)
+        assert r.z == _py_z(r.a & 0xFFFF, r.b & 0xFFFF)
+    with pytest.raises(ValueError):
+        zorder_key("a", "b", bits=32)
+
+
+def test_zorder_buckets_are_rectangles(spark):
+    """The locality property the layout relies on: every aligned z-range
+    (bucket of 2^2k consecutive keys) covers ONE k-bit-aligned rectangle
+    in (a, b) space."""
+    from nyxus_spark.functions import zorder_key
+
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = df.select(
+        "a", "b",
+        (zorder_key("cast(a as bigint)", "cast(b as bigint)") / 16)
+        .cast("long").alias("zb"),  # buckets of 16 keys = 4x4 squares
+    ).collect()
+    ext = {}
+    for r in out:
+        lo = ext.setdefault(r.zb, [r.a, r.a, r.b, r.b])
+        lo[0] = min(lo[0], r.a); lo[1] = max(lo[1], r.a)
+        lo[2] = min(lo[2], r.b); lo[3] = max(lo[3], r.b)
+    for zb, (a0, a1, b0, b1) in ext.items():
+        assert a1 - a0 == 3 and b1 - b0 == 3      # exact 4x4 squares
+        assert a0 % 4 == 0 and b0 % 4 == 0        # aligned
