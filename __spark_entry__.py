@@ -2140,7 +2140,10 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    out = decode_media(attach_fake_media(docs), codec="fake")
+    # patch=4: the decode also PATCHIFIES (ViT tokenization) — 16 row-major
+    # 4x4 patches per pseudo-image, gated via the exact per-doc patch
+    # digest/min/max (any single patch-sum error flips the digest)
+    out = decode_media(attach_fake_media(docs), codec="fake", patch=4)
     # TEXT-SIDE EMBEDDING FUSION: the multimodal record carries its pooled
     # text embedding next to the decoded-media features. Token-embedding
     # table = the int8-quantized embeddings (vec_id == token id; every
@@ -2176,11 +2179,13 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out.select("doc_id", "media_type", "out_width", "out_height",
-                   "mean_intensity")
+                   "mean_intensity",
+                   "patch_digest", "patch_min", "patch_max")
         .join(pd_, "doc_id", "left")
         .select(
             "doc_id", "media_type", "out_width", "out_height",
             "mean_intensity",
+            "patch_digest", "patch_min", "patch_max",
             F.coalesce("pool_tok", zero).alias("pool_tok"),
             F.coalesce("pool_digest", zero).alias("pool_digest"),
             F.coalesce("pool_abs", zero).alias("pool_abs"),
@@ -3984,6 +3989,21 @@ vals AS (
   FROM base b, unnest(range(0, 256)) AS u(p)
   GROUP BY b.sdoc
 ),
+pp AS (  -- ViT patchify replay: pixel p of the 16x16 pseudo-image lands in
+         -- row-major 4x4 patch ((p//16)//4)*4 + (p%16)//4
+  SELECT b.sdoc,
+         ((p // 16) // 4) * 4 + ((p % 16) // 4) AS pidx,
+         CAST(SUM(ascii(substr(b.text, CAST(p % b.n AS INTEGER) + 1, 1))) AS BIGINT) AS ps
+  FROM base b, unnest(range(0, 256)) AS u(p)
+  GROUP BY 1, 2
+),
+pdg AS (
+  SELECT sdoc,
+         CAST(SUM((pidx + 1) * ps) AS BIGINT) AS patch_digest,
+         CAST(MIN(ps) AS BIGINT) AS patch_min,
+         CAST(MAX(ps) AS BIGINT) AS patch_max
+  FROM pp GROUP BY sdoc
+),
 mq AS (  -- int8 quantization, same IEEE expression tree as embed_quantize
   SELECT vec_id,
          CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) = 0
@@ -4019,10 +4039,12 @@ mdig AS (
 SELECT b.sdoc AS doc_id, b.media_type,
        16 AS out_width, 16 AS out_height,
        CAST(v.s // 256 AS BIGINT) AS mean_intensity,
+       pg.patch_digest, pg.patch_min, pg.patch_max,
        COALESCE(d.pool_tok, 0) AS pool_tok,
        COALESCE(d.pool_digest, 0) AS pool_digest,
        COALESCE(d.pool_abs, 0) AS pool_abs
 FROM base b JOIN vals v USING (sdoc)
+JOIN pdg pg USING (sdoc)
 LEFT JOIN mdig d USING (sdoc)
 """,
         "pricing_summary": """

@@ -72,19 +72,34 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
+PATCH_FIELDS = [
+    StructField("patch_digest", LongType()),
+    StructField("patch_min", LongType()),
+    StructField("patch_max", LongType()),
+]
+
 
 def decode_media(
     df: DataFrame,
     codec: str = "fake",
     resize_to: tuple[int, int] = (16, 16),
+    patch: int | None = None,
 ) -> DataFrame:
     """Decode / feature-extract / resize media payloads.
 
     codec="real" is a clearly-marked stub (no codecs in this container);
     codec="fake" deterministically derives a pseudo-image from the bytes:
     pixel[i] = payload_bytes cycled through the resize_to shape.
+
+    With ``patch=P`` the decode also PATCHIFIES — the ViT tokenization
+    step: the resize_to image splits into (h/P)×(w/P) patches in row-major
+    patch order, and each row carries the exact-integer per-patch summary:
+    patch_digest = Σ (idx+1)·patch_sum (any single patch's error flips
+    it), patch_min/max of the patch sums. P must divide both dimensions.
     """
     w, h = resize_to
+    if patch is not None and (w % patch or h % patch):
+        raise ValueError(f"patch={patch} must divide resize_to={resize_to}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,23 +113,38 @@ def decode_media(
             outh = np.full(n, h, dtype=np.int32)
             checks = np.empty(n, dtype=np.int64)
             means = np.empty(n, dtype=np.int64)
+            pdig = np.zeros(n, dtype=np.int64)
+            pmin = np.zeros(n, dtype=np.int64)
+            pmax = np.zeros(n, dtype=np.int64)
             for i, payload in enumerate(pdf["payload"].to_numpy()):
                 b = bytes(payload or b"")
                 checks[i] = zlib.crc32(b)
                 arr = np.frombuffer((b * ((w * h) // max(len(b), 1) + 1))[: w * h], dtype=np.uint8)
                 means[i] = int(arr.mean()) if arr.size else 0
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "out_width": outw,
-                    "out_height": outh,
-                    "checksum": checks,
-                    "mean_intensity": means,
-                }
-            )
+                if patch is not None and arr.size == w * h:
+                    ps = (
+                        arr.reshape(h // patch, patch, w // patch, patch)
+                        .astype(np.int64).sum(axis=(1, 3)).ravel()
+                    )
+                    pdig[i] = int(((np.arange(ps.size) + 1) * ps).sum())
+                    pmin[i] = int(ps.min())
+                    pmax[i] = int(ps.max())
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "out_width": outw,
+                "out_height": outh,
+                "checksum": checks,
+                "mean_intensity": means,
+            }
+            if patch is not None:
+                cols.update(patch_digest=pdig, patch_min=pmin, patch_max=pmax)
+            yield pd.DataFrame(cols)
 
-    return df.mapInPandas(gen, DECODED_SCHEMA)
+    schema = DECODED_SCHEMA if patch is None else StructType(
+        DECODED_SCHEMA.fields + PATCH_FIELDS
+    )
+    return df.mapInPandas(gen, schema)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
