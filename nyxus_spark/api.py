@@ -53,11 +53,33 @@ class NyxusSpark:
     def featurize(
         self, df: DataFrame, keep_tokens: bool = False,
         annotations: list[str] | None = None,
+        backend: str = "kernel",
     ) -> DataFrame:
         """One wide feature row per input row (the reference's per-ROI
         vector, one float64 column per enabled feature). `annotations`
         passes input columns through as `anno{i}` strings ahead of the
-        features (output_2_csv.cpp:62-80)."""
+        features (output_2_csv.cpp:62-80).
+
+        backend="kernel" (default) runs the Arrow-vectorized numpy kernels
+        (mapInArrow — the fast path, full catalog). backend="sql" runs
+        PURE Catalyst expressions for the SQL-expressible statistical
+        subset (features/sqlback.py): no Python workers, bit-identical
+        values, ~4× slower per row (measured) — pick it for pure-JVM
+        deployments or SQL-view/streaming composition. Raises ValueError
+        when the enabled feature set exceeds the SQL-expressible subset
+        (or uses annotations, which are a kernel-path feature)."""
+        if backend == "sql":
+            if annotations:
+                raise ValueError("annotations require backend='kernel'")
+            from nyxus_spark.features.registry import resolve_features
+            from nyxus_spark.features.sqlback import extract_features_sql
+
+            return extract_features_sql(
+                df, resolve_features(self.features),
+                tokens_col=self.tokens_col, keep_tokens=keep_tokens,
+            )
+        if backend != "kernel":
+            raise ValueError(f"unknown backend {backend!r} (kernel|sql)")
         return extract_features(
             df, self.features, settings=self.settings,
             tokens_col=self.tokens_col, keep_tokens=keep_tokens,

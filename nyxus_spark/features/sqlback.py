@@ -103,7 +103,7 @@ def _staged(df: DataFrame, tok: str) -> DataFrame:
         "                    THEN s.cc + 1 ELSE 1 END) ELSE s.bc END,"
         "   'bv', CASE WHEN (CASE WHEN s.pv IS NOT NULL AND x = s.pv"
         "                    THEN s.cc + 1 ELSE 1 END) > s.bc"
-        "              THEN x ELSE s.bv END,"
+        "              THEN cast(x as int) ELSE s.bv END,"
         "   'cc', CASE WHEN s.pv IS NOT NULL AND x = s.pv"
         "              THEN s.cc + 1 ELSE 1 END,"
         "   'pv', cast(x as int))).bv) as double) AS __mode",

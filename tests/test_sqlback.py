@@ -73,3 +73,23 @@ def test_sql_backend_plan_is_python_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
     assert "Exchange" not in plan  # narrow: projection over the scan
+
+
+def test_api_sql_backend(spark):
+    from nyxus_spark.api import NyxusSpark
+
+    nx = NyxusSpark(features=["MEAN", "VARIANCE", "MEDIAN"])
+    df = spark.createDataFrame(
+        [("d0", [1, 2, 3, 4], 4), ("d1", [9, 9, 2], 3)],
+        ["doc_id", "tokens", "n_tok"])
+    k = {r.doc_id: r for r in nx.featurize(df).collect()}
+    s = {r.doc_id: r for r in nx.featurize(df, backend="sql").collect()}
+    for d in k:
+        for c in ("MEAN", "VARIANCE", "MEDIAN"):
+            assert float(k[d][c]) == float(s[d][c])
+    with pytest.raises(ValueError):
+        nx.featurize(df, backend="sql", annotations=["doc_id"])
+    with pytest.raises(ValueError):
+        NyxusSpark(features=["ENTROPY"]).featurize(df, backend="sql")
+    with pytest.raises(ValueError):
+        nx.featurize(df, backend="vulkan")
