@@ -92,6 +92,13 @@ def main() -> None:
         asof_join(spark.table("explain_p_b"), spark.table("explain_v_b"),
                   strategy="cogroup_merge")
     )
+    # bucketing also satisfies AGGREGATION distribution: a groupBy on the
+    # bucket column over the bucketed scan plans partial+final hash agg
+    # with NO Exchange between them — the write-once/aggregate-many shape
+    sections["bucketed aggregation (groupBy bucket column — ZERO Exchange)"] = plan_of(
+        spark.table("explain_v_b").groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("mass"))
+    )
     spark.sql("DROP TABLE IF EXISTS explain_v_b")
     spark.sql("DROP TABLE IF EXISTS explain_p_b")
 
