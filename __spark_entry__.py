@@ -3322,7 +3322,27 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("lang_pred").orderBy(
         F.col("quality_score").asc(), F.col("doc_id").asc())
-    return out.withColumn("curriculum_bucket", F.ntile(4).over(w).cast("long"))
+    out = out.withColumn("curriculum_bucket", F.ntile(4).over(w).cast("long"))
+    # curriculum PACING (root-p schedule, Platanios et al. 2019): easiest
+    # docs unlock first; doc at difficulty rank r of N (hardest = highest
+    # quality rank here) joins training at the first of T=16 steps where
+    # the unlocked fraction sqrt(t/T) reaches r/N — t = ceil(r²·T/N²),
+    # EXACT integer arithmetic (no sqrt: the inequality is squared)
+    out = (
+        out.withColumn(
+            "__cr",
+            F.row_number().over(w).cast("long"),
+        )
+        .withColumn("__cn", F.count("*").over(
+            Window.partitionBy("lang_pred")).cast("long"))
+        .withColumn(
+            "cur_unlock16",
+            F.expr("(__cr * __cr * 16 + __cn * __cn - 1) div (__cn * __cn)")
+            .cast("long"),
+        )
+        .drop("__cr", "__cn")
+    )
+    return out
 
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4763,7 +4783,18 @@ FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
         "text_stats": f"""
 SELECT *, CAST(ntile(4) OVER (PARTITION BY lang_pred
              ORDER BY quality_score ASC, doc_id ASC) AS BIGINT)
-          AS curriculum_bucket
+          AS curriculum_bucket,
+       -- root-p curriculum pacing: unlock step t = ceil(r^2*16/N^2), the
+       -- squared form of r/N <= sqrt(t/16) — exact integers throughout
+       CAST((CAST(row_number() OVER (PARTITION BY lang_pred
+                  ORDER BY quality_score ASC, doc_id ASC) AS BIGINT)
+             * row_number() OVER (PARTITION BY lang_pred
+                  ORDER BY quality_score ASC, doc_id ASC) * 16
+             + CAST(COUNT(*) OVER (PARTITION BY lang_pred) AS BIGINT)
+               * COUNT(*) OVER (PARTITION BY lang_pred) - 1)
+            // (CAST(COUNT(*) OVER (PARTITION BY lang_pred) AS BIGINT)
+                * COUNT(*) OVER (PARTITION BY lang_pred)) AS BIGINT)
+          AS cur_unlock16
 FROM (
 WITH {SQL_TOKENS_STATIC},
 toks AS (
