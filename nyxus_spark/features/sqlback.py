@@ -29,8 +29,8 @@ uniformity likewise runs as ONE run-length fold over sorted bin ids
 (O(n log n)), not a per-bin rescan (O(64·n), another ~3× of wall).
 
 Measured trade (sf0.1, 5000 rows, local[8], best-of-3 on cached input):
-kernel 0.43 s vs SQL 1.64 s — the Arrow-vectorized kernel stays ~4×
-faster per row. Choose this path for its OPERATIONAL properties, not raw
+kernel 0.38 s vs SQL 2.03 s over the full 35-code set — the
+Arrow-vectorized kernel stays ~5× faster per row. Choose this path for its OPERATIONAL properties, not raw
 speed: no Python workers to provision, pure-JVM plans that compose into
 SQL views / Structured Streaming stages without an Arrow boundary, and
 engine-portable semantics — with bit-identical values when you switch.
@@ -39,10 +39,13 @@ Blank/empty semantics replicate intensity.cpp:60-96 via firstorder.py's
 `fin`: empty rows → NaN (COUNT → 0); blank rows (min == max) → NaN except
 MIN/MAX → the value, RANGE → 0, MEAN/MEDIAN → min.
 
-Not expressible here (stay on the kernel path): the interpolated
-percentile walk (P01…QCOD, ROBUST_*) and ENTROPY (libm log2 differs
-across engines). Parity is enforced by tests/test_sqlback.py against the
-kernel on real data + edge rows.
+Covered: the full 36-code firstorder family EXCEPT ENTROPY (libm log2
+differs across engines) — including the interpolated 100-bin percentile
+walk (histogram.h:298-327), which runs as a sparse present-bin run/cumsum
+table built by one fold over sorted bin ids plus per-percentile array
+lookups, the same sparse formulation the DuckDB oracle uses
+(oracles.sql_percentiles). Parity is enforced by tests/test_sqlback.py
+against the kernel on real data + edge rows.
 """
 
 from __future__ import annotations
@@ -61,6 +64,9 @@ SQL_FIRSTORDER_FEATURES = [
     "COV", "SKEWNESS", "KURTOSIS", "EXCESS_KURTOSIS",
     "HYPERSKEWNESS", "HYPERFLATNESS",
     "UNIFORMITY", "UNIFORMITY_PIU",
+    "P01", "P10", "P25", "P75", "P90", "P99",
+    "INTERQUARTILE_RANGE", "QCOD",
+    "ROBUST_MEAN", "ROBUST_MEAN_ABSOLUTE_DEVIATION",
 ]
 
 
@@ -141,11 +147,83 @@ def _staged(df: DataFrame, tok: str) -> DataFrame:
         f"(CASE WHEN __pop = 0D OR __rng = 0D THEN 0D ELSE"
         f" {uni_runs} / (__pop * __pop) END) AS __uni",
     )
-    return stage3.selectExpr(
+    stage4 = stage3.selectExpr(
         "*",
         "(CASE WHEN __pop > 1D THEN __ss / (__pop - 1D) ELSE 0D END) AS __var",
         "(CASE WHEN __pop > 1D THEN __ss / __pop ELSE 0D END) AS __var_b",
-    ).selectExpr("*", "sqrt(__var) AS __std", "sqrt(__var_b) AS __std_b")
+        # TrivialHistogram machinery (histogram.h:298-327 via firstorder.py
+        # _percentiles_100bin): safe bin width (kernel's safe_rng guard),
+        # then the SPARSE present-bin run/cumsum table — an array of
+        # (bin, count, cum) built by ONE fold over the sorted bin ids
+        "(CASE WHEN __rng > 0D THEN __rng / 100.0D ELSE 0.01D END) AS __bw",
+    )
+    b100 = (
+        f"array_sort(transform({tok}, x -> least("
+        "cast((cast(x as double) - __vmin) / __bw as int), 99)))"
+    )
+    run_close = (
+        "array_append(s.arr, named_struct('b', s.pv, 'c', s.cc,"
+        " 'cum', coalesce(try_element_at(s.arr, -1).cum, 0L) + s.cc))"
+    )
+    stage5 = stage4.selectExpr(
+        "*",
+        f"aggregate({b100},"
+        " named_struct('arr', cast(array() as array<struct<b:int,c:bigint,cum:bigint>>),"
+        "              'pv', cast(null as int), 'cc', 0L),"
+        " (s, b) -> CASE"
+        "   WHEN s.pv IS NULL THEN"
+        "     named_struct('arr', s.arr, 'pv', cast(b as int), 'cc', 1L)"
+        "   WHEN b = s.pv THEN"
+        "     named_struct('arr', s.arr, 'pv', s.pv, 'cc', s.cc + 1L)"
+        f"  ELSE named_struct('arr', {run_close},"
+        "                     'pv', cast(b as int), 'cc', 1L) END,"
+        f" s -> CASE WHEN s.pv IS NULL THEN s.arr ELSE {run_close} END)"
+        " AS __cums",
+    )
+    # per-percentile walk: istar = first present bin with cum > n·q (capped
+    # 99); r_prev = cum of the last present bin below istar; count 0 → /1
+    ist_cols, val_cols = [], []
+    for nm, q in (("p01", "0.01"), ("p10", "0.1"), ("p25", "0.25"),
+                  ("p75", "0.75"), ("p90", "0.9"), ("p99", "0.99")):
+        ist_cols.append(
+            f"least(coalesce(try_element_at(filter(__cums,"
+            f" r -> cast(r.cum as double) > __pop * {q}D), 1).b, 99), 99)"
+            f" AS __i{nm}"
+        )
+        cnt_i = (
+            f"coalesce(try_element_at(filter(__cums,"
+            f" r -> r.b = __i{nm}), 1).c, 0L)"
+        )
+        val_cols.append(
+            f"(((((__pop * {q}D)"
+            f" - cast(coalesce(try_element_at(filter(__cums,"
+            f" r -> r.b < __i{nm}), -1).cum, 0L) as double)) * __bw)"
+            f" / (CASE WHEN {cnt_i} > 0L THEN cast({cnt_i} as double)"
+            f"     ELSE 1.0D END)"
+            f" + __vmin) + __bw * cast(__i{nm} as double)) AS __v{nm}"
+        )
+    stage6 = stage5.selectExpr("*", *ist_cols).selectExpr("*", *val_cols)
+    # robust band [P10, P90] (intensity.cpp:171-181): folds run over the
+    # order-preserving band filter — the same masked sequential adds as the
+    # kernel's seg_sum_where
+    stage7 = stage6.selectExpr(
+        "*",
+        f"filter({tok}, x -> cast(x as double) >= __vp10"
+        " AND cast(x as double) <= __vp90) AS __band",
+    ).selectExpr(
+        "*", "cast(size(__band) as double) AS __cb"
+    ).selectExpr(
+        "*",
+        "(CASE WHEN __cb > 0D THEN"
+        " aggregate(__band, 0D, (a, x) -> a + cast(x as double)) / __cb"
+        " ELSE 0D END) AS __rmean",
+    ).selectExpr(
+        "*",
+        "(CASE WHEN __cb > 0D THEN"
+        " aggregate(__band, 0D, (a, x) -> a + abs(cast(x as double) - __rmean))"
+        " / __cb ELSE 0D END) AS __rmad",
+    )
+    return stage7.selectExpr("*", "sqrt(__var) AS __std", "sqrt(__var_b) AS __std_b")
 
 
 def sql_firstorder_exprs():
@@ -196,6 +274,14 @@ def sql_firstorder_exprs():
         ),
         "UNIFORMITY": "__uni",
         "UNIFORMITY_PIU": "((1.0D - __rng / (__vmax + __vmin)) * 100.0D)",
+        "P01": "__vp01", "P10": "__vp10", "P25": "__vp25",
+        "P75": "__vp75", "P90": "__vp90", "P99": "__vp99",
+        # the kernel derives IQR/QCOD from the matched percentiles with
+        # these exact two-step float ops (firstorder.py:174-176)
+        "INTERQUARTILE_RANGE": "(__vp75 - __vp25)",
+        "QCOD": "((__vp75 - __vp25) / (__vp75 + __vp25))",
+        "ROBUST_MEAN": "__rmean",
+        "ROBUST_MEAN_ABSOLUTE_DEVIATION": "__rmad",
     }
     # blank/empty dispatch (intensity.cpp:60-96 via firstorder.fin)
     empty = "__pop = 0D"
