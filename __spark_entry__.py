@@ -604,8 +604,34 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id", "props"
     )
+    # deterministic SCHEMA DRIFT injection so the audit has real work:
+    # every 5th event's producer "adds a field" (x), every 7th "drops" k —
+    # the json_schema_audit columns must count both exactly
+    ev = ev.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit('{"z": 1}')
+        ).when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.expr("substring(props, 1, length(props) - 1)"),
+                F.lit(', "x": '),
+                (F.col("event_id") % 9).cast("string"),
+                F.lit("}"),
+            ),
+        ).otherwise(F.col("props")),
+    )
     s = parse_json_col(
         sessionize(ev, 3600.0), "props", {"k": "bigint"}, prefix="props_"
+    )
+    from nyxus_spark.functions import json_schema_audit
+
+    aud = json_schema_audit("props", ("k",))
+    s = s.select(
+        "*",
+        aud["n_keys"].alias("pj_keys"),
+        aud["extra"].alias("pj_extra"),
+        aud["missing"].alias("pj_missing"),
     )
     w = Window.partitionBy("doc_id", "session_id")
     out = s.select(
@@ -613,6 +639,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "session_id",
         "props_k",
+        "pj_keys", "pj_extra", "pj_missing",
         F.sum("props_k").over(w).cast("long").alias("session_k_sum"),
         F.count("*").over(w).cast("long").alias("session_n_events"),
     )
@@ -5671,12 +5698,21 @@ FROM events GROUP BY 1, 2
         # from_json's typed field pull; the per-session rollups are exact
         # BIGINTs over the derived session key
         "sessionize": """
-WITH flags AS (
+WITH drifted AS (  -- the same deterministic schema-drift injection:
+                   -- %7 drops k (producer regression), %5 adds x
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN '{"z": 1}'
+              WHEN event_id % 5 = 0 THEN substr(props, 1, strlen(props) - 1)
+                   || ', "x": ' || CAST(event_id % 9 AS VARCHAR) || '}'
+              ELSE props END AS props
+  FROM events
+),
+flags AS (
   SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts, props,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
               THEN 1 ELSE 0 END AS f
-  FROM events
+  FROM drifted
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
@@ -5705,6 +5741,11 @@ con AS (  -- co-activity: other-key sessions overlapping this window
 )
 SELECT s.doc_id, s.event_id, s.session_id,
        CAST(json_extract(s.props, '$.k') AS BIGINT) AS props_k,
+       CAST(len(json_keys(s.props)) AS BIGINT) AS pj_keys,
+       CAST(len(list_filter(json_keys(s.props), kk -> kk != 'k'))
+            AS BIGINT) AS pj_extra,
+       CAST(CASE WHEN list_contains(json_keys(s.props), 'k')
+                 THEN 0 ELSE 1 END AS BIGINT) AS pj_missing,
        CAST(SUM(CAST(json_extract(s.props, '$.k') AS BIGINT))
             OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_k_sum,
        CAST(COUNT(*) OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_n_events,

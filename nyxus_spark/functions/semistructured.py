@@ -39,3 +39,28 @@ def parse_json_col(
         "*", *[parsed.getField(n).alias(f"{prefix}{n}") for n in fields]
     )
     return out.drop(col) if drop else out
+
+
+def json_schema_audit(col: str = "props", expected: tuple = ("k",)):
+    """Schema-DRIFT audit for a semi-structured JSON column — the
+    ingest-monitoring pass that catches producers adding/dropping fields
+    before a typed from_json pipeline silently nulls them out. Pure column
+    expressions over json_object_keys:
+
+      n_keys  — top-level key count,
+      extra   — keys not in `expected` (new-field drift),
+      missing — `expected` keys absent (dropped-field drift).
+
+    Exact integers; malformed JSON yields NULL keys → all three NULL (the
+    caller decides the quarantine policy)."""
+    exp_arr = "array(" + ", ".join(f"'{e}'" for e in expected) + ")"
+    keys = f"json_object_keys({col})"
+    return {
+        "n_keys": F.expr(f"cast(size({keys}) as bigint)"),
+        "extra": F.expr(
+            f"cast(size(array_except({keys}, {exp_arr})) as bigint)"
+        ),
+        "missing": F.expr(
+            f"cast(size(array_except({exp_arr}, {keys})) as bigint)"
+        ),
+    }
