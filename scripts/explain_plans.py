@@ -141,6 +141,17 @@ def main() -> None:
         ivf_search(spark, ivf_dir, cents, qv, k=10)
     )
 
+    # DYNAMIC partition pruning: joining the partitioned index to a
+    # FILTERED dim on the partition column injects a runtime subquery
+    # filter (dynamicpruningexpression) into the scan — partitions prune
+    # from the dim's values at execution time, no static filter needed
+    fact = spark.read.parquet(ivf_dir)
+    dim = cents.filter("cent_id % 3 = 0")
+    sections["dynamic partition pruning (runtime dim-driven scan filter)"] = plan_of(
+        fact.join(dim, fact.assigned_cent == dim.cent_id).select(
+            "vec_id", "cent_id")
+    )
+
     # AQE runtime skew-join splitting: hot-key as-of through the
     # shuffle_join strategy (a real SortMergeJoin) with test-scale skew
     # thresholds — the EXECUTED adaptive plan must carry skew=true splits,
