@@ -1637,6 +1637,20 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").cast("long").alias("vocab_full"),
     )
     out = out.crossJoin(F.broadcast(growth))
+    # INVERTED-INDEX posting stats per kept token (the IR indexing
+    # primitive): df / first doc / max gap / exact varint-model bit cost
+    # of the delta-encoded posting list — all exact integers (UNK -1 has
+    # no postings → coalesced zeros)
+    from nyxus_spark.functions import posting_stats
+
+    post = posting_stats(t)
+    zerol = F.lit(0).cast("long")
+    out = out.join(post, "token", "left").select(
+        "*",
+    ).withColumn("post_df", F.coalesce("post_df", zerol)) \
+     .withColumn("post_first", F.coalesce("post_first", F.lit(-1).cast("long"))) \
+     .withColumn("post_max_gap", F.coalesce("post_max_gap", zerol)) \
+     .withColumn("post_bits", F.coalesce("post_bits", zerol))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -4286,6 +4300,22 @@ kncv AS (SELECT a AS token, CAST(SUM(big_cnt) AS BIGINT) AS kn_cv
          FROM bg GROUP BY a),
 knpp AS (SELECT CAST(SUM(kn_left) AS BIGINT) AS kn_n1pp FROM knl),
 ndg AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tokens_static),
+pgap AS (  -- inverted-index postings: distinct (token, doc), sorted gaps
+  SELECT token, oid,
+         oid - lag(oid) OVER (PARTITION BY token ORDER BY oid) AS gap
+  FROM (SELECT DISTINCT unnest(tokens) AS token,
+               CAST(substr(doc_id, 5) AS BIGINT) AS oid
+        FROM tokens_static)
+),
+post AS (  -- exact varint-model bit cost: strlen(bin(gap)), g1 = first+1
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS post_df,
+         CAST(MIN(oid) AS BIGINT) AS post_first,
+         CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS post_max_gap,
+         CAST(SUM(CASE WHEN gap IS NULL THEN length(bin(oid + 1))
+                       ELSE length(bin(gap)) END) AS BIGINT) AS post_bits
+  FROM pgap GROUP BY token
+),
 growth AS (  -- Heaps-law vocabulary growth: prefix by numeric doc id
   SELECT CAST(COUNT(DISTINCT CASE WHEN oid < (SELECT nd FROM ndg) // 4
                                   THEN tok END) AS BIGINT) AS vocab_q1,
@@ -4326,6 +4356,10 @@ SELECT f.*, q.cms_est,
        COALESCE(kr.kn_right, 0) AS kn_right,
        COALESCE(cv.kn_cv, 0) AS kn_cv,
        g.vocab_q1, g.vocab_h1, g.vocab_full,
+       COALESCE(po.post_df, 0) AS post_df,
+       COALESCE(po.post_first, -1) AS post_first,
+       COALESCE(po.post_max_gap, 0) AS post_max_gap,
+       COALESCE(po.post_bits, 0) AS post_bits,
        CASE WHEN f.big_cnt > 0 AND COALESCE(cv.kn_cv, 0) > 0
                  AND klw.kn_left IS NOT NULL THEN
          FLOOR((GREATEST(CAST(f.big_cnt AS DOUBLE) - 0.75, 0.0)
@@ -4356,6 +4390,7 @@ FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
 LEFT JOIN knl klw ON klw.token = f.next_token
+LEFT JOIN post po USING (token)
 CROSS JOIN growth g
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash

@@ -2086,3 +2086,44 @@ def dsir_weights(df, target_flag, tokens_col: str = "tokens",
         (w > F.lit(1.0)).cast("long").alias("dsir_keep"),
     )
     return ratios_row, scored
+
+
+def posting_stats(df, tokens_col: str = "tokens",
+                  id_expr_sql: str = "cast(substr(doc_id, 5) as bigint)"):
+    """Inverted-index POSTING-LIST statistics — the IR-indexing primitive
+    (token → sorted doc-id list) with the classic gap/varint cost model:
+    per token,
+
+      post_df       — document frequency (distinct docs),
+      post_first    — smallest doc id,
+      post_max_gap  — largest doc-id gap (worst-case delta),
+      post_bits     — Σ strlen(bin(gap)) over the delta-encoded list
+                      (g₁ = first+1, gᵢ = oidᵢ − oidᵢ₋₁ ≥ 1): the exact
+                      bit cost of a minimal binary gap encoding, the
+                      index-size estimate an indexer plans storage with.
+
+    Every quantity is an exact integer (strlen(bin(n)) = ⌊log₂ n⌋ + 1
+    computed WITHOUT floats, identical in any engine).
+
+    Scale shape: one distinct (token, doc) aggregation, one window
+    partitioned by token (gap computation), one final hash agg — the
+    standard inverted-index build pipeline."""
+    from pyspark.sql import Window
+
+    p = df.select(
+        F.expr(id_expr_sql).alias("__oid"),
+        F.explode(tokens_col).alias("token"),
+    ).distinct()
+    w = Window.partitionBy("token").orderBy(F.col("__oid").asc())
+    g = p.withColumn("__gap", F.col("__oid") - F.lag("__oid").over(w))
+    return g.groupBy("token").agg(
+        F.count("*").cast("long").alias("post_df"),
+        F.min("__oid").cast("long").alias("post_first"),
+        F.coalesce(F.max("__gap"), F.lit(0)).cast("long").alias("post_max_gap"),
+        F.sum(
+            F.expr(
+                "CASE WHEN __gap IS NULL THEN length(bin(__oid + 1))"
+                " ELSE length(bin(__gap)) END"
+            )
+        ).cast("long").alias("post_bits"),
+    )

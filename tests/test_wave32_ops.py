@@ -362,3 +362,32 @@ def test_zorder_buckets_are_rectangles(spark):
     for zb, (a0, a1, b0, b1) in ext.items():
         assert a1 - a0 == 3 and b1 - b0 == 3      # exact 4x4 squares
         assert a0 % 4 == 0 and b0 % 4 == 0        # aligned
+
+
+# ---------------------------------------------------------------------------
+# inverted-index posting stats
+# ---------------------------------------------------------------------------
+
+def test_posting_stats_matches_python_reference(spark):
+    from nyxus_spark.functions import posting_stats
+
+    rows = [
+        ("doc_0", [5, 7, 5]),        # dup within doc: postings are distinct
+        ("doc_3", [5]),
+        ("doc_10", [5, 9]),
+        ("doc_11", [9]),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows], ["doc_id", "tokens", "n_tok"])
+    got = {r.token: r for r in posting_stats(df).collect()}
+    # token 5 -> docs [0, 3, 10]: gaps g1=0+1, 3, 7
+    assert got[5].post_df == 3 and got[5].post_first == 0
+    assert got[5].post_max_gap == 7
+    assert got[5].post_bits == len(bin(1)[2:]) + len(bin(3)[2:]) + len(bin(7)[2:])
+    # token 9 -> docs [10, 11]: g1=11, g2=1
+    assert got[9].post_df == 2 and got[9].post_first == 10
+    assert got[9].post_max_gap == 1
+    assert got[9].post_bits == len(bin(11)[2:]) + len(bin(1)[2:])
+    # token 7 -> single posting: max_gap 0 by convention
+    assert got[7].post_df == 1 and got[7].post_max_gap == 0
+    assert got[7].post_bits == len(bin(1)[2:])
