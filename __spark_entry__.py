@@ -1293,14 +1293,32 @@ def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    """Brute-force cosine top-10 against the vec_id=0 embedding, RANK-joined
+    with the Hamming top-10 over 16-bit SRP signatures (Charikar SimHash
+    distance — the bit-level ANN stage-0; exact integer signatures on both
+    sides, popcount(xor) distances): one row per rank with both rankings'
+    members, so the oracle re-derives both orders from scratch."""
     _prep(spark)
-    from nyxus_spark.operators.similarity import topk_cosine
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.similarity import hamming_topk, topk_cosine
     from nyxus_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter("vec_id = 0").first()["embedding"]
-    return topk_cosine(emb, list(qv), k=10)
+    cos = topk_cosine(emb, list(qv), k=10)
+    ham = hamming_topk(emb, list(qv), k=10)
+    wc = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    wh = Window.orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+    cr = cos.withColumn("rank", F.row_number().over(wc).cast("long"))
+    hr = ham.select(
+        F.col("vec_id").alias("ham_vec_id"), "hamming",
+        F.row_number().over(wh).cast("long").alias("rank"),
+    )
+    return cr.join(hr, "rank").select(
+        "rank", "vec_id", "cos", "ham_vec_id", "hamming"
+    )
 
 
 def _q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,51 @@ def topk_cosine(
     return out
 
 
+def hamming_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hamming top-k over sign-random-projection bit signatures — the
+    BIT-level ANN distance (the third classic alongside cosine and L2):
+    each vector compresses to an `n_planes`-bit SRP signature
+    (dedup.srp_signature, exact integer arithmetic), and candidates rank
+    by popcount(sig XOR query_sig) — Charikar's SimHash distance, whose
+    expectation is the angle. At scale this is the memory-minimal rerank
+    stage-0: 16-64 bits per vector, distance = one XOR + popcount.
+
+    The query signature is computed with the IDENTICAL integer arithmetic
+    in plain Python (floor(x·1000+0.5) quantization, the same
+    deterministic plane weights), so corpus and query sides agree exactly
+    in any engine. Deterministic order: (hamming ASC, id ASC) — planned as
+    TakeOrderedAndProject like the cosine baseline."""
+    import math
+
+    from nyxus_spark.operators.dedup import MIX, srp_signature
+
+    q = [math.floor(float(x) * 1000.0 + 0.5) for x in query_vec]
+    qsig = 0
+    for p in range(n_planes):
+        dot = sum(
+            qi * (((d + 1) * MIX * (p + 13)) % 2001 - 1000)
+            for d, qi in enumerate(q)
+        )
+        if dot > 0:
+            qsig |= 1 << p
+    return (
+        df.select(F.col(id_col), srp_signature(vec_col, n_planes).alias("sig"))
+        .select(
+            id_col, "sig",
+            F.expr(f"cast(bit_count(sig ^ {qsig}L) as bigint)").alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -365,16 +365,51 @@ ranked AS (
 SELECT doc_id, source FROM ranked WHERE rn = 1
 """
 
-SQL_TOPK_COSINE = """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       FLOOR((list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
-             / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-              * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))) * 10000.0 + 0.5) / 10000.0 AS cos
-FROM embeddings, q
-ORDER BY cos DESC, vec_id ASC
-LIMIT 10
-"""
+def sql_srp_sig(vec: str = "embedding", n_planes: int = 16, quant: int = 1000) -> str:
+    """DuckDB replay of dedup.srp_signature: quantize to integers, dot with
+    the deterministic plane weights, pack the sign bits."""
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1), "
+            f"d -> CAST(FLOOR(CAST({vec}[d] AS DOUBLE) * {quant}.0 + 0.5) AS BIGINT)"
+            f" * ((d * {MIX} * {p + 13}) % 2001 - 1000)))"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_TOPK_COSINE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cosr AS (
+  SELECT vec_id,
+         FLOOR((list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))) * 10000.0 + 0.5) / 10000.0 AS cos,
+         CAST(row_number() OVER (ORDER BY
+           FLOOR((list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))) * 10000.0 + 0.5) / 10000.0 DESC,
+           vec_id ASC) AS BIGINT) AS rank
+  FROM embeddings, q
+),
+sigs AS (SELECT vec_id, {{SIG}} AS sig FROM embeddings),
+qsig AS (SELECT sig AS qs FROM sigs WHERE vec_id = 0),
+hamr AS (
+  SELECT vec_id AS ham_vec_id,
+         CAST(bit_count(xor(sig, (SELECT qs FROM qsig))) AS BIGINT) AS hamming,
+         CAST(row_number() OVER (ORDER BY
+           bit_count(xor(sig, (SELECT qs FROM qsig))) ASC, vec_id ASC)
+           AS BIGINT) AS rank
+  FROM sigs
+)
+SELECT c.rank, c.vec_id, c.cos, h.ham_vec_id, h.hamming
+FROM cosr c JOIN hamr h USING (rank)
+WHERE c.rank <= 10
+""".replace("{SIG}", sql_srp_sig())
 
 
 SQL_IVF_TOPK = """
