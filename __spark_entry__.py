@@ -583,10 +583,36 @@ def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.sql(
+    res = spark.sql(
         "SELECT unix_micros(w.start) AS window_start_us, event_type, n_events, "
         "CAST(sum_cents AS BIGINT) AS sum_cents FROM stream_agg_gate"
-    )
+    ).localCheckpoint()  # break the shared memory-view lineage: the burst
+    # stage below self-joins this (window × type)-sized table
+    # BURST-ANOMALY flags over the streamed windows (the monitoring pass a
+    # pipeline runs on its own telemetry): per event_type, the robust
+    # center is the LOWER-MEDIAN of window counts (rank rule, exact int),
+    # spread is the lower-median absolute deviation, and a window flags
+    # when |n − med| > 3·mad — the comparison CROSS-MULTIPLIED on exact
+    # integers, no division anywhere
+    from pyspark.sql import Window
+
+    wcnt = Window.partitionBy("event_type")
+    wmed = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").asc(), F.col("window_start_us").asc())
+    base = res.withColumn("__rn", F.row_number().over(wmed)).withColumn(
+        "__cnt", F.count("*").over(wcnt))
+    med = base.filter(F.col("__rn") == F.expr("(__cnt + 1) div 2")).select(
+        "event_type", F.col("n_events").cast("long").alias("win_med"))
+    dev = res.join(med, "event_type").withColumn(
+        "win_dev", F.abs(F.col("n_events") - F.col("win_med")).cast("long"))
+    wdev = Window.partitionBy("event_type").orderBy(
+        F.col("win_dev").asc(), F.col("window_start_us").asc())
+    mad = dev.withColumn("__rn", F.row_number().over(wdev)).withColumn(
+        "__cnt", F.count("*").over(wcnt)
+    ).filter(F.col("__rn") == F.expr("(__cnt + 1) div 2")).select(
+        "event_type", F.col("win_dev").cast("long").alias("win_mad"))
+    return dev.join(mad, "event_type").withColumn(
+        "burst", (F.col("win_dev") > 3 * F.col("win_mad")).cast("long"))
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,12 +1480,28 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
+    ranked = out.withColumn("rank", F.row_number().over(w).cast("long"))
+    # MRR of the index: the rank at which the ivf list surfaces the brute
+    # top-1 neighbor (0 = missed) — the retrieval-eval metric next to
+    # recall@k, an exact integer per query
+    b1 = (
+        brute.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("vec_id").alias("__top1"))
+    )
+    mrr = (
+        ranked.join(b1, "query_id")
+        .filter(F.col("vec_id") == F.col("__top1"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("long").alias("mrr_rank"))
+    )
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("long"))
-        .join(adc, ["query_id", "rank"])
+        ranked.join(adc, ["query_id", "rank"])
+        .join(mrr, "query_id", "left")
+        .withColumn("mrr_rank", F.coalesce("mrr_rank", F.lit(0).cast("long")))
         .select(
             "query_id", "vec_id", "cos", "n_hits", "n_exact", "recall",
-            "rank", "adc_vec_id", "adc_d",
+            "rank", "adc_vec_id", "adc_d", "mrr_rank",
         )
     )
 
@@ -5741,11 +5783,42 @@ FROM probes p ASOF LEFT JOIN versions v
         # streaming windowed aggregation: tumbling windows align to the epoch
         # in both engines; cents-floored integer sums are jitter-free
         "stream_agg": """
-SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600000000 AS window_start_us,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM events GROUP BY 1, 2
+WITH win AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600000000 AS window_start_us,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+wr AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY n_events ASC, window_start_us ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM win
+),
+wmed AS (  -- lower-median window count per type (rank rule)
+  SELECT event_type, CAST(n_events AS BIGINT) AS win_med
+  FROM wr WHERE rn = (cnt + 1) // 2
+),
+wdev AS (
+  SELECT w.*, m.win_med,
+         CAST(ABS(w.n_events - m.win_med) AS BIGINT) AS win_dev
+  FROM win w JOIN wmed m USING (event_type)
+),
+wdr AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY win_dev ASC, window_start_us ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM wdev
+),
+wmad AS (  -- lower-median absolute deviation per type
+  SELECT event_type, CAST(win_dev AS BIGINT) AS win_mad
+  FROM wdr WHERE rn = (cnt + 1) // 2
+)
+SELECT d.window_start_us, d.event_type, d.n_events, d.sum_cents,
+       d.win_med, d.win_dev, a.win_mad,
+       CAST(d.win_dev > 3 * a.win_mad AS BIGINT) AS burst
+FROM wdev d JOIN wmad a USING (event_type)
 """,
         # sessionization + semi-structured parsing: json_extract replays
         # from_json's typed field pull; the per-session rollups are exact

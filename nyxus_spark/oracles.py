@@ -607,10 +607,31 @@ adctop AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_d ASC, vec_id ASC) AS rank
   FROM adc QUALIFY rank <= {k}
+),
+mb1 AS (  -- brute top-1 per query (same rounded-cos ranking as recall)
+  SELECT query_id, vec_id AS top1 FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             FLOOR((list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(q.qv, q.qv))))
+                   * 10000.0 + 0.5) / 10000.0 DESC, e.vec_id ASC) AS rn
+    FROM embeddings e,
+         (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {n_queries}) q
+  ) WHERE rn = 1
+),
+mrr AS (  -- rank at which the ivf list surfaces the brute top-1; 0 = miss
+  SELECT r.query_id,
+         CAST(COALESCE(MIN(CASE WHEN r.vec_id = b.top1 THEN r.rank END), 0)
+              AS BIGINT) AS mrr_rank
+  FROM ranked r JOIN mb1 b USING (query_id) GROUP BY r.query_id
 )
 SELECT r.query_id, r.vec_id, r.cos, r.n_hits, r.n_exact, r.recall,
-       CAST(r.rank AS BIGINT) AS rank, t.adc_vec_id, t.adc_d
+       CAST(r.rank AS BIGINT) AS rank, t.adc_vec_id, t.adc_d, mr.mrr_rank
 FROM ranked r JOIN adctop t USING (query_id, rank)
+JOIN mrr mr ON mr.query_id = r.query_id
 """
 
 
