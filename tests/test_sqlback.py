@@ -93,3 +93,36 @@ def test_api_sql_backend(spark):
         NyxusSpark(features=["ENTROPY"]).featurize(df, backend="sql")
     with pytest.raises(ValueError):
         nx.featurize(df, backend="vulkan")
+
+
+def test_sql_backend_is_streaming_safe(spark, tmp_path):
+    """The operational claim behind backend='sql': pure column expressions
+    compose into Structured Streaming with NO stateful operator and NO
+    Python workers — the streamed result must equal the batch result
+    row-for-row (the kernel path needs mapInArrow; this path is plain
+    projections, so it rides any source/sink unchanged)."""
+    import os
+
+    from nyxus_spark.sources import tokens_static
+
+    feats = ["MEAN", "VARIANCE", "MEDIAN", "P75", "UNIFORMITY"]
+    batch = tokens_static(spark, SF).select("doc_id", "tokens", "n_tok")
+    sdir = str(tmp_path / "stream_src")
+    os.makedirs(sdir)
+    batch.limit(40).write.parquet(sdir, mode="overwrite")
+    src = spark.readStream.schema(batch.schema).parquet(sdir)
+    q = (
+        extract_features_sql(src, feats)
+        .writeStream.format("memory").queryName("sqlback_stream_gate")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in
+           spark.sql("SELECT * FROM sqlback_stream_gate").collect()}
+    exp = {r.doc_id: r for r in extract_features_sql(
+        spark.read.parquet(sdir), feats).collect()}
+    assert set(got) == set(exp) and len(got) == 40
+    for d in exp:
+        for c in feats:
+            a, b = float(got[d][c]), float(exp[d][c])
+            assert (a == b) or (math.isnan(a) and math.isnan(b))
