@@ -1697,6 +1697,35 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").cast("long").alias("vocab_full"),
     )
     out = out.crossJoin(F.broadcast(growth))
+    # vocabulary GINI coefficient (token-mass inequality — the
+    # concentration monitor beside Zipf): over the FULL vocab's counts
+    # sorted (count ASC, token ASC), G = Σ(2i−n−1)·cᵢ / (n·Σc) — the
+    # sorted-rank numerator is an EXACT BIGINT, ONE final division. The
+    # global window runs over |V| rows (the bounded vocab table, never the
+    # corpus).
+    from pyspark.sql import Window as _W
+
+    vc = (
+        t.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    wg = _W.orderBy(F.col("c").asc(), F.col("tok").asc())
+    gr = vc.select(
+        "c",
+        F.row_number().over(wg).cast("long").alias("rn"),
+        F.count("*").over(_W.partitionBy()).cast("long").alias("nv"),
+        F.sum("c").over(_W.partitionBy()).cast("long").alias("tv"),
+    )
+    gini = gr.agg(
+        F.sum((2 * F.col("rn") - F.col("nv") - 1) * F.col("c"))
+        .cast("long").alias("gini_num"),
+        (F.max("nv") * F.max("tv")).cast("long").alias("gini_den"),
+    ).select(
+        "gini_num", "gini_den",
+        _r4(F.col("gini_num").cast("double")
+            / F.col("gini_den").cast("double")).alias("gini4"),
+    )
+    out = out.crossJoin(F.broadcast(gini))
     # INVERTED-INDEX posting stats per kept token (the IR indexing
     # primitive): df / first doc / max gap / exact varint-model bit cost
     # of the delta-encoded posting list — all exact integers (UNK -1 has
@@ -4360,6 +4389,21 @@ kncv AS (SELECT a AS token, CAST(SUM(big_cnt) AS BIGINT) AS kn_cv
          FROM bg GROUP BY a),
 knpp AS (SELECT CAST(SUM(kn_left) AS BIGINT) AS kn_n1pp FROM knl),
 ndg AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tokens_static),
+ggr AS (  -- vocab Gini: sorted-rank sum over the FULL count table
+  SELECT cnt AS c,
+         row_number() OVER (ORDER BY cnt ASC, token ASC) AS rn,
+         COUNT(*) OVER () AS nv,
+         SUM(cnt) OVER () AS tv
+  FROM counts
+),
+gini AS (
+  SELECT CAST(SUM((2 * rn - nv - 1) * c) AS BIGINT) AS gini_num,
+         CAST(MAX(nv) * MAX(tv) AS BIGINT) AS gini_den,
+         FLOOR((CAST(SUM((2 * rn - nv - 1) * c) AS DOUBLE)
+                / CAST(MAX(nv) * MAX(tv) AS DOUBLE)) * 10000.0 + 0.5)
+           / 10000.0 AS gini4
+  FROM ggr
+),
 pgap AS (  -- inverted-index postings: distinct (token, doc), sorted gaps
   SELECT token, oid,
          oid - lag(oid) OVER (PARTITION BY token ORDER BY oid) AS gap
@@ -4420,6 +4464,7 @@ SELECT f.*, q.cms_est,
        COALESCE(po.post_first, -1) AS post_first,
        COALESCE(po.post_max_gap, 0) AS post_max_gap,
        COALESCE(po.post_bits, 0) AS post_bits,
+       gi.gini_num, gi.gini_den, gi.gini4,
        CASE WHEN f.big_cnt > 0 AND COALESCE(cv.kn_cv, 0) > 0
                  AND klw.kn_left IS NOT NULL THEN
          FLOOR((GREATEST(CAST(f.big_cnt AS DOUBLE) - 0.75, 0.0)
@@ -4452,6 +4497,7 @@ LEFT JOIN kncv cv USING (token)
 LEFT JOIN knl klw ON klw.token = f.next_token
 LEFT JOIN post po USING (token)
 CROSS JOIN growth g
+CROSS JOIN gini gi
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the
