@@ -410,11 +410,51 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.prescan import ks_drift
 
     ks = ks_drift(load_table(spark, sf_dir, "documents"), "source", "n_chars")
+    # DOMAIN-SIMILARITY monitor: each source's nearest OTHER source by
+    # token-count-vector cosine — dot products are exact BIGINT sums over
+    # the shared vocab (one (source, token) agg + one token equi-join of
+    # the |S|-row-per-token count table, never the corpus), the cosine one
+    # fixed sqrt·sqrt chain; argmax ties to the lexicographically lowest
+    # neighbor. The mixture-design input: which domains are near-duplicates
+    # of each other at the distribution level.
+    stc = (
+        t.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nrm = stc.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a, b = stc.alias("a"), stc.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.source") != F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source"),
+                 F.col("b.source").alias("__nbr"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("__dot"))
+    )
+    na = nrm.select(F.col("source"), F.col("n2").alias("__na"))
+    nb = nrm.select(F.col("source").alias("__nbr"), F.col("n2").alias("__nb"))
+    simc = (
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
+    )
+    wsim = Window.partitionBy("source").orderBy(
+        F.desc("__sim"), F.asc("__nbr"))
+    sim = (
+        dots.join(na, "source").join(nb, "__nbr")
+        .withColumn("__sim", simc)
+        .withColumn("__rn", F.row_number().over(wsim))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("__nbr").alias("sim_nbr"),
+                _r4(F.col("__sim")).alias("sim_cos4"))
+    )
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
             .join(churn, "source").join(dig2, "source").join(mhsk, "source")
             .join(mad, "source").join(trim, "source").join(ks, "source")
+            .join(sim, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -5741,6 +5781,32 @@ trimq AS (  -- quartile-trimmed mass: drop lowest/highest floor(n/4) ranks
   WHERE rn > cnt // 4 AND rn <= cnt - cnt // 4
   GROUP BY source
 ),
+stc AS (  -- domain similarity: per-(source, token) counts
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(tokens) AS tok FROM tokens_static)
+  GROUP BY 1, 2
+),
+snrm AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM stc GROUP BY 1),
+sdot AS (  -- exact BIGINT cross-source dot products over the shared vocab
+  SELECT a.source, b.source AS nbr, CAST(SUM(a.c * b.c) AS BIGINT) AS dt
+  FROM stc a JOIN stc b ON a.tok = b.tok AND a.source <> b.source
+  GROUP BY 1, 2
+),
+sraw AS (
+  SELECT d.source, d.nbr,
+         CAST(d.dt AS DOUBLE)
+           / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS s
+  FROM sdot d JOIN snrm x ON x.source = d.source
+       JOIN snrm y ON y.source = d.nbr
+),
+ssim AS (  -- nearest other source: raw-cosine argmax, ties -> lowest name
+  SELECT source, nbr AS sim_nbr,
+         FLOOR(s * 10000.0 + 0.5) / 10000.0 AS sim_cos4
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY s DESC, nbr ASC) AS rn
+        FROM sraw)
+  WHERE rn = 1
+),
 ksx AS (SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
         FROM documents GROUP BY 1, 2),
 ksv AS (SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS ct
@@ -5792,7 +5858,8 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        d2.dig2_xor, d2.dig2_sum, d2.dig2_docs,
        mk.mh_s0, mk.mh_s1, mk.mh_s2, mk.mh_s3, mk.mh_sig_sum,
        ma.mad_n_tok, tq.trim_sum, tq.trim_cnt,
-       kd.ks_num, kd.ks_den, kd.ks_d4
+       kd.ks_num, kd.ks_den, kd.ks_d4,
+       sm.sim_nbr, sm.sim_cos4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -5804,6 +5871,7 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN mad ma USING (source)
      JOIN trimq tq USING (source)
      JOIN ks kd USING (source)
+     JOIN ssim sm USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
