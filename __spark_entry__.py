@@ -2000,6 +2000,21 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("cv_fold").agg(
         F.count("*").cast("long").alias("cv_fold_rows")
     )
+    # STRATIFIED k-fold: per-source round-robin over the shuffle-hash
+    # order — every (source, fold) cell's size differs by ≤ 1 BY
+    # CONSTRUCTION (the class-balanced CV split; plain cv_fold only
+    # balances in expectation). st_fold is deterministic given the corpus;
+    # the per-cell counts ride along as the balance audit.
+    wst = Window.partitionBy("source").orderBy(
+        epoch_shuffle_key(F.col("doc_id"), 0).asc(), F.col("doc_id").asc())
+    stf = docs.select(
+        "doc_id", "source",
+        ((F.row_number().over(wst) - 1) % 5).cast("long").alias("st_fold"),
+    )
+    stf_sizes = stf.groupBy("source", "st_fold").agg(
+        F.count("*").cast("long").alias("st_fold_rows"))
+    stf = stf.join(stf_sizes, ["source", "st_fold"]).select(
+        "doc_id", "st_fold", "st_fold_rows")
     return (
         out.join(plan, "source")
         .join(hll, "source")
@@ -2008,6 +2023,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quota, "doc_id")
         .join(psamp, "doc_id")
         .join(fold_sizes, "cv_fold")
+        .join(stf, "doc_id")
         .join(lra, "source")
         .withColumn(
             "lr_keep",
@@ -4647,6 +4663,18 @@ fsize AS (  -- FULL-corpus fold balance: exact per-fold row counts
          CAST(COUNT(*) AS BIGINT) AS cv_fold_rows
   FROM documents GROUP BY 1
 ),
+stf AS (  -- stratified k-fold: per-source round-robin over shuffle order
+  SELECT doc_id, source,
+         CAST((row_number() OVER (PARTITION BY source ORDER BY
+               ((((doc_id % 2147483647) * 506952114) % 2147483647)
+                + 2147483647) % 2147483647 ASC, doc_id ASC) - 1) % 5
+              AS BIGINT) AS st_fold
+  FROM documents
+),
+stfs AS (  -- balance audit: every (source, fold) cell within ±1
+  SELECT source, st_fold, CAST(COUNT(*) AS BIGINT) AS st_fold_rows
+  FROM stf GROUP BY 1, 2
+),
 lrb AS (  -- largest-remainder apportionment of exactly 100 slots
   SELECT source, CAST(cnt AS BIGINT) AS lr_n,
          CAST((100 * cnt) // (SELECT SUM(cnt) FROM scnt) AS BIGINT) AS lr_floor,
@@ -4702,6 +4730,7 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        q.quota_rank, CAST(q.quota_rank <= 40 AS BIGINT) AS quota_keep,
        lr.lr_n, lr.lr_floor, lr.lr_rem, lr.lr_bonus, lr.lr_alloc,
        CAST(q.quota_rank <= lr.lr_alloc AS BIGINT) AS lr_keep,
+       st.st_fold, sf2.st_fold_rows,
        z.z32, CAST(z.z32 // 4096 AS BIGINT) AS zb,
        ze.zb_rows, ze.zb_n_min, ze.zb_n_max, ze.zb_src_min, ze.zb_src_max,
        ps.pri4, ps.pri_rank, ps.pri_keep, ps.pri_ht4,
@@ -4714,6 +4743,8 @@ FROM base JOIN bplan bp USING (source)
      JOIN psamp ps USING (doc_id)
      JOIN fsize fs ON fs.cv_fold = base.cv_fold
      JOIN lra lr ON lr.source = base.source
+     JOIN stf st ON st.doc_id = base.doc_id
+     JOIN stfs sf2 ON sf2.source = base.source AND sf2.st_fold = st.st_fold
      JOIN zed z ON z.doc_id = base.doc_id
      JOIN zext ze ON ze.zb = z.z32 // 4096
 )

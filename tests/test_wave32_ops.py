@@ -391,3 +391,22 @@ def test_posting_stats_matches_python_reference(spark):
     # token 7 -> single posting: max_gap 0 by convention
     assert got[7].post_df == 1 and got[7].post_max_gap == 0
     assert got[7].post_bits == len(bin(1)[2:])
+
+
+def test_stratified_fold_balance_within_one(spark):
+    """The sample_hash stratified k-fold construction: per (source, fold)
+    cell sizes differ by at most 1 within every source."""
+    from nyxus_spark.functions import epoch_shuffle_key
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        epoch_shuffle_key(F.col("doc_id"), 0).asc(), F.col("doc_id").asc())
+    stf = df.select(
+        "source", ((F.row_number().over(w) - 1) % 5).alias("st_fold"))
+    sizes = {}
+    for r in stf.groupBy("source", "st_fold").count().collect():
+        sizes.setdefault(r.source, []).append(r["count"])
+    for src, cs in sizes.items():
+        assert len(cs) == 5 and max(cs) - min(cs) <= 1, (src, cs)
