@@ -1236,9 +1236,22 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ppj_inter").cast("long").alias("ppj_inter_sum"),
         F.sum("ppj_union").cast("long").alias("ppj_union_sum"),
     )
+    # DROP-PROVENANCE attribution: per survivor, how many docs it caused
+    # to drop — exact-dup victims (its key group's size − 1; exact dedup
+    # keeps the lowest id) and near-dup victims (pairs where it is id_a) —
+    # the audit trail a corpus-clean owner answers "where did my docs go?"
+    # with, all exact integers
+    exv = aug.groupBy("key").agg(
+        F.min("doc_id").alias("doc_id"),
+        (F.count("*") - 1).cast("long").alias("exact_victims"),
+    ).select("doc_id", "exact_victims")
+    nrv = near.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("near_victims"))
     zero = F.lit(0).cast("long")
     return (
         cleaned.join(per_doc, "doc_id", "left")
+        .join(exv, "doc_id", "left")
+        .join(nrv, "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .join(contr, "doc_id", "left")
@@ -1269,6 +1282,8 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ppj_partners", zero).alias("ppj_partners"),
             F.coalesce("ppj_inter_sum", zero).alias("ppj_inter_sum"),
             F.coalesce("ppj_union_sum", zero).alias("ppj_union_sum"),
+            F.coalesce("exact_victims", zero).alias("exact_victims"),
+            F.coalesce("near_victims", zero).alias("near_victims"),
         )
     )
 
@@ -3501,6 +3516,19 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
+    # WEAK-SUPERVISION combiner (Snorkel-style majority vote): the shipped
+    # keep decision is the ensemble of independent labeling functions
+    # already gated above — Gopher rules, the bigram-LM probe, DSIR, and
+    # non-contamination — votes and the ≥3 majority both exact integers
+    out = out.withColumn(
+        "ws_votes",
+        (
+            F.col("gopher_pass").cast("long")
+            + F.col("lm_keep")
+            + F.col("dsir_keep").cast("long")
+            + (F.col("is_contaminated") == 0).cast("long")
+        ).cast("long"),
+    ).withColumn("ws_keep", (F.col("ws_votes") >= 3).cast("long"))
     # curriculum bucketing: quality quartiles per language (ntile under a
     # TOTAL order — quality_score ties broken by doc_id — so the bucket
     # boundaries are engine-deterministic); partitioned window = scale-safe
@@ -5023,6 +5051,10 @@ FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
 SELECT *, CAST(ntile(4) OVER (PARTITION BY lang_pred
              ORDER BY quality_score ASC, doc_id ASC) AS BIGINT)
           AS curriculum_bucket,
+       CAST(gopher_pass + lm_keep + dsir_keep + (1 - is_contaminated)
+            AS BIGINT) AS ws_votes,
+       CAST(gopher_pass + lm_keep + dsir_keep + (1 - is_contaminated) >= 3
+            AS BIGINT) AS ws_keep,
        -- root-p curriculum pacing: unlock step t = ceil(r^2*16/N^2), the
        -- squared form of r/N <= sqrt(t/16) — exact integers throughout
        CAST((CAST(row_number() OVER (PARTITION BY lang_pred

@@ -964,7 +964,9 @@ SELECT c.doc_id, c.source,
        COALESCE(sr.sfx_contained_mass, 0) AS sfx_contained_mass,
        COALESCE(pj.ppj_partners, 0) AS ppj_partners,
        COALESCE(pj.ppj_inter_sum, 0) AS ppj_inter_sum,
-       COALESCE(pj.ppj_union_sum, 0) AS ppj_union_sum
+       COALESCE(pj.ppj_union_sum, 0) AS ppj_union_sum,
+       COALESCE(xv.exact_victims, 0) AS exact_victims,
+       COALESCE(nv.near_victims, 0) AS near_victims
 FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
 LEFT JOIN rebuilt rb USING (doc_id)
 LEFT JOIN bpdoc bp USING (doc_id)
@@ -973,6 +975,14 @@ LEFT JOIN pfxcontr pr USING (doc_id)
 LEFT JOIN sfxcont sc USING (doc_id)
 LEFT JOIN sfxcontr sr USING (doc_id)
 LEFT JOIN ppjdoc pj USING (doc_id)
+LEFT JOIN (  -- drop provenance: exact-dup victims per winning survivor
+  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) - 1 AS BIGINT) AS exact_victims
+  FROM keyed GROUP BY key
+) xv USING (doc_id)
+LEFT JOIN (  -- near-dup victims: pairs this survivor out-ranked
+  SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS near_victims
+  FROM near_pairs GROUP BY id_a
+) nv USING (doc_id)
 """
 
 
