@@ -469,11 +469,17 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok", "source")
     p = probes(spark, sf_dir)
     out = asof_join(p, v)
+    # feature STALENESS (probe time − matched version time, exact µs): the
+    # point-in-time freshness metric a feature store monitors per serve
     return out.select(
         "doc_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched_ts").cast("timestamp"))
+        ).cast("long").alias("staleness_us"),
         "n_tok",
         F.col("source").alias("matched_source"),
     )
@@ -5941,6 +5947,7 @@ WITH {SQL_VERSIONS}, {SQL_PROBES}
 SELECT p.doc_id, p.event_id,
        epoch_us(p.ts) AS ts_us,
        epoch_us(v.ts) AS matched_ts_us,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS staleness_us,
        v.n_tok,
        v.source AS matched_source
 FROM probes p ASOF LEFT JOIN versions v
