@@ -2144,16 +2144,25 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
           for j in range(4)],
         F.col("pq_d2").cast("long").alias("pq_d2"),
     )
+    # Johnson–Lindenstrauss random projection (deterministic Achlioptas ±1
+    # sign matrix derived by hash): 64 → 8 dims, every output an EXACT
+    # BIGINT (integer sum — order-independent), the width-reduction pass
+    # before sketching/bucketing. Pure per-row map, zero shuffle.
+    from nyxus_spark.operators.similarity import random_project
+
+    rp = random_project(q, d_out=8, vec_col="q")
     return (
         per_vec.join(avec, "vec_id")
         .join(cluster_rollup, "assigned_cent")
         .join(inertia, "assigned_cent")
         .join(pq, "vec_id")
+        .join(rp, "vec_id")
         .select(
             "vec_id", "n_dims", "q_sum", "q_min", "q_max",
             "q_n2", "q_head_n2", "q_head_frac4",
             "assigned_cent", "d2", "cl_n", "cl_sum", "cl_moment", "cl_inertia",
             "pq_code_0", "pq_code_1", "pq_code_2", "pq_code_3", "pq_d2",
+            *[f"rp_{j}" for j in range(8)],
         )
     )
 
@@ -2513,6 +2522,13 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qvec")
     )
     sd = semdedup(q, seeds, threshold=0.98, vec_col="qv")
+    # HARD-NEGATIVE mining (contrastive-training data prep): each pair
+    # member's highest-cosine NON-duplicate cell mate (cos < 0.98,
+    # unrounded) — the same k-means-cell blocking as SemDeDup, exact int64
+    # dot/norms, ties to the lowest candidate id via one max(struct)
+    from nyxus_spark.operators.similarity import hard_negatives
+
+    hn = hard_negatives(q, seeds, threshold=0.98, vec_col="qv")
     return (
         flagged.join(
             sd.select(
@@ -2531,6 +2547,28 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "id_b",
         )
+        .join(
+            hn.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("hn_id").alias("hn_id_a"),
+                F.col("hn_cos4").alias("hn_cos4_a"),
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            hn.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("hn_id").alias("hn_id_b"),
+                F.col("hn_cos4").alias("hn_cos4_b"),
+            ),
+            "id_b",
+            "left",
+        )
+        .withColumn("hn_id_a", F.coalesce("hn_id_a", F.lit(-1).cast("long")))
+        .withColumn("hn_cos4_a", F.coalesce("hn_cos4_a", F.lit(-2.0)))
+        .withColumn("hn_id_b", F.coalesce("hn_id_b", F.lit(-1).cast("long")))
+        .withColumn("hn_cos4_b", F.coalesce("hn_cos4_b", F.lit(-2.0)))
     )
 
 
@@ -3474,12 +3512,23 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = bigram_lm_score(
         toks.select(nid.alias("doc_id"), "tokens", "n_tok")
     )
+    # Okapi BM25 lexical relevance with the LOG-FREE rational idf (the
+    # retrieval/quality-ranking primitive): per-term contributions are ONE
+    # IEEE division of exact BIGINTs, the score a token-id-ordered fold the
+    # oracle replays via list_reduce — docs with no query term coalesce to 0
+    from nyxus_spark.functions import bm25_scores
+
+    bm = bm25_scores(toks, [18, 55, 89, 138, 216]).select(
+        F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
+        "bm25_terms", "bm25_tf", "bm25_score4",
+    )
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     out = out.join(pb, "doc_id").join(big, "doc_id", "left")
     out = out.join(ds, "doc_id", "left").join(bfa, "doc_id")
     out = out.join(dsw, "doc_id").join(lm, "doc_id", "left")
+    out = out.join(bm, "doc_id", "left")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -3519,6 +3568,9 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("lm_p32", F.lit(1.0)).alias("lm_p32"),
         F.coalesce("lm_gain32", F.lit(1.0)).alias("lm_gain32"),
         F.coalesce("lm_keep", zero).alias("lm_keep"),
+        F.coalesce("bm25_terms", zero).alias("bm25_terms"),
+        F.coalesce("bm25_tf", zero).alias("bm25_tf"),
+        F.coalesce("bm25_score4", F.lit(0.0)).alias("bm25_score4"),
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -4879,7 +4931,33 @@ SELECT vec_id,
        CAST(a.cent_id AS BIGINT) AS assigned_cent,
        a.d AS d2,
        r.cl_n, r.cl_sum, r.cl_moment, i.cl_inertia,
-       p.pq_code_0, p.pq_code_1, p.pq_code_2, p.pq_code_3, p.pq_d2
+       p.pq_code_0, p.pq_code_1, p.pq_code_2, p.pq_code_3, p.pq_d2,
+       -- JL random projection: deterministic ±1 signs from
+       -- (i+1)·1103515245 + (j+1)·506952114 mod 2 — exact integer sums
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 506952114) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_0,
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 1013904228) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_1,
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 1520856342) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_2,
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 2027808456) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_3,
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 2534760570) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_4,
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 3041712684) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_5,
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 3548664798) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_6,
+       CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
+         i -> (1 - 2 * (((i + 1) * 1103515245 + 4055616912) % 2))
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_7
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
 JOIN inert i ON i.cent_id = a.cent_id
 JOIN pq p USING (vec_id)
@@ -5344,7 +5422,29 @@ lmf AS (  -- position-order multiply folds over the first 32 positions
   FROM lmt WHERE i <= 32 GROUP BY doc_id
 ),
 lmc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS lm_terms
-        FROM lmt GROUP BY doc_id)
+        FROM lmt GROUP BY doc_id),
+bmtf AS (  -- BM25: per-(doc, query-term) tf + doc length
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS dl, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, n_tok, unnest(tokens) AS t FROM toks)
+  WHERE t IN (18, 55, 89, 138, 216)
+  GROUP BY doc_id, n_tok, t
+),
+bmdf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM bmtf GROUP BY t),
+bmtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_n, CAST(SUM(n_tok) AS BIGINT) AS b_s
+          FROM toks),
+bmterm AS (  -- idf_t·tfn_t: ONE IEEE division of two exact BIGINTs
+  SELECT doc_id, t, tf,
+         CAST((2*b_n - 2*df + 1) * 44 * tf * b_s AS DOUBLE)
+         / CAST((2*df + 1) * (20*tf*b_s + 6*b_s + 18*dl*b_n) AS DOUBLE) AS v
+  FROM bmtf JOIN bmdf USING (t) CROSS JOIN bmtot
+),
+bm AS (  -- token-id-ordered sequential fold, addition-for-addition
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bm25_terms,
+         CAST(SUM(tf) AS BIGINT) AS bm25_tf,
+         FLOOR(list_reduce(list(v ORDER BY t), (a, b) -> a + b)
+               * 10000.0 + 0.5) / 10000.0 AS bm25_score4
+  FROM bmterm GROUP BY doc_id
+)
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
        q.punct_ratio, q.stopword_ratio, q.quality_score,
@@ -5389,6 +5489,9 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(lf.lm_p32, 1.0) AS lm_p32,
        COALESCE(lf.lm_gain32, 1.0) AS lm_gain32,
        CAST(COALESCE(lf.lm_gain32, 1.0) > 1.0 AS BIGINT) AS lm_keep,
+       COALESCE(bm.bm25_terms, 0) AS bm25_terms,
+       COALESCE(bm.bm25_tf, 0) AS bm25_tf,
+       COALESCE(bm.bm25_score4, 0.0) AS bm25_score4,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -5417,6 +5520,7 @@ LEFT JOIN bfcand bf USING (doc_id)
 LEFT JOIN dsiw dw USING (doc_id)
 LEFT JOIN lmc lc USING (doc_id)
 LEFT JOIN lmf lf USING (doc_id)
+LEFT JOIN bm USING (doc_id)
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

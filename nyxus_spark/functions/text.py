@@ -2127,3 +2127,78 @@ def posting_stats(df, tokens_col: str = "tokens",
             )
         ).cast("long").alias("post_bits"),
     )
+
+
+def bm25_scores(df, terms, tokens_col: str = "tokens",
+                n_tok_col: str = "n_tok", id_col: str = "doc_id"):
+    """Okapi BM25 lexical relevance (Robertson et al., TREC-3) with the
+    LOG-FREE rational idf — the retrieval/quality-scoring primitive over a
+    broadcast-tiny query term set, engine-exact end to end (cross-engine
+    log is the one non-replayable op, so the idf keeps the
+    Robertson–Spärck-Jones RATIO unlogged; it is monotone in df, which is
+    what the downstream keep/rank decision consumes):
+
+        idf_t = (2N − 2df_t + 1) / (2df_t + 1)
+        tfn_t = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)       k1=6/5, b=3/4
+              = 44·tf·S / (20·tf·S + 6·S + 18·dl·N)               [avgdl = S/N]
+        score = Σ_t idf_t · tfn_t   over matched terms in token-id order
+
+    Every per-term contribution is ONE IEEE division of two exact BIGINTs
+    (numerator (2N−2df+1)·44·tf·S — exact while that product fits int64,
+    i.e. N·tf·S ≲ 2e17; at larger corpus mass route the product through
+    DECIMAL(38)), and the score is a sequential fold over the per-doc
+    matched terms sorted by token id — the oracle replays it
+    addition-for-addition via list_reduce(list(v ORDER BY t)).
+
+    Scale shape: corpus scalars (N, S) are one agg broadcast; tf comes from
+    one explode + IN-filter (the query is a literal list) + hash agg; df is
+    one |Q|-row agg broadcast back; the final fold runs over ≤ |Q| rows per
+    doc. Zero corpus-sized shuffles beyond the (doc, term) tf agg.
+
+    Returns (id_col, bm25_terms, bm25_tf, bm25_score4) — one row per doc
+    with at least one matched term."""
+    terms = sorted(set(int(x) for x in terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tot = df.agg(
+        F.count("*").cast("long").alias("__N"),
+        F.sum(n_tok_col).cast("long").alias("__S"),
+    )
+    ex = df.select(
+        id_col,
+        F.col(n_tok_col).cast("long").alias("__dl"),
+        F.explode(tokens_col).alias("__t"),
+    ).filter(F.col("__t").isin(terms))
+    tf = ex.groupBy(id_col, "__t", "__dl").agg(
+        F.count("*").cast("long").alias("__tf")
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").cast("long").alias("__df"))
+    j = tf.join(F.broadcast(dfreq), "__t").join(F.broadcast(tot))
+    num = (2 * F.col("__N") - 2 * F.col("__df") + 1) * 44 * F.col("__tf") * F.col("__S")
+    den = (2 * F.col("__df") + 1) * (
+        20 * F.col("__tf") * F.col("__S")
+        + 6 * F.col("__S")
+        + 18 * F.col("__dl") * F.col("__N")
+    )
+    j = j.select(
+        id_col, "__t", "__tf",
+        (num.cast("double") / den.cast("double")).alias("__v"),
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("bm25_terms"),
+            F.sum("__tf").cast("long").alias("bm25_tf"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__t").alias("t"), F.col("__v").alias("v"))
+                )
+            ).alias("__terms"),
+        )
+        .select(
+            id_col, "bm25_terms", "bm25_tf",
+            fround4(
+                F.aggregate("__terms", F.lit(0.0), lambda a, x: a + x["v"])
+            ).alias("bm25_score4"),
+        )
+    )

@@ -766,3 +766,123 @@ def ivf_index_compact(spark, path: str) -> None:
             .partitionBy("assigned_cent").parquet(path))
     finally:
         idx.unpersist()
+
+
+def random_project(
+    df: DataFrame,
+    d_out: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "q",
+    mix_i: int = 1103515245,
+    mix_j: int = 506952114,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    Achlioptas ±1 matrix (Achlioptas, JCSS 2003): output dim j of an
+    integer-quantized vector q is
+
+        rp_j = Σ_i s(i, j) · q_i,   s(i, j) = 1 − 2·((i+1)·MIX_I + (j+1)·MIX_J mod 2)
+
+    — the dimensionality-reduction pass before sketching/bucketing when the
+    embedding width itself is the cost (JL preserves pairwise distances to
+    1±ε at d_out = O(log n / ε²)). The sign matrix is derived by hash, not
+    sampled, so the projection is re-derivable forever on any engine, and
+    every output is an EXACT BIGINT (integer sum — order-independent, no
+    float fold to replay).
+
+    Scale shape: a pure per-row map (zero shuffle); the sign matrix never
+    materializes — each output dim is one Catalyst aggregate() over the
+    vector. Exact while d_in · max|q_i| · 1 fits int64 (|q| ≤ 127 quantized
+    → any realistic width).
+
+    Returns (id_col, rp_0 .. rp_{d_out-1})."""
+    if d_out < 1:
+        raise ValueError(f"d_out must be >= 1, got {d_out}")
+    cols = []
+    for j in range(d_out):
+        e = F.expr(
+            f"aggregate(transform(sequence(0, size({vec_col}) - 1), i -> "
+            f"(1 - 2 * pmod((cast(i as bigint) + 1) * {mix_i} + {(j + 1) * mix_j}, 2)) "
+            f"* cast(element_at({vec_col}, cast(i + 1 as int)) as bigint)), "
+            "0L, (a, v) -> a + v)"
+        )
+        cols.append(e.alias(f"rp_{j}"))
+    return df.select(F.col(id_col), *cols)
+
+
+def hard_negatives(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "q",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_qvec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    vector, the highest-cosine neighbor that is NOT a near-duplicate
+    (cosine < threshold, compared unrounded) among its k-means cell mates —
+    the standard "mine hard negatives from the ANN cell" pass (same
+    blocking contract as SemDeDup: candidates come from the assigned
+    cluster, so the work is Σ|cluster|², bounded by choosing k with the
+    corpus). A hard negative is exactly what the in-batch-negatives trick
+    cannot guarantee: similar enough to be informative, dissimilar enough
+    to be a true negative.
+
+    Arithmetic is engine-exact over integer-quantized vectors: assignment
+    is the exact int64 L2 argmin (`assign_nearest`), each candidate cosine
+    the fixed IEEE chain dot/(sqrt(n2_a)·sqrt(n2_b)) on exact integers;
+    ties break to the LOWEST candidate id via one max(struct) — no window
+    sort. Zero vectors neither anchor nor candidate (n2 > 0 guard).
+
+    Returns (id_col, hn_id, hn_cos4) — one row per vector that has at
+    least one below-threshold cell mate."""
+    from nyxus_spark.operators.similarity import assign_nearest
+
+    n2 = F.expr(
+        f"aggregate(transform({vec_col},"
+        " x -> cast(x as bigint) * cast(x as bigint)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    m = assign_nearest(df, centroids, id_col, vec_col, cent_id, cent_vec).select(
+        F.col(id_col), F.col(vec_col), F.col("assigned_cent"), n2.alias("__n2")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dot = F.expr(
+        f"aggregate(zip_with(a.{vec_col}, b.{vec_col},"
+        " (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.assigned_cent") == F.col("b.assigned_cent"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .filter((F.col("a.__n2") > 0) & (F.col("b.__n2") > 0))
+        .select(
+            F.col(f"a.{id_col}").alias("__vid"),
+            F.col(f"b.{id_col}").alias("__cand"),
+            (
+                dot.cast("double")
+                / (F.sqrt(F.col("a.__n2")) * F.sqrt(F.col("b.__n2")))
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") < F.lit(threshold))
+    )
+    return (
+        pairs.groupBy("__vid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos").alias("c"),
+                    (-F.col("__cand")).alias("nc"),
+                    F.col("__cand").alias("cand"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("__best.cand").cast("long").alias("hn_id"),
+            fround4(F.col("__best.c")).alias("hn_cos4"),
+        )
+    )

@@ -726,11 +726,33 @@ sd AS (
          CAST(d.mc IS NOT NULL AS BIGINT) AS sd_drop,
          COALESCE(FLOOR(d.mc * 10000.0 + 0.5) / 10000.0, -2.0) AS sd_max_cos4
   FROM sda a LEFT JOIN sddrop d USING (vec_id)
+),
+hnp AS (  -- hard-negative candidates: within-cluster, BOTH directions
+  SELECT pa.vec_id AS vid, pb.vec_id AS cand,
+         CAST(list_sum(list_transform(range(1, len(na.qv) + 1),
+              i -> na.qv[i] * nb.qv[i])) AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+  FROM sda pa JOIN sda pb
+    ON pa.sd_cluster = pb.sd_cluster AND pa.vec_id <> pb.vec_id
+  JOIN sdn na ON na.vec_id = pa.vec_id
+  JOIN sdn nb ON nb.vec_id = pb.vec_id
+  WHERE na.n2 > 0 AND nb.n2 > 0
+),
+hn AS (  -- best NON-duplicate (cos < threshold, unrounded), ties → low id
+  SELECT vid AS vec_id, CAST(cand AS BIGINT) AS hn_id,
+         FLOOR(c * 10000.0 + 0.5) / 10000.0 AS hn_cos4
+  FROM (SELECT vid, cand, c,
+               row_number() OVER (PARTITION BY vid ORDER BY c DESC, cand ASC) AS rn
+        FROM hnp WHERE c < 0.98) WHERE rn = 1
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        sa.sd_cluster AS sd_cluster_a, sa.sd_drop AS sd_drop_a,
        sb.sd_cluster AS sd_cluster_b, sb.sd_drop AS sd_drop_b,
        sb.sd_max_cos4 AS sd_maxcos_b4,
+       COALESCE(ha.hn_id, -1) AS hn_id_a,
+       COALESCE(ha.hn_cos4, -2.0) AS hn_cos4_a,
+       COALESCE(hb.hn_id, -1) AS hn_id_b,
+       COALESCE(hb.hn_cos4, -2.0) AS hn_cos4_b,
        CAST(CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_a,
        CAST(CASE WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_b,
        CAST((CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2
@@ -745,6 +767,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM keyed a JOIN keyed b ON a.sig = b.sig AND a.vec_id < b.vec_id
 JOIN sd sa ON sa.vec_id = a.vec_id
 JOIN sd sb ON sb.vec_id = b.vec_id
+LEFT JOIN hn ha ON ha.vec_id = a.vec_id
+LEFT JOIN hn hb ON hb.vec_id = b.vec_id
 WHERE FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))

@@ -1,0 +1,185 @@
+"""Wave-47 operators: BM25 lexical relevance with the log-free rational
+idf, deterministic Johnson-Lindenstrauss random projection, hard-negative
+mining from k-means cells."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyxus_spark.functions import bm25_scores
+from nyxus_spark.operators.similarity import hard_negatives, random_project
+
+
+# ---------------------------------------------------------------------------
+# BM25 (rational idf, k1 = 6/5, b = 3/4)
+# ---------------------------------------------------------------------------
+
+def _py_bm25(rows, terms):
+    """Pure-Python reference: exact integer operands, one division per
+    term, sum folded in token-id order."""
+    N = len(rows)
+    S = sum(len(t) for _, t in rows)
+    df = {t: sum(1 for _, toks in rows if t in toks) for t in terms}
+    out = {}
+    for doc_id, toks in rows:
+        dl = len(toks)
+        score = 0.0
+        n_terms = 0
+        tf_sum = 0
+        for t in sorted(terms):
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            n_terms += 1
+            tf_sum += tf
+            num = (2 * N - 2 * df[t] + 1) * 44 * tf * S
+            den = (2 * df[t] + 1) * (20 * tf * S + 6 * S + 18 * dl * N)
+            score = score + (float(num) / float(den))
+        if n_terms:
+            out[doc_id] = (n_terms, tf_sum,
+                           math.floor(score * 10000.0 + 0.5) / 10000.0)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    rows = [
+        ("doc_0", [5, 5, 5, 7, 9]),
+        ("doc_1", [7, 7, 7, 7]),
+        ("doc_2", [1, 2, 3]),          # no query terms → absent
+        ("doc_3", [5] * 40 + [9]),     # long doc: length normalization bites
+        ("doc_4", [9]),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows], "doc_id string, tokens array<int>, n_tok int"
+    )
+    got = {
+        r["doc_id"]: (r["bm25_terms"], r["bm25_tf"], r["bm25_score4"])
+        for r in bm25_scores(df, [5, 7, 9]).collect()
+    }
+    assert got == _py_bm25(rows, [5, 7, 9])
+
+
+def test_bm25_tf_saturation_and_length_penalty(spark):
+    # same tf in a longer doc scores LOWER (b-normalization), and doubling
+    # tf less than doubles the contribution (k1 saturation)
+    rows = [("doc_0", [5] + [1] * 4), ("doc_1", [5] + [1] * 29),
+            ("doc_2", [5, 5] + [1] * 3)]
+    df = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows], "doc_id string, tokens array<int>, n_tok int"
+    )
+    got = {r["doc_id"]: r["bm25_score4"] for r in bm25_scores(df, [5]).collect()}
+    assert got["doc_0"] > got["doc_1"]          # length penalty
+    assert got["doc_2"] < 2 * got["doc_0"]      # tf saturation
+
+
+def test_bm25_empty_terms_raises(spark):
+    df = spark.createDataFrame([("doc_0", [1], 1)],
+                               "doc_id string, tokens array<int>, n_tok int")
+    with pytest.raises(ValueError):
+        bm25_scores(df, [])
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (deterministic Achlioptas ±1)
+# ---------------------------------------------------------------------------
+
+MIXI, MIXJ = 1103515245, 506952114
+
+
+def _sign(i: int, j: int) -> int:
+    return 1 - 2 * (((i + 1) * MIXI + (j + 1) * MIXJ) % 2)
+
+
+def test_random_project_matches_python(spark):
+    vecs = [(0, [1, -2, 3, 0]), (1, [127, 127, -127, 5]), (2, [0, 0, 0, 0])]
+    df = spark.createDataFrame(vecs, "vec_id long, q array<int>")
+    got = {r["vec_id"]: [r[f"rp_{j}"] for j in range(4)]
+           for r in random_project(df, d_out=4).collect()}
+    for vid, q in vecs:
+        want = [sum(_sign(i, j) * x for i, x in enumerate(q)) for j in range(4)]
+        assert got[vid] == want
+    assert got[2] == [0, 0, 0, 0]  # zero vector projects to zero
+
+
+def test_random_project_is_linear(spark):
+    # rp(a + b) == rp(a) + rp(b): the projection is a fixed linear map
+    a, b = [3, 1, -4, 1, 5], [-2, 7, 1, -8, 2]
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, [x + y for x, y in zip(a, b)])],
+        "vec_id long, q array<int>",
+    )
+    got = {r["vec_id"]: [r[f"rp_{j}"] for j in range(8)]
+           for r in random_project(df, d_out=8).collect()}
+    assert got[2] == [x + y for x, y in zip(got[0], got[1])]
+
+
+def test_random_project_bad_dim_raises(spark):
+    df = spark.createDataFrame([(0, [1])], "vec_id long, q array<int>")
+    with pytest.raises(ValueError):
+        random_project(df, d_out=0)
+
+
+# ---------------------------------------------------------------------------
+# hard negatives (within k-means cells, below-threshold max cosine)
+# ---------------------------------------------------------------------------
+
+def _py_hard_negatives(vecs, cents, threshold):
+    def n2(v):
+        return sum(x * x for x in v)
+
+    def assign(v):
+        return min(cents, key=lambda c: (n2([a - b for a, b in zip(v, cents[c])]), c))
+
+    cell = {vid: assign(v) for vid, v in vecs.items() if True}
+    out = {}
+    for vid, v in vecs.items():
+        if n2(v) == 0:
+            continue
+        best = None
+        for cid, c in vecs.items():
+            if cid == vid or n2(c) == 0 or cell[cid] != cell[vid]:
+                continue
+            cos = (sum(x * y for x, y in zip(v, c))
+                   / (math.sqrt(n2(v)) * math.sqrt(n2(c))))
+            if cos >= threshold:
+                continue
+            if best is None or cos > best[1] or (cos == best[1] and cid < best[0]):
+                best = (cid, cos)
+        if best is not None:
+            out[vid] = (best[0], math.floor(best[1] * 10000.0 + 0.5) / 10000.0)
+    return out
+
+
+def test_hard_negatives_matches_python(spark):
+    vecs = {
+        0: [10, 0, 0], 1: [0, 10, 0],          # seeds / centroids
+        2: [9, 1, 0],                           # near 0's cell
+        3: [10, 0, 0],                          # exact dup of 0 → cos 1.0, excluded
+        4: [1, 9, 0], 5: [2, 8, 1],             # cell 1
+        6: [0, 0, 0],                           # zero vector: never anchors/candidates
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, q array<int>"
+    )
+    seeds = spark.createDataFrame(
+        [(0, vecs[0]), (1, vecs[1])], "cent_id long, cent_qvec array<int>"
+    )
+    got = {r["vec_id"]: (r["hn_id"], r["hn_cos4"])
+           for r in hard_negatives(df, seeds, threshold=0.999).collect()}
+    cents = {0: vecs[0], 1: vecs[1]}
+    assert got == _py_hard_negatives(vecs, cents, 0.999)
+    assert 6 not in got                       # zero vector has no row
+    # 0 and 3 are exact duplicates: each one's hard negative is NOT the other
+    assert got[0][0] != 3 and got[3][0] != 0
+
+
+def test_hard_negatives_tie_breaks_to_lowest_id(spark):
+    # two candidates at the exact same cosine → lowest id wins
+    vecs = {0: [1, 0], 1: [1, 1], 2: [1, 1], 3: [2, 2]}
+    df = spark.createDataFrame([(k, v) for k, v in vecs.items()],
+                               "vec_id long, q array<int>")
+    seeds = spark.createDataFrame([(0, [1, 1])], "cent_id long, cent_qvec array<int>")
+    got = {r["vec_id"]: r["hn_id"]
+           for r in hard_negatives(df, seeds, threshold=0.9999).collect()}
+    # for anchor 0: candidates 1, 2, 3 all have cos = 1/sqrt(2) → pick 1
+    assert got[0] == 1
