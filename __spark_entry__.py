@@ -657,8 +657,60 @@ def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__cnt", F.count("*").over(wcnt)
     ).filter(F.col("__rn") == F.expr("(__cnt + 1) div 2")).select(
         "event_type", F.col("win_dev").cast("long").alias("win_mad"))
-    return dev.join(mad, "event_type").withColumn(
-        "burst", (F.col("win_dev") > 3 * F.col("win_mad")).cast("long"))
+    # STREAM-STREAM event-time interval join (the remaining §2.7 shape):
+    # the probe stream (event_id % 3 == 0) picks up, per event_type, every
+    # candidate event (% 3 != 0) of the PRECEDING 30 minutes. Replayed as
+    # two TIME-split micro-batches (nothing is ever late, so the watermark
+    # drops nothing) — every pair whose members land in different batches
+    # must come out of the buffered join STATE. The per-type pair count and
+    # the exact id checksum gate the emitted pair set against a plain batch
+    # join in the oracle: one lost boundary pair flips both.
+    from nyxus_spark.streaming import interval_join_stream
+
+    sj_dir = tempfile.mkdtemp(prefix="nyxus_stream_join_")
+    med_ts = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
+    g0 = os.path.join(sj_dir, "part-000.parquet")
+    g1 = os.path.join(sj_dir, "part-001.parquet")
+    ev.filter(F.col("ts_us") <= med_ts).toPandas().to_parquet(g0)
+    ev.filter(F.col("ts_us") > med_ts).toPandas().to_parquet(g1)
+    os.utime(g0, (1_000_000, 1_000_000))
+    os.utime(g1, (2_000_000, 2_000_000))
+
+    def _sj_src():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sj_dir)
+        )
+
+    lhs = _sj_src().filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "event_type", "ts_us")
+    rhs = _sj_src().filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "event_type", "ts_us")
+    pairs = interval_join_stream(lhs, rhs, "event_type", 30 * 60_000_000,
+                                 delay="4 hours")
+    qj = (
+        pairs.writeStream.format("memory").queryName("stream_join_gate")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qj.awaitTermination()
+    sj = (
+        spark.table("stream_join_gate")
+        .groupBy(F.col("key").alias("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("sj_pairs"),
+            F.sum(F.col("l_event_id") * 3 + F.col("r_event_id"))
+            .cast("long").alias("sj_checksum"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        dev.join(mad, "event_type")
+        .withColumn("burst", (F.col("win_dev") > 3 * F.col("win_mad")).cast("long"))
+        .join(sj, "event_type", "left")
+        .withColumn("sj_pairs", F.coalesce("sj_pairs", zero))
+        .withColumn("sj_checksum", F.coalesce("sj_checksum", zero))
+    )
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,17 +1073,27 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("stream_cnt"),
         )
     )
+    # SORTED-NEIGHBORHOOD diagnostic (Hernández–Stolfo SNM, the
+    # order-blocking complement to the hash blockings): each survivor
+    # carries its predecessor in the corpus-wide lexicographic token sort,
+    # the exact LCP, and the prefix/duplicate flag — computed over the
+    # FULL aug corpus so injected dup_/near_ rows shape the neighborhoods
+    from nyxus_spark.operators.dedup import sorted_neighborhood
+
+    snm = sorted_neighborhood(aug)
     return (
         exact_dedup(aug, ["key"])
         .select("doc_id", "source", "key", is_new.alias("__n"))
         .join(inc, "doc_id", "left")
         .join(sflags, "key")
+        .join(snm, "doc_id")
         .select(
             "doc_id", "source",
             F.when(F.col("__n") == 0, F.lit(-1))
             .otherwise(F.coalesce("__inc", F.lit(0)))
             .cast("long").alias("inc_kept"),
             "stream_batch", "stream_cnt",
+            "snm_prev", "snm_lcp", "snm_pfx",
         )
     )
 
@@ -6102,11 +6164,28 @@ wdr AS (
 wmad AS (  -- lower-median absolute deviation per type
   SELECT event_type, CAST(win_dev AS BIGINT) AS win_mad
   FROM wdr WHERE rn = (cnt + 1) // 2
+),
+sj AS (  -- stream-stream interval join expectation: the plain batch join
+         -- (probes % 3 = 0 pick up candidates % 3 <> 0 of the preceding
+         -- 30 min, bounds inclusive) — pair count + exact id checksum
+  SELECT l.event_type,
+         CAST(COUNT(*) AS BIGINT) AS sj_pairs,
+         CAST(SUM(l.event_id * 3 + r.event_id) AS BIGINT) AS sj_checksum
+  FROM (SELECT event_id, event_type, epoch_us(ts) AS t FROM events
+        WHERE event_id % 3 = 0) l
+  JOIN (SELECT event_id, event_type, epoch_us(ts) AS t FROM events
+        WHERE event_id % 3 <> 0) r
+    ON r.event_type = l.event_type
+   AND r.t BETWEEN l.t - 1800000000 AND l.t
+  GROUP BY 1
 )
 SELECT d.window_start_us, d.event_type, d.n_events, d.sum_cents,
        d.win_med, d.win_dev, a.win_mad,
-       CAST(d.win_dev > 3 * a.win_mad AS BIGINT) AS burst
+       CAST(d.win_dev > 3 * a.win_mad AS BIGINT) AS burst,
+       COALESCE(s.sj_pairs, 0) AS sj_pairs,
+       COALESCE(s.sj_checksum, 0) AS sj_checksum
 FROM wdev d JOIN wmad a USING (event_type)
+LEFT JOIN sj s USING (event_type)
 """,
         # sessionization + semi-structured parsing: json_extract replays
         # from_json's typed field pull; the per-session rollups are exact

@@ -1389,3 +1389,57 @@ def graph_node_stats(pairs: DataFrame, id_a: str = "id_a",
                     / (F.col("deg_cnt") * (F.col("deg_cnt") - 1)).cast("double")),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def sorted_neighborhood(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood dedup diagnostic (Hernández & Stolfo, SIGMOD
+    1995 — the classic record-linkage blocking method): sort the corpus
+    lexicographically by token array (ties → id), then compare each doc
+    with its PREDECESSOR in sort order. Exact duplicates and
+    prefix-truncations land adjacent and show a full-length LCP; the
+    method's documented miss — shifted/edited heads sort far apart — is
+    exactly why it complements hash-key blocking (MinHash/SimHash block on
+    content, SNM on order).
+
+    Per doc: `snm_prev` (predecessor id, '' for the sort minimum),
+    `snm_lcp` (longest common token prefix with the predecessor, an exact
+    integer; −1 for the sort minimum), `snm_pfx` (1 when one of the two is
+    a full prefix of the other — the duplicate/truncation signal SNM
+    exists to raise).
+
+    LCP is the position of the first elementwise mismatch:
+    array_position(zip_with(a, b, =), false) − 1, falling back to
+    min(len) when the shorter array is exhausted first (zip_with pads the
+    tail with nulls, which are not `false`). Exact integers — no float
+    fold to replay.
+
+    Scale shape: ONE global sort (a range exchange) + a lag window. At
+    cluster scale run it per range partition after repartitionByRange on
+    the token prefix (`prescan.exact_range_bounds` gives deterministic
+    bounds) and stitch the ≤ partitions−1 boundary pairs."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(tokens_col).asc(), F.col(id_col).asc())
+    o = df.select(
+        id_col,
+        F.col(tokens_col).alias("__t"),
+        F.lag(tokens_col).over(w).alias("__pt"),
+        F.lag(id_col).over(w).alias("__pid"),
+    )
+    mis = F.expr("array_position(zip_with(__t, __pt, (x, y) -> x = y), false)")
+    lcp = F.when(F.col("__pt").isNull(), F.lit(-1)).otherwise(
+        F.when(mis == 0, F.least(F.size("__t"), F.size("__pt"))).otherwise(mis - 1)
+    ).cast("long")
+    return o.select(
+        id_col,
+        F.coalesce(F.col("__pid"), F.lit("")).alias("snm_prev"),
+        lcp.alias("snm_lcp"),
+        (
+            F.col("__pt").isNotNull()
+            & (lcp == F.least(F.size("__t"), F.size("__pt")))
+        ).cast("long").alias("snm_pfx"),
+    )

@@ -340,14 +340,39 @@ inc AS (  -- intra-batch first occurrence among the survivors
 sbatch AS (  -- streaming-dedup expectation: the EARLIEST batch holding the
              -- key; the stream must emit its one survivor from there
   SELECT key, CAST(MIN(is_new) AS BIGINT) AS stream_batch FROM keyed GROUP BY key
+),
+snmo AS (  -- sorted-neighborhood: lexicographic token sort, ties -> id
+  SELECT doc_id, tokens,
+         lag(doc_id) OVER (ORDER BY tokens, doc_id) AS pid,
+         lag(tokens) OVER (ORDER BY tokens, doc_id) AS ptok
+  FROM aug
+),
+snm AS (  -- LCP = first elementwise mismatch - 1, else min(len); exact ints
+  SELECT doc_id,
+         COALESCE(pid, '') AS snm_prev,
+         CASE WHEN ptok IS NULL THEN CAST(-1 AS BIGINT)
+              ELSE CAST(COALESCE(
+                (SELECT MIN(u.i) FROM
+                   (SELECT unnest(range(1, least(len(tokens), len(ptok)) + 1)) AS i) u
+                 WHERE tokens[CAST(u.i AS INTEGER)] <> ptok[CAST(u.i AS INTEGER)]) - 1,
+                least(len(tokens), len(ptok))) AS BIGINT) END AS snm_lcp,
+         CAST(ptok IS NOT NULL AND COALESCE(
+                (SELECT MIN(u.i) FROM
+                   (SELECT unnest(range(1, least(len(tokens), len(ptok)) + 1)) AS i) u
+                 WHERE tokens[CAST(u.i AS INTEGER)] <> ptok[CAST(u.i AS INTEGER)]) - 1,
+                least(len(tokens), len(ptok)))
+              = least(len(tokens), len(ptok)) AS BIGINT) AS snm_pfx
+  FROM snmo
 )
 SELECT r.doc_id, r.source,
        CAST(CASE WHEN r.is_new = 0 THEN -1
                  WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS inc_kept,
        sb.stream_batch,
-       CAST(1 AS BIGINT) AS stream_cnt
+       CAST(1 AS BIGINT) AS stream_cnt,
+       sn.snm_prev, sn.snm_lcp, sn.snm_pfx
 FROM ranked r LEFT JOIN inc i USING (doc_id)
 JOIN sbatch sb USING (key)
+JOIN snm sn USING (doc_id)
 WHERE r.rn = 1
 """.replace("{SQL_AUG}", SQL_AUG)
 

@@ -183,3 +183,48 @@ def test_hard_negatives_tie_breaks_to_lowest_id(spark):
            for r in hard_negatives(df, seeds, threshold=0.9999).collect()}
     # for anchor 0: candidates 1, 2, 3 all have cos = 1/sqrt(2) → pick 1
     assert got[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood diagnostic (wave 48)
+# ---------------------------------------------------------------------------
+
+def _py_snm(rows):
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = {}
+    prev = None
+    for doc_id, toks in order:
+        if prev is None:
+            out[doc_id] = ("", -1, 0)
+        else:
+            pid, ptoks = prev
+            lcp = 0
+            for x, y in zip(toks, ptoks):
+                if x != y:
+                    break
+                lcp += 1
+            out[doc_id] = (pid, lcp, int(lcp == min(len(toks), len(ptoks))))
+        prev = (doc_id, toks)
+    return out
+
+
+def test_sorted_neighborhood_matches_python(spark):
+    from nyxus_spark.operators.dedup import sorted_neighborhood
+
+    rows = [
+        ("doc_0", [5, 6, 7, 8]),
+        ("doc_1", [5, 6, 7, 8]),       # exact dup: adjacent, full LCP
+        ("doc_2", [5, 6, 7]),          # truncation: prefix of doc_0
+        ("doc_3", [6, 5, 6, 7, 8]),    # shifted head: sorts far away (the miss)
+        ("doc_4", [1, 2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: (r["snm_prev"], r["snm_lcp"], r["snm_pfx"])
+           for r in sorted_neighborhood(df).collect()}
+    assert got == _py_snm(rows)
+    # the duplicate signal: doc_2 < doc_0 < doc_1 lexicographically, so
+    # doc_0's predecessor is its own truncation and doc_1's its exact dup
+    assert got["doc_0"] == ("doc_2", 3, 1)
+    assert got["doc_1"] == ("doc_0", 4, 1)
+    # the documented miss: the shifted doc shares nothing with its neighbor
+    assert got["doc_3"][2] == 0
