@@ -1465,8 +1465,75 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ham_vec_id"), "hamming",
         F.row_number().over(wh).cast("long").alias("rank"),
     )
-    return cr.join(hr, "rank").select(
-        "rank", "vec_id", "cos", "ham_vec_id", "hamming"
+    # RECIPROCAL-RANK FUSION (Cormack et al., SIGIR 2009 — the hybrid
+    # dense+lexical retrieval standard) over the SHARED id space: the
+    # cosine top-10 fuses with the BM25 top-10 of the token corpus
+    # (ranked on the gated 4-dec score, ties → id);
+    # RRF = 1/(60+r_dense) + 1/(60+r_lexical), each term ONE IEEE division
+    # of exact small ints (absent list contributes 0), fused order by
+    # (rrf4 DESC, id ASC). At scale both input lists are already top-k —
+    # RRF only ever touches ≤ 2k fused candidates per query.
+    from nyxus_spark.functions import bm25_scores
+    from nyxus_spark.sources import tokens_static
+
+    t = tokens_static(spark, sf_dir)
+    bm = bm25_scores(t, [18, 55, 89, 138, 216]).select(
+        F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("bid"),
+        "bm25_score4",
+    )
+    wb = Window.orderBy(F.col("bm25_score4").desc(), F.col("bid").asc())
+    br10 = (
+        bm.withColumn("brank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("brank") <= 10).select("bid", "brank")
+    )
+    cr10 = cr.filter(F.col("rank") <= 10).select(
+        F.col("vec_id").alias("cid"), F.col("rank").alias("crank"))
+    fused = (
+        cr10.join(br10, cr10["cid"] == br10["bid"], "full_outer")
+        .select(
+            F.coalesce("cid", "bid").alias("rrf_vec_id"),
+            "crank", "brank",
+        )
+        .withColumn(
+            "rrf4",
+            _r4(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("crank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("brank")), F.lit(0.0))
+            ),
+        )
+        .withColumn(
+            "rrf_in_both",
+            (F.col("crank").isNotNull() & F.col("brank").isNotNull())
+            .cast("long"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf4").desc(), F.col("rrf_vec_id").asc())
+    fr = (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "rrf_vec_id", "rrf4", "rrf_in_both")
+    )
+    # MMR diversified rerank (Carbonell–Goldstein, SIGIR 1998) over the
+    # cosine top-8: greedy λ·rel − µ·max-sim selection of 4, every step's
+    # score a fround4 IEEE chain and every argmax tie-broken by id, so the
+    # oracle replays the selection step-for-step with 4 unrolled CTEs
+    from nyxus_spark.operators.similarity import mmr_rerank
+
+    mc = cr.filter(F.col("rank") <= 8).join(emb, "vec_id").select(
+        "vec_id", "embedding", "cos")
+    mm = mmr_rerank(mc, k_select=4).select(
+        F.col("ordinal").alias("rank"),
+        F.col("vec_id").alias("mmr_vec_id"),
+        "mmr_score4",
+    )
+    return (
+        cr.join(hr, "rank").join(fr, "rank").join(mm, "rank", "left")
+        .select(
+            "rank", "vec_id", "cos", "ham_vec_id", "hamming",
+            "rrf_vec_id", "rrf4", "rrf_in_both",
+            F.coalesce("mmr_vec_id", F.lit(-1).cast("long")).alias("mmr_vec_id"),
+            F.coalesce("mmr_score4", F.lit(-2.0)).alias("mmr_score4"),
+        )
     )
 
 

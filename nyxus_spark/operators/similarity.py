@@ -886,3 +886,80 @@ def hard_negatives(
             fround4(F.col("__best.c")).alias("hn_cos4"),
         )
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k_select: int,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cos",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998) — the diversified-retrieval standard: greedily select k results
+    where step i takes
+
+        argmax  λ·rel(d) − µ·max_{s∈selected} sim(d, s)     (ties → low id)
+
+    over the remaining candidates — relevance traded against redundancy,
+    so near-duplicate hits cannot crowd the result list. λ and µ are two
+    independent literals (NOT derived as 1−λ: float 1−0.7 is
+    0.30000000000000004, not the 0.3 a SQL literal parses to — pass both).
+
+    Arithmetic is engine-replayable: rel and the pairwise sims are
+    4-decimal (fround4) cosines, each step's score the fixed IEEE chain
+    λ·rel − µ·maxsim (maxsim = MAX over selected sims, 0.0 at step 1)
+    rounded to 4 decimals BEFORE the argmax, so the selection order is
+    bit-reproducible in any engine.
+
+    `cands` is the bounded post-retrieval top-m (id, vector, rel) — MMR is
+    a RERANK, never a corpus scan. The greedy argmax is one driver
+    round-trip of ONE row per step (k bounded, same class as the LIMIT-1
+    convergence probe in connected_components); everything else is
+    DataFrame ops over the m-row table.
+
+    Returns (ordinal, id_col, mmr_score4) with ordinal 1..k_select."""
+    if k_select < 1:
+        raise ValueError(f"k_select must be >= 1, got {k_select}")
+    sims = (
+        cands.alias("a")
+        .join(cands.alias("b"), F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            fround4(cosine_col(f"a.{vec_col}", f"b.{vec_col}")).alias("s"),
+        )
+        .localCheckpoint()  # m² rows, computed once, reused every step
+    )
+    base = cands.select(F.col(id_col), F.col(rel_col).alias("__rel"))
+    picked: list[tuple[int, object, float]] = []
+    for step in range(1, k_select + 1):
+        sel_ids = [p[1] for p in picked]
+        rem = base.filter(~F.col(id_col).isin(sel_ids)) if sel_ids else base
+        if sel_ids:
+            ms = (
+                sims.filter(F.col("ib").isin(sel_ids))
+                .groupBy("ia").agg(F.max("s").alias("__ms"))
+            )
+            j = rem.join(ms, rem[id_col] == ms["ia"], "left").withColumn(
+                "__ms", F.coalesce("__ms", F.lit(0.0))
+            )
+        else:
+            j = rem.withColumn("__ms", F.lit(0.0))
+        score4 = fround4(
+            F.lit(lam) * F.col("__rel") - F.lit(mu) * F.col("__ms")
+        )
+        best = (
+            j.select(F.col(id_col), score4.alias("__sc"))
+            .orderBy(F.col("__sc").desc(), F.col(id_col).asc())
+            .first()
+        )
+        if best is None:
+            break
+        picked.append((step, best[id_col], float(best["__sc"])))
+    spark = cands.sparkSession
+    return spark.createDataFrame(
+        picked, f"ordinal long, {id_col} long, mmr_score4 double"
+    )

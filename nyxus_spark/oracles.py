@@ -408,7 +408,8 @@ def sql_srp_sig(vec: str = "embedding", n_planes: int = 16, quant: int = 1000) -
 
 
 SQL_TOPK_COSINE = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+WITH {SQL_TOKENS_STATIC},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 cosr AS (
   SELECT vec_id,
          FLOOR((list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
@@ -430,9 +431,114 @@ hamr AS (
            bit_count(xor(sig, (SELECT qs FROM qsig))) ASC, vec_id ASC)
            AS BIGINT) AS rank
   FROM sigs
+),
+btoks AS (SELECT CAST(substr(doc_id, 5) AS BIGINT) AS did, tokens, n_tok
+          FROM tokens_static),
+bmtf AS (  -- BM25 replay (same rational-idf chain as text_stats)
+  SELECT did, CAST(n_tok AS BIGINT) AS dl, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT did, n_tok, unnest(tokens) AS t FROM btoks)
+  WHERE t IN (18, 55, 89, 138, 216)
+  GROUP BY did, n_tok, t
+),
+bmdf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM bmtf GROUP BY t),
+bmtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_n, CAST(SUM(n_tok) AS BIGINT) AS b_s
+          FROM btoks),
+bmterm AS (
+  SELECT did, t,
+         CAST((2*b_n - 2*df + 1) * 44 * tf * b_s AS DOUBLE)
+         / CAST((2*df + 1) * (20*tf*b_s + 6*b_s + 18*dl*b_n) AS DOUBLE) AS v
+  FROM bmtf JOIN bmdf USING (t) CROSS JOIN bmtot
+),
+bmsc AS (
+  SELECT did, FLOOR(list_reduce(list(v ORDER BY t), (a, b) -> a + b)
+              * 10000.0 + 0.5) / 10000.0 AS s4
+  FROM bmterm GROUP BY did
+),
+br10 AS (
+  SELECT did AS bid, brank FROM (
+    SELECT did, CAST(row_number() OVER (ORDER BY s4 DESC, did ASC) AS BIGINT)
+           AS brank
+    FROM bmsc) WHERE brank <= 10
+),
+cr10 AS (SELECT vec_id AS cid, rank AS crank FROM cosr WHERE rank <= 10),
+fused AS (  -- RRF: 1/(60+r) per present list, absent contributes 0
+  SELECT COALESCE(cid, bid) AS rrf_vec_id, crank, brank,
+         FLOOR((COALESCE(CAST(1 AS DOUBLE) / (60 + crank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / (60 + brank), 0))
+               * 10000.0 + 0.5) / 10000.0 AS rrf4,
+         CAST(crank IS NOT NULL AND brank IS NOT NULL AS BIGINT) AS rrf_in_both
+  FROM cr10 FULL OUTER JOIN br10 ON cid = bid
+),
+fr AS (
+  SELECT rrf_vec_id, rrf4, rrf_in_both,
+         CAST(row_number() OVER (ORDER BY rrf4 DESC, rrf_vec_id ASC) AS BIGINT)
+           AS rank
+  FROM fused
+),
+mc AS (  -- MMR candidates: cosine top-8 with vectors + 4-dec relevance
+  SELECT c.rank, c.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cos AS rel
+  FROM cosr c JOIN embeddings e USING (vec_id) WHERE c.rank <= 8
+),
+msim AS (  -- pairwise 4-dec cosines over the bounded candidate set
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         FLOOR((list_inner_product(a.ev, b.ev)
+               / (sqrt(list_inner_product(a.ev, a.ev))
+                * sqrt(list_inner_product(b.ev, b.ev)))) * 10000.0 + 0.5)
+         / 10000.0 AS s
+  FROM mc a JOIN mc b ON a.vec_id <> b.vec_id
+),
+p1 AS (  -- step 1: no penalty (maxsim = 0)
+  SELECT vec_id, FLOOR((CAST(0.7 AS DOUBLE) * rel) * 10000.0 + 0.5)
+                 / 10000.0 AS sc
+  FROM mc ORDER BY 2 DESC, vec_id ASC LIMIT 1
+),
+p2 AS (
+  SELECT c.vec_id,
+         FLOOR((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.ms)
+               * 10000.0 + 0.5) / 10000.0 AS sc
+  FROM mc c JOIN (SELECT ia, MAX(s) AS ms FROM msim
+                  WHERE ib IN (SELECT vec_id FROM p1) GROUP BY ia) m
+    ON m.ia = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+  ORDER BY 2 DESC, c.vec_id ASC LIMIT 1
+),
+p3 AS (
+  SELECT c.vec_id,
+         FLOOR((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.ms)
+               * 10000.0 + 0.5) / 10000.0 AS sc
+  FROM mc c JOIN (SELECT ia, MAX(s) AS ms FROM msim
+                  WHERE ib IN (SELECT vec_id FROM p1
+                               UNION SELECT vec_id FROM p2) GROUP BY ia) m
+    ON m.ia = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2)
+  ORDER BY 2 DESC, c.vec_id ASC LIMIT 1
+),
+p4 AS (
+  SELECT c.vec_id,
+         FLOOR((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * m.ms)
+               * 10000.0 + 0.5) / 10000.0 AS sc
+  FROM mc c JOIN (SELECT ia, MAX(s) AS ms FROM msim
+                  WHERE ib IN (SELECT vec_id FROM p1
+                               UNION SELECT vec_id FROM p2
+                               UNION SELECT vec_id FROM p3) GROUP BY ia) m
+    ON m.ia = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2
+                         UNION SELECT vec_id FROM p3)
+  ORDER BY 2 DESC, c.vec_id ASC LIMIT 1
+),
+mmr AS (
+  SELECT CAST(1 AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS mmr_vec_id,
+         sc AS mmr_score4 FROM p1
+  UNION ALL SELECT 2, vec_id, sc FROM p2
+  UNION ALL SELECT 3, vec_id, sc FROM p3
+  UNION ALL SELECT 4, vec_id, sc FROM p4
 )
-SELECT c.rank, c.vec_id, c.cos, h.ham_vec_id, h.hamming
-FROM cosr c JOIN hamr h USING (rank)
+SELECT c.rank, c.vec_id, c.cos, h.ham_vec_id, h.hamming,
+       f.rrf_vec_id, f.rrf4, f.rrf_in_both,
+       COALESCE(m.mmr_vec_id, -1) AS mmr_vec_id,
+       COALESCE(m.mmr_score4, -2.0) AS mmr_score4
+FROM cosr c JOIN hamr h USING (rank) JOIN fr f USING (rank)
+LEFT JOIN mmr m USING (rank)
 WHERE c.rank <= 10
 """.replace("{SIG}", sql_srp_sig())
 

@@ -228,3 +228,66 @@ def test_sorted_neighborhood_matches_python(spark):
     assert got["doc_1"] == ("doc_0", 4, 1)
     # the documented miss: the shifted doc shares nothing with its neighbor
     assert got["doc_3"][2] == 0
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (wave 49)
+# ---------------------------------------------------------------------------
+
+def test_mmr_suppresses_redundant_candidates(spark):
+    from nyxus_spark.operators.similarity import mmr_rerank
+
+    # candidate 1 is (near-)identical to candidate 0: highest raw
+    # relevance after 0, but MMR's redundancy penalty must pass it over
+    # for the orthogonal candidate 2
+    cands = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0.99),
+            (1, [1.0, 0.001, 0.0], 0.98),   # near-copy of 0
+            (2, [0.0, 1.0, 0.0], 0.60),     # diverse
+            (3, [0.9, 0.1, 0.0], 0.90),     # mostly redundant with 0
+        ],
+        "vec_id long, embedding array<double>, cos double",
+    )
+    got = [(r["ordinal"], r["vec_id"])
+           for r in mmr_rerank(cands, k_select=3).orderBy("ordinal").collect()]
+    # step 2: the near-copy's penalized score 0.7*0.98 - 0.3*1.0 = 0.386
+    # loses to the diverse candidate's 0.7*0.60 - 0.3*0 = 0.42 — checked
+    # in full against a python replay of the greedy selection
+    import math
+
+    def r4(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return r4(d / (na * nb))
+
+    rows = {0: ([1.0, 0.0, 0.0], 0.99), 1: ([1.0, 0.001, 0.0], 0.98),
+            2: ([0.0, 1.0, 0.0], 0.60), 3: ([0.9, 0.1, 0.0], 0.90)}
+    sel = []
+    for _ in range(3):
+        best = None
+        for vid, (v, rel) in rows.items():
+            if vid in sel:
+                continue
+            ms = max((cos(v, rows[s][0]) for s in sel), default=0.0)
+            sc = r4(0.7 * rel - 0.3 * ms)
+            if best is None or sc > best[1] or (sc == best[1] and vid < best[0]):
+                best = (vid, sc)
+        sel.append(best[0])
+    assert [v for _, v in got] == sel
+    assert got[0][1] == 0                      # raw best first
+    assert [v for _, v in got].index(1) > [v for _, v in got].index(2) \
+        if 1 in [v for _, v in got] else True  # near-copy never before diverse
+
+
+def test_mmr_rejects_bad_k(spark):
+    from nyxus_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame([(0, [1.0], 1.0)],
+                               "vec_id long, embedding array<double>, cos double")
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k_select=0)
