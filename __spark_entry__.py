@@ -1394,12 +1394,20 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import graph_node_stats
 
     gns = graph_node_stats(pairs)
+    # PAGERANK over the same near-dup graph (template-HUB authority): 4
+    # fixed iterations, source-id-ordered message folds the oracle replays
+    # term-for-term — the hub of a dup farm outranks its leaves, a chain
+    # stays flat
+    from nyxus_spark.operators.dedup import pagerank
+
+    pr = pagerank(pairs, iters=4)
     return (
         comps.join(sizes, "rep").join(best, "rep").join(gns, "doc_id")
+        .join(pr, "doc_id")
         .select(
             "doc_id", "rep", "cluster_size", "best_doc", "best_n_tok",
             (F.col("doc_id") == F.col("best_doc")).cast("int").alias("is_best"),
-            "deg_cnt", "tri_cnt", "clust4",
+            "deg_cnt", "tri_cnt", "clust4", "pr4",
         )
     )
 

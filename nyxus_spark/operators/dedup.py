@@ -1443,3 +1443,80 @@ def sorted_neighborhood(
             & (lcp == F.least(F.size("__t"), F.size("__pt")))
         ).cast("long").alias("snm_pfx"),
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 4,
+    d: float = 0.85,
+    base: float = 0.15,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """PageRank (Page et al. 1999) over the undirected near-dup pair graph
+    — the authority score that separates a hyper-duplicated template HUB
+    (one page every mirror copies) from incidental pairwise near-dups:
+    hubs accumulate rank from their whole neighborhood, chain members do
+    not. FIXED iteration count (k hops of influence — the monitoring
+    contract, like the unrolled-step MMR), so the whole computation is a
+    finite engine-replayable expression:
+
+      r₀(v) = 1/N;   r_{t+1}(v) = base/N + d · Σ_{u∼v} r_t(u)/deg(u)
+
+    `d` and `base` are two INDEPENDENT literals (float 1−0.85 is
+    0.15000000000000002, not the 0.15 a SQL literal parses to). Every
+    per-node message sum is a SOURCE-ID-ORDERED sequential fold — the
+    oracle replays it with list_reduce(list(term ORDER BY src)) — and each
+    iteration is the fixed chain base/N + d·fold. The symmetric pair graph
+    has deg ≥ 1 everywhere: no dangling mass, every node updates every
+    round.
+
+    Scale shape: per iteration ONE equi-join (messages) + ONE grouped fold
+    (bounded by max degree), lineage truncated per round; total work
+    iters·|E| — the standard distributed PageRank schedule.
+
+    Returns (doc_id, pr4)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nn = deg.agg(F.count("*").cast("long").alias("__n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("v"),
+        (F.lit(1.0) / F.col("__n").cast("double")).alias("r"),
+        "__n",
+    )
+    for _ in range(iters):
+        msg = (
+            edges.join(r.select(F.col("v").alias("src"), "r"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.struct(
+                    F.col("src"),
+                    (F.col("r") / F.col("deg").cast("double")).alias("val"),
+                ).alias("m"),
+            )
+        )
+        r = (
+            msg.groupBy("v")
+            .agg(F.array_sort(F.collect_list("m")).alias("__ms"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "v",
+                (
+                    F.lit(base) / F.col("__n").cast("double")
+                    + F.lit(d)
+                    * F.aggregate("__ms", F.lit(0.0), lambda a, x: a + x["val"])
+                ).alias("r"),
+                "__n",
+            )
+            .localCheckpoint()
+        )
+    return r.select(F.col("v").alias("doc_id"), fround4("r").alias("pr4"))

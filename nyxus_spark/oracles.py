@@ -82,6 +82,46 @@ tric AS (
     SELECT a AS doc_id FROM tri
     UNION ALL SELECT b AS doc_id FROM tri
     UNION ALL SELECT c AS doc_id FROM tri) GROUP BY doc_id
+),
+pedges AS (  -- PageRank replay: symmetric edges, deg >= 1 everywhere
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+pdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM pedges GROUP BY src),
+pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pdeg),
+pr0 AS (SELECT src AS v, CAST(1 AS DOUBLE) / n AS r FROM pdeg, pn),
+pr1 AS (  -- each round: base/N + d * source-id-ordered sequential fold
+  SELECT e.dst AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM pn)
+         + CAST(0.85 AS DOUBLE)
+           * list_reduce(list(p.r / d.dg ORDER BY e.src), (a, b) -> a + b) AS r
+  FROM pedges e JOIN pr0 p ON p.v = e.src JOIN pdeg d ON d.src = e.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT e.dst AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM pn)
+         + CAST(0.85 AS DOUBLE)
+           * list_reduce(list(p.r / d.dg ORDER BY e.src), (a, b) -> a + b) AS r
+  FROM pedges e JOIN pr1 p ON p.v = e.src JOIN pdeg d ON d.src = e.src
+  GROUP BY e.dst
+),
+pr3 AS (
+  SELECT e.dst AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM pn)
+         + CAST(0.85 AS DOUBLE)
+           * list_reduce(list(p.r / d.dg ORDER BY e.src), (a, b) -> a + b) AS r
+  FROM pedges e JOIN pr2 p ON p.v = e.src JOIN pdeg d ON d.src = e.src
+  GROUP BY e.dst
+),
+prf AS (
+  SELECT e.dst AS v,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM pn)
+         + CAST(0.85 AS DOUBLE)
+           * list_reduce(list(p.r / d.dg ORDER BY e.src), (a, b) -> a + b) AS r
+  FROM pedges e JOIN pr3 p ON p.v = e.src JOIN pdeg d ON d.src = e.src
+  GROUP BY e.dst
 )
 SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
        CASE WHEN c.doc_id = b.best_doc THEN 1 ELSE 0 END AS is_best,
@@ -91,10 +131,12 @@ SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
          FLOOR((CAST(2 * COALESCE(tc.tri_cnt, 0) AS DOUBLE)
                 / CAST(dg.deg_cnt * (dg.deg_cnt - 1) AS DOUBLE))
                * 10000.0 + 0.5) / 10000.0
-       ELSE 0.0 END AS clust4
+       ELSE 0.0 END AS clust4,
+       FLOOR(pg.r * 10000.0 + 0.5) / 10000.0 AS pr4
 FROM comp c JOIN sizes s USING (rep) JOIN best b USING (rep)
 JOIN deg dg USING (doc_id)
 LEFT JOIN tric tc USING (doc_id)
+JOIN prf pg ON pg.v = c.doc_id
 """
 
 

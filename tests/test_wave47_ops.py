@@ -291,3 +291,52 @@ def test_mmr_rejects_bad_k(spark):
                                "vec_id long, embedding array<double>, cos double")
     with pytest.raises(ValueError):
         mmr_rerank(df, k_select=0)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (wave 50)
+# ---------------------------------------------------------------------------
+
+def _py_pagerank(edges, iters=4, d=0.85, base=0.15):
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    nodes = sorted({a for a, _ in sym})
+    deg = {v: sum(1 for a, _ in sym if a == v) for v in nodes}
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        nr = {}
+        for v in nodes:
+            # source-id-ordered sequential fold, exactly like the operator
+            acc = 0.0
+            for u in sorted(a for a, b in sym if b == v):
+                acc = acc + r[u] / deg[u]
+            nr[v] = base / n + d * acc
+        r = nr
+    return {v: math.floor(x * 10000.0 + 0.5) / 10000.0 for v, x in r.items()}
+
+
+def test_pagerank_hub_outranks_leaves_and_matches_python(spark):
+    from nyxus_spark.operators.dedup import pagerank
+
+    # a star (hub h with 4 leaves) plus a 3-chain: the hub must outrank
+    # every leaf and every chain member
+    edges = [("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"),
+             ("c1", "c2"), ("c2", "c3")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["doc_id"]: r["pr4"] for r in pagerank(df, iters=4).collect()}
+    assert got == _py_pagerank(edges)
+    assert all(got["h"] > got[f"l{i}"] for i in range(1, 5))
+    assert all(got["h"] > got[c] for c in ("c1", "c2", "c3"))
+    # chain ends are symmetric
+    assert got["c1"] == got["c3"]
+
+
+def test_pagerank_rejects_bad_iters(spark):
+    from nyxus_spark.operators.dedup import pagerank
+
+    df = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
