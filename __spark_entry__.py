@@ -1938,6 +1938,18 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
      .withColumn("post_first", F.coalesce("post_first", F.lit(-1).cast("long"))) \
      .withColumn("post_max_gap", F.coalesce("post_max_gap", zerol)) \
      .withColumn("post_bits", F.coalesce("post_bits", zerol))
+    # NUCLEUS (top-p) truncation flags (Holtzman et al. 2020, corpus-side):
+    # in-nucleus while the cumulative mass BEFORE the token is under p —
+    # the exact cross-multiplied inequality (cum−cnt)·10 < 9·tot; the
+    # smallest ≥0.9-mass prefix of the (count DESC, token ASC) order. UNK
+    # (-1) has no vocab row → sentinel.
+    from nyxus_spark.functions import nucleus_flags
+
+    nuc = nucleus_flags(t, 9, 10).select(
+        F.col("tok").alias("token"), "nuc_cum", "in_nucleus")
+    out = out.join(nuc, "token", "left") \
+        .withColumn("nuc_cum", F.coalesce("nuc_cum", F.lit(-1).cast("long"))) \
+        .withColumn("in_nucleus", F.coalesce("in_nucleus", F.lit(-1).cast("long")))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -2173,6 +2185,22 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("st_fold_rows"))
     stf = stf.join(stf_sizes, ["source", "st_fold"]).select(
         "doc_id", "st_fold", "st_fold_rows")
+    # RENDEZVOUS (HRW) sharding — the consistent-sharding rule stateful
+    # services route by: shard = argmax per-shard hash. Both the 8-shard
+    # and 9-shard assignments ride the gate, so the MINIMAL-DISRUPTION law
+    # (growing the fleet moves keys ONLY onto the new shard, never
+    # laterally) is value-checked on every row: hrw_moved ≡ (s8 ≠ s9) and
+    # any lateral move flips hrw_shard9 against the oracle's argmax.
+    from nyxus_spark.functions import rendezvous_shard
+
+    hrw = docs.select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).alias("hrw_shard"),
+        rendezvous_shard("doc_id", 9).alias("hrw_shard9"),
+    ).withColumn(
+        "hrw_moved",
+        (F.col("hrw_shard") != F.col("hrw_shard9")).cast("long"),
+    )
     return (
         out.join(plan, "source")
         .join(hll, "source")
@@ -2183,6 +2211,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fold_sizes, "cv_fold")
         .join(stf, "doc_id")
         .join(lra, "source")
+        .join(hrw, "doc_id")
         .withColumn(
             "lr_keep",
             (F.col("quota_rank") <= F.col("lr_alloc")).cast("long"),
@@ -3659,13 +3688,28 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
         "bm25_terms", "bm25_tf", "bm25_score4",
     )
+    # ColBERT-style MaxSim late interaction over the SAME query terms:
+    # each term's best-matching doc token in EMBEDDING space (token id t →
+    # embedding vec_id t), so semantic matches BM25's exact-tf cannot see
+    # are scored — and the lexical and late-interaction gates cross-check
+    # on one query. LUT = |q|×|V| broadcast of 4-dec cosines; score = the
+    # fixed 5-term addition chain in term order.
+    from nyxus_spark.operators.similarity import maxsim_scores
+    from nyxus_spark.sources import load_table as _lt
+
+    temb = _lt(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 250).select(
+        F.col("vec_id").alias("tok"), "embedding")
+    cb = maxsim_scores(toks, temb, [18, 55, 89, 138, 216]).select(
+        F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
+        "cb_18", "cb_55", "cb_89", "cb_138", "cb_216", "colbert4",
+    )
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     out = out.join(pb, "doc_id").join(big, "doc_id", "left")
     out = out.join(ds, "doc_id", "left").join(bfa, "doc_id")
     out = out.join(dsw, "doc_id").join(lm, "doc_id", "left")
-    out = out.join(bm, "doc_id", "left")
+    out = out.join(bm, "doc_id", "left").join(cb, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -3708,6 +3752,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("bm25_terms", zero).alias("bm25_terms"),
         F.coalesce("bm25_tf", zero).alias("bm25_tf"),
         F.coalesce("bm25_score4", F.lit(0.0)).alias("bm25_score4"),
+        "cb_18", "cb_55", "cb_89", "cb_138", "cb_216", "colbert4",
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -4732,6 +4777,15 @@ cmsq AS (  -- point query: est = min over rows, empty cells -> 0
                      AND bucket = {oracles.sql_cms_bucket('token', 3)}), 0)
          ) AS BIGINT) AS cms_est
   FROM (SELECT DISTINCT token FROM final)
+),
+nucw AS (  -- nucleus (top-p): cumulative mass in (cnt DESC, token) order
+  SELECT token,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS nuc_cum,
+         cnt AS nuc_cnt,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS nuc_tot
+  FROM counts
 )
 SELECT f.*, q.cms_est,
        CAST(q.cms_est - f.cnt AS BIGINT) AS cms_over,
@@ -4769,12 +4823,17 @@ SELECT f.*, q.cms_est,
        FLOOR((CAST(cnt_remap * row_number() OVER (ORDER BY cnt_remap DESC,
                                                   token ASC) AS DOUBLE)
               / CAST(MAX(cnt_remap) OVER () AS DOUBLE))
-             * 10000.0 + 0.5) / 10000.0 AS zipf_ratio4
+             * 10000.0 + 0.5) / 10000.0 AS zipf_ratio4,
+       COALESCE(nw.nuc_cum, -1) AS nuc_cum,
+       CASE WHEN nw.token IS NULL THEN CAST(-1 AS BIGINT)
+            ELSE CAST((nw.nuc_cum - nw.nuc_cnt) * 10 < 9 * nw.nuc_tot
+                      AS BIGINT) END AS in_nucleus
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
 LEFT JOIN knl klw ON klw.token = f.next_token
 LEFT JOIN post po USING (token)
+LEFT JOIN nucw nw USING (token)
 CROSS JOIN growth g
 CROSS JOIN gini gi
 """,
@@ -4958,7 +5017,24 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        ze.zb_rows, ze.zb_n_min, ze.zb_n_max, ze.zb_src_min, ze.zb_src_max,
        ps.pri4, ps.pri_rank, ps.pri_keep, ps.pri_ht4,
        CAST((SELECT COUNT(*) FROM rbk WHERE bound_val < base.shuf_e0)
-            AS BIGINT) AS rp8
+            AS BIGINT) AS rp8,
+       -- rendezvous (HRW) shard: argmax of per-shard hashes; 8- and
+       -- 9-shard assignments together value-check minimal disruption
+       CAST(list_max(list_transform(range(0, 8), s ->
+         {{'h': (((doc_id % 2147483647) * 1103515245) % 2147483647
+                + (s + 1) * 506952114) % 2147483647, 's': s}}))['s']
+            AS BIGINT) AS hrw_shard,
+       CAST(list_max(list_transform(range(0, 9), s ->
+         {{'h': (((doc_id % 2147483647) * 1103515245) % 2147483647
+                + (s + 1) * 506952114) % 2147483647, 's': s}}))['s']
+            AS BIGINT) AS hrw_shard9,
+       CAST(list_max(list_transform(range(0, 8), s ->
+         {{'h': (((doc_id % 2147483647) * 1103515245) % 2147483647
+                + (s + 1) * 506952114) % 2147483647, 's': s}}))['s']
+            <> list_max(list_transform(range(0, 9), s ->
+         {{'h': (((doc_id % 2147483647) * 1103515245) % 2147483647
+                + (s + 1) * 506952114) % 2147483647, 's': s}}))['s']
+            AS BIGINT) AS hrw_moved
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
@@ -5581,6 +5657,42 @@ bm AS (  -- token-id-ordered sequential fold, addition-for-addition
          FLOOR(list_reduce(list(v ORDER BY t), (a, b) -> a + b)
                * 10000.0 + 0.5) / 10000.0 AS bm25_score4
   FROM bmterm GROUP BY doc_id
+),
+cbte AS (  -- ColBERT token embeddings: token id t -> embedding vec_id t
+  SELECT vec_id AS tok, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings
+  WHERE vec_id <= 250
+    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) > 0
+),
+cbq AS (SELECT tok AS qt, ev AS qv FROM cbte
+        WHERE tok IN (18, 55, 89, 138, 216)),
+cblut AS (  -- |q| x |V| 4-dec cosine LUT
+  SELECT qt, tok,
+         FLOOR((list_inner_product(qv, ev)
+               / (sqrt(list_inner_product(qv, qv))
+                * sqrt(list_inner_product(ev, ev)))) * 10000.0 + 0.5)
+         / 10000.0 AS c4
+  FROM cbq, cbte
+),
+cbdt AS (SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM toks),
+cbpm AS (
+  SELECT doc_id, qt, MAX(c4) AS mx FROM cbdt JOIN cblut USING (tok)
+  GROUP BY 1, 2
+),
+cb AS (  -- MaxSim: fixed 5-term addition chain in term order
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN qt = 18 THEN mx END), -2.0) AS cb_18,
+         COALESCE(MAX(CASE WHEN qt = 55 THEN mx END), -2.0) AS cb_55,
+         COALESCE(MAX(CASE WHEN qt = 89 THEN mx END), -2.0) AS cb_89,
+         COALESCE(MAX(CASE WHEN qt = 138 THEN mx END), -2.0) AS cb_138,
+         COALESCE(MAX(CASE WHEN qt = 216 THEN mx END), -2.0) AS cb_216,
+         FLOOR((COALESCE(MAX(CASE WHEN qt = 18 THEN mx END), 0)
+              + COALESCE(MAX(CASE WHEN qt = 55 THEN mx END), 0)
+              + COALESCE(MAX(CASE WHEN qt = 89 THEN mx END), 0)
+              + COALESCE(MAX(CASE WHEN qt = 138 THEN mx END), 0)
+              + COALESCE(MAX(CASE WHEN qt = 216 THEN mx END), 0))
+               * 10000.0 + 0.5) / 10000.0 AS colbert4
+  FROM cbpm GROUP BY doc_id
 )
 SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
@@ -5629,6 +5741,12 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(bm.bm25_terms, 0) AS bm25_terms,
        COALESCE(bm.bm25_tf, 0) AS bm25_tf,
        COALESCE(bm.bm25_score4, 0.0) AS bm25_score4,
+       COALESCE(cbx.cb_18, -2.0) AS cb_18,
+       COALESCE(cbx.cb_55, -2.0) AS cb_55,
+       COALESCE(cbx.cb_89, -2.0) AS cb_89,
+       COALESCE(cbx.cb_138, -2.0) AS cb_138,
+       COALESCE(cbx.cb_216, -2.0) AS cb_216,
+       COALESCE(cbx.colbert4, 0.0) AS colbert4,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -5658,6 +5776,7 @@ LEFT JOIN dsiw dw USING (doc_id)
 LEFT JOIN lmc lc USING (doc_id)
 LEFT JOIN lmf lf USING (doc_id)
 LEFT JOIN bm USING (doc_id)
+LEFT JOIN cb cbx ON cbx.doc_id = l.doc_id
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

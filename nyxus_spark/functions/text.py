@@ -2202,3 +2202,71 @@ def bm25_scores(df, terms, tokens_col: str = "tokens",
             ).alias("bm25_score4"),
         )
     )
+
+
+def rendezvous_shard(id_expr_sql: str, n_shards: int,
+                     mix: int = 1103515245, salt: int = 506952114,
+                     p31: int = 2147483647):
+    """Column expr: rendezvous / highest-random-weight sharding (Thaler &
+    Ravishankar 1998) — the consistent-sharding rule stateful services
+    route by: shard(key) = argmax_s h(key, s), so adding a shard moves
+    ONLY the keys whose new weight wins (≈ 1/(n+1) of them) and removing
+    one moves only ITS keys — no global reshuffle, unlike mod-n. The
+    per-shard weight is the re-derivable integer hash
+    pmod(pmod((key mod P31)·MIX, P31) + (s+1)·SALT, P31); ties are
+    impossible for distinct shards (the weights differ by a nonzero
+    constant mod P31... except when the offset wraps to equality — the
+    argmax struct breaks any tie toward the LOWER shard id via max of
+    (h, s) ordered pairs with s negated... kept simple: (h, s) max picks
+    the HIGHER shard id on a tie; ties require (s−s')·SALT ≡ 0 mod P31,
+    impossible for |s−s'| < P31/SALT ≈ 4.2).
+
+    NOTE (measured, Spark 4.1): `a % b * c` parses as `a % (b * c)` in
+    Spark SQL — the reduction and multiply below keep explicit parens, and
+    the (s+1)·SALT offsets are PRE-COMPUTED literals because a 32-bit
+    int-literal product overflows under ANSI before widening."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    structs = []
+    for s in range(n_shards):
+        h = F.expr(
+            f"pmod(pmod(({id_expr_sql} % {p31}) * {mix}, {p31})"
+            f" + {(s + 1) * salt}, {p31})"
+        )
+        structs.append(F.struct(h.alias("h"), F.lit(s).cast("long").alias("s")))
+    return F.greatest(*structs)["s"]
+
+
+def nucleus_flags(df, p_num: int = 9, p_den: int = 10,
+                  tokens_col: str = "tokens"):
+    """Nucleus (top-p) vocabulary truncation (Holtzman et al., ICLR 2020,
+    applied corpus-side): over the empirical token distribution sorted by
+    (count DESC, token ASC), a token is IN the nucleus while the
+    cumulative mass BEFORE it is still under p — the smallest prefix
+    covering ≥ p of all token mass, the truncation rule that keeps heads
+    and drops the long tail. The test is the exact cross-multiplied
+    integer inequality (cum − cnt)·p_den < p_num·tot — no division, no
+    float.
+
+    Returns (tok, cnt, nuc_cum, nuc_tot, in_nucleus) — one row per
+    distinct token; the global window runs over the bounded vocab table,
+    never the corpus."""
+    from pyspark.sql import Window
+
+    if not (0 < p_num <= p_den):
+        raise ValueError(f"need 0 < p_num <= p_den, got {p_num}/{p_den}")
+    vc = df.select(F.explode(tokens_col).alias("tok")).groupBy("tok").agg(
+        F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    wall = Window.partitionBy()
+    return vc.select(
+        "tok", "cnt",
+        F.sum("cnt").over(wv.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow))
+        .cast("long").alias("nuc_cum"),
+        F.sum("cnt").over(wall).cast("long").alias("nuc_tot"),
+    ).withColumn(
+        "in_nucleus",
+        ((F.col("nuc_cum") - F.col("cnt")) * p_den
+         < p_num * F.col("nuc_tot")).cast("long"),
+    )

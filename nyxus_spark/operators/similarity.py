@@ -963,3 +963,67 @@ def mmr_rerank(
     return spark.createDataFrame(
         picked, f"ordinal long, {id_col} long, mmr_score4 double"
     )
+
+
+def maxsim_scores(
+    docs: DataFrame,
+    token_emb: DataFrame,
+    query_terms: list[int],
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    tok_id: str = "tok",
+    tok_vec: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style MaxSim late interaction (Khattab & Zaharia, SIGIR
+    2020): score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cos(E[t], E[u]) — each query
+    token finds its best-matching document token in embedding space, so a
+    document scores high for SEMANTIC matches BM25's exact-term tf can
+    never see (and the two gates cross-check each other on the same query).
+
+    Engine-replayable shape: the (query-term × vocab) cosine LUT is
+    computed ONCE (|q|·|V| rows, broadcast) with the same 4-decimal cosine
+    chain as the dense gates; per (doc, term) the max over the doc's
+    DISTINCT tokens is an order-independent MAX of identical doubles; the
+    final score is a FIXED |q|-term addition chain in term order.
+    Zero-norm token embeddings are excluded from both LUT sides (cos
+    undefined); a doc whose tokens all lack usable embeddings carries
+    sentinel −2.0 maxes and score 0 contributions.
+
+    Scale shape: one broadcast LUT join + two hash aggs — the corpus is
+    touched once, |q|·|V| never leaves the driver-broadcast size class.
+
+    Returns (id_col, cb_<t> per term, colbert4)."""
+    terms = sorted(set(int(x) for x in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    n2 = F.expr(
+        f"aggregate({tok_vec}, 0D, (a, x) -> a + cast(x as double) * cast(x as double))"
+    )
+    toke = token_emb.select(F.col(tok_id).alias("__tok"),
+                            F.col(tok_vec).alias("__tv")).filter(
+        F.expr("aggregate(__tv, 0D, (a, x) -> a + cast(x as double) * cast(x as double))") > 0
+    )
+    qe = toke.filter(F.col("__tok").isin(terms)).select(
+        F.col("__tok").alias("__qt"), F.col("__tv").alias("__qv"))
+    lut = qe.crossJoin(toke).select(
+        "__qt", "__tok", fround4(cosine_col("__qv", "__tv")).alias("__c4"))
+    dt = docs.select(id_col, F.explode(tokens_col).alias("__tok")).distinct()
+    pm = (
+        dt.join(F.broadcast(lut), "__tok")
+        .groupBy(id_col, "__qt")
+        .agg(F.max("__c4").alias("__mx"))
+        .groupBy(id_col)
+        .pivot("__qt", terms)
+        .agg(F.first("__mx"))
+    )
+    # keep docs whose tokens ALL lack usable embeddings (sentinel maxes)
+    pm = docs.select(id_col).distinct().join(pm, id_col, "left")
+    score = None
+    for q in terms:
+        c = F.coalesce(F.col(f"{q}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return pm.select(
+        id_col,
+        *[F.coalesce(F.col(f"{q}"), F.lit(-2.0)).alias(f"cb_{q}") for q in terms],
+        fround4(score).alias("colbert4"),
+    )
