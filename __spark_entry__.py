@@ -397,6 +397,44 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in ("added", "removed", "modified", "unchanged")
         ]
     )
+    # MERGE/upsert applied END-TO-END: the SAME refresh expressed as MERGE
+    # instructions (updates = retained %7 docs with the modified key,
+    # tombstones = %5 docs, inserts = add_%11 copies) and applied with
+    # sinks.merge_upsert — the merged table's per-source content digest
+    # must equal the oracle's FROM-SCRATCH digest of the refreshed corpus:
+    # the write-side MERGE and the read-side diff/digest paths converge.
+    from nyxus_spark.sinks import merge_upsert
+
+    base_k = keyed.select("doc_id", "source", "key")
+    upd = (
+        keyed.filter((F.col("__oid") % 5 != 0) & (F.col("__oid") % 7 == 0))
+        .select("doc_id", "source",
+                F.concat("key", F.lit(",7")).alias("key"),
+                F.lit(False).alias("__del"))
+        .unionByName(
+            keyed.filter(F.col("__oid") % 5 == 0)
+            .select("doc_id", "source", "key", F.lit(True).alias("__del"))
+        )
+        .unionByName(
+            keyed.filter(F.col("__oid") % 11 == 0)
+            .select(F.concat(F.lit("add_"), F.col("doc_id")).alias("doc_id"),
+                    "source", "key", F.lit(False).alias("__del"))
+        )
+    )
+    merged = merge_upsert(base_k, upd, ["doc_id"], delete_col="__del")
+    merged_t = merged.select(
+        "source",
+        F.expr(
+            "CASE WHEN key = '' THEN array() "
+            "ELSE transform(split(key, ','), x -> cast(x as int)) END"
+        ).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+    mrg = corpus_digest(merged_t).select(
+        "source",
+        F.col("digest_xor").alias("mrg_xor"),
+        F.col("digest_sum").alias("mrg_sum"),
+        F.col("digest_docs").alias("mrg_docs"),
+    )
     # per-source MinHash CORPUS sketch, built from 4 per-shard partial
     # signatures merged by per-slot MIN (the cluster composition); the
     # oracle recomputes every slot from scratch — mergeability gate,
@@ -452,7 +490,8 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
-            .join(churn, "source").join(dig2, "source").join(mhsk, "source")
+            .join(churn, "source").join(dig2, "source").join(mrg, "source")
+            .join(mhsk, "source")
             .join(mad, "source").join(trim, "source").join(ks, "source")
             .join(sim, "source")
             .drop("sy", "sxx", "syy", "sxy"))
@@ -6285,6 +6324,10 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        dg.digest_xor, dg.digest_sum, dg.digest_docs,
        sd.diff_added, sd.diff_removed, sd.diff_modified, sd.diff_unchanged,
        d2.dig2_xor, d2.dig2_sum, d2.dig2_docs,
+       -- MERGE/upsert gate: the write-side merge must land on the SAME
+       -- from-scratch digest of the refreshed corpus
+       d2.dig2_xor AS mrg_xor, d2.dig2_sum AS mrg_sum,
+       d2.dig2_docs AS mrg_docs,
        mk.mh_s0, mk.mh_s1, mk.mh_s2, mk.mh_s3, mk.mh_sig_sum,
        ma.mad_n_tok, tq.trim_sum, tq.trim_cnt,
        kd.ks_num, kd.ks_den, kd.ks_d4,

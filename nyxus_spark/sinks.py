@@ -157,3 +157,66 @@ def write_sized(df: DataFrame, path: str, target_rows_per_file: int,
        .write.option("maxRecordsPerFile", target_rows_per_file)
        .mode("overwrite").parquet(path))
     return parts
+
+
+def merge_upsert(
+    old: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO analog (the Iceberg/Delta lakehouse upsert contract)
+    expressed as ONE full-outer join:
+
+      WHEN MATCHED AND <delete>      THEN DELETE
+      WHEN MATCHED                   THEN UPDATE (update row wins)
+      WHEN NOT MATCHED AND NOT <del> THEN INSERT
+      old rows with no update pass through unchanged;
+      a delete for a key that does not exist is a no-op.
+
+    `updates` must carry old's column set (plus the optional boolean
+    `delete_col`) and AT MOST ONE row per key — the standard MERGE
+    cardinality precondition (a duplicate update key would fan out the
+    join; enforce upstream with exact_dedup where updates may collide).
+
+    Scale shape: one full-outer equi-join on the keys — with both sides
+    bucketed on the key (sinks.write_bucketed; Iceberg bucket(id)) the
+    plan is exchange-free, which is exactly how a 100 TB MERGE must run;
+    the output is written back with dynamic partition overwrite so only
+    touched partitions rewrite (see ivf_index_compact for the pattern)."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in old.columns if c not in key_cols]
+    for c in data_cols:
+        if c not in updates.columns:
+            raise ValueError(f"updates is missing column {c!r}")
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    u = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+        (F.col(delete_col) if delete_col else F.lit(False))
+        .cast("boolean").alias("__del"),
+        F.lit(1).alias("__in_upd"),
+    )
+    j = o.join(u, key_cols, "full_outer")
+    keep_old = F.col("__in_old").isNotNull() & F.col("__in_upd").isNull()
+    alive = (
+        # matched + delete → drop; unmatched delete → no-op (drop too)
+        ~F.coalesce(F.col("__del"), F.lit(False))
+    )
+    return (
+        j.filter(alive)
+        .select(
+            *key_cols,
+            *[
+                F.when(keep_old, F.col(f"__o_{c}"))
+                .otherwise(F.col(f"__u_{c}"))
+                .alias(c)
+                for c in data_cols
+            ],
+        )
+    )

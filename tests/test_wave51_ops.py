@@ -126,3 +126,49 @@ def test_nucleus_rejects_bad_p(spark):
     df = spark.createDataFrame([("d0", [1])], "doc_id string, tokens array<int>")
     with pytest.raises(ValueError):
         nucleus_flags(df, 11, 10)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (wave 52)
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_all_four_actions(spark):
+    from nyxus_spark.sinks import merge_upsert
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, v long",
+    )
+    upd = spark.createDataFrame(
+        [
+            (2, "B", 21, False),   # matched           → UPDATE
+            (3, "c", 30, True),    # matched + delete  → DELETE
+            (5, "e", 50, False),   # not matched       → INSERT
+            (9, "x", 99, True),    # delete for absent key → no-op
+        ],
+        "id long, name string, v long, del boolean",
+    )
+    got = {r["id"]: (r["name"], r["v"])
+           for r in merge_upsert(old, upd, ["id"], delete_col="del").collect()}
+    assert got == {1: ("a", 10),    # untouched passthrough
+                   2: ("B", 21),    # updated
+                   4: ("d", 40),    # untouched passthrough
+                   5: ("e", 50)}    # inserted; 3 deleted, 9 no-op
+
+
+def test_merge_upsert_without_delete_col(spark):
+    from nyxus_spark.sinks import merge_upsert
+
+    old = spark.createDataFrame([(1, 10)], "id long, v long")
+    upd = spark.createDataFrame([(1, 11), (2, 22)], "id long, v long")
+    got = {r["id"]: r["v"] for r in merge_upsert(old, upd, ["id"]).collect()}
+    assert got == {1: 11, 2: 22}
+
+
+def test_merge_upsert_missing_column_raises(spark):
+    from nyxus_spark.sinks import merge_upsert
+
+    old = spark.createDataFrame([(1, 10)], "id long, v long")
+    upd = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        merge_upsert(old, upd, ["id"])
