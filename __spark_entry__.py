@@ -743,12 +743,26 @@ def _q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     zero = F.lit(0).cast("long")
-    return (
+    out = (
         dev.join(mad, "event_type")
         .withColumn("burst", (F.col("win_dev") > 3 * F.col("win_mad")).cast("long"))
         .join(sj, "event_type", "left")
         .withColumn("sj_pairs", F.coalesce("sj_pairs", zero))
         .withColumn("sj_checksum", F.coalesce("sj_checksum", zero))
+    )
+    # CUSUM changepoint statistics (Page 1954) per type over window-start
+    # order: sustained level shifts vs the gated median grow c⁺/c⁻
+    # linearly where the MAD burst flag only sees point spikes. Exact
+    # BIGINTs via the closed form c_t = S_t − min(0, min prefix S) — pure
+    # window expressions, no fold replay needed; alarm cross-multiplied.
+    from nyxus_spark.operators.windows import with_cusum
+
+    out = with_cusum(out, "n_events", "win_med", "event_type",
+                     "window_start_us")
+    return out.withColumn(
+        "cusum_alarm",
+        ((F.col("cusum_pos") > 5 * F.col("win_mad"))
+         | (F.col("cusum_neg") > 5 * F.col("win_mad"))).cast("long"),
     )
 
 
@@ -881,10 +895,31 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "session_id")
         .agg(F.count("*").cast("long").alias("co_n"))
     )
+    # USER COHORT RETENTION (the product-analytics rollup): cohort = the
+    # user's first-activity day; each event row carries its user's cohort
+    # day, the cohort's size, and the distinct cohort members active at
+    # THIS event's own day offset — exact integers the oracle re-derives
+    # from scratch (hash aggs only, no windows).
+    from nyxus_spark.operators.windows import cohort_retention
+
+    first, cells = cohort_retention(ev, "doc_id", "ts")
+    evd = s.select(
+        "event_id", F.col("doc_id").alias("u"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        ).cast("long").alias("__d"),
+    )
+    coh = (
+        evd.join(first, "u")
+        .withColumn("offset_d", (F.col("__d") - F.col("cohort_d")).cast("long"))
+        .join(cells, ["cohort_d", "offset_d"])
+        .select("event_id", "cohort_d", "offset_d", "cohort_users", "cell_users")
+    )
     return (
         out.join(mt, ["doc_id", "session_id"])
         .join(smj, ["doc_id", "session_id"])
         .join(co, ["doc_id", "session_id"], "left")
+        .join(coh, "event_id")
         .withColumn("co_n", F.coalesce("co_n", F.lit(0).cast("long")))
         .withColumn(
             "stream_match",
@@ -6416,13 +6451,31 @@ sj AS (  -- stream-stream interval join expectation: the plain batch join
    AND r.t BETWEEN l.t - 1800000000 AND l.t
   GROUP BY 1
 )
-SELECT d.window_start_us, d.event_type, d.n_events, d.sum_cents,
-       d.win_med, d.win_dev, a.win_mad,
-       CAST(d.win_dev > 3 * a.win_mad AS BIGINT) AS burst,
-       COALESCE(s.sj_pairs, 0) AS sj_pairs,
-       COALESCE(s.sj_checksum, 0) AS sj_checksum
-FROM wdev d JOIN wmad a USING (event_type)
-LEFT JOIN sj s USING (event_type)
+SELECT window_start_us, event_type, n_events, sum_cents,
+       win_med, win_dev, win_mad, burst, sj_pairs, sj_checksum,
+       -- CUSUM closed form: c_t = S_t − min(0, min prefix S), exact ints
+       CAST(sp - LEAST(0, MIN(sp) OVER cw) AS BIGINT) AS cusum_pos,
+       CAST(sn - LEAST(0, MIN(sn) OVER cw) AS BIGINT) AS cusum_neg,
+       CAST((sp - LEAST(0, MIN(sp) OVER cw)) > 5 * win_mad
+            OR (sn - LEAST(0, MIN(sn) OVER cw)) > 5 * win_mad
+            AS BIGINT) AS cusum_alarm
+FROM (
+  SELECT d.window_start_us, d.event_type, d.n_events, d.sum_cents,
+         d.win_med, d.win_dev, a.win_mad,
+         CAST(d.win_dev > 3 * a.win_mad AS BIGINT) AS burst,
+         COALESCE(s.sj_pairs, 0) AS sj_pairs,
+         COALESCE(s.sj_checksum, 0) AS sj_checksum,
+         SUM(d.n_events - d.win_med) OVER (
+           PARTITION BY d.event_type ORDER BY d.window_start_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+         SUM(d.win_med - d.n_events) OVER (
+           PARTITION BY d.event_type ORDER BY d.window_start_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+  FROM wdev d JOIN wmad a USING (event_type)
+  LEFT JOIN sj s USING (event_type)
+)
+WINDOW cw AS (PARTITION BY event_type ORDER BY window_start_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         # sessionization + semi-structured parsing: json_extract replays
         # from_json's typed field pull; the per-session rollups are exact
@@ -6468,6 +6521,21 @@ con AS (  -- co-activity: other-key sessions overlapping this window
   FROM ivs i JOIN ivs j
     ON j.doc_id <> i.doc_id AND i.lo <= j.hi AND j.lo <= i.hi
   GROUP BY i.doc_id, i.session_id
+),
+chd AS (  -- cohort retention: distinct (user, activity day)
+  SELECT DISTINCT doc_id AS u,
+         CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+           AS d
+  FROM flags
+),
+chf AS (SELECT u, MIN(d) AS cohort_d FROM chd GROUP BY u),
+chsz AS (SELECT cohort_d, CAST(COUNT(*) AS BIGINT) AS cohort_users
+         FROM chf GROUP BY cohort_d),
+chcell AS (
+  SELECT f.cohort_d, a.d - f.cohort_d AS offset_d,
+         CAST(COUNT(DISTINCT a.u) AS BIGINT) AS cell_users
+  FROM chd a JOIN chf f USING (u)
+  GROUP BY 1, 2
 )
 SELECT s.doc_id, s.event_id, s.session_id,
        CAST(json_extract(s.props, '$.k') AS BIGINT) AS props_k,
@@ -6485,9 +6553,19 @@ SELECT s.doc_id, s.event_id, s.session_id,
        -- cross-batch state; any divergence breaks the value hash here)
        CAST(COUNT(*) OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS stream_n_events,
        CAST(COALESCE(c.co_n, 0) AS BIGINT) AS co_n,
-       CAST(1 AS BIGINT) AS stream_match
+       CAST(1 AS BIGINT) AS stream_match,
+       cf.cohort_d,
+       CAST(FLOOR(CAST(epoch_us(f2.ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+         - cf.cohort_d AS offset_d,
+       cz.cohort_users, cc.cell_users
 FROM sess s JOIN ivn n USING (doc_id, session_id)
 LEFT JOIN con c USING (doc_id, session_id)
+JOIN flags f2 USING (doc_id, event_id)
+JOIN chf cf ON cf.u = s.doc_id
+JOIN chsz cz ON cz.cohort_d = cf.cohort_d
+JOIN chcell cc ON cc.cohort_d = cf.cohort_d
+  AND cc.offset_d = CAST(FLOOR(CAST(epoch_us(f2.ts) AS DOUBLE)
+                               / 86400000000.0) AS BIGINT) - cf.cohort_d
 """,
         "lag_lead_locf": """
 WITH ev AS (

@@ -223,3 +223,77 @@ def scd2_intervals(df, key_col: str = "doc_id", ts_col: str = "ts",
                     F.coalesce(nxt, F.lit(open_end_us)).cast("long"))
         .withColumn("scd_current", nxt.isNull().cast("long"))
     )
+
+
+def with_cusum(df, value_col: str, ref_col: str,
+               partition_col: str, order_col: str):
+    """One-sided CUSUM changepoint statistics (Page 1954) over a
+    per-partition time order — the sequential level-shift detector beside
+    the |x−med| > k·MAD point-outlier flag: c⁺ accumulates upward drift
+    (c⁺_t = max(0, c⁺_{t−1} + (x_t − ref))), c⁻ downward, and a sustained
+    shift grows them linearly where isolated spikes decay back to 0.
+
+    Exact BIGINT arithmetic, and NO sequential fold to replay: the
+    recursion has the closed form
+
+        c⁺_t = S_t − min(0, min_{j≤t} S_j),   S = prefix sums of (x − ref)
+
+    so both statistics are pure window expressions (one running sum + one
+    running min per side) any engine reproduces bit-for-bit. `ref_col`
+    must be an exact integer reference (e.g. the gated per-group median).
+
+    Adds cusum_pos / cusum_neg columns. Scale shape: two window passes on
+    the same (partition, order) — one Exchange, reused."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d_pos = (F.col(value_col) - F.col(ref_col)).cast("long")
+    s_pos = F.sum(d_pos).over(w)
+    s_neg = F.sum(-d_pos).over(w)
+    return (
+        df.withColumn(
+            "cusum_pos",
+            (s_pos - F.least(F.lit(0).cast("long"), F.min(s_pos).over(w)))
+            .cast("long"),
+        )
+        .withColumn(
+            "cusum_neg",
+            (s_neg - F.least(F.lit(0).cast("long"), F.min(s_neg).over(w)))
+            .cast("long"),
+        )
+    )
+
+
+def cohort_retention(df, user_col: str = "doc_id", ts_col: str = "ts"):
+    """User COHORT-RETENTION rollup — the product-analytics primitive over
+    the event stream: each user's cohort is their FIRST-activity day;
+    cell (cohort_day, offset_day) counts the distinct cohort members
+    active offset days later. Exact integers throughout (epoch-µs → day
+    via integer division).
+
+    Returns two DataFrames:
+      per_user: (user, cohort_d)
+      cells:    (cohort_d, offset_d, cell_users) plus cohort_users
+                (the cohort's size, offset 0 row count by construction)
+
+    Scale shape: one distinct (user, day) agg, one min-per-user agg
+    (map-side combinable), one (cohort, offset) count — all hash aggs,
+    no windows, no skew beyond the natural cohort sizes."""
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    base = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    first = base.groupBy("u").agg(F.min("d").alias("cohort_d"))
+    act = base.join(first, "u").select(
+        "u", "cohort_d", (F.col("d") - F.col("cohort_d")).alias("offset_d"))
+    csize = first.groupBy("cohort_d").agg(
+        F.count("*").cast("long").alias("cohort_users"))
+    cells = (
+        act.groupBy("cohort_d", "offset_d")
+        .agg(F.countDistinct("u").cast("long").alias("cell_users"))
+        .join(csize, "cohort_d")
+    )
+    return first, cells

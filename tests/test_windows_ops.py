@@ -51,3 +51,75 @@ def test_rolling_validation(spark):
         with_rolling(df, "cents", n_rows=0)
     with pytest.raises(ValueError):
         with_rolling(df, "cents", range_us=-1)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint statistics (wave 53)
+# ---------------------------------------------------------------------------
+
+def test_cusum_matches_recursion_and_detects_shift(spark):
+    from nyxus_spark.operators.windows import with_cusum
+
+    # level shift at t=5: x jumps from ~10 to ~14 vs ref 10 — c+ must grow
+    # linearly after the shift while the isolated dip at t=2 decays
+    xs = [10, 11, 7, 10, 10, 14, 15, 14, 15, 14]
+    df = spark.createDataFrame(
+        [("k", i, x, 10) for i, x in enumerate(xs)],
+        "g string, t long, x long, ref long",
+    )
+    got = {r["t"]: (r["cusum_pos"], r["cusum_neg"])
+           for r in with_cusum(df, "x", "ref", "g", "t").collect()}
+    cp = cn = 0
+    for i, x in enumerate(xs):
+        cp = max(0, cp + (x - 10))
+        cn = max(0, cn + (10 - x))
+        assert got[i] == (cp, cn), f"t={i}"
+    assert got[9][0] >= 16          # sustained shift accumulated
+    assert got[4][0] == 0           # pre-shift: no upward accumulation
+    assert got[4][1] == 3           # the t=2 dip holds (x == ref neither
+                                    # grows nor decays a CUSUM)
+
+
+def test_cusum_is_per_partition(spark):
+    from nyxus_spark.operators.windows import with_cusum
+
+    df = spark.createDataFrame(
+        [("a", 0, 15, 10), ("b", 0, 10, 10)],
+        "g string, t long, x long, ref long",
+    )
+    got = {r["g"]: r["cusum_pos"]
+           for r in with_cusum(df, "x", "ref", "g", "t").collect()}
+    assert got == {"a": 5, "b": 0}  # no cross-partition bleed
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (wave 53)
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_counts(spark):
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.windows import cohort_retention
+
+    day = 86_400_000_000
+    rows = [
+        # users u1, u2 join day 0; u1 returns day 1; u2 returns day 2
+        ("u1", 0), ("u1", day + 5), ("u2", 3), ("u2", 2 * day),
+        # u3 joins day 1, never returns
+        ("u3", day + 9),
+        # duplicate activity same day must not double-count
+        ("u1", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts_us long").select(
+        "doc_id", F.timestamp_micros("ts_us").alias("ts"))
+    first, cells = cohort_retention(df)
+    f = {r["u"]: r["cohort_d"] for r in first.collect()}
+    d0 = min(f.values())
+    assert f["u1"] == f["u2"] == d0 and f["u3"] == d0 + 1
+    c = {(r["cohort_d"] - d0, r["offset_d"]): (r["cell_users"], r["cohort_users"])
+         for r in cells.collect()}
+    assert c[(0, 0)] == (2, 2)      # day-0 cohort: both active at offset 0
+    assert c[(0, 1)] == (1, 2)      # u1 retained next day
+    assert c[(0, 2)] == (1, 2)      # u2 retained on day 2
+    assert c[(1, 0)] == (1, 1)      # u3's cohort of one
+    assert (1, 1) not in c          # u3 never returns
