@@ -970,6 +970,26 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # version carries [valid_from_us, valid_to_us) with the open version
     # flagged — the materialized counterpart of the as-of window join
     out = scd2_intervals(out, "doc_id", "ts", "event_id")
+    # ORDERED FUNNEL (view → click → purchase conversion): per user, each
+    # step's earliest completion STRICTLY AFTER the previous step — k
+    # conditional-min hash aggs, exact epoch-µs; the per-user stage and
+    # step times ride every event row and the oracle re-derives the whole
+    # chain with nested conditional subqueries.
+    from nyxus_spark.operators.windows import funnel_stages
+
+    fun = funnel_stages(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            "ts", "event_type",
+        ),
+        ["view", "click", "purchase"],
+    )
+    out = out.join(fun, "doc_id", "left")
+    for k in range(3):
+        out = out.withColumn(
+            f"f_ts_{k}", F.coalesce(f"f_ts_{k}", F.lit(-1).cast("long")))
+    out = out.withColumn(
+        "funnel_stage", F.coalesce("funnel_stage", F.lit(0).cast("long")))
     return out.select(
         "doc_id",
         "event_id",
@@ -985,6 +1005,7 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rollr7200000000us_sum_cents").alias("r2h_sum"),
         F.col("rollr7200000000us_count_cents").alias("r2h_n"),
         "scd_from_us", "scd_to_us", "scd_current",
+        "f_ts_0", "f_ts_1", "f_ts_2", "funnel_stage",
     )
 
 
@@ -2024,6 +2045,16 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.join(nuc, "token", "left") \
         .withColumn("nuc_cum", F.coalesce("nuc_cum", F.lit(-1).cast("long"))) \
         .withColumn("in_nucleus", F.coalesce("in_nucleus", F.lit(-1).cast("long")))
+    # word2vec FREQUENT-WORD SUBSAMPLING keep-probability (Mikolov et al.
+    # 2013): p_keep = sqrt(t/f) + t/f at t = 1/1024 (exactly binary) —
+    # r = total/(1024·cnt) is ONE IEEE division of exact BIGINTs, the rest
+    # the fixed chain sqrt(r) + r. UNK (cnt 0) → sentinel.
+    w2tot = t.agg(F.sum("n_tok").cast("long").alias("__w2tot"))
+    r_ = F.col("__w2tot").cast("double") / (1024 * F.col("cnt")).cast("double")
+    out = out.crossJoin(F.broadcast(w2tot)).withColumn(
+        "w2v_keep4",
+        F.when(F.col("cnt") > 0, _r4(F.sqrt(r_) + r_)).otherwise(F.lit(-1.0)),
+    ).drop("__w2tot")
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -4852,6 +4883,7 @@ cmsq AS (  -- point query: est = min over rows, empty cells -> 0
          ) AS BIGINT) AS cms_est
   FROM (SELECT DISTINCT token FROM final)
 ),
+w2t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM counts),
 nucw AS (  -- nucleus (top-p): cumulative mass in (cnt DESC, token) order
   SELECT token,
          CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
@@ -4901,7 +4933,13 @@ SELECT f.*, q.cms_est,
        COALESCE(nw.nuc_cum, -1) AS nuc_cum,
        CASE WHEN nw.token IS NULL THEN CAST(-1 AS BIGINT)
             ELSE CAST((nw.nuc_cum - nw.nuc_cnt) * 10 < 9 * nw.nuc_tot
-                      AS BIGINT) END AS in_nucleus
+                      AS BIGINT) END AS in_nucleus,
+       CASE WHEN f.cnt > 0 THEN
+         FLOOR((sqrt(CAST((SELECT tt FROM w2t) AS DOUBLE)
+                     / CAST(1024 * f.cnt AS DOUBLE))
+                + CAST((SELECT tt FROM w2t) AS DOUBLE)
+                  / CAST(1024 * f.cnt AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+       ELSE -1.0 END AS w2v_keep4
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
@@ -6575,7 +6613,18 @@ WITH ev AS (
               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents,
          epoch_us(ts) AS ts_us
   FROM events
-)
+),
+fe AS (SELECT CAST(user_id AS VARCHAR) AS doc_id, epoch_us(ts) AS us,
+              event_type
+       FROM events),
+f0 AS (SELECT doc_id AS fu0, CAST(MIN(us) AS BIGINT) AS t0
+       FROM fe WHERE event_type = 'view' GROUP BY 1),
+f1 AS (SELECT e.doc_id AS fu1, CAST(MIN(e.us) AS BIGINT) AS t1
+       FROM fe e JOIN f0 ON f0.fu0 = e.doc_id
+       WHERE e.event_type = 'click' AND e.us > f0.t0 GROUP BY 1),
+f2 AS (SELECT e.doc_id AS fu2, CAST(MIN(e.us) AS BIGINT) AS t2
+       FROM fe e JOIN f1 ON f1.fu1 = e.doc_id
+       WHERE e.event_type = 'purchase' AND e.us > f1.t1 GROUP BY 1)
 SELECT doc_id, event_id,
        FLOOR((CAST(lag(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lag_v1,
        FLOOR((CAST(lead(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lead_v1,
@@ -6601,8 +6650,17 @@ SELECT doc_id, event_id,
        CAST(ts_us AS BIGINT) AS scd_from_us,
        CAST(COALESCE(lead(ts_us) OVER wt, 9223372036854775807) AS BIGINT)
          AS scd_to_us,
-       CAST(lead(ts_us) OVER wt IS NULL AS BIGINT) AS scd_current
+       CAST(lead(ts_us) OVER wt IS NULL AS BIGINT) AS scd_current,
+       COALESCE(f0.t0, -1) AS f_ts_0,
+       COALESCE(f1.t1, -1) AS f_ts_1,
+       COALESCE(f2.t2, -1) AS f_ts_2,
+       CAST(CAST(f0.t0 IS NOT NULL AS BIGINT)
+            + CAST(f1.t1 IS NOT NULL AS BIGINT)
+            + CAST(f2.t2 IS NOT NULL AS BIGINT) AS BIGINT) AS funnel_stage
 FROM ev
+LEFT JOIN f0 ON f0.fu0 = ev.doc_id
+LEFT JOIN f1 ON f1.fu1 = ev.doc_id
+LEFT JOIN f2 ON f2.fu2 = ev.doc_id
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts),
        w3 AS (PARTITION BY doc_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),

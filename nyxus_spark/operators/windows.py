@@ -297,3 +297,64 @@ def cohort_retention(df, user_col: str = "doc_id", ts_col: str = "ts"):
         .join(csize, "cohort_d")
     )
     return first, cells
+
+
+def funnel_stages(
+    df,
+    steps: list[str],
+    user_col: str = "doc_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Ordered FUNNEL analysis — the product-analytics sequence matcher
+    Spark has no native operator for: per user, the earliest time each
+    step of `steps` completes STRICTLY AFTER the previous step (classic
+    view → click → purchase conversion). A user's funnel_stage is the
+    number of steps completed in order; step k's timestamp is
+
+        t_k = min{ ts : type = steps[k], ts > t_{k−1} }
+
+    — each step ONE filtered conditional-min hash aggregation joined on
+    the previous step's time, so the whole funnel is len(steps) exact
+    epoch-µs aggregations (no window sort, no per-row state). Strictly
+    increasing times: two steps can never share one event.
+
+    Returns (user_col, f_ts_0.., funnel_stage) with −1 sentinels for
+    uncompleted steps. Scale shape: k hash aggs over the per-step slices,
+    each map-side combinable; skew = the natural per-user event counts."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(user_col).alias("u"), us.alias("__us"),
+        F.col(type_col).alias("__ty"),
+    )
+    out = None
+    for k, st in enumerate(steps):
+        ev_k = base.filter(F.col("__ty") == st)
+        if k == 0:
+            stepk = ev_k.groupBy("u").agg(
+                F.min("__us").cast("long").alias(f"f_ts_{k}"))
+            out = stepk
+        else:
+            prev = out.filter(F.col(f"f_ts_{k-1}").isNotNull())
+            stepk = (
+                ev_k.join(prev.select("u", f"f_ts_{k-1}"), "u")
+                .filter(F.col("__us") > F.col(f"f_ts_{k-1}"))
+                .groupBy("u")
+                .agg(F.min("__us").cast("long").alias(f"f_ts_{k}"))
+            )
+            out = out.join(stepk, "u", "left")
+    stage = None
+    for k in range(len(steps)):
+        c = F.col(f"f_ts_{k}").isNotNull().cast("long")
+        stage = c if stage is None else stage + c
+    return out.select(
+        F.col("u").alias(user_col),
+        *[
+            F.coalesce(F.col(f"f_ts_{k}"), F.lit(-1).cast("long"))
+            .alias(f"f_ts_{k}")
+            for k in range(len(steps))
+        ],
+        stage.cast("long").alias("funnel_stage"),
+    )

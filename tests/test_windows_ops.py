@@ -123,3 +123,44 @@ def test_cohort_retention_counts(spark):
     assert c[(0, 2)] == (1, 2)      # u2 retained on day 2
     assert c[(1, 0)] == (1, 1)      # u3's cohort of one
     assert (1, 1) not in c          # u3 never returns
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel (wave 54)
+# ---------------------------------------------------------------------------
+
+def test_funnel_strict_order_and_stages(spark):
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.windows import funnel_stages
+
+    m = 60_000_000
+    rows = [
+        # u1 completes the full funnel in order
+        ("u1", 1 * m, "view"), ("u1", 2 * m, "click"), ("u1", 3 * m, "purchase"),
+        # u2: purchase BEFORE click — stage stops at click (strict order)
+        ("u2", 1 * m, "view"), ("u2", 2 * m, "purchase"), ("u2", 3 * m, "click"),
+        # u3: click only, never viewed — stage 0 (step 1 gates the rest)
+        ("u3", 1 * m, "click"),
+        # u4: view then a SIMULTANEOUS click (ts equal) — strict > excludes
+        ("u4", 1 * m, "view"), ("u4", 1 * m, "click"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, us long, event_type string") \
+        .select("doc_id", F.timestamp_micros("us").alias("ts"), "event_type")
+    got = {r["doc_id"]: (r["funnel_stage"], r["f_ts_0"], r["f_ts_1"], r["f_ts_2"])
+           for r in funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert got["u1"] == (3, 1 * m, 2 * m, 3 * m)
+    assert got["u2"] == (2, 1 * m, 3 * m, -1)   # purchase@2m was too early
+    assert "u3" not in got                       # no step-0 event → absent
+    assert got["u4"] == (1, 1 * m, -1, -1)       # equal ts is NOT after
+
+
+def test_funnel_empty_steps_raises(spark):
+    import pytest
+
+    from nyxus_spark.operators.windows import funnel_stages
+
+    df = spark.createDataFrame([("u", 0, "view")],
+                               "doc_id string, us long, event_type string")
+    with pytest.raises(ValueError):
+        funnel_stages(df, [])
