@@ -99,6 +99,20 @@ def main() -> None:
         spark.table("explain_v_b").groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("mass"))
     )
+    # MERGE/upsert between two tables bucketed on the key: the full-outer
+    # join runs with NO Exchange on either side — the 100 TB MERGE shape
+    # (Iceberg bucket(id) both sides; only SortMergeJoin's local sorts
+    # remain)
+    from nyxus_spark.sinks import merge_upsert
+
+    sections["MERGE/upsert over bucketed tables (full-outer join — ZERO Exchange)"] = plan_of(
+        merge_upsert(
+            spark.table("explain_v_b"),
+            spark.table("explain_p_b").select(
+                "doc_id", "ts", F.lit(0).cast("int").alias("n_tok")),
+            ["doc_id"],
+        )
+    )
     spark.sql("DROP TABLE IF EXISTS explain_v_b")
     spark.sql("DROP TABLE IF EXISTS explain_p_b")
 
