@@ -1616,6 +1616,24 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("rank", "rrf_vec_id", "rrf4", "rrf_in_both")
     )
+    # RANK-BIASED OVERLAP (Webber et al., TOIS 2010) between the dense and
+    # lexical top-10s at p = 1/2 — every depth weight an exact dyadic:
+    # truncated RBO = Σ_{d=1..10} (|A_d ∩ B_d|/d)·2^{−d}. Overlap counts
+    # are exact ints off the fused table; the sum is a fixed 10-term chain
+    # in depth order. The ranker-agreement metric beside the fusion itself.
+    ovs = fused.agg(*[
+        F.sum(((F.col("crank") <= d) & (F.col("brank") <= d)).cast("long"))
+        .alias(f"__ov{d}")
+        for d in range(1, 11)
+    ])
+    rbo = None
+    for d in range(1, 11):
+        t_ = (
+            F.coalesce(F.col(f"__ov{d}"), F.lit(0)).cast("double")
+            / F.lit(float(d)) * F.lit(2.0 ** -d)
+        )
+        rbo = t_ if rbo is None else rbo + t_
+    fr = fr.crossJoin(F.broadcast(ovs.select(_r4(rbo).alias("rbo4"))))
     # MMR diversified rerank (Carbonell–Goldstein, SIGIR 1998) over the
     # cosine top-8: greedy λ·rel − µ·max-sim selection of 4, every step's
     # score a fround4 IEEE chain and every argmax tie-broken by id, so the
@@ -1633,7 +1651,7 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cr.join(hr, "rank").join(fr, "rank").join(mm, "rank", "left")
         .select(
             "rank", "vec_id", "cos", "ham_vec_id", "hamming",
-            "rrf_vec_id", "rrf4", "rrf_in_both",
+            "rrf_vec_id", "rrf4", "rrf_in_both", "rbo4",
             F.coalesce("mmr_vec_id", F.lit(-1).cast("long")).alias("mmr_vec_id"),
             F.coalesce("mmr_score4", F.lit(-2.0)).alias("mmr_score4"),
         )
@@ -2055,6 +2073,46 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w2v_keep4",
         F.when(F.col("cnt") > 0, _r4(F.sqrt(r_) + r_)).otherwise(F.lit(-1.0)),
     ).drop("__w2tot")
+    # BITMAP-INDEX posting intersection (the roaring-style pattern beside
+    # the gap-encoded posting stats): the two most frequent tokens' doc
+    # sets as 63-bit-word bitsets (word = oid div 63, bit_or of
+    # 1 << (oid % 63) — the sign bit stays clear, which DuckDB requires),
+    # intersected word-wise with popcount. bm_inter must equal the plain
+    # distinct-doc equi-join count (bm_inter_exact) — both paths gated.
+    ta, tb = int(keep[0]), int(keep[1])
+    dtok = (
+        t.select(
+            F.expr("cast(substr(doc_id, 5) as bigint)").alias("oid"),
+            F.explode("tokens").alias("tok"),
+        )
+        .filter(F.col("tok").isin([ta, tb]))
+        .distinct()
+    )
+    bits = dtok.groupBy(
+        "tok", F.expr("oid div 63").alias("w")
+    ).agg(F.expr("bit_or(shiftleft(1L, cast(oid % 63 as int)))").alias("m"))
+    binter = (
+        bits.filter(F.col("tok") == ta).select("w", F.col("m").alias("ma"))
+        .join(bits.filter(F.col("tok") == tb).select("w", F.col("m").alias("mb")), "w")
+        .agg(F.sum(F.expr("bit_count(ma & mb)")).cast("long").alias("bm_inter"))
+    )
+    bdocs = dtok.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    bmeta = (
+        bdocs.agg(
+            F.max(F.when(F.col("tok") == ta, F.col("n"))).cast("long").alias("bm_docs_a"),
+            F.max(F.when(F.col("tok") == tb, F.col("n"))).cast("long").alias("bm_docs_b"),
+        )
+    )
+    bexact = (
+        dtok.groupBy("oid").agg(F.countDistinct("tok").alias("__k"))
+        .filter(F.col("__k") == 2)
+        .agg(F.count("*").cast("long").alias("bm_inter_exact"))
+    )
+    out = (
+        out.crossJoin(F.broadcast(binter))
+        .crossJoin(F.broadcast(bmeta))
+        .crossJoin(F.broadcast(bexact))
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -4884,6 +4942,37 @@ cmsq AS (  -- point query: est = min over rows, empty cells -> 0
   FROM (SELECT DISTINCT token FROM final)
 ),
 w2t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM counts),
+bmt AS (  -- bitmap intersection: the two most frequent tokens
+  SELECT (SELECT token FROM top ORDER BY cnt DESC, token ASC LIMIT 1) AS ta,
+         (SELECT token FROM top ORDER BY cnt DESC, token ASC
+          LIMIT 1 OFFSET 1) AS tb
+),
+bmdt AS (
+  SELECT DISTINCT CAST(substr(doc_id, 5) AS BIGINT) AS oid, u.tok
+  FROM (SELECT doc_id, unnest(tokens) AS tok FROM tokens_static) u, bmt
+  WHERE u.tok IN (bmt.ta, bmt.tb)
+),
+bmbits AS (  -- 63-bit words (sign bit clear — DuckDB errors on 1<<63)
+  SELECT tok, oid // 63 AS w,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(oid % 63 AS INTEGER)) AS m
+  FROM bmdt GROUP BY 1, 2
+),
+bmx AS (
+  SELECT CAST(COALESCE(SUM(bit_count(a.m & b.m)), 0) AS BIGINT) AS bm_inter
+  FROM (SELECT w, m FROM bmbits, bmt WHERE tok = ta) a
+  JOIN (SELECT w, m FROM bmbits, bmt WHERE tok = tb) b USING (w)
+),
+bmm AS (
+  SELECT CAST(SUM(CASE WHEN d.tok = bmt.ta THEN 1 ELSE 0 END) AS BIGINT)
+           AS bm_docs_a,
+         CAST(SUM(CASE WHEN d.tok = bmt.tb THEN 1 ELSE 0 END) AS BIGINT)
+           AS bm_docs_b
+  FROM bmdt d, bmt
+),
+bme AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bm_inter_exact FROM (
+    SELECT oid FROM bmdt GROUP BY oid HAVING COUNT(DISTINCT tok) = 2)
+),
 nucw AS (  -- nucleus (top-p): cumulative mass in (cnt DESC, token) order
   SELECT token,
          CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
@@ -4939,7 +5028,8 @@ SELECT f.*, q.cms_est,
                      / CAST(1024 * f.cnt AS DOUBLE))
                 + CAST((SELECT tt FROM w2t) AS DOUBLE)
                   / CAST(1024 * f.cnt AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
-       ELSE -1.0 END AS w2v_keep4
+       ELSE -1.0 END AS w2v_keep4,
+       bx.bm_inter, bmm.bm_docs_a, bmm.bm_docs_b, be.bm_inter_exact
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
@@ -4948,6 +5038,9 @@ LEFT JOIN post po USING (token)
 LEFT JOIN nucw nw USING (token)
 CROSS JOIN growth g
 CROSS JOIN gini gi
+CROSS JOIN bmx bx
+CROSS JOIN bmm
+CROSS JOIN bme be
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the

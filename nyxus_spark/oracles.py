@@ -517,6 +517,35 @@ fr AS (
            AS rank
   FROM fused
 ),
+rboov AS (  -- per-depth overlaps of the two top-10 lists, exact ints
+  SELECT
+         CAST(SUM(CASE WHEN crank <= 1 AND brank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS ov1,
+         CAST(SUM(CASE WHEN crank <= 2 AND brank <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ov2,
+         CAST(SUM(CASE WHEN crank <= 3 AND brank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ov3,
+         CAST(SUM(CASE WHEN crank <= 4 AND brank <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS ov4,
+         CAST(SUM(CASE WHEN crank <= 5 AND brank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS ov5,
+         CAST(SUM(CASE WHEN crank <= 6 AND brank <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS ov6,
+         CAST(SUM(CASE WHEN crank <= 7 AND brank <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS ov7,
+         CAST(SUM(CASE WHEN crank <= 8 AND brank <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS ov8,
+         CAST(SUM(CASE WHEN crank <= 9 AND brank <= 9 THEN 1 ELSE 0 END) AS BIGINT) AS ov9,
+         CAST(SUM(CASE WHEN crank <= 10 AND brank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS ov10
+  FROM fused
+),
+rbo AS (  -- truncated RBO at p = 1/2: fixed 10-term dyadic chain
+  SELECT FLOOR((
+           CAST(ov1 AS DOUBLE) / CAST(1 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+         + CAST(ov2 AS DOUBLE) / CAST(2 AS DOUBLE) * CAST(0.25 AS DOUBLE)
+         + CAST(ov3 AS DOUBLE) / CAST(3 AS DOUBLE) * CAST(0.125 AS DOUBLE)
+         + CAST(ov4 AS DOUBLE) / CAST(4 AS DOUBLE) * CAST(0.0625 AS DOUBLE)
+         + CAST(ov5 AS DOUBLE) / CAST(5 AS DOUBLE) * CAST(0.03125 AS DOUBLE)
+         + CAST(ov6 AS DOUBLE) / CAST(6 AS DOUBLE) * CAST(0.015625 AS DOUBLE)
+         + CAST(ov7 AS DOUBLE) / CAST(7 AS DOUBLE) * CAST(0.0078125 AS DOUBLE)
+         + CAST(ov8 AS DOUBLE) / CAST(8 AS DOUBLE) * CAST(0.00390625 AS DOUBLE)
+         + CAST(ov9 AS DOUBLE) / CAST(9 AS DOUBLE) * CAST(0.001953125 AS DOUBLE)
+         + CAST(ov10 AS DOUBLE) / CAST(10 AS DOUBLE) * CAST(0.0009765625 AS DOUBLE)
+         ) * 10000.0 + 0.5) / 10000.0 AS rbo4
+  FROM rboov
+),
 mc AS (  -- MMR candidates: cosine top-8 with vectors + 4-dec relevance
   SELECT c.rank, c.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cos AS rel
   FROM cosr c JOIN embeddings e USING (vec_id) WHERE c.rank <= 8
@@ -576,11 +605,12 @@ mmr AS (
   UNION ALL SELECT 4, vec_id, sc FROM p4
 )
 SELECT c.rank, c.vec_id, c.cos, h.ham_vec_id, h.hamming,
-       f.rrf_vec_id, f.rrf4, f.rrf_in_both,
+       f.rrf_vec_id, f.rrf4, f.rrf_in_both, r.rbo4,
        COALESCE(m.mmr_vec_id, -1) AS mmr_vec_id,
        COALESCE(m.mmr_score4, -2.0) AS mmr_score4
 FROM cosr c JOIN hamr h USING (rank) JOIN fr f USING (rank)
 LEFT JOIN mmr m USING (rank)
+CROSS JOIN rbo r
 WHERE c.rank <= 10
 """.replace("{SIG}", sql_srp_sig())
 
