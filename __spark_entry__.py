@@ -3866,13 +3866,24 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
         "cb_18", "cb_55", "cb_89", "cb_138", "cb_216", "colbert4",
     )
+    # Query-likelihood LM retrieval (Dirichlet smoothing, mu=2000) on the
+    # SAME query — the third classical ranking family beside BM25 and
+    # MaxSim, gated as the exact gain over the background model (every
+    # factor one division of exact BIGINTs, zero-tf terms contribute 1,
+    # term-order multiply fold replayed by the oracle)
+    from nyxus_spark.functions import ql_lm_scores
+
+    ql = ql_lm_scores(toks, [18, 55, 89, 138, 216]).select(
+        F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
+        "ql_terms", "ql_gain4",
+    )
     out = lid.join(tq, "doc_id").join(fp, "doc_id").join(rep, "doc_id", "left")
     out = out.join(cont, "doc_id").join(nov, "doc_id", "left").join(msk, "doc_id")
     out = out.join(hb, "doc_id").join(scr, "doc_id").join(tfi, "doc_id", "left")
     out = out.join(pb, "doc_id").join(big, "doc_id", "left")
     out = out.join(ds, "doc_id", "left").join(bfa, "doc_id")
     out = out.join(dsw, "doc_id").join(lm, "doc_id", "left")
-    out = out.join(bm, "doc_id", "left").join(cb, "doc_id")
+    out = out.join(bm, "doc_id", "left").join(cb, "doc_id").join(ql, "doc_id")
     zero = F.lit(0).cast("long")
     out = out.select(
         "doc_id", "lang_pred", "n_words", "n_chars_derived", "re_tokens",
@@ -3916,6 +3927,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("bm25_tf", zero).alias("bm25_tf"),
         F.coalesce("bm25_score4", F.lit(0.0)).alias("bm25_score4"),
         "cb_18", "cb_55", "cb_89", "cb_138", "cb_216", "colbert4",
+        "ql_terms", "ql_gain4",
     )
     # Gopher-style quality rule: pure boolean algebra over the gated stats
     out = out.withColumn("gopher_pass", gopher_pass_expr())
@@ -5879,6 +5891,35 @@ cblut AS (  -- |q| x |V| 4-dec cosine LUT
          / 10000.0 AS c4
   FROM cbq, cbte
 ),
+qltot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS qs FROM toks),
+qlctf AS (  -- corpus term frequency per query term
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS ctf
+  FROM (SELECT unnest(tokens) AS t FROM toks)
+  WHERE t IN (18, 55, 89, 138, 216) GROUP BY t
+),
+qltf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM toks)
+  WHERE t IN (18, 55, 89, 138, 216) GROUP BY 1, 2
+),
+qlcell AS (  -- every (doc, term): gain factor >= 1, exact-int operands
+  SELECT d.doc_id, q.t,
+         CASE WHEN c.ctf > 0 THEN
+           CAST(COALESCE(f.tf, 0) * qs + 2000 * c.ctf AS DOUBLE)
+           / CAST(2000 * c.ctf AS DOUBLE)
+         ELSE 1.0 END AS v
+  FROM (SELECT doc_id FROM toks) d
+  CROSS JOIN (SELECT unnest([18, 55, 89, 138, 216]) AS t) q
+  LEFT JOIN qltf f ON f.doc_id = d.doc_id AND f.t = q.t
+  LEFT JOIN qlctf c ON c.t = q.t
+  CROSS JOIN qltot
+),
+qlg AS (  -- term-order multiply fold
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ql_terms,
+         FLOOR(list_reduce(list(v ORDER BY t), (a, b) -> a * b)
+               * 10000.0 + 0.5) / 10000.0 AS ql_gain4
+  FROM qlcell GROUP BY doc_id
+),
 cbdt AS (SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM toks),
 cbpm AS (
   SELECT doc_id, qt, MAX(c4) AS mx FROM cbdt JOIN cblut USING (tok)
@@ -5952,6 +5993,7 @@ SELECT l.doc_id, l.lang_pred,
        COALESCE(cbx.cb_138, -2.0) AS cb_138,
        COALESCE(cbx.cb_216, -2.0) AS cb_216,
        COALESCE(cbx.colbert4, 0.0) AS colbert4,
+       qg.ql_terms, qg.ql_gain4,
        CAST(q.n_words >= 5 AND q.mean_word_len >= 2.0
             AND q.mean_word_len <= 12.0
             AND COALESCE(r.rep_dup_ratio, 0.0) <= 0.3
@@ -5982,6 +6024,7 @@ LEFT JOIN lmc lc USING (doc_id)
 LEFT JOIN lmf lf USING (doc_id)
 LEFT JOIN bm USING (doc_id)
 LEFT JOIN cb cbx ON cbx.doc_id = l.doc_id
+JOIN qlg qg ON qg.doc_id = l.doc_id
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

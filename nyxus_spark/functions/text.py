@@ -2270,3 +2270,84 @@ def nucleus_flags(df, p_num: int = 9, p_den: int = 10,
         ((F.col("nuc_cum") - F.col("cnt")) * p_den
          < p_num * F.col("nuc_tot")).cast("long"),
     )
+
+
+def ql_lm_scores(df, terms, mu: int = 2000, tokens_col: str = "tokens",
+                 n_tok_col: str = "n_tok", id_col: str = "doc_id"):
+    """Query-likelihood language-model retrieval with Dirichlet smoothing
+    (Ponte & Croft, SIGIR 1998; Zhai & Lafferty, SIGIR 2001) — the third
+    classical ranking family beside BM25 (tf·idf) and MaxSim (late
+    interaction), LOG-FREE so it replays cross-engine:
+
+        p(q|d) = Π_{t ∈ q} (tf_{t,d} + µ·ctf_t/S) / (dl + µ)
+
+    Gated as the GAIN over the background (document-independent) model —
+    the quantity that actually ranks, with every factor ≥ 1 so fround4
+    keeps signal (the raw p(q|d) underflows 4 decimals):
+
+        gain(q, d) = p(q|d) / p_bg(q|d) = Π_t (tf_{t,d}·S + µ·ctf_t) / (µ·ctf_t)
+
+    Every term is ONE IEEE division of two exact BIGINTs (ctf = corpus
+    term frequency, S = corpus token mass); zero-tf terms contribute
+    exactly 1, so — unlike BM25's match-only sum — every document scores
+    on every query term and the score is a fixed |q|-term multiply chain
+    in term order, replayed by the oracle term-for-term. Numerator exact
+    while tf·S + µ·ctf fits int64 (tf ≲ 10³, S ≲ 10¹⁴).
+
+    Scale shape: corpus scalars broadcast; per-(doc, term) tf from one
+    explode + IN-filter + hash agg; missing (doc, term) cells re-enter
+    via a doc × |q|-literal-terms expansion (narrow). Returns
+    (id_col, ql_terms, ql_p4)."""
+    terms = sorted(set(int(x) for x in terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if mu < 1:
+        raise ValueError(f"mu must be >= 1, got {mu}")
+    tot = df.agg(F.sum(n_tok_col).cast("long").alias("__S"))
+    ctf = (
+        df.select(F.explode(tokens_col).alias("__t"))
+        .filter(F.col("__t").isin(terms))
+        .groupBy("__t")
+        .agg(F.count("*").cast("long").alias("__ctf"))
+    )
+    ex = df.select(
+        id_col, F.col(n_tok_col).cast("long").alias("__dl"),
+        F.explode(tokens_col).alias("__t"),
+    ).filter(F.col("__t").isin(terms))
+    tf = ex.groupBy(id_col, "__dl", "__t").agg(
+        F.count("*").cast("long").alias("__tf"))
+    # every (doc, term) cell: docs × the literal term array, tf coalesced 0
+    grid = df.select(
+        id_col, F.col(n_tok_col).cast("long").alias("__dl"),
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("__t"),
+    )
+    cells = (
+        grid.join(tf, [id_col, "__dl", "__t"], "left")
+        .withColumn("__tf", F.coalesce("__tf", F.lit(0).cast("long")))
+        .join(F.broadcast(ctf.withColumnRenamed("__ctf", "__ctf")), "__t", "left")
+        .withColumn("__ctf", F.coalesce("__ctf", F.lit(0).cast("long")))
+        .join(F.broadcast(tot))
+    )
+    v = F.when(
+        F.col("__ctf") > 0,
+        (F.col("__tf") * F.col("__S") + F.lit(mu) * F.col("__ctf"))
+        .cast("double")
+        / (F.lit(mu) * F.col("__ctf")).cast("double"),
+    ).otherwise(F.lit(1.0))
+    return (
+        cells.select(id_col, "__t", v.alias("__v"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("ql_terms"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__t").alias("t"),
+                                        F.col("__v").alias("v")))
+            ).alias("__vs"),
+        )
+        .select(
+            id_col, "ql_terms",
+            fround4(
+                F.aggregate("__vs", F.lit(1.0), lambda a, x: a * x["v"])
+            ).alias("ql_gain4"),
+        )
+    )
