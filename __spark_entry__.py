@@ -181,11 +181,22 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fim = fim_stats("cast(substring(doc_id, 5) as bigint)")
     fimdf = t.select("doc_id", *[v.alias(k) for k, v in fim.items()])
-    return out.join(spn, "doc_id").join(fimdf, "doc_id").withColumn(
-        "ttr4",
-        F.when(F.col("n_tok") > 0,
-               _r4(F.col("distinct_tokens") / F.col("n_tok")))
-        .otherwise(F.lit(0.0)),
+    # TextTiling-style TOPICAL segmentation (Hearst 1997): lexical-cohesion
+    # valleys — the content-driven splitter beside the delimiter split;
+    # score array staged once, boundary minima exact ints, every boundary
+    # position pinned by the checksum
+    from nyxus_spark.functions import texttile_cols
+
+    tt = texttile_cols(t.select("doc_id", "tokens", "n_tok")).select(
+        "doc_id", "tt_pos", "tt_min", "tt_bounds", "tt_ck")
+    return (
+        out.join(spn, "doc_id").join(fimdf, "doc_id").join(tt, "doc_id")
+        .withColumn(
+            "ttr4",
+            F.when(F.col("n_tok") > 0,
+                   _r4(F.col("distinct_tokens") / F.col("n_tok")))
+            .otherwise(F.lit(0.0)),
+        )
     )
 
 
@@ -6168,6 +6179,31 @@ fim AS (
                tokens[1:i] || tokens[j+1:n] || tokens[i+1:j] AS r
         FROM fim1)
 ),
+ttsc AS (  -- TextTiling cohesion scores at positions w..n_tok-w
+  SELECT doc_id,
+    CASE WHEN n_tok >= 16 THEN
+      list_transform(range(8, n_tok - 8 + 1),
+        i -> len(list_filter(
+               list_distinct(tokens[CAST(i - 8 + 1 AS INTEGER) : CAST(i AS INTEGER)]),
+               x -> list_contains(
+                      tokens[CAST(i + 1 AS INTEGER) : CAST(i + 8 AS INTEGER)], x))))
+    ELSE [] END AS s
+  FROM tokens_static
+),
+tt AS (  -- strict local minima at depth <= threshold
+  SELECT doc_id,
+         CAST(len(s) AS BIGINT) AS tt_pos,
+         CAST(COALESCE(list_min(s), -1) AS BIGINT) AS tt_min,
+         CAST(len(list_filter(range(2, len(s)), j ->
+               s[CAST(j AS INTEGER)] < s[CAST(j - 1 AS INTEGER)]
+           AND s[CAST(j AS INTEGER)] <= s[CAST(j + 1 AS INTEGER)]
+           AND s[CAST(j AS INTEGER)] <= 2)) AS BIGINT) AS tt_bounds,
+         CAST(COALESCE(list_sum(list_filter(range(2, len(s)), j ->
+               s[CAST(j AS INTEGER)] < s[CAST(j - 1 AS INTEGER)]
+           AND s[CAST(j AS INTEGER)] <= s[CAST(j + 1 AS INTEGER)]
+           AND s[CAST(j AS INTEGER)] <= 2)), 0) AS BIGINT) AS tt_ck
+  FROM ttsc
+),
 spn AS (  -- T5-style span corruption replay: trigger + 3-window coverage
   SELECT doc_id,
          CAST(len(list_filter(range(1, n_tok + 1), j ->
@@ -6221,6 +6257,7 @@ SELECT doc_id, n_tok,
        sp.n_corrupt_spans, sp.n_corrupt_tokens, sp.corrupt_checksum,
        fm.fim_applied, fm.fim_prefix_len, fm.fim_middle_len,
        fm.fim_suffix_len, fm.fim_checksum,
+       tl.tt_pos, tl.tt_min, tl.tt_bounds, tl.tt_ck,
        CASE WHEN n_tok > 0 THEN
          FLOOR((COALESCE(lx.distinct_tokens, 0) / n_tok) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS ttr4
@@ -6229,6 +6266,7 @@ LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
 JOIN spn sp USING (doc_id)
 JOIN fim fm USING (doc_id)
+JOIN tt tl USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},

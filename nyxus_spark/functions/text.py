@@ -2351,3 +2351,66 @@ def ql_lm_scores(df, terms, mu: int = 2000, tokens_col: str = "tokens",
             ).alias("ql_gain4"),
         )
     )
+
+
+def texttile_exprs(w: int = 8, threshold: int = 2,
+                   tokens_col: str = "tokens", n_tok_col: str = "n_tok") -> dict:
+    """TextTiling-style TOPICAL segmentation (Hearst, CL 1997) — the
+    content-driven document splitter beside the delimiter-based
+    `split_on_token`: at every boundary position i the cohesion score is
+    the count of DISTINCT tokens the preceding and following w-token
+    windows share; topic boundaries are strict local minima at depth ≤
+    `threshold` (a valley in lexical cohesion = a topic shift). All exact
+    integers; the score array is STAGED as one transform so the boundary
+    pass only references it (never recomputes a window per comparison —
+    the Catalyst lambda-rescan trap).
+
+    Returns column exprs: tt_pos (scored positions), tt_min (global
+    cohesion minimum, −1 when the doc is shorter than 2w), tt_bounds
+    (boundary count), tt_ck (boundary-position checksum — pins every
+    detected boundary). Pure per-row map, zero shuffle; O(n_tok·w) work
+    per doc."""
+    if w < 1 or threshold < 0:
+        raise ValueError(f"need w >= 1 and threshold >= 0, got {w}/{threshold}")
+    sc = (
+        f"CASE WHEN {n_tok_col} >= {2 * w} THEN "
+        f"transform(sequence({w}, {n_tok_col} - {w}), "
+        f"i -> size(filter(array_distinct(slice({tokens_col}, i - {w} + 1, {w})), "
+        f"x -> array_position(slice({tokens_col}, i + 1, {w}), x) > 0))) "
+        "ELSE array() END"
+    )
+    bnd = (
+        "CASE WHEN size(__tt_sc) >= 3 THEN "
+        "filter(sequence(2, size(__tt_sc) - 1), "
+        "j -> element_at(__tt_sc, cast(j as int)) < element_at(__tt_sc, cast(j - 1 as int)) "
+        "AND element_at(__tt_sc, cast(j as int)) <= element_at(__tt_sc, cast(j + 1 as int)) "
+        f"AND element_at(__tt_sc, cast(j as int)) <= {threshold}) "
+        "ELSE array() END"
+    )
+    return {
+        "__tt_sc": F.expr(sc),
+        "tt_pos": F.size(F.expr(sc)).cast("long"),
+        "__tt_bnd": bnd,  # SQL string: must reference the staged __tt_sc
+    }
+
+
+def texttile_cols(df, w: int = 8, threshold: int = 2,
+                  tokens_col: str = "tokens", n_tok_col: str = "n_tok"):
+    """Apply `texttile_exprs` with the score array properly STAGED: one
+    select materializes __tt_sc, a second derives positions/min/boundary
+    stats from it. Adds tt_pos, tt_min, tt_bounds, tt_ck."""
+    e = texttile_exprs(w, threshold, tokens_col, n_tok_col)
+    staged = df.withColumn("__tt_sc", e["__tt_sc"])
+    bnd = F.expr(e["__tt_bnd"])
+    return (
+        staged
+        .withColumn("tt_pos", F.size("__tt_sc").cast("long"))
+        .withColumn(
+            "tt_min",
+            F.coalesce(F.array_min("__tt_sc"), F.lit(-1)).cast("long"))
+        .withColumn("tt_bounds", F.size(bnd).cast("long"))
+        .withColumn(
+            "tt_ck",
+            F.aggregate(bnd, F.lit(0).cast("long"), lambda a, x: a + x))
+        .drop("__tt_sc")
+    )
