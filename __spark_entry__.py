@@ -154,6 +154,8 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("distinct_tokens"),
             F.sum((F.col("c") == 1).cast("long")).cast("long")
             .alias("hapax_tokens"),
+            F.sum(F.col("c") * (F.col("c") - F.lit(1))).cast("long")
+            .alias("simpson_num"),
         )
     )
     zero = F.lit(0).cast("long")
@@ -164,6 +166,7 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("seg_checksum", zero).alias("seg_checksum"),
         F.coalesce("distinct_tokens", zero).alias("distinct_tokens"),
         F.coalesce("hapax_tokens", zero).alias("hapax_tokens"),
+        F.coalesce("simpson_num", zero).alias("simpson_num"),
     )
     # T5-style deterministic SPAN corruption stats (trigger starts every
     # ~20 positions, 3-token spans, overlaps merged) — the denoising
@@ -189,7 +192,7 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tt = texttile_cols(t.select("doc_id", "tokens", "n_tok")).select(
         "doc_id", "tt_pos", "tt_min", "tt_bounds", "tt_ck")
-    return (
+    res = (
         out.join(spn, "doc_id").join(fimdf, "doc_id").join(tt, "doc_id")
         .withColumn(
             "ttr4",
@@ -197,7 +200,30 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _r4(F.col("distinct_tokens") / F.col("n_tok")))
             .otherwise(F.lit(0.0)),
         )
+        # Simpson concentration index Σc(c−1)/(n(n−1)): the repeated-draw
+        # collision probability — a lexical-repetition quality signal. The
+        # numerator is an exact BIGINT; ONE final division of exact ints.
+        .withColumn(
+            "simpson4",
+            F.when(
+                F.col("n_tok") > 1,
+                _r4(F.col("simpson_num")
+                    / (F.col("n_tok").cast("long") * (F.col("n_tok") - 1))),
+            ).otherwise(F.lit(0.0)),
+        )
     )
+    # skyline (Pareto-front) membership on the length/richness plane:
+    # keep-the-frontier corpus curation as an exactly-checkable column
+    # (operators/selection.py — per-x max dim + broadcast, no global sort)
+    from nyxus_spark.operators import skyline_flags
+
+    sk = skyline_flags(
+        res.select("doc_id",
+                   F.col("n_tok").cast("long").alias("__skx"),
+                   F.col("distinct_tokens").alias("__sky")),
+        "__skx", "__sky",
+    ).select("doc_id", "on_skyline")
+    return res.join(sk, "doc_id")
 
 
 def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6137,11 +6163,26 @@ segagg AS (
 lex AS (  -- lexical diversity: two-phase (doc, token) aggregation
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
-         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num
   FROM (SELECT doc_id, tok, COUNT(*) AS c
         FROM (SELECT doc_id, unnest(tokens) AS tok FROM tokens_static)
         GROUP BY doc_id, tok)
   GROUP BY doc_id
+),
+pts AS (  -- skyline plane: (length, richness) per doc
+  SELECT s.doc_id, CAST(s.n_tok AS BIGINT) AS px,
+         COALESCE(lx.distinct_tokens, 0) AS py
+  FROM tokens_static s LEFT JOIN lex lx USING (doc_id)
+),
+sky AS (  -- Pareto-maxima membership by direct dominance test
+  SELECT p.doc_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.px >= p.px AND q.py >= p.py
+             AND (q.px > p.px OR q.py > p.py)
+         ) THEN 0 ELSE 1 END AS on_skyline
+  FROM pts p
 ),
 fim1 AS (  -- FIM replay: double-multiply pmod hashes for apply/i/j
   SELECT doc_id, tokens, n, app, i,
@@ -6260,13 +6301,21 @@ SELECT doc_id, n_tok,
        tl.tt_pos, tl.tt_min, tl.tt_bounds, tl.tt_ck,
        CASE WHEN n_tok > 0 THEN
          FLOOR((COALESCE(lx.distinct_tokens, 0) / n_tok) * 10000.0 + 0.5) / 10000.0
-       ELSE 0.0 END AS ttr4
+       ELSE 0.0 END AS ttr4,
+       COALESCE(lx.simpson_num, 0) AS simpson_num,
+       CASE WHEN n_tok > 1 THEN
+         FLOOR((COALESCE(lx.simpson_num, 0)
+                / (CAST(n_tok AS BIGINT) * (n_tok - 1))) * 10000.0 + 0.5)
+         / 10000.0
+       ELSE 0.0 END AS simpson4,
+       CAST(sk.on_skyline AS BIGINT) AS on_skyline
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
 JOIN spn sp USING (doc_id)
 JOIN fim fm USING (doc_id)
 JOIN tt tl USING (doc_id)
+JOIN sky sk USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},

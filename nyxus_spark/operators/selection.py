@@ -1,0 +1,57 @@
+"""Data-selection operators: skyline / Pareto-front membership.
+
+Corpus curation routinely keeps the *frontier* of a quality/quantity
+trade-off (longest docs at every richness level, highest-quality docs at
+every length) rather than a single top-k — the classic skyline operator
+(Borzsonyi, Kossmann, Stocker: "The Skyline Operator", ICDE 2001). The
+reference engine exposes per-ROI feature vectors that downstream users
+filter exactly this way (nyxus.py featurize_* -> pandas post-filtering);
+here the frontier membership itself is a first-class, exactly-checkable
+column.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["skyline_flags"]
+
+
+def skyline_flags(df: DataFrame, x_col: str, y_col: str,
+                  flag_col: str = "on_skyline") -> DataFrame:
+    """Flag each row's membership in the 2-D skyline (maximize both axes).
+
+    Row p is DOMINATED iff some q has q.x >= p.x and q.y >= p.y with at
+    least one strict inequality; the skyline is the undominated set.
+    Duplicate points do not dominate each other (no strict edge), so every
+    copy of a frontier point is flagged 1.
+
+    Scale-safe plan: the textbook skyline is a self-join (quadratic) or a
+    global-window sort (single-partition shuffle at 100 TB). Instead split
+    dominance by the x-relation:
+
+      x' > p.x: dominated iff max{y' : x' > p.x} >= p.y   (x already strict)
+      x' = p.x: dominated iff max{y' : x' = p.x} >  p.y
+
+    The per-x max table has |distinct x| rows (x is a discrete feature such
+    as n_tok, so the dim is bounded regardless of corpus size); its
+    descending cumulative max over that tiny dim gives max{y' : x' > x},
+    and a broadcast join carries both bounds back to the rows. Total cost:
+    one hash-agg shuffle + one broadcast join, zero row-table sorts, exact
+    integer comparisons end to end.
+    """
+    dim = df.groupBy(x_col).agg(F.max(y_col).alias("__my"))
+    w = Window.orderBy(F.col(x_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cm = dim.withColumn("__maxy_gt", F.max("__my").over(w))
+    out = df.join(F.broadcast(cm), x_col)
+    flag = (
+        (F.col("__maxy_gt").isNull() | (F.col("__maxy_gt") < F.col(y_col)))
+        & (F.col("__my") <= F.col(y_col))
+    )
+    return (
+        out.withColumn(flag_col, flag.cast("long"))
+        .drop("__my", "__maxy_gt")
+        .select(*df.columns, flag_col)
+    )
