@@ -215,15 +215,17 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skyline (Pareto-front) membership on the length/richness plane:
     # keep-the-frontier corpus curation as an exactly-checkable column
     # (operators/selection.py — per-x max dim + broadcast, no global sort)
-    from nyxus_spark.operators import skyline_flags
+    from nyxus_spark.operators import pareto_layers, skyline_flags
 
-    sk = skyline_flags(
-        res.select("doc_id",
-                   F.col("n_tok").cast("long").alias("__skx"),
-                   F.col("distinct_tokens").alias("__sky")),
-        "__skx", "__sky",
-    ).select("doc_id", "on_skyline")
-    return res.join(sk, "doc_id")
+    pts = res.select("doc_id",
+                     F.col("n_tok").cast("long").alias("__skx"),
+                     F.col("distinct_tokens").alias("__sky"))
+    sk = skyline_flags(pts, "__skx", "__sky").select("doc_id", "on_skyline")
+    # graded frontier rank (onion peeling, layers 1..3, interior 0): the
+    # "keep the top-L frontiers" curation dial — k tiny dim-aggs, no sorts
+    pl = pareto_layers(pts, "__skx", "__sky", k=3).select(
+        "doc_id", "pareto_layer")
+    return res.join(sk, "doc_id").join(pl, "doc_id")
 
 
 def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2517,18 +2519,27 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.similarity import random_project
 
     rp = random_project(q, d_out=8, vec_col="q")
+    # greedy k-center (farthest-point-first) coreset selection: k=4 exact
+    # int64 centers + per-vector nearest-center assignment — the diversity
+    # sampling primitive beside the k-means density one above (k-1 ONE-row
+    # driver probes, then a single literal-center scan; similarity.py)
+    from nyxus_spark.operators.similarity import greedy_kcenter
+
+    kc = greedy_kcenter(q.select("vec_id", F.col("q").alias("qv")), k=4)
     return (
         per_vec.join(avec, "vec_id")
         .join(cluster_rollup, "assigned_cent")
         .join(inertia, "assigned_cent")
         .join(pq, "vec_id")
         .join(rp, "vec_id")
+        .join(kc, "vec_id")
         .select(
             "vec_id", "n_dims", "q_sum", "q_min", "q_max",
             "q_n2", "q_head_n2", "q_head_frac4",
             "assigned_cent", "d2", "cl_n", "cl_sum", "cl_moment", "cl_inertia",
             "pq_code_0", "pq_code_1", "pq_code_2", "pq_code_3", "pq_d2",
             *[f"rp_{j}" for j in range(8)],
+            "kc_cent", "kc_d",
         )
     )
 
@@ -5382,6 +5393,61 @@ pq AS (
          CAST(MAX(CASE WHEN sub_id = 3 THEN pcent END) AS BIGINT) AS pq_code_3,
          CAST(SUM(d) AS BIGINT) AS pq_d2
   FROM pqa GROUP BY vec_id
+),
+kc1 AS (  -- greedy k-center replay: seed = lowest id
+  SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1
+),
+kd1 AS (
+  SELECT v.vec_id,
+         (SELECT CAST(SUM(CAST(v.qv[u.i] - c.qv[u.i] AS BIGINT)
+                          * (v.qv[u.i] - c.qv[u.i])) AS BIGINT)
+          FROM (SELECT unnest(range(1, len(v.qv) + 1)) AS i) u) AS d
+  FROM q v, kc1 c
+),
+kc2 AS (  -- farthest point, ties to the lowest id
+  SELECT q.vec_id, q.qv FROM q JOIN kd1 USING (vec_id)
+  ORDER BY kd1.d DESC, vec_id ASC LIMIT 1
+),
+kd2 AS (
+  SELECT v.vec_id,
+         LEAST(kd1.d,
+           (SELECT CAST(SUM(CAST(v.qv[u.i] - c.qv[u.i] AS BIGINT)
+                            * (v.qv[u.i] - c.qv[u.i])) AS BIGINT)
+            FROM (SELECT unnest(range(1, len(v.qv) + 1)) AS i) u)) AS d
+  FROM q v JOIN kd1 USING (vec_id), kc2 c
+),
+kc3 AS (
+  SELECT q.vec_id, q.qv FROM q JOIN kd2 USING (vec_id)
+  ORDER BY kd2.d DESC, vec_id ASC LIMIT 1
+),
+kd3 AS (
+  SELECT v.vec_id,
+         LEAST(kd2.d,
+           (SELECT CAST(SUM(CAST(v.qv[u.i] - c.qv[u.i] AS BIGINT)
+                            * (v.qv[u.i] - c.qv[u.i])) AS BIGINT)
+            FROM (SELECT unnest(range(1, len(v.qv) + 1)) AS i) u)) AS d
+  FROM q v JOIN kd2 USING (vec_id), kc3 c
+),
+kc4 AS (
+  SELECT q.vec_id, q.qv FROM q JOIN kd3 USING (vec_id)
+  ORDER BY kd3.d DESC, vec_id ASC LIMIT 1
+),
+kcents AS (
+  SELECT vec_id AS cid, qv FROM kc1 UNION ALL SELECT vec_id, qv FROM kc2
+  UNION ALL SELECT vec_id, qv FROM kc3 UNION ALL SELECT vec_id, qv FROM kc4
+),
+kalld AS (
+  SELECT v.vec_id, c.cid,
+         (SELECT CAST(SUM(CAST(v.qv[u.i] - c.qv[u.i] AS BIGINT)
+                          * (v.qv[u.i] - c.qv[u.i])) AS BIGINT)
+          FROM (SELECT unnest(range(1, len(v.qv) + 1)) AS i) u) AS d
+  FROM q v, kcents c
+),
+kassign AS (  -- nearest chosen center, ties to the lowest center id
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM kalld) WHERE rn = 1
 )
 SELECT vec_id,
        CAST(len(qv) AS BIGINT) AS n_dims,
@@ -5424,10 +5490,13 @@ SELECT vec_id,
          * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_6,
        CAST(list_sum(list_transform(range(0, CAST(len(qv) AS BIGINT)),
          i -> (1 - 2 * (((i + 1) * 1103515245 + 4055616912) % 2))
-         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_7
+         * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_7,
+       CAST(k.cid AS BIGINT) AS kc_cent,
+       k.d AS kc_d
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
 JOIN inert i ON i.cent_id = a.cent_id
 JOIN pq p USING (vec_id)
+JOIN kassign k USING (vec_id)
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
         # are 1-based inclusive. Last start capped at n_tok - overlap - 1
@@ -6184,6 +6253,27 @@ sky AS (  -- Pareto-maxima membership by direct dominance test
          ) THEN 0 ELSE 1 END AS on_skyline
   FROM pts p
 ),
+pr1 AS (SELECT doc_id FROM sky WHERE on_skyline = 1),
+prr1 AS (SELECT * FROM pts WHERE doc_id NOT IN (SELECT doc_id FROM pr1)),
+pr2 AS (  -- layer 2 = skyline of the remainder
+  SELECT p.doc_id FROM prr1 p WHERE NOT EXISTS (
+    SELECT 1 FROM prr1 q
+    WHERE q.px >= p.px AND q.py >= p.py AND (q.px > p.px OR q.py > p.py))
+),
+prr2 AS (SELECT * FROM prr1 WHERE doc_id NOT IN (SELECT doc_id FROM pr2)),
+pr3 AS (
+  SELECT p.doc_id FROM prr2 p WHERE NOT EXISTS (
+    SELECT 1 FROM prr2 q
+    WHERE q.px >= p.px AND q.py >= p.py AND (q.px > p.px OR q.py > p.py))
+),
+players AS (
+  SELECT p.doc_id,
+         CASE WHEN p.doc_id IN (SELECT doc_id FROM pr1) THEN 1
+              WHEN p.doc_id IN (SELECT doc_id FROM pr2) THEN 2
+              WHEN p.doc_id IN (SELECT doc_id FROM pr3) THEN 3
+         ELSE 0 END AS pareto_layer
+  FROM pts p
+),
 fim1 AS (  -- FIM replay: double-multiply pmod hashes for apply/i/j
   SELECT doc_id, tokens, n, app, i,
          i + (((((((((nid % 2147483647) * 69621) % 2147483647) + 2147483647)
@@ -6308,7 +6398,8 @@ SELECT doc_id, n_tok,
                 / (CAST(n_tok AS BIGINT) * (n_tok - 1))) * 10000.0 + 0.5)
          / 10000.0
        ELSE 0.0 END AS simpson4,
-       CAST(sk.on_skyline AS BIGINT) AS on_skyline
+       CAST(sk.on_skyline AS BIGINT) AS on_skyline,
+       CAST(pl.pareto_layer AS BIGINT) AS pareto_layer
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
@@ -6316,6 +6407,7 @@ JOIN spn sp USING (doc_id)
 JOIN fim fm USING (doc_id)
 JOIN tt tl USING (doc_id)
 JOIN sky sk USING (doc_id)
+JOIN players pl USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},

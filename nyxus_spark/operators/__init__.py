@@ -1,6 +1,9 @@
 from nyxus_spark.operators.asof_join import asof_join  # noqa: F401
 from nyxus_spark.operators.packing import pack_sequences  # noqa: F401
-from nyxus_spark.operators.selection import skyline_flags  # noqa: F401
+from nyxus_spark.operators.selection import (  # noqa: F401
+    pareto_layers,
+    skyline_flags,
+)
 from nyxus_spark.operators.windows import (  # noqa: F401
     sessionize,
     with_lags,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["skyline_flags"]
+__all__ = ["skyline_flags", "pareto_layers"]
 
 
 def skyline_flags(df: DataFrame, x_col: str, y_col: str,
@@ -55,3 +55,35 @@ def skyline_flags(df: DataFrame, x_col: str, y_col: str,
         .drop("__my", "__maxy_gt")
         .select(*df.columns, flag_col)
     )
+
+
+def pareto_layers(df: DataFrame, x_col: str, y_col: str, k: int = 3,
+                  layer_col: str = "pareto_layer") -> DataFrame:
+    """Onion-peel the first `k` Pareto layers (skyline rank; Chazelle's
+    "layers of maxima"): layer 1 is the skyline, layer 2 the skyline of the
+    remainder, and so on; rows deeper than layer k get 0. The data-selection
+    dial behind "keep the top-L quality/length frontiers" curation — a
+    graded version of the binary skyline cut.
+
+    Each round reuses skyline_flags' per-x-max + broadcast plan on the
+    remaining rows, so the full cost is k tiny dim aggregations and k
+    broadcast joins — no global sorts, no self-joins, and the lineage depth
+    is k (small and fixed), no checkpointing needed. Exact integers end to
+    end. k is bounded to keep the plan linear; peel iteratively with
+    checkpoints if you genuinely need deep ranks.
+    """
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be in [1, 8] (plan depth is linear in k), got {k}")
+    out = df.withColumn(layer_col, F.lit(0).cast("long"))
+    for level in range(1, k + 1):
+        remaining = out.filter(F.col(layer_col) == 0)
+        flagged = skyline_flags(remaining.drop(layer_col), x_col, y_col,
+                                flag_col="__sf")
+        out = out.filter(F.col(layer_col) != 0).unionByName(
+            flagged.withColumn(
+                layer_col,
+                F.when(F.col("__sf") == 1, F.lit(level)).otherwise(F.lit(0))
+                .cast("long"),
+            ).drop("__sf")
+        )
+    return out

@@ -1027,3 +1027,80 @@ def maxsim_scores(
         *[F.coalesce(F.col(f"{q}"), F.lit(-2.0)).alias(f"cb_{q}") for q in terms],
         fround4(score).alias("colbert4"),
     )
+
+
+def greedy_kcenter(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
+    selection over int8-QUANTIZED embeddings — the deterministic
+    diversity-sampling primitive ("pick k maximally spread exemplars, then
+    assign everyone to the nearest") used for diverse-subset curation and
+    as a 2-approximation of the optimal k-center clustering.
+
+    All distances are EXACT int64 squared-L2 on the quantized vectors
+    (integer sums are associative — order never matters), so center choice
+    and assignment are bit-identical on every engine: seed = lowest id,
+    each round adds the point with the LARGEST distance-to-nearest-center
+    (ties to the lowest id).
+
+    Scale shape: each of the k-1 expansion rounds is one full-scan
+    aggregate against at most k broadcast-literal centers followed by a
+    TakeOrderedAndProject of ONE row (the same driver-side probe pattern as
+    `_probe_cents` — k rows total cross the driver, never the corpus). The
+    final assignment is a single pass with k literal centers: no joins, no
+    shuffles beyond the top-1 rank.
+
+    Emits (id_col, kc_cent, kc_d): the nearest chosen center (ties to the
+    lowest center id) and the exact squared distance to it.
+    """
+    if not 2 <= k <= 16:
+        raise ValueError(f"k must be in [2, 16] (k-1 driver probe rounds), got {k}")
+
+    def dist_to(lit_vec: str) -> str:
+        return (
+            f"aggregate(zip_with({qvec_col}, {lit_vec},"
+            f" (a, b) -> cast(a - b as bigint) * (a - b)),"
+            f" 0L, (s, x) -> s + x)"
+        )
+
+    def lit_arr(vals) -> str:
+        return "array(" + ", ".join(str(int(v)) for v in vals) + ")"
+
+    seed = df.orderBy(F.col(id_col).asc()).select(id_col, qvec_col).limit(1).collect()[0]
+    centers = [(int(seed[id_col]), list(seed[qvec_col]))]
+    cur = df.withColumn("__d", F.expr(dist_to(lit_arr(centers[0][1]))))
+    for _ in range(k - 1):
+        far = (
+            cur.orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            .select(id_col, qvec_col)
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(far[id_col]), list(far[qvec_col])))
+        cur = cur.withColumn(
+            "__d", F.least(F.col("__d"), F.expr(dist_to(lit_arr(centers[-1][1]))))
+        )
+    # stage each per-center distance as a column (multiply-referenced
+    # non-cheap exprs stay staged under CollapseProject — never inline a
+    # fold into the min AND the argmin)
+    by_id = sorted(centers)
+    staged = df
+    for cid, v in by_id:
+        staged = staged.withColumn(f"__d_{cid}", F.expr(dist_to(lit_arr(v))))
+    staged = staged.withColumn(
+        "__bd", F.least(*[F.col(f"__d_{cid}") for cid, _ in by_id])
+    )
+    # nearest center id with ties to the LOWEST center id: scan centers in
+    # ascending id order and keep the first whose distance equals the min
+    cent = F.lit(None).cast("long")
+    for cid, _ in reversed(by_id):
+        cent = F.when(F.col(f"__d_{cid}") == F.col("__bd"), F.lit(cid)).otherwise(cent)
+    return staged.select(
+        id_col,
+        cent.alias("kc_cent"),
+        F.col("__bd").cast("long").alias("kc_d"),
+    )

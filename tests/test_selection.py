@@ -67,3 +67,53 @@ def test_skyline_column_contract(spark):
     df = spark.createDataFrame([(1, 2, 3, "z")], "id long, x long, y long, tag string")
     out = skyline_flags(df, "x", "y")
     assert out.columns == ["id", "x", "y", "tag", "on_skyline"]
+
+
+def _brute_layers(points, k=3):
+    layer = [0] * len(points)
+    remaining = set(range(len(points)))
+    for level in range(1, k + 1):
+        sky = [
+            i for i in remaining
+            if not any(
+                points[j][0] >= points[i][0] and points[j][1] >= points[i][1]
+                and (points[j][0] > points[i][0] or points[j][1] > points[i][1])
+                for j in remaining if j != i
+            )
+        ]
+        for i in sky:
+            layer[i] = level
+        remaining -= set(sky)
+    return layer
+
+
+def test_pareto_layers_grid(spark):
+    import itertools
+    from nyxus_spark.operators import pareto_layers
+
+    grid = list(itertools.product(range(5), range(5)))
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(grid)], "id long, x long, y long"
+    )
+    got = {r["id"]: r["pareto_layer"]
+           for r in pareto_layers(df, "x", "y", k=3).collect()}
+    exp = _brute_layers(grid, k=3)
+    assert [got[i] for i in range(len(grid))] == exp
+    # grid anti-diagonals: layer 1 = (4,4); layer 2 = (3,4),(4,3); deeper 0
+    assert exp[grid.index((4, 4))] == 1
+    assert exp[grid.index((3, 4))] == exp[grid.index((4, 3))] == 2
+
+
+def test_pareto_layers_duplicates_and_bounds(spark):
+    import pytest
+    from nyxus_spark.operators import pareto_layers
+
+    pts = [(5, 5), (5, 5), (1, 1), (0, 9), (9, 0)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+    )
+    got = {r["id"]: r["pareto_layer"]
+           for r in pareto_layers(df, "x", "y", k=2).collect()}
+    assert [got[i] for i in range(len(pts))] == _brute_layers(pts, k=2)
+    with pytest.raises(ValueError):
+        pareto_layers(df, "x", "y", k=0)
