@@ -254,6 +254,21 @@ def main() -> None:
         semdedup(qemb, qseeds, vec_col="qv")
     )
 
+    # skyline: the Window/Sort in this plan runs over the AGGREGATED per-x
+    # dim (|distinct x| rows), never the row table — the row table sees one
+    # hash-agg exchange and one BroadcastHashJoin, no global sort
+    from nyxus_spark.operators import skyline_flags
+
+    skl = skyline_flags(
+        tokens_static(spark, sf).select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("x"),
+            F.size(F.array_distinct("tokens")).cast("long").alias("y"),
+        ),
+        "x", "y",
+    )
+    sections["skyline flags (dim cummax + broadcast — no row-table sort)"] = plan_of(skl)
+
     # relational path: broadcast dim join + partial/final hash agg
     o = spark.read.parquet(f"{sf}/orders.parquet")
     c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_mktsegment")
@@ -528,6 +543,9 @@ def main() -> None:
     tri_plan = sections["graph node stats (wedge-close triangles, hash joins only)"]
     assert "CartesianProduct" not in tri_plan
     assert "BroadcastNestedLoopJoin" not in tri_plan
+    sky_plan = sections["skyline flags (dim cummax + broadcast — no row-table sort)"]
+    assert "BroadcastHashJoin" in sky_plan
+    assert "SortMergeJoin" not in sky_plan and "CartesianProduct" not in sky_plan
     print("EXPLAIN.md written")
     spark.stop()
 
