@@ -2825,8 +2825,13 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders ⋈ customer rollup by market segment — the broadcast-join path
-    (customer is the small dim; `.explain` shows BroadcastHashJoin)."""
+    """orders ⋈ customer multi-grain CUBE over (market segment, order
+    priority) — the broadcast-join path (customer is the small dim;
+    `.explain` shows BroadcastHashJoin) feeding Spark's native CUBE
+    (Expand + one hash-agg shuffle: every grain computed in a single pass
+    over the fact table, never one job per grain). Grouping flags mark the
+    grain; super-aggregate NULLs are coalesced to '(all)' so the key is
+    engine-portable. All aggregates exact integers."""
     _prep(spark)
     from pyspark.sql import functions as F
 
@@ -2836,12 +2841,19 @@ def _q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment")
+        .cube("c_mktsegment", "o_orderpriority")
         .agg(
+            F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
             .alias("sum_totalprice_cents"),
             F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("c_mktsegment"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "g_seg", "g_prio", "n_orders", "sum_totalprice_cents", "n_customers",
         )
     )
 
@@ -4365,6 +4377,31 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     smid4n = (F.lit(16) * s4i - F.lit(32) * (qd * s3i) + F.lit(24) * (qd2 * s2i)
               - F.lit(8) * ((qd2 * qd) * s1i)
               + (qd2 * qd2) * s0i).cast("decimal(27,0)")
+    # shifted-Legendre ORTHOGONAL moments (the 1-D analog of the reference's
+    # Zernike radial-polynomial family, /root/reference/src/nyx/features/
+    # zernike.cpp — an orthogonal basis over the normalized domain instead
+    # of the raw power basis): ℓ_k = Σᵢ P̃ₖ(i/h)·tᵢ / m0 with h = n−1 and
+    # P̃₁ = 2u−1, P̃₂ = 6u²−6u+1, P̃₃ = 20u³−30u²+12u−1,
+    # P̃₄ = 70u⁴−140u³+90u²−20u+1. Multiplying by h^k makes every numerator
+    # an exact-integer combination of the raw moments the kernel already
+    # emits (DECIMAL here, HUGEINT in the oracle); the denominator is the
+    # identical (m0·h)·h·… double multiply-chain; h = 0 → NULL both engines.
+    leg2n = (F.lit(6) * m2i - F.lit(6) * (qd * m1i)
+             + qd2 * m0i).cast("decimal(27,0)")
+    leg3n = (F.lit(20) * m3i - F.lit(30) * (qd * m2i) + F.lit(12) * (qd2 * m1i)
+             - (qd2 * qd) * m0i).cast("decimal(27,0)")
+    leg4n = (F.lit(70) * m4i - F.lit(140) * (qd * m3i) + F.lit(90) * (qd2 * m2i)
+             - F.lit(20) * ((qd2 * qd) * m1i)
+             + (qd2 * qd2) * m0i).cast("decimal(38,0)")
+    sleg2n = (F.lit(6) * s2i - F.lit(6) * (qd * s1i)
+              + qd2 * s0i).cast("decimal(27,0)")
+    sleg3n = (F.lit(20) * s3i - F.lit(30) * (qd * s2i) + F.lit(12) * (qd2 * s1i)
+              - (qd2 * qd) * s0i).cast("decimal(27,0)")
+    sleg4n = (F.lit(70) * s4i - F.lit(140) * (qd * s3i) + F.lit(90) * (qd2 * s2i)
+              - F.lit(20) * ((qd2 * qd) * s1i)
+              + (qd2 * qd2) * s0i).cast("decimal(38,0)")
+    hd = (F.col("n_tok") - 1).cast("double")
+    pos = F.col("n_tok") > 1
     return feats.select(
         "doc_id",
         m0.cast("long").alias("m0"),
@@ -4430,6 +4467,17 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(smid2n.cast("double") / F.lit(4.0)).alias("shape_mid2"),
         _r4(smid3n.cast("double") / F.lit(8.0)).alias("shape_mid3"),
         _r4(smid4n.cast("double") / F.lit(16.0)).alias("shape_mid4"),
+        F.when(pos, _r4(mid1n.cast("double") / (m0 * hd))).alias("leg1"),
+        F.when(pos, _r4(leg2n.cast("double") / ((m0 * hd) * hd))).alias("leg2"),
+        F.when(pos, _r4(leg3n.cast("double")
+                        / (((m0 * hd) * hd) * hd))).alias("leg3"),
+        F.when(pos, _r4(leg4n.cast("double")
+                        / ((((m0 * hd) * hd) * hd) * hd))).alias("leg4"),
+        F.when(pos, _r4(sleg2n.cast("double") / ((s0 * hd) * hd))).alias("shape_leg2"),
+        F.when(pos, _r4(sleg3n.cast("double")
+                        / (((s0 * hd) * hd) * hd))).alias("shape_leg3"),
+        F.when(pos, _r4(sleg4n.cast("double")
+                        / ((((s0 * hd) * hd) * hd) * hd))).alias("shape_leg4"),
     )
 
 
@@ -4762,12 +4810,15 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
         "segment_sales": """
-SELECT c_mktsegment,
+SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
+       COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
 FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
 """,
         "asof_tokens": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

@@ -2309,7 +2309,48 @@ SELECT doc_id, m0, m1, m2, m3, m4,
        FLOOR((CAST(16 * CAST(s4 AS HUGEINT) - 32 * (q1 * s3) + 24 * ((q1 * q1) * s2)
                    - 8 * (((q1 * q1) * q1) * s1)
                    + ((q1 * q1) * (q1 * q1)) * s0 AS DOUBLE)
-              / 16.0) * 10000.0 + 0.5) / 10000.0 AS shape_mid4
+              / 16.0) * 10000.0 + 0.5) / 10000.0 AS shape_mid4,
+       -- shifted-Legendre orthogonal moments: h^k-scaled numerators are
+       -- exact HUGEINT combos of the raw moments; denominator replays the
+       -- Spark (m0·h)·h·… double chain; h = 0 -> NULL on both engines
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(2 * CAST(m1 AS HUGEINT) - q1 * m0 AS DOUBLE)
+                / (CAST(m0 AS DOUBLE) * CAST(q1 AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 END AS leg1,
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(6 * CAST(m2 AS HUGEINT) - 6 * (q1 * m1) + (q1 * q1) * m0 AS DOUBLE)
+                / ((CAST(m0 AS DOUBLE) * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 END AS leg2,
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(20 * CAST(m3 AS HUGEINT) - 30 * (q1 * m2) + 12 * ((q1 * q1) * m1)
+                     - ((q1 * q1) * q1) * m0 AS DOUBLE)
+                / (((CAST(m0 AS DOUBLE) * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE))
+                   * CAST(q1 AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 END AS leg3,
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(70 * CAST(m4 AS HUGEINT) - 140 * (q1 * m3) + 90 * ((q1 * q1) * m2)
+                     - 20 * (((q1 * q1) * q1) * m1)
+                     + ((q1 * q1) * (q1 * q1)) * m0 AS DOUBLE)
+                / ((((CAST(m0 AS DOUBLE) * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE))
+                    * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 END AS leg4,
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(6 * CAST(s2 AS HUGEINT) - 6 * (q1 * s1) + (q1 * q1) * s0 AS DOUBLE)
+                / ((CAST(s0 AS DOUBLE) * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 END AS shape_leg2,
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(20 * CAST(s3 AS HUGEINT) - 30 * (q1 * s2) + 12 * ((q1 * q1) * s1)
+                     - ((q1 * q1) * q1) * s0 AS DOUBLE)
+                / (((CAST(s0 AS DOUBLE) * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE))
+                   * CAST(q1 AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 END AS shape_leg3,
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(70 * CAST(s4 AS HUGEINT) - 140 * (q1 * s3) + 90 * ((q1 * q1) * s2)
+                     - 20 * (((q1 * q1) * q1) * s1)
+                     + ((q1 * q1) * (q1 * q1)) * s0 AS DOUBLE)
+                / ((((CAST(s0 AS DOUBLE) * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE))
+                    * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 END AS shape_leg4
 FROM mx WHERE m0 > 0 AND s0 > 0
 """
 
