@@ -4402,7 +4402,18 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
               + (qd2 * qd2) * s0i).cast("decimal(38,0)")
     hd = (F.col("n_tok") - 1).cast("double")
     pos = F.col("n_tok") > 1
-    return feats.select(
+    # positional OLS trend (token drift over the sequence): with Σi and Σi²
+    # closed-form in n, slope = 6·(2n·m1 − n·h·m0) / (n²·(n²−1)) — an exact
+    # integer numerator over a closed-form denominator (ONE division);
+    # intercept = mean(t) − slope·h/2 as a fixed IEEE chain. n = 1 → NULL.
+    nd_i = F.col("n_tok").cast("decimal(14,0)")
+    trendn = (F.lit(2) * (nd_i * m1i) - (nd_i * qd) * m0i).cast("decimal(27,0)")
+    nd = F.col("n_tok").cast("double")
+    trend_den = (nd * nd) * ((nd * nd) - F.lit(1.0))
+    slope_u = (F.lit(6) * trendn).cast("double") / trend_den
+    return feats.withColumn(
+        "__slope", F.when(pos, slope_u)
+    ).select(
         "doc_id",
         m0.cast("long").alias("m0"),
         m1.cast("long").alias("m1"),
@@ -4478,6 +4489,9 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (((s0 * hd) * hd) * hd))).alias("shape_leg3"),
         F.when(pos, _r4(sleg4n.cast("double")
                         / ((((s0 * hd) * hd) * hd) * hd))).alias("shape_leg4"),
+        _r4(F.col("__slope")).alias("trend_slope"),
+        F.when(pos, _r4(m0 / nd - F.col("__slope") * (hd / F.lit(2.0))))
+        .alias("trend_icept"),
     )
 
 

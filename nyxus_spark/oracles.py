@@ -2350,7 +2350,22 @@ SELECT doc_id, m0, m1, m2, m3, m4,
                      + ((q1 * q1) * (q1 * q1)) * s0 AS DOUBLE)
                 / ((((CAST(s0 AS DOUBLE) * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE))
                     * CAST(q1 AS DOUBLE)) * CAST(q1 AS DOUBLE)))
-               * 10000.0 + 0.5) / 10000.0 END AS shape_leg4
+               * 10000.0 + 0.5) / 10000.0 END AS shape_leg4,
+       -- positional OLS trend: slope = 6·(2n·m1 − n·h·m0)/(n²(n²−1)) (exact
+       -- HUGEINT numerator, closed-form denominator); intercept replays the
+       -- mean(t) − slope·h/2 IEEE chain; n = 1 -> NULL
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(6 * (2 * ((q1 + 1) * m1) - ((q1 + 1) * q1) * m0) AS DOUBLE)
+                / ((CAST(q1 + 1 AS DOUBLE) * CAST(q1 + 1 AS DOUBLE))
+                   * ((CAST(q1 + 1 AS DOUBLE) * CAST(q1 + 1 AS DOUBLE)) - 1.0)))
+               * 10000.0 + 0.5) / 10000.0 END AS trend_slope,
+       CASE WHEN q1 > 0 THEN
+         FLOOR((CAST(m0 AS DOUBLE) / CAST(q1 + 1 AS DOUBLE)
+                - (CAST(6 * (2 * ((q1 + 1) * m1) - ((q1 + 1) * q1) * m0) AS DOUBLE)
+                   / ((CAST(q1 + 1 AS DOUBLE) * CAST(q1 + 1 AS DOUBLE))
+                      * ((CAST(q1 + 1 AS DOUBLE) * CAST(q1 + 1 AS DOUBLE)) - 1.0)))
+                  * (CAST(q1 AS DOUBLE) / 2.0))
+               * 10000.0 + 0.5) / 10000.0 END AS trend_icept
 FROM mx WHERE m0 > 0 AND s0 > 0
 """
 
