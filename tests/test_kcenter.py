@@ -67,3 +67,27 @@ def test_kcenter_k_bounds(spark):
         greedy_kcenter(df, k=1)
     with pytest.raises(ValueError):
         greedy_kcenter(df, k=17)
+
+
+# -- hypothesis property: random integer vectors vs the brute replay
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _vec_case(draw):
+    dim = draw(st.integers(min_value=1, max_value=4))
+    n = draw(st.integers(min_value=2, max_value=16))
+    vecs = draw(st.lists(
+        st.tuples(*[st.integers(min_value=-9, max_value=9)] * dim),
+        min_size=n, max_size=n))
+    k = draw(st.integers(min_value=2, max_value=min(4, n)))
+    return {i: list(v) for i, v in enumerate(vecs)}, k
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_vec_case())
+def test_kcenter_random_property(spark, case):
+    vecs, k = case
+    _run(spark, vecs, k)

@@ -117,3 +117,35 @@ def test_pareto_layers_duplicates_and_bounds(spark):
     assert [got[i] for i in range(len(pts))] == _brute_layers(pts, k=2)
     with pytest.raises(ValueError):
         pareto_layers(df, "x", "y", k=0)
+
+
+# -- hypothesis properties: random point clouds vs the brute dominance check
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_points = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8),
+              st.integers(min_value=0, max_value=8)),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_points)
+def test_skyline_random_property(spark, pts):
+    _run(spark, pts)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_points)
+def test_pareto_layers_random_property(spark, pts):
+    from nyxus_spark.operators import pareto_layers
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+    )
+    got = {r["id"]: r["pareto_layer"]
+           for r in pareto_layers(df, "x", "y", k=3).collect()}
+    assert [got[i] for i in range(len(pts))] == _brute_layers(pts, k=3)
