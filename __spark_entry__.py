@@ -1005,6 +1005,11 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_time_interp(out, "purchase_value")
     out = with_rolling(out, "cents", n_rows=3, range_us=7_200_000_000,
                        tiebreak="event_id")
+    # robust rolling baseline: exact lower-median over the last 5 rows
+    # (collect_list + array_sort + element_at, whole-stage JVM)
+    from nyxus_spark.operators import with_rolling_median
+
+    out = with_rolling_median(out, "cents", n_rows=5, tiebreak="event_id")
     # SCD2 validity intervals (Kimball type-2 history table): every event
     # version carries [valid_from_us, valid_to_us) with the open version
     # flagged — the materialized counterpart of the as-of window join
@@ -1043,6 +1048,7 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("roll3_max_cents").alias("r3_max"),
         F.col("rollr7200000000us_sum_cents").alias("r2h_sum"),
         F.col("rollr7200000000us_count_cents").alias("r2h_n"),
+        F.col("roll5_med_cents").alias("r5_med"),
         "scd_from_us", "scd_to_us", "scd_current",
         "f_ts_0", "f_ts_1", "f_ts_2", "funnel_stage",
     )
@@ -7027,6 +7033,11 @@ SELECT doc_id, event_id,
        CAST(MAX(cents) OVER w3 AS BIGINT) AS r3_max,
        CAST(SUM(cents) OVER wr AS BIGINT) AS r2h_sum,
        CAST(COUNT(cents) OVER wr AS BIGINT) AS r2h_n,
+       CASE WHEN len(list_filter(list(cents) OVER w5, x -> x IS NOT NULL)) > 0 THEN
+         CAST(list_sort(list_filter(list(cents) OVER w5, x -> x IS NOT NULL))
+              [(len(list_filter(list(cents) OVER w5, x -> x IS NOT NULL)) + 1) // 2]
+              AS BIGINT)
+       END AS r5_med,
        CAST(ts_us AS BIGINT) AS scd_from_us,
        CAST(COALESCE(lead(ts_us) OVER wt, 9223372036854775807) AS BIGINT)
          AS scd_to_us,
@@ -7044,6 +7055,8 @@ LEFT JOIN f2 ON f2.fu2 = ev.doc_id
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts),
        w3 AS (PARTITION BY doc_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       w5 AS (PARTITION BY doc_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        wr AS (PARTITION BY doc_id ORDER BY ts_us
               RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW),
        wt AS (PARTITION BY doc_id ORDER BY ts, event_id)

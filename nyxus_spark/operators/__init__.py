@@ -9,6 +9,7 @@ from nyxus_spark.operators.windows import (  # noqa: F401
     with_lags,
     with_locf,
     with_rolling,
+    with_rolling_median,
     with_nocb,
     with_time_interp,
     scd2_intervals,

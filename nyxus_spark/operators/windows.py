@@ -169,6 +169,48 @@ def with_rolling(
     return out
 
 
+def with_rolling_median(
+    df: DataFrame,
+    col: str,
+    n_rows: int,
+    partition: str = "doc_id",
+    order: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact LOWER-median over the trailing `n_rows` row frame — the robust
+    rolling baseline (outlier-immune where the rolling mean is not). The
+    median is the element at rank (c+1) div 2 of the sorted non-null frame
+    values (c = non-null count; rank rule matches prescan's lower median);
+    an all-null/empty frame yields NULL.
+
+    collect_list skips nulls, array_sort + element_at pick the rank — all
+    whole-stage JVM, O(w log w) per row over the same ONE partition-key
+    shuffle as the other rolling frames (w is a small constant; this is not
+    for unbounded frames). element_at is EAGER under ANSI, so the index is
+    clamped to >= 1 and the empty case dispatched by the surrounding CASE.
+
+    Appends ``roll{n_rows}_med_{col}`` (long).
+    """
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    ob = [F.col(order).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = (Window.partitionBy(partition).orderBy(*ob)
+         .rowsBetween(-(n_rows - 1), 0))
+    out = df.withColumn("__rmarr", F.array_sort(F.collect_list(F.col(col)).over(w)))
+    c = F.size("__rmarr")
+    med = F.when(
+        c > 0,
+        F.element_at(
+            F.col("__rmarr"),
+            F.greatest(F.expr("cast((size(__rmarr) + 1) div 2 as int)"), F.lit(1)),
+        ),
+    )
+    return (
+        out.withColumn(f"roll{n_rows}_med_{col}", med.cast("long"))
+        .drop("__rmarr")
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap_seconds: float,

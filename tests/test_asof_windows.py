@@ -132,3 +132,41 @@ def test_sessionize_matches_duckdb(spark, sf_dir):
         """
     ).df()
     assert (got["session_id"] == exp["session_id"]).all()
+
+
+def test_rolling_median_lower_rank_nulls_and_short_frames(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators import with_rolling_median
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # (doc, second, value) — doc a: nulls interleaved; doc b: all null
+        ("a", 0, 10), ("a", 1, None), ("a", 2, 30), ("a", 3, 2),
+        ("a", 4, None), ("a", 5, 100),
+        ("b", 0, None), ("b", 1, None),
+    ]
+    df = spark.createDataFrame(
+        [(d, t0 + datetime.timedelta(seconds=s), s, v) for d, s, v in rows],
+        "doc_id string, ts timestamp, event_id long, v long",
+    )
+    out = {
+        (r["doc_id"], r["event_id"]): r["roll3_med_v"]
+        for r in with_rolling_median(df, "v", n_rows=3,
+                                     tiebreak="event_id").collect()
+    }
+    # frames (last 3 rows, nulls dropped, LOWER median = rank (c+1)//2):
+    assert out[("a", 0)] == 10          # [10]
+    assert out[("a", 1)] == 10          # [10]       (null dropped)
+    assert out[("a", 2)] == 10          # [10, 30]   -> lower of the pair
+    assert out[("a", 3)] == 2           # [2, 30]    -> lower
+    assert out[("a", 4)] == 2           # [2, 30]
+    assert out[("a", 5)] == 2           # [2, 100]
+    assert out[("b", 0)] is None and out[("b", 1)] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        with_rolling_median(df, "v", n_rows=0)
