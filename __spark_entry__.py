@@ -1049,6 +1049,7 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rollr7200000000us_sum_cents").alias("r2h_sum"),
         F.col("rollr7200000000us_count_cents").alias("r2h_n"),
         F.col("roll5_med_cents").alias("r5_med"),
+        F.col("roll5_mad_cents").alias("r5_mad"),
         "scd_from_us", "scd_to_us", "scd_current",
         "f_ts_0", "f_ts_1", "f_ts_2", "funnel_stage",
     )
@@ -7038,6 +7039,14 @@ SELECT doc_id, event_id,
               [(len(list_filter(list(cents) OVER w5, x -> x IS NOT NULL)) + 1) // 2]
               AS BIGINT)
        END AS r5_med,
+       CASE WHEN len(list_filter(list(cents) OVER w5, x -> x IS NOT NULL)) > 0 THEN
+         CAST(list_sort(list_transform(
+                list_filter(list(cents) OVER w5, x -> x IS NOT NULL),
+                x -> abs(x - list_sort(list_filter(list(cents) OVER w5, y -> y IS NOT NULL))
+                         [(len(list_filter(list(cents) OVER w5, y -> y IS NOT NULL)) + 1) // 2])))
+              [(len(list_filter(list(cents) OVER w5, x -> x IS NOT NULL)) + 1) // 2]
+              AS BIGINT)
+       END AS r5_mad,
        CAST(ts_us AS BIGINT) AS scd_from_us,
        CAST(COALESCE(lead(ts_us) OVER wt, 9223372036854775807) AS BIGINT)
          AS scd_to_us,

@@ -205,8 +205,20 @@ def with_rolling_median(
             F.greatest(F.expr("cast((size(__rmarr) + 1) div 2 as int)"), F.lit(1)),
         ),
     )
+    out = out.withColumn(f"roll{n_rows}_med_{col}", med.cast("long"))
+    # frame MAD: lower median of |x − med| over the SAME collected array —
+    # the robust spread to pair with the robust level (one more transform
+    # + sort on the staged frame, no extra window)
+    mcol = f"roll{n_rows}_med_{col}"
+    mad = F.when(
+        c > 0,
+        F.element_at(
+            F.array_sort(F.expr(f"transform(__rmarr, x -> abs(x - {mcol}))")),
+            F.greatest(F.expr("cast((size(__rmarr) + 1) div 2 as int)"), F.lit(1)),
+        ),
+    )
     return (
-        out.withColumn(f"roll{n_rows}_med_{col}", med.cast("long"))
+        out.withColumn(f"roll{n_rows}_mad_{col}", mad.cast("long"))
         .drop("__rmarr")
     )
 

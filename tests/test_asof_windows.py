@@ -170,3 +170,30 @@ def test_rolling_median_lower_rank_nulls_and_short_frames(spark):
 
     with pytest.raises(ValueError):
         with_rolling_median(df, "v", n_rows=0)
+
+
+def test_rolling_mad_matches_brute(spark):
+    import datetime
+
+    from nyxus_spark.operators import with_rolling_median
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [10, 3, None, 7, 7, 100, 1, None, 4]
+    df = spark.createDataFrame(
+        [("a", t0 + datetime.timedelta(seconds=s), s, v)
+         for s, v in enumerate(vals)],
+        "doc_id string, ts timestamp, event_id long, v long",
+    )
+    out = {r["event_id"]: (r["roll4_med_v"], r["roll4_mad_v"])
+           for r in with_rolling_median(df, "v", n_rows=4,
+                                        tiebreak="event_id").collect()}
+
+    def lower_med(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1] if xs else None
+
+    for i in range(len(vals)):
+        frame = [v for v in vals[max(0, i - 3):i + 1] if v is not None]
+        med = lower_med(frame)
+        mad = lower_med([abs(v - med) for v in frame]) if frame else None
+        assert out[i] == (med, mad), f"row {i}"
