@@ -90,12 +90,34 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf_num(1).alias("acf1_num"),
         acf_num(2).alias("acf2_num"),
         acf_num(4).alias("acf4_num"),
+        F.expr(
+            "CASE WHEN n_tok > 1 THEN aggregate(slice(tokens, 1, n_tok - 1),"
+            " 0L, (a, x) -> a + x) ELSE 0L END"
+        ).alias("__sh"),
+        F.expr(
+            "CASE WHEN n_tok > 1 THEN aggregate(slice(tokens, 2, n_tok - 1),"
+            " 0L, (a, x) -> a + x) ELSE 0L END"
+        ).alias("__st"),
     )
     out = out.withColumn(
         "acf1_r",
         _r4(F.when(F.col("tok_energy") > 0,
                    F.col("acf1_num") / F.col("tok_energy")).otherwise(F.lit(0.0))),
     )
+    # mean-removed (true) lag-1 autocorrelation as ONE exact rational:
+    # scaling Σ(tᵢ−μ)(tᵢ₊₁−μ) and Σ(tᵢ−μ)² by n² clears μ = m0/n —
+    #   num = n²·R₁ − n·m0·(S_head + S_tail) + (n−1)·m0²
+    #   den = n²·E − n·m0²
+    # with S_head/S_tail the overlap slice sums; constant docs (den = 0) → 0
+    nn = F.col("n_tok").cast("long")
+    c_num = ((nn * nn) * F.col("acf1_num")
+             - (nn * F.col("tok_sum")) * (F.col("__sh") + F.col("__st"))
+             + ((nn - 1) * F.col("tok_sum")) * F.col("tok_sum"))
+    c_den = (nn * nn) * F.col("tok_energy") - (nn * F.col("tok_sum")) * F.col("tok_sum")
+    out = out.withColumn(
+        "acf1_centered",
+        _r4(F.when(c_den > 0, c_num / c_den).otherwise(F.lit(0.0))),
+    ).drop("__sh", "__st")
     # BPE merge step: find the corpus's top adjacent pair (count DESC, then
     # (a, b) ASC — deterministic) and count each doc's greedy non-overlapping
     # merges of it. One explode + hash-agg for the pair table; the winning
@@ -6448,6 +6470,29 @@ SELECT doc_id, n_tok,
                  / (SELECT SUM(CAST(u.t AS BIGINT) * u.t) FROM
                     (SELECT unnest(tokens) AS t) u)) * 10000.0 + 0.5) / 10000.0
             ELSE 0.0 END AS acf1_r,
+       CASE WHEN
+         CAST(n_tok AS BIGINT) * n_tok * (SELECT SUM(CAST(u.t AS BIGINT) * u.t)
+             FROM (SELECT unnest(tokens) AS t) u)
+         - (CAST(n_tok AS BIGINT) * CAST(list_sum(tokens) AS BIGINT))
+           * CAST(list_sum(tokens) AS BIGINT) > 0
+       THEN
+         FLOOR((CAST(
+             CAST(n_tok AS BIGINT) * n_tok
+               * CAST(COALESCE((SELECT SUM(CAST(tokens[u.i] AS BIGINT) * tokens[u.i + 1]) FROM
+                   (SELECT unnest(range(1, GREATEST(len(tokens) - 1, 0) + 1)) AS i) u), 0) AS BIGINT)
+             - (CAST(n_tok AS BIGINT) * CAST(list_sum(tokens) AS BIGINT))
+               * (CASE WHEN n_tok > 1 THEN CAST(COALESCE(list_sum(tokens[1:n_tok-1]), 0) AS BIGINT) ELSE 0 END
+                  + CASE WHEN n_tok > 1 THEN CAST(COALESCE(list_sum(tokens[2:n_tok]), 0) AS BIGINT) ELSE 0 END)
+             + ((CAST(n_tok AS BIGINT) - 1) * CAST(list_sum(tokens) AS BIGINT))
+               * CAST(list_sum(tokens) AS BIGINT)
+           AS DOUBLE)
+           / CAST(
+             CAST(n_tok AS BIGINT) * n_tok * (SELECT SUM(CAST(u.t AS BIGINT) * u.t)
+                 FROM (SELECT unnest(tokens) AS t) u)
+             - (CAST(n_tok AS BIGINT) * CAST(list_sum(tokens) AS BIGINT))
+               * CAST(list_sum(tokens) AS BIGINT)
+           AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS acf1_centered,
        (SELECT a FROM tp) AS bpe_a,
        (SELECT b FROM tp) AS bpe_b,
        bm.m AS bpe_merges,
