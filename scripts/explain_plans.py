@@ -269,6 +269,51 @@ def main() -> None:
     )
     sections["skyline flags (dim cummax + broadcast — no row-table sort)"] = plan_of(skl)
 
+    # runtime bloom-filter join pruning (InjectRuntimeFilter): on a
+    # selective shuffle join, the creation side's bloom filter reaches the
+    # other side's scan as a might_contain predicate — row-group-level scan
+    # reduction the optimizer injects for free at 100 TB (the
+    # application-side size threshold, default 10GB, is lowered here only
+    # because the test corpus is tiny; the creation-side selectivity rule
+    # is the real one)
+    rbf_keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved_rbf = {}
+    for k, val in rbf_keys.items():
+        try:
+            saved_rbf[k] = spark.conf.get(k)
+        except Exception:
+            saved_rbf[k] = None
+        spark.conf.set(k, val)
+    try:
+        evr = spark.read.parquet(f"{sf}/events.parquet")
+        rbf_probes = evr.filter(
+            (F.col("event_id") % 4 == 0) & (F.col("event_type") == "purchase")
+        ).select("user_id", "ts", "event_id")
+        rbf_versions = evr.filter(F.col("event_id") % 4 != 0).select(
+            "user_id", "ts", "value"
+        )
+        opt = (
+            rbf_probes.join(rbf_versions, "user_id")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        keep = [
+            ln for ln in opt.splitlines()
+            if re.search(r"might_contain|bloom_filter_agg|Join|Relation", ln)
+        ]
+        sections[
+            "runtime bloom-filter join pruning (InjectRuntimeFilter — OPTIMIZED plan)"
+        ] = "\n".join(keep)
+    finally:
+        for k, val in saved_rbf.items():
+            if val is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, val)
+
     # relational path: broadcast dim join + partial/final hash agg
     o = spark.read.parquet(f"{sf}/orders.parquet")
     c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_mktsegment")
@@ -546,6 +591,10 @@ def main() -> None:
     sky_plan = sections["skyline flags (dim cummax + broadcast — no row-table sort)"]
     assert "BroadcastHashJoin" in sky_plan
     assert "SortMergeJoin" not in sky_plan and "CartesianProduct" not in sky_plan
+    rbf_plan = sections[
+        "runtime bloom-filter join pruning (InjectRuntimeFilter — OPTIMIZED plan)"
+    ]
+    assert "might_contain" in rbf_plan and "bloom_filter_agg" in rbf_plan
     print("EXPLAIN.md written")
     spark.stop()
 
