@@ -3767,7 +3767,16 @@ def _q_gabor_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     row set is the intersection, replayed by the oracle's inner join)."""
     g = _q_gabor(spark, sf_dir)
     r = _q_radial(spark, sf_dir)
-    return g.join(r, "doc_id")
+    # Haar multi-resolution detail/approximation energies: the exact-integer
+    # dyadic band decomposition beside the quantized Gabor bank
+    # (features/signal.py haar_cols — staged level arrays, zero Python)
+    from nyxus_spark.features.signal import haar_cols
+    from nyxus_spark.sources import tokens_static
+
+    h = haar_cols(
+        tokens_static(spark, sf_dir).select("doc_id", "tokens", "n_tok")
+    ).select("doc_id", "haar_d1", "haar_d2", "haar_d3", "haar_a3")
+    return g.join(r, "doc_id").join(h, "doc_id")
 
 
 def _q_glcm_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6261,6 +6270,7 @@ JOIN ({oracles.sql_glrlm_bg(64)}) b USING (doc_id)
         "gabor_radial": f"""
 SELECT * FROM ({oracles.sql_gabor()}) g
 JOIN ({oracles.sql_radial()}) r USING (doc_id)
+JOIN ({oracles.sql_haar()}) h USING (doc_id)
 """,
     }
     return extra | {

@@ -263,3 +263,53 @@ def radial_section(seg: Segments, settings: FeatureSettings) -> dict[str, np.nda
     out["MEAN_FRAC"] = np.where(ok, mean_frac, nan)
     out["RADIAL_CV"] = np.where(ok, cv, nan)
     return out
+
+
+def haar_cols(df, tokens_col: str = "tokens", n_tok_col: str = "n_tok",
+              levels: int = 3):
+    """Un-normalized Haar wavelet multi-resolution energies — the dyadic
+    band decomposition beside the quantized Gabor bank above (the
+    reference's frequency-band feature role, gabor.cpp, recast on the 1-D
+    stream with an EXACT basis): at each level, adjacent pairs of the
+    current approximation become pairwise SUMS (next approximation) and
+    pairwise DIFFERENCES (detail); an odd tail element is dropped at that
+    level (documented contract, replayed verbatim by the oracle).
+
+    Deferring the 1/√2 normalization keeps every coefficient an exact
+    integer (level-L values are 2^(L/2)-scaled), so the per-level detail
+    energies haar_d1..haar_dL and the final approximation energy haar_aL
+    are exact BIGINT sums — engine-bit-identical, order-free.
+
+    Pure Catalyst exprs, zero Python, zero shuffle: each level is one
+    staged array column (transform over a guarded sequence — Spark's
+    sequence(a, b) DESCENDS when b < a, hence the size CASEs) plus one
+    aggregate fold for its energy.
+    """
+    if not 1 <= levels <= 5:
+        raise ValueError(f"levels must be in [1, 5], got {levels}")
+    from pyspark.sql import functions as F
+
+    def pair_arr(src: str, op: str) -> str:
+        return (
+            f"CASE WHEN size({src}) >= 2 THEN "
+            f"transform(sequence(1, cast(size({src}) div 2 as int)),"
+            f" i -> element_at({src}, 2 * i - 1) {op} element_at({src}, 2 * i))"
+            f" ELSE array() END"
+        )
+
+    def energy(src: str) -> str:
+        return (
+            f"aggregate({src}, 0L,"
+            f" (s, x) -> s + cast(x as bigint) * x)"
+        )
+
+    out = df
+    cur = tokens_col
+    for lv in range(1, levels + 1):
+        out = out.withColumn(f"__haar_a{lv}", F.expr(pair_arr(cur, "+")))
+        out = out.withColumn(
+            f"haar_d{lv}", F.expr(energy(pair_arr(cur, "-"))).cast("long")
+        )
+        cur = f"__haar_a{lv}"
+    out = out.withColumn(f"haar_a{levels}", F.expr(energy(cur)).cast("long"))
+    return out.drop(*[f"__haar_a{lv}" for lv in range(1, levels + 1)])

@@ -2969,3 +2969,56 @@ SELECT r.query_id, r.vec_id, r.cos, CAST(r.rn AS BIGINT) AS rank,
 FROM ranked r JOIN rr ON rr.query_id = r.query_id AND rr.rr_rank = r.rn
 WHERE r.rn <= {k}
 """
+
+
+def sql_haar() -> str:
+    """Haar multi-resolution energies (signal.py haar_cols): pairwise sums
+    cascade as the approximation, pairwise differences as the detail, odd
+    tails dropped per level — every coefficient an exact integer (deferred
+    1/sqrt(2) normalization), every energy one exact BIGINT sum."""
+    return f"""
+WITH {SQL_TOKENS_STATIC},
+h1 AS (
+  SELECT doc_id,
+         CASE WHEN n_tok >= 2 THEN
+           list_transform(range(1, n_tok // 2 + 1),
+             i -> tokens[2 * i - 1] + tokens[2 * i])
+         ELSE [] END AS a1,
+         CASE WHEN n_tok >= 2 THEN
+           CAST(COALESCE(list_sum(list_transform(range(1, n_tok // 2 + 1),
+             i -> CAST(tokens[2 * i - 1] - tokens[2 * i] AS BIGINT)
+                  * (tokens[2 * i - 1] - tokens[2 * i]))), 0) AS BIGINT)
+         ELSE 0 END AS haar_d1
+  FROM tokens_static
+),
+h2 AS (
+  SELECT doc_id, haar_d1,
+         CASE WHEN len(a1) >= 2 THEN
+           list_transform(range(1, len(a1) // 2 + 1),
+             i -> a1[2 * i - 1] + a1[2 * i])
+         ELSE [] END AS a2,
+         CASE WHEN len(a1) >= 2 THEN
+           CAST(COALESCE(list_sum(list_transform(range(1, len(a1) // 2 + 1),
+             i -> CAST(a1[2 * i - 1] - a1[2 * i] AS BIGINT)
+                  * (a1[2 * i - 1] - a1[2 * i]))), 0) AS BIGINT)
+         ELSE 0 END AS haar_d2
+  FROM h1
+),
+h3 AS (
+  SELECT doc_id, haar_d1, haar_d2,
+         CASE WHEN len(a2) >= 2 THEN
+           list_transform(range(1, len(a2) // 2 + 1),
+             i -> a2[2 * i - 1] + a2[2 * i])
+         ELSE [] END AS a3,
+         CASE WHEN len(a2) >= 2 THEN
+           CAST(COALESCE(list_sum(list_transform(range(1, len(a2) // 2 + 1),
+             i -> CAST(a2[2 * i - 1] - a2[2 * i] AS BIGINT)
+                  * (a2[2 * i - 1] - a2[2 * i]))), 0) AS BIGINT)
+         ELSE 0 END AS haar_d3
+  FROM h2
+)
+SELECT doc_id, haar_d1, haar_d2, haar_d3,
+       CAST(COALESCE(list_sum(list_transform(a3,
+              x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS haar_a3
+FROM h3
+"""
