@@ -840,7 +840,8 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators import sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id", "props"
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id",
+        "props", "value",
     )
     # deterministic SCHEMA DRIFT injection so the audit has real work:
     # every 5th event's producer "adds a field" (x), every 7th "drops" k —
@@ -872,6 +873,22 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         aud["missing"].alias("pj_missing"),
     )
     w = Window.partitionBy("doc_id", "session_id")
+    # session TWAP (time-weighted average value): each event's cents weight
+    # is its µs gap to the NEXT event in the session (last event weighs 0),
+    # numerator an exact BIGINT, ONE final division by the session span;
+    # single-event sessions (span 0) → NULL on both engines
+    wlead = Window.partitionBy("doc_id", "session_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    s = s.withColumn(
+        "__us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).withColumn(
+        "__cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    s = s.withColumn(
+        "__dt", F.coalesce(F.lead("__us").over(wlead), F.col("__us")) - F.col("__us")
+    )
+    twap_num = F.sum(F.col("__cents") * F.col("__dt")).over(w).cast("long")
+    twap_den = F.max("__us").over(w) - F.min("__us").over(w)
     out = s.select(
         "doc_id",
         "event_id",
@@ -880,6 +897,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pj_keys", "pj_extra", "pj_missing",
         F.sum("props_k").over(w).cast("long").alias("session_k_sum"),
         F.count("*").over(w).cast("long").alias("session_n_events"),
+        F.when(twap_den > 0, _r4(twap_num / twap_den)).alias("session_twap4"),
     )
     # INTERVAL JOIN composition: each session's [min ts, max ts] becomes a
     # validity window, and every event re-joins through the bucketed
@@ -6963,7 +6981,7 @@ WINDOW cw AS (PARTITION BY event_type ORDER BY window_start_us
         "sessionize": """
 WITH drifted AS (  -- the same deterministic schema-drift injection:
                    -- %7 drops k (producer regression), %5 adds x
-  SELECT user_id, event_id, ts,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN event_id % 7 = 0 THEN '{"z": 1}'
               WHEN event_id % 5 = 0 THEN substr(props, 1, strlen(props) - 1)
                    || ', "x": ' || CAST(event_id % 9 AS VARCHAR) || '}'
@@ -6971,7 +6989,7 @@ WITH drifted AS (  -- the same deterministic schema-drift injection:
   FROM events
 ),
 flags AS (
-  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts, props,
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts, value, props,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
               THEN 1 ELSE 0 END AS f
@@ -6983,6 +7001,24 @@ sess AS (
          CAST(SUM(f) OVER (PARTITION BY doc_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
   FROM flags
+),
+sev AS (  -- session TWAP inputs: exact cents + epoch-µs per event
+  SELECT s.doc_id, s.session_id, s.event_id, f.ts,
+         CAST(FLOOR(f.value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(f.ts) AS us
+  FROM sess s JOIN flags f USING (doc_id, event_id)
+),
+twp AS (  -- weight = µs gap to the NEXT session event (last weighs 0)
+  SELECT doc_id, session_id, cents, us,
+         COALESCE(lead(us) OVER (PARTITION BY doc_id, session_id
+                                 ORDER BY ts, event_id), us) - us AS dt
+  FROM sev
+),
+twa AS (
+  SELECT doc_id, session_id,
+         CAST(SUM(cents * dt) AS BIGINT) AS twap_num,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS twap_den
+  FROM twp GROUP BY 1, 2
 ),
 ivs AS (  -- session validity windows
   SELECT s.doc_id, s.session_id, MIN(f.ts) AS lo, MAX(f.ts) AS hi
@@ -7027,6 +7063,9 @@ SELECT s.doc_id, s.event_id, s.session_id,
        CAST(SUM(CAST(json_extract(s.props, '$.k') AS BIGINT))
             OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_k_sum,
        CAST(COUNT(*) OVER (PARTITION BY s.doc_id, s.session_id) AS BIGINT) AS session_n_events,
+       CASE WHEN t.twap_den > 0 THEN
+         FLOOR((CAST(t.twap_num AS DOUBLE) / t.twap_den) * 10000.0 + 0.5) / 10000.0
+       END AS session_twap4,
        n.iv_n,
        -- the streamed session count must agree with the from-scratch
        -- batch count (the Spark side computes it via session_window
@@ -7039,6 +7078,7 @@ SELECT s.doc_id, s.event_id, s.session_id,
          - cf.cohort_d AS offset_d,
        cz.cohort_users, cc.cell_users
 FROM sess s JOIN ivn n USING (doc_id, session_id)
+JOIN twa t USING (doc_id, session_id)
 LEFT JOIN con c USING (doc_id, session_id)
 JOIN flags f2 USING (doc_id, event_id)
 JOIN chf cf ON cf.u = s.doc_id
