@@ -162,6 +162,11 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("seg_len").cast("long").alias("max_seg_len"),
             F.sum((F.col("seg_id") + 1) * (F.col("__ss") + F.col("seg_len")))
             .cast("long").alias("seg_checksum"),
+            # per-segment mean spread (paragraph-level quality dispersion):
+            # each segment mean is ONE exact-int division; max/min of those
+            # IEEE quotients are engine-identical comparisons
+            _r4(F.max(F.col("__ss") / F.col("seg_len"))).alias("max_seg_mean4"),
+            _r4(F.min(F.col("__ss") / F.col("seg_len"))).alias("min_seg_mean4"),
         )
     )
     # lexical diversity (corpus-quality metrics): distinct token types,
@@ -186,6 +191,8 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_segs", zero).alias("n_segs"),
         F.coalesce("max_seg_len", zero).alias("max_seg_len"),
         F.coalesce("seg_checksum", zero).alias("seg_checksum"),
+        F.col("max_seg_mean4"),
+        F.col("min_seg_mean4"),
         F.coalesce("distinct_tokens", zero).alias("distinct_tokens"),
         F.coalesce("hapax_tokens", zero).alias("hapax_tokens"),
         F.coalesce("simpson_num", zero).alias("simpson_num"),
@@ -2902,6 +2909,23 @@ def _q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
             "g_seg", "g_prio", "n_orders", "sum_totalprice_cents", "n_customers",
         )
+        # referential-integrity audit (data-quality sweep a warehouse runs
+        # beside every rollup): broadcast anti-join counts ride every cube
+        # row as corpus-level columns — orphan orders (custkey not in
+        # customer: must be 0) and inactive customers (no orders: the
+        # TPC-H-style nonzero third)
+        .crossJoin(F.broadcast(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+            .join(c, F.col("o_custkey") == c.c_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("ri_orphan_orders"))
+        ))
+        .crossJoin(F.broadcast(
+            c.join(
+                spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select("o_custkey").distinct(),
+                F.col("c_custkey") == F.col("o_custkey"), "left_anti",
+            ).agg(F.count(F.lit(1)).alias("ri_idle_customers"))
+        ))
     )
 
 
@@ -4886,7 +4910,13 @@ SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS ri_orphan_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+         AS ri_idle_customers
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE (c_mktsegment, o_orderpriority)
 """,
@@ -6348,7 +6378,11 @@ segagg AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_segs,
          CAST(MAX(seg_len) AS BIGINT) AS max_seg_len,
-         CAST(SUM((seg_id + 1) * (seg_sum + seg_len)) AS BIGINT) AS seg_checksum
+         CAST(SUM((seg_id + 1) * (seg_sum + seg_len)) AS BIGINT) AS seg_checksum,
+         FLOOR(MAX(CAST(seg_sum AS DOUBLE) / seg_len) * 10000.0 + 0.5) / 10000.0
+           AS max_seg_mean4,
+         FLOOR(MIN(CAST(seg_sum AS DOUBLE) / seg_len) * 10000.0 + 0.5) / 10000.0
+           AS min_seg_mean4
   FROM segrows GROUP BY doc_id
 ),
 lex AS (  -- lexical diversity: two-phase (doc, token) aggregation
@@ -6528,6 +6562,8 @@ SELECT doc_id, n_tok,
        COALESCE(sa.n_segs, 0) AS n_segs,
        COALESCE(sa.max_seg_len, 0) AS max_seg_len,
        COALESCE(sa.seg_checksum, 0) AS seg_checksum,
+       sa.max_seg_mean4,
+       sa.min_seg_mean4,
        COALESCE(lx.distinct_tokens, 0) AS distinct_tokens,
        COALESCE(lx.hapax_tokens, 0) AS hapax_tokens,
        sp.n_corrupt_spans, sp.n_corrupt_tokens, sp.corrupt_checksum,
