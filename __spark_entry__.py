@@ -98,6 +98,15 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN n_tok > 1 THEN aggregate(slice(tokens, 2, n_tok - 1),"
             " 0L, (a, x) -> a + x) ELSE 0L END"
         ).alias("__st"),
+        # RLE compression proxy: maximal-run count = 1 + #(adjacent unequal)
+        F.expr(
+            "CASE WHEN n_tok = 0 THEN 0L "
+            "WHEN n_tok = 1 THEN 1L "
+            "ELSE 1L + aggregate(zip_with(slice(tokens, 1, n_tok - 1),"
+            " slice(tokens, 2, n_tok - 1),"
+            " (a, b) -> CASE WHEN a <> b THEN 1L ELSE 0L END),"
+            " 0L, (s, x) -> s + x) END"
+        ).alias("rle_runs"),
     )
     out = out.withColumn(
         "acf1_r",
@@ -239,6 +248,24 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _r4(F.col("simpson_num")
                     / (F.col("n_tok").cast("long") * (F.col("n_tok") - 1))),
             ).otherwise(F.lit(0.0)),
+        )
+        # effective vocabulary size (inverse participation ratio):
+        # n² / Σc² = n² / (simpson_num + n) — exact ints, ONE division
+        .withColumn(
+            "eff_vocab4",
+            F.when(
+                F.col("n_tok") > 0,
+                _r4((F.col("n_tok").cast("long") * F.col("n_tok"))
+                    / (F.col("simpson_num") + F.col("n_tok"))),
+            ).otherwise(F.lit(0.0)),
+        )
+        # RLE ratio: runs per token — near 1 for incompressible streams,
+        # small for heavy repetition
+        .withColumn(
+            "rle_ratio4",
+            F.when(F.col("n_tok") > 0,
+                   _r4(F.col("rle_runs") / F.col("n_tok")))
+            .otherwise(F.lit(0.0)),
         )
     )
     # skyline (Pareto-front) membership on the length/richness plane:
@@ -6579,6 +6606,21 @@ SELECT doc_id, n_tok,
                 / (CAST(n_tok AS BIGINT) * (n_tok - 1))) * 10000.0 + 0.5)
          / 10000.0
        ELSE 0.0 END AS simpson4,
+       CASE WHEN n_tok > 0 THEN
+         FLOOR(((CAST(n_tok AS BIGINT) * n_tok)
+                / (COALESCE(lx.simpson_num, 0) + n_tok)) * 10000.0 + 0.5)
+         / 10000.0
+       ELSE 0.0 END AS eff_vocab4,
+       CASE WHEN n_tok = 0 THEN 0
+            WHEN n_tok = 1 THEN 1
+            ELSE 1 + CAST(len(list_filter(range(1, n_tok),
+                   i -> tokens[i] <> tokens[i + 1])) AS BIGINT) END AS rle_runs,
+       CASE WHEN n_tok > 0 THEN
+         FLOOR((CAST(CASE WHEN n_tok = 1 THEN 1
+                 ELSE 1 + CAST(len(list_filter(range(1, n_tok),
+                        i -> tokens[i] <> tokens[i + 1])) AS BIGINT) END AS DOUBLE)
+                / n_tok) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS rle_ratio4,
        CAST(sk.on_skyline AS BIGINT) AS on_skyline,
        CAST(pl.pareto_layer AS BIGINT) AS pareto_layer
 FROM tokens_static JOIN bpem bm USING (doc_id)
