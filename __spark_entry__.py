@@ -582,13 +582,29 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("__nbr").alias("sim_nbr"),
                 _r4(F.col("__sim")).alias("sim_cos4"))
     )
+    # exact per-source DECILE vector of n_tok (lower-rank selection at
+    # index floor((n−1)·k/10)+1 under the doc_id-tie-broken total order —
+    # the distribution prescan a partition planner sizes splits from)
+    dec = (
+        t.select("source", "n_tok",
+                 F.row_number().over(w).alias("rn"),
+                 F.count("*").over(Window.partitionBy("source")).alias("cnt"))
+        .groupBy("source")
+        .agg(*[
+            F.max(F.when(
+                F.col("rn") == F.expr(f"((cnt - 1) * {k}) div 10 + 1"),
+                F.col("n_tok"),
+            )).cast("long").alias(f"dec{k}_n_tok")
+            for k in range(1, 10)
+        ])
+    )
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
             .join(churn, "source").join(dig2, "source").join(mrg, "source")
             .join(mhsk, "source")
             .join(mad, "source").join(trim, "source").join(ks, "source")
-            .join(sim, "source")
+            .join(sim, "source").join(dec, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -6658,6 +6674,18 @@ med AS (  -- exact lower median by RANK under the same total order
            COUNT(*) OVER (PARTITION BY source) AS cnt
     FROM docs) WHERE rn = (cnt + 1) // 2
 ),
+decs AS (  -- exact decile vector: lower-rank selection, same total order
+  SELECT source,
+         {", ".join(
+             f"CAST(MAX(CASE WHEN rn = ((cnt - 1) * {k}) // 10 + 1 THEN n_tok END) AS BIGINT) AS dec{k}_n_tok"
+             for k in range(1, 10))}
+  FROM (
+    SELECT source, n_tok,
+           row_number() OVER (PARTITION BY source ORDER BY n_tok ASC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM docs)
+  GROUP BY source
+),
 ws AS (  -- merged-label (wholeslide) kernel stats: order-independent ints
   SELECT source,
          CAST(SUM(n_tok) AS BIGINT) AS ws_count,
@@ -6942,7 +6970,10 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        mk.mh_s0, mk.mh_s1, mk.mh_s2, mk.mh_s3, mk.mh_sig_sum,
        ma.mad_n_tok, tq.trim_sum, tq.trim_cnt,
        kd.ks_num, kd.ks_den, kd.ks_d4,
-       sm.sim_nbr, sm.sim_cos4
+       sm.sim_nbr, sm.sim_cos4,
+       dc.dec1_n_tok, dc.dec2_n_tok, dc.dec3_n_tok, dc.dec4_n_tok,
+       dc.dec5_n_tok, dc.dec6_n_tok, dc.dec7_n_tok, dc.dec8_n_tok,
+       dc.dec9_n_tok
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -6955,6 +6986,7 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN trimq tq USING (source)
      JOIN ks kd USING (source)
      JOIN ssim sm USING (source)
+     JOIN decs dc USING (source)
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
