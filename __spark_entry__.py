@@ -4356,14 +4356,50 @@ def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.features.firstorder import HISTO_FEATURES
     from nyxus_spark.sources import tokens_static
 
-    t = tokens_static(spark, sf_dir).filter(
-        F.array_max("tokens") > F.array_min("tokens")
-    )
+    full = tokens_static(spark, sf_dir)
+    t = full.filter(F.array_max("tokens") > F.array_min("tokens"))
     feats = extract_features(t, list(HISTO_FEATURES), keep_tokens=False)
+    # GLOBAL histogram EQUALIZATION (the classic intensity remap by corpus
+    # CDF — the preprocessing transform ahead of texture/IH binning):
+    # eq(v) = round-half-up of (cdf(v) − cdf_min)·63/(N − cdf_min), exact
+    # via floor((2a·63 + b) div (2b)). The CDF is a 251-row dim (global
+    # window on the DIM only, like the skyline cummax), broadcast back to
+    # the exploded stream; per-doc sums/extrema/position-checksum gate the
+    # whole remapped sequence.
+    from pyspark.sql import Window
+
+    cnts = (
+        full.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    wt = Window.orderBy(F.col("tok").asc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    cdf = cnts.withColumn("cum", F.sum("c").over(wt))
+    sc = cdf.agg(F.min("cum").alias("cmn"), F.max("cum").alias("nn"))
+    eqmap = cdf.crossJoin(F.broadcast(sc)).select(
+        "tok",
+        F.expr(
+            "CASE WHEN nn = cmn THEN 0L ELSE "
+            "(2 * (cum - cmn) * 63 + (nn - cmn)) div (2 * (nn - cmn)) END"
+        ).alias("eq"),
+    )
+    pe = t.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    eqd = (
+        pe.join(F.broadcast(eqmap), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("eq").cast("long").alias("eq_sum"),
+            F.min("eq").cast("long").alias("eq_min"),
+            F.max("eq").cast("long").alias("eq_max"),
+            F.sum(F.col("eq") * (F.col("pos") + 1)).cast("long")
+            .alias("eq_checksum"),
+            F.countDistinct("eq").cast("long").alias("eq_levels"),
+        )
+    )
     return feats.select(
         "doc_id",
         *[F.col(h).cast("long").alias(h.lower()) for h in HISTO_FEATURES],
-    )
+    ).join(eqd, "doc_id")
 
 
 def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:

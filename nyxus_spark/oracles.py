@@ -2586,10 +2586,44 @@ binned AS (
          LEAST(CAST(FLOOR(CAST(f.t - s.mn AS DOUBLE) / (s.mx - s.mn) * {n_bins}.0) AS INTEGER), {n_bins - 1}) AS b
   FROM flat f JOIN stats s USING (doc_id)
   WHERE s.mx > s.mn
+),
+gcnt AS (  -- global (corpus) CDF over the 251-value token dim
+  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY t
+),
+gcdf AS (
+  SELECT tok, SUM(c) OVER (ORDER BY tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM gcnt
+),
+gsc AS (SELECT MIN(cum) AS cmn, MAX(cum) AS nn FROM gcdf),
+eqmap AS (  -- round-half-up equalized level, exact integer division
+  SELECT tok,
+         CASE WHEN s.nn = s.cmn THEN 0
+              ELSE (2 * (cum - s.cmn) * 63 + (s.nn - s.cmn))
+                   // (2 * (s.nn - s.cmn)) END AS eq
+  FROM gcdf, gsc s
+),
+eqd AS (
+  SELECT p.doc_id,
+         CAST(SUM(e.eq) AS BIGINT) AS eq_sum,
+         CAST(MIN(e.eq) AS BIGINT) AS eq_min,
+         CAST(MAX(e.eq) AS BIGINT) AS eq_max,
+         CAST(SUM(e.eq * p.pos) AS BIGINT) AS eq_checksum,
+         CAST(COUNT(DISTINCT e.eq) AS BIGINT) AS eq_levels
+  FROM (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS pos
+        FROM tokens_static) p
+  JOIN eqmap e USING (tok)
+  GROUP BY p.doc_id
 )
 SELECT doc_id,
-       {cols}
-FROM binned GROUP BY doc_id
+       {cols},
+       MAX(q.eq_sum) AS eq_sum,
+       MAX(q.eq_min) AS eq_min,
+       MAX(q.eq_max) AS eq_max,
+       MAX(q.eq_checksum) AS eq_checksum,
+       MAX(q.eq_levels) AS eq_levels
+FROM binned JOIN eqd q USING (doc_id) GROUP BY doc_id
 """
 
 
