@@ -4396,10 +4396,56 @@ def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eq").cast("long").alias("eq_levels"),
         )
     )
-    return feats.select(
+    out = feats.select(
         "doc_id",
         *[F.col(h).cast("long").alias(h.lower()) for h in HISTO_FEATURES],
     ).join(eqd, "doc_id")
+    # OTSU threshold (the classic binarization: argmax of between-class
+    # variance over the 64-bin histogram). Candidate scores are
+    # (W·S_t − w_t·S)²/(w_t·(W−w_t)) — exact-integer numerators/denominators
+    # evaluated with ONE identical double chain per candidate, so the argmax
+    # (first index of the max, ties → lowest threshold) matches bit-for-bit.
+    # Cumulative arrays are STAGED columns (never recompute a fold inside
+    # the scoring lambda — the Catalyst rescan trap).
+    arr = "array(" + ", ".join(f"histo_bin_{i}" for i in range(64)) + ")"
+    out = out.withColumn("__hb", F.expr(arr))
+    out = out.withColumn(
+        "__cw",
+        F.expr("transform(sequence(1, 63),"
+               " k -> aggregate(slice(__hb, 1, k), 0L, (a, x) -> a + x))"),
+    ).withColumn(
+        "__cs",
+        F.expr(
+            "transform(sequence(1, 63),"
+            " k -> aggregate(zip_with(slice(__hb, 1, k), sequence(0, k - 1),"
+            "                (c, b) -> cast(b as bigint) * c),"
+            "      0L, (a, x) -> a + x))"
+        ),
+    ).withColumn(
+        "__W", F.expr("aggregate(__hb, 0L, (a, x) -> a + x)")
+    ).withColumn(
+        "__S",
+        F.expr("aggregate(zip_with(__hb, sequence(0, 63),"
+               " (c, b) -> cast(b as bigint) * c), 0L, (a, x) -> a + x)"),
+    ).withColumn(
+        "__ov",
+        F.expr(
+            "transform(sequence(1, 63), k -> CASE"
+            " WHEN element_at(__cw, k) > 0 AND element_at(__cw, k) < __W THEN"
+            " cast(__W * element_at(__cs, k) - element_at(__cw, k) * __S as double)"
+            " * (__W * element_at(__cs, k) - element_at(__cw, k) * __S)"
+            " / (element_at(__cw, k) * (__W - element_at(__cw, k)))"
+            " ELSE -1.0D END)"
+        ),
+    )
+    return out.select(
+        *[c for c in out.columns if not c.startswith("__")],
+        (F.expr("array_position(__ov, array_max(__ov))") - 1)
+        .cast("long").alias("otsu_bin"),
+        _r4(F.expr("array_max(__ov)")
+            / (F.col("__W").cast("double") * F.col("__W").cast("double")))
+        .alias("otsu_sep4"),
+    )
 
 
 def _q_gldm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2615,6 +2615,41 @@ eqd AS (
         FROM tokens_static) p
   JOIN eqmap e USING (tok)
   GROUP BY p.doc_id
+),
+hagg AS (  -- per-doc 64-slot count array (the Otsu input histogram)
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+           CAST(len(list_filter(bs, x -> x = i)) AS BIGINT)) AS hb
+  FROM (SELECT doc_id, list(b) AS bs FROM binned GROUP BY doc_id)
+),
+ocum AS (  -- staged cumulative count/weighted-index arrays + totals
+  SELECT doc_id,
+         list_transform(range(1, 64), k ->
+           CAST(COALESCE(list_sum(hb[1:k]), 0) AS BIGINT)) AS cw,
+         list_transform(range(1, 64), k ->
+           CAST(COALESCE(list_sum(list_transform(range(1, k + 1),
+                j -> (j - 1) * hb[j])), 0) AS BIGINT)) AS cs,
+         CAST(list_sum(hb) AS BIGINT) AS w,
+         CAST(COALESCE(list_sum(list_transform(range(1, 65),
+              j -> (j - 1) * hb[j])), 0) AS BIGINT) AS s
+  FROM hagg
+),
+ov AS (  -- between-class-variance scores, the identical double chain
+  SELECT doc_id, w,
+         list_transform(range(1, 64), k -> CASE
+           WHEN cw[k] > 0 AND cw[k] < w THEN
+             CAST(w * cs[k] - cw[k] * s AS DOUBLE)
+             * (w * cs[k] - cw[k] * s)
+             / (cw[k] * (w - cw[k]))
+           ELSE -1.0 END) AS v
+  FROM ocum
+),
+ots AS (
+  SELECT doc_id,
+         CAST(list_position(v, list_max(v)) - 1 AS BIGINT) AS otsu_bin,
+         FLOOR((list_max(v) / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 AS otsu_sep4
+  FROM ov
 )
 SELECT doc_id,
        {cols},
@@ -2622,8 +2657,11 @@ SELECT doc_id,
        MAX(q.eq_min) AS eq_min,
        MAX(q.eq_max) AS eq_max,
        MAX(q.eq_checksum) AS eq_checksum,
-       MAX(q.eq_levels) AS eq_levels
-FROM binned JOIN eqd q USING (doc_id) GROUP BY doc_id
+       MAX(q.eq_levels) AS eq_levels,
+       MAX(ot.otsu_bin) AS otsu_bin,
+       MAX(ot.otsu_sep4) AS otsu_sep4
+FROM binned JOIN eqd q USING (doc_id) JOIN ots ot USING (doc_id)
+GROUP BY doc_id
 """
 
 
