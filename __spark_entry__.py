@@ -4438,13 +4438,79 @@ def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -1.0D END)"
         ),
     )
-    return out.select(
+    out = out.select(
         *[c for c in out.columns if not c.startswith("__")],
         (F.expr("array_position(__ov, array_max(__ov))") - 1)
         .cast("long").alias("otsu_bin"),
         _r4(F.expr("array_max(__ov)")
             / (F.col("__W").cast("double") * F.col("__W").cast("double")))
         .alias("otsu_sep4"),
+    )
+    # 1-D MORPHOLOGY on the Otsu-binarized stream (the shape-analysis
+    # family recast, A14): foreground mask f = [bin(tok) > otsu_bin] with
+    # the kernel's exact binning formula, then mass, run count, MAX run
+    # (struct-state fold — fields cast stable), and radius-1 EROSION /
+    # DILATION survivor counts with zero-padded borders. Pure exprs; the
+    # oracle replays via lag/lead windows + gaps-and-islands.
+    m = out.join(t.select("doc_id", "tokens"), "doc_id")
+    m = m.withColumn("__mn", F.array_min("tokens")).withColumn(
+        "__mx", F.array_max("tokens"))
+    m = m.withColumn(
+        "__fg",
+        F.expr(
+            "transform(tokens, x -> CASE WHEN"
+            " least(cast(floor(cast(x - __mn as double) / (__mx - __mn)"
+            " * 64.0) as int), 63) > otsu_bin THEN 1L ELSE 0L END)"
+        ),
+    )
+    m = (
+        m.withColumn(
+            "fg_count", F.expr("aggregate(__fg, 0L, (a, x) -> a + x)"))
+        .withColumn(
+            "fg_runs",
+            F.expr(
+                "element_at(__fg, 1) + aggregate(zip_with("
+                " slice(__fg, 2, size(__fg) - 1),"
+                " slice(__fg, 1, size(__fg) - 1),"
+                " (a, b) -> a * (1L - b)), 0L, (s, x) -> s + x)"
+            ),
+        )
+        .withColumn(
+            "max_fg_run",
+            F.expr(
+                "aggregate(__fg, named_struct('cur', 0L, 'best', 0L),"
+                " (s, x) -> named_struct("
+                "   'cur', CASE WHEN x = 1L THEN s.cur + 1L ELSE 0L END,"
+                "   'best', greatest(s.best,"
+                "     CASE WHEN x = 1L THEN s.cur + 1L ELSE 0L END)),"
+                " s -> s.best)"
+            ),
+        )
+        .withColumn(
+            "eroded_count",
+            F.expr(
+                "CASE WHEN size(__fg) >= 3 THEN"
+                " aggregate(transform(sequence(2, size(__fg) - 1),"
+                "  i -> element_at(__fg, i - 1) * element_at(__fg, i)"
+                "       * element_at(__fg, i + 1)), 0L, (s, x) -> s + x)"
+                " ELSE 0L END"
+            ),
+        )
+        .withColumn(
+            "dilated_count",
+            F.expr(
+                "aggregate(transform(sequence(1, size(__fg)), i -> CASE WHEN"
+                " (CASE WHEN i > 1 THEN element_at(__fg, i - 1) ELSE 0L END)"
+                " + element_at(__fg, i)"
+                " + (CASE WHEN i < size(__fg) THEN element_at(__fg, i + 1)"
+                "    ELSE 0L END) > 0 THEN 1L ELSE 0L END),"
+                " 0L, (s, x) -> s + x)"
+            ),
+        )
+    )
+    return m.select(
+        *[c for c in m.columns
+          if not c.startswith("__") and c != "tokens"],
     )
 
 

@@ -2650,8 +2650,43 @@ ots AS (
          FLOOR((list_max(v) / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))
                * 10000.0 + 0.5) / 10000.0 AS otsu_sep4
   FROM ov
+),
+fgr AS (  -- Otsu-binarized foreground mask per position
+  SELECT p.doc_id, p.pos,
+         CASE WHEN LEAST(CAST(FLOOR(CAST(p.tok - s.mn AS DOUBLE)
+                / (s.mx - s.mn) * 64.0) AS INTEGER), 63) > ot.otsu_bin
+              THEN 1 ELSE 0 END AS f
+  FROM (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS pos
+        FROM tokens_static) p
+  JOIN stats s USING (doc_id) JOIN ots ot USING (doc_id)
+  WHERE s.mx > s.mn
+),
+fgw AS (
+  SELECT doc_id, pos, f,
+         COALESCE(lag(f) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS fp,
+         COALESCE(lead(f) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS fn
+  FROM fgr
+),
+mor AS (
+  SELECT doc_id,
+         CAST(SUM(f) AS BIGINT) AS fg_count,
+         CAST(SUM(f * (1 - fp)) AS BIGINT) AS fg_runs,
+         CAST(SUM(fp * f * fn) AS BIGINT) AS eroded_count,
+         CAST(SUM(CASE WHEN fp + f + fn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dilated_count
+  FROM fgw GROUP BY doc_id
+),
+mrun AS (  -- gaps-and-islands: longest foreground run
+  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_fg_run FROM (
+    SELECT doc_id, grp, COUNT(*) AS cnt FROM (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM fgr WHERE f = 1)
+    GROUP BY doc_id, grp)
+  GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT bn.doc_id,
        {cols},
        MAX(q.eq_sum) AS eq_sum,
        MAX(q.eq_min) AS eq_min,
@@ -2659,9 +2694,16 @@ SELECT doc_id,
        MAX(q.eq_checksum) AS eq_checksum,
        MAX(q.eq_levels) AS eq_levels,
        MAX(ot.otsu_bin) AS otsu_bin,
-       MAX(ot.otsu_sep4) AS otsu_sep4
-FROM binned JOIN eqd q USING (doc_id) JOIN ots ot USING (doc_id)
-GROUP BY doc_id
+       MAX(ot.otsu_sep4) AS otsu_sep4,
+       MAX(mo.fg_count) AS fg_count,
+       MAX(mo.fg_runs) AS fg_runs,
+       MAX(COALESCE(mr.max_fg_run, 0)) AS max_fg_run,
+       MAX(mo.eroded_count) AS eroded_count,
+       MAX(mo.dilated_count) AS dilated_count
+FROM binned bn JOIN eqd q USING (doc_id) JOIN ots ot USING (doc_id)
+JOIN mor mo USING (doc_id)
+LEFT JOIN mrun mr USING (doc_id)
+GROUP BY bn.doc_id
 """
 
 
