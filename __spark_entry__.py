@@ -4508,6 +4508,21 @@ def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # fractal BOX-COUNTING sufficient statistics (fractal_dim.cpp analog):
+    # occupied box counts at dyadic scales s ∈ {2,4,8} over the binarized
+    # mask (scale 1 = fg_count above); the log-log slope stays client-side
+    # (logs are not cross-engine-gateable) — the COUNTS are the artifact.
+    for s in (2, 4, 8):
+        m = m.withColumn(
+            f"fd_n{s}",
+            F.expr(
+                f"aggregate(transform("
+                f" sequence(0, cast((size(__fg) - 1) div {s} as int)),"
+                f" bx -> CASE WHEN aggregate(slice(__fg, bx * {s} + 1, {s}),"
+                f"   0L, (a, x) -> greatest(a, x)) > 0 THEN 1L ELSE 0L END),"
+                f" 0L, (a, x) -> a + x)"
+            ),
+        )
     return m.select(
         *[c for c in m.columns
           if not c.startswith("__") and c != "tokens"],

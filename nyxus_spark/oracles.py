@@ -2685,6 +2685,16 @@ mrun AS (  -- gaps-and-islands: longest foreground run
       FROM fgr WHERE f = 1)
     GROUP BY doc_id, grp)
   GROUP BY doc_id
+),
+fdbx AS (  -- fractal box counts: occupied dyadic boxes over the fg mask
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT CASE WHEN f = 1 THEN (pos - 1) // 2 END)
+              AS BIGINT) AS fd_n2,
+         CAST(COUNT(DISTINCT CASE WHEN f = 1 THEN (pos - 1) // 4 END)
+              AS BIGINT) AS fd_n4,
+         CAST(COUNT(DISTINCT CASE WHEN f = 1 THEN (pos - 1) // 8 END)
+              AS BIGINT) AS fd_n8
+  FROM fgr GROUP BY doc_id
 )
 SELECT bn.doc_id,
        {cols},
@@ -2699,10 +2709,14 @@ SELECT bn.doc_id,
        MAX(mo.fg_runs) AS fg_runs,
        MAX(COALESCE(mr.max_fg_run, 0)) AS max_fg_run,
        MAX(mo.eroded_count) AS eroded_count,
-       MAX(mo.dilated_count) AS dilated_count
+       MAX(mo.dilated_count) AS dilated_count,
+       MAX(fb.fd_n2) AS fd_n2,
+       MAX(fb.fd_n4) AS fd_n4,
+       MAX(fb.fd_n8) AS fd_n8
 FROM binned bn JOIN eqd q USING (doc_id) JOIN ots ot USING (doc_id)
 JOIN mor mo USING (doc_id)
 LEFT JOIN mrun mr USING (doc_id)
+JOIN fdbx fb USING (doc_id)
 GROUP BY bn.doc_id
 """
 
