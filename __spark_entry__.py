@@ -98,6 +98,17 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN n_tok > 1 THEN aggregate(slice(tokens, 2, n_tok - 1),"
             " 0L, (a, x) -> a + x) ELSE 0L END"
         ).alias("__st"),
+        # extrema POSITIONS (extrema.cpp analog): first occurrence of the
+        # max/min token, 1-based — array_position's first-match contract
+        # matches list_position's on both engines
+        F.expr(
+            "CASE WHEN n_tok > 0 THEN"
+            " array_position(tokens, array_max(tokens)) ELSE 0L END"
+        ).alias("argmax_pos"),
+        F.expr(
+            "CASE WHEN n_tok > 0 THEN"
+            " array_position(tokens, array_min(tokens)) ELSE 0L END"
+        ).alias("argmin_pos"),
         # RLE compression proxy: maximal-run count = 1 + #(adjacent unequal)
         F.expr(
             "CASE WHEN n_tok = 0 THEN 0L "
@@ -6790,6 +6801,12 @@ SELECT doc_id, n_tok,
                 / (COALESCE(lx.simpson_num, 0) + n_tok)) * 10000.0 + 0.5)
          / 10000.0
        ELSE 0.0 END AS eff_vocab4,
+       CASE WHEN n_tok > 0
+            THEN CAST(list_position(tokens, list_max(tokens)) AS BIGINT)
+            ELSE 0 END AS argmax_pos,
+       CASE WHEN n_tok > 0
+            THEN CAST(list_position(tokens, list_min(tokens)) AS BIGINT)
+            ELSE 0 END AS argmin_pos,
        CASE WHEN n_tok = 0 THEN 0
             WHEN n_tok = 1 THEN 1
             ELSE 1 + CAST(len(list_filter(range(1, n_tok),
