@@ -3577,12 +3577,16 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SKEW REPORT over the same join key (the pre-shuffle diagnostic you run
     before exactly this kind of self-join at 100 TB): per user, exact row
     count, reproducible shuffle bucket, reducer mass, and integer
-    cross-multiplied hot flags."""
+    cross-multiplied hot flags — and the INTER-ARRIVAL point-process profile
+    per user (Goh–Barabási burstiness, lag-1 memory coefficient, hourly Fano
+    factor; windows.interarrival_stats), every float ONE affine/sqrt map of
+    exact int64 sums so the oracle replays it bit-identically."""
     _prep(spark)
     from pyspark.sql import functions as F
 
     from nyxus_spark.operators.prescan import skew_report
     from nyxus_spark.operators.relations import neighbor_stats
+    from nyxus_spark.operators.windows import interarrival_stats
 
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev = raw.select(
@@ -3593,9 +3597,14 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sk_key").cast("string").alias("doc_id"),
         "sk_rows", "sk_bucket", "sk_bucket_rows", "sk_key_hot", "sk_bucket_hot",
     )
-    return out.select(
-        "doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us"
-    ).join(sk, "doc_id")
+    ia = interarrival_stats(ev, key_col="doc_id", ts_col="ts")
+    return (
+        out.select(
+            "doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us"
+        )
+        .join(sk, "doc_id")
+        .join(ia, "doc_id")
+    )
 
 
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4916,15 +4925,68 @@ skt AS (
   SELECT CAST(SUM(sk_rows) AS BIGINT) AS total,
          CAST(COUNT(*) AS BIGINT) AS nkeys
   FROM sk
+),
+ia1 AS (  -- inter-arrival gaps in whole seconds (exact int64)
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, epoch_us(ts) AS us,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts))) // 1000000 AS g
+  FROM events
+),
+ia2 AS (
+  SELECT doc_id, g,
+         lag(g) OVER (PARTITION BY doc_id ORDER BY us) AS gp
+  FROM ia1
+),
+iag AS (
+  SELECT doc_id,
+         CAST(count(g) AS BIGINT) AS gn,
+         CAST(sum(g) AS BIGINT) AS s,
+         CAST(max(g) AS BIGINT) AS gmax,
+         CAST(sum(g*g) AS BIGINT) AS q,
+         CAST(count(gp) AS BIGINT) AS m,
+         CAST(sum(g*gp) AS BIGINT) AS p,
+         CAST(sum(gp) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN gp IS NOT NULL THEN g END) AS BIGINT) AS sb,
+         CAST(sum(gp*gp) AS BIGINT) AS qa,
+         CAST(sum(CASE WHEN gp IS NOT NULL THEN g*g END) AS BIGINT) AS qb
+  FROM ia2 GROUP BY doc_id
+),
+iab AS (
+  SELECT doc_id, gn AS ia_n_gaps, s AS ia_sum_s, gmax AS ia_max_s,
+    CASE WHEN gn >= 2 AND (s > 0 OR gn*q > s*s) THEN
+      FLOOR(((sqrt(CAST(gn*q - s*s AS DOUBLE)) - CAST(s AS DOUBLE))
+           / (sqrt(CAST(gn*q - s*s AS DOUBLE)) + CAST(s AS DOUBLE)))
+           * 10000.0 + 0.5) / 10000.0 END AS ia_burstiness,
+    CASE WHEN m >= 2 AND m*qa - sa*sa > 0 AND m*qb - sb*sb > 0 THEN
+      FLOOR((CAST(m*p - sa*sb AS DOUBLE)
+           / (sqrt(CAST(m*qa - sa*sa AS DOUBLE)) * sqrt(CAST(m*qb - sb*sb AS DOUBLE))))
+           * 10000.0 + 0.5) / 10000.0 END AS ia_memory
+  FROM iag
+),
+iaf AS (
+  SELECT doc_id,
+    FLOOR((CAST(nh*q2 - n*n AS DOUBLE) / CAST(nh*n AS DOUBLE))
+          * 10000.0 + 0.5) / 10000.0 AS ia_fano_hourly
+  FROM (
+    SELECT doc_id, max(h) - min(h) + 1 AS nh,
+           CAST(sum(c) AS BIGINT) AS n, CAST(sum(c*c) AS BIGINT) AS q2
+    FROM (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                       epoch_us(ts) // 3600000000 AS h FROM events)
+          GROUP BY doc_id, h)
+    GROUP BY doc_id)
 )
 SELECT e.doc_id, e.event_id,
        COALESCE(a.num_neighbors, 0) AS num_neighbors,
        a.closest1_us, a.closest2_us,
        s.sk_rows, s.sk_bucket, b.sk_bucket_rows,
        CAST(s.sk_rows * t.nkeys > 2 * t.total AS BIGINT) AS sk_key_hot,
-       CAST(b.sk_bucket_rows * 16 > 2 * t.total AS BIGINT) AS sk_bucket_hot
+       CAST(b.sk_bucket_rows * 16 > 2 * t.total AS BIGINT) AS sk_bucket_hot,
+       i.ia_n_gaps, i.ia_sum_s, i.ia_max_s, i.ia_burstiness, i.ia_memory,
+       f.ia_fano_hourly
 FROM ev e LEFT JOIN agg a USING (doc_id, event_id)
 JOIN sk s USING (doc_id) JOIN skb b USING (sk_bucket), skt t
+JOIN iab i ON i.doc_id = e.doc_id JOIN iaf f ON f.doc_id = e.doc_id
 """,
         "rollup_wide": f"""
 WITH {SQL_VERSIONS}

@@ -412,3 +412,85 @@ def funnel_stages(
         ],
         stage.cast("long").alias("funnel_stage"),
     )
+
+
+def interarrival_stats(df, key_col: str = "doc_id", ts_col: str = "ts"):
+    """Per-key inter-arrival point-process diagnostics over the event stream
+    — the temporal-texture analog of the reference's per-ROI ordered
+    statistics (phase2_2d.cpp ordered traversal), and the per-entity
+    burstiness profile a 100 TB pipeline computes before sessionizing.
+
+    Gaps are floor(Δts/1s) BIGINTs (exact; ties in ts are harmless — the
+    consecutive-difference VALUE sequence depends only on the sorted ts
+    multiset). Every aggregate is an exact int64 sum, and each float output
+    is one affine/sqrt map of those ints, so a SQL oracle replays them
+    bit-identically (integer-numerator discipline):
+
+      ia_burstiness  Goh–Barabási B = (√K − S)/(√K + S), K = G·Q − S²
+      ia_memory      lag-1 Pearson of consecutive gaps,
+                     (m·P − Sa·Sb)/(√K₁·√K₂) on the exact cross-sums
+      ia_fano_hourly Fano factor of hourly counts over the ACTIVE span
+                     [min_hour, max_hour]: (nh·Σc² − n²)/(nh·n)
+
+    Overflow bound: |gap| ≤ ~5.1e5 s at sf0.1 ⇒ G·Q ≤ ~2.3e13 ≪ 2⁶³; the
+    bound scales with per-key event count × span², not corpus size.
+
+    Scale shape: ONE shuffle on the key (window + groupBy share it), plus a
+    map-side-combinable (key, hour) count agg — no joins, no skew beyond
+    natural per-entity activity."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("k").orderBy(F.col("us").asc())
+    base = df.select(F.col(key_col).alias("k"), us.alias("us"))
+    staged = (
+        base.withColumn("d", F.col("us") - F.lag("us").over(w))
+        .withColumn("g", F.expr("d div 1000000"))
+        .withColumn("gp", F.lag("g").over(w))
+    )
+    agg = staged.groupBy("k").agg(
+        F.count("g").cast("long").alias("G"),
+        F.sum("g").alias("S"),
+        F.max("g").alias("gmax"),
+        F.sum(F.col("g") * F.col("g")).alias("Q"),
+        F.count("gp").cast("long").alias("m"),
+        F.sum(F.col("g") * F.col("gp")).alias("P"),
+        F.sum("gp").alias("Sa"),
+        F.sum(F.when(F.col("gp").isNotNull(), F.col("g"))).alias("Sb"),
+        F.sum(F.col("gp") * F.col("gp")).alias("Qa"),
+        F.sum(F.when(F.col("gp").isNotNull(), F.col("g") * F.col("g"))).alias("Qb"),
+    )
+    K = (F.col("G") * F.col("Q") - F.col("S") * F.col("S")).cast("double")
+    Sd = F.col("S").cast("double")
+    K1 = (F.col("m") * F.col("Qa") - F.col("Sa") * F.col("Sa"))
+    K2 = (F.col("m") * F.col("Qb") - F.col("Sb") * F.col("Sb"))
+    mnum = (F.col("m") * F.col("P") - F.col("Sa") * F.col("Sb")).cast("double")
+    from nyxus_spark.compare import fround4
+    burst = F.when(
+        (F.col("G") >= 2) & ((F.col("S") > 0) | (F.col("G") * F.col("Q") > F.col("S") * F.col("S"))),
+        fround4((F.sqrt(K) - Sd) / (F.sqrt(K) + Sd)),
+    )
+    mem = F.when(
+        (F.col("m") >= 2) & (K1 > 0) & (K2 > 0),
+        fround4(mnum / (F.sqrt(K1.cast("double")) * F.sqrt(K2.cast("double")))),
+    )
+    per_key = agg.select(
+        F.col("k"),
+        F.col("G").alias("ia_n_gaps"),
+        F.col("S").alias("ia_sum_s"),
+        F.col("gmax").alias("ia_max_s"),
+        burst.alias("ia_burstiness"),
+        mem.alias("ia_memory"),
+    )
+    hr = base.select("k", F.expr("us div 3600000000").alias("h"))
+    hc = hr.groupBy("k", "h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    fano = hc.groupBy("k").agg(
+        (F.max("h") - F.min("h") + 1).alias("nh"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    ).select(
+        "k",
+        fround4(
+            (F.col("nh") * F.col("q") - F.col("n") * F.col("n")).cast("double")
+            / (F.col("nh") * F.col("n")).cast("double")
+        ).alias("ia_fano_hourly"),
+    )
+    return per_key.join(fano, "k").withColumnRenamed("k", key_col)
