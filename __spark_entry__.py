@@ -292,6 +292,85 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "keep the top-L frontiers" curation dial — k tiny dim-aggs, no sorts
     pl = pareto_layers(pts, "__skx", "__sky", k=3).select(
         "doc_id", "pareto_layer")
+    # wave 57a — RESCALED RANGE (the Hurst-exponent R/S statistic over the
+    # token stream): with P_j = n·prefix_j − j·S (exact int64, includes
+    # P_0 = 0), R/S = (max_j P_j − min_j P_j)/√(n·Σx² − S²) — the whole
+    # range numerator is exact, the denominator ONE correctly-rounded sqrt,
+    # ONE final division (integer-numerator discipline). The total sum S is
+    # STAGED as a column and only REFERENCED in the fold lambda (CLAUDE.md
+    # captured-subexpression rule); the fold state is all-BIGINT named_struct
+    # (stable field types).
+    rs0 = t.select(
+        "doc_id", "n_tok", "tokens",
+        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("__s"),
+    )
+    rs = rs0.select(
+        "doc_id",
+        F.expr(
+            "aggregate(tokens,"
+            " named_struct('j', 0L, 'pre', 0L, 'mx', 0L, 'mn', 0L),"
+            " (s, x) -> named_struct("
+            "   'j', s.j + 1L,"
+            "   'pre', s.pre + cast(x as bigint),"
+            "   'mx', greatest(s.mx, cast(n_tok as bigint) * (s.pre + cast(x as bigint))"
+            "                        - (s.j + 1L) * __s),"
+            "   'mn', least(s.mn, cast(n_tok as bigint) * (s.pre + cast(x as bigint))"
+            "                     - (s.j + 1L) * __s)),"
+            " s -> named_struct('mx', s.mx, 'mn', s.mn))"
+        ).alias("__rsmm"),
+    ).select(
+        "doc_id",
+        F.col("__rsmm.mx").alias("__rsmx"),
+        F.col("__rsmm.mn").alias("__rsmn"),
+    )
+    # wave 57b — Bandt–Pompe ORDINAL PATTERNS (m = 3): counts of the six
+    # strict orderings of consecutive triples plus a tie bucket — the
+    # permutation-entropy histogram with the cross-host log kept OUT of the
+    # gate (counts are exact int64; the dominant-pattern share is one
+    # division of exact ints)
+    def _op_cnt(cond: str):
+        return F.expr(
+            "CASE WHEN n_tok >= 3 THEN aggregate(zip_with("
+            " zip_with(slice(tokens, 1, n_tok - 2), slice(tokens, 2, n_tok - 2),"
+            "          (a, b) -> named_struct('a', a, 'b', b)),"
+            f" slice(tokens, 3, n_tok - 2), (p, c) -> CASE WHEN {cond} THEN 1L ELSE 0L END),"
+            " 0L, (s, x) -> s + x) ELSE 0L END"
+        )
+
+    ordf = t.select(
+        "doc_id",
+        _op_cnt("p.a < p.b AND p.b < c").alias("op_asc"),
+        _op_cnt("p.a < c AND c < p.b").alias("op_acb"),
+        _op_cnt("p.b < p.a AND p.a < c").alias("op_bac"),
+        _op_cnt("p.b < c AND c < p.a").alias("op_bca"),
+        _op_cnt("c < p.a AND p.a < p.b").alias("op_cab"),
+        _op_cnt("c < p.b AND p.b < p.a").alias("op_desc"),
+        _op_cnt("p.a = p.b OR p.b = c OR p.a = c").alias("op_ties"),
+    )
+    res = res.join(rs, "doc_id").join(ordf, "doc_id")
+    nnl = F.col("n_tok").cast("long")
+    rsk = nnl * F.col("tok_energy") - F.col("tok_sum") * F.col("tok_sum")
+    res = (
+        res.withColumn("rs_range", (F.col("__rsmx") - F.col("__rsmn")).cast("long"))
+        .withColumn(
+            "rs4",
+            F.when(
+                (F.col("n_tok") >= 2) & (rsk > 0),
+                _r4((F.col("__rsmx") - F.col("__rsmn")).cast("double")
+                    / F.sqrt(rsk.cast("double"))),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "op_max_share4",
+            F.when(
+                F.col("n_tok") >= 3,
+                _r4(F.greatest("op_asc", "op_acb", "op_bac", "op_bca",
+                               "op_cab", "op_desc", "op_ties").cast("double")
+                    / (nnl - 2)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__rsmx", "__rsmn")
+    )
     return res.join(sk, "doc_id").join(pl, "doc_id")
 
 
@@ -6770,6 +6849,35 @@ tt AS (  -- strict local minima at depth <= threshold
            AND s[CAST(j AS INTEGER)] <= 2)), 0) AS BIGINT) AS tt_ck
   FROM ttsc
 ),
+rsx AS (  -- rescaled-range replay: P_j = n·prefix_j − j·S (exact int64)
+  SELECT doc_id,
+         GREATEST(CAST(MAX(p) AS BIGINT), 0) AS rs_mx,
+         LEAST(CAST(MIN(p) AS BIGINT), 0) AS rs_mn
+  FROM (
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT)
+             * SUM(CAST(t AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY j)
+             - j * SUM(CAST(t AS BIGINT)) OVER (PARTITION BY doc_id) AS p
+    FROM (SELECT doc_id, n_tok, unnest(tokens) AS t,
+                 unnest(range(1, n_tok + 1)) AS j
+          FROM tokens_static))
+  GROUP BY doc_id
+),
+ordp AS (  -- Bandt–Pompe ordinal-pattern counts over consecutive triples
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN a < b AND b < c THEN 1 END), 0) AS BIGINT) AS op_asc,
+         CAST(COALESCE(SUM(CASE WHEN a < c AND c < b THEN 1 END), 0) AS BIGINT) AS op_acb,
+         CAST(COALESCE(SUM(CASE WHEN b < a AND a < c THEN 1 END), 0) AS BIGINT) AS op_bac,
+         CAST(COALESCE(SUM(CASE WHEN b < c AND c < a THEN 1 END), 0) AS BIGINT) AS op_bca,
+         CAST(COALESCE(SUM(CASE WHEN c < a AND a < b THEN 1 END), 0) AS BIGINT) AS op_cab,
+         CAST(COALESCE(SUM(CASE WHEN c < b AND b < a THEN 1 END), 0) AS BIGINT) AS op_desc,
+         CAST(COALESCE(SUM(CASE WHEN a = b OR b = c OR a = c THEN 1 END), 0) AS BIGINT) AS op_ties
+  FROM (SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b, tokens[i + 2] AS c
+        FROM (SELECT doc_id, tokens,
+                     unnest(range(1, GREATEST(n_tok - 2, 0) + 1)) AS i
+              FROM tokens_static))
+  GROUP BY doc_id
+),
 spn AS (  -- T5-style span corruption replay: trigger + 3-window coverage
   SELECT doc_id,
          CAST(len(list_filter(range(1, n_tok + 1), j ->
@@ -6880,7 +6988,33 @@ SELECT doc_id, n_tok,
                 / n_tok) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS rle_ratio4,
        CAST(sk.on_skyline AS BIGINT) AS on_skyline,
-       CAST(pl.pareto_layer AS BIGINT) AS pareto_layer
+       CAST(pl.pareto_layer AS BIGINT) AS pareto_layer,
+       COALESCE(rx.rs_mx - rx.rs_mn, 0) AS rs_range,
+       CASE WHEN n_tok >= 2 AND
+         CAST(n_tok AS BIGINT) * (SELECT SUM(CAST(u.t AS BIGINT) * u.t)
+             FROM (SELECT unnest(tokens) AS t) u)
+         - CAST(list_sum(tokens) AS BIGINT) * CAST(list_sum(tokens) AS BIGINT) > 0
+       THEN
+         FLOOR((CAST(rx.rs_mx - rx.rs_mn AS DOUBLE)
+              / sqrt(CAST(
+                  CAST(n_tok AS BIGINT) * (SELECT SUM(CAST(u.t AS BIGINT) * u.t)
+                      FROM (SELECT unnest(tokens) AS t) u)
+                  - CAST(list_sum(tokens) AS BIGINT)
+                    * CAST(list_sum(tokens) AS BIGINT) AS DOUBLE)))
+              * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS rs4,
+       COALESCE(op.op_asc, 0) AS op_asc,
+       COALESCE(op.op_acb, 0) AS op_acb,
+       COALESCE(op.op_bac, 0) AS op_bac,
+       COALESCE(op.op_bca, 0) AS op_bca,
+       COALESCE(op.op_cab, 0) AS op_cab,
+       COALESCE(op.op_desc, 0) AS op_desc,
+       COALESCE(op.op_ties, 0) AS op_ties,
+       CASE WHEN n_tok >= 3 THEN
+         FLOOR((CAST(GREATEST(op.op_asc, op.op_acb, op.op_bac, op.op_bca,
+                              op.op_cab, op.op_desc, op.op_ties) AS DOUBLE)
+                / (CAST(n_tok AS BIGINT) - 2)) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS op_max_share4
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
@@ -6889,6 +7023,8 @@ JOIN fim fm USING (doc_id)
 JOIN tt tl USING (doc_id)
 JOIN sky sk USING (doc_id)
 JOIN players pl USING (doc_id)
+LEFT JOIN rsx rx USING (doc_id)
+LEFT JOIN ordp op USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},
