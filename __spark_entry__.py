@@ -4258,8 +4258,78 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parent-child rollup composition: the J3 stats rollup (SUM/MEAN/MIN/
-    MAX/WMA) and the per-source pivot counts, one row per parent doc."""
-    return _q_rollup(spark, sf_dir).join(_q_rollup_pivot(spark, sf_dir), "doc_id")
+    MAX/WMA) and the per-source pivot counts, one row per parent doc —
+    composed (wave 58) with the VERSION-DELTA audit: between consecutive
+    versions of each doc (ordered by ts; (doc_id, ts) is unique in the
+    versions derivation), the minimal edit region via longest common prefix
+    and capped longest common suffix — the data-lineage diff a feature store
+    runs to audit what changed between snapshot versions. All exact ints:
+    per-doc sums/max of LCP/LCS/edit-region lengths, identical-pair count,
+    and a position-weighted checksum of each new version's edit region."""
+    base = _q_rollup(spark, sf_dir).join(_q_rollup_pivot(spark, sf_dir), "doc_id")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.sources import tokens_versions
+
+    v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "tokens", "n_tok")
+    w = Window.partitionBy("doc_id").orderBy("ts")
+    p = (
+        v.withColumn("ptok", F.lag("tokens").over(w))
+        .filter(F.col("ptok").isNotNull())
+        .withColumn("na", F.size("ptok").cast("long"))
+        .withColumn("nb", F.col("n_tok").cast("long"))
+        .withColumn("mn", F.least("na", "nb"))
+        # stage the equality masks once (arrays of 1/0), then take the first
+        # zero's position: LCP/LCS = run of leading 1s
+        .withColumn("eqp", F.expr(
+            "zip_with(slice(ptok, 1, cast(mn as int)),"
+            "         slice(tokens, 1, cast(mn as int)),"
+            "         (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)"))
+        .withColumn("eqs", F.expr(
+            "zip_with(slice(reverse(ptok), 1, cast(mn as int)),"
+            "         slice(reverse(tokens), 1, cast(mn as int)),"
+            "         (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)"))
+        .withColumn("lcp", F.expr(
+            "CASE WHEN mn = 0 THEN 0L"
+            " WHEN array_position(eqp, 0) = 0 THEN mn"
+            " ELSE array_position(eqp, 0) - 1 END"))
+        .withColumn("lcs", F.least(
+            F.expr("CASE WHEN mn = 0 THEN 0L"
+                   " WHEN array_position(eqs, 0) = 0 THEN mn"
+                   " ELSE array_position(eqs, 0) - 1 END"),
+            F.col("mn") - F.col("lcp")))
+        .withColumn("a_edit", F.col("na") - F.col("lcp") - F.col("lcs"))
+        .withColumn("b_edit", F.col("nb") - F.col("lcp") - F.col("lcs"))
+        .withColumn("ident", ((F.col("na") == F.col("nb"))
+                              & (F.col("lcp") == F.col("na"))).cast("long"))
+        .withColumn("edit_ck", F.expr(
+            "CASE WHEN b_edit = 0 THEN 0L ELSE aggregate("
+            " zip_with(slice(tokens, cast(lcp + 1 as int), cast(b_edit as int)),"
+            "          sequence(1L, b_edit), (t, i) -> cast(t as bigint) * i),"
+            " 0L, (s, x) -> s + x) % 1000003 END"))
+    )
+    vd = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("vd_pairs"),
+        F.sum("ident").cast("long").alias("vd_identical"),
+        F.sum("lcp").cast("long").alias("vd_sum_lcp"),
+        F.sum("lcs").cast("long").alias("vd_sum_lcs"),
+        F.sum(F.col("a_edit") + F.col("b_edit")).cast("long").alias("vd_sum_edit"),
+        F.max("b_edit").cast("long").alias("vd_max_edit"),
+        F.sum("edit_ck").cast("long").alias("vd_edit_ck"),
+    )
+    zero = F.lit(0).cast("long")
+    out = base.join(vd, "doc_id", "left")
+    return out.select(
+        *[c for c in base.columns],
+        F.coalesce("vd_pairs", zero).alias("vd_pairs"),
+        F.coalesce("vd_identical", zero).alias("vd_identical"),
+        F.coalesce("vd_sum_lcp", zero).alias("vd_sum_lcp"),
+        F.coalesce("vd_sum_lcs", zero).alias("vd_sum_lcs"),
+        F.coalesce("vd_sum_edit", zero).alias("vd_sum_edit"),
+        F.coalesce("vd_max_edit", zero).alias("vd_max_edit"),
+        F.coalesce("vd_edit_ck", zero).alias("vd_edit_ck"),
+    )
 
 
 def _q_ih(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5068,7 +5138,63 @@ JOIN sk s USING (doc_id) JOIN skb b USING (sk_bucket), skt t
 JOIN iab i ON i.doc_id = e.doc_id JOIN iaf f ON f.doc_id = e.doc_id
 """,
         "rollup_wide": f"""
-WITH {SQL_VERSIONS}
+WITH {SQL_VERSIONS},
+vd1 AS (  -- consecutive version pairs ((doc_id, ts) unique ⇒ deterministic)
+  SELECT doc_id, tokens, ptok,
+         CAST(len(ptok) AS BIGINT) AS na,
+         CAST(len(tokens) AS BIGINT) AS nb,
+         LEAST(CAST(len(ptok) AS BIGINT), CAST(len(tokens) AS BIGINT)) AS mn
+  FROM (SELECT doc_id, tokens,
+               lag(tokens) OVER (PARTITION BY doc_id ORDER BY ts) AS ptok
+        FROM versions)
+  WHERE ptok IS NOT NULL
+),
+vd3 AS (
+  SELECT doc_id, tokens, na, nb, mn,
+         -- list_position returns 0 when absent (same contract as Spark's
+         -- array_position — measured, not NULL)
+         CASE WHEN mn = 0 THEN 0
+              WHEN list_position(eqp, 0) = 0 THEN mn
+              ELSE list_position(eqp, 0) - 1 END AS lcp,
+         CASE WHEN mn = 0 THEN 0
+              WHEN list_position(eqs, 0) = 0 THEN mn
+              ELSE list_position(eqs, 0) - 1 END AS lcs_raw
+  FROM (
+    SELECT doc_id, tokens, na, nb, mn,
+           list_transform(range(1, mn + 1), i ->
+             CASE WHEN ptok[CAST(i AS INTEGER)] = tokens[CAST(i AS INTEGER)]
+                  THEN 1 ELSE 0 END) AS eqp,
+           list_transform(range(1, mn + 1), i ->
+             CASE WHEN ptok[CAST(na - i + 1 AS INTEGER)]
+                       = tokens[CAST(nb - i + 1 AS INTEGER)]
+                  THEN 1 ELSE 0 END) AS eqs
+    FROM vd1)
+),
+vd4 AS (
+  SELECT doc_id, na, nb, lcp,
+         LEAST(lcs_raw, mn - lcp) AS lcs,
+         na - lcp - LEAST(lcs_raw, mn - lcp) AS a_edit,
+         nb - lcp - LEAST(lcs_raw, mn - lcp) AS b_edit,
+         CASE WHEN na = nb AND lcp = na THEN 1 ELSE 0 END AS ident,
+         CASE WHEN nb - lcp - LEAST(lcs_raw, mn - lcp) = 0 THEN 0
+              ELSE COALESCE(list_sum(list_transform(
+                     range(1, nb - lcp - LEAST(lcs_raw, mn - lcp) + 1),
+                     i -> CAST(tokens[CAST(lcp + i AS INTEGER)] AS BIGINT) * i)), 0)
+                   % 1000003 END AS edit_ck
+  FROM vd3
+),
+vdagg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS vd_pairs,
+         CAST(SUM(ident) AS BIGINT) AS vd_identical,
+         CAST(SUM(lcp) AS BIGINT) AS vd_sum_lcp,
+         CAST(SUM(lcs) AS BIGINT) AS vd_sum_lcs,
+         CAST(SUM(a_edit + b_edit) AS BIGINT) AS vd_sum_edit,
+         CAST(MAX(b_edit) AS BIGINT) AS vd_max_edit,
+         CAST(SUM(edit_ck) AS BIGINT) AS vd_edit_ck
+  FROM vd4 GROUP BY doc_id
+),
+main AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_children,
        FLOOR((CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_n_tok,
@@ -5087,6 +5213,16 @@ SELECT doc_id,
        CAST(COUNT(*) FILTER (source = 'signup') AS BIGINT) AS signup,
        CAST(COUNT(*) FILTER (source = 'view') AS BIGINT) AS "view"
 FROM versions GROUP BY doc_id
+)
+SELECT m.*,
+       COALESCE(v.vd_pairs, 0) AS vd_pairs,
+       COALESCE(v.vd_identical, 0) AS vd_identical,
+       COALESCE(v.vd_sum_lcp, 0) AS vd_sum_lcp,
+       COALESCE(v.vd_sum_lcs, 0) AS vd_sum_lcs,
+       COALESCE(v.vd_sum_edit, 0) AS vd_sum_edit,
+       COALESCE(v.vd_max_edit, 0) AS vd_max_edit,
+       COALESCE(v.vd_edit_ck, 0) AS vd_edit_ck
+FROM main m LEFT JOIN vdagg v USING (doc_id)
 """,
         "covered_range": f"""
 WITH {SQL_TOKENS_STATIC},

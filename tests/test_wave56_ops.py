@@ -203,3 +203,83 @@ def test_rs_and_ordinal_patterns_on_synthetic_docs(spark):
     assert _ord_ref([5, 1, 6, 2]) == {"op_asc": 0, "op_acb": 1, "op_bac": 1,
                                       "op_bca": 0, "op_cab": 0, "op_desc": 0,
                                       "op_ties": 0}
+
+
+# ---------------------------------------------------------------------------
+# Wave 58: version-delta audit (LCP / capped LCS / edit region) — edge cases
+# through the same expressions the rollup_wide gate uses
+# ---------------------------------------------------------------------------
+
+def test_version_delta_edge_cases(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _q_rollup_wide  # noqa: F401  (gate covers sf data)
+
+    # drive the expression pipeline directly on hand-built version chains
+    base = datetime.datetime(2024, 1, 1)
+    chains = {
+        # identical → ident=1, lcp=3, lcs capped to 0, edits 0
+        "ident": [[1, 2, 3], [1, 2, 3]],
+        # pure append → lcp=3, lcs=0 (capped), a_edit=0, b_edit=2
+        "append": [[1, 2, 3], [1, 2, 3, 9, 9]],
+        # pure prepend → lcp=0, lcs=3, a_edit=0, b_edit=1
+        "prepend": [[1, 2, 3], [7, 1, 2, 3]],
+        # middle edit → lcp=1, lcs=1, a=1, b=1
+        "mid": [[1, 5, 3], [1, 6, 3]],
+        # disjoint → lcp=0, lcs=0, a=3, b=3
+        "disjoint": [[1, 2, 3], [4, 5, 6]],
+        # overlap trap: [2,2] vs [2,2,2] — raw lcs=2 must cap to mn-lcp=0
+        "overlap": [[2, 2], [2, 2, 2]],
+    }
+    rows = []
+    for k, (a, b) in chains.items():
+        rows.append((k, base, a, len(a)))
+        rows.append((k, base + datetime.timedelta(hours=1), b, len(b)))
+    v = spark.createDataFrame(
+        rows, "doc_id string, ts timestamp, tokens array<int>, n_tok int")
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("ts")
+    p = (
+        v.withColumn("ptok", F.lag("tokens").over(w))
+        .filter(F.col("ptok").isNotNull())
+        .withColumn("na", F.size("ptok").cast("long"))
+        .withColumn("nb", F.col("n_tok").cast("long"))
+        .withColumn("mn", F.least("na", "nb"))
+        .withColumn("eqp", F.expr(
+            "zip_with(slice(ptok, 1, cast(mn as int)), slice(tokens, 1, cast(mn as int)),"
+            " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)"))
+        .withColumn("eqs", F.expr(
+            "zip_with(slice(reverse(ptok), 1, cast(mn as int)),"
+            " slice(reverse(tokens), 1, cast(mn as int)),"
+            " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)"))
+        .withColumn("lcp", F.expr(
+            "CASE WHEN mn = 0 THEN 0L WHEN array_position(eqp, 0) = 0 THEN mn"
+            " ELSE array_position(eqp, 0) - 1 END"))
+        .withColumn("lcs", F.least(
+            F.expr("CASE WHEN mn = 0 THEN 0L WHEN array_position(eqs, 0) = 0 THEN mn"
+                   " ELSE array_position(eqs, 0) - 1 END"),
+            F.col("mn") - F.col("lcp")))
+        .withColumn("a_edit", F.col("na") - F.col("lcp") - F.col("lcs"))
+        .withColumn("b_edit", F.col("nb") - F.col("lcp") - F.col("lcs"))
+        .withColumn("ident", ((F.col("na") == F.col("nb"))
+                              & (F.col("lcp") == F.col("na"))).cast("long"))
+    )
+    got = {r["doc_id"]: r for r in p.collect()}
+    want = {
+        "ident":    dict(lcp=3, lcs=0, a_edit=0, b_edit=0, ident=1),
+        "append":   dict(lcp=3, lcs=0, a_edit=0, b_edit=2, ident=0),
+        "prepend":  dict(lcp=0, lcs=3, a_edit=0, b_edit=1, ident=0),
+        "mid":      dict(lcp=1, lcs=1, a_edit=1, b_edit=1, ident=0),
+        "disjoint": dict(lcp=0, lcs=0, a_edit=3, b_edit=3, ident=0),
+        "overlap":  dict(lcp=2, lcs=0, a_edit=0, b_edit=1, ident=0),
+    }
+    for k, exp in want.items():
+        for col, val in exp.items():
+            assert got[k][col] == val, (k, col, got[k][col], val)
+    # invariant: edit regions are never negative and lcp+lcs never exceeds
+    # either side
+    for k, r in got.items():
+        assert r["a_edit"] >= 0 and r["b_edit"] >= 0, k
+        assert r["lcp"] + r["lcs"] <= min(r["na"], r["nb"]), k
