@@ -3677,12 +3677,74 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sk_rows", "sk_bucket", "sk_bucket_rows", "sk_key_hot", "sk_bucket_hot",
     )
     ia = interarrival_stats(ev, key_col="doc_id", ts_col="ts")
+    # wave 59a — MARKOV source-transition profile per user: consecutive
+    # (source → next source) pairs under the deterministic (ts, event_id)
+    # total order; exact transition counts, self-loop count/share, count of
+    # transitions INTO 'purchase' (the conversion edge), and the modal
+    # transition (count DESC, pair ASC tie-break) — the first-order sequence
+    # prior a behavior model estimates before training
+    from pyspark.sql import Window
+
+    ev2 = raw.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.col("event_type").alias("src"),
+    )
+    wseq = Window.partitionBy("doc_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc())
+    tr = (
+        ev2.withColumn("nxt", F.lead("src").over(wseq))
+        .filter(F.col("nxt").isNotNull())
+    )
+    mka = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("mk_trans"),
+        F.sum((F.col("src") == F.col("nxt")).cast("long")).cast("long")
+        .alias("mk_self"),
+        F.sum((F.col("nxt") == "purchase").cast("long")).cast("long")
+        .alias("mk_to_purchase"),
+    ).withColumn(
+        "mk_self_share4",
+        F.when(F.col("mk_trans") > 0,
+               _r4(F.col("mk_self") / F.col("mk_trans"))).otherwise(F.lit(0.0)),
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("src").asc(), F.col("nxt").asc())
+    mkt = (
+        tr.groupBy("doc_id", "src", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("doc_id",
+                F.concat_ws(">", "src", "nxt").alias("mk_top_pair"))
+    )
+    # wave 59b — PEAK trailing-1h rate: max events any user packs into a
+    # sliding [t−1h, t] window (the rate-limit / abuse-detection primitive);
+    # a RANGE frame on epoch-µs is tie-safe (value-defined, not row-defined)
+    wrate = (
+        Window.partitionBy("doc_id").orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    mrate = (
+        ev2.withColumn("c", F.count(F.lit(1)).over(wrate))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("peak_rate_1h"))
+    )
     return (
         out.select(
             "doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us"
         )
         .join(sk, "doc_id")
         .join(ia, "doc_id")
+        .join(mka, "doc_id", "left")
+        .join(mkt, "doc_id", "left")
+        .join(mrate, "doc_id")
+        .withColumn("mk_trans", F.coalesce("mk_trans", F.lit(0).cast("long")))
+        .withColumn("mk_self", F.coalesce("mk_self", F.lit(0).cast("long")))
+        .withColumn("mk_to_purchase",
+                    F.coalesce("mk_to_purchase", F.lit(0).cast("long")))
+        .withColumn("mk_self_share4", F.coalesce("mk_self_share4", F.lit(0.0)))
+        .withColumn("mk_top_pair", F.coalesce("mk_top_pair", F.lit("")))
     )
 
 
@@ -5124,6 +5186,37 @@ iaf AS (
                        epoch_us(ts) // 3600000000 AS h FROM events)
           GROUP BY doc_id, h)
     GROUP BY doc_id)
+),
+mkseq AS (  -- Markov transitions under the (ts, event_id) total order
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+),
+mka AS (
+  SELECT doc_id,
+         CAST(count(nxt) AS BIGINT) AS mk_trans,
+         CAST(COALESCE(SUM(CASE WHEN src = nxt THEN 1 END), 0) AS BIGINT)
+           AS mk_self,
+         CAST(COALESCE(SUM(CASE WHEN nxt = 'purchase' THEN 1 END), 0)
+           AS BIGINT) AS mk_to_purchase
+  FROM mkseq GROUP BY doc_id
+),
+mkt AS (
+  SELECT doc_id, src || '>' || nxt AS mk_top_pair FROM (
+    SELECT doc_id, src, nxt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, src ASC, nxt ASC) AS rn
+    FROM mkseq WHERE nxt IS NOT NULL GROUP BY doc_id, src, nxt) WHERE rn = 1
+),
+mrate AS (  -- peak trailing-1h rate (value-defined RANGE frame, tie-safe)
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS peak_rate_1h FROM (
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING
+                                    AND CURRENT ROW) AS c
+    FROM events)
+  GROUP BY doc_id
 )
 SELECT e.doc_id, e.event_id,
        COALESCE(a.num_neighbors, 0) AS num_neighbors,
@@ -5132,10 +5225,22 @@ SELECT e.doc_id, e.event_id,
        CAST(s.sk_rows * t.nkeys > 2 * t.total AS BIGINT) AS sk_key_hot,
        CAST(b.sk_bucket_rows * 16 > 2 * t.total AS BIGINT) AS sk_bucket_hot,
        i.ia_n_gaps, i.ia_sum_s, i.ia_max_s, i.ia_burstiness, i.ia_memory,
-       f.ia_fano_hourly
+       f.ia_fano_hourly,
+       COALESCE(mk.mk_trans, 0) AS mk_trans,
+       COALESCE(mk.mk_self, 0) AS mk_self,
+       COALESCE(mk.mk_to_purchase, 0) AS mk_to_purchase,
+       CASE WHEN COALESCE(mk.mk_trans, 0) > 0 THEN
+         FLOOR((CAST(mk.mk_self AS DOUBLE) / mk.mk_trans) * 10000.0 + 0.5)
+           / 10000.0
+       ELSE 0.0 END AS mk_self_share4,
+       COALESCE(mt.mk_top_pair, '') AS mk_top_pair,
+       mr.peak_rate_1h
 FROM ev e LEFT JOIN agg a USING (doc_id, event_id)
-JOIN sk s USING (doc_id) JOIN skb b USING (sk_bucket), skt t
+JOIN sk s USING (doc_id) JOIN skb b USING (sk_bucket)
 JOIN iab i ON i.doc_id = e.doc_id JOIN iaf f ON f.doc_id = e.doc_id
+LEFT JOIN mka mk ON mk.doc_id = e.doc_id
+LEFT JOIN mkt mt ON mt.doc_id = e.doc_id
+JOIN mrate mr ON mr.doc_id = e.doc_id, skt t
 """,
         "rollup_wide": f"""
 WITH {SQL_VERSIONS},

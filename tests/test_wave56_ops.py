@@ -283,3 +283,62 @@ def test_version_delta_edge_cases(spark):
     for k, r in got.items():
         assert r["a_edit"] >= 0 and r["b_edit"] >= 0, k
         assert r["lcp"] + r["lcs"] <= min(r["na"], r["nb"]), k
+
+
+# ---------------------------------------------------------------------------
+# Wave 59: Markov source transitions + peak trailing-1h sliding-window rate
+# (same expressions the neighbors gate uses), on hand-built event streams
+# ---------------------------------------------------------------------------
+
+def test_markov_transitions_and_peak_rate(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    rows = [
+        # u1: view > view > purchase > view (self-loop 1, to_purchase 1)
+        ("u1", base + 0 * H, 1, "view"),
+        ("u1", base + 1 * H, 2, "view"),
+        ("u1", base + 2 * H, 3, "purchase"),
+        ("u1", base + 3 * H, 4, "view"),
+        # u2: ts TIE broken by event_id: (5 click) then (6 error)
+        ("u2", base, 5, "click"),
+        ("u2", base, 6, "error"),
+        # u3: burst of 4 inside one hour, then 1 far away → peak 4
+        ("u3", base, 7, "view"),
+        ("u3", base + 10, 8, "view"),
+        ("u3", base + 20, 9, "view"),
+        ("u3", base + H, 10, "view"),        # exactly 1h later: INSIDE [t-1h, t]
+        ("u3", base + 10 * H, 11, "view"),
+        # u4: single event → no transitions
+        ("u4", base, 12, "signup"),
+    ]
+    ev2 = spark.createDataFrame(
+        rows, "doc_id string, us long, event_id int, src string")
+    wseq = Window.partitionBy("doc_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc())
+    tr = ev2.withColumn("nxt", F.lead("src").over(wseq)).filter(
+        F.col("nxt").isNotNull())
+    mka = {r["doc_id"]: r for r in tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("mk_trans"),
+        F.sum((F.col("src") == F.col("nxt")).cast("long")).alias("mk_self"),
+        F.sum((F.col("nxt") == "purchase").cast("long")).alias("mk_to_purchase"),
+    ).collect()}
+    assert mka["u1"].asDict() == {"doc_id": "u1", "mk_trans": 3, "mk_self": 1,
+                                  "mk_to_purchase": 1}
+    assert mka["u2"]["mk_trans"] == 1 and mka["u2"]["mk_self"] == 0
+    assert "u4" not in mka  # single event: left-join side coalesces to 0
+    # tie order: u2's transition must be click>error (event_id tiebreak)
+    top = {r["doc_id"]: r["p"] for r in tr.select(
+        "doc_id", F.concat_ws(">", "src", "nxt").alias("p")).collect()
+        if r["doc_id"] == "u2"}
+    assert top["u2"] == "click>error"
+    wrate = (Window.partitionBy("doc_id").orderBy("us")
+             .rangeBetween(-3_600_000_000, 0))
+    peak = {r["doc_id"]: r["peak"] for r in
+            ev2.withColumn("c", F.count(F.lit(1)).over(wrate))
+               .groupBy("doc_id").agg(F.max("c").alias("peak")).collect()}
+    # closed frame [t-1h, t]: u3's event at exactly +1h still sees all 4;
+    # u1's events exactly 1h apart each see their predecessor → peak 2
+    assert peak == {"u1": 2, "u2": 2, "u3": 4, "u4": 1}
