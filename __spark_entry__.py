@@ -1187,9 +1187,17 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        tiebreak="event_id")
     # robust rolling baseline: exact lower-median over the last 5 rows
     # (collect_list + array_sort + element_at, whole-stage JVM)
-    from nyxus_spark.operators import with_rolling_median
+    from nyxus_spark.operators import with_decayed_counter, with_rolling_median
 
     out = with_rolling_median(out, "cents", n_rows=5, tiebreak="event_id")
+    # TIME-DECAYED counters (the feature-store decayed-CTR primitive) at two
+    # half-lives: dyadic 2^(−age-bucket) weights over the trailing-32 frame,
+    # so the 2^20-scaled numerator is an exact BIGINT and the feature is ONE
+    # IEEE division by a power of two — engine-bit-identical
+    out = with_decayed_counter(out, "cents", half_life_us=1_800_000_000,
+                               tiebreak="event_id")
+    out = with_decayed_counter(out, "cents", half_life_us=14_400_000_000,
+                               tiebreak="event_id")
     # SCD2 validity intervals (Kimball type-2 history table): every event
     # version carries [valid_from_us, valid_to_us) with the open version
     # flagged — the materialized counterpart of the as-of window join
@@ -1230,6 +1238,11 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rollr7200000000us_count_cents").alias("r2h_n"),
         F.col("roll5_med_cents").alias("r5_med"),
         F.col("roll5_mad_cents").alias("r5_mad"),
+        F.col("dk30m_num_cents").alias("dk30_num"),
+        F.col("dk30m_n_cents").alias("dk30_n"),
+        _r4("dk30m_cents").alias("dk30"),
+        F.col("dk240m_num_cents").alias("dk240_num"),
+        _r4("dk240m_cents").alias("dk240"),
         "scd_from_us", "scd_to_us", "scd_current",
         "f_ts_0", "f_ts_1", "f_ts_2", "funnel_stage",
     )
@@ -3916,12 +3929,13 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     set: the cogrouped pandas merge_asof kernel, the time-sliced salted path
     (salt_slices=4, the north-rule hot-key treatment), plus the
     union_window FORWARD (first version at-or-after the probe), NEAREST
-    (min |Δts|, ties backward — pandas semantics), and STRICT backward
-    (allow_exact_matches=False: versions strictly before the probe)
-    variants. Joined on the probe key, so the oracle (backward + forward +
-    strict ASOF LEFT JOINs, nearest derived by the same tie-break CASE)
-    forces every strategy/direction/bound to agree with the oracle AND each
-    other."""
+    (min |Δts|, ties backward — pandas semantics), STRICT backward
+    (allow_exact_matches=False: versions strictly before the probe), and the
+    BROADCAST small-dim strategy (per-key sorted history arrays broadcast
+    onto the probes — the zero-probe-shuffle path) variants. Joined on the
+    probe key, so the oracle (backward + forward + strict ASOF LEFT JOINs,
+    nearest derived by the same tie-break CASE) forces every
+    strategy/direction/bound to agree with the oracle AND each other."""
     from pyspark.sql import functions as F
 
     from nyxus_spark.operators import asof_join
@@ -3941,8 +3955,9 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tokens_versions(spark, sf_dir).select("doc_id", "ts", "n_tok")
     p = probes(spark, sf_dir)
 
-    def directed(direction, tag, exact=True):
-        out = asof_join(p, v, direction=direction, allow_exact_matches=exact)
+    def directed(direction, tag, exact=True, strategy="union_window"):
+        out = asof_join(p, v, direction=direction, allow_exact_matches=exact,
+                        strategy=strategy)
         return out.select(
             "doc_id", "event_id",
             F.unix_micros(F.col("matched_ts").cast("timestamp"))
@@ -4001,6 +4016,11 @@ def _q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(directed("forward", "fwd"), ["doc_id", "event_id"])
         .join(directed("nearest", "near"), ["doc_id", "event_id"])
         .join(directed("backward", "strict", exact=False), ["doc_id", "event_id"])
+        # the BROADCAST strategy (small-dim zero-probe-shuffle path): the
+        # version table collapses to one sorted history array per key and
+        # broadcast-joins the probes — must equal the shuffling strategies
+        .join(directed("backward", "bcast", strategy="broadcast"),
+              ["doc_id", "event_id"])
         .join(multi, ["doc_id", "event_id"])
         .join(tomb, ["doc_id", "event_id"])
     )
@@ -5403,6 +5423,7 @@ SELECT b.doc_id, b.event_id, b.ts_us,
              AND (f.f_ts IS NULL OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
             THEN b.b_nt ELSE f.f_nt END AS near_n_tok,
        s.s_ts AS strict_matched_ts_us, s.s_nt AS strict_n_tok,
+       b.b_ts AS bcast_matched_ts_us, b.b_nt AS bcast_n_tok,
        b.b_ts AS multi_tok_ts_us, b.b_nt AS multi_n_tok,
        m.px_ts AS multi_px_ts_us, m.px_cents AS multi_px_cents,
        m.px_n AS multi_px_n,
@@ -7871,6 +7892,30 @@ SELECT doc_id, event_id,
               [(len(list_filter(list(cents) OVER w5, x -> x IS NOT NULL)) + 1) // 2]
               AS BIGINT)
        END AS r5_mad,
+       -- time-decayed counters: exact BIGINT numerator Σ v·2^(20−age) with
+       -- age = min((t_now − t_i) div half_life, 20) over the trailing-32
+       -- frame; the feature is ONE division by 2^20
+       CAST(list_reduce(list_transform(list(struct_pack(u := ts_us, v := cents)) OVER w32,
+         x -> CASE WHEN x.v IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(x.v AS BIGINT) * (CAST(1 AS BIGINT)
+                   << CAST(20 - LEAST((ts_us - x.u) // 1800000000, 20) AS INTEGER)) END),
+         (a, b) -> a + b) AS BIGINT) AS dk30_num,
+       CAST(len(list_filter(list(cents) OVER w32, x -> x IS NOT NULL)) AS BIGINT) AS dk30_n,
+       FLOOR((CAST(list_reduce(list_transform(list(struct_pack(u := ts_us, v := cents)) OVER w32,
+         x -> CASE WHEN x.v IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(x.v AS BIGINT) * (CAST(1 AS BIGINT)
+                   << CAST(20 - LEAST((ts_us - x.u) // 1800000000, 20) AS INTEGER)) END),
+         (a, b) -> a + b) AS DOUBLE) / 1048576.0) * 10000.0 + 0.5) / 10000.0 AS dk30,
+       CAST(list_reduce(list_transform(list(struct_pack(u := ts_us, v := cents)) OVER w32,
+         x -> CASE WHEN x.v IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(x.v AS BIGINT) * (CAST(1 AS BIGINT)
+                   << CAST(20 - LEAST((ts_us - x.u) // 14400000000, 20) AS INTEGER)) END),
+         (a, b) -> a + b) AS BIGINT) AS dk240_num,
+       FLOOR((CAST(list_reduce(list_transform(list(struct_pack(u := ts_us, v := cents)) OVER w32,
+         x -> CASE WHEN x.v IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(x.v AS BIGINT) * (CAST(1 AS BIGINT)
+                   << CAST(20 - LEAST((ts_us - x.u) // 14400000000, 20) AS INTEGER)) END),
+         (a, b) -> a + b) AS DOUBLE) / 1048576.0) * 10000.0 + 0.5) / 10000.0 AS dk240,
        CAST(ts_us AS BIGINT) AS scd_from_us,
        CAST(COALESCE(lead(ts_us) OVER wt, 9223372036854775807) AS BIGINT)
          AS scd_to_us,
@@ -7890,6 +7935,8 @@ WINDOW w AS (PARTITION BY doc_id ORDER BY ts),
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
        w5 AS (PARTITION BY doc_id ORDER BY ts, event_id
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w32 AS (PARTITION BY doc_id ORDER BY ts, event_id
+               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW),
        wr AS (PARTITION BY doc_id ORDER BY ts_us
               RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW),
        wt AS (PARTITION BY doc_id ORDER BY ts, event_id)

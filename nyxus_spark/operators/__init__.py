@@ -8,6 +8,7 @@ from nyxus_spark.operators.windows import (  # noqa: F401
     sessionize,
     with_lags,
     with_locf,
+    with_decayed_counter,
     with_rolling,
     with_rolling_median,
     with_nocb,

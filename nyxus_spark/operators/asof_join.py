@@ -60,9 +60,10 @@ def asof_join(
     ``tolerance_sec``, each direction's candidate must be within the
     tolerance BEFORE nearest chooses (pandas semantics). Forward/nearest run
     on the union_window (two same-partition window passes — still ONE
-    shuffle), cogroup_merge (native merge_asof), and shuffle_join
-    strategies; the salted time-sliced path is backward-only (its per-slice
-    seeding is a carry-forward of past state).
+    shuffle), cogroup_merge (native merge_asof), shuffle_join, and broadcast
+    (small-dim zero-probe-shuffle) strategies; the salted time-sliced path
+    is backward-only (its per-slice seeding is a carry-forward of past
+    state).
 
     ``allow_exact_matches=False`` makes the bound strict (< / > instead of
     <= / >=, pandas knob of the same name): a version AT the probe's exact
@@ -120,6 +121,9 @@ def asof_join(
     if strategy == "shuffle_join":
         return _asof_shuffle_join(probes, versions, on, ts_col, version_prefix,
                                   tolerance_sec, direction, allow_exact_matches)
+    if strategy == "broadcast":
+        return _asof_broadcast(probes, versions, on, ts_col, version_prefix,
+                               tolerance_sec, direction, allow_exact_matches)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -230,6 +234,68 @@ def _asof_union_window(probes, versions, on, ts_col, prefix, tolerance_sec,
         F.when(use_b, bmts2).otherwise(fmts2).alias("matched_ts"),
         *[F.when(use_b, bcar2[c]).otherwise(fcar2[c]).alias(f"{prefix}{c}")
           for c in pay],
+    )
+
+
+def _asof_broadcast(probes, versions, on, ts_col, prefix, tolerance_sec,
+                    direction="backward", allow_exact=True):
+    """ZERO-probe-shuffle as-of for SMALL version tables (the feature-store
+    dimension case: a slowly-changing reference table joined against a huge
+    probe stream). The versions collapse to one ts-sorted history array per
+    key — a tiny aggregation — which broadcast-joins onto the probes, so the
+    probe side never exchanges: at 100 TB the big table stays where it is
+    and every executor resolves its probes against the in-memory dim.
+
+    Per probe the match is an O(|history|) array scan (filter + element_at
+    on the staged candidate array — the arrays are small by the strategy's
+    own contract; history arrays must fit the broadcast threshold). Matches
+    union_window exactly across directions / tolerance / allow_exact
+    (tested). Assumes unique (key, ts) versions like the other strategies.
+    """
+    pay = _payload_cols(versions, on, ts_col)
+    probe_extra = [c for c in probes.columns if c not in (on, ts_col)]
+    hist = versions.groupBy(on).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("t"),
+                                    *[F.col(c) for c in pay]))
+        ).alias("__vh")
+    )
+    j = probes.join(F.broadcast(hist), on, "left")
+
+    le, ge = ("<=", ">=") if allow_exact else ("<", ">")
+    ts_d = f"cast({ts_col} as double)"
+    back_cond = f"x.t {le} {ts_col}"
+    fwd_cond = f"x.t {ge} {ts_col}"
+    if tolerance_sec is not None:
+        back_cond += f" AND {ts_d} - cast(x.t as double) <= {tolerance_sec}"
+        fwd_cond += f" AND cast(x.t as double) - {ts_d} <= {tolerance_sec}"
+
+    # stage the filtered candidates, then the matched STRUCT, as their own
+    # columns (Catalyst lambdas re-evaluate captured subexpressions — never
+    # inline the filter once per payload field); element_at is guarded by
+    # the size CASE in the same expression (lazy per row), so ANSI never
+    # sees an out-of-range index
+    def pick(cond, idx):
+        cands = F.expr(f"filter(__vh, x -> {cond})")
+        return F.when(F.size(cands) > 0, F.element_at(cands, idx))
+
+    if direction == "backward":
+        j = j.withColumn("__m", pick(back_cond, -1))
+    elif direction == "forward":
+        j = j.withColumn("__m", pick(fwd_cond, 1))
+    else:  # nearest: per-direction tolerance BEFORE the choice, ties backward
+        j = j.withColumn("__bm", pick(back_cond, -1))
+        j = j.withColumn("__fm", pick(fwd_cond, 1))
+        use_b = F.col("__bm").isNotNull() & (
+            F.col("__fm").isNull()
+            | (F.expr(ts_d) - F.expr("cast(__bm.t as double)")
+               <= F.expr("cast(__fm.t as double)") - F.expr(ts_d))
+        )
+        j = j.withColumn("__m", F.when(use_b, F.col("__bm")).otherwise(F.col("__fm")))
+    return j.select(
+        on, ts_col, *probe_extra,
+        F.col("__m.t").alias("matched_ts"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in pay],
     )
 
 

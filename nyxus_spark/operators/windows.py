@@ -223,6 +223,82 @@ def with_rolling_median(
     )
 
 
+def with_decayed_counter(
+    df: DataFrame,
+    col: str,
+    half_life_us: int,
+    n_rows: int = 32,
+    age_cap: int = 20,
+    partition: str = "doc_id",
+    order: str = "ts",
+    tiebreak: str | None = None,
+    label: str | None = None,
+) -> DataFrame:
+    """Time-decayed counter — the classic feature-store primitive (a CTR /
+    activity feature where each past observation's weight halves every
+    `half_life_us` of event time), made EXACT and engine-reproducible:
+
+    * the decay weight is the dyadic 2^(−age) with
+      age = min((t_now − t_i) div half_life_us, age_cap) — integer-bucketed
+      half-lives instead of the float 2^(−Δt/h) recurrence, so the 2^age_cap-
+      scaled numerator Σ vᵢ·2^(age_cap−ageᵢ) is an exact BIGINT any engine
+      reproduces (observations older than age_cap half-lives contribute 0 —
+      at the default cap their true weight is < 1e-6);
+    * the history is the trailing `n_rows` row frame (tie-broken total
+      order), the bounded-state shape the streaming counter keeps — O(K)
+      work per row over ONE partition-key shuffle, never an unbounded
+      rescan;
+    * the feature value is numerator / 2^age_cap — ONE IEEE division by a
+      power of two.
+
+    Appends ``{label}_num_{col}`` (exact BIGINT numerator), ``{label}_n_{col}``
+    (non-null observations in frame) and ``{label}_{col}`` (double); label
+    defaults to ``dk{half_life_us//60_000_000}m``. Overflow bound: needs
+    n_rows · max|v| · 2^age_cap < 2^63 (n_rows=32, age_cap=20 → |v| ≤ ~2.7e11).
+
+    Reference analog: nyxus accumulates per-label running state across an
+    ordered pixel scan (phase1.cpp online statistics); the decayed counter is
+    that online-state shape on the event-time axis.
+    """
+    if half_life_us <= 0 or n_rows <= 0:
+        raise ValueError("half_life_us and n_rows must be positive")
+    if not (0 <= age_cap <= 62):
+        raise ValueError(f"age_cap must be in [0, 62], got {age_cap}")
+    lbl = label if label is not None else f"dk{half_life_us // 60_000_000}m"
+    ob = [F.col(order).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = (Window.partitionBy(partition).orderBy(*ob)
+         .rowsBetween(-(n_rows - 1), 0))
+    us = f"__dk_us_{lbl}"
+    arr = f"__dk_arr_{lbl}"
+    out = (
+        df.withColumn(us, F.unix_micros(F.col(order).cast("timestamp")))
+        .withColumn(
+            arr,
+            F.collect_list(
+                F.struct(F.col(us).alias("u"), F.col(col).cast("long").alias("v"))
+            ).over(w),
+        )
+    )
+    # exact integer fold over the staged frame: the trailing frame ends at
+    # the current row, so t_now − x.u ≥ 0 and the shift stays in [0, age_cap]
+    num = F.expr(
+        f"aggregate({arr}, cast(0 as bigint), (a, x) -> a + CASE WHEN x.v IS "
+        f"NULL THEN cast(0 as bigint) ELSE x.v * shiftleft(cast(1 as bigint), "
+        f"{age_cap} - cast(least(({us} - x.u) div {half_life_us}, {age_cap}) "
+        f"as int)) END)"
+    )
+    nn = F.expr(f"size(filter({arr}, x -> x.v IS NOT NULL))").cast("long")
+    return (
+        out.withColumn(f"{lbl}_num_{col}", num)
+        .withColumn(f"{lbl}_n_{col}", nn)
+        .withColumn(
+            f"{lbl}_{col}",
+            F.col(f"{lbl}_num_{col}").cast("double") / F.lit(float(1 << age_cap)),
+        )
+        .drop(us, arr)
+    )
+
+
 def sessionize(
     df: DataFrame,
     gap_seconds: float,

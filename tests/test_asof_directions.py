@@ -13,7 +13,7 @@ import datetime
 import pandas as pd
 import pytest
 
-STRATEGIES = ["union_window", "cogroup_merge", "shuffle_join"]
+STRATEGIES = ["union_window", "cogroup_merge", "shuffle_join", "broadcast"]
 
 
 def _ts(s):

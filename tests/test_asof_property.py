@@ -74,7 +74,7 @@ def test_all_strategies_match_pandas_reference(spark, vers, probes):
     }
 
     for kwargs in ({"strategy": "union_window"}, {"strategy": "cogroup_merge"},
-                   {"salt_slices": 3}):
+                   {"strategy": "broadcast"}, {"salt_slices": 3}):
         rows = asof_join(pdf, vdf, **kwargs).collect()
         assert len(rows) == len(probes), kwargs
         for r in rows:
