@@ -2567,6 +2567,24 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.expr(si_sql)).cast("long").alias("zb_src_max"),
     )
     out = out.join(zext, "zb")
+    # HILBERT-curve layout key over the SAME two dims (the stronger-locality
+    # OPTIMIZE variant: consecutive keys are grid-adjacent, and each aligned
+    # 4096-key bucket is an exact 64×64 SQUARE — both extents < 64, a
+    # tighter pruning guarantee than the z-order rectangles gated above);
+    # one xy2d rotate/flip fold per row, oracle-replayed per bit step
+    from nyxus_spark.functions import hilbert_key
+
+    out = out.withColumn(
+        "h32", hilbert_key(si_sql, "cast(n_chars as bigint)", 16).cast("long")
+    ).withColumn("hb", F.expr("h32 div 4096"))
+    hext = out.groupBy("hb").agg(
+        F.count("*").cast("long").alias("hb_rows"),
+        F.min("n_chars").cast("long").alias("hb_n_min"),
+        F.max("n_chars").cast("long").alias("hb_n_max"),
+        F.min(F.expr(si_sql)).cast("long").alias("hb_src_min"),
+        F.max(F.expr(si_sql)).cast("long").alias("hb_src_max"),
+    )
+    out = out.join(hext, "hb")
     fold_sizes = docs.select(
         cv_fold(F.col("doc_id"), 5).alias("cv_fold")
     ).groupBy("cv_fold").agg(
@@ -6024,6 +6042,18 @@ zext AS (  -- per-z-bucket 2-D extents: a z range is a rectangle
          CAST(MIN(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS zb_src_min,
          CAST(MAX(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS zb_src_max
   FROM base b JOIN zed z USING (doc_id) GROUP BY 1
+),
+-- Hilbert key: the same xy2d rotate/flip transform unrolled one CTE per bit
+{oracles.sql_hilbert_ctes("base", "doc_id", "CAST(substr(source, 4) AS BIGINT)",
+                          "CAST(n_chars AS BIGINT)", 16, "hil")},
+hext AS (  -- per-Hilbert-bucket extents: an aligned 4096-block is a SQUARE
+  SELECT hl.h32 // 4096 AS hb,
+         CAST(COUNT(*) AS BIGINT) AS hb_rows,
+         CAST(MIN(b.n_chars) AS BIGINT) AS hb_n_min,
+         CAST(MAX(b.n_chars) AS BIGINT) AS hb_n_max,
+         CAST(MIN(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS hb_src_min,
+         CAST(MAX(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS hb_src_max
+  FROM base b JOIN hil hl ON hl.hk = b.doc_id GROUP BY 1
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
@@ -6051,6 +6081,8 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        st.st_fold, sf2.st_fold_rows,
        z.z32, CAST(z.z32 // 4096 AS BIGINT) AS zb,
        ze.zb_rows, ze.zb_n_min, ze.zb_n_max, ze.zb_src_min, ze.zb_src_max,
+       hl.h32, CAST(hl.h32 // 4096 AS BIGINT) AS hb,
+       he.hb_rows, he.hb_n_min, he.hb_n_max, he.hb_src_min, he.hb_src_max,
        ps.pri4, ps.pri_rank, ps.pri_keep, ps.pri_ht4,
        CAST((SELECT COUNT(*) FROM rbk WHERE bound_val < base.shuf_e0)
             AS BIGINT) AS rp8,
@@ -6082,6 +6114,8 @@ FROM base JOIN bplan bp USING (source)
      JOIN stfs sf2 ON sf2.source = base.source AND sf2.st_fold = st.st_fold
      JOIN zed z ON z.doc_id = base.doc_id
      JOIN zext ze ON ze.zb = z.z32 // 4096
+     JOIN hil hl ON hl.hk = base.doc_id
+     JOIN hext he ON he.hb = hl.h32 // 4096
 )
 )
 """,

@@ -1057,6 +1057,44 @@ def zorder_key(a_sql: str, b_sql: str, bits: int = 16):
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+def hilbert_key(a_sql: str, b_sql: str, bits: int = 16):
+    """HILBERT-curve clustering key over two integer dimensions — the
+    stronger-locality complement to `zorder_key` (Delta's OPTIMIZE supports
+    both; Hilbert is the default in newer layouts because consecutive key
+    values are always GRID-ADJACENT, where the Morton curve takes long
+    diagonal jumps at block seams). Aligned blocks of 4^m consecutive keys
+    are exact 2^m × 2^m squares — even tighter than z-order's rectangles —
+    so a key range prunes BOTH columns' predicates.
+
+    Standard xy2d transform (rotate/flip quadrant recursion) as ONE
+    Catalyst `aggregate()` fold over the bit positions — struct state
+    {x, y, d}, all-BIGINT fields (fold field types must stay stable), pure
+    integer compare/shift/xor ops any engine reproduces bit-for-bit
+    (shifts ≤ 2·bits−2 ≤ 60, inside the 63-bit cross-engine constraint).
+    `a_sql`/`b_sql` are SQL texts of BIGINT expressions in [0, 2^bits)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    s = "shiftleft(cast(1 as bigint), i)"
+    rx = f"(acc.x & {s}) > 0"
+    ry0 = f"(acc.y & {s}) = 0"
+    return F.expr(
+        f"aggregate(sequence({bits - 1}, 0, -1), "
+        f"named_struct('x', cast(({a_sql}) as bigint), "
+        f"'y', cast(({b_sql}) as bigint), 'd', cast(0 as bigint)), "
+        f"(acc, i) -> named_struct("
+        # ry=0 → conditional anti-diagonal flip, then swap(x, y); ry=1 → keep
+        f"'x', CASE WHEN {ry0} THEN CASE WHEN {rx} THEN {s} - 1 - acc.y "
+        f"ELSE acc.y END ELSE acc.x END, "
+        f"'y', CASE WHEN {ry0} THEN CASE WHEN {rx} THEN {s} - 1 - acc.x "
+        f"ELSE acc.x END ELSE acc.y END, "
+        # d += s² · ((3·rx) xor ry)
+        f"'d', acc.d + shiftleft(cast(1 as bigint), i + i) * "
+        f"(cast(CASE WHEN {rx} THEN 3 ELSE 0 END as bigint) ^ "
+        f"cast(CASE WHEN {ry0} THEN 0 ELSE 1 END as bigint))), "
+        f"acc -> acc.d)"
+    )
+
+
 def largest_remainder_alloc(df, k: int, source_col: str = "source"):
     """Largest-remainder (Hamilton) APPORTIONMENT — allocate exactly `k`
     sample slots across sources proportional to their row counts: each

@@ -850,6 +850,44 @@ def sql_zorder(a: str, b: str, bits: int = 16) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def sql_hilbert_ctes(src: str, key: str, a: str, b: str,
+                     bits: int = 16, out: str = "hilbert") -> str:
+    """DuckDB replay of functions.hilbert_key as an UNROLLED per-step CTE
+    chain (the PageRank/MMR oracle pattern): one CTE per bit applies the
+    same xy2d rotate/flip step with the per-step s precomputed in Python.
+
+    NOT a list_reduce fold on purpose: DuckDB 1.0.0's list_reduce
+    mis-vectorizes accumulator-dependent CASE branches ACROSS ROWS (a
+    single-row query gives the right answer, the same expression over a
+    multi-row table contaminates results between rows — measured), so only
+    pure-arithmetic (a, b) -> a + b folds are trusted in oracles.
+    Intermediate x/y go NEGATIVE in xy2d (the s−1−x flip at steps where the
+    coordinate still holds higher bits) — two's-complement & keeps the
+    low-bit tests correct, same as the C original.
+
+    Returns the CTE definitions text; splice after a WITH and SELECT
+    ``h32`` joined on ``hk`` from CTE `out`."""
+    parts = [
+        f"{out}0 AS (SELECT {key} AS hk, CAST({a} AS BIGINT) AS hx, "
+        f"CAST({b} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    for k in range(1, bits + 1):
+        s = 1 << (bits - k)
+        parts.append(
+            f"{out}{k} AS (SELECT hk, "
+            f"CASE WHEN (hy & {s}) = 0 THEN CASE WHEN (hx & {s}) > 0 "
+            f"THEN {s - 1} - hy ELSE hy END ELSE hx END AS hx, "
+            f"CASE WHEN (hy & {s}) = 0 THEN CASE WHEN (hx & {s}) > 0 "
+            f"THEN {s - 1} - hx ELSE hx END ELSE hy END AS hy, "
+            f"hd + {s * s} * CAST(xor("
+            f"CASE WHEN (hx & {s}) > 0 THEN 3 ELSE 0 END, "
+            f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hd "
+            f"FROM {out}{k - 1})"
+        )
+    parts.append(f"{out} AS (SELECT hk, hd AS h32 FROM {out}{bits})")
+    return ",\n".join(parts)
+
+
 def sql_cosine_dup(threshold: float = 0.99, n_planes: int = 16, quant: int = 1000) -> str:
     """Embedding-cosine near-dup oracle: replays the hyperplane-LSH blocking
     with the same integer arithmetic (quantized vectors × deterministic
