@@ -981,7 +981,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("string").alias("doc_id"), "ts", "event_id",
-        "props", "value",
+        "props", "value", "event_type",
     )
     # deterministic SCHEMA DRIFT injection so the audit has real work:
     # every 5th event's producer "adds a field" (x), every 7th "drops" k —
@@ -1038,6 +1038,19 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("props_k").over(w).cast("long").alias("session_k_sum"),
         F.count("*").over(w).cast("long").alias("session_n_events"),
         F.when(twap_den > 0, _r4(twap_num / twap_den)).alias("session_twap4"),
+        # marketing-attribution columns: FIRST-TOUCH = the session's opening
+        # event type; LAST-TOUCH = the most recent non-purchase type at or
+        # before this event (the channel a purchase is credited to) — both
+        # pure ordered-window carries, NULL until a non-purchase occurs
+        F.first("event_type")
+        .over(wlead.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("ft_type"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(wlead.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("lt_type"),
     )
     # INTERVAL JOIN composition: each session's [min ts, max ts] becomes a
     # validity window, and every event re-joins through the bucketed
@@ -7765,7 +7778,7 @@ WINDOW cw AS (PARTITION BY event_type ORDER BY window_start_us
         "sessionize": """
 WITH drifted AS (  -- the same deterministic schema-drift injection:
                    -- %7 drops k (producer regression), %5 adds x
-  SELECT user_id, event_id, ts, value,
+  SELECT user_id, event_id, ts, value, event_type,
          CASE WHEN event_id % 7 = 0 THEN '{"z": 1}'
               WHEN event_id % 5 = 0 THEN substr(props, 1, strlen(props) - 1)
                    || ', "x": ' || CAST(event_id % 9 AS VARCHAR) || '}'
@@ -7774,6 +7787,7 @@ WITH drifted AS (  -- the same deterministic schema-drift injection:
 ),
 flags AS (
   SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts, value, props,
+         event_type,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
               THEN 1 ELSE 0 END AS f
@@ -7850,6 +7864,14 @@ SELECT s.doc_id, s.event_id, s.session_id,
        CASE WHEN t.twap_den > 0 THEN
          FLOOR((CAST(t.twap_num AS DOUBLE) / t.twap_den) * 10000.0 + 0.5) / 10000.0
        END AS session_twap4,
+       -- attribution: first-touch session opener + last non-purchase type
+       first_value(f2.event_type) OVER
+         (PARTITION BY s.doc_id, s.session_id ORDER BY f2.ts, s.event_id)
+         AS ft_type,
+       last_value(CASE WHEN f2.event_type <> 'purchase' THEN f2.event_type END
+                  IGNORE NULLS) OVER
+         (PARTITION BY s.doc_id, s.session_id ORDER BY f2.ts, s.event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_type,
        n.iv_n,
        -- the streamed session count must agree with the from-scratch
        -- batch count (the Spark side computes it via session_window

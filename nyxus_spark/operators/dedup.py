@@ -549,8 +549,26 @@ def minhash_estimate(
                 " (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),"
                 " 0L, (a, x) -> a + x)"
             ).alias("sig_match"),
+            # b-BIT MinHash (Li & König, WWW 2010): store only the low b=2
+            # bits of each slot — 1/16 the sketch memory at corpus scale.
+            # Random low-bit collisions inflate agreement by C = 1/2^b, so
+            # the unbiased estimator is (A − C)/(1 − C) = (m − k/4)/(k·3/4)
+            # — exact integers + ONE division (negative when agreement is
+            # below the collision floor; that IS the estimator's value).
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b,"
+                " (x, y) -> CASE WHEN (x & 3) = (y & 3) THEN 1L ELSE 0L END),"
+                " 0L, (a, x) -> a + x)"
+            ).alias("bbit_match"),
         )
         .withColumn("est4", fround4(F.col("sig_match") / F.lit(num_hashes)))
+        .withColumn(
+            "bbit_est4",
+            fround4(
+                (F.col("bbit_match") - F.lit(num_hashes / 4.0))
+                / F.lit(num_hashes * 3 / 4.0)
+            ),
+        )
     )
 
 

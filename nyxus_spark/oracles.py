@@ -273,7 +273,16 @@ wns AS (
             AS BIGINT) AS sig_match,
        FLOOR(CAST(list_sum(list_transform(range(1, {NUM_HASHES + 1}),
                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
-             AS DOUBLE) / {NUM_HASHES}.0 * 10000.0 + 0.5) / 10000.0 AS est4"""
+             AS DOUBLE) / {NUM_HASHES}.0 * 10000.0 + 0.5) / 10000.0 AS est4,
+       CAST(list_sum(list_transform(range(1, {NUM_HASHES + 1}),
+              i -> CASE WHEN (sa.sig[i] & 3) = (sb.sig[i] & 3) THEN 1 ELSE 0 END))
+            AS BIGINT) AS bbit_match,
+       -- b-bit (b=2) estimator (A − 1/4)/(3/4): the low-bit collision floor
+       -- subtracted, exact ints + one division (may be negative)
+       FLOOR(((CAST(list_sum(list_transform(range(1, {NUM_HASHES + 1}),
+               i -> CASE WHEN (sa.sig[i] & 3) = (sb.sig[i] & 3) THEN 1 ELSE 0 END))
+             AS DOUBLE) - {NUM_HASHES / 4.0}) / {NUM_HASHES * 3 / 4.0})
+             * 10000.0 + 0.5) / 10000.0 AS bbit_est4"""
         sg_join = " JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b"
     res_sql = f"""SELECT id_a, id_b,
        FLOOR((CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)

@@ -403,6 +403,17 @@ def test_minhash_estimate_bounds_and_identity(spark):
     assert rows[("a", "b")]["sig_match"] == 16
     assert rows[("a", "b")]["est4"] == 1.0
     assert 0 <= rows[("a", "c")]["sig_match"] < 16
+    # b-bit (b=2) variant: identical docs agree on every low-bit slot and
+    # the collision-floor-corrected estimator hits exactly 1; b-bit
+    # agreement can never fall below full-slot agreement
+    assert rows[("a", "b")]["bbit_match"] == 16
+    assert rows[("a", "b")]["bbit_est4"] == 1.0
+    assert rows[("a", "c")]["bbit_match"] >= rows[("a", "c")]["sig_match"]
+    import math
+    m = rows[("a", "c")]["bbit_match"]
+    assert rows[("a", "c")]["bbit_est4"] == math.floor(
+        (m - 4.0) / 12.0 * 10000.0 + 0.5) / 10000.0
+    assert rows[("a", "c")]["bbit_est4"] <= 1.0
 
 
 # ---------------------------------------------------------------------------
