@@ -371,7 +371,21 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__rsmx", "__rsmn")
     )
-    return res.join(sk, "doc_id").join(pl, "doc_id")
+    # tabular feature-ENCODING block (functions/encoding.py): within-source
+    # z-score of n_tok (fixed IEEE chain over exact BIGINT sums), exact
+    # percentile rank (rank−1)/(n−1), and p10/p90 WINSORIZATION with bounds
+    # from the lower-rank rule via a value-grain agg + cumulative window —
+    # the per-source standardization/clipping a mixed-corpus feature matrix
+    # applies before training
+    from nyxus_spark.functions.encoding import group_standardize, percentile_clip
+
+    enc = group_standardize(
+        t.select("doc_id", "source", "n_tok"), "source", "n_tok", prefix="src"
+    )
+    enc = percentile_clip(enc, "source", "n_tok", prefix="src").select(
+        "doc_id", "src_z4", "src_rank4", "src_lo", "src_hi", "src_wins"
+    )
+    return res.join(sk, "doc_id").join(pl, "doc_id").join(enc, "doc_id")
 
 
 def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,6 +1225,14 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                tiebreak="event_id")
     out = with_decayed_counter(out, "cents", half_life_us=14_400_000_000,
                                tiebreak="event_id")
+    # LOO + smoothed TARGET ENCODING of the user against purchase cents
+    # (functions/encoding.py): the leakage-free categorical encoder —
+    # (S_u − x)/(n_u − 1) for the row's own category, and the m=20
+    # Bayesian shrink toward the global mean as ONE cross-multiplied
+    # exact division (empty users get exactly the global mean)
+    from nyxus_spark.functions.encoding import loo_target_encode
+
+    out = loo_target_encode(out, "doc_id", "cents", m=20, prefix="te")
     # SCD2 validity intervals (Kimball type-2 history table): every event
     # version carries [valid_from_us, valid_to_us) with the open version
     # flagged — the materialized counterpart of the as-of window join
@@ -1256,6 +1278,7 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4("dk30m_cents").alias("dk30"),
         F.col("dk240m_num_cents").alias("dk240_num"),
         _r4("dk240m_cents").alias("dk240"),
+        "te_n", "te_loo4", "te_sm4",
         "scd_from_us", "scd_to_us", "scd_current",
         "f_ts_0", "f_ts_1", "f_ts_2", "funnel_stage",
     )
@@ -6991,6 +7014,28 @@ JOIN ({oracles.sql_haar()}) h USING (doc_id)
     return extra | {
         "tokens_basic": f"""
 WITH {SQL_TOKENS_STATIC},
+encs AS (  -- per-source moments for the z-score chain
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS en,
+         CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS es,
+         CAST(SUM(CAST(n_tok AS BIGINT) * CAST(n_tok AS BIGINT)) AS BIGINT) AS ee
+  FROM tokens_static GROUP BY source
+),
+encv AS (SELECT source, CAST(n_tok AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM tokens_static GROUP BY 1, 2),
+encc AS (SELECT source, v,
+                SUM(c) OVER (PARTITION BY source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(c) OVER (PARTITION BY source) AS n
+         FROM encv),
+encb AS (  -- winsorization bounds: lower-rank rule max(1, (n·k) div 100)
+  SELECT source,
+         CAST(MIN(CASE WHEN cum >= GREATEST(1, (n * 10) // 100) THEN v END) AS BIGINT) AS src_lo,
+         CAST(MIN(CASE WHEN cum >= GREATEST(1, (n * 90) // 100) THEN v END) AS BIGINT) AS src_hi
+  FROM encc GROUP BY source
+),
+encr AS (SELECT doc_id,
+                CAST(rank() OVER (PARTITION BY source ORDER BY n_tok) AS BIGINT) AS rk
+         FROM tokens_static),
 adjp AS (
   SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
   FROM (SELECT doc_id, tokens, unnest(range(1, n_tok)) AS i FROM tokens_static)
@@ -7323,7 +7368,22 @@ SELECT doc_id, n_tok,
          FLOOR((CAST(GREATEST(op.op_asc, op.op_acb, op.op_bac, op.op_bca,
                               op.op_cab, op.op_desc, op.op_ties) AS DOUBLE)
                 / (CAST(n_tok AS BIGINT) - 2)) * 10000.0 + 0.5) / 10000.0
-       ELSE 0.0 END AS op_max_share4
+       ELSE 0.0 END AS op_max_share4,
+       -- feature-encoding block: within-source z (fixed IEEE chain),
+       -- exact percentile rank, lower-rank p10/p90 winsorization
+       CASE WHEN s9.en > 1 AND s9.en * s9.ee - s9.es * s9.es > 0 THEN
+         FLOOR((CAST(s9.en * CAST(n_tok AS BIGINT) - s9.es AS DOUBLE)
+                / (CAST(s9.en AS DOUBLE)
+                   * sqrt((s9.en * s9.ee - s9.es * s9.es)
+                          / (s9.en * (s9.en - 1)))))
+               * 10000.0 + 0.5) / 10000.0
+       END AS src_z4,
+       CASE WHEN s9.en > 1 THEN
+         FLOOR(((er.rk - 1) / (s9.en - 1)) * 10000.0 + 0.5) / 10000.0
+       END AS src_rank4,
+       eb.src_lo, eb.src_hi,
+       CAST(GREATEST(eb.src_lo, LEAST(eb.src_hi, CAST(n_tok AS BIGINT)))
+            AS BIGINT) AS src_wins
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
@@ -7334,6 +7394,9 @@ JOIN sky sk USING (doc_id)
 JOIN players pl USING (doc_id)
 LEFT JOIN rsx rx USING (doc_id)
 LEFT JOIN ordp op USING (doc_id)
+JOIN encs s9 USING (source)
+JOIN encb eb USING (source)
+JOIN encr er USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH {SQL_TOKENS_STATIC},
@@ -7912,7 +7975,13 @@ f1 AS (SELECT e.doc_id AS fu1, CAST(MIN(e.us) AS BIGINT) AS t1
        WHERE e.event_type = 'click' AND e.us > f0.t0 GROUP BY 1),
 f2 AS (SELECT e.doc_id AS fu2, CAST(MIN(e.us) AS BIGINT) AS t2
        FROM fe e JOIN f1 ON f1.fu1 = e.doc_id
-       WHERE e.event_type = 'purchase' AND e.us > f1.t1 GROUP BY 1)
+       WHERE e.event_type = 'purchase' AND e.us > f1.t1 GROUP BY 1),
+tec AS (  -- target-encoding per-category stats over purchase cents
+  SELECT doc_id AS tu, CAST(COUNT(cents) AS BIGINT) AS te_n,
+         CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS te_s
+  FROM ev GROUP BY 1),
+teg AS (SELECT CAST(COUNT(cents) AS BIGINT) AS gn,
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS gs FROM ev)
 SELECT doc_id, event_id,
        FLOOR((CAST(lag(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lag_v1,
        FLOOR((CAST(lead(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lead_v1,
@@ -7972,6 +8041,14 @@ SELECT doc_id, event_id,
               ELSE CAST(x.v AS BIGINT) * (CAST(1 AS BIGINT)
                    << CAST(20 - LEAST((ts_us - x.u) // 14400000000, 20) AS INTEGER)) END),
          (a, b) -> a + b) AS DOUBLE) / 1048576.0) * 10000.0 + 0.5) / 10000.0 AS dk240,
+       tc.te_n,
+       CASE WHEN cents IS NOT NULL AND tc.te_n > 1 THEN
+         FLOOR(((tc.te_s - cents) / (tc.te_n - 1)) * 10000.0 + 0.5) / 10000.0
+       END AS te_loo4,
+       CASE WHEN tg.gn > 0 THEN
+         FLOOR(((tc.te_s * tg.gn + 20 * tg.gs) / ((tc.te_n + 20) * tg.gn))
+               * 10000.0 + 0.5) / 10000.0
+       END AS te_sm4,
        CAST(ts_us AS BIGINT) AS scd_from_us,
        CAST(COALESCE(lead(ts_us) OVER wt, 9223372036854775807) AS BIGINT)
          AS scd_to_us,
@@ -7986,6 +8063,8 @@ FROM ev
 LEFT JOIN f0 ON f0.fu0 = ev.doc_id
 LEFT JOIN f1 ON f1.fu1 = ev.doc_id
 LEFT JOIN f2 ON f2.fu2 = ev.doc_id
+JOIN tec tc ON tc.tu = ev.doc_id
+CROSS JOIN teg tg
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts),
        w3 AS (PARTITION BY doc_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
