@@ -3189,6 +3189,20 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.similarity import hard_negatives
 
     hn = hard_negatives(q, seeds, threshold=0.98, vec_col="qv")
+    # RECIPROCAL nearest neighbors (mutual top-1 under the same cell
+    # blocking): a is b's best non-duplicate AND b is a's — the
+    # high-precision semantic-pair seed (RNN matching); one self-join of
+    # the |corpus|-row hn table on (hn_id, vec_id)
+    hnm = (
+        hn.alias("x")
+        .join(
+            hn.alias("y"),
+            (F.col("x.hn_id") == F.col("y.vec_id"))
+            & (F.col("y.hn_id") == F.col("x.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_id"),
+                F.lit(1).cast("long").alias("hn_mutual"))
+    )
     return (
         flagged.join(
             sd.select(
@@ -3225,10 +3239,22 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             "left",
         )
+        .join(
+            hnm.select(F.col("vec_id").alias("id_a"),
+                       F.col("hn_mutual").alias("hn_mut_a")),
+            "id_a", "left",
+        )
+        .join(
+            hnm.select(F.col("vec_id").alias("id_b"),
+                       F.col("hn_mutual").alias("hn_mut_b")),
+            "id_b", "left",
+        )
         .withColumn("hn_id_a", F.coalesce("hn_id_a", F.lit(-1).cast("long")))
         .withColumn("hn_cos4_a", F.coalesce("hn_cos4_a", F.lit(-2.0)))
         .withColumn("hn_id_b", F.coalesce("hn_id_b", F.lit(-1).cast("long")))
         .withColumn("hn_cos4_b", F.coalesce("hn_cos4_b", F.lit(-2.0)))
+        .withColumn("hn_mut_a", F.coalesce("hn_mut_a", F.lit(0).cast("long")))
+        .withColumn("hn_mut_b", F.coalesce("hn_mut_b", F.lit(0).cast("long")))
     )
 
 

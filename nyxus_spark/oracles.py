@@ -994,6 +994,10 @@ hn AS (  -- best NON-duplicate (cos < threshold, unrounded), ties → low id
   FROM (SELECT vid, cand, c,
                row_number() OVER (PARTITION BY vid ORDER BY c DESC, cand ASC) AS rn
         FROM hnp WHERE c < 0.98) WHERE rn = 1
+),
+hnm AS (  -- reciprocal nearest neighbors: mutual top-1 under the blocking
+  SELECT x.vec_id, CAST(1 AS BIGINT) AS hn_mutual
+  FROM hn x JOIN hn y ON x.hn_id = y.vec_id AND y.hn_id = x.vec_id
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        sa.sd_cluster AS sd_cluster_a, sa.sd_drop AS sd_drop_a,
@@ -1003,6 +1007,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        COALESCE(ha.hn_cos4, -2.0) AS hn_cos4_a,
        COALESCE(hb.hn_id, -1) AS hn_id_b,
        COALESCE(hb.hn_cos4, -2.0) AS hn_cos4_b,
+       COALESCE(ma.hn_mutual, 0) AS hn_mut_a,
+       COALESCE(mb.hn_mutual, 0) AS hn_mut_b,
        CAST(CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_a,
        CAST(CASE WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_b,
        CAST((CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2
@@ -1019,6 +1025,8 @@ JOIN sd sa ON sa.vec_id = a.vec_id
 JOIN sd sb ON sb.vec_id = b.vec_id
 LEFT JOIN hn ha ON ha.vec_id = a.vec_id
 LEFT JOIN hn hb ON hb.vec_id = b.vec_id
+LEFT JOIN hnm ma ON ma.vec_id = a.vec_id
+LEFT JOIN hnm mb ON mb.vec_id = b.vec_id
 WHERE FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))

@@ -185,6 +185,34 @@ def test_hard_negatives_tie_breaks_to_lowest_id(spark):
     assert got[0] == 1
 
 
+def test_reciprocal_nn_flag_is_mutual(spark):
+    """RNN pairs (each the other's hard negative) are exactly the symmetric
+    fixed points of the hn map — the wave-64 mutual flag's law."""
+    from pyspark.sql import functions as F
+
+    vecs = {0: [10, 0, 0], 1: [0, 10, 0],
+            2: [9, 1, 0], 3: [8, 2, 0], 4: [1, 9, 0]}
+    df = spark.createDataFrame([(k, v) for k, v in vecs.items()],
+                               "vec_id long, q array<int>")
+    seeds = spark.createDataFrame(
+        [(0, vecs[0]), (1, vecs[1])], "cent_id long, cent_qvec array<int>")
+    hn = hard_negatives(df, seeds, threshold=0.999)
+    hnm = (
+        hn.alias("x")
+        .join(hn.alias("y"),
+              (F.col("x.hn_id") == F.col("y.vec_id"))
+              & (F.col("y.hn_id") == F.col("x.vec_id")))
+        .select(F.col("x.vec_id").alias("vec_id"))
+    )
+    hnd = {r["vec_id"]: r["hn_id"] for r in hn.collect()}
+    mut = {r["vec_id"] for r in hnm.collect()}
+    exp = {v for v, h in hnd.items() if hnd.get(h) == v}
+    assert mut == exp
+    # symmetry: a flagged id's partner is flagged too
+    for v in mut:
+        assert hnd[hnd[v]] == v and hnd[v] in mut
+
+
 # ---------------------------------------------------------------------------
 # sorted-neighborhood diagnostic (wave 48)
 # ---------------------------------------------------------------------------
