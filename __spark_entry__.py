@@ -3887,13 +3887,25 @@ def _q_covered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.sources import tokens_static
 
     t = with_source_range(tokens_static(spark, sf_dir))
+    # SCAN-PLANNING composition (prescan.manifest_prune): the Iceberg
+    # manifest min/max file-pruning decision on the sorted-writer layout —
+    # per-file stats, the data-derived p25/p75 range predicate, and every
+    # per-file scan/skip decision value-gated; corpus totals ride each row
+    from nyxus_spark.operators.prescan import manifest_prune
+
+    mp = manifest_prune(
+        t, "cast(substring(doc_id, 5) as bigint)", "n_tok"
+    ).select(
+        "doc_id", "mf_file", "mf_rows", "mf_min", "mf_max", "mf_lo", "mf_hi",
+        "mf_scan", "mf_hit", "mf_files", "mf_files_scanned", "mf_rows_skipped",
+    )
     return t.select(
         "doc_id",
         "source",
         "src_min",
         "src_max",
         _r4(covered_range_col()).alias("covered_range"),
-    )
+    ).join(mp, "doc_id")
 
 
 def _q_asof_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5434,11 +5446,52 @@ WITH {SQL_TOKENS_STATIC},
 dim AS (
   SELECT source, MIN(list_min(tokens)) AS src_min, MAX(list_max(tokens)) AS src_max
   FROM tokens_static GROUP BY source
+),
+mff AS (  -- pseudo-files: id div 32 (the sorted-writer layout)
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS v,
+         CAST(CAST(substr(doc_id, 5) AS BIGINT) // 32 AS BIGINT) AS mf_file
+  FROM tokens_static
+),
+mfm AS (  -- the manifest: per-file rows + min/max stats
+  SELECT mf_file, CAST(COUNT(*) AS BIGINT) AS mf_rows,
+         CAST(MIN(v) AS BIGINT) AS mf_min, CAST(MAX(v) AS BIGINT) AS mf_max
+  FROM mff GROUP BY mf_file
+),
+mfc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM mff GROUP BY v),
+mfq AS (SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM mfc),
+mfb AS (  -- the range predicate: corpus lower-rank p25/p75 bounds
+  SELECT CAST(MIN(CASE WHEN cum >= GREATEST(1, (n * 25) // 100) THEN v END)
+              AS BIGINT) AS mf_lo,
+         CAST(MIN(CASE WHEN cum >= GREATEST(1, (n * 75) // 100) THEN v END)
+              AS BIGINT) AS mf_hi
+  FROM mfq
+),
+mfs AS (  -- the scan decision: file range intersects the predicate range
+  SELECT m.*, b.mf_lo, b.mf_hi,
+         CAST(m.mf_max >= b.mf_lo AND m.mf_min <= b.mf_hi AS BIGINT) AS mf_scan
+  FROM mfm m CROSS JOIN mfb b
+),
+mft AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS mf_files,
+         CAST(SUM(mf_scan) AS BIGINT) AS mf_files_scanned,
+         CAST(SUM(CASE WHEN mf_scan = 0 THEN mf_rows ELSE 0 END) AS BIGINT)
+           AS mf_rows_skipped
+  FROM mfs
 )
 SELECT t.doc_id, t.source, d.src_min, d.src_max,
        FLOOR((CAST(list_max(t.tokens) - list_min(t.tokens) AS DOUBLE)
-             / (d.src_max - d.src_min)) * 10000.0 + 0.5) / 10000.0 AS covered_range
+             / (d.src_max - d.src_min)) * 10000.0 + 0.5) / 10000.0 AS covered_range,
+       f.mf_file, s.mf_rows, s.mf_min, s.mf_max, s.mf_lo, s.mf_hi, s.mf_scan,
+       CAST(f.v >= s.mf_lo AND f.v <= s.mf_hi AS BIGINT) AS mf_hit,
+       g.mf_files, g.mf_files_scanned, g.mf_rows_skipped
 FROM tokens_static t JOIN dim d USING (source)
+JOIN mff f USING (doc_id)
+JOIN mfs s USING (mf_file)
+CROSS JOIN mft g
 """,
         # backward ASOF (emitted under both strategy aliases — forcing
         # cogroup-merge and salted to agree with the oracle and each other)

@@ -145,6 +145,84 @@ def exact_range_bounds(df: DataFrame, value_col: str, n_parts: int) -> DataFrame
     )
 
 
+def manifest_prune(
+    df: DataFrame,
+    id_expr_sql: str,
+    value_col: str,
+    file_rows: int = 32,
+    lo_pct: int = 25,
+    hi_pct: int = 75,
+) -> DataFrame:
+    """SCAN-PLANNING simulation — the Iceberg/Delta manifest min/max file
+    pruning decision as a checked artifact (the mechanism that lets a
+    100 TB range query read a sliver of its files; reference analog: the
+    prescan pass that skips whole slides outside the requested range,
+    workflow_2d_segmented.cpp:175-205):
+
+    * pseudo-FILES = id div file_rows — exactly the layout the sorted
+      `sinks.write_sized` writer produces, re-derivable on any engine;
+    * the MANIFEST = per-file (row count, min, max) of `value_col` — one
+      hash aggregation, the stats an Iceberg manifest carries per data
+      file;
+    * the query predicate is `value_col BETWEEN lo AND hi` with bounds at
+      the corpus lower-rank percentiles `lo_pct`/`hi_pct` (data-derived, so
+      the oracle re-derives the whole plan from scratch);
+    * a file is SCANNED iff [f_min, f_max] intersects [lo, hi] — pruning is
+      SOUND by construction (every matching row lives in a scanned file —
+      pytest-pinned) and the gate makes every manifest stat, bound, and
+      per-file decision value-exact.
+
+    Appends per row: ``mf_file``, ``mf_rows``, ``mf_min``, ``mf_max``,
+    ``mf_scan`` (its file survives), ``mf_hit`` (the row itself matches),
+    plus broadcast corpus totals ``mf_files``, ``mf_files_scanned``,
+    ``mf_rows_skipped``."""
+    if file_rows <= 0:
+        raise ValueError(f"file_rows must be positive, got {file_rows}")
+    if not (0 < lo_pct < hi_pct < 100):
+        raise ValueError(f"need 0 < lo_pct < hi_pct < 100, got {lo_pct}, {hi_pct}")
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("long")
+    t = df.withColumn("mf_file", F.expr(f"({id_expr_sql}) div {file_rows}").cast("long"))
+    man = t.groupBy("mf_file").agg(
+        F.count("*").cast("long").alias("mf_rows"),
+        F.min(x).cast("long").alias("mf_min"),
+        F.max(x).cast("long").alias("mf_max"),
+    )
+    # corpus percentile bounds by the lower-rank rule (value-grain agg +
+    # one dim-sized cumulative window)
+    vc = df.groupBy(x.alias("__v")).agg(F.count("*").cast("long").alias("__c"))
+    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    vc = vc.withColumn("__cum", F.sum("__c").over(wcum).cast("long")).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy()).cast("long")
+    )
+    k_lo = F.expr(f"greatest(cast(1 as bigint), (__n * {lo_pct}) div 100)")
+    k_hi = F.expr(f"greatest(cast(1 as bigint), (__n * {hi_pct}) div 100)")
+    bounds = vc.agg(
+        F.min(F.when(F.col("__cum") >= k_lo, F.col("__v"))).cast("long").alias("mf_lo"),
+        F.min(F.when(F.col("__cum") >= k_hi, F.col("__v"))).cast("long").alias("mf_hi"),
+    )
+    man = man.crossJoin(F.broadcast(bounds)).withColumn(
+        "mf_scan",
+        ((F.col("mf_max") >= F.col("mf_lo")) & (F.col("mf_min") <= F.col("mf_hi")))
+        .cast("long"),
+    )
+    totals = man.agg(
+        F.count("*").cast("long").alias("mf_files"),
+        F.sum("mf_scan").cast("long").alias("mf_files_scanned"),
+        F.sum(F.when(F.col("mf_scan") == 0, F.col("mf_rows")).otherwise(F.lit(0)))
+        .cast("long").alias("mf_rows_skipped"),
+    )
+    return (
+        t.join(F.broadcast(man), "mf_file")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "mf_hit",
+            ((x >= F.col("mf_lo")) & (x <= F.col("mf_hi"))).cast("long"),
+        )
+    )
+
+
 def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
                   id_col: str = "doc_id", key_col: str = "key",
                   carry_cols: tuple = ()) -> DataFrame:
