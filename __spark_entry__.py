@@ -2217,6 +2217,30 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cms_estimate(out, cms).withColumn(
         "cms_over", (F.col("cms_est") - F.col("cnt")).cast("long")
     )
+    # CMS JOIN-SIZE estimation (Cormode–Muthukrishnan inner product): the
+    # src0 ⋈ src1 token-equi-join cardinality estimated from the two
+    # sketches alone (min_j of the depth-wise dot products — the number a
+    # planner sizes a shuffle with), next to the exact Σ c_a·c_b truth;
+    # the collision-only-inflates law makes est ≥ true on every row
+    from nyxus_spark.functions.sketch import cms_join_size
+
+    ta = t.filter(F.col("source") == "src0")
+    tb = t.filter(F.col("source") == "src1")
+    fa = ta.select(F.explode("tokens").alias("tk")).groupBy("tk").agg(
+        F.count("*").cast("long").alias("__ca"))
+    fb = tb.select(F.explode("tokens").alias("tk")).groupBy("tk").agg(
+        F.count("*").cast("long").alias("__cb"))
+    js_true = fa.join(fb, "tk").agg(
+        F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+        .cast("long").alias("js_true"))
+    js_est = cms_join_size(cms_table(ta), cms_table(tb)).select(
+        F.coalesce("js_cms_est", F.lit(0)).cast("long").alias("js_cms_est"))
+    out = (
+        out.crossJoin(F.broadcast(js_true))
+        .crossJoin(F.broadcast(js_est))
+        .withColumn("js_cms_over",
+                    (F.col("js_cms_est") - F.col("js_true")).cast("long"))
+    )
     # Kneser-Ney continuation counts (the KN-smoothing statistics): per
     # token, distinct LEFT contexts N1+(·w) and distinct RIGHT
     # continuations N1+(w·) over the ORIGINAL corpus — exact integers
@@ -5891,6 +5915,37 @@ cmsb AS (  -- Count-Min sketch rebuilt from scratch: depth 4 x width 64
 ),
 cms AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
         FROM cmsb GROUP BY 1, 2),
+jfa AS (SELECT unnest(tokens) AS token FROM tokens_static WHERE source = 'src0'),
+jfb AS (SELECT unnest(tokens) AS token FROM tokens_static WHERE source = 'src1'),
+jcat AS (  -- per-source sketches for the join-size estimator
+  SELECT u.j,
+         CASE u.j WHEN 0 THEN {oracles.sql_cms_bucket('f.token', 0)}
+                  WHEN 1 THEN {oracles.sql_cms_bucket('f.token', 1)}
+                  WHEN 2 THEN {oracles.sql_cms_bucket('f.token', 2)}
+                  ELSE {oracles.sql_cms_bucket('f.token', 3)} END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM jfa f, (SELECT unnest(range(0, 4)) AS j) u GROUP BY 1, 2
+),
+jcbt AS (
+  SELECT u.j,
+         CASE u.j WHEN 0 THEN {oracles.sql_cms_bucket('f.token', 0)}
+                  WHEN 1 THEN {oracles.sql_cms_bucket('f.token', 1)}
+                  WHEN 2 THEN {oracles.sql_cms_bucket('f.token', 2)}
+                  ELSE {oracles.sql_cms_bucket('f.token', 3)} END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM jfb f, (SELECT unnest(range(0, 4)) AS j) u GROUP BY 1, 2
+),
+jse AS (  -- min over depth rows of the bucket-wise dot product
+  SELECT CAST(COALESCE(MIN(dot), 0) AS BIGINT) AS js_cms_est
+  FROM (SELECT a.j, SUM(a.c * b.c) AS dot
+        FROM jcat a JOIN jcbt b USING (j, bucket) GROUP BY a.j)
+),
+jst AS (  -- the exact join size: Σ_t c_a(t)·c_b(t)
+  SELECT CAST(COALESCE(SUM(ja.ca * jb.cb), 0) AS BIGINT) AS js_true
+  FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS ca FROM jfa GROUP BY 1) ja
+  JOIN (SELECT token, CAST(COUNT(*) AS BIGINT) AS cb FROM jfb GROUP BY 1) jb
+  USING (token)
+),
 cmsq AS (  -- point query: est = min over rows, empty cells -> 0
   SELECT token,
          CAST(LEAST(
@@ -5993,7 +6048,9 @@ SELECT f.*, q.cms_est,
                 + CAST((SELECT tt FROM w2t) AS DOUBLE)
                   / CAST(1024 * f.cnt AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
        ELSE -1.0 END AS w2v_keep4,
-       bx.bm_inter, bmm.bm_docs_a, bmm.bm_docs_b, be.bm_inter_exact
+       bx.bm_inter, bmm.bm_docs_a, bmm.bm_docs_b, be.bm_inter_exact,
+       jt.js_true, je.js_cms_est,
+       CAST(je.js_cms_est - jt.js_true AS BIGINT) AS js_cms_over
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
@@ -6005,6 +6062,8 @@ CROSS JOIN gini gi
 CROSS JOIN bmx bx
 CROSS JOIN bmm
 CROSS JOIN bme be
+CROSS JOIN jst jt
+CROSS JOIN jse je
 """,
         # pmod((id % p31)·(mix % p31), p31) — the overflow/sign-safe hash
         # (2654435761 % 2147483647 = 506952114); DuckDB's % keeps the

@@ -105,6 +105,29 @@ def cms_estimate(rows: DataFrame, cms: DataFrame, token_col: str = "token",
     return out.withColumn("cms_est", est.cast("long")).drop(*drop)
 
 
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, depth: int = 4) -> DataFrame:
+    """JOIN-SIZE estimation from two Count-Min sketches (Cormode &
+    Muthukrishnan 2005, the a₂ inner-product estimator): the equi-join
+    cardinality |A ⋈ B| = Σ_t c_A(t)·c_B(t) is estimated WITHOUT touching
+    either input as min_j Σ_bucket cmsA[j]·cmsB[j] — the estimator a query
+    planner uses to size a shuffle before running it. Hash collisions only
+    ADD mass, so the estimate is a guaranteed UPPER BOUND of the true join
+    size (the one-sided-error law, pytest-pinned); all arithmetic is exact
+    BIGINT products + sums, engine-reproducible.
+
+    Inputs are (j, bucket, c) tables from `cms_table`; the work is one
+    depth×width join + a depth-row min — metadata-sized regardless of
+    corpus size. Returns one row: ``js_cms_est``."""
+    a = cms_a.select("j", "bucket", F.col("c").alias("__ca"))
+    b = cms_b.select("j", "bucket", F.col("c").alias("__cb"))
+    per_j = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("__dot"))
+    )
+    return per_j.agg(F.min("__dot").cast("long").alias("js_cms_est"))
+
+
 def hll_rho(h: Column, m: int = 64) -> Column:
     """Register index + rank-of-first-one for a 31-bit nonnegative hash.
 

@@ -133,3 +133,34 @@ def test_hll_m_guard(spark):
     )
     with pytest.raises(ValueError, match="m must be"):
         hll_summary(df, m=17)
+
+
+def test_cms_join_size_upper_bound(spark):
+    """Cormode–Muthukrishnan inner-product estimator: collisions only ADD
+    mass, so min_j Σ cmsA·cmsB ≥ the exact join size Σ_t c_a(t)·c_b(t)."""
+    from collections import Counter
+
+    from nyxus_spark.functions.sketch import cms_join_size, cms_table
+
+    ta = [[(i * 13 + j) % 97 for j in range(20)] for i in range(30)]
+    tb = [[(i * 29 + j * 3) % 97 for j in range(15)] for i in range(25)]
+    da = spark.createDataFrame([(i, v) for i, v in enumerate(ta)],
+                               "doc_id long, tokens array<int>")
+    db = spark.createDataFrame([(i, v) for i, v in enumerate(tb)],
+                               "doc_id long, tokens array<int>")
+    est = cms_join_size(cms_table(da), cms_table(db)).first()["js_cms_est"]
+    ca = Counter(t for row in ta for t in row)
+    cb = Counter(t for row in tb for t in row)
+    true = sum(ca[t] * cb[t] for t in ca if t in cb)
+    assert est >= true > 0
+
+
+def test_cms_join_size_exact_for_single_token(spark):
+    """A one-token vocabulary cannot collide with anything: the estimate
+    equals the exact join size."""
+    from nyxus_spark.functions.sketch import cms_join_size, cms_table
+
+    da = spark.createDataFrame([(0, [5] * 7)], "doc_id long, tokens array<int>")
+    db = spark.createDataFrame([(0, [5] * 3)], "doc_id long, tokens array<int>")
+    est = cms_join_size(cms_table(da), cms_table(db)).first()["js_cms_est"]
+    assert est == 21
