@@ -4451,7 +4451,24 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__cr", "__cn")
     )
-    return out
+    # LZ78 COMPRESSION COMPLEXITY (the compression-ratio quality filter):
+    # the incremental-parse phrase count as ONE Catalyst struct-state fold
+    # (functions.lz78_phrases, zero Python), lz_ratio = phrases/n_tok the
+    # compressibility proxy — fully value-gated against a RECURSIVE-CTE
+    # replay of the parse (one recursion step per phrase)
+    from nyxus_spark.functions.text import lz78_phrases
+
+    lzc = toks.select(
+        nid.alias("doc_id"),
+        lz78_phrases().alias("lz_phrases"),
+        "n_tok",
+    ).select(
+        "doc_id", "lz_phrases",
+        F.when(
+            F.col("n_tok") > 0, _r4(F.col("lz_phrases") / F.col("n_tok"))
+        ).otherwise(F.lit(0.0)).alias("lz_ratio4"),
+    )
+    return out.join(lzc, "doc_id")
 
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6666,10 +6683,35 @@ SELECT *, CAST(ntile(4) OVER (PARTITION BY lang_pred
                 * COUNT(*) OVER (PARTITION BY lang_pred)) AS BIGINT)
           AS cur_unlock16
 FROM (
-WITH {SQL_TOKENS_STATIC},
+WITH RECURSIVE {SQL_TOKENS_STATIC},
 toks AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS doc_id, tokens, n_tok
   FROM tokens_static
+),
+lz AS (  -- LZ78 incremental parse replayed one PHRASE per recursion step:
+         -- the next phrase is the shortest prefix at pos not yet in the
+         -- dictionary (or the whole remaining suffix — the trailing
+         -- partial phrase, which counts once, same as the Spark fold)
+  SELECT doc_id, tokens, 1 AS pos, CAST([] AS VARCHAR[]) AS dict,
+         CAST(0 AS BIGINT) AS ph
+  FROM toks WHERE len(tokens) > 0
+  UNION ALL
+  SELECT doc_id, tokens, pos + lnext,
+         list_append(dict, array_to_string(
+           list_slice(tokens, pos, pos + lnext - 1), ',')),
+         ph + 1
+  FROM (
+    SELECT doc_id, tokens, pos, dict, ph,
+           COALESCE(list_filter(range(1, len(tokens) - pos + 2),
+             L -> NOT list_contains(dict, array_to_string(
+                    list_slice(tokens, pos, pos + L - 1), ',')))[1],
+             len(tokens) - pos + 1) AS lnext
+    FROM lz WHERE pos <= len(tokens))
+),
+lzf AS (
+  SELECT doc_id, CAST(ph AS BIGINT) AS lz_phrases,
+         FLOOR((ph / len(tokens)) * 10000.0 + 0.5) / 10000.0 AS lz_ratio4
+  FROM lz WHERE pos = len(tokens) + 1
 ),
 bfh AS (  -- engine-reproducible polynomial gram probes (base 131 / 257)
   SELECT doc_id, ({_bf1}) % 2147483647 AS h1, ({_bf2}) % 2147483647 AS h2
@@ -7029,6 +7071,8 @@ SELECT l.doc_id, l.lang_pred,
        q.n_words, q.n_chars_derived, q.re_tokens, q.mean_word_len,
        q.punct_ratio, q.stopword_ratio, q.quality_score,
        f.fingerprint,
+       COALESCE(lzq.lz_phrases, 0) AS lz_phrases,
+       COALESCE(lzq.lz_ratio4, 0.0) AS lz_ratio4,
        COALESCE(r.rep_total_ngrams, 0) AS rep_total_ngrams,
        COALESCE(r.rep_distinct_ngrams, 0) AS rep_distinct_ngrams,
        COALESCE(r.rep_dup_ngrams, 0) AS rep_dup_ngrams,
@@ -7110,6 +7154,7 @@ LEFT JOIN lmf lf USING (doc_id)
 LEFT JOIN bm USING (doc_id)
 LEFT JOIN cb cbx ON cbx.doc_id = l.doc_id
 JOIN qlg qg ON qg.doc_id = l.doc_id
+LEFT JOIN lzf lzq ON lzq.doc_id = l.doc_id
 )
 """,
         "glrlm": oracles.sql_glrlm(64),

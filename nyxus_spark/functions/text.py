@@ -1057,6 +1057,38 @@ def zorder_key(a_sql: str, b_sql: str, bits: int = 16):
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+def lz78_phrases(tokens_col: str = "tokens"):
+    """LZ78 incremental-parse PHRASE COUNT — the compression-ratio quality
+    filter (CCNet/RefinedWeb-style: highly compressible ⇒ boilerplate or
+    degenerate repetition; near-incompressible ⇒ noise). The Lempel–Ziv
+    parse splits the stream into the shortest prefixes not yet in the
+    dictionary; the phrase count (a trailing partial phrase counts once) IS
+    the LZ78 codeword count, so phrases/n_tok is the compression-ratio
+    proxy with zero float arithmetic.
+
+    ONE Catalyst aggregate() fold with struct state {dict array<string>,
+    cur string, ph bigint} — pure JVM, zero Python, O(n·|dict|) per row
+    (documents, not corpora). The DuckDB oracle replays the parse with a
+    RECURSIVE CTE (one recursion step per phrase — see oracles; the
+    list_reduce fold is unusable for branching state, CLAUDE.md), so the
+    count is fully value-gated cross-engine. Exact integers only."""
+    cand = (
+        "CASE WHEN acc.cur = '' THEN cast(t as string) "
+        "ELSE concat(acc.cur, ',', cast(t as string)) END"
+    )
+    return F.expr(
+        f"aggregate({tokens_col}, "
+        "named_struct('dict', cast(array() as array<string>), "
+        "'cur', '', 'ph', cast(0 as bigint)), "
+        f"(acc, t) -> CASE WHEN array_contains(acc.dict, {cand}) "
+        f"THEN named_struct('dict', acc.dict, 'cur', {cand}, 'ph', acc.ph) "
+        f"ELSE named_struct('dict', concat(acc.dict, array({cand})), "
+        "'cur', '', 'ph', acc.ph + 1) END, "
+        "acc -> acc.ph + CASE WHEN acc.cur <> '' THEN cast(1 as bigint) "
+        "ELSE cast(0 as bigint) END)"
+    )
+
+
 def hilbert_key(a_sql: str, b_sql: str, bits: int = 16):
     """HILBERT-curve clustering key over two integer dimensions — the
     stronger-locality complement to `zorder_key` (Delta's OPTIMIZE supports
