@@ -86,6 +86,28 @@ class NyxusSpark:
             annotations=annotations,
         )
 
+    def featurize_stream(
+        self, src: DataFrame, keep_tokens: bool = False,
+    ) -> DataFrame:
+        """Streaming featurization: the same per-row feature vector over an
+        unbounded `readStream` source. Runs the SQL backend (pure stateless
+        Catalyst projections — no state store, no Python workers, so
+        `append` mode works with no watermark; values bit-identical to the
+        batch kernel, tests/test_sqlback.py). The enabled feature set must
+        be SQL-expressible (the same contract as backend='sql'); start the
+        returned stream with `.writeStream` + a checkpointLocation for the
+        resumability contract (tests/test_streaming_restart.py)."""
+        if not src.isStreaming:
+            raise ValueError("featurize_stream needs a streaming DataFrame "
+                             "(spark.readStream...); use featurize for batch")
+        from nyxus_spark.features.registry import resolve_features
+        from nyxus_spark.features.sqlback import extract_features_sql
+
+        return extract_features_sql(
+            src, resolve_features(self.features),
+            tokens_col=self.tokens_col, keep_tokens=keep_tokens,
+        )
+
     def featurize_path(
         self, spark: SparkSession, path: str, fmt: str = "parquet",
         keep_tokens: bool = False,
