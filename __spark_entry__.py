@@ -2994,10 +2994,23 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__bmass")
     )
     lbj = lb.select("doc_id", "len_bucket", "pad_waste").join(bstats, "len_bucket")
+    # FIRST-FIT-DECREASING document-integrity packing (the third trainer
+    # layout beside concat-then-chunk and pow-2 padding: every doc whole in
+    # ONE window): the greedy fold runs as a shard-local Catalyst
+    # aggregate(), the oracle replays it one document per RECURSIVE-CTE
+    # step (the LZ78 replay class) — bin id, bin final load, and the
+    # shard's bin count gated per doc
+    from nyxus_spark.operators.packing import pack_ffd
+
+    ffd = pack_ffd(
+        t.filter(F.col("n_tok") > 0), 128, oid, n_shards=8
+    ).select("doc_id", F.col("ffd_bin").cast("long").alias("ffd_bin"),
+             "ffd_load", "ffd_bins")
     return (
         ch.join(pk, "doc_id").join(cdc, "doc_id").join(sh, "pack_shard")
         .join(lbj, "doc_id")
         .join(pdoc, "doc_id").join(pidx, "doc_id").join(fp, "doc_id")
+        .join(ffd, "doc_id")
     )
 
 
@@ -6500,7 +6513,44 @@ JOIN kassign k USING (vec_id)
         # inclusive Spark sequence bound m = GREATEST(n_tok - 9, 0) becomes
         # the exclusive range bound m + 1, with FLOOR(m/24) + 1 chunk ids.
         "chunk_tokens": f"""
-WITH {SQL_TOKENS_STATIC},
+WITH RECURSIVE {SQL_TOKENS_STATIC},
+ffdsd AS (  -- FFD inputs: per-shard doc list in (len DESC, id ASC) order
+  SELECT sh AS pack_shard,
+         list(struct_pack(n := CAST(n_tok AS BIGINT), oid := oid)
+              ORDER BY n_tok DESC, oid ASC) AS ds
+  FROM (SELECT n_tok, CAST(substr(doc_id, 5) AS BIGINT) AS oid,
+               ((CAST(substr(doc_id, 5) AS BIGINT) % 2147483647)
+                * (2654435761 % 2147483647)) % 2147483647 % 8 AS sh
+        FROM tokens_static WHERE n_tok > 0)
+  GROUP BY sh
+),
+ffdr AS (  -- first-fit-decreasing replayed one DOCUMENT per recursion step
+  SELECT pack_shard, ds, 1 AS pos, CAST([] AS BIGINT[]) AS loads,
+         CAST([] AS STRUCT(oid BIGINT, bin INTEGER)[]) AS asg
+  FROM ffdsd
+  UNION ALL
+  SELECT pack_shard, ds, pos + 1,
+         CASE WHEN fit > 0 THEN list_transform(range(1, len(loads) + 1),
+                i -> CASE WHEN i = fit THEN loads[i] + n ELSE loads[i] END)
+              ELSE list_append(loads, n) END,
+         list_append(asg, struct_pack(oid := oid,
+           bin := CAST(CASE WHEN fit > 0 THEN fit
+                       ELSE len(loads) + 1 END AS INTEGER)))
+  FROM (
+    SELECT pack_shard, ds, pos, loads, asg,
+           ds[pos].n AS n, ds[pos].oid AS oid,
+           COALESCE(list_filter(range(1, len(loads) + 1),
+             i -> loads[i] + ds[pos].n <= 128)[1], 0) AS fit
+    FROM ffdr WHERE pos <= len(ds))
+),
+ffdd AS (
+  SELECT 'doc_' || CAST(a.oid AS VARCHAR) AS doc_id,
+         CAST(a.bin AS BIGINT) AS ffd_bin,
+         CAST(loads[a.bin] AS BIGINT) AS ffd_load,
+         CAST(len(loads) AS BIGINT) AS ffd_bins
+  FROM (SELECT loads, unnest(asg) AS a
+        FROM ffdr WHERE pos = len(ds) + 1)
+),
 starts AS (
   SELECT doc_id, tokens, n_tok,
          unnest(range(0, GREATEST(n_tok - 9, 0) + 1, 24)) AS start,
@@ -6647,12 +6697,14 @@ SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        b.len_bucket, b.len_bucket - b.n_tok AS pad_waste,
        bs.bucket_docs, bs.bucket_fill4,
        pd.pseg_n, pd.pseg_sum, pd.pseg_digest, pi.pseg_idx0,
-       pp.fp_segs, pp.fp_fill
+       pp.fp_segs, pp.fp_fill,
+       fd.ffd_bin, fd.ffd_load, fd.ffd_bins
 FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
      JOIN shardstats ss USING (pack_shard)
      JOIN lb b USING (doc_id) JOIN lbs bs USING (len_bucket)
      JOIN psegdoc pd USING (doc_id) JOIN psegidx pi USING (doc_id)
      JOIN psegpack pp ON pp.pack_shard = p.pack_shard AND pp.p = p.pack_first
+     JOIN ffdd fd USING (doc_id)
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈

@@ -91,6 +91,81 @@ def pack_sequences(
     return out
 
 
+def pack_ffd(
+    df: DataFrame,
+    capacity: int,
+    id_expr: Column,
+    n_shards: int = 8,
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """First-Fit-DECREASING bin packing — the DOCUMENT-INTEGRITY packer
+    (every document stays whole in exactly one context window; the
+    concat-then-chunk packer above splits at boundaries instead — the two
+    standard trainer layouts). Within each shard, documents in
+    (len DESC, id ASC) order go into the FIRST bin with room, else a new
+    bin opens; FFD's classic guarantee is ≤ 11/9·OPT + 6/9 bins. A document
+    longer than `capacity` always opens its own (overfull) bin.
+
+    The greedy is a sequential branching fold → ONE Catalyst aggregate()
+    over the shard's sorted doc list (struct state {loads, assignments};
+    per-element work O(bins), shard-local exactly like pack_sequences).
+    The DuckDB oracle replays it with a RECURSIVE CTE, one document per
+    recursion step (the LZ78 replay class) — fully value-gateable.
+
+    Adds per row: ``ffd_bin`` (1-based bin within the shard), ``ffd_load``
+    (that bin's FINAL token load), ``ffd_bins`` (the shard's bin count),
+    plus ``pack_shard``. Zero-length docs fit bin 1 (or open it)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    out = (df.withColumn("pack_shard", shard_expr(id_expr, n_shards))
+           .withColumn("_oid", id_expr.cast("bigint")))
+    shards = out.groupBy("pack_shard").agg(
+        F.sort_array(
+            F.collect_list(F.struct(
+                (-F.col(len_col).cast("bigint")).alias("nl"),
+                F.col("_oid").alias("oid"),
+            ))
+        ).alias("_docs")
+    )
+    # first fitting bin (1-based) via an index-carrying filter — no
+    # sequence() call, so the empty-loads case never hits the descending-
+    # sequence trap; the fit/new-bin branches re-derive it (O(bins²) per
+    # doc, bins are shard-local small)
+    fit1 = (
+        "element_at(filter(transform(acc.loads, (l, i) -> "
+        f"named_struct('p', i, 'ok', l + (-e.nl) <= {{C}})), x -> x.ok), 1).p + 1"
+    ).format(C=capacity)
+    has_fit = (
+        "size(filter(transform(acc.loads, (l, i) -> "
+        f"named_struct('p', i, 'ok', l + (-e.nl) <= {{C}})), x -> x.ok)) > 0"
+    ).format(C=capacity)
+    fold = F.expr(
+        "aggregate(_docs, "
+        "named_struct('loads', cast(array() as array<bigint>), "
+        "'asg', cast(array() as array<struct<oid: bigint, bin: int>>)), "
+        "(acc, e) -> named_struct("
+        f"'loads', CASE WHEN {has_fit} THEN transform(acc.loads, (l, i) -> "
+        f"CASE WHEN i + 1 = {fit1} THEN l + (-e.nl) ELSE l END) "
+        "ELSE concat(acc.loads, array(cast(-e.nl as bigint))) END, "
+        "'asg', concat(acc.asg, array(named_struct('oid', e.oid, "
+        f"'bin', CASE WHEN {has_fit} THEN cast({fit1} as int) "
+        "ELSE cast(size(acc.loads) + 1 as int) END)))))"
+    )
+    packed = shards.select("pack_shard", fold.alias("_st")).select(
+        "pack_shard",
+        F.col("_st.loads").alias("_loads"),
+        F.explode("_st.asg").alias("_a"),
+    ).select(
+        "pack_shard",
+        F.col("_a.oid").alias("_oid"),
+        F.col("_a.bin").cast("int").alias("ffd_bin"),
+        F.expr("element_at(_loads, cast(_a.bin as int))").cast("long")
+        .alias("ffd_load"),
+        F.size("_loads").cast("long").alias("ffd_bins"),
+    )
+    return out.join(packed, ["pack_shard", "_oid"]).drop("_oid")
+
+
 def pack_segments(packed: DataFrame, capacity: int,
                   len_col: str = "n_tok") -> DataFrame:
     """Invert the doc→pack assignment of `pack_sequences` into per-(doc,

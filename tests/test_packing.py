@@ -94,3 +94,64 @@ def test_single_exchange_plan(spark):
     plan = (pack_sequences(df, capacity=32, id_expr=F.col("id"), n_shards=4)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# pack_ffd (first-fit decreasing, document-integrity packing)
+# ---------------------------------------------------------------------------
+
+def _py_ffd(rows, capacity, n_shards=4):
+    MIX, P31 = 2654435761, 2147483647
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for i, n in rows:
+        by[((i % P31) * (MIX % P31)) % P31 % n_shards].append((n, i))
+    out = {}
+    for s, docs in by.items():
+        docs.sort(key=lambda x: (-x[0], x[1]))
+        loads = []
+        for n, i in docs:
+            b = next((j for j, l in enumerate(loads) if l + n <= capacity), None)
+            if b is None:
+                loads.append(n)
+                b = len(loads) - 1
+            else:
+                loads[b] += n
+            out[i] = (s, b + 1)
+        for n, i in docs:
+            out[i] = out[i] + (loads[out[i][1] - 1], len(loads))
+    return out
+
+
+def test_pack_ffd_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.packing import pack_ffd
+
+    rows = [(i, 5 + (i * 53) % 120) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = pack_ffd(df, 128, F.col("doc_id"), n_shards=4).collect()
+    exp = _py_ffd(rows, 128)
+    for r in got:
+        assert (r["pack_shard"], r["ffd_bin"], r["ffd_load"], r["ffd_bins"]) \
+            == exp[r["doc_id"]]
+    # capacity law: no bin holding only fitting docs exceeds capacity
+    assert all(r["ffd_load"] <= 128 for r in got if r["n_tok"] <= 128)
+
+
+def test_pack_ffd_oversize_gets_own_bin(spark):
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.packing import pack_ffd
+
+    df = spark.createDataFrame(
+        [(0, 300), (1, 10), (2, 10)], "doc_id long, n_tok long")
+    got = {r["doc_id"]: r for r in
+           pack_ffd(df, 128, F.col("doc_id"), n_shards=1).collect()}
+    big = got[0]
+    assert big["ffd_load"] == 300  # alone in its (overfull) bin
+    others = [got[1], got[2]]
+    assert all(o["ffd_bin"] != big["ffd_bin"] for o in others)
+    with pytest.raises(ValueError):
+        pack_ffd(df, 0, F.col("doc_id"))
