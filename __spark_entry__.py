@@ -4481,7 +4481,20 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok") > 0, _r4(F.col("lz_phrases") / F.col("n_tok"))
         ).otherwise(F.lit(0.0)).alias("lz_ratio4"),
     )
-    return out.join(lzc, "doc_id")
+    # CLASSIFIER EVALUATION block (functions/evalmetrics.py): exact ROC-AUC
+    # (Mann–Whitney with midrank ties, value-grain agg + dim-sized
+    # cumulative window — the sklearn number, engine-exact) of the
+    # hashed-bigram quality score against the Gopher rule label, plus the
+    # shipped ws_keep decision's confusion counts and precision/recall/F1
+    from nyxus_spark.functions.evalmetrics import binary_auc, prf_counts
+
+    auc = binary_auc(out, "hb_score", "gopher_pass")
+    prf = prf_counts(out, "ws_keep", "gopher_pass")
+    return (
+        out.join(lzc, "doc_id")
+        .crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(prf))
+    )
 
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6716,6 +6729,7 @@ FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
         # injective, so the per-gram counts agree. rep ratio = two exact
         # BIGINTs, ONE division, fround4 on both engines.
         "text_stats": f"""
+WITH ts_all AS (
 SELECT *, CAST(ntile(4) OVER (PARTITION BY lang_pred
              ORDER BY quality_score ASC, doc_id ASC) AS BIGINT)
           AS curriculum_bucket,
@@ -7208,6 +7222,45 @@ LEFT JOIN cb cbx ON cbx.doc_id = l.doc_id
 JOIN qlg qg ON qg.doc_id = l.doc_id
 LEFT JOIN lzf lzq ON lzq.doc_id = l.doc_id
 )
+),
+aucg AS (  -- exact ROC-AUC of hb_score vs gopher_pass: Mann–Whitney with
+           -- midrank ties over a per-distinct-score aggregation
+  SELECT auc_n_pos, auc_n_neg, auc_u2,
+         CASE WHEN auc_n_pos > 0 AND auc_n_neg > 0 THEN
+           FLOOR((auc_u2 / (2 * auc_n_pos * auc_n_neg)) * 10000.0 + 0.5)
+             / 10000.0
+         END AS auc4
+  FROM (
+    SELECT CAST(SUM(cp) AS BIGINT) AS auc_n_pos,
+           CAST(SUM(c) - SUM(cp) AS BIGINT) AS auc_n_neg,
+           CAST(SUM(cp * (2 * cb + c + 1))
+                - SUM(cp) * (SUM(cp) + 1) AS BIGINT) AS auc_u2
+    FROM (
+      SELECT c, cp,
+             COALESCE(SUM(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM (SELECT hb_score AS s, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(gopher_pass) AS BIGINT) AS cp
+            FROM ts_all GROUP BY 1)))
+),
+prfg AS (  -- the shipped ws_keep decision vs the Gopher rule label
+  SELECT tp, fp, fn, tn,
+         CASE WHEN tp + fp > 0 THEN
+           FLOOR((tp / (tp + fp)) * 10000.0 + 0.5) / 10000.0 END AS prec4,
+         CASE WHEN tp + fn > 0 THEN
+           FLOOR((tp / (tp + fn)) * 10000.0 + 0.5) / 10000.0 END AS rec4,
+         CASE WHEN 2 * tp + fp + fn > 0 THEN
+           FLOOR((2 * tp / (2 * tp + fp + fn)) * 10000.0 + 0.5) / 10000.0
+         END AS f14
+  FROM (SELECT CAST(SUM(ws_keep * gopher_pass) AS BIGINT) AS tp,
+               CAST(SUM(ws_keep * (1 - gopher_pass)) AS BIGINT) AS fp,
+               CAST(SUM((1 - ws_keep) * gopher_pass) AS BIGINT) AS fn,
+               CAST(SUM((1 - ws_keep) * (1 - gopher_pass)) AS BIGINT) AS tn
+        FROM ts_all)
+)
+SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
+       p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14
+FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
