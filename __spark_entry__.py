@@ -1233,6 +1233,13 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions.encoding import loo_target_encode
 
     out = loo_target_encode(out, "doc_id", "cents", m=20, prefix="te")
+    # TEMPORAL GROUP SPLIT (the leakage-free backtest split, the north
+    # rule's zero-temporal-leakage discipline as an operator): T = exact
+    # lower-median event time; unseen-after-T users are TEST, pre-T rows of
+    # known users are TRAIN, their post-T tail is DROPPED
+    from nyxus_spark.operators.windows import temporal_group_split
+
+    out = temporal_group_split(out, "doc_id", "ts")
     # SCD2 validity intervals (Kimball type-2 history table): every event
     # version carries [valid_from_us, valid_to_us) with the open version
     # flagged — the materialized counterpart of the as-of window join
@@ -1279,6 +1286,7 @@ def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dk240m_num_cents").alias("dk240_num"),
         _r4("dk240m_cents").alias("dk240"),
         "te_n", "te_loo4", "te_sm4",
+        "split_T_us", "key_first_us", "tsplit",
         "scd_from_us", "scd_to_us", "scd_current",
         "f_ts_0", "f_ts_1", "f_ts_2", "funnel_stage",
     )
@@ -4486,10 +4494,18 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative window — the sklearn number, engine-exact) of the
     # hashed-bigram quality score against the Gopher rule label, plus the
     # shipped ws_keep decision's confusion counts and precision/recall/F1
-    from nyxus_spark.functions.evalmetrics import binary_auc, prf_counts
+    from nyxus_spark.functions.evalmetrics import (
+        binary_auc,
+        calibration_table,
+        prf_counts,
+    )
 
     auc = binary_auc(out, "hb_score", "gopher_pass")
     prf = prf_counts(out, "ws_keep", "gopher_pass")
+    # RELIABILITY table (calibration audit beside AUC): score deciles under
+    # a total order, each row carrying its bin's exact size and empirical
+    # pass rate
+    out = calibration_table(out, "hb_score", "gopher_pass", bins=10)
     return (
         out.join(lzc, "doc_id")
         .crossJoin(F.broadcast(auc))
@@ -7257,10 +7273,25 @@ prfg AS (  -- the shipped ws_keep decision vs the Gopher rule label
                CAST(SUM((1 - ws_keep) * gopher_pass) AS BIGINT) AS fn,
                CAST(SUM((1 - ws_keep) * (1 - gopher_pass)) AS BIGINT) AS tn
         FROM ts_all)
+),
+calr AS (  -- calibration deciles under the total (hb_score, doc_id) order
+  SELECT doc_id, CAST(ntile(10) OVER (ORDER BY hb_score ASC, doc_id ASC)
+                      AS BIGINT) AS cal_bin
+  FROM ts_all
+),
+calb AS (
+  SELECT r.cal_bin, CAST(COUNT(*) AS BIGINT) AS cal_n,
+         FLOOR((CAST(SUM(t.gopher_pass) AS BIGINT)
+                / CAST(COUNT(*) AS BIGINT)) * 10000.0 + 0.5) / 10000.0
+           AS cal_rate4
+  FROM calr r JOIN ts_all t USING (doc_id) GROUP BY r.cal_bin
 )
 SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
-       p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14
+       p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14,
+       cr.cal_bin, cb2.cal_n, cb2.cal_rate4
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
+JOIN calr cr ON cr.doc_id = ts_all.doc_id
+JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
@@ -8269,7 +8300,19 @@ tec AS (  -- target-encoding per-category stats over purchase cents
          CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS te_s
   FROM ev GROUP BY 1),
 teg AS (SELECT CAST(COUNT(cents) AS BIGINT) AS gn,
-               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS gs FROM ev)
+               CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS gs FROM ev),
+tgv AS (SELECT ts_us AS v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+tgc AS (SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM tgv),
+tgt AS (  -- lower-median event time: smallest ts with cum >= (N+1) div 2
+  SELECT CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT)
+           AS split_T_us
+  FROM tgc),
+tgf AS (SELECT doc_id AS fu, CAST(MIN(ts_us) AS BIGINT) AS key_first_us
+        FROM ev GROUP BY 1)
 SELECT doc_id, event_id,
        FLOOR((CAST(lag(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lag_v1,
        FLOOR((CAST(lead(pv) OVER w AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS lead_v1,
@@ -8337,6 +8380,10 @@ SELECT doc_id, event_id,
          FLOOR(((tc.te_s * tg.gn + 20 * tg.gs) / ((tc.te_n + 20) * tg.gn))
                * 10000.0 + 0.5) / 10000.0
        END AS te_sm4,
+       tt.split_T_us, tf.key_first_us,
+       CAST(CASE WHEN tf.key_first_us > tt.split_T_us THEN 2
+                 WHEN ts_us <= tt.split_T_us THEN 0 ELSE 1 END AS BIGINT)
+         AS tsplit,
        CAST(ts_us AS BIGINT) AS scd_from_us,
        CAST(COALESCE(lead(ts_us) OVER wt, 9223372036854775807) AS BIGINT)
          AS scd_to_us,
@@ -8353,6 +8400,8 @@ LEFT JOIN f1 ON f1.fu1 = ev.doc_id
 LEFT JOIN f2 ON f2.fu2 = ev.doc_id
 JOIN tec tc ON tc.tu = ev.doc_id
 CROSS JOIN teg tg
+JOIN tgf tf ON tf.fu = ev.doc_id
+CROSS JOIN tgt tt
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts),
        w3 AS (PARTITION BY doc_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),

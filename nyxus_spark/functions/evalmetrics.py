@@ -61,6 +61,36 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
+def calibration_table(
+    df: DataFrame, score_col: str, label_col: str, bins: int = 10,
+    tiebreak: str = "doc_id",
+) -> DataFrame:
+    """RELIABILITY table — the calibration audit beside AUC: rows ranked by
+    (score, tiebreak) split into `bins` ntiles (a TOTAL order, so the bin
+    boundaries are engine-deterministic), each bin reporting its exact row
+    count and empirical positive rate (ONE division). Returns the input
+    plus ``cal_bin`` (1..bins), ``cal_n``, ``cal_rate4`` per row — join
+    fodder for per-row gating; the bin table itself is `bins` rows.
+
+    Scale note: ntile is a global-order window — at corpus scale compute
+    bins from the value-grain cumulative table instead (percentile_clip's
+    machinery); the ntile form is the eval-sample shape."""
+    from nyxus_spark.compare import fround4
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    w = Window.orderBy(F.col(score_col).asc(), F.col(tiebreak).asc())
+    out = df.withColumn("cal_bin", F.ntile(bins).over(w).cast("long"))
+    bt = out.groupBy("cal_bin").agg(
+        F.count("*").cast("long").alias("cal_n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("__pos"),
+    ).select(
+        "cal_bin", "cal_n",
+        fround4(F.col("__pos") / F.col("cal_n")).alias("cal_rate4"),
+    )
+    return out.join(F.broadcast(bt), "cal_bin")
+
+
 def prf_counts(df: DataFrame, pred_col: str, label_col: str) -> DataFrame:
     """One-row DataFrame: (tp, fp, fn, tn, prec4, rec4, f14) from exact
     confusion counts; empty denominators yield NULL."""

@@ -299,6 +299,51 @@ def with_decayed_counter(
     )
 
 
+def temporal_group_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal GROUP split — the leakage-free backtest split (the split
+    discipline behind the north rule's zero-temporal-leakage contract):
+
+    * T = the corpus LOWER-MEDIAN event time (exact rank rule — smallest
+      timestamp whose cumulative row count reaches (N+1) div 2 — over a
+      value-grain aggregation + dim-sized cumulative window, engine-exact);
+    * a key whose FIRST event is after T is a TEST key (all its rows test:
+      entities unseen in training, the group-disjointness half);
+    * other keys' rows at or before T are TRAIN; their rows after T are
+      DROPPED — the leakage-prone tail a naive random split would leak.
+
+    Adds ``split_T_us`` (corpus constant), ``key_first_us``, and ``tsplit``
+    (0 train / 1 dropped / 2 test). One key-grain aggregation + one
+    broadcast constant; deterministic forever given the corpus."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = df.withColumn("__tgs_us", us)
+    vc = d.groupBy(F.col("__tgs_us").alias("__v")).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    vc = vc.withColumn("__cum", F.sum("__c").over(wcum).cast("long")).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy()).cast("long")
+    )
+    t = vc.agg(
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(__n + 1) div 2"), F.col("__v"))
+        ).cast("long").alias("split_T_us")
+    )
+    first = d.groupBy(key_col).agg(
+        F.min("__tgs_us").cast("long").alias("key_first_us")
+    )
+    out = d.join(first, key_col).crossJoin(F.broadcast(t))
+    return out.withColumn(
+        "tsplit",
+        F.when(F.col("key_first_us") > F.col("split_T_us"), F.lit(2))
+        .when(F.col("__tgs_us") <= F.col("split_T_us"), F.lit(0))
+        .otherwise(F.lit(1)).cast("long"),
+    ).drop("__tgs_us")
+
+
 def sessionize(
     df: DataFrame,
     gap_seconds: float,

@@ -63,3 +63,53 @@ def test_prf_matches_python(spark):
     assert r["rec4"] == math.floor(tp / (tp + fn) * 10000.0 + 0.5) / 10000.0
     assert r["f14"] == math.floor(
         2 * tp / (2 * tp + fp + fn) * 10000.0 + 0.5) / 10000.0
+
+
+def test_calibration_table_bins_and_rates(spark):
+    from nyxus_spark.functions.evalmetrics import calibration_table
+
+    rows = [(i, i, 1 if i >= 70 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, label long")
+    got = calibration_table(df, "score", "label", bins=10).toPandas()
+    # monotone scores + threshold label: bins 1-7 rate 0, bins 8-10 rate 1
+    for _, r in got.iterrows():
+        assert r["cal_n"] == 10
+        assert r["cal_rate4"] == (1.0 if r["cal_bin"] >= 8 else 0.0)
+        assert r["cal_bin"] == (r["score"] // 10) + 1
+    with pytest.raises(ValueError):
+        calibration_table(df, "score", "label", bins=1)
+
+
+def test_temporal_group_split_laws(spark):
+    import datetime as dt
+
+    from nyxus_spark.operators.windows import temporal_group_split
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 0-3 start early and span the median; users 8-9 start late
+    for u in range(4):
+        for k in range(10):
+            rows.append((f"u{u}", base + dt.timedelta(hours=u + 3 * k)))
+    for u in (8, 9):
+        for k in range(3):
+            rows.append((f"u{u}", base + dt.timedelta(hours=40 + u + k)))
+    df = spark.createDataFrame(rows, "doc_id string, ts timestamp")
+    got = temporal_group_split(df).toPandas()
+    t = got["split_T_us"].iloc[0]
+    us = got["key_first_us"]
+    # exact lower median of all event times
+    import numpy as np
+    allus = sorted(int(x.timestamp() * 1e6) for _, x in rows)
+    assert t == allus[(len(allus) + 1) // 2 - 1]
+    # group disjointness: a key is either fully test or never test
+    for u, g in got.groupby("doc_id"):
+        kinds = set(g["tsplit"])
+        assert (kinds == {2}) == (g["key_first_us"].iloc[0] > t)
+        if 2 not in kinds:
+            assert kinds <= {0, 1}
+    # zero temporal leakage: every TRAIN row is at or before T
+    import pandas as pd
+    ev_us = got.apply(lambda r: int(pd.Timestamp(r["ts"]).timestamp() * 1e6), axis=1)
+    assert ((ev_us[got["tsplit"] == 0] <= t)).all()
+    assert ((ev_us[got["tsplit"] == 1] > t)).all()
