@@ -3198,6 +3198,16 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = emb.unionByName(exact).unionByName(near)
     pairs = cosine_dup_pairs(aug, threshold=0.99)
+    # MULTI-PROBE LSH recall booster (Lv et al., VLDB 2007): also probe the
+    # 16 buckets one hyperplane-flip away — verified hamming-1 pairs are
+    # exactly what single-bucket blocking misses; each gate row carries how
+    # many such EXTRA pairs its members participate in
+    from nyxus_spark.operators.dedup import multiprobe_cosine_pairs
+
+    mp = multiprobe_cosine_pairs(aug, threshold=0.99)
+    mpa = mp.select(F.col("id_a").alias("k")).unionAll(
+        mp.select(F.col("id_b").alias("k"))
+    ).groupBy("k").agg(F.count("*").cast("long").alias("mp_extra"))
     # EVAL-SET DECONTAMINATION at the embedding level (SemDeDup-style):
     # each near-dup pair carries both members' deterministic 3-way split
     # (20/20/60 here so cross-split pairs actually occur at test scale) and
@@ -3300,6 +3310,14 @@ def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hn_cos4_b", F.coalesce("hn_cos4_b", F.lit(-2.0)))
         .withColumn("hn_mut_a", F.coalesce("hn_mut_a", F.lit(0).cast("long")))
         .withColumn("hn_mut_b", F.coalesce("hn_mut_b", F.lit(0).cast("long")))
+        .join(mpa.select(F.col("k").alias("id_a"),
+                         F.col("mp_extra").alias("mp_extra_a")),
+              "id_a", "left")
+        .join(mpa.select(F.col("k").alias("id_b"),
+                         F.col("mp_extra").alias("mp_extra_b")),
+              "id_b", "left")
+        .withColumn("mp_extra_a", F.coalesce("mp_extra_a", F.lit(0).cast("long")))
+        .withColumn("mp_extra_b", F.coalesce("mp_extra_b", F.lit(0).cast("long")))
     )
 
 

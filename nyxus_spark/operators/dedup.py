@@ -791,6 +791,54 @@ def cosine_dup_pairs(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def multiprobe_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MULTI-PROBE hyperplane LSH (Lv et al., VLDB 2007): beside each
+    vector's own SRP bucket, the query side also probes the n_planes
+    buckets at Hamming distance 1 (one hyperplane flipped) — the standard
+    recall booster that catches near-duplicates sitting just across ONE
+    hyperplane, which single-bucket blocking (`cosine_dup_pairs`) misses by
+    construction. The index side stays single-bucket: storage is unchanged,
+    only query fan-out grows ×(n_planes+1).
+
+    Each unordered pair matches through at most ONE probe (probe keys are
+    distinct), so no dedup shuffle is needed; the id_a < id_b orientation
+    keeps exactly the (a-probes → b-bucket) instance. Returns the verified
+    extra pairs at signature Hamming distance EXACTLY 1 with exact cosine
+    ≥ threshold — disjoint from the hamming-0 pairs by construction."""
+    from nyxus_spark.operators.similarity import cosine_col
+
+    sig = df.select(
+        F.col(id_col), F.col(vec_col),
+        srp_signature(vec_col, n_planes).alias("__sig"),
+    )
+    probes = sig.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_planes - 1}), "
+                "d -> __sig ^ shiftleft(cast(1 as bigint), d))"
+            )
+        ).alias("__probe"),
+    )
+    a, b = probes.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(b, F.col("a.__probe") == F.col("b.__sig"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            fround4(cosine_col(f"a.{vec_col}", f"b.{vec_col}")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
 def semdedup(
     df: DataFrame,
     centroids: DataFrame,

@@ -998,6 +998,19 @@ hn AS (  -- best NON-duplicate (cos < threshold, unrounded), ties → low id
 hnm AS (  -- reciprocal nearest neighbors: mutual top-1 under the blocking
   SELECT x.vec_id, CAST(1 AS BIGINT) AS hn_mutual
   FROM hn x JOIN hn y ON x.hn_id = y.vec_id AND y.hn_id = x.vec_id
+),
+mpp AS (  -- multi-probe recall: verified pairs at signature hamming 1
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM keyed a JOIN keyed b
+    ON bit_count(xor(a.sig, b.sig)) = 1 AND a.vec_id < b.vec_id
+  WHERE FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))
+              * 10000.0 + 0.5) / 10000.0 >= {threshold}
+),
+mpc AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS mp_extra
+  FROM (SELECT ia AS k FROM mpp UNION ALL SELECT ib AS k FROM mpp) GROUP BY k
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        sa.sd_cluster AS sd_cluster_a, sa.sd_drop AS sd_drop_a,
@@ -1009,6 +1022,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        COALESCE(hb.hn_cos4, -2.0) AS hn_cos4_b,
        COALESCE(ma.hn_mutual, 0) AS hn_mut_a,
        COALESCE(mb.hn_mutual, 0) AS hn_mut_b,
+       COALESCE(mpa.mp_extra, 0) AS mp_extra_a,
+       COALESCE(mpb.mp_extra, 0) AS mp_extra_b,
        CAST(CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_a,
        CAST(CASE WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2 WHEN (((b.vec_id % 2147483647) * 1566083941) % 2147483647) < 858993458 THEN 1 ELSE 0 END AS BIGINT) AS split_b,
        CAST((CASE WHEN (((a.vec_id % 2147483647) * 1566083941) % 2147483647) < 429496729 THEN 2
@@ -1027,6 +1042,8 @@ LEFT JOIN hn ha ON ha.vec_id = a.vec_id
 LEFT JOIN hn hb ON hb.vec_id = b.vec_id
 LEFT JOIN hnm ma ON ma.vec_id = a.vec_id
 LEFT JOIN hnm mb ON mb.vec_id = b.vec_id
+LEFT JOIN mpc mpa ON mpa.k = a.vec_id
+LEFT JOIN mpc mpb ON mpb.k = b.vec_id
 WHERE FLOOR((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))))

@@ -109,3 +109,50 @@ def test_ngram_containment_properties(spark):
     # pair path must stay equi-join shaped (no cartesian at scale)
     plan = ngram_containment(docs, pairs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_catches_one_plane_flips(spark):
+    """Multi-probe LSH law: pairs at signature Hamming distance EXACTLY 1
+    are found (single-bucket blocking misses them by construction), the
+    result equals the brute-force hamming-1 + cosine filter, and it is
+    disjoint from the hamming-0 pair set."""
+    from pyspark.sql import functions as F
+
+    from nyxus_spark.operators.dedup import (
+        cosine_dup_pairs,
+        multiprobe_cosine_pairs,
+        srp_signature,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 19 - 9) / 10.0 for j in range(16)])
+         for i in range(40)]
+        # near-identical perturbed copies likely to flip ~one plane
+        + [(100 + i, [float((i * 13 + j * 7) % 19 - 9) / 10.0
+                      + (0.02 if j == 0 else 0.0) for j in range(16)])
+           for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    mp = {(r["id_a"], r["id_b"]) for r in
+          multiprobe_cosine_pairs(emb, threshold=0.95).collect()}
+    sp = {(r["id_a"], r["id_b"]) for r in
+          cosine_dup_pairs(emb, threshold=0.95).collect()}
+    assert mp.isdisjoint(sp)
+    # brute-force truth: hamming == 1 and rounded cosine >= threshold
+    sigs = {r["vec_id"]: (r["sig"], r["embedding"]) for r in emb.select(
+        "vec_id", srp_signature().alias("sig"), "embedding").collect()}
+    import math
+    def cos4(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        n = math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        return math.floor(d / n * 10000.0 + 0.5) / 10000.0
+    truth = set()
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if bin(sigs[a][0] ^ sigs[b][0]).count("1") == 1 \
+               and cos4(sigs[a][1], sigs[b][1]) >= 0.95:
+                truth.add((a, b))
+    assert mp == truth
+    assert truth, "fixture produced no hamming-1 pairs — weak test"
