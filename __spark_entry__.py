@@ -3014,11 +3014,22 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.filter(F.col("n_tok") > 0), 128, oid, n_shards=8
     ).select("doc_id", F.col("ffd_bin").cast("long").alias("ffd_bin"),
              "ffd_load", "ffd_bins")
+    # LPT SCHEDULING (Graham's least-loaded greedy, the straggler balancer
+    # — the reference's per-ROI thread scheduler shape): docs in
+    # (len DESC, id ASC) order onto 8 workers, oracle-replayed one item per
+    # recursion step; worker id, worker final load, and the makespan gated
+    from nyxus_spark.operators.packing import lpt_assign
+
+    lpt = lpt_assign(t.filter(F.col("n_tok") > 0), 8, oid).select(
+        "doc_id",
+        F.col("lpt_worker").cast("long").alias("lpt_worker"),
+        "lpt_load", "lpt_makespan",
+    )
     return (
         ch.join(pk, "doc_id").join(cdc, "doc_id").join(sh, "pack_shard")
         .join(lbj, "doc_id")
         .join(pdoc, "doc_id").join(pidx, "doc_id").join(fp, "doc_id")
-        .join(ffd, "doc_id")
+        .join(ffd, "doc_id").join(lpt, "doc_id")
     )
 
 
@@ -6598,6 +6609,34 @@ ffdd AS (
   FROM (SELECT loads, unnest(asg) AS a
         FROM ffdr WHERE pos = len(ds) + 1)
 ),
+lptd AS (  -- LPT inputs: one global item list in (len DESC, id ASC) order
+  SELECT list(struct_pack(n := CAST(n_tok AS BIGINT),
+                          oid := CAST(substr(doc_id, 5) AS BIGINT))
+              ORDER BY n_tok DESC, CAST(substr(doc_id, 5) AS BIGINT) ASC) AS ds
+  FROM tokens_static WHERE n_tok > 0
+),
+lptr AS (  -- least-loaded greedy, one item per recursion step
+  SELECT ds, 1 AS pos,
+         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0] AS loads,
+         CAST([] AS STRUCT(oid BIGINT, w INTEGER)[]) AS asg
+  FROM lptd
+  UNION ALL
+  SELECT ds, pos + 1,
+         list_transform(range(1, 9),
+           i -> CASE WHEN i = w THEN loads[i] + n ELSE loads[i] END),
+         list_append(asg, struct_pack(oid := oid, w := CAST(w AS INTEGER)))
+  FROM (
+    SELECT ds, pos, loads, asg, ds[pos].n AS n, ds[pos].oid AS oid,
+           list_filter(range(1, 9), i -> loads[i] = list_min(loads))[1] AS w
+    FROM lptr WHERE pos <= len(ds))
+),
+lptf AS (
+  SELECT 'doc_' || CAST(a.oid AS VARCHAR) AS doc_id,
+         CAST(a.w AS BIGINT) AS lpt_worker,
+         CAST(loads[a.w] AS BIGINT) AS lpt_load,
+         CAST(list_max(loads) AS BIGINT) AS lpt_makespan
+  FROM (SELECT loads, unnest(asg) AS a FROM lptr WHERE pos = len(ds) + 1)
+),
 starts AS (
   SELECT doc_id, tokens, n_tok,
          unnest(range(0, GREATEST(n_tok - 9, 0) + 1, 24)) AS start,
@@ -6745,13 +6784,15 @@ SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        bs.bucket_docs, bs.bucket_fill4,
        pd.pseg_n, pd.pseg_sum, pd.pseg_digest, pi.pseg_idx0,
        pp.fp_segs, pp.fp_fill,
-       fd.ffd_bin, fd.ffd_load, fd.ffd_bins
+       fd.ffd_bin, fd.ffd_load, fd.ffd_bins,
+       lp.lpt_worker, lp.lpt_load, lp.lpt_makespan
 FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
      JOIN shardstats ss USING (pack_shard)
      JOIN lb b USING (doc_id) JOIN lbs bs USING (len_bucket)
      JOIN psegdoc pd USING (doc_id) JOIN psegidx pi USING (doc_id)
      JOIN psegpack pp ON pp.pack_shard = p.pack_shard AND pp.p = p.pack_first
      JOIN ffdd fd USING (doc_id)
+     JOIN lptf lp USING (doc_id)
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈

@@ -166,6 +166,75 @@ def pack_ffd(
     return out.join(packed, ["pack_shard", "_oid"]).drop("_oid")
 
 
+def lpt_assign(
+    df: DataFrame,
+    k: int,
+    id_expr: Column,
+    len_col: str = "n_tok",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """LONGEST-PROCESSING-TIME scheduling (Graham 1969): items in
+    (weight DESC, id ASC) order each go to the LEAST-LOADED of `k` workers
+    (ties → lowest worker) — the straggler-balancing assignment a task
+    scheduler makes, with the classic makespan guarantee ≤ (4/3 − 1/(3k))·OPT.
+    The reference's per-ROI work scheduler solves exactly this shape
+    (balancing label batches across threads).
+
+    Same machinery as `pack_ffd`: a Catalyst aggregate() fold over the
+    sorted item list ({loads[k], assignments} struct state), replayed by
+    the oracle one item per RECURSIVE-CTE step. Grouped by `shard_col` when
+    given, else ONE global greedy (inherently sequential — at corpus scale
+    schedule per shard, or pre-aggregate items into weight buckets first).
+
+    Adds ``lpt_worker`` (1..k), ``lpt_load`` (that worker's final load),
+    ``lpt_makespan`` (max worker load in the group)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    gcol = shard_col if shard_col is not None else "__lpt_g"
+    out = df.withColumn("_oid", id_expr.cast("bigint"))
+    if shard_col is None:
+        out = out.withColumn(gcol, F.lit(0))
+    groups = out.groupBy(gcol).agg(
+        F.sort_array(
+            F.collect_list(F.struct(
+                (-F.col(len_col).cast("bigint")).alias("nl"),
+                F.col("_oid").alias("oid"),
+            ))
+        ).alias("_docs")
+    )
+    # least-loaded worker (1-based, ties lowest): first index holding the min
+    amin = (
+        "element_at(filter(transform(acc.loads, (l, i) -> "
+        "named_struct('p', i, 'ok', l = array_min(acc.loads))), "
+        "x -> x.ok), 1).p + 1"
+    )
+    zeros = ", ".join(["cast(0 as bigint)"] * k)
+    fold = F.expr(
+        "aggregate(_docs, "
+        f"named_struct('loads', array({zeros}), "
+        "'asg', cast(array() as array<struct<oid: bigint, w: int>>)), "
+        "(acc, e) -> named_struct("
+        f"'loads', transform(acc.loads, (l, i) -> CASE WHEN i + 1 = {amin} "
+        "THEN l + (-e.nl) ELSE l END), "
+        "'asg', concat(acc.asg, array(named_struct('oid', e.oid, "
+        f"'w', cast({amin} as int))))))"
+    )
+    packed = groups.select(F.col(gcol), fold.alias("_st")).select(
+        F.col(gcol),
+        F.col("_st.loads").alias("_loads"),
+        F.explode("_st.asg").alias("_a"),
+    ).select(
+        F.col(gcol),
+        F.col("_a.oid").alias("_oid"),
+        F.col("_a.w").cast("int").alias("lpt_worker"),
+        F.expr("element_at(_loads, cast(_a.w as int))").cast("long")
+        .alias("lpt_load"),
+        F.expr("array_max(_loads)").cast("long").alias("lpt_makespan"),
+    )
+    res = out.join(packed, [gcol, "_oid"]).drop("_oid")
+    return res.drop("__lpt_g") if shard_col is None else res
+
+
 def pack_segments(packed: DataFrame, capacity: int,
                   len_col: str = "n_tok") -> DataFrame:
     """Invert the doc→pack assignment of `pack_sequences` into per-(doc,

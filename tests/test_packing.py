@@ -155,3 +155,27 @@ def test_pack_ffd_oversize_gets_own_bin(spark):
     assert all(o["ffd_bin"] != big["ffd_bin"] for o in others)
     with pytest.raises(ValueError):
         pack_ffd(df, 0, F.col("doc_id"))
+
+
+def test_lpt_matches_python_and_balance_law(spark):
+    from nyxus_spark.operators.packing import lpt_assign
+
+    rows = [(i, 5 + (i * 53) % 120) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {r["doc_id"]: (r["lpt_worker"], r["lpt_load"], r["lpt_makespan"])
+           for r in lpt_assign(df, 4, F.col("doc_id")).collect()}
+    loads = [0] * 4
+    exp = {}
+    for n, i in sorted(((n, i) for i, n in rows), key=lambda x: (-x[0], x[1])):
+        w = loads.index(min(loads))
+        loads[w] += n
+        exp[i] = w + 1
+    for i, n in rows:
+        assert got[i][0] == exp[i]
+        assert got[i][1] == loads[exp[i] - 1]
+        assert got[i][2] == max(loads)
+    # Graham's bound: makespan <= (4/3 - 1/(3k))·OPT, OPT >= total/k
+    total = sum(n for _, n in rows)
+    assert max(loads) <= (4 / 3) * max(total / 4, max(n for _, n in rows)) + 1
+    with pytest.raises(ValueError):
+        lpt_assign(df, 0, F.col("doc_id"))
