@@ -3182,6 +3182,47 @@ def _q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_custkey") == F.col("o_custkey"), "left_anti",
             ).agg(F.count(F.lit(1)).alias("ri_idle_customers"))
         ))
+        # EXACT χ² two-proportion A/B test (the experimentation-analytics
+        # primitive): variant = custkey parity, success = urgent priority;
+        # χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — DECIMAL(38) numerator
+        # (HUGEINT on the oracle side), the p<0.05 flag decided by the
+        # CROSS-MULTIPLIED integer inequality num·10⁶ > den·3841459 (the
+        # 1-df critical value as an exact rational) — no float ever enters
+        # the decision
+        .crossJoin(F.broadcast(_ab_chi2(o)))
+    )
+
+
+def _ab_chi2(o):
+    """2×2 χ² over orders: (custkey parity) × (urgent priority)."""
+    from pyspark.sql import functions as F
+
+    v = (F.col("o_custkey") % 2 == 0).cast("long")
+    s = (F.col("o_orderpriority") == F.lit("1-URGENT")).cast("long")
+    cells = o.agg(
+        F.sum(v * s).cast("long").alias("ab_a"),
+        F.sum(v * (1 - s)).cast("long").alias("ab_b"),
+        F.sum((1 - v) * s).cast("long").alias("ab_c"),
+        F.sum((1 - v) * (1 - s)).cast("long").alias("ab_d"),
+    )
+    dec = "cast({} as decimal(38, 0))"
+    num = F.expr(
+        ("(({a} + {b} + {c} + {d}) * (({a} * {d} - {b} * {c}) "
+         "* ({a} * {d} - {b} * {c})))").format(
+            a=dec.format("ab_a"), b=dec.format("ab_b"),
+            c=dec.format("ab_c"), d=dec.format("ab_d"))
+    )
+    den = F.expr(
+        "((cast(ab_a as decimal(38,0)) + ab_b) * (cast(ab_c as decimal(38,0)) + ab_d)"
+        " * (cast(ab_a as decimal(38,0)) + ab_c) * (cast(ab_b as decimal(38,0)) + ab_d))"
+    )
+    return cells.select(
+        "ab_a", "ab_b", "ab_c", "ab_d",
+        F.when(
+            den > 0, _r4(num.cast("double") / den.cast("double"))
+        ).alias("chi2_4"),
+        F.when(den > 0, (num * 1000000 > den * 3841459).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("chi2_sig"),
     )
 
 
@@ -5769,6 +5810,35 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
         "segment_sales": """
+WITH abx AS (  -- 2x2 A/B cells: custkey parity x urgent priority
+  SELECT CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ab_a,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority <> '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ab_b,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ab_c,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderpriority <> '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ab_d
+  FROM orders
+),
+abc AS (  -- exact chi-square: HUGEINT numerator, cross-multiplied p<.05
+  SELECT ab_a, ab_b, ab_c, ab_d,
+         CASE WHEN den > 0 THEN
+           FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 10000.0 + 0.5)
+             / 10000.0 END AS chi2_4,
+         CAST(CASE WHEN den > 0 AND num * 1000000 > den * 3841459
+                   THEN 1 ELSE 0 END AS BIGINT) AS chi2_sig
+  FROM (
+    SELECT ab_a, ab_b, ab_c, ab_d,
+           (CAST(ab_a AS HUGEINT) + ab_b + ab_c + ab_d)
+             * ((CAST(ab_a AS HUGEINT) * ab_d - CAST(ab_b AS HUGEINT) * ab_c)
+                * (CAST(ab_a AS HUGEINT) * ab_d - CAST(ab_b AS HUGEINT) * ab_c))
+             AS num,
+           (CAST(ab_a AS HUGEINT) + ab_b) * (CAST(ab_c AS HUGEINT) + ab_d)
+             * (CAST(ab_a AS HUGEINT) + ab_c) * (CAST(ab_b AS HUGEINT) + ab_d)
+             AS den
+    FROM abx)
+)
 SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
        COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
@@ -5781,9 +5851,12 @@ SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
          AS ri_orphan_orders,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
-         AS ri_idle_customers
+         AS ri_idle_customers,
+       x.ab_a, x.ab_b, x.ab_c, x.ab_d, x.chi2_4, x.chi2_sig
 FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY CUBE (c_mktsegment, o_orderpriority)
+CROSS JOIN abc x
+GROUP BY CUBE (c_mktsegment, o_orderpriority),
+         x.ab_a, x.ab_b, x.ab_c, x.ab_d, x.chi2_4, x.chi2_sig
 """,
         "asof_tokens": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}

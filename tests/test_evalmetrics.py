@@ -113,3 +113,34 @@ def test_temporal_group_split_laws(spark):
     ev_us = got.apply(lambda r: int(pd.Timestamp(r["ts"]).timestamp() * 1e6), axis=1)
     assert ((ev_us[got["tsplit"] == 0] <= t)).all()
     assert ((ev_us[got["tsplit"] == 1] > t)).all()
+
+
+def test_chi2_flag_matches_scipy_free_reference(spark):
+    """The cross-multiplied significance decision equals the float chi2
+    comparison on hand-built 2x2 tables spanning both sides of 3.841."""
+    import __spark_entry__ as m
+
+    tables = [
+        (50, 50, 50, 50),      # chi2 = 0 -> not significant
+        (70, 30, 30, 70),      # strongly significant
+        (60, 40, 47, 53),      # near the boundary
+        (0, 100, 0, 100),      # degenerate margin -> den has a zero factor
+    ]
+    for a, b, c, d in tables:
+        rows = (
+            [(2, "1-URGENT")] * a + [(2, "3-MEDIUM")] * b
+            + [(3, "1-URGENT")] * c + [(3, "3-MEDIUM")] * d
+        )
+        df = spark.createDataFrame(
+            [(i, k, p) for i, (k, p) in enumerate(rows)],
+            "rid long, o_custkey long, o_orderpriority string")
+        r = m._ab_chi2(df).first()
+        assert (r["ab_a"], r["ab_b"], r["ab_c"], r["ab_d"]) == (a, b, c, d)
+        n = a + b + c + d
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        if den == 0:
+            assert r["chi2_4"] is None and r["chi2_sig"] == 0
+        else:
+            chi2 = n * (a * d - b * c) ** 2 / den
+            assert abs(r["chi2_4"] - chi2) < 1e-3
+            assert r["chi2_sig"] == (1 if chi2 > 3.841459 else 0)
