@@ -3938,6 +3938,61 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").cast("long").alias("peak_rate_1h"))
     )
+    # wave 75 — Kaplan–Meier churn survival: per user, duration = last−first
+    # event in whole days (integer `div`); churned iff the last event
+    # precedes corpus_max − 1 day (else right-censored). KM S(t) =
+    # Π_{t'≤t} (n_{t'} − d_{t'}) / n_{t'} over the DAY-granularity duration
+    # dim (cardinality bounded by the corpus span in days, never by |users| —
+    # the single-partition window is over a ≤ O(days) dim, scale-safe).
+    # The running product is an order-dependent float fold: Spark
+    # F.aggregate is a sequential in-order fold and the DuckDB oracle
+    # replays it with list_reduce((x,y) -> x*y) over the same time-ordered
+    # factor list — pure-multiply lambda, the vectorization-safe class —
+    # so km_surv is gated as a raw bit-identical double. n/d are exact
+    # int64. Survival-analysis analog of nyxus's per-ROI lifetime stats.
+    day_us = 86_400_000_000
+    lif = ev2.groupBy("doc_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    cmax = lif.agg(F.max("last_us").alias("corpus_max_us"))
+    lif2 = lif.crossJoin(F.broadcast(cmax)).select(
+        "doc_id",
+        F.expr(f"(last_us - first_us) div {day_us}").cast("long")
+        .alias("km_t"),
+        F.when(
+            F.col("last_us") < F.col("corpus_max_us") - F.lit(day_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("km_churn"),
+    )
+    kmdim = lif2.groupBy("km_t").agg(
+        F.sum("km_churn").cast("long").alias("km_d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    wdesc = Window.orderBy(F.col("km_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wasc = Window.orderBy(F.col("km_t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    kmfac = (
+        kmdim.withColumn("km_n", F.sum("c").over(wdesc).cast("long"))
+        .withColumn(
+            "f",
+            (F.col("km_n") - F.col("km_d")).cast("double")
+            / F.col("km_n").cast("double"),
+        )
+    )
+    km = (
+        kmfac.withColumn("fl", F.collect_list("f").over(wasc))
+        .select(
+            "km_t",
+            F.col("km_d").alias("km_events"),
+            F.col("km_n").alias("km_at_risk"),
+            F.aggregate("fl", F.lit(1.0), lambda a, x: a * x)
+            .alias("km_surv"),
+        )
+    )
+    kmu = lif2.select("doc_id", "km_t").join(F.broadcast(km), "km_t").select(
+        "doc_id", "km_t", "km_events", "km_at_risk", "km_surv"
+    )
     return (
         out.select(
             "doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us"
@@ -3947,6 +4002,7 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mka, "doc_id", "left")
         .join(mkt, "doc_id", "left")
         .join(mrate, "doc_id")
+        .join(kmu, "doc_id")
         .withColumn("mk_trans", F.coalesce("mk_trans", F.lit(0).cast("long")))
         .withColumn("mk_self", F.coalesce("mk_self", F.lit(0).cast("long")))
         .withColumn("mk_to_purchase",
@@ -5482,6 +5538,34 @@ mrate AS (  -- peak trailing-1h rate (value-defined RANGE frame, tie-safe)
                                     AND CURRENT ROW) AS c
     FROM events)
   GROUP BY doc_id
+),
+lif AS (  -- Kaplan–Meier lifetimes: duration in whole days + churn flag
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS km_t,
+         CASE WHEN max(epoch_us(ts)) <
+              (SELECT max(epoch_us(ts)) FROM events) - 86400000000
+              THEN 1 ELSE 0 END AS km_churn
+  FROM events GROUP BY user_id
+),
+kmdim AS (
+  SELECT km_t, CAST(SUM(km_churn) AS BIGINT) AS km_d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lif GROUP BY km_t
+),
+kmfac AS (
+  SELECT km_t, km_d, km_n,
+         CAST(km_n - km_d AS DOUBLE) / CAST(km_n AS DOUBLE) AS f
+  FROM (SELECT km_t, km_d,
+               CAST(SUM(c) OVER (ORDER BY km_t DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS km_n
+        FROM kmdim)
+),
+km AS (  -- running product replayed in fold order (pure-multiply lambda)
+  SELECT a.km_t, a.km_d AS km_events, a.km_n AS km_at_risk,
+         list_reduce(list(b.f ORDER BY b.km_t), (x, y) -> x * y) AS km_surv
+  FROM kmfac a JOIN kmfac b ON b.km_t <= a.km_t
+  GROUP BY a.km_t, a.km_d, a.km_n
 )
 SELECT e.doc_id, e.event_id,
        COALESCE(a.num_neighbors, 0) AS num_neighbors,
@@ -5499,13 +5583,15 @@ SELECT e.doc_id, e.event_id,
            / 10000.0
        ELSE 0.0 END AS mk_self_share4,
        COALESCE(mt.mk_top_pair, '') AS mk_top_pair,
-       mr.peak_rate_1h
+       mr.peak_rate_1h,
+       l.km_t, km.km_events, km.km_at_risk, km.km_surv
 FROM ev e LEFT JOIN agg a USING (doc_id, event_id)
 JOIN sk s USING (doc_id) JOIN skb b USING (sk_bucket)
 JOIN iab i ON i.doc_id = e.doc_id JOIN iaf f ON f.doc_id = e.doc_id
 LEFT JOIN mka mk ON mk.doc_id = e.doc_id
 LEFT JOIN mkt mt ON mt.doc_id = e.doc_id
-JOIN mrate mr ON mr.doc_id = e.doc_id, skt t
+JOIN mrate mr ON mr.doc_id = e.doc_id
+JOIN lif l ON l.doc_id = e.doc_id JOIN km ON km.km_t = l.km_t, skt t
 """,
         "rollup_wide": f"""
 WITH {SQL_VERSIONS},
