@@ -1161,12 +1161,24 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cells, ["cohort_d", "offset_d"])
         .select("event_id", "cohort_d", "offset_d", "cohort_users", "cell_users")
     )
+    # wave 76 — robust per-user activity TREND over daily counts:
+    # Mann–Kendall S (exact int64 pairwise sign sum) + Theil–Sen slope as
+    # the LOWER-median element pick of the pairwise slopes (one IEEE
+    # division, identical both engines); pair count bounded by corpus span
+    # in days squared — constant w.r.t. data volume.
+    from nyxus_spark.operators.windows import trend_stats
+
+    tr = trend_stats(ev, key_col="doc_id", ts_col="ts")
     return (
         out.join(mt, ["doc_id", "session_id"])
         .join(smj, ["doc_id", "session_id"])
         .join(co, ["doc_id", "session_id"], "left")
         .join(coh, "event_id")
+        .join(tr, "doc_id", "left")
         .withColumn("co_n", F.coalesce("co_n", F.lit(0).cast("long")))
+        .withColumn("mk_s", F.coalesce("mk_s", F.lit(0).cast("long")))
+        .withColumn("mk_pairs", F.coalesce("mk_pairs", F.lit(0).cast("long")))
+        .withColumn("mk_sign", F.coalesce("mk_sign", F.lit(0).cast("int")))
         .withColumn(
             "stream_match",
             (F.col("stream_n_events") == F.col("session_n_events")).cast("long"),
@@ -8450,6 +8462,32 @@ chcell AS (
          CAST(COUNT(DISTINCT a.u) AS BIGINT) AS cell_users
   FROM chd a JOIN chf f USING (u)
   GROUP BY 1, 2
+),
+tdaily AS (  -- Mann–Kendall + Theil–Sen over per-user daily counts
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tpairs AS (
+  SELECT a.doc_id, a.d AS di, b.d AS dj, a.c AS ci, b.c AS cj,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM tdaily a JOIN tdaily b ON a.doc_id = b.doc_id AND b.d > a.d
+),
+tmk AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cj > ci THEN 1 WHEN cj < ci THEN -1
+                       ELSE 0 END) AS BIGINT) AS mk_s,
+         CAST(count(*) AS BIGINT) AS mk_pairs
+  FROM tpairs GROUP BY doc_id
+),
+tmed AS (  -- lower-median element pick of the pairwise slopes
+  SELECT doc_id, slope AS ts_slope FROM (
+    SELECT doc_id, slope,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY slope, di, dj) AS rn,
+           count(*) OVER (PARTITION BY doc_id) AS m
+    FROM tpairs) WHERE rn = (m + 1) // 2
 )
 SELECT s.doc_id, s.event_id, s.session_id,
        CAST(json_extract(s.props, '$.k') AS BIGINT) AS props_k,
@@ -8482,7 +8520,13 @@ SELECT s.doc_id, s.event_id, s.session_id,
        cf.cohort_d,
        CAST(FLOOR(CAST(epoch_us(f2.ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
          - cf.cohort_d AS offset_d,
-       cz.cohort_users, cc.cell_users
+       cz.cohort_users, cc.cell_users,
+       CAST(COALESCE(mk.mk_s, 0) AS BIGINT) AS mk_s,
+       CAST(COALESCE(mk.mk_pairs, 0) AS BIGINT) AS mk_pairs,
+       CAST(CASE WHEN COALESCE(mk.mk_s, 0) > 0 THEN 1
+                 WHEN COALESCE(mk.mk_s, 0) < 0 THEN -1
+                 ELSE 0 END AS INTEGER) AS mk_sign,
+       md.ts_slope
 FROM sess s JOIN ivn n USING (doc_id, session_id)
 JOIN twa t USING (doc_id, session_id)
 LEFT JOIN con c USING (doc_id, session_id)
@@ -8492,6 +8536,8 @@ JOIN chsz cz ON cz.cohort_d = cf.cohort_d
 JOIN chcell cc ON cc.cohort_d = cf.cohort_d
   AND cc.offset_d = CAST(FLOOR(CAST(epoch_us(f2.ts) AS DOUBLE)
                                / 86400000000.0) AS BIGINT) - cf.cohort_d
+LEFT JOIN tmk mk ON mk.doc_id = s.doc_id
+LEFT JOIN tmed md ON md.doc_id = s.doc_id
 """,
         "lag_lead_locf": """
 WITH ev AS (

@@ -615,3 +615,69 @@ def interarrival_stats(df, key_col: str = "doc_id", ts_col: str = "ts"):
         ).alias("ia_fano_hourly"),
     )
     return per_key.join(fano, "k").withColumnRenamed("k", key_col)
+
+
+def trend_stats(df: DataFrame, key_col: str = "doc_id", ts_col: str = "ts"):
+    """Robust per-key activity trend over DAILY event counts: Mann–Kendall
+    S = Σ_{i<j} sign(c_j − c_i) (the distribution-free monotone-trend
+    statistic, exact int64) and the Theil–Sen slope as the LOWER median of
+    the pairwise-slope set (k-th smallest, k = (m+1) div 2 — an element
+    PICK, never an interpolation, so the gated double is one IEEE division
+    both engines perform identically).
+
+    Scale story: the pair self-join is per key over the per-day count dim,
+    so pair count per key is bounded by the corpus SPAN in days squared —
+    a constant w.r.t. data volume; the join co-partitions on key_col.
+    Trend analog of the reference's per-ROI time-axis deltas
+    (/root/reference/src/nyx/constants.h:3 t_index slicing).
+    """
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    daily = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = daily.select("k", F.col("d").alias("di"), F.col("c").alias("ci"))
+    b = daily.select("k", F.col("d").alias("dj"), F.col("c").alias("cj"))
+    pr = (
+        a.join(b, "k")
+        .filter(F.col("dj") > F.col("di"))
+        .withColumn(
+            "slope",
+            (F.col("cj") - F.col("ci")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double"),
+        )
+    )
+    mk = pr.groupBy("k").agg(
+        F.sum(
+            F.when(F.col("cj") > F.col("ci"), 1)
+            .when(F.col("cj") < F.col("ci"), -1)
+            .otherwise(0)
+        ).cast("long").alias("mk_s"),
+        F.count(F.lit(1)).cast("long").alias("mk_pairs"),
+    ).withColumn(
+        "mk_sign",
+        F.when(F.col("mk_s") > 0, 1)
+        .when(F.col("mk_s") < 0, -1)
+        .otherwise(0)
+        .cast("int"),
+    )
+    wmed = Window.partitionBy("k").orderBy(
+        F.col("slope").asc(), F.col("di").asc(), F.col("dj").asc())
+    wcnt = Window.partitionBy("k")
+    med = (
+        pr.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("m", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("rn") == F.expr("(m + 1) div 2"))
+        .select("k", F.col("slope").alias("ts_slope"))
+    )
+    keys = daily.select("k").distinct()
+    return (
+        keys.join(mk, "k", "left")
+        .join(med, "k", "left")
+        .withColumn("mk_s", F.coalesce("mk_s", F.lit(0).cast("long")))
+        .withColumn("mk_pairs", F.coalesce("mk_pairs", F.lit(0).cast("long")))
+        .withColumn("mk_sign", F.coalesce("mk_sign", F.lit(0).cast("int")))
+        .withColumnRenamed("k", key_col)
+    )
