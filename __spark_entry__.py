@@ -1791,13 +1791,23 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import pagerank
 
     pr = pagerank(pairs, iters=4)
+    # wave 77 — K-CORE density stratification (bounded 4-round peel,
+    # operators/dedup.py kcore_peel): core2/core3 survivor flags + degree
+    # inside the 2-core subgraph; the oracle replays the identical
+    # unrolled recursion (oracles.sql_kcore), so the gate is exact whether
+    # or not the peel reached fixpoint.
+    from nyxus_spark.operators.dedup import kcore_peel
+
+    kc = kcore_peel(pairs, ks=(2, 3), rounds=4)
     return (
         comps.join(sizes, "rep").join(best, "rep").join(gns, "doc_id")
         .join(pr, "doc_id")
+        .join(kc, "doc_id")
         .select(
             "doc_id", "rep", "cluster_size", "best_doc", "best_n_tok",
             (F.col("doc_id") == F.col("best_doc")).cast("int").alias("is_best"),
             "deg_cnt", "tri_cnt", "clust4", "pr4",
+            "core2", "core3", "core2_deg",
         )
     )
 

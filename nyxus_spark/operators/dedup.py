@@ -1586,3 +1586,69 @@ def pagerank(
             .localCheckpoint()
         )
     return r.select(F.col("v").alias("doc_id"), fround4("r").alias("pr4"))
+
+
+def kcore_peel(pairs: DataFrame, ks=(2, 3), rounds: int = 4,
+               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Bounded-round K-CORE peel over the undirected pair graph (the
+    density stratification of a near-dup graph: a k-core survivor sits in
+    a subgraph where EVERY member keeps >= k near-dup partners — dup-farm
+    cliques survive high k, template chains peel away at k=2).
+
+    One round for level k deletes every node whose degree in the CURRENT
+    surviving subgraph is < k; `rounds` rounds run for each k in ks. The
+    output is the deterministic R-round peel — equal to the true k-core
+    whenever the graph's peel depth <= rounds — so an engine replaying
+    the identical bounded recursion (the DuckDB unrolled-CTE oracle,
+    oracles.sql_kcore) matches bit-for-bit whether or not the fixpoint
+    was reached. Per round: one semi-restricted degree count = one
+    shuffle on the node key; rounds is a constant, so the whole peel is
+    O(rounds) bounded shuffles over the (already blocked, near-linear)
+    candidate-pair table — scale-safe at 100 TB.
+
+    Returns (doc_id, core{k} flag per k, core{ks[0]}_deg — the node's
+    degree inside its ks[0]-peel subgraph, 0 once peeled).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = und.select("a").distinct()
+    out = nodes.withColumnRenamed("a", "doc_id")
+    first_deg = None
+    for k in ks:
+        surv = nodes
+        deg = None
+        for _ in range(rounds):
+            deg = (
+                und.join(surv.withColumnRenamed("a", "sa"),
+                         F.col("a") == F.col("sa"))
+                .join(surv.select(F.col("a").alias("sb")),
+                      F.col("b") == F.col("sb"))
+                .groupBy("a")
+                .agg(F.count(F.lit(1)).cast("long").alias("d"))
+            )
+            surv = deg.filter(F.col("d") >= k).select("a")
+        flag = surv.select(
+            F.col("a").alias("doc_id"), F.lit(1).cast("int").alias(f"core{k}")
+        )
+        out = out.join(flag, "doc_id", "left").withColumn(
+            f"core{k}", F.coalesce(f"core{k}", F.lit(0).cast("int"))
+        )
+        if first_deg is None:
+            # degree inside the final ks[0] surviving subgraph
+            fd = (
+                und.join(surv.withColumnRenamed("a", "sa"),
+                         F.col("a") == F.col("sa"))
+                .join(surv.select(F.col("a").alias("sb")),
+                      F.col("b") == F.col("sb"))
+                .groupBy("a")
+                .agg(F.count(F.lit(1)).cast("long").alias(f"core{k}_deg"))
+                .withColumnRenamed("a", "doc_id")
+            )
+            first_deg = (k, fd)
+    k0, fd = first_deg
+    return out.join(fd, "doc_id", "left").withColumn(
+        f"core{k0}_deg",
+        F.coalesce(f"core{k0}_deg", F.lit(0).cast("long")),
+    )

@@ -122,7 +122,8 @@ prf AS (
            * list_reduce(list(p.r / d.dg ORDER BY e.src), (a, b) -> a + b) AS r
   FROM pedges e JOIN pr3 p ON p.v = e.src JOIN pdeg d ON d.src = e.src
   GROUP BY e.dst
-)
+),
+{sql_kcore(rounds=4, ks=(2, 3))}
 SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
        CASE WHEN c.doc_id = b.best_doc THEN 1 ELSE 0 END AS is_best,
        dg.deg_cnt,
@@ -132,12 +133,53 @@ SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
                 / CAST(dg.deg_cnt * (dg.deg_cnt - 1) AS DOUBLE))
                * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS clust4,
-       FLOOR(pg.r * 10000.0 + 0.5) / 10000.0 AS pr4
+       FLOOR(pg.r * 10000.0 + 0.5) / 10000.0 AS pr4,
+       CAST(CASE WHEN k2f.a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS core2,
+       CAST(CASE WHEN k3f.a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS core3,
+       CAST(COALESCE(k2d.d, 0) AS BIGINT) AS core2_deg
 FROM comp c JOIN sizes s USING (rep) JOIN best b USING (rep)
 JOIN deg dg USING (doc_id)
 LEFT JOIN tric tc USING (doc_id)
 JOIN prf pg ON pg.v = c.doc_id
+LEFT JOIN s2_4 k2f ON k2f.a = c.doc_id
+LEFT JOIN s3_4 k3f ON k3f.a = c.doc_id
+LEFT JOIN k2deg k2d ON k2d.a = c.doc_id
 """
+
+
+def sql_kcore(rounds: int = 4, ks=(2, 3)) -> str:
+    """Unrolled bounded-round k-core peel CTEs over `pedges` (the
+    symmetric deduped edge list already defined by sql_dedup_clusters).
+    One CTE per peel round — the exact replay of operators/dedup.py
+    kcore_peel's R-round recursion (deterministic whether or not the
+    peel reached fixpoint). Emits CTE text (no leading WITH, no leading
+    comma); final survivor sets are s{k}_{rounds}, plus k{ks[0]}deg =
+    degree inside the ks[0] surviving subgraph."""
+    parts = ["kall AS (SELECT src AS a FROM pedges GROUP BY src)"]
+    for k in ks:
+        prev = "kall"
+        for r in range(1, rounds + 1):
+            name = f"s{k}_{r}"
+            parts.append(
+                f"""{name} AS (
+  SELECT e.src AS a FROM pedges e
+  JOIN {prev} x ON x.a = e.src JOIN {prev} y ON y.a = e.dst
+  GROUP BY e.src HAVING count(*) >= {k}
+)"""
+            )
+            prev = name
+    k0 = ks[0]
+    parts.append(
+        f"""k{k0}deg AS (
+  SELECT e.src AS a, CAST(count(*) AS BIGINT) AS d FROM pedges e
+  JOIN s{k0}_{rounds} x ON x.a = e.src
+  JOIN s{k0}_{rounds} y ON y.a = e.dst
+  GROUP BY e.src
+)"""
+    )
+    return ",\n".join(parts)
 
 
 def _hash_params(i: int) -> tuple[int, int]:
