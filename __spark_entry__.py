@@ -2366,6 +2366,27 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("gini_den").cast("double")).alias("gini4"),
     )
     out = out.crossJoin(F.broadcast(gini))
+    # wave 78 — DIVERSITY indices over the same full-vocab count table:
+    # Simpson's D = Σc(c−1)/(N(N−1)) (the collision probability of two
+    # draws without replacement — exact integer numerator/denominator,
+    # ONE final division) and Berger–Parker dominance = max c / N. Both
+    # corpus constants; N(N−1) stays inside int64 to N ≈ 3·10⁹ tokens —
+    # per-shard sharding applies the same exact algebra beyond that.
+    div = vc.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("simpson_num"),
+        F.sum("c").cast("long").alias("__N"),
+        F.max("c").cast("long").alias("bp_max"),
+    ).select(
+        "simpson_num",
+        (F.col("__N") * (F.col("__N") - 1)).cast("long").alias("simpson_den"),
+        _r4(F.col("simpson_num").cast("double")
+            / (F.col("__N") * (F.col("__N") - 1)).cast("double"))
+        .alias("simpson4"),
+        "bp_max",
+        _r4(F.col("bp_max").cast("double") / F.col("__N").cast("double"))
+        .alias("bp4"),
+    )
+    out = out.crossJoin(F.broadcast(div))
     # INVERTED-INDEX posting stats per kept token (the IR indexing
     # primitive): df / first doc / max gap / exact varint-model bit cost
     # of the delta-encoded posting list — all exact integers (UNK -1 has
@@ -4654,6 +4675,41 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a total order, each row carrying its bin's exact size and empirical
     # pass rate
     out = calibration_table(out, "hb_score", "gopher_pass", bins=10)
+    # wave 78 — SPLIT-CONFORMAL quality gate (Vovk; the finite-sample-valid
+    # quantile filter): calibration = the deterministic holdout val split
+    # (rate 0.2, mixer 1566083941 — re-derivable on any engine forever);
+    # per doc, conf_le = #{calib: hb_score <= this doc's score} via ONE
+    # suffix-cumulative window over the VALUE-GRAIN score dim (same shape
+    # as binary_auc — dim-sized, not row-sized), conformal p-value
+    # p = (conf_le+1)/(n+1) one exact-int division, and the keep flag at
+    # alpha = 0.1 decided by the CROSS-MULTIPLIED integer inequality
+    # 10·(conf_le+1) > (n+1) — no float enters the decision.
+    from nyxus_spark.functions import holdout_split
+
+    out = out.withColumn(
+        "__calib",
+        (holdout_split(F.col("doc_id"), 0.2, 0.0) == 1).cast("long"),
+    )
+    vals = out.groupBy("hb_score").agg(
+        F.sum("__calib").cast("long").alias("__cn"))
+    wle = Window.orderBy(F.col("hb_score").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    vals = vals.withColumn("conf_le", F.sum("__cn").over(wle).cast("long"))
+    ncal = out.agg(F.sum("__calib").cast("long").alias("conf_n"))
+    out = (
+        out.join(vals.select("hb_score", "conf_le"), "hb_score")
+        .crossJoin(F.broadcast(ncal))
+        .withColumn(
+            "conf_p4",
+            _r4((F.col("conf_le") + 1) / (F.col("conf_n") + 1)),
+        )
+        .withColumn(
+            "conf_keep",
+            ((F.col("conf_le") + 1) * 10 > (F.col("conf_n") + 1))
+            .cast("long"),
+        )
+        .drop("__calib")
+    )
     return (
         out.join(lzc, "doc_id")
         .crossJoin(F.broadcast(auc))
@@ -6148,6 +6204,17 @@ gini AS (
            / 10000.0 AS gini4
   FROM ggr
 ),
+divx AS (  -- Simpson's D + Berger-Parker over the same full-vocab counts
+  SELECT CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS simpson_num,
+         CAST(SUM(cnt) * (SUM(cnt) - 1) AS BIGINT) AS simpson_den,
+         FLOOR((CAST(SUM(cnt * (cnt - 1)) AS DOUBLE)
+                / CAST(SUM(cnt) * (SUM(cnt) - 1) AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS simpson4,
+         CAST(MAX(cnt) AS BIGINT) AS bp_max,
+         FLOOR((CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS bp4
+  FROM counts
+),
 pgap AS (  -- inverted-index postings: distinct (token, doc), sorted gaps
   SELECT token, oid,
          oid - lag(oid) OVER (PARTITION BY token ORDER BY oid) AS gap
@@ -6319,7 +6386,8 @@ SELECT f.*, q.cms_est,
        ELSE -1.0 END AS w2v_keep4,
        bx.bm_inter, bmm.bm_docs_a, bmm.bm_docs_b, be.bm_inter_exact,
        jt.js_true, je.js_cms_est,
-       CAST(je.js_cms_est - jt.js_true AS BIGINT) AS js_cms_over
+       CAST(je.js_cms_est - jt.js_true AS BIGINT) AS js_cms_over,
+       dx.simpson_num, dx.simpson_den, dx.simpson4, dx.bp_max, dx.bp4
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
@@ -6328,6 +6396,7 @@ LEFT JOIN post po USING (token)
 LEFT JOIN nucw nw USING (token)
 CROSS JOIN growth g
 CROSS JOIN gini gi
+CROSS JOIN divx dx
 CROSS JOIN bmx bx
 CROSS JOIN bmm
 CROSS JOIN bme be
@@ -7525,13 +7594,33 @@ calb AS (
                 / CAST(COUNT(*) AS BIGINT)) * 10000.0 + 0.5) / 10000.0
            AS cal_rate4
   FROM calr r JOIN ts_all t USING (doc_id) GROUP BY r.cal_bin
-)
+),
+confv AS (  -- split-conformal calibration: holdout val split (rate 0.2,
+            -- mixer 1566083941), counts at hb_score VALUE grain
+  SELECT hb_score AS s,
+         CAST(SUM(CASE WHEN ((doc_id % 2147483647) * 1566083941)
+                            % 2147483647 < 429496729
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM ts_all GROUP BY 1
+),
+confle AS (
+  SELECT s, CAST(SUM(cn) OVER (ORDER BY s ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS conf_le
+  FROM confv
+),
+confn AS (SELECT CAST(SUM(cn) AS BIGINT) AS conf_n FROM confv)
 SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14,
-       cr.cal_bin, cb2.cal_n, cb2.cal_rate4
+       cr.cal_bin, cb2.cal_n, cb2.cal_rate4,
+       cl.conf_le, cn2.conf_n,
+       FLOOR(((cl.conf_le + 1) / (cn2.conf_n + 1)) * 10000.0 + 0.5)
+         / 10000.0 AS conf_p4,
+       CAST((cl.conf_le + 1) * 10 > (cn2.conf_n + 1) AS BIGINT) AS conf_keep
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
+JOIN confle cl ON cl.s = ts_all.hb_score CROSS JOIN confn cn2
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
