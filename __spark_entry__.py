@@ -702,6 +702,37 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 10)
         ])
     )
+    # wave 79 — LEAVE-ONE-OUT source INFLUENCE on the corpus mean length
+    # (the data-ablation planner's first-order signal: what happens to mean
+    # n_tok if this source is dropped?): Δ = (T−t_s)/(N−n_s) − T/N reduced
+    # to the SINGLE exact rational (T·n_s − N·t_s)/(N·(N−n_s)) — integer
+    # numerator/denominator gated raw, ONE final division. Positive ⇒
+    # dropping the source RAISES the mean (it drags length down). Products
+    # stay inside int64 to T·n_s ≈ 9·10¹⁸ (per-shard split beyond).
+    tot = base.agg(
+        F.sum("n_docs").cast("long").alias("__N"),
+        F.sum("total_tokens").cast("long").alias("__T"),
+    )
+    base = (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "infl_num",
+            (F.col("__T") * F.col("n_docs")
+             - F.col("__N") * F.col("total_tokens")).cast("long"),
+        )
+        .withColumn(
+            "infl_den",
+            (F.col("__N") * (F.col("__N") - F.col("n_docs"))).cast("long"),
+        )
+        .withColumn(
+            "infl4",
+            F.when(
+                F.col("infl_den") > 0,
+                _r4(F.col("infl_num") / F.col("infl_den")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__N", "__T")
+    )
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
@@ -8371,7 +8402,17 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        sm.sim_nbr, sm.sim_cos4,
        dc.dec1_n_tok, dc.dec2_n_tok, dc.dec3_n_tok, dc.dec4_n_tok,
        dc.dec5_n_tok, dc.dec6_n_tok, dc.dec7_n_tok, dc.dec8_n_tok,
-       dc.dec9_n_tok
+       dc.dec9_n_tok,
+       -- leave-one-out influence on corpus mean length: ONE exact rational
+       CAST(ct.t_all * b.n_docs - ct.n_all * b.total_tokens AS BIGINT)
+         AS infl_num,
+       CAST(ct.n_all * (ct.n_all - b.n_docs) AS BIGINT) AS infl_den,
+       CASE WHEN ct.n_all * (ct.n_all - b.n_docs) > 0 THEN
+         FLOOR((CAST(ct.t_all * b.n_docs - ct.n_all * b.total_tokens
+                     AS DOUBLE)
+                / CAST(ct.n_all * (ct.n_all - b.n_docs) AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS infl4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -8384,7 +8425,9 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN trimq tq USING (source)
      JOIN ks kd USING (source)
      JOIN ssim sm USING (source)
-     JOIN decs dc USING (source)
+     JOIN decs dc USING (source),
+     (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+             CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
