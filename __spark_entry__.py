@@ -2142,13 +2142,39 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.min("rank").cast("long").alias("mrr_rank"))
     )
+    # wave 80 — EXACT-INTEGER AVERAGE PRECISION@5 (the ranking-quality
+    # metric beside recall/MRR): AP = Σ_k rel_k·(hits@k/k) / n_rel is a sum
+    # of rationals with denominators 1..5, so the 60-scaled numerator
+    # (60 = lcm(1..5)) Σ rel_k·hits@k·(60 div k) is an EXACT int64 — the
+    # float only appears in the ONE final division by 60·n_exact.
+    relj = (
+        ranked.select("query_id", "vec_id", "rank")
+        .join(
+            brute.select("query_id", "vec_id").withColumn("__rel", F.lit(1)),
+            ["query_id", "vec_id"], "left",
+        )
+        .withColumn("__rel", F.coalesce("__rel", F.lit(0)))
+    )
+    wap = Window.partitionBy("query_id").orderBy("rank")
+    apq = (
+        relj.withColumn("__ch", F.sum("__rel").over(wap))
+        .withColumn(
+            "__t", F.col("__rel") * F.col("__ch") * F.expr("60 div rank"))
+        .groupBy("query_id")
+        .agg(F.sum("__t").cast("long").alias("ap_num60"))
+    )
     return (
         ranked.join(adc, ["query_id", "rank"])
         .join(mrr, "query_id", "left")
+        .join(apq, "query_id")
         .withColumn("mrr_rank", F.coalesce("mrr_rank", F.lit(0).cast("long")))
+        .withColumn(
+            "ap4",
+            _r4(F.col("ap_num60") / (F.lit(60) * F.col("n_exact"))),
+        )
         .select(
             "query_id", "vec_id", "cos", "n_hits", "n_exact", "recall",
-            "rank", "adc_vec_id", "adc_d", "mrr_rank",
+            "rank", "adc_vec_id", "adc_d", "mrr_rank", "ap_num60", "ap4",
         )
     )
 

@@ -881,11 +881,40 @@ mrr AS (  -- rank at which the ivf list surfaces the brute top-1; 0 = miss
          CAST(COALESCE(MIN(CASE WHEN r.vec_id = b.top1 THEN r.rank END), 0)
               AS BIGINT) AS mrr_rank
   FROM ranked r JOIN mb1 b USING (query_id) GROUP BY r.query_id
+),
+mbk AS (  -- brute top-k per query: the AP relevance ground truth
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             FLOOR((list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(q.qv, q.qv))))
+                   * 10000.0 + 0.5) / 10000.0 DESC, e.vec_id ASC) AS rn
+    FROM embeddings e,
+         (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {n_queries}) q
+  ) WHERE rn <= {k}
+),
+apx AS (  -- 60-scaled exact AP numerator: sum rel_k * hits@k * (60 // k)
+  SELECT query_id, CAST(SUM(rel * ch * (60 // rank)) AS BIGINT) AS ap_num60
+  FROM (
+    SELECT r.query_id, r.rank,
+           CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+           SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY r.query_id ORDER BY r.rank) AS ch
+    FROM ranked r LEFT JOIN mbk b
+      ON b.query_id = r.query_id AND b.vec_id = r.vec_id
+  ) GROUP BY query_id
 )
 SELECT r.query_id, r.vec_id, r.cos, r.n_hits, r.n_exact, r.recall,
-       CAST(r.rank AS BIGINT) AS rank, t.adc_vec_id, t.adc_d, mr.mrr_rank
+       CAST(r.rank AS BIGINT) AS rank, t.adc_vec_id, t.adc_d, mr.mrr_rank,
+       ap.ap_num60,
+       FLOOR((ap.ap_num60 / (60 * r.n_exact)) * 10000.0 + 0.5) / 10000.0
+         AS ap4
 FROM ranked r JOIN adctop t USING (query_id, rank)
 JOIN mrr mr ON mr.query_id = r.query_id
+JOIN apx ap ON ap.query_id = r.query_id
 """
 
 
