@@ -2444,6 +2444,38 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bp4"),
     )
     out = out.crossJoin(F.broadcast(div))
+    # wave 81 — GOOD–TURING smoothing statistics (Gale–Sampson; the classic
+    # LM mass-reallocation): count-of-counts N_r over the full vocab, each
+    # gate row's r* = (r+1)·N_{r+1}/N_r (exact integer product, ONE
+    # division), plus the corpus UNSEEN-MASS estimate P₀ = N₁/N — the
+    # probability the next token is a brand-new type, the held-out novelty
+    # forecast a crawl-scheduling loop reads. Count-of-counts is a
+    # second-level hash agg over the (bounded) vocab dim — scale-safe.
+    coc = vc.groupBy("c").agg(F.count("*").cast("long").alias("__nr"))
+    cr = coc.select(F.col("c").alias("cnt"), F.col("__nr").alias("gt_nr"))
+    cr1 = coc.select((F.col("c") - 1).alias("cnt"),
+                     F.col("__nr").alias("gt_nr1"))
+    gtc = vc.agg(
+        F.sum("c").cast("long").alias("__tt"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("gt_n1"),
+    ).select(
+        "gt_n1",
+        _r4(F.col("gt_n1").cast("double") / F.col("__tt").cast("double"))
+        .alias("gt_p0_4"),
+    )
+    out = (
+        out.join(cr, "cnt", "left").join(cr1, "cnt", "left")
+        .withColumn("gt_nr", F.coalesce("gt_nr", F.lit(0).cast("long")))
+        .withColumn("gt_nr1", F.coalesce("gt_nr1", F.lit(0).cast("long")))
+        .withColumn(
+            "gt_rstar4",
+            F.when(
+                F.col("gt_nr") > 0,
+                _r4(((F.col("cnt") + 1) * F.col("gt_nr1")) / F.col("gt_nr")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .crossJoin(F.broadcast(gtc))
+    )
     # INVERTED-INDEX posting stats per kept token (the IR indexing
     # primitive): df / first doc / max gap / exact varint-model bit cost
     # of the delta-encoded posting list — all exact integers (UNK -1 has
@@ -6261,6 +6293,18 @@ gini AS (
            / 10000.0 AS gini4
   FROM ggr
 ),
+coc AS (  -- Good-Turing count-of-counts over the full vocab
+  SELECT cnt AS r, CAST(COUNT(*) AS BIGINT) AS nr FROM counts GROUP BY cnt
+),
+gtc AS (  -- unseen-mass estimate P0 = N1 / N
+  SELECT CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0) AS BIGINT)
+           AS gt_n1,
+         FLOOR((CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0)
+                     AS DOUBLE)
+                / CAST(SUM(cnt) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+           AS gt_p0_4
+  FROM counts
+),
 divx AS (  -- Simpson's D + Berger-Parker over the same full-vocab counts
   SELECT CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS simpson_num,
          CAST(SUM(cnt) * (SUM(cnt) - 1) AS BIGINT) AS simpson_den,
@@ -6444,16 +6488,26 @@ SELECT f.*, q.cms_est,
        bx.bm_inter, bmm.bm_docs_a, bmm.bm_docs_b, be.bm_inter_exact,
        jt.js_true, je.js_cms_est,
        CAST(je.js_cms_est - jt.js_true AS BIGINT) AS js_cms_over,
-       dx.simpson_num, dx.simpson_den, dx.simpson4, dx.bp_max, dx.bp4
+       dx.simpson_num, dx.simpson_den, dx.simpson4, dx.bp_max, dx.bp4,
+       COALESCE(cr.nr, 0) AS gt_nr,
+       COALESCE(cr1.nr, 0) AS gt_nr1,
+       CASE WHEN COALESCE(cr.nr, 0) > 0 THEN
+         FLOOR((((f.cnt + 1) * COALESCE(cr1.nr, 0)) / cr.nr)
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS gt_rstar4,
+       gt.gt_n1, gt.gt_p0_4
 FROM final f JOIN cmsq q USING (token)
 LEFT JOIN knl kl USING (token) LEFT JOIN knr kr USING (token)
 LEFT JOIN kncv cv USING (token)
 LEFT JOIN knl klw ON klw.token = f.next_token
 LEFT JOIN post po USING (token)
 LEFT JOIN nucw nw USING (token)
+LEFT JOIN coc cr ON cr.r = f.cnt
+LEFT JOIN coc cr1 ON cr1.r = f.cnt + 1
 CROSS JOIN growth g
 CROSS JOIN gini gi
 CROSS JOIN divx dx
+CROSS JOIN gtc gt
 CROSS JOIN bmx bx
 CROSS JOIN bmm
 CROSS JOIN bme be
