@@ -2821,6 +2821,38 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hrw_moved",
         (F.col("hrw_shard") != F.col("hrw_shard9")).cast("long"),
     )
+    # wave 82 — LINCOLN–PETERSEN / CHAPMAN mark-recapture estimate of the
+    # corpus universe from TWO independent deterministic samples (mixers
+    # 2654435761 and 1103515245, rate 0.3 each): N̂_LP = n_a·n_b/m,
+    # N̂_Chapman = (n_a+1)(n_b+1)/(m+1) − 1 (the small-sample-unbiased
+    # form) — exact integer capture counts, one IEEE chain each; lp_true
+    # rides along so the artifact itself shows the estimator envelope
+    # (the same discipline as the HLL and CMS accuracy gates). The
+    # estimator a crawl pipeline uses to size a universe it cannot
+    # enumerate (distinct URLs/contents) from two cheap passes.
+    sa = deterministic_sample(docs, 0.3, F.col("doc_id")).select("doc_id")
+    sb = deterministic_sample(
+        docs, 0.3, F.col("doc_id"), mix=1103515245).select("doc_id")
+    lpj = sa.select("doc_id", F.lit(1).alias("__a")).join(
+        sb.select("doc_id", F.lit(1).alias("__b")), "doc_id", "full")
+    lp = lpj.agg(
+        F.sum(F.coalesce("__a", F.lit(0))).cast("long").alias("lp_na"),
+        F.sum(F.coalesce("__b", F.lit(0))).cast("long").alias("lp_nb"),
+        F.sum(F.coalesce("__a", F.lit(0)) * F.coalesce("__b", F.lit(0)))
+        .cast("long").alias("lp_m"),
+    ).crossJoin(
+        F.broadcast(docs.agg(F.count("*").cast("long").alias("lp_true")))
+    ).select(
+        "lp_na", "lp_nb", "lp_m", "lp_true",
+        F.when(
+            F.col("lp_m") > 0,
+            _r4((F.col("lp_na") * F.col("lp_nb")) / F.col("lp_m")),
+        ).otherwise(F.lit(0.0)).alias("lp_est4"),
+        _r4(
+            ((F.col("lp_na") + 1) * (F.col("lp_nb") + 1))
+            / (F.col("lp_m") + 1) - 1
+        ).alias("lp_chap4"),
+    )
     return (
         out.join(plan, "source")
         .join(hll, "source")
@@ -2832,6 +2864,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stf, "doc_id")
         .join(lra, "source")
         .join(hrw, "doc_id")
+        .crossJoin(F.broadcast(lp))
         .withColumn(
             "lr_keep",
             (F.col("quota_rank") <= F.col("lr_alloc")).cast("long"),
@@ -6677,6 +6710,21 @@ hext AS (  -- per-Hilbert-bucket extents: an aligned 4096-block is a SQUARE
          CAST(MIN(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS hb_src_min,
          CAST(MAX(CAST(substr(b.source, 4) AS BIGINT)) AS BIGINT) AS hb_src_max
   FROM base b JOIN hil hl ON hl.hk = b.doc_id GROUP BY 1
+),
+lpa AS (  -- mark-recapture capture A (sampling mixer, rate 0.3)
+  SELECT doc_id FROM documents
+  WHERE ((doc_id % 2147483647) * 506952114) % 2147483647 < 644245094
+),
+lpb AS (  -- capture B (independent mixer 1103515245, rate 0.3)
+  SELECT doc_id FROM documents
+  WHERE ((doc_id % 2147483647) * 1103515245) % 2147483647 < 644245094
+),
+lp AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lpa) AS lp_na,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lpb) AS lp_nb,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM lpa JOIN lpb USING (doc_id)) AS lp_m,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS lp_true
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
@@ -6725,7 +6773,13 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
             <> list_max(list_transform(range(0, 9), s ->
          {{'h': (((doc_id % 2147483647) * 1103515245) % 2147483647
                 + (s + 1) * 506952114) % 2147483647, 's': s}}))['s']
-            AS BIGINT) AS hrw_moved
+            AS BIGINT) AS hrw_moved,
+       lp.lp_na, lp.lp_nb, lp.lp_m, lp.lp_true,
+       CASE WHEN lp.lp_m > 0 THEN
+         FLOOR(((lp.lp_na * lp.lp_nb) / lp.lp_m) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS lp_est4,
+       FLOOR((((lp.lp_na + 1) * (lp.lp_nb + 1)) / (lp.lp_m + 1) - 1)
+             * 10000.0 + 0.5) / 10000.0 AS lp_chap4
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
@@ -6739,6 +6793,7 @@ FROM base JOIN bplan bp USING (source)
      JOIN zext ze ON ze.zb = z.z32 // 4096
      JOIN hil hl ON hl.hk = base.doc_id
      JOIN hext he ON he.hb = hl.h32 // 4096
+     CROSS JOIN lp
 )
 )
 """,
