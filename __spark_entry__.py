@@ -3245,7 +3245,7 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pool_tok", "pool_digest", "pool_abs",
         )
     )
-    return (
+    res = (
         out.select("doc_id", "media_type", "out_width", "out_height",
                    "mean_intensity",
                    "patch_digest", "patch_min", "patch_max")
@@ -3259,6 +3259,35 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pool_abs", zero).alias("pool_abs"),
         )
     )
+    # wave 83 — INTERLEAVED MULTIMODAL TOKEN BUDGET (the MMC4/ViT
+    # sequence-cost accounting: image patches spend context exactly like
+    # text tokens): per record mm_patches = (W div P)·(H div P) vision
+    # tokens, mm_eff_len = text + patches (what the packer must budget),
+    # the per-record image share, and the corpus-level vision-token share
+    # — exact integers + one division each; the corpus rollup is a
+    # broadcast one-row agg.
+    res = res.withColumn(
+        "mm_patches",
+        (F.expr("out_width div 4") * F.expr("out_height div 4"))
+        .cast("long"),
+    ).withColumn(
+        "mm_eff_len", (F.col("pool_tok") + F.col("mm_patches")).cast("long")
+    ).withColumn(
+        "mm_img_share4",
+        F.when(
+            F.col("mm_eff_len") > 0,
+            _r4(F.col("mm_patches") / F.col("mm_eff_len")),
+        ).otherwise(F.lit(0.0)),
+    )
+    tot = res.agg(
+        F.sum("mm_patches").cast("long").alias("mm_corpus_patches"),
+        F.sum("mm_eff_len").cast("long").alias("mm_corpus_eff"),
+    ).select(
+        "mm_corpus_patches", "mm_corpus_eff",
+        _r4(F.col("mm_corpus_patches") / F.col("mm_corpus_eff"))
+        .alias("mm_corpus_img4"),
+    )
+    return res.crossJoin(F.broadcast(tot))
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6066,6 +6095,19 @@ mdig AS (
          CAST(SUM((dim + 1) * cs) AS BIGINT) AS pool_digest,
          CAST(SUM(ABS(cs)) AS BIGINT) AS pool_abs
   FROM mpool GROUP BY sdoc
+),
+eff AS (  -- interleaved multimodal budget: 16 patches + pooled text tokens
+  SELECT b.sdoc, CAST(16 AS BIGINT) AS mm_patches,
+         CAST(COALESCE(d.pool_tok, 0) + 16 AS BIGINT) AS mm_eff_len
+  FROM base b LEFT JOIN mdig d USING (sdoc)
+),
+efft AS (
+  SELECT CAST(SUM(mm_patches) AS BIGINT) AS mm_corpus_patches,
+         CAST(SUM(mm_eff_len) AS BIGINT) AS mm_corpus_eff,
+         FLOOR((CAST(SUM(mm_patches) AS DOUBLE)
+                / CAST(SUM(mm_eff_len) AS DOUBLE)) * 10000.0 + 0.5)
+           / 10000.0 AS mm_corpus_img4
+  FROM eff
 )
 SELECT b.sdoc AS doc_id, b.media_type,
        16 AS out_width, 16 AS out_height,
@@ -6073,10 +6115,16 @@ SELECT b.sdoc AS doc_id, b.media_type,
        pg.patch_digest, pg.patch_min, pg.patch_max,
        COALESCE(d.pool_tok, 0) AS pool_tok,
        COALESCE(d.pool_digest, 0) AS pool_digest,
-       COALESCE(d.pool_abs, 0) AS pool_abs
+       COALESCE(d.pool_abs, 0) AS pool_abs,
+       e.mm_patches, e.mm_eff_len,
+       CASE WHEN e.mm_eff_len > 0 THEN
+         FLOOR((e.mm_patches / e.mm_eff_len) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS mm_img_share4,
+       et.mm_corpus_patches, et.mm_corpus_eff, et.mm_corpus_img4
 FROM base b JOIN vals v USING (sdoc)
 JOIN pdg pg USING (sdoc)
 LEFT JOIN mdig d USING (sdoc)
+JOIN eff e USING (sdoc) CROSS JOIN efft et
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
