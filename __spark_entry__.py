@@ -2977,6 +2977,37 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.similarity import greedy_kcenter
 
     kc = greedy_kcenter(q.select("vec_id", F.col("q").alias("qv")), k=4)
+    # wave 84 — MATRYOSHKA truncated-RETRIEVAL audit (Kusupati et al.; the
+    # prefix-dim ANN serving trick): top-5 of query 0 by the EXACT int64
+    # 16-dim-prefix dot vs the full 64-dim dot — per-vector membership
+    # flags in both lists and the corpus overlap@5 constant. The energy
+    # fraction above says what the prefix RETAINS; this says what retrieval
+    # it LOSES. Whole-corpus rank window is over the embeddings DIM table
+    # (at corpus scale the per-partition pre-top-k combine in
+    # similarity._partition_topk is the shape to swap in).
+    q0 = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    dots = q.crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(q, q0, (a, b) -> cast(a as bigint) * b),"
+            " 0L, (s, x) -> s + x)"
+        ).alias("__df"),
+        F.expr(
+            "aggregate(zip_with(slice(q, 1, 16), slice(q0, 1, 16),"
+            " (a, b) -> cast(a as bigint) * b), 0L, (s, x) -> s + x)"
+        ).alias("__d16"),
+    )
+    wmf = Window.orderBy(F.col("__df").desc(), F.col("vec_id").asc())
+    wmt = Window.orderBy(F.col("__d16").desc(), F.col("vec_id").asc())
+    mat = dots.select(
+        "vec_id",
+        (F.row_number().over(wmf) <= 5).cast("long").alias("mat_full5"),
+        (F.row_number().over(wmt) <= 5).cast("long").alias("mat_trunc5"),
+    )
+    mov = mat.agg(
+        F.sum(F.col("mat_full5") * F.col("mat_trunc5")).cast("long")
+        .alias("mat_overlap5")
+    )
     return (
         per_vec.join(avec, "vec_id")
         .join(cluster_rollup, "assigned_cent")
@@ -2984,6 +3015,8 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pq, "vec_id")
         .join(rp, "vec_id")
         .join(kc, "vec_id")
+        .join(mat, "vec_id")
+        .crossJoin(F.broadcast(mov))
         .select(
             "vec_id", "n_dims", "q_sum", "q_min", "q_max",
             "q_n2", "q_head_n2", "q_head_frac4",
@@ -2991,6 +3024,7 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pq_code_0", "pq_code_1", "pq_code_2", "pq_code_3", "pq_d2",
             *[f"rp_{j}" for j in range(8)],
             "kc_cent", "kc_d",
+            "mat_full5", "mat_trunc5", "mat_overlap5",
         )
     )
 
@@ -6979,6 +7013,27 @@ kassign AS (  -- nearest chosen center, ties to the lowest center id
     SELECT vec_id, cid, d,
            row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
     FROM kalld) WHERE rn = 1
+),
+mq0 AS (SELECT qv AS q0 FROM q WHERE vec_id = 0),
+mdots AS (  -- Matryoshka audit: exact int64 dots, full vs 16-dim prefix
+  SELECT v.vec_id,
+         (SELECT CAST(SUM(CAST(v.qv[u.i] AS BIGINT) * m.q0[u.i]) AS BIGINT)
+          FROM (SELECT unnest(range(1, len(v.qv) + 1)) AS i) u) AS df,
+         (SELECT CAST(SUM(CAST(v.qv[u.i] AS BIGINT) * m.q0[u.i]) AS BIGINT)
+          FROM (SELECT unnest(range(1, 17)) AS i) u) AS d16
+  FROM q v, mq0 m
+),
+mflags AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY df DESC, vec_id ASC) <= 5
+              AS BIGINT) AS mat_full5,
+         CAST(row_number() OVER (ORDER BY d16 DESC, vec_id ASC) <= 5
+              AS BIGINT) AS mat_trunc5
+  FROM mdots
+),
+mov AS (
+  SELECT CAST(SUM(mat_full5 * mat_trunc5) AS BIGINT) AS mat_overlap5
+  FROM mflags
 )
 SELECT vec_id,
        CAST(len(qv) AS BIGINT) AS n_dims,
@@ -7023,11 +7078,13 @@ SELECT vec_id,
          i -> (1 - 2 * (((i + 1) * 1103515245 + 4055616912) % 2))
          * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_7,
        CAST(k.cid AS BIGINT) AS kc_cent,
-       k.d AS kc_d
+       k.d AS kc_d,
+       mf.mat_full5, mf.mat_trunc5, mo.mat_overlap5
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
 JOIN inert i ON i.cent_id = a.cent_id
 JOIN pq p USING (vec_id)
 JOIN kassign k USING (vec_id)
+JOIN mflags mf USING (vec_id) CROSS JOIN mov mo
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
         # are 1-based inclusive. Last start capped at n_tok - overlap - 1
