@@ -5323,6 +5323,55 @@ def _q_histo_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # wave 85 — HISTOGRAM-PERCENTILE ERROR audit (the sketch-accuracy
+    # discipline applied to the 64-bin histogram itself: what a planner
+    # pays for estimating quantiles from bin counts instead of sorting):
+    # estimated P50/P90 = the bin-midpoint value of the first bin whose
+    # cumulative count reaches the lower-rank target (midpoint as the
+    # exact integer (2k+1)(mx−mn) div 128), exact P50/P90 = rank-selected
+    # sorted elements, and the signed integer errors. All exact int64.
+    hbarr = "array(" + ", ".join(f"histo_bin_{i}" for i in range(64)) + ")"
+    m = (
+        m.withColumn("__hb2", F.expr(hbarr))
+        .withColumn(
+            "__cum64",
+            F.expr("transform(sequence(1, 64),"
+                   " k -> aggregate(slice(__hb2, 1, k), 0L, (a, x) -> a + x))"),
+        )
+        .withColumn("__n", F.size("tokens").cast("long"))
+        .withColumn("__r50", F.expr("(__n + 1) div 2"))
+        .withColumn("__r90", F.expr("((__n - 1) * 9) div 10 + 1"))
+        .withColumn(
+            "hp_k50",
+            F.expr("cast(size(filter(__cum64, c -> c < __r50)) as bigint)"),
+        )
+        .withColumn(
+            "hp_k90",
+            F.expr("cast(size(filter(__cum64, c -> c < __r90)) as bigint)"),
+        )
+        .withColumn(
+            "hp_est50",
+            F.expr("__mn + ((2 * hp_k50 + 1) * cast(__mx - __mn as bigint))"
+                   " div 128"),
+        )
+        .withColumn(
+            "hp_est90",
+            F.expr("__mn + ((2 * hp_k90 + 1) * cast(__mx - __mn as bigint))"
+                   " div 128"),
+        )
+        .withColumn(
+            "hp_exact50",
+            F.expr("cast(element_at(array_sort(tokens),"
+                   " cast(__r50 as int)) as bigint)"),
+        )
+        .withColumn(
+            "hp_exact90",
+            F.expr("cast(element_at(array_sort(tokens),"
+                   " cast(__r90 as int)) as bigint)"),
+        )
+        .withColumn("hp_err50", F.col("hp_est50") - F.col("hp_exact50"))
+        .withColumn("hp_err90", F.col("hp_est90") - F.col("hp_exact90"))
+    )
     # fractal BOX-COUNTING sufficient statistics (fractal_dim.cpp analog):
     # occupied box counts at dyadic scales s ∈ {2,4,8} over the binarized
     # mask (scale 1 = fg_count above); the log-log slope stays client-side

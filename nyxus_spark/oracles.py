@@ -2838,6 +2838,33 @@ fdbx AS (  -- fractal box counts: occupied dyadic boxes over the fg mask
          CAST(COUNT(DISTINCT CASE WHEN f = 1 THEN (pos - 1) // 8 END)
               AS BIGINT) AS fd_n8
   FROM fgr GROUP BY doc_id
+),
+hpr AS (  -- histogram-percentile audit: lower-rank targets + sorted picks
+  SELECT t.doc_id,
+         CAST((len(t.tokens) + 1) // 2 AS BIGINT) AS r50,
+         CAST(((len(t.tokens) - 1) * 9) // 10 + 1 AS BIGINT) AS r90,
+         list_sort(t.tokens) AS st
+  FROM tokens_static t JOIN stats s USING (doc_id) WHERE s.mx > s.mn
+),
+hpk AS (  -- first bin whose cumulative reaches the rank (0-based index)
+  SELECT h.doc_id,
+         CAST(list_sum(list_transform(range(1, 65), k ->
+           CASE WHEN COALESCE(list_sum(h.hb[1:k]), 0) < r.r50
+                THEN 1 ELSE 0 END)) AS BIGINT) AS hp_k50,
+         CAST(list_sum(list_transform(range(1, 65), k ->
+           CASE WHEN COALESCE(list_sum(h.hb[1:k]), 0) < r.r90
+                THEN 1 ELSE 0 END)) AS BIGINT) AS hp_k90
+  FROM hagg h JOIN hpr r USING (doc_id)
+),
+hpe AS (
+  SELECT r.doc_id, k.hp_k50, k.hp_k90,
+         CAST(s.mn + ((2 * k.hp_k50 + 1) * CAST(s.mx - s.mn AS BIGINT)) // 128
+              AS BIGINT) AS hp_est50,
+         CAST(s.mn + ((2 * k.hp_k90 + 1) * CAST(s.mx - s.mn AS BIGINT)) // 128
+              AS BIGINT) AS hp_est90,
+         CAST(r.st[CAST(r.r50 AS INTEGER)] AS BIGINT) AS hp_exact50,
+         CAST(r.st[CAST(r.r90 AS INTEGER)] AS BIGINT) AS hp_exact90
+  FROM hpr r JOIN hpk k USING (doc_id) JOIN stats s USING (doc_id)
 )
 SELECT bn.doc_id,
        {cols},
@@ -2855,11 +2882,20 @@ SELECT bn.doc_id,
        MAX(mo.dilated_count) AS dilated_count,
        MAX(fb.fd_n2) AS fd_n2,
        MAX(fb.fd_n4) AS fd_n4,
-       MAX(fb.fd_n8) AS fd_n8
+       MAX(fb.fd_n8) AS fd_n8,
+       MAX(hp.hp_k50) AS hp_k50,
+       MAX(hp.hp_k90) AS hp_k90,
+       MAX(hp.hp_est50) AS hp_est50,
+       MAX(hp.hp_est90) AS hp_est90,
+       MAX(hp.hp_exact50) AS hp_exact50,
+       MAX(hp.hp_exact90) AS hp_exact90,
+       MAX(hp.hp_est50 - hp.hp_exact50) AS hp_err50,
+       MAX(hp.hp_est90 - hp.hp_exact90) AS hp_err90
 FROM binned bn JOIN eqd q USING (doc_id) JOIN ots ot USING (doc_id)
 JOIN mor mo USING (doc_id)
 LEFT JOIN mrun mr USING (doc_id)
 JOIN fdbx fb USING (doc_id)
+JOIN hpe hp USING (doc_id)
 GROUP BY bn.doc_id
 """
 
