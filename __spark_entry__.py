@@ -2830,6 +2830,26 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the same discipline as the HLL and CMS accuracy gates). The
     # estimator a crawl pipeline uses to size a universe it cannot
     # enumerate (distinct URLs/contents) from two cheap passes.
+    # wave 86 — K-ANONYMITY / L-DIVERSITY privacy audit over the
+    # quasi-identifier pair (source, n_chars div 100): every doc carries
+    # its equivalence-class size (k), the class's distinct sensitive-value
+    # count (lang — the l-diversity), and the k<5 / l<2 re-identification
+    # risk flags — the privacy prescan a training-data release runs before
+    # shipping. One hash agg on the QI pair + one co-partitioned join back;
+    # all exact integers.
+    anon = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("n_chars div 100").alias("qi_bucket"),
+        "lang",
+    )
+    kec = anon.groupBy("source", "qi_bucket").agg(
+        F.count("*").cast("long").alias("ec_size"),
+        F.countDistinct("lang").cast("long").alias("ec_ldiv"),
+    )
+    ka = anon.join(kec, ["source", "qi_bucket"]).select(
+        "doc_id", "qi_bucket", "ec_size", "ec_ldiv",
+        (F.col("ec_size") < 5).cast("long").alias("k_risk"),
+        (F.col("ec_ldiv") < 2).cast("long").alias("l_risk"),
+    )
     sa = deterministic_sample(docs, 0.3, F.col("doc_id")).select("doc_id")
     sb = deterministic_sample(
         docs, 0.3, F.col("doc_id"), mix=1103515245).select("doc_id")
@@ -2864,6 +2884,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stf, "doc_id")
         .join(lra, "source")
         .join(hrw, "doc_id")
+        .join(ka, "doc_id")
         .crossJoin(F.broadcast(lp))
         .withColumn(
             "lr_keep",
@@ -6856,6 +6877,14 @@ lp AS (
          (SELECT CAST(COUNT(*) AS BIGINT)
           FROM lpa JOIN lpb USING (doc_id)) AS lp_m,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS lp_true
+),
+kanon AS (  -- k-anonymity quasi-identifier classes
+  SELECT doc_id, source, n_chars // 100 AS qi_bucket, lang FROM documents
+),
+kec AS (
+  SELECT source, qi_bucket, CAST(COUNT(*) AS BIGINT) AS ec_size,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS ec_ldiv
+  FROM kanon GROUP BY 1, 2
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
@@ -6910,7 +6939,10 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
          FLOOR(((lp.lp_na * lp.lp_nb) / lp.lp_m) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS lp_est4,
        FLOOR((((lp.lp_na + 1) * (lp.lp_nb + 1)) / (lp.lp_m + 1) - 1)
-             * 10000.0 + 0.5) / 10000.0 AS lp_chap4
+             * 10000.0 + 0.5) / 10000.0 AS lp_chap4,
+       kx.qi_bucket, ke.ec_size, ke.ec_ldiv,
+       CAST(ke.ec_size < 5 AS BIGINT) AS k_risk,
+       CAST(ke.ec_ldiv < 2 AS BIGINT) AS l_risk
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
@@ -6924,6 +6956,8 @@ FROM base JOIN bplan bp USING (source)
      JOIN zext ze ON ze.zb = z.z32 // 4096
      JOIN hil hl ON hl.hk = base.doc_id
      JOIN hext he ON he.hb = hl.h32 // 4096
+     JOIN kanon kx ON kx.doc_id = base.doc_id
+     JOIN kec ke ON ke.source = kx.source AND ke.qi_bucket = kx.qi_bucket
      CROSS JOIN lp
 )
 )
