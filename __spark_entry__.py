@@ -4916,6 +4916,53 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__calib")
     )
+    # wave 87 — PER-SOURCE F1 + MACRO-F1 of the shipped ws_keep decision
+    # (the macro/micro aggregation split every multi-domain eval reports:
+    # micro weights docs, macro weights DOMAINS — a small source tanking
+    # is invisible to micro-F1, loud in macro): per-source confusion
+    # counts exact ints, f1 one IEEE chain; the macro mean is an ORDERED
+    # fold of the 5 per-source doubles (source ASC) the oracle replays
+    # with list_reduce — the pure-add safe class — then ONE division.
+    from nyxus_spark.sources import load_table as _lt
+
+    srcdim = _lt(spark, sf_dir, "documents").select("doc_id", "source")
+    sprf = (
+        out.join(srcdim, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("ws_keep") * F.col("gopher_pass")).cast("long")
+            .alias("src_tp"),
+            F.sum(F.col("ws_keep") * (1 - F.col("gopher_pass"))).cast("long")
+            .alias("src_fp"),
+            F.sum((1 - F.col("ws_keep")) * F.col("gopher_pass")).cast("long")
+            .alias("src_fn"),
+        )
+        .withColumn(
+            "__f1raw",
+            F.when(
+                2 * F.col("src_tp") + F.col("src_fp") + F.col("src_fn") > 0,
+                (2 * F.col("src_tp"))
+                / (2 * F.col("src_tp") + F.col("src_fp") + F.col("src_fn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("src_f14", _r4(F.col("__f1raw")))
+    )
+    mac = sprf.agg(
+        F.sort_array(F.collect_list(F.struct("source", "__f1raw")))
+        .alias("__arr")
+    ).select(
+        _r4(
+            F.expr("aggregate(transform(__arr, x -> x.__f1raw),"
+                   " 0D, (a, v) -> a + v)")
+            / F.size("__arr")
+        ).alias("macro_f14")
+    )
+    out = (
+        out.join(srcdim, "doc_id")
+        .join(F.broadcast(sprf.drop("__f1raw")), "source")
+        .crossJoin(F.broadcast(mac))
+        .drop("source")
+    )
     return (
         out.join(lzc, "doc_id")
         .crossJoin(F.broadcast(auc))
@@ -7963,18 +8010,44 @@ confle AS (
             AS BIGINT) AS conf_le
   FROM confv
 ),
-confn AS (SELECT CAST(SUM(cn) AS BIGINT) AS conf_n FROM confv)
+confn AS (SELECT CAST(SUM(cn) AS BIGINT) AS conf_n FROM confv),
+sprf AS (  -- per-source confusion counts of ws_keep vs the Gopher label
+  SELECT d.source,
+         CAST(SUM(t.ws_keep * t.gopher_pass) AS BIGINT) AS src_tp,
+         CAST(SUM(t.ws_keep * (1 - t.gopher_pass)) AS BIGINT) AS src_fp,
+         CAST(SUM((1 - t.ws_keep) * t.gopher_pass) AS BIGINT) AS src_fn
+  FROM ts_all t JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+sprf2 AS (
+  SELECT source, src_tp, src_fp, src_fn,
+         CASE WHEN 2 * src_tp + src_fp + src_fn > 0 THEN
+           (2 * src_tp) / (2 * src_tp + src_fp + src_fn)
+         ELSE 0.0 END AS f1raw
+  FROM sprf
+),
+macf AS (  -- macro-F1: ordered pure-add fold of the per-source doubles
+  SELECT FLOOR((list_reduce(list(f1raw ORDER BY source), (a, b) -> a + b)
+                / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS macro_f14
+  FROM sprf2
+)
 SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14,
        cr.cal_bin, cb2.cal_n, cb2.cal_rate4,
        cl.conf_le, cn2.conf_n,
        FLOOR(((cl.conf_le + 1) / (cn2.conf_n + 1)) * 10000.0 + 0.5)
          / 10000.0 AS conf_p4,
-       CAST((cl.conf_le + 1) * 10 > (cn2.conf_n + 1) AS BIGINT) AS conf_keep
+       CAST((cl.conf_le + 1) * 10 > (cn2.conf_n + 1) AS BIGINT) AS conf_keep,
+       sp.src_tp, sp.src_fp, sp.src_fn,
+       FLOOR(sp.f1raw * 10000.0 + 0.5) / 10000.0 AS src_f14,
+       mf.macro_f14
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
 JOIN confle cl ON cl.s = ts_all.hb_score CROSS JOIN confn cn2
+JOIN documents dd ON dd.doc_id = ts_all.doc_id
+JOIN sprf2 sp ON sp.source = dd.source
+CROSS JOIN macf mf
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
