@@ -2850,6 +2850,36 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ec_size") < 5).cast("long").alias("k_risk"),
         (F.col("ec_ldiv") < 2).cast("long").alias("l_risk"),
     )
+    # wave 88 — QUANTILE NORMALIZATION of n_chars across sources (the
+    # batch-effect correction: map each source's empirical distribution
+    # onto the POOLED distribution): r-th of n_s in its source maps to the
+    # pooled sorted value at index ((r−1)(N−1)) div (n_s−1) + 1 — every
+    # step an exact integer RANK SELECTION, no interpolation, so the
+    # normalized value is an element pick both engines make identically
+    # (the value at a rank is tie-order-invariant). Global rank window is
+    # over the documents dim; at corpus scale this becomes
+    # repartitionByRange + per-partition offsets (exact_range_bounds).
+    wqs = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc())
+    wqg = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    qng = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(wqs).cast("long").alias("qn_rank"),
+        F.count("*").over(Window.partitionBy("source")).cast("long")
+        .alias("__ns"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("__nn"),
+        F.row_number().over(wqg).cast("long").alias("__g"),
+    )
+    qnt = qng.withColumn(
+        "qn_tgt",
+        F.expr("CASE WHEN __ns > 1 THEN"
+               " ((qn_rank - 1) * (__nn - 1)) div (__ns - 1) + 1"
+               " ELSE (__nn + 1) div 2 END"),
+    )
+    qnv = qng.select(F.col("__g").alias("qn_tgt"),
+                     F.col("n_chars").cast("long").alias("qn_value"))
+    qn = qnt.join(qnv, "qn_tgt").select(
+        "doc_id", "qn_rank", "qn_tgt", "qn_value")
     sa = deterministic_sample(docs, 0.3, F.col("doc_id")).select("doc_id")
     sb = deterministic_sample(
         docs, 0.3, F.col("doc_id"), mix=1103515245).select("doc_id")
@@ -2885,6 +2915,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lra, "source")
         .join(hrw, "doc_id")
         .join(ka, "doc_id")
+        .join(qn, "doc_id")
         .crossJoin(F.broadcast(lp))
         .withColumn(
             "lr_keep",
@@ -6932,7 +6963,24 @@ kec AS (
   SELECT source, qi_bucket, CAST(COUNT(*) AS BIGINT) AS ec_size,
          CAST(COUNT(DISTINCT lang) AS BIGINT) AS ec_ldiv
   FROM kanon GROUP BY 1, 2
-)
+),
+qng AS (  -- quantile normalization: source rank -> pooled rank selection
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS qn_rank,
+         COUNT(*) OVER (PARTITION BY source) AS ns,
+         COUNT(*) OVER () AS nn,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS g
+  FROM documents
+),
+qnt AS (
+  SELECT doc_id, CAST(qn_rank AS BIGINT) AS qn_rank,
+         CAST(CASE WHEN ns > 1 THEN
+                ((qn_rank - 1) * (nn - 1)) // (ns - 1) + 1
+              ELSE (nn + 1) // 2 END AS BIGINT) AS qn_tgt
+  FROM qng
+),
+qnv AS (SELECT g AS qn_tgt, CAST(n_chars AS BIGINT) AS qn_value FROM qng)
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
@@ -6989,7 +7037,8 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
              * 10000.0 + 0.5) / 10000.0 AS lp_chap4,
        kx.qi_bucket, ke.ec_size, ke.ec_ldiv,
        CAST(ke.ec_size < 5 AS BIGINT) AS k_risk,
-       CAST(ke.ec_ldiv < 2 AS BIGINT) AS l_risk
+       CAST(ke.ec_ldiv < 2 AS BIGINT) AS l_risk,
+       qt.qn_rank, qt.qn_tgt, qv.qn_value
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
@@ -7005,6 +7054,8 @@ FROM base JOIN bplan bp USING (source)
      JOIN hext he ON he.hb = hl.h32 // 4096
      JOIN kanon kx ON kx.doc_id = base.doc_id
      JOIN kec ke ON ke.source = kx.source AND ke.qi_bucket = kx.qi_bucket
+     JOIN qnt qt ON qt.doc_id = base.doc_id
+     JOIN qnv qv ON qv.qn_tgt = qt.qn_tgt
      CROSS JOIN lp
 )
 )
