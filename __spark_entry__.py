@@ -4273,6 +4273,65 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmu = lif2.select("doc_id", "km_t").join(F.broadcast(km), "km_t").select(
         "doc_id", "km_t", "km_events", "km_at_risk", "km_surv"
     )
+    # wave 89 — CUPED variance reduction (Deng et al., WSDM 2013 — the
+    # experimentation-platform adjustment): pre-period covariate x = cents
+    # before the corpus ts midpoint, metric y = cents after; θ =
+    # cov(x,y)/var(x) with EXACT integer numerator N·Σxy − Σx·Σy and
+    # denominator N·Σx² − (Σx)² (the same N·Σ−ΣΣ discipline as the Pearson
+    # gate), ŷ = y − θ·(x − x̄) one fixed IEEE chain the oracle replays
+    # op-for-op. Two hash aggs + one broadcast of a 1-row stats dim.
+    evc = raw.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+    )
+    cbounds = evc.agg(F.min("us").alias("__mn2"), F.max("us").alias("__mx2"))
+    evc2 = evc.crossJoin(F.broadcast(cbounds)).withColumn(
+        "__mid", F.expr("(__mn2 + __mx2) div 2"))
+    cup = evc2.groupBy("doc_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("us") < F.col("__mid"), F.col("cents"))),
+            F.lit(0),
+        ).cast("long").alias("cup_x"),
+        F.coalesce(
+            F.sum(F.when(F.col("us") >= F.col("__mid"), F.col("cents"))),
+            F.lit(0),
+        ).cast("long").alias("cup_y"),
+    )
+    cstats = cup.agg(
+        F.count("*").cast("long").alias("__cn"),
+        F.sum("cup_x").cast("long").alias("__csx"),
+        F.sum("cup_y").cast("long").alias("__csy"),
+        F.sum(F.col("cup_x") * F.col("cup_x")).cast("long").alias("__csxx"),
+        F.sum(F.col("cup_x") * F.col("cup_y")).cast("long").alias("__csxy"),
+    )
+    theta = F.when(
+        F.col("cup_den") > 0,
+        F.col("cup_num").cast("double") / F.col("cup_den").cast("double"),
+    ).otherwise(F.lit(0.0))
+    xbar = F.col("__csx").cast("double") / F.col("__cn").cast("double")
+    cupj = (
+        cup.crossJoin(F.broadcast(cstats))
+        .withColumn(
+            "cup_num",
+            (F.col("__cn") * F.col("__csxy")
+             - F.col("__csx") * F.col("__csy")).cast("long"),
+        )
+        .withColumn(
+            "cup_den",
+            (F.col("__cn") * F.col("__csxx")
+             - F.col("__csx") * F.col("__csx")).cast("long"),
+        )
+        .withColumn("cup_theta4", _r4(theta))
+        .withColumn(
+            "cup_adj4",
+            _r4(F.col("cup_y").cast("double")
+                - theta * (F.col("cup_x").cast("double") - xbar)),
+        )
+        .select("doc_id", "cup_x", "cup_y", "cup_num", "cup_den",
+                "cup_theta4", "cup_adj4")
+    )
     return (
         out.select(
             "doc_id", "event_id", "num_neighbors", "closest1_us", "closest2_us"
@@ -4283,6 +4342,7 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mkt, "doc_id", "left")
         .join(mrate, "doc_id")
         .join(kmu, "doc_id")
+        .join(cupj, "doc_id")
         .withColumn("mk_trans", F.coalesce("mk_trans", F.lit(0).cast("long")))
         .withColumn("mk_self", F.coalesce("mk_self", F.lit(0).cast("long")))
         .withColumn("mk_to_purchase",
@@ -5977,6 +6037,39 @@ km AS (  -- running product replayed in fold order (pure-multiply lambda)
          list_reduce(list(b.f ORDER BY b.km_t), (x, y) -> x * y) AS km_surv
   FROM kmfac a JOIN kmfac b ON b.km_t <= a.km_t
   GROUP BY a.km_t, a.km_d, a.km_n
+),
+cupe AS (  -- CUPED: pre/post cents split at the corpus ts midpoint
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+cupb AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM cupe),
+cup AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN us < b.mid THEN cents END), 0)
+              AS BIGINT) AS cup_x,
+         CAST(COALESCE(SUM(CASE WHEN us >= b.mid THEN cents END), 0)
+              AS BIGINT) AS cup_y
+  FROM cupe, cupb b GROUP BY doc_id
+),
+cups AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cup_x) AS BIGINT) AS sx,
+         CAST(SUM(cup_y) AS BIGINT) AS sy,
+         CAST(SUM(cup_x * cup_x) AS BIGINT) AS sxx,
+         CAST(SUM(cup_x * cup_y) AS BIGINT) AS sxy
+  FROM cup
+),
+cupd AS (
+  SELECT c.doc_id, c.cup_x, c.cup_y,
+         CAST(s.n * s.sxy - s.sx * s.sy AS BIGINT) AS cup_num,
+         CAST(s.n * s.sxx - s.sx * s.sx AS BIGINT) AS cup_den,
+         CASE WHEN s.n * s.sxx - s.sx * s.sx > 0 THEN
+           CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+           / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+         ELSE 0.0 END AS theta,
+         CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE) AS xbar
+  FROM cup c, cups s
 )
 SELECT e.doc_id, e.event_id,
        COALESCE(a.num_neighbors, 0) AS num_neighbors,
@@ -5995,14 +6088,20 @@ SELECT e.doc_id, e.event_id,
        ELSE 0.0 END AS mk_self_share4,
        COALESCE(mt.mk_top_pair, '') AS mk_top_pair,
        mr.peak_rate_1h,
-       l.km_t, km.km_events, km.km_at_risk, km.km_surv
+       l.km_t, km.km_events, km.km_at_risk, km.km_surv,
+       cp.cup_x, cp.cup_y, cp.cup_num, cp.cup_den,
+       FLOOR(cp.theta * 10000.0 + 0.5) / 10000.0 AS cup_theta4,
+       FLOOR((CAST(cp.cup_y AS DOUBLE)
+              - cp.theta * (CAST(cp.cup_x AS DOUBLE) - cp.xbar))
+             * 10000.0 + 0.5) / 10000.0 AS cup_adj4
 FROM ev e LEFT JOIN agg a USING (doc_id, event_id)
 JOIN sk s USING (doc_id) JOIN skb b USING (sk_bucket)
 JOIN iab i ON i.doc_id = e.doc_id JOIN iaf f ON f.doc_id = e.doc_id
 LEFT JOIN mka mk ON mk.doc_id = e.doc_id
 LEFT JOIN mkt mt ON mt.doc_id = e.doc_id
 JOIN mrate mr ON mr.doc_id = e.doc_id
-JOIN lif l ON l.doc_id = e.doc_id JOIN km ON km.km_t = l.km_t, skt t
+JOIN lif l ON l.doc_id = e.doc_id JOIN km ON km.km_t = l.km_t
+JOIN cupd cp ON cp.doc_id = e.doc_id, skt t
 """,
         "rollup_wide": f"""
 WITH {SQL_VERSIONS},
