@@ -2444,6 +2444,38 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bp4"),
     )
     out = out.crossJoin(F.broadcast(div))
+    # wave 90 — AMS F₂ SKETCH (Alon–Matias–Szegedy; the third classic
+    # stream sketch beside CMS and HLL): 8 sign-hash estimators Z_j =
+    # Σ_t s_j(t)·c_t with s_j(t) = 1 − 2·(((t+1)·1103515245 + C_j) mod 2)
+    # (the SAME deterministic ±1 family as the JL projection, constants
+    # C_j = (j+1)·506952114) — every Z_j an exact int64, the estimate
+    # ΣZ_j²/8 one division, and the exact second frequency moment
+    # F₂ = Σc² riding along as the estimator envelope (the join-size /
+    # self-join-cardinality statistic a planner reads from a stream).
+    _amsZ = [
+        F.sum(
+            (1 - 2 * (((F.col("tok").cast("bigint") + 1)
+                       * F.lit(1103515245)
+                       + F.lit((j + 1) * 506952114)) % 2))
+            * F.col("c")
+        ).cast("long").alias(f"__z{j}")
+        for j in range(8)
+    ]
+    ams = vc.agg(
+        *_amsZ,
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ams_f2_true"),
+    ).select(
+        F.col("__z0").alias("ams_z0"),
+        sum(
+            (F.col(f"__z{j}") * F.col(f"__z{j}") for j in range(1, 8)),
+            F.col("__z0") * F.col("__z0"),
+        ).cast("long").alias("ams_sq_sum"),
+        "ams_f2_true",
+    ).select(
+        "ams_z0", "ams_sq_sum", "ams_f2_true",
+        _r4(F.col("ams_sq_sum") / F.lit(8)).alias("ams_f2_est4"),
+    )
+    out = out.crossJoin(F.broadcast(ams))
     # wave 81 — GOOD–TURING smoothing statistics (Gale–Sampson; the classic
     # LM mass-reallocation): count-of-counts N_r over the full vocab, each
     # gate row's r* = (r+1)·N_{r+1}/N_r (exact integer product, ONE
@@ -6655,6 +6687,21 @@ gini AS (
            / 10000.0 AS gini4
   FROM ggr
 ),
+amsz AS (  -- AMS F2 sketch: 8 sign-hash estimators, exact int64
+  SELECT {", ".join(
+    f"CAST(SUM((1 - 2 * (((CAST(token AS BIGINT) + 1) * 1103515245"
+    f" + {(j + 1) * 506952114}) % 2)) * cnt) AS BIGINT) AS z{j}"
+    for j in range(8))},
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ams_f2_true
+  FROM counts
+),
+amsx AS (
+  SELECT z0 AS ams_z0,
+         CAST({" + ".join(f"z{j} * z{j}" for j in range(8))} AS BIGINT)
+           AS ams_sq_sum,
+         ams_f2_true
+  FROM amsz
+),
 coc AS (  -- Good-Turing count-of-counts over the full vocab
   SELECT cnt AS r, CAST(COUNT(*) AS BIGINT) AS nr FROM counts GROUP BY cnt
 ),
@@ -6851,6 +6898,8 @@ SELECT f.*, q.cms_est,
        jt.js_true, je.js_cms_est,
        CAST(je.js_cms_est - jt.js_true AS BIGINT) AS js_cms_over,
        dx.simpson_num, dx.simpson_den, dx.simpson4, dx.bp_max, dx.bp4,
+       ax.ams_z0, ax.ams_sq_sum, ax.ams_f2_true,
+       FLOOR((ax.ams_sq_sum / 8) * 10000.0 + 0.5) / 10000.0 AS ams_f2_est4,
        COALESCE(cr.nr, 0) AS gt_nr,
        COALESCE(cr1.nr, 0) AS gt_nr1,
        CASE WHEN COALESCE(cr.nr, 0) > 0 THEN
@@ -6870,6 +6919,7 @@ CROSS JOIN growth g
 CROSS JOIN gini gi
 CROSS JOIN divx dx
 CROSS JOIN gtc gt
+CROSS JOIN amsx ax
 CROSS JOIN bmx bx
 CROSS JOIN bmm
 CROSS JOIN bme be
