@@ -733,6 +733,44 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__N", "__T")
     )
+    # wave 91 — JACKKNIFE standard error of the corpus mean length over
+    # the k leave-one-source-out replicates (the uncertainty the LOO
+    # influence numbers deserve): θ_i = (T−t_s)/(N−n_s) identical IEEE
+    # divisions; θ̄ and Σ(θ_i−θ̄)² are ORDERED source-ASC folds (pure-add
+    # list_reduce class), SE = sqrt((k−1)·S/k) one fixed chain. θ̄ is
+    # STAGED as a column before the second fold (the Catalyst
+    # lambda-rescan trap). Corpus constants, broadcast onto every row.
+    jtot = base.agg(
+        F.sum("n_docs").cast("long").alias("__N2"),
+        F.sum("total_tokens").cast("long").alias("__T2"),
+    )
+    jth = base.crossJoin(F.broadcast(jtot)).select(
+        "source",
+        ((F.col("__T2") - F.col("total_tokens")).cast("double")
+         / (F.col("__N2") - F.col("n_docs")).cast("double")).alias("__th"),
+    )
+    j1 = jth.agg(
+        F.sort_array(F.collect_list(F.struct("source", "__th"))).alias("__a"),
+        F.count("*").cast("long").alias("jk_k"),
+    )
+    j2 = j1.withColumn(
+        "__thbar",
+        F.expr("aggregate(transform(__a, x -> x.__th), 0D, (p, q) -> p + q)")
+        / F.col("jk_k"),
+    )
+    j3 = j2.withColumn(
+        "__S",
+        F.expr("aggregate(transform(__a,"
+               " x -> (x.__th - __thbar) * (x.__th - __thbar)),"
+               " 0D, (p, q) -> p + q)"),
+    )
+    jkf = j3.select(
+        "jk_k",
+        _r4(F.col("__thbar")).alias("jk_mean4"),
+        _r4(F.sqrt(F.col("__S") * (F.col("jk_k") - 1) / F.col("jk_k")))
+        .alias("jk_se4"),
+    )
+    base = base.crossJoin(F.broadcast(jkf))
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
@@ -8955,6 +8993,26 @@ kscum AS (  -- per-source cumulative counts over the FULL value grid
 ),
 ksn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
         FROM documents GROUP BY 1),
+jkth AS (  -- jackknife replicates: leave-one-source-out means
+  SELECT b.source,
+         CAST(ct2.t_all - b.total_tokens AS DOUBLE)
+         / CAST(ct2.n_all - b.n_docs AS DOUBLE) AS th
+  FROM base b,
+       (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+               CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct2
+),
+jka AS (
+  SELECT list_reduce(list(th ORDER BY source), (p, q) -> p + q) AS sth,
+         CAST(COUNT(*) AS BIGINT) AS jk_k
+  FROM jkth
+),
+jkb AS (SELECT jk_k, sth / jk_k AS thbar FROM jka),
+jkc AS (
+  SELECT b.jk_k, b.thbar,
+         list_reduce(list((t.th - b.thbar) * (t.th - b.thbar)
+                          ORDER BY t.source), (p, q) -> p + q) AS s2
+  FROM jkth t, jkb b GROUP BY b.jk_k, b.thbar
+),
 ks AS (  -- exact KS numerator max + ONE division
   SELECT c.source,
          CAST(MAX(ABS(c.cum_s * (a.n_all - n.n_s)
@@ -9008,7 +9066,11 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
                      AS DOUBLE)
                 / CAST(ct.n_all * (ct.n_all - b.n_docs) AS DOUBLE))
                * 10000.0 + 0.5) / 10000.0
-       ELSE 0.0 END AS infl4
+       ELSE 0.0 END AS infl4,
+       jx.jk_k,
+       FLOOR(jx.thbar * 10000.0 + 0.5) / 10000.0 AS jk_mean4,
+       FLOOR(sqrt((jx.s2 * (jx.jk_k - 1)) / jx.jk_k) * 10000.0 + 0.5)
+         / 10000.0 AS jk_se4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -9023,7 +9085,8 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN ssim sm USING (source)
      JOIN decs dc USING (source),
      (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
-             CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct
+             CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct,
+     jkc jx
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
