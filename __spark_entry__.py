@@ -3540,6 +3540,55 @@ def _q_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-df critical value as an exact rational) — no float ever enters
         # the decision
         .crossJoin(F.broadcast(_ab_chi2(o)))
+        # wave 92 — DIFFERENCE-IN-DIFFERENCES (the quasi-experimental
+        # causal estimate beside the χ² A/B): treatment = even custkey,
+        # pre/post = the corpus order-date midpoint; DiD = (ȳ_T,post −
+        # ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) over exact integer cents/count
+        # cells — four identical IEEE divisions + three subtractions,
+        # replayed op-for-op
+        .crossJoin(F.broadcast(_ab_did(o)))
+    )
+
+
+def _ab_did(o):
+    """2×2 difference-in-differences over orders: (custkey parity) ×
+    (order date before/after the corpus midpoint day); metric = mean
+    totalprice cents. All cells exact integers; the estimate is one
+    fixed chain of four divisions."""
+    from pyspark.sql import functions as F
+
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    b = o.agg(F.min(day).alias("__dmn"), F.max(day).alias("__dmx"))
+    o2 = o.crossJoin(F.broadcast(b)).withColumn(
+        "__mid", F.expr("(__dmn + __dmx) div 2"))
+    t = (F.col("o_custkey") % 2 == 0).cast("long")
+    p = (day >= F.col("__mid")).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cells = o2.agg(
+        F.sum(t * p).cast("long").alias("did_n_tp"),
+        F.sum(t * p * cents).cast("long").alias("did_s_tp"),
+        F.sum(t * (1 - p)).cast("long").alias("did_n_ta"),
+        F.sum(t * (1 - p) * cents).cast("long").alias("did_s_ta"),
+        F.sum((1 - t) * p).cast("long").alias("did_n_cp"),
+        F.sum((1 - t) * p * cents).cast("long").alias("did_s_cp"),
+        F.sum((1 - t) * (1 - p)).cast("long").alias("did_n_ca"),
+        F.sum((1 - t) * (1 - p) * cents).cast("long").alias("did_s_ca"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    return cells.select(
+        "*",
+        F.when(
+            (F.col("did_n_tp") > 0) & (F.col("did_n_ta") > 0)
+            & (F.col("did_n_cp") > 0) & (F.col("did_n_ca") > 0),
+            _r4(
+                (mean("did_s_tp", "did_n_tp") - mean("did_s_ta", "did_n_ta"))
+                - (mean("did_s_cp", "did_n_cp")
+                   - mean("did_s_ca", "did_n_ca"))
+            ),
+        ).otherwise(F.lit(0.0)).alias("did4"),
     )
 
 
@@ -6523,6 +6572,38 @@ abc AS (  -- exact chi-square: HUGEINT numerator, cross-multiplied p<.05
              * (CAST(ab_a AS HUGEINT) + ab_c) * (CAST(ab_b AS HUGEINT) + ab_d)
              AS den
     FROM abx)
+),
+didb AS (SELECT (MIN(epoch_us(o_orderdate) // 86400000000)
+                 + MAX(epoch_us(o_orderdate) // 86400000000)) // 2 AS mid
+         FROM orders),
+didc AS (  -- DiD cells: (custkey parity) x (pre/post midpoint day)
+  SELECT
+    CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS did_n_tp,
+    CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS did_s_tp,
+    CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS did_n_ta,
+    CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS did_s_ta,
+    CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS did_n_cp,
+    CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS did_s_cp,
+    CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS did_n_ca,
+    CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS did_s_ca
+  FROM (
+    SELECT CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS t,
+           CASE WHEN epoch_us(o_orderdate) // 86400000000 >= b.mid
+                THEN 1 ELSE 0 END AS p,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders, didb b)
+),
+didx AS (
+  SELECT *,
+         CASE WHEN did_n_tp > 0 AND did_n_ta > 0 AND did_n_cp > 0
+                   AND did_n_ca > 0 THEN
+           FLOOR(((CAST(did_s_tp AS DOUBLE) / CAST(did_n_tp AS DOUBLE)
+                   - CAST(did_s_ta AS DOUBLE) / CAST(did_n_ta AS DOUBLE))
+                  - (CAST(did_s_cp AS DOUBLE) / CAST(did_n_cp AS DOUBLE)
+                     - CAST(did_s_ca AS DOUBLE) / CAST(did_n_ca AS DOUBLE)))
+                 * 10000.0 + 0.5) / 10000.0
+         ELSE 0.0 END AS did4
+  FROM didc
 )
 SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
        COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
@@ -6537,11 +6618,16 @@ SELECT COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
          AS ri_idle_customers,
-       x.ab_a, x.ab_b, x.ab_c, x.ab_d, x.chi2_4, x.chi2_sig
+       x.ab_a, x.ab_b, x.ab_c, x.ab_d, x.chi2_4, x.chi2_sig,
+       dx.did_n_tp, dx.did_s_tp, dx.did_n_ta, dx.did_s_ta,
+       dx.did_n_cp, dx.did_s_cp, dx.did_n_ca, dx.did_s_ca, dx.did4
 FROM orders JOIN customer ON o_custkey = c_custkey
 CROSS JOIN abc x
+CROSS JOIN didx dx
 GROUP BY CUBE (c_mktsegment, o_orderpriority),
-         x.ab_a, x.ab_b, x.ab_c, x.ab_d, x.chi2_4, x.chi2_sig
+         x.ab_a, x.ab_b, x.ab_c, x.ab_d, x.chi2_4, x.chi2_sig,
+         dx.did_n_tp, dx.did_s_tp, dx.did_n_ta, dx.did_s_ta,
+         dx.did_n_cp, dx.did_s_cp, dx.did_n_ca, dx.did_s_ca, dx.did4
 """,
         "asof_tokens": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
