@@ -1868,15 +1868,41 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import kcore_peel
 
     kc = kcore_peel(pairs, ks=(2, 3), rounds=4)
+    # wave 93 — cluster TRANSITIVITY / DENSITY audit (the over-merge
+    # diagnostic connected components cannot see: CC merges on ANY path,
+    # so a chain of borderline pairs can fuse non-duplicates): per
+    # cluster, intra-cluster candidate-edge count vs the clique bound
+    # size·(size−1)/2 — density 1.0 = true dup farm (clique), low density
+    # = chained over-merge risk; missing-edge count = the verify work a
+    # precision pass would re-check. Exact ints + ONE division.
+    ced = (
+        pairs.join(
+            comps.select(F.col("doc_id").alias("id_a"),
+                         F.col("rep").alias("__ra")), "id_a")
+        .groupBy(F.col("__ra").alias("rep"))
+        .agg(F.count("*").cast("long").alias("cl_edges"))
+    )
+    den = sizes.join(ced, "rep").select(
+        "rep", "cl_edges",
+        F.expr("(cluster_size * (cluster_size - 1)) div 2")
+        .cast("long").alias("cl_possible"),
+    ).select(
+        "rep", "cl_edges", "cl_possible",
+        (F.col("cl_possible") - F.col("cl_edges")).cast("long")
+        .alias("cl_missing"),
+        _r4(F.col("cl_edges") / F.col("cl_possible")).alias("cl_density4"),
+    )
     return (
         comps.join(sizes, "rep").join(best, "rep").join(gns, "doc_id")
         .join(pr, "doc_id")
         .join(kc, "doc_id")
+        .join(den, "rep")
         .select(
             "doc_id", "rep", "cluster_size", "best_doc", "best_n_tok",
             (F.col("doc_id") == F.col("best_doc")).cast("int").alias("is_best"),
             "deg_cnt", "tri_cnt", "clust4", "pr4",
             "core2", "core3", "core2_deg",
+            "cl_edges", "cl_possible", "cl_missing", "cl_density4",
         )
     )
 

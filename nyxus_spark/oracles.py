@@ -123,7 +123,23 @@ prf AS (
   FROM pedges e JOIN pr3 p ON p.v = e.src JOIN pdeg d ON d.src = e.src
   GROUP BY e.dst
 ),
-{sql_kcore(rounds=4, ks=(2, 3))}
+{sql_kcore(rounds=4, ks=(2, 3))},
+ced AS (  -- intra-cluster candidate-edge counts (transitivity audit)
+  SELECT cm.rep, CAST(COUNT(*) AS BIGINT) AS cl_edges
+  FROM pairs p JOIN comp cm ON cm.doc_id = p.id_a
+  GROUP BY cm.rep
+),
+cdn AS (
+  SELECT s2.rep, cd.cl_edges,
+         CAST((s2.cluster_size * (s2.cluster_size - 1)) // 2 AS BIGINT)
+           AS cl_possible,
+         CAST((s2.cluster_size * (s2.cluster_size - 1)) // 2 - cd.cl_edges
+              AS BIGINT) AS cl_missing,
+         FLOOR((cd.cl_edges
+                / ((s2.cluster_size * (s2.cluster_size - 1)) // 2))
+               * 10000.0 + 0.5) / 10000.0 AS cl_density4
+  FROM sizes s2 JOIN ced cd USING (rep)
+)
 SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
        CASE WHEN c.doc_id = b.best_doc THEN 1 ELSE 0 END AS is_best,
        dg.deg_cnt,
@@ -138,7 +154,8 @@ SELECT c.doc_id, c.rep, s.cluster_size, b.best_doc, b.best_n_tok,
          AS core2,
        CAST(CASE WHEN k3f.a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
          AS core3,
-       CAST(COALESCE(k2d.d, 0) AS BIGINT) AS core2_deg
+       CAST(COALESCE(k2d.d, 0) AS BIGINT) AS core2_deg,
+       dn.cl_edges, dn.cl_possible, dn.cl_missing, dn.cl_density4
 FROM comp c JOIN sizes s USING (rep) JOIN best b USING (rep)
 JOIN deg dg USING (doc_id)
 LEFT JOIN tric tc USING (doc_id)
@@ -146,6 +163,7 @@ JOIN prf pg ON pg.v = c.doc_id
 LEFT JOIN s2_4 k2f ON k2f.a = c.doc_id
 LEFT JOIN s3_4 k3f ON k3f.a = c.doc_id
 LEFT JOIN k2deg k2d ON k2d.a = c.doc_id
+JOIN cdn dn ON dn.rep = c.rep
 """
 
 
