@@ -686,6 +686,44 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("__nbr").alias("sim_nbr"),
                 _r4(F.col("__sim")).alias("sim_cos4"))
     )
+    # wave 94 — exact 1-D WASSERSTEIN-1 (earth mover's) distance of each
+    # source's token distribution vs src0, beside TV (half-sum) and KS
+    # (max): on integer support W1 = Σ_t |F_s(t) − F_0(t)|, computed as
+    # the cross-multiplied EXACT integer Σ|Cum_s·N_0 − Cum_0·N_s| over the
+    # dense ≤251-value token grid (a broadcast dim), ONE final division by
+    # N_s·N_0. TV says how much mass differs; W1 says how FAR it must move.
+    wgrid = spark.range(0, 251).select(F.col("id").cast("int").alias("tok"))
+    wsrcs = stc.select("source").distinct()
+    wwin = Window.partitionBy("source").orderBy("tok").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wcum = (
+        wsrcs.crossJoin(F.broadcast(wgrid))
+        .join(stc, ["source", "tok"], "left")
+        .withColumn("__c", F.coalesce("c", F.lit(0).cast("long")))
+        .withColumn("__cum", F.sum("__c").over(wwin).cast("long"))
+    )
+    wtot = stc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("__nt"))
+    wc0 = wcum.filter(F.col("source") == "src0").select(
+        "tok", F.col("__cum").alias("__cum0"))
+    wn0 = wtot.filter(F.col("source") == "src0").select(
+        F.col("__nt").alias("__n0"))
+    emd = (
+        wcum.join(wc0, "tok").join(wtot, "source")
+        .crossJoin(F.broadcast(wn0))
+        .groupBy("source")
+        .agg(
+            F.sum(F.abs(F.col("__cum") * F.col("__n0")
+                        - F.col("__cum0") * F.col("__nt")))
+            .cast("long").alias("emd_num"),
+            (F.max("__nt") * F.max("__n0")).cast("long").alias("emd_den"),
+        )
+        .select(
+            "source", "emd_num", "emd_den",
+            _r4(F.col("emd_num").cast("double")
+                / F.col("emd_den").cast("double")).alias("emd4"),
+        )
+    )
     # exact per-source DECILE vector of n_tok (lower-rank selection at
     # index floor((n−1)·k/10)+1 under the doc_id-tie-broken total order —
     # the distribution prescan a partition planner sizes splits from)
@@ -777,7 +815,7 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(churn, "source").join(dig2, "source").join(mrg, "source")
             .join(mhsk, "source")
             .join(mad, "source").join(trim, "source").join(ks, "source")
-            .join(sim, "source").join(dec, "source")
+            .join(sim, "source").join(dec, "source").join(emd, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -9105,6 +9143,28 @@ kscum AS (  -- per-source cumulative counts over the FULL value grid
 ),
 ksn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
         FROM documents GROUP BY 1),
+wgrid AS (  -- W1/EMD: dense token grid per source (bounded 251-value dim)
+  SELECT s.source, g.range AS tok
+  FROM (SELECT DISTINCT source FROM stc) s, range(0, 251) g
+),
+wcum AS (
+  SELECT w.source, w.tok,
+         CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY w.source
+              ORDER BY w.tok ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum
+  FROM wgrid w LEFT JOIN stc c ON c.source = w.source AND c.tok = w.tok
+),
+wtot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM stc GROUP BY 1),
+wemd AS (  -- cross-multiplied exact W1 numerator vs src0
+  SELECT a.source,
+         CAST(SUM(ABS(a.cum * n0.nt - b.cum * na.nt)) AS BIGINT) AS emd_num,
+         CAST(MAX(na.nt) * MAX(n0.nt) AS BIGINT) AS emd_den
+  FROM wcum a
+  JOIN wcum b ON b.source = 'src0' AND b.tok = a.tok
+  JOIN wtot na ON na.source = a.source
+  JOIN wtot n0 ON n0.source = 'src0'
+  GROUP BY a.source
+),
 jkth AS (  -- jackknife replicates: leave-one-source-out means
   SELECT b.source,
          CAST(ct2.t_all - b.total_tokens AS DOUBLE)
@@ -9182,7 +9242,10 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        jx.jk_k,
        FLOOR(jx.thbar * 10000.0 + 0.5) / 10000.0 AS jk_mean4,
        FLOOR(sqrt((jx.s2 * (jx.jk_k - 1)) / jx.jk_k) * 10000.0 + 0.5)
-         / 10000.0 AS jk_se4
+         / 10000.0 AS jk_se4,
+       we.emd_num, we.emd_den,
+       FLOOR((CAST(we.emd_num AS DOUBLE) / CAST(we.emd_den AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS emd4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -9195,7 +9258,8 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN trimq tq USING (source)
      JOIN ks kd USING (source)
      JOIN ssim sm USING (source)
-     JOIN decs dc USING (source),
+     JOIN decs dc USING (source)
+     JOIN wemd we USING (source),
      (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
              CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct,
      jkc jx
