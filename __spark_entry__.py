@@ -5121,6 +5121,10 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__cr", "__cn")
     )
+    # The eval/conformal/per-source blocks below each AGGREGATE over this
+    # frame — persist once so the text pipeline is derived once, not once
+    # per metric (7 re-derivations measured ~2.5× the gate wall).
+    out = out.persist()
     # LZ78 COMPRESSION COMPLEXITY (the compression-ratio quality filter):
     # the incremental-parse phrase count as ONE Catalyst struct-state fold
     # (functions.lz78_phrases, zero Python), lz_ratio = phrases/n_tok the
@@ -5237,6 +5241,46 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mac))
         .drop("source")
     )
+    # wave 95 — exact SPEARMAN rank correlation between the hashed-bigram
+    # quality score and document length (does the cheap score just measure
+    # length?): Pearson over MIDRANKS, with 2·midrank = 2·rank + ties − 1
+    # an EXACT integer (no .5s ever materialize), then the N·Σuv − ΣuΣv
+    # integer discipline and one sqrt·sqrt chain. The doubled-rank sums
+    # stay in int64 to ~10⁶ docs; shard + merge the integer sums beyond.
+    spx = out.select("doc_id", "hb_score").join(
+        _lt(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    )
+    wru = Window.orderBy("hb_score")
+    wrv = Window.orderBy("n_chars")
+    sp2 = spx.select(
+        (2 * F.rank().over(wru)
+         + F.count("*").over(Window.partitionBy("hb_score")) - 1)
+        .cast("long").alias("u"),
+        (2 * F.rank().over(wrv)
+         + F.count("*").over(Window.partitionBy("n_chars")) - 1)
+        .cast("long").alias("v"),
+    )
+    sps = sp2.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("u").cast("long").alias("__su"),
+        F.sum("v").cast("long").alias("__sv"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("__suu"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("__svv"),
+        F.sum(F.col("u") * F.col("v")).cast("long").alias("__suv"),
+    )
+    spnum = (F.col("__n") * F.col("__suv") - F.col("__su") * F.col("__sv"))
+    spdu = (F.col("__n") * F.col("__suu") - F.col("__su") * F.col("__su"))
+    spdv = (F.col("__n") * F.col("__svv") - F.col("__sv") * F.col("__sv"))
+    sprho = sps.select(
+        spnum.cast("long").alias("sp_num"),
+        F.when(
+            (spdu > 0) & (spdv > 0),
+            _r4(spnum.cast("double")
+                / (F.sqrt(spdu.cast("double")) * F.sqrt(spdv.cast("double")))),
+        ).otherwise(F.lit(0.0)).alias("spearman4"),
+    )
+    out = out.crossJoin(F.broadcast(sprho))
     return (
         out.join(lzc, "doc_id")
         .crossJoin(F.broadcast(auc))
@@ -8418,6 +8462,31 @@ macf AS (  -- macro-F1: ordered pure-add fold of the per-source doubles
   SELECT FLOOR((list_reduce(list(f1raw ORDER BY source), (a, b) -> a + b)
                 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS macro_f14
   FROM sprf2
+),
+sprk AS (  -- Spearman midranks: 2*midrank = 2*rank + ties - 1 (exact int)
+  SELECT CAST(2 * rank() OVER (ORDER BY t.hb_score)
+              + COUNT(*) OVER (PARTITION BY t.hb_score) - 1 AS BIGINT) AS u,
+         CAST(2 * rank() OVER (ORDER BY d.n_chars)
+              + COUNT(*) OVER (PARTITION BY d.n_chars) - 1 AS BIGINT) AS v
+  FROM ts_all t JOIN documents d USING (doc_id)
+),
+spsm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(u * u) AS BIGINT) AS suu,
+         CAST(SUM(v * v) AS BIGINT) AS svv,
+         CAST(SUM(u * v) AS BIGINT) AS suv
+  FROM sprk
+),
+sprho AS (
+  SELECT CAST(n * suv - su * sv AS BIGINT) AS sp_num,
+         CASE WHEN n * suu - su * su > 0 AND n * svv - sv * sv > 0 THEN
+           FLOOR((CAST(n * suv - su * sv AS DOUBLE)
+                  / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+                     * sqrt(CAST(n * svv - sv * sv AS DOUBLE))))
+                 * 10000.0 + 0.5) / 10000.0
+         ELSE 0.0 END AS spearman4
+  FROM spsm
 )
 SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14,
@@ -8428,7 +8497,8 @@ SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        CAST((cl.conf_le + 1) * 10 > (cn2.conf_n + 1) AS BIGINT) AS conf_keep,
        sp.src_tp, sp.src_fp, sp.src_fn,
        FLOOR(sp.f1raw * 10000.0 + 0.5) / 10000.0 AS src_f14,
-       mf.macro_f14
+       mf.macro_f14,
+       sh.sp_num, sh.spearman4
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
@@ -8436,6 +8506,7 @@ JOIN confle cl ON cl.s = ts_all.hb_score CROSS JOIN confn cn2
 JOIN documents dd ON dd.doc_id = ts_all.doc_id
 JOIN sprf2 sp ON sp.source = dd.source
 CROSS JOIN macf mf
+CROSS JOIN sprho sh
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
