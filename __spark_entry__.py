@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nyxus_spark.compare import fround4 as _r4
 
+# Benford first-digit expectations log10(1 + 1/d), d = 1..9 — Python
+# floats whose shortest repr both engines parse to the identical double
+# (Spark embeds the value, DuckDB parses the literal).
+import math as _math
+
+_BENFORD = [_math.log10(1 + 1 / d) for d in range(1, 10)]
+
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -4593,13 +4600,45 @@ def _q_covered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "mf_file", "mf_rows", "mf_min", "mf_max", "mf_lo", "mf_hi",
         "mf_scan", "mf_hit", "mf_files", "mf_files_scanned", "mf_rows_skipped",
     )
-    return t.select(
-        "doc_id",
-        "source",
-        "src_min",
-        "src_max",
-        _r4(covered_range_col()).alias("covered_range"),
-    ).join(mp, "doc_id")
+    # wave 96 — BENFORD first-digit audit of document lengths (the classic
+    # synthetic/fabricated-data tripwire: organically-grown size
+    # distributions lean on Benford's law, a generator that draws lengths
+    # uniformly does not): exact per-digit counts, observed share, the
+    # log10(1+1/d) expectation as NINE shared double literals (same
+    # shortest-repr constant parsed by both engines), per-digit absolute
+    # deviation and the corpus max deviation — the summary a data-quality
+    # monitor alerts on.
+    bfd = F.expr("cast(substring(cast(n_tok as string), 1, 1) as int)")
+    bf1 = t.select("doc_id", bfd.alias("bf_digit"))
+    bfc = bf1.groupBy("bf_digit").agg(
+        F.count("*").cast("long").alias("bf_cnt"))
+    bfn = bf1.agg(F.count("*").cast("long").alias("__bn"))
+    bfe = F.element_at(
+        F.array(*[F.lit(x) for x in _BENFORD]), F.col("bf_digit"))
+    bf = (
+        bfc.crossJoin(F.broadcast(bfn))
+        .withColumn("bf_exp", bfe)
+        .withColumn("bf_obs4", _r4(F.col("bf_cnt") / F.col("__bn")))
+        .withColumn(
+            "bf_dev4",
+            _r4(F.abs(F.col("bf_cnt") / F.col("__bn") - F.col("bf_exp"))),
+        )
+        .drop("__bn")
+    )
+    bfm = bf.agg(F.max("bf_dev4").alias("bf_max_dev4"))
+    return (
+        t.select(
+            "doc_id",
+            "source",
+            "src_min",
+            "src_max",
+            _r4(covered_range_col()).alias("covered_range"),
+        )
+        .join(mp, "doc_id")
+        .join(bf1, "doc_id")
+        .join(F.broadcast(bf), "bf_digit")
+        .crossJoin(F.broadcast(bfm))
+    )
 
 
 def _q_asof_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6457,17 +6496,40 @@ mft AS (
          CAST(SUM(CASE WHEN mf_scan = 0 THEN mf_rows ELSE 0 END) AS BIGINT)
            AS mf_rows_skipped
   FROM mfs
-)
+),
+bfq AS (  -- Benford audit: first digit of n_tok
+  SELECT doc_id,
+         CAST(substr(CAST(n_tok AS VARCHAR), 1, 1) AS INTEGER) AS bf_digit
+  FROM tokens_static
+),
+bfc AS (SELECT bf_digit, CAST(COUNT(*) AS BIGINT) AS bf_cnt
+        FROM bfq GROUP BY 1),
+bfn2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS bn FROM bfq),
+bfx AS (
+  SELECT c.bf_digit, c.bf_cnt,
+         [{", ".join(repr(x) for x in _BENFORD)}][c.bf_digit] AS bf_exp,
+         FLOOR((c.bf_cnt / n.bn) * 10000.0 + 0.5) / 10000.0 AS bf_obs4,
+         FLOOR(ABS(c.bf_cnt / n.bn
+                   - [{", ".join(repr(x) for x in _BENFORD)}][c.bf_digit])
+               * 10000.0 + 0.5) / 10000.0 AS bf_dev4
+  FROM bfc c, bfn2 n
+),
+bfm AS (SELECT MAX(bf_dev4) AS bf_max_dev4 FROM bfx)
 SELECT t.doc_id, t.source, d.src_min, d.src_max,
        FLOOR((CAST(list_max(t.tokens) - list_min(t.tokens) AS DOUBLE)
              / (d.src_max - d.src_min)) * 10000.0 + 0.5) / 10000.0 AS covered_range,
        f.mf_file, s.mf_rows, s.mf_min, s.mf_max, s.mf_lo, s.mf_hi, s.mf_scan,
        CAST(f.v >= s.mf_lo AND f.v <= s.mf_hi AS BIGINT) AS mf_hit,
-       g.mf_files, g.mf_files_scanned, g.mf_rows_skipped
+       g.mf_files, g.mf_files_scanned, g.mf_rows_skipped,
+       q.bf_digit, x.bf_cnt, x.bf_exp, x.bf_obs4, x.bf_dev4,
+       m2.bf_max_dev4
 FROM tokens_static t JOIN dim d USING (source)
 JOIN mff f USING (doc_id)
 JOIN mfs s USING (mf_file)
+JOIN bfq q ON q.doc_id = t.doc_id
+JOIN bfx x ON x.bf_digit = q.bf_digit
 CROSS JOIN mft g
+CROSS JOIN bfm m2
 """,
         # backward ASOF (emitted under both strategy aliases — forcing
         # cogroup-merge and salted to agree with the oracle and each other)
