@@ -27,6 +27,9 @@ import math as _math
 
 _BENFORD = [_math.log10(1 + 1 / d) for d in range(1, 10)]
 
+# Multiplier-bootstrap mixers (wave 97): 8 deterministic replicate hashes.
+_BS_M = [((b + 1) * 1566083941) % 2147483647 for b in range(8)]
+
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -3021,6 +3024,43 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_chars").cast("long").alias("qn_value"))
     qn = qnt.join(qnv, "qn_tgt").select(
         "doc_id", "qn_rank", "qn_tgt", "qn_value")
+    # wave 97 — deterministic MULTIPLIER BOOTSTRAP (the one-pass
+    # Poisson-bootstrap shape production systems use at scale: per-row
+    # independent weights, no resampling pass): 8 replicates with weights
+    # w_b = ((id mod P31)·M_b mod P31) mod 3 ∈ {0,1,2} (E[w]=1),
+    # replicate means Σw·x/Σw from exact integer sums, m̄ and Σ(m_b−m̄)²
+    # as ORDERED index-literal folds (the pure-add class — the list IS
+    # the order), SE = sqrt(S/(B−1)) one chain. Integer anchors for
+    # replicate 0 gate the weighting itself.
+    _p31 = 2147483647
+    _hid = F.col("doc_id").cast("bigint") % _p31
+    _bs_cols = []
+    for _b, _M in enumerate(_BS_M):
+        _w = ((_hid * F.lit(_M)) % _p31) % 3
+        _bs_cols.append(
+            F.sum(_w * F.col("n_chars")).cast("long").alias(f"__bs_s{_b}"))
+        _bs_cols.append(F.sum(_w).cast("long").alias(f"__bs_w{_b}"))
+    bsa = docs.agg(*_bs_cols).withColumn(
+        "__marr",
+        F.array(*[
+            F.col(f"__bs_s{b}").cast("double")
+            / F.col(f"__bs_w{b}").cast("double")
+            for b in range(8)
+        ]),
+    ).withColumn(
+        "__mbar",
+        F.expr("aggregate(__marr, 0D, (p, q) -> p + q)") / F.lit(8),
+    ).withColumn(
+        "__S",
+        F.expr("aggregate(transform(__marr,"
+               " x -> (x - __mbar) * (x - __mbar)), 0D, (p, q) -> p + q)"),
+    )
+    bs = bsa.select(
+        F.col("__bs_s0").alias("bs_s0"),
+        F.col("__bs_w0").alias("bs_w0"),
+        _r4(F.col("__mbar")).alias("bs_mean4"),
+        _r4(F.sqrt(F.col("__S") / F.lit(7))).alias("bs_se4"),
+    )
     sa = deterministic_sample(docs, 0.3, F.col("doc_id")).select("doc_id")
     sb = deterministic_sample(
         docs, 0.3, F.col("doc_id"), mix=1103515245).select("doc_id")
@@ -3058,6 +3098,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ka, "doc_id")
         .join(qn, "doc_id")
         .crossJoin(F.broadcast(lp))
+        .crossJoin(F.broadcast(bs))
         .withColumn(
             "lr_keep",
             (F.col("quota_rank") <= F.col("lr_alloc")).cast("long"),
@@ -7423,7 +7464,33 @@ qnt AS (
               ELSE (nn + 1) // 2 END AS BIGINT) AS qn_tgt
   FROM qng
 ),
-qnv AS (SELECT g AS qn_tgt, CAST(n_chars AS BIGINT) AS qn_value FROM qng)
+qnv AS (SELECT g AS qn_tgt, CAST(n_chars AS BIGINT) AS qn_value FROM qng),
+bsa AS (  -- multiplier bootstrap: 8 deterministic replicate weight sums
+  SELECT {", ".join(
+    f"CAST(SUM((((doc_id % 2147483647) * {m}) % 2147483647 % 3) * n_chars)"
+    f" AS BIGINT) AS bss{b},"
+    f" CAST(SUM(((doc_id % 2147483647) * {m}) % 2147483647 % 3)"
+    f" AS BIGINT) AS bsw{b}" for b, m in enumerate(_BS_M))}
+  FROM documents
+),
+bsb AS (
+  SELECT bss0, bsw0,
+         [{", ".join(
+           f"CAST(bss{b} AS DOUBLE) / CAST(bsw{b} AS DOUBLE)"
+           for b in range(8))}] AS marr
+  FROM bsa
+),
+bsc AS (
+  SELECT bss0, bsw0, marr,
+         list_reduce(marr, (p, q) -> p + q) / 8 AS mbar
+  FROM bsb
+),
+bsd AS (
+  SELECT bss0, bsw0, mbar,
+         list_reduce(list_transform(marr, x -> (x - mbar) * (x - mbar)),
+                     (p, q) -> p + q) AS s2
+  FROM bsc
+)
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
@@ -7481,7 +7548,10 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        kx.qi_bucket, ke.ec_size, ke.ec_ldiv,
        CAST(ke.ec_size < 5 AS BIGINT) AS k_risk,
        CAST(ke.ec_ldiv < 2 AS BIGINT) AS l_risk,
-       qt.qn_rank, qt.qn_tgt, qv.qn_value
+       qt.qn_rank, qt.qn_tgt, qv.qn_value,
+       bx.bss0 AS bs_s0, bx.bsw0 AS bs_w0,
+       FLOOR(bx.mbar * 10000.0 + 0.5) / 10000.0 AS bs_mean4,
+       FLOOR(sqrt(bx.s2 / 7) * 10000.0 + 0.5) / 10000.0 AS bs_se4
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
@@ -7500,6 +7570,7 @@ FROM base JOIN bplan bp USING (source)
      JOIN qnt qt ON qt.doc_id = base.doc_id
      JOIN qnv qv ON qv.qn_tgt = qt.qn_tgt
      CROSS JOIN lp
+     CROSS JOIN bsd bx
 )
 )
 """,
