@@ -3458,11 +3458,58 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lpt_worker").cast("long").alias("lpt_worker"),
         "lpt_load", "lpt_makespan",
     )
+    # wave 98 — FILL-IN-THE-MIDDLE transform audit (Bavarian et al. — the
+    # infilling data transform code models train on): two DETERMINISTIC
+    # split points p1 ≤ p2 from independent id hashes (p1 = h1 mod (n+1),
+    # p2 = p1 + h2 mod (n−p1+1) — always a valid 3-way split), the PSM
+    # reorder prefix‖suffix‖middle materialized as array ops, and a
+    # position-weighted checksum of the REORDERED stream (fully
+    # order-sensitive: any mis-split or mis-reorder flips it). Pure narrow
+    # exprs — no shuffle.
+    _p31f = 2147483647
+    fimh1 = F.pmod((F.col("__oid") % _p31f) * F.lit(506952114), F.lit(_p31f))
+    fimh2 = F.pmod((F.col("__oid") % _p31f) * F.lit(1103515245),
+                   F.lit(_p31f))
+    fim = (
+        t.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id", "tokens",
+            F.col("n_tok").cast("long").alias("__n"),
+            oid.alias("__oid"),
+        )
+        .withColumn("fim_p1", (fimh1 % (F.col("__n") + 1)).cast("long"))
+        .withColumn(
+            "fim_p2",
+            (F.col("fim_p1")
+             + F.pmod(fimh2, F.col("__n") - F.col("fim_p1") + 1))
+            .cast("long"),
+        )
+        .withColumn(
+            "__psm",
+            F.expr(
+                "concat(slice(tokens, 1, cast(fim_p1 as int)),"
+                " slice(tokens, cast(fim_p2 + 1 as int),"
+                "       cast(__n - fim_p2 as int)),"
+                " slice(tokens, cast(fim_p1 + 1 as int),"
+                "       cast(fim_p2 - fim_p1 as int)))"
+            ),
+        )
+        .select(
+            "doc_id", "fim_p1", "fim_p2",
+            (F.col("__n") - F.col("fim_p2")).cast("long").alias("fim_suf"),
+            F.expr(
+                "aggregate(zip_with(__psm, sequence(1L, size(__psm)),"
+                " (tk, i) -> cast(tk as bigint) * i), 0L,"
+                " (a, x) -> a + x) % 1000003"
+            ).cast("long").alias("fim_ck"),
+        )
+    )
     return (
         ch.join(pk, "doc_id").join(cdc, "doc_id").join(sh, "pack_shard")
         .join(lbj, "doc_id")
         .join(pdoc, "doc_id").join(pidx, "doc_id").join(fp, "doc_id")
         .join(ffd, "doc_id").join(lpt, "doc_id")
+        .join(fim, "doc_id")
     )
 
 
@@ -7988,6 +8035,33 @@ lbs AS (  -- per-bucket fill: exact int mass, ONE division
                 / CAST(len_bucket * COUNT(*) AS BIGINT))
                * 10000.0 + 0.5) / 10000.0 AS bucket_fill4
   FROM lb GROUP BY len_bucket
+),
+fimp AS (  -- FIM: two deterministic split points (always a valid 3-split)
+  SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n,
+         (((CAST(substr(doc_id, 5) AS BIGINT) % 2147483647) * 506952114)
+          % 2147483647) % (CAST(len(tokens) AS BIGINT) + 1) AS fim_p1,
+         (((CAST(substr(doc_id, 5) AS BIGINT) % 2147483647) * 1103515245)
+          % 2147483647) AS h2
+  FROM tokens_static WHERE len(tokens) > 0
+),
+fimx AS (
+  SELECT doc_id, n, fim_p1,
+         fim_p1 + (h2 % (n - fim_p1 + 1)) AS fim_p2,
+         tokens
+  FROM fimp
+),
+fimc AS (  -- PSM reorder prefix || suffix || middle + ordered checksum
+  SELECT doc_id, fim_p1, fim_p2,
+         CAST(n - fim_p2 AS BIGINT) AS fim_suf,
+         CAST((SELECT SUM(CAST(u.tk AS BIGINT) * u.ord) FROM
+               (SELECT unnest(psm) AS tk,
+                       unnest(range(1, len(psm) + 1)) AS ord) u)
+              % 1000003 AS BIGINT) AS fim_ck
+  FROM (
+    SELECT doc_id, n, fim_p1, fim_p2,
+           tokens[1:fim_p1] || tokens[fim_p2 + 1:n]
+             || tokens[fim_p1 + 1:fim_p2] AS psm
+    FROM fimx)
 )
 SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        CAST(len(c.ck) AS BIGINT) AS chunk_len,
@@ -8001,7 +8075,8 @@ SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        pd.pseg_n, pd.pseg_sum, pd.pseg_digest, pi.pseg_idx0,
        pp.fp_segs, pp.fp_fill,
        fd.ffd_bin, fd.ffd_load, fd.ffd_bins,
-       lp.lpt_worker, lp.lpt_load, lp.lpt_makespan
+       lp.lpt_worker, lp.lpt_load, lp.lpt_makespan,
+       fm.fim_p1, fm.fim_p2, fm.fim_suf, fm.fim_ck
 FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
      JOIN shardstats ss USING (pack_shard)
      JOIN lb b USING (doc_id) JOIN lbs bs USING (len_bucket)
@@ -8009,6 +8084,7 @@ FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
      JOIN psegpack pp ON pp.pack_shard = p.pack_shard AND pp.p = p.pack_first
      JOIN ffdd fd USING (doc_id)
      JOIN lptf lp USING (doc_id)
+     JOIN fimc fm USING (doc_id)
 """,
         "cosine_dup": oracles.sql_cosine_dup(0.99),
         # text-analysis composition: langid ⋈ quality ⋈ fingerprint ⋈
