@@ -2268,12 +2268,21 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rel", F.coalesce("__rel", F.lit(0)))
     )
     wap = Window.partitionBy("query_id").orderBy("rank")
+    # ...and RANK-BIASED PRECISION (Moffat–Zobel, persistence p = 1/2):
+    # RBP = Σ rel_k/2^k, so the 32-scaled numerator Σ rel_k·2^(5−k) is an
+    # exact int64 (shifts 0..4 — inside the 63-bit cross-engine rule).
     apq = (
         relj.withColumn("__ch", F.sum("__rel").over(wap))
         .withColumn(
             "__t", F.col("__rel") * F.col("__ch") * F.expr("60 div rank"))
+        .withColumn(
+            "__rb",
+            F.col("__rel") * F.expr("shiftleft(1L, cast(5 - rank as int))"))
         .groupBy("query_id")
-        .agg(F.sum("__t").cast("long").alias("ap_num60"))
+        .agg(
+            F.sum("__t").cast("long").alias("ap_num60"),
+            F.sum("__rb").cast("long").alias("rbp_num32"),
+        )
     )
     return (
         ranked.join(adc, ["query_id", "rank"])
@@ -2284,9 +2293,11 @@ def _q_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ap4",
             _r4(F.col("ap_num60") / (F.lit(60) * F.col("n_exact"))),
         )
+        .withColumn("rbp4", _r4(F.col("rbp_num32") / F.lit(32)))
         .select(
             "query_id", "vec_id", "cos", "n_hits", "n_exact", "recall",
             "rank", "adc_vec_id", "adc_d", "mrr_rank", "ap_num60", "ap4",
+            "rbp_num32", "rbp4",
         )
     )
 

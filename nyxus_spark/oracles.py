@@ -915,7 +915,10 @@ mbk AS (  -- brute top-k per query: the AP relevance ground truth
   ) WHERE rn <= {k}
 ),
 apx AS (  -- 60-scaled exact AP numerator: sum rel_k * hits@k * (60 // k)
-  SELECT query_id, CAST(SUM(rel * ch * (60 // rank)) AS BIGINT) AS ap_num60
+          -- + 32-scaled RBP (p = 1/2): sum rel_k * 2^(5-k)
+  SELECT query_id, CAST(SUM(rel * ch * (60 // rank)) AS BIGINT) AS ap_num60,
+         CAST(SUM(rel * (CAST(1 AS BIGINT) << CAST(5 - rank AS INTEGER)))
+              AS BIGINT) AS rbp_num32
   FROM (
     SELECT r.query_id, r.rank,
            CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
@@ -929,7 +932,9 @@ SELECT r.query_id, r.vec_id, r.cos, r.n_hits, r.n_exact, r.recall,
        CAST(r.rank AS BIGINT) AS rank, t.adc_vec_id, t.adc_d, mr.mrr_rank,
        ap.ap_num60,
        FLOOR((ap.ap_num60 / (60 * r.n_exact)) * 10000.0 + 0.5) / 10000.0
-         AS ap4
+         AS ap4,
+       ap.rbp_num32,
+       FLOOR((ap.rbp_num32 / 32) * 10000.0 + 0.5) / 10000.0 AS rbp4
 FROM ranked r JOIN adctop t USING (query_id, rank)
 JOIN mrr mr ON mr.query_id = r.query_id
 JOIN apx ap ON ap.query_id = r.query_id
