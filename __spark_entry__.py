@@ -1278,6 +1278,33 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cells, ["cohort_d", "offset_d"])
         .select("event_id", "cohort_d", "offset_d", "cohort_users", "cell_users")
     )
+    # wave 101 — COCHRAN–ARMITAGE retention-trend statistic per cohort
+    # (the ordered-group trend test on the retention curve): over dense
+    # offsets 0..max, scores s=o, successes d_o = cell_users, totals
+    # n_o = cohort_users; T_num = N·Σ(o·d_o) − R·(cu·Σo) with the dense
+    # terms in CLOSED FORM (absent cells contribute 0 to the data sums;
+    # Σo = mo(mo+1)/2, N = cu·(mo+1)) — one exact int64 per cohort, the
+    # sign = is retention front-loaded (negative) or flat. One hash agg.
+    cag = cells.groupBy("cohort_d").agg(
+        F.max("offset_d").cast("long").alias("__mo"),
+        F.max("cohort_users").cast("long").alias("__cu"),
+        F.sum("cell_users").cast("long").alias("__R"),
+        F.sum(F.col("offset_d") * F.col("cell_users")).cast("long")
+        .alias("__sd"),
+    )
+    ca = cag.select(
+        "cohort_d",
+        (
+            (F.col("__cu") * (F.col("__mo") + 1)) * F.col("__sd")
+            - F.col("__R")
+            * (F.col("__cu") * F.expr("(__mo * (__mo + 1)) div 2"))
+        ).cast("long").alias("ca_num"),
+    ).withColumn(
+        "ca_sign",
+        F.when(F.col("ca_num") > 0, 1)
+        .when(F.col("ca_num") < 0, -1)
+        .otherwise(0).cast("int"),
+    )
     # wave 76 — robust per-user activity TREND over daily counts:
     # Mann–Kendall S (exact int64 pairwise sign sum) + Theil–Sen slope as
     # the LOWER-median element pick of the pairwise slopes (one IEEE
@@ -1291,6 +1318,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(smj, ["doc_id", "session_id"])
         .join(co, ["doc_id", "session_id"], "left")
         .join(coh, "event_id")
+        .join(ca, "cohort_d")
         .join(tr, "doc_id", "left")
         .withColumn("co_n", F.coalesce("co_n", F.lit(0).cast("long")))
         .withColumn("mk_s", F.coalesce("mk_s", F.lit(0).cast("long")))
@@ -9731,6 +9759,21 @@ chcell AS (
   FROM chd a JOIN chf f USING (u)
   GROUP BY 1, 2
 ),
+cak AS (  -- Cochran–Armitage retention trend per cohort (dense closed form)
+  SELECT c.cohort_d,
+         CAST(MAX(c.offset_d) AS BIGINT) AS mo,
+         CAST(MAX(z.cohort_users) AS BIGINT) AS cu,
+         CAST(SUM(c.cell_users) AS BIGINT) AS r,
+         CAST(SUM(c.offset_d * c.cell_users) AS BIGINT) AS sd
+  FROM chcell c JOIN chsz z USING (cohort_d)
+  GROUP BY c.cohort_d
+),
+cax AS (
+  SELECT cohort_d,
+         CAST((cu * (mo + 1)) * sd - r * (cu * ((mo * (mo + 1)) // 2))
+              AS BIGINT) AS ca_num
+  FROM cak
+),
 tdaily AS (  -- Mann–Kendall + Theil–Sen over per-user daily counts
   SELECT CAST(user_id AS VARCHAR) AS doc_id,
          epoch_us(ts) // 86400000000 AS d,
@@ -9789,6 +9832,9 @@ SELECT s.doc_id, s.event_id, s.session_id,
        CAST(FLOOR(CAST(epoch_us(f2.ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
          - cf.cohort_d AS offset_d,
        cz.cohort_users, cc.cell_users,
+       cx.ca_num,
+       CAST(CASE WHEN cx.ca_num > 0 THEN 1 WHEN cx.ca_num < 0 THEN -1
+                 ELSE 0 END AS INTEGER) AS ca_sign,
        CAST(COALESCE(mk.mk_s, 0) AS BIGINT) AS mk_s,
        CAST(COALESCE(mk.mk_pairs, 0) AS BIGINT) AS mk_pairs,
        CAST(CASE WHEN COALESCE(mk.mk_s, 0) > 0 THEN 1
@@ -9804,6 +9850,7 @@ JOIN chsz cz ON cz.cohort_d = cf.cohort_d
 JOIN chcell cc ON cc.cohort_d = cf.cohort_d
   AND cc.offset_d = CAST(FLOOR(CAST(epoch_us(f2.ts) AS DOUBLE)
                                / 86400000000.0) AS BIGINT) - cf.cohort_d
+JOIN cax cx ON cx.cohort_d = cf.cohort_d
 LEFT JOIN tmk mk ON mk.doc_id = s.doc_id
 LEFT JOIN tmed md ON md.doc_id = s.doc_id
 """,
