@@ -5447,6 +5447,27 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("spearman4"),
     )
     out = out.crossJoin(F.broadcast(sprho))
+    # wave 102 — LANGUAGE-ID CONFUSION audit (the eval loop closed over
+    # the langid heuristic itself: documents carry ground-truth `lang`):
+    # per-doc correct flag, per-true-language class size + recall, corpus
+    # accuracy — exact counts, one division each. The audit that tells a
+    # mixture planner which languages the cheap classifier under-serves.
+    truth = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true"))
+    out = out.join(truth, "doc_id").withColumn(
+        "lid_correct",
+        (F.col("lang_true") == F.col("lang_pred")).cast("long"),
+    )
+    lidacc = out.agg(
+        _r4(F.sum("lid_correct") / F.count("*")).alias("lid_acc4"))
+    lrec = out.groupBy("lang_true").agg(
+        F.count("*").cast("long").alias("lang_n"),
+        _r4(F.sum("lid_correct") / F.count("*")).alias("lang_recall4"),
+    )
+    out = (
+        out.join(F.broadcast(lrec), "lang_true")
+        .crossJoin(F.broadcast(lidacc))
+    )
     return (
         out.join(lzc, "doc_id")
         .crossJoin(F.broadcast(auc))
@@ -8135,7 +8156,7 @@ FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
         # injective, so the per-gram counts agree. rep ratio = two exact
         # BIGINTs, ONE division, fround4 on both engines.
         "text_stats": f"""
-WITH ts_all AS (
+WITH ts_all AS MATERIALIZED (
 SELECT *, CAST(ntile(4) OVER (PARTITION BY lang_pred
              ORDER BY quality_score ASC, doc_id ASC) AS BIGINT)
           AS curriculum_bucket,
@@ -8735,6 +8756,25 @@ sprho AS (
                  * 10000.0 + 0.5) / 10000.0
          ELSE 0.0 END AS spearman4
   FROM spsm
+),
+lidt AS (  -- langid confusion vs the ground-truth lang column
+  SELECT t.doc_id, d.lang AS lang_true,
+         CAST(CASE WHEN d.lang = t.lang_pred THEN 1 ELSE 0 END AS BIGINT)
+           AS lid_correct
+  FROM ts_all t JOIN documents d USING (doc_id)
+),
+lida AS (
+  SELECT FLOOR((CAST(SUM(lid_correct) AS BIGINT)
+                / CAST(COUNT(*) AS BIGINT)) * 10000.0 + 0.5) / 10000.0
+           AS lid_acc4
+  FROM lidt
+),
+lidr AS (
+  SELECT lang_true, CAST(COUNT(*) AS BIGINT) AS lang_n,
+         FLOOR((CAST(SUM(lid_correct) AS BIGINT)
+                / CAST(COUNT(*) AS BIGINT)) * 10000.0 + 0.5) / 10000.0
+           AS lang_recall4
+  FROM lidt GROUP BY 1
 )
 SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14,
@@ -8746,7 +8786,9 @@ SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        sp.src_tp, sp.src_fp, sp.src_fn,
        FLOOR(sp.f1raw * 10000.0 + 0.5) / 10000.0 AS src_f14,
        mf.macro_f14,
-       sh.sp_num, sh.spearman4
+       sh.sp_num, sh.spearman4,
+       lt.lang_true, lt.lid_correct, lr.lang_n, lr.lang_recall4,
+       la.lid_acc4
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
@@ -8755,6 +8797,9 @@ JOIN documents dd ON dd.doc_id = ts_all.doc_id
 JOIN sprf2 sp ON sp.source = dd.source
 CROSS JOIN macf mf
 CROSS JOIN sprho sh
+JOIN lidt lt ON lt.doc_id = ts_all.doc_id
+JOIN lidr lr ON lr.lang_true = lt.lang_true
+CROSS JOIN lida la
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
