@@ -819,6 +819,55 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("jk_se4"),
     )
     base = base.crossJoin(F.broadcast(jkf))
+    # wave 103 — χ² INDEPENDENCE of (source × lang) + CRAMÉR'S V (the
+    # categorical-association monitor: are domains language-skewed?):
+    # DENSE grid incl. zero cells (they carry r·c/N² mass), per-cell term
+    # (N·o − r·c)²/(N·r·c) exact integers inside ONE double chain, the
+    # cell sum an ORDERED (source, lang) fold (pure-add list_reduce
+    # class), V = sqrt(χ²/(N·min(R−1,C−1))) one chain.
+    dl = load_table(spark, sf_dir, "documents").select("source", "lang")
+    osl = dl.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("__o"))
+    rsx = dl.groupBy("source").agg(F.count("*").cast("long").alias("__r"))
+    clx = dl.groupBy("lang").agg(F.count("*").cast("long").alias("__c"))
+    nnx = dl.agg(F.count("*").cast("long").alias("__N"))
+    dims = rsx.agg(F.count("*").cast("long").alias("__R")).crossJoin(
+        clx.agg(F.count("*").cast("long").alias("__C")))
+    dense = (
+        rsx.crossJoin(clx)
+        .join(osl, ["source", "lang"], "left")
+        .withColumn("__o", F.coalesce("__o", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(nnx))
+        .withColumn(
+            "__t",
+            ((F.col("__N") * F.col("__o") - F.col("__r") * F.col("__c"))
+             * (F.col("__N") * F.col("__o") - F.col("__r") * F.col("__c")))
+            .cast("double")
+            / (F.col("__N") * F.col("__r") * F.col("__c")).cast("double"),
+        )
+    )
+    slagg = dense.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source", "lang", "__t"))).alias("__a"),
+        F.count("*").cast("long").alias("sl_cells"),
+        F.max("__N").alias("__N"),
+    ).crossJoin(F.broadcast(dims))
+    slchi = slagg.withColumn(
+        "__chi",
+        F.expr("aggregate(transform(__a, x -> x.__t), 0D, (p, q) -> p + q)"),
+    ).select(
+        "sl_cells",
+        _r4(F.col("__chi")).alias("chi2_sl4"),
+        _r4(
+            F.sqrt(
+                F.col("__chi")
+                / (F.col("__N")
+                   * F.least(F.col("__R") - 1, F.col("__C") - 1))
+                .cast("double")
+            )
+        ).alias("cramers_v4"),
+    )
+    base = base.crossJoin(F.broadcast(slchi))
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
@@ -9529,6 +9578,36 @@ wemd AS (  -- cross-multiplied exact W1 numerator vs src0
   JOIN wtot n0 ON n0.source = 'src0'
   GROUP BY a.source
 ),
+slo AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2),
+slr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS r
+        FROM documents GROUP BY 1),
+slc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1),
+sln AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+sld AS (  -- dense (source x lang) grid incl. zero cells
+  SELECT r.source, c.lang, r.r, c.c, COALESCE(o.o, 0) AS o, n.n,
+         CAST((n.n * COALESCE(o.o, 0) - r.r * c.c)
+              * (n.n * COALESCE(o.o, 0) - r.r * c.c) AS DOUBLE)
+         / CAST(n.n * r.r * c.c AS DOUBLE) AS t
+  FROM slr r CROSS JOIN slc c
+  LEFT JOIN slo o ON o.source = r.source AND o.lang = c.lang
+  CROSS JOIN sln n
+),
+slx AS (  -- ordered per-cell fold + Cramér's V chain
+  SELECT CAST(COUNT(*) AS BIGINT) AS sl_cells,
+         FLOOR(list_reduce(list(t ORDER BY source, lang),
+                           (p, q) -> p + q) * 10000.0 + 0.5) / 10000.0
+           AS chi2_sl4,
+         FLOOR(sqrt(list_reduce(list(t ORDER BY source, lang),
+                                (p, q) -> p + q)
+                    / CAST(MAX(n)
+                           * LEAST((SELECT COUNT(*) FROM slr) - 1,
+                                   (SELECT COUNT(*) FROM slc) - 1)
+                           AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS cramers_v4
+  FROM sld
+),
 jkth AS (  -- jackknife replicates: leave-one-source-out means
   SELECT b.source,
          CAST(ct2.t_all - b.total_tokens AS DOUBLE)
@@ -9609,7 +9688,8 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
          / 10000.0 AS jk_se4,
        we.emd_num, we.emd_den,
        FLOOR((CAST(we.emd_num AS DOUBLE) / CAST(we.emd_den AS DOUBLE))
-             * 10000.0 + 0.5) / 10000.0 AS emd4
+             * 10000.0 + 0.5) / 10000.0 AS emd4,
+       sx.sl_cells, sx.chi2_sl4, sx.cramers_v4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -9626,7 +9706,7 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN wemd we USING (source),
      (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
              CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct,
-     jkc jx
+     jkc jx, slx sx
 """,
         "asof_join": f"""
 WITH {SQL_VERSIONS}, {SQL_PROBES}
