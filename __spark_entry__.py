@@ -3112,6 +3112,63 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_chars").cast("long").alias("qn_value"))
     qn = qnt.join(qnv, "qn_tgt").select(
         "doc_id", "qn_rank", "qn_tgt", "qn_value")
+    # wave 104 — SAMPLING-INFRASTRUCTURE SELF-AUDITS. (a) epoch-shuffle
+    # DECORRELATION: Spearman between the epoch-0 and epoch-1 training
+    # orders — both are exact permutations of 1..N, so the margins are
+    # equal and ρ = (N·Σuv − ΣuΣv)/(N·Σu² − (Σu)²) is ONE exact rational
+    # (no sqrt!) that must sit near 0 for a healthy shuffle. (b) hash
+    # AVALANCHE: mean popcount of h(id) XOR h(id+1) over successive-id
+    # pairs (≈ 15.5 for a well-mixing 31-bit hash) — exact integer bit
+    # counts, one division; the quality audit for the mixers every
+    # sampling decision in this repo rides on.
+    shk = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        epoch_shuffle_key(F.col("doc_id"), 0).alias("__k0"),
+        epoch_shuffle_key(F.col("doc_id"), 1).alias("__k1"),
+    )
+    wk0 = Window.orderBy(F.col("__k0").asc(), F.col("doc_id").asc())
+    wk1 = Window.orderBy(F.col("__k1").asc(), F.col("doc_id").asc())
+    shr = shk.select(
+        F.row_number().over(wk0).cast("long").alias("u"),
+        F.row_number().over(wk1).cast("long").alias("v"),
+    )
+    shs = shr.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("u").cast("long").alias("__su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("__suu"),
+        F.sum(F.col("u") * F.col("v")).cast("long").alias("__suv"),
+    )
+    sdec = shs.select(
+        (F.col("__n") * F.col("__suv") - F.col("__su") * F.col("__su"))
+        .cast("long").alias("sd_num"),
+        (F.col("__n") * F.col("__suu") - F.col("__su") * F.col("__su"))
+        .cast("long").alias("sd_den"),
+    ).select(
+        "sd_num", "sd_den",
+        _r4(F.col("sd_num").cast("double") / F.col("sd_den").cast("double"))
+        .alias("shuffle_decorr4"),
+    )
+    _hv = F.pmod(
+        (F.col("doc_id").cast("bigint") % 2147483647) * F.lit(506952114),
+        F.lit(2147483647),
+    )
+    hvd = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _hv.alias("__h"))
+    ava = (
+        hvd.alias("a")
+        .join(hvd.alias("b"),
+              F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .agg(
+            F.count("*").cast("long").alias("av_pairs"),
+            F.sum(F.expr("bit_count(a.__h ^ b.__h)")).cast("long")
+            .alias("av_bits"),
+        )
+        .select(
+            "av_pairs", "av_bits",
+            _r4(F.col("av_bits").cast("double")
+                / F.col("av_pairs").cast("double")).alias("av_mean4"),
+        )
+    )
     # wave 97 — deterministic MULTIPLIER BOOTSTRAP (the one-pass
     # Poisson-bootstrap shape production systems use at scale: per-row
     # independent weights, no resampling pass): 8 replicates with weights
@@ -3187,6 +3244,8 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qn, "doc_id")
         .crossJoin(F.broadcast(lp))
         .crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(sdec))
+        .crossJoin(F.broadcast(ava))
         .withColumn(
             "lr_keep",
             (F.col("quota_rank") <= F.col("lr_alloc")).cast("long"),
@@ -7646,6 +7705,44 @@ bsd AS (
          list_reduce(list_transform(marr, x -> (x - mbar) * (x - mbar)),
                      (p, q) -> p + q) AS s2
   FROM bsc
+),
+shk2 AS (  -- epoch-shuffle decorrelation: the two permutation ranks
+  SELECT doc_id,
+         ((doc_id % 2147483647) * 506952114) % 2147483647 AS k0,
+         ((((doc_id + 506952122) % 2147483647) * 506952114) % 2147483647)
+           AS k1
+  FROM documents
+),
+shr2 AS (
+  SELECT CAST(row_number() OVER (ORDER BY k0, doc_id) AS BIGINT) AS u,
+         CAST(row_number() OVER (ORDER BY k1, doc_id) AS BIGINT) AS v
+  FROM shk2
+),
+shs2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u) AS BIGINT) AS su,
+         CAST(SUM(u * u) AS BIGINT) AS suu,
+         CAST(SUM(u * v) AS BIGINT) AS suv
+  FROM shr2
+),
+sdec AS (
+  SELECT CAST(n * suv - su * su AS BIGINT) AS sd_num,
+         CAST(n * suu - su * su AS BIGINT) AS sd_den,
+         FLOOR((CAST(n * suv - su * su AS DOUBLE)
+                / CAST(n * suu - su * su AS DOUBLE)) * 10000.0 + 0.5)
+           / 10000.0 AS shuffle_decorr4
+  FROM shs2
+),
+avh AS (SELECT doc_id,
+               ((doc_id % 2147483647) * 506952114) % 2147483647 AS h
+        FROM documents),
+ava AS (  -- avalanche: popcount of successive-id hash xor
+  SELECT CAST(COUNT(*) AS BIGINT) AS av_pairs,
+         CAST(SUM(bit_count(xor(a.h, b.h))) AS BIGINT) AS av_bits,
+         FLOOR((CAST(SUM(bit_count(xor(a.h, b.h))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+           AS av_mean4
+  FROM avh a JOIN avh b ON b.doc_id = a.doc_id + 1
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
@@ -7707,7 +7804,9 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
        qt.qn_rank, qt.qn_tgt, qv.qn_value,
        bx.bss0 AS bs_s0, bx.bsw0 AS bs_w0,
        FLOOR(bx.mbar * 10000.0 + 0.5) / 10000.0 AS bs_mean4,
-       FLOOR(sqrt(bx.s2 / 7) * 10000.0 + 0.5) / 10000.0 AS bs_se4
+       FLOOR(sqrt(bx.s2 / 7) * 10000.0 + 0.5) / 10000.0 AS bs_se4,
+       sd2.sd_num, sd2.sd_den, sd2.shuffle_decorr4,
+       av.av_pairs, av.av_bits, av.av_mean4
 FROM base JOIN bplan bp USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
@@ -7727,6 +7826,8 @@ FROM base JOIN bplan bp USING (source)
      JOIN qnv qv ON qv.qn_tgt = qt.qn_tgt
      CROSS JOIN lp
      CROSS JOIN bsd bx
+     CROSS JOIN sdec sd2
+     CROSS JOIN ava av
 )
 )
 """,
