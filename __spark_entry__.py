@@ -2065,8 +2065,24 @@ def _q_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.dedup import winnow_verify
 
     wnv = winnow_verify(aug, pairs)
-    return (ver.join(lev, ["id_a", "id_b"]).join(cont, ["id_a", "id_b"])
-               .join(wnv, ["id_a", "id_b"]))
+    from pyspark.sql import functions as F
+
+    out = (ver.join(lev, ["id_a", "id_b"]).join(cont, ["id_a", "id_b"])
+              .join(wnv, ["id_a", "id_b"]))
+    # wave 105 — dedup THRESHOLD-SENSITIVITY curve: decile bins of the
+    # verified jaccard (identical double both engines → identical bin),
+    # per-bin pair count + victim-token mass (min(len_a, len_b) — what a
+    # dedup pass at that cut deletes). The knob-tuning artifact: how much
+    # MORE a stricter/looser threshold would keep or kill.
+    out = out.withColumn(
+        "jb_bin",
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long"),
+    )
+    jbins = out.groupBy("jb_bin").agg(
+        F.count("*").cast("long").alias("jb_pairs"),
+        F.sum(F.least("len_a", "len_b")).cast("long").alias("jb_victims"),
+    )
+    return out.join(F.broadcast(jbins), "jb_bin")
 
 
 def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7095,7 +7111,8 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # Jaccard over the same candidate set must yield the same pair set
         "ngram_verify": oracles.sql_minhash_pairs(0.5, with_lev=True,
                                                   with_cont=True,
-                                                  with_winnow=True),
+                                                  with_winnow=True,
+                                                  with_jbins=True),
         "dedup_clusters": oracles.sql_dedup_clusters(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
         "topk_cosine": oracles.SQL_TOPK_COSINE,

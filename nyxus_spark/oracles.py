@@ -224,7 +224,8 @@ SQL_SHINGLES = sql_shingles()
 
 def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False,
                       with_sig: bool = False, with_audit: bool = False,
-                      with_cont: bool = False, with_winnow: bool = False) -> str:
+                      with_cont: bool = False, with_winnow: bool = False,
+                      with_jbins: bool = False) -> str:
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)
@@ -360,6 +361,20 @@ cand AS (
   FROM banded a JOIN banded b USING (band_idx, band_key)
   WHERE a.doc_id < b.doc_id
 ){lv_cte}{wn_cte}"""
+    if with_jbins:
+        # dedup THRESHOLD-SENSITIVITY curve: decile bins of the gated
+        # jaccard (identical double on both engines → identical bin),
+        # per-bin pair count + victim-token mass (the smaller doc — what
+        # a dedup pass at that cut would delete). Requires with_lev lens.
+        res_sql = f"""SELECT q.*,
+       LEAST(CAST(FLOOR(q.jaccard * 10) AS BIGINT), 9) AS jb_bin,
+       jc.jb_pairs, jc.jb_victims
+FROM ({res_sql}) q JOIN (
+  SELECT LEAST(CAST(FLOOR(jaccard * 10) AS BIGINT), 9) AS jb_bin,
+         CAST(COUNT(*) AS BIGINT) AS jb_pairs,
+         CAST(SUM(LEAST(len_a, len_b)) AS BIGINT) AS jb_victims
+  FROM ({res_sql}) GROUP BY 1) jc
+  ON jc.jb_bin = LEAST(CAST(FLOOR(q.jaccard * 10) AS BIGINT), 9)"""
     if not with_audit:
         return f"{head}\n{res_sql}\n"
     # blocking-recall audit: brute-force truth on the deterministic
