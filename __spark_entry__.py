@@ -3560,6 +3560,16 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("fp_segs"),
             F.sum("seg_len").cast("long").alias("fp_fill"),
+            # wave 106 — block-diagonal ATTENTION-FLOPs audit: Σ seg_len²
+            # (the cost under per-doc attention masks) vs the full 128²
+            # window; fl_save4 = the compute fraction the mask removes —
+            # the trainer-facing payoff of segment-aware packing.
+            F.sum(F.col("seg_len") * F.col("seg_len")).cast("long")
+            .alias("fl_block"),
+        )
+        .withColumn(
+            "fl_save4",
+            _r4(1.0 - F.col("fl_block") / F.lit(16384.0)),
         )
     )
     fp = (
@@ -3569,7 +3579,7 @@ def _q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pack_shard") == F.col("__fpsh"))
             & (F.col("pack_first") == F.col("__fppk")),
         )
-        .select("doc_id", "fp_segs", "fp_fill")
+        .select("doc_id", "fp_segs", "fp_fill", "fl_block", "fl_save4")
     )
     # LENGTH-BUCKET batching stats (the dynamic-batching alternative to
     # packing: pad each doc to the next power of two): per-doc bucket +
@@ -8208,7 +8218,10 @@ psegidx AS (  -- the doc's segment ordinal within its FIRST pack
 psegpack AS (
   SELECT pack_shard, p,
          CAST(COUNT(*) AS BIGINT) AS fp_segs,
-         CAST(SUM(seg_len) AS BIGINT) AS fp_fill
+         CAST(SUM(seg_len) AS BIGINT) AS fp_fill,
+         -- block-diagonal attention cost: sum seg_len^2 vs the full
+         -- 128^2 window (the payoff of per-doc attention masks)
+         CAST(SUM(seg_len * seg_len) AS BIGINT) AS fl_block
   FROM psegy GROUP BY pack_shard, p
 ),
 cdcb AS (
@@ -8303,7 +8316,10 @@ SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
        pp.fp_segs, pp.fp_fill,
        fd.ffd_bin, fd.ffd_load, fd.ffd_bins,
        lp.lpt_worker, lp.lpt_load, lp.lpt_makespan,
-       fm.fim_p1, fm.fim_p2, fm.fim_suf, fm.fim_ck
+       fm.fim_p1, fm.fim_p2, fm.fim_suf, fm.fim_ck,
+       pp.fl_block,
+       FLOOR((1.0 - pp.fl_block / 16384.0) * 10000.0 + 0.5) / 10000.0
+         AS fl_save4
 FROM chunks c JOIN packs p USING (doc_id) JOIN cdcd d USING (doc_id)
      JOIN shardstats ss USING (pack_shard)
      JOIN lb b USING (doc_id) JOIN lbs bs USING (len_bucket)
