@@ -868,6 +868,85 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v4"),
     )
     base = base.crossJoin(F.broadcast(slchi))
+    # wave 106 — HUFFMAN optimal prefix-code bound per source (the
+    # entropy-free compression planner: the OPTIMAL bound beside
+    # text_stats' LZ78 ACTUAL parse cost): huff_bits = minimal
+    # Σ c_t·len(code_t) by the two-smallest merge over the per-source
+    # COUNT dim (applyInPandas — the count table, never the corpus,
+    # enters Python; the total is tie-break-INVARIANT across all optimal
+    # codes, so the gate is exact), the fixed-width baseline
+    # mass·⌈log2 vocab⌉ via the cross-engine length(bin()) kit, and the
+    # saving ratio as ONE final division. Oracle: recursive CTE merging
+    # two smallest per step on sorted (weight, id) struct lists.
+    from nyxus_spark.functions.coding import huffman_bits
+
+    huf = huffman_bits(t).withColumn(
+        "fixed_bits",
+        F.when(
+            F.col("huff_vocab") > 1,
+            F.col("huff_mass")
+            * F.length(F.expr("bin(huff_vocab - 1)")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn(
+        "huff_save4",
+        F.when(
+            F.col("fixed_bits") > 0,
+            _r4((F.col("fixed_bits") - F.col("huff_bits")).cast("double")
+                / F.col("fixed_bits").cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    # wave 107 — UNIMAX epoch-capped mixture allocation (uniform budget
+    # waterfilling with a 2-epoch repetition cap, ascending-cap walk,
+    # floor-division exact): budget = ⌊39·T/20⌋ (just under 2 full
+    # epochs) puts the uniform share INSIDE the cap range so the walk
+    # saturates the small sources and leaves the big ones on the share —
+    # the mixture-design regime UniMax exists for. ONE single-group
+    # applyInPandas over the 20-row source dim; the oracle replays the
+    # walk one recursion step per source.
+    from nyxus_spark.functions.coding import unimax_allocation
+
+    um_budget = (
+        39 * t.agg(F.sum("n_tok").cast("long")).collect()[0][0]
+    ) // 20
+    um = unimax_allocation(
+        base.select("source", F.col("total_tokens").cast("long")
+                    .alias("total_tokens")),
+        budget=um_budget, epoch_cap=2,
+    )
+    # wave 108 — MEDIAN-OF-MEANS robust per-source mean length (the
+    # heavy-tail-safe estimator beside mean/median/MAD): 8 deterministic
+    # hash buckets (oid·1103515245 mod P31 — re-derivable on any engine
+    # forever), bucket sums/counts exact BIGINTs, the median bucket under
+    # the (IEEE bucket-mean, bucket-id) total order at lower-median rank,
+    # mom4 = ONE final division of the selected bucket's exact integers.
+    oidl = F.expr("cast(substr(doc_id, 5) as bigint)")
+    mbk = t.select(
+        "source",
+        (((oidl % F.lit(2147483647)) * F.lit(1103515245))
+         % F.lit(2147483647) % F.lit(8)).alias("mom_bucket"),
+        "n_tok",
+    ).groupBy("source", "mom_bucket").agg(
+        F.sum("n_tok").cast("long").alias("mom_sum"),
+        F.count("*").cast("long").alias("mom_cnt"),
+    )
+    wmb = Window.partitionBy("source").orderBy(
+        (F.col("mom_sum").cast("double")
+         / F.col("mom_cnt").cast("double")).asc(),
+        F.col("mom_bucket").asc(),
+    )
+    mom = (
+        mbk.select(
+            "source", "mom_bucket", "mom_sum", "mom_cnt",
+            F.row_number().over(wmb).alias("__rn"),
+            F.count("*").over(Window.partitionBy("source")).alias("__nb"),
+        )
+        .filter(F.col("__rn") == F.expr("(__nb + 1) div 2"))
+        .select(
+            "source", "mom_bucket", "mom_sum", "mom_cnt",
+            _r4(F.col("mom_sum").cast("double")
+                / F.col("mom_cnt").cast("double")).alias("mom4"),
+        )
+    )
     return (base.join(med, "source").join(ws, "source").join(mode, "source")
             .join(tv, "source").join(fert, "source")
             .join(assoc, "source").join(leak, "source").join(dig, "source")
@@ -875,6 +954,7 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(mhsk, "source")
             .join(mad, "source").join(trim, "source").join(ks, "source")
             .join(sim, "source").join(dec, "source").join(emd, "source")
+            .join(huf, "source").join(um, "source").join(mom, "source")
             .drop("sy", "sxx", "syy", "sxy"))
 
 
@@ -9409,7 +9489,7 @@ JOIN encb eb USING (source)
 JOIN encr er USING (doc_id)
 """,
         "prescan_sources": f"""
-WITH {SQL_TOKENS_STATIC},
+WITH RECURSIVE {SQL_TOKENS_STATIC},
 docs AS (
   SELECT source, doc_id, n_tok, tokens,
          CAST(list_sum(tokens) AS BIGINT) AS y
@@ -9776,6 +9856,81 @@ ks AS (  -- exact KS numerator max + ONE division
   FROM kscum c JOIN ksn n USING (source),
        (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents) a
   GROUP BY c.source, n.n_s, a.n_all
+),
+hufc AS (  -- wave 106: Huffman bound — per-source token counts
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(tokens) AS tok FROM docs)
+  GROUP BY source, tok
+),
+huf0 AS (
+  SELECT source,
+         list_sort(list({{'w': c, 'id': CAST(tok AS BIGINT)}})) AS items,
+         CAST(0 AS BIGINT) AS bits,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS mass
+  FROM hufc GROUP BY source
+),
+hufr AS (  -- merge the two smallest (weight, id) per step; total cost is
+           -- tie-break-invariant across all optimal prefix codes
+  SELECT source, items, bits, vocab, mass FROM huf0
+  UNION ALL
+  SELECT source,
+         list_sort(list_append(items[3:],
+           {{'w': items[1].w + items[2].w,
+             'id': 1048576 + vocab - len(items)}})),
+         bits + items[1].w + items[2].w,
+         vocab, mass
+  FROM hufr WHERE len(items) > 1
+),
+huf AS (
+  SELECT source, bits AS huff_bits, vocab AS huff_vocab, mass AS huff_mass,
+         CASE WHEN vocab > 1
+              THEN mass * CAST(length(bin(vocab - 1)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS fixed_bits
+  FROM hufr WHERE len(items) = 1
+),
+umb AS (  -- wave 107: UniMax budget ⌊39·T/20⌋ — just under 2 full epochs
+  SELECT CAST((39 * CAST(SUM(total_tokens) AS BIGINT)) // 20 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM base
+),
+umord AS (
+  SELECT source, 2 * total_tokens AS cap,
+         CAST(row_number() OVER (ORDER BY 2 * total_tokens, source)
+              AS BIGINT) AS i
+  FROM base
+),
+umrec AS (  -- the ascending-cap waterfilling walk, one step per source
+  SELECT CAST(0 AS BIGINT) AS i, b AS r FROM umb
+  UNION ALL
+  SELECT u.i, j.r - LEAST(u.cap, j.r // ((SELECT k FROM umb) - u.i + 1))
+  FROM umrec j JOIN umord u ON u.i = j.i + 1
+),
+umx AS (
+  SELECT u.source, u.cap AS um_cap,
+         LEAST(u.cap, j.r // ((SELECT k FROM umb) - u.i + 1)) AS um_alloc
+  FROM umord u JOIN umrec j ON j.i = u.i - 1
+),
+momb AS (  -- wave 108: median-of-means — 8 deterministic hash buckets
+  SELECT source,
+         ((oid % 2147483647) * 1103515245) % 2147483647 % 8 AS mom_bucket,
+         CAST(SUM(n_tok) AS BIGINT) AS mom_sum,
+         CAST(COUNT(*) AS BIGINT) AS mom_cnt
+  FROM (SELECT source, CAST(substr(doc_id, 5) AS BIGINT) AS oid, n_tok
+        FROM docs)
+  GROUP BY source, mom_bucket
+),
+momx AS (
+  SELECT source, mom_bucket, mom_sum, mom_cnt,
+         FLOOR(CAST(mom_sum AS DOUBLE) / CAST(mom_cnt AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS mom4
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY CAST(mom_sum AS DOUBLE) / CAST(mom_cnt AS DOUBLE),
+                          mom_bucket) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS nb
+        FROM momb)
+  WHERE rn = (nb + 1) // 2
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -9823,7 +9978,14 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        we.emd_num, we.emd_den,
        FLOOR((CAST(we.emd_num AS DOUBLE) / CAST(we.emd_den AS DOUBLE))
              * 10000.0 + 0.5) / 10000.0 AS emd4,
-       sx.sl_cells, sx.chi2_sl4, sx.cramers_v4
+       sx.sl_cells, sx.chi2_sl4, sx.cramers_v4,
+       hf.huff_bits, hf.huff_vocab, hf.huff_mass, hf.fixed_bits,
+       CASE WHEN hf.fixed_bits > 0 THEN
+         FLOOR(CAST(hf.fixed_bits - hf.huff_bits AS DOUBLE)
+               / CAST(hf.fixed_bits AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS huff_save4,
+       ux.um_cap, ux.um_alloc,
+       mx.mom_bucket, mx.mom_sum, mx.mom_cnt, mx.mom4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -9837,7 +9999,10 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN ks kd USING (source)
      JOIN ssim sm USING (source)
      JOIN decs dc USING (source)
-     JOIN wemd we USING (source),
+     JOIN wemd we USING (source)
+     JOIN huf hf ON hf.source = b.source
+     JOIN umx ux ON ux.source = b.source
+     JOIN momx mx ON mx.source = b.source,
      (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
              CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct,
      jkc jx, slx sx
