@@ -2880,6 +2880,68 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bmeta))
         .crossJoin(F.broadcast(bexact))
     )
+    # wave 110 — ELIAS-FANO succinct posting-list size (the index-budget
+    # model beside the varint post_bits): ef_bits = 2n + n·⌈log2(u/n)⌉
+    # bits for n postings over a u-doc universe — ⌈log2 x⌉ exact via the
+    # cross-engine length(bin(x−1)) kit on the integer x = ⌈u/n⌉. The
+    # succinct-vs-byte-aligned planning pair for the same lists.
+    utot = t.agg(F.count("*").cast("long").alias("__u"))
+    out = out.crossJoin(F.broadcast(utot)).withColumn(
+        "ef_bits",
+        F.when(
+            F.col("post_df") > 0,
+            2 * F.col("post_df")
+            + F.col("post_df") * F.when(
+                F.expr("(__u + post_df - 1) div post_df") > 1,
+                F.length(
+                    F.expr("bin((__u + post_df - 1) div post_df - 1)")
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).otherwise(F.lit(0).cast("long")),
+    ).drop("__u")
+    # wave 111 — TOKEN BURSTINESS (Church–Gale index of dispersion over
+    # per-doc counts, zeros included): D = Var/mean reduced to the single
+    # exact rational (N·Σx² − (Σx)²)/(N·Σx) on BIGINTs — D≈1 Poisson
+    # (function words), D≫1 bursty/contagious (content words) — the
+    # content-vs-glue token classifier a curriculum/quality filter reads.
+    # UNK (-1) has no vocab row → sentinels.
+    bursts = (
+        t.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("__s1x"))
+        .join(
+            t.select(
+                F.expr("cast(substr(doc_id, 5) as bigint)").alias("__oid"),
+                F.explode("tokens").alias("token"),
+            )
+            .groupBy("token", "__oid")
+            .agg(F.count("*").cast("long").alias("__c"))
+            .groupBy("token")
+            .agg(F.sum(F.col("__c") * F.col("__c")).cast("long")
+                 .alias("__s2x")),
+            "token",
+        )
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "token",
+            (F.col("__u") * F.col("__s2x") - F.col("__s1x") * F.col("__s1x"))
+            .cast("long").alias("disp_num"),
+            (F.col("__u") * F.col("__s1x")).cast("long").alias("disp_den"),
+        )
+        .withColumn(
+            "disp4",
+            _r4(F.col("disp_num").cast("double")
+                / F.col("disp_den").cast("double")),
+        )
+    )
+    out = (
+        out.join(bursts, "token", "left")
+        .withColumn("disp_num",
+                    F.coalesce("disp_num", F.lit(-1).cast("long")))
+        .withColumn("disp_den",
+                    F.coalesce("disp_den", F.lit(-1).cast("long")))
+        .withColumn("disp4", F.coalesce("disp4", F.lit(-1.0)))
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt_remap"), F.asc("token"))
@@ -7503,8 +7565,34 @@ nucw AS (  -- nucleus (top-p): cumulative mass in (cnt DESC, token) order
          cnt AS nuc_cnt,
          CAST(SUM(cnt) OVER () AS BIGINT) AS nuc_tot
   FROM counts
+),
+efu AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM tokens_static),
+burst AS (  -- wave 111: Church–Gale dispersion, zeros-included identity
+  SELECT token,
+         CAST((SELECT u FROM efu) * SUM(c * c) - SUM(c) * SUM(c)
+              AS BIGINT) AS disp_num,
+         CAST((SELECT u FROM efu) * SUM(c) AS BIGINT) AS disp_den
+  FROM (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(tokens) AS token FROM tokens_static)
+        GROUP BY token, doc_id)
+  GROUP BY token
 )
 SELECT f.*, q.cms_est,
+       -- wave 110: Elias-Fano bits = 2n + n·⌈log2(⌈u/n⌉)⌉
+       CASE WHEN COALESCE(po.post_df, 0) > 0 THEN
+         CAST(2 * po.post_df + po.post_df *
+           (CASE WHEN ((SELECT u FROM efu) + po.post_df - 1)
+                      // po.post_df > 1
+                 THEN length(bin(((SELECT u FROM efu) + po.post_df - 1)
+                                 // po.post_df - 1))
+                 ELSE 0 END) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS ef_bits,
+       COALESCE(bu.disp_num, CAST(-1 AS BIGINT)) AS disp_num,
+       COALESCE(bu.disp_den, CAST(-1 AS BIGINT)) AS disp_den,
+       CASE WHEN bu.token IS NULL THEN -1.0
+            ELSE FLOOR(CAST(bu.disp_num AS DOUBLE)
+                       / CAST(bu.disp_den AS DOUBLE)
+                       * 10000.0 + 0.5) / 10000.0 END AS disp4,
        CAST(q.cms_est - f.cnt AS BIGINT) AS cms_over,
        COALESCE(kl.kn_left, 0) AS kn_left,
        COALESCE(kr.kn_right, 0) AS kn_right,
@@ -7570,6 +7658,7 @@ LEFT JOIN kncv cv USING (token)
 LEFT JOIN knl klw ON klw.token = f.next_token
 LEFT JOIN post po USING (token)
 LEFT JOIN nucw nw USING (token)
+LEFT JOIN burst bu USING (token)
 LEFT JOIN coc cr ON cr.r = f.cnt
 LEFT JOIN coc cr1 ON cr1.r = f.cnt + 1
 CROSS JOIN growth g
