@@ -395,7 +395,19 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = percentile_clip(enc, "source", "n_tok", prefix="src").select(
         "doc_id", "src_z4", "src_rank4", "src_lo", "src_hi", "src_wins"
     )
-    return res.join(sk, "doc_id").join(pl, "doc_id").join(enc, "doc_id")
+    # wave 112 — LONGEST REPEATED SUBSTRING (the within-doc degeneracy
+    # metric the train-data dedup literature filters on): suffix-array
+    # identity, 64-capped (functions.lrs_capped — pure JVM exprs; the cap
+    # bounds state to 64·n per doc, the 100 TB-safe form). The oracle
+    # replays the sorted-adjacent-suffix LCP from scratch in DuckDB.
+    from nyxus_spark.functions import lrs_capped
+
+    lrs = lrs_capped(t, cap=64)
+    return (
+        res.join(sk, "doc_id").join(pl, "doc_id").join(enc, "doc_id")
+        .join(lrs, "doc_id", "left")
+        .withColumn("lrs64", F.coalesce("lrs64", F.lit(0).cast("long")))
+    )
 
 
 def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9215,6 +9227,29 @@ encb AS (  -- winsorization bounds: lower-rank rule max(1, (n·k) div 100)
 encr AS (SELECT doc_id,
                 CAST(rank() OVER (PARTITION BY source ORDER BY n_tok) AS BIGINT) AS rk
          FROM tokens_static),
+lrsx AS (  -- wave 112: max LCP of lexicographically adjacent 64-capped
+           -- suffixes == min(longest repeated substring, 64)
+  SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS lrs64
+  FROM (
+    SELECT doc_id,
+           CASE WHEN prev IS NULL THEN 0
+                ELSE COALESCE(
+                  list_min(list_filter(
+                    range(1, least(len(sfx), len(prev)) + 1),
+                    k -> sfx[k] <> prev[k])) - 1,
+                  least(len(sfx), len(prev))) END AS lcp
+    FROM (
+      SELECT doc_id, sfx,
+             lag(sfx) OVER (PARTITION BY doc_id ORDER BY sfx) AS prev
+      FROM (
+        SELECT doc_id, list_slice(tokens, i, least(i + 63, n_tok)) AS sfx
+        FROM (SELECT doc_id, tokens, n_tok, unnest(range(1, n_tok + 1)) AS i
+              FROM tokens_static WHERE n_tok > 0)
+      )
+    )
+  )
+  GROUP BY doc_id
+),
 adjp AS (
   SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
   FROM (SELECT doc_id, tokens, unnest(range(1, n_tok)) AS i FROM tokens_static)
@@ -9562,7 +9597,9 @@ SELECT doc_id, n_tok,
        END AS src_rank4,
        eb.src_lo, eb.src_hi,
        CAST(GREATEST(eb.src_lo, LEAST(eb.src_hi, CAST(n_tok AS BIGINT)))
-            AS BIGINT) AS src_wins
+            AS BIGINT) AS src_wins,
+       -- wave 112: longest repeated substring (capped-64 suffix LCP)
+       COALESCE(lr.lrs64, 0) AS lrs64
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
@@ -9576,6 +9613,7 @@ LEFT JOIN ordp op USING (doc_id)
 JOIN encs s9 USING (source)
 JOIN encb eb USING (source)
 JOIN encr er USING (doc_id)
+LEFT JOIN lrsx lr USING (doc_id)
 """,
         "prescan_sources": f"""
 WITH RECURSIVE {SQL_TOKENS_STATIC},

@@ -2484,3 +2484,61 @@ def texttile_cols(df, w: int = 8, threshold: int = 2,
             F.aggregate(bnd, F.lit(0).cast("long"), lambda a, x: a + x))
         .drop("__tt_sc")
     )
+
+
+def lrs_capped(df, cap: int = 64, tokens_col: str = "tokens",
+               n_tok_col: str = "n_tok", id_col: str = "doc_id"):
+    """Longest repeated substring per doc, capped: lrs = min(LRS, cap).
+
+    Classic suffix-array identity — the longest repeated substring is the
+    maximum LCP of two LEXICOGRAPHICALLY ADJACENT suffixes. Suffixes are
+    capped at `cap` tokens, which (a) keeps the answer exact up to the cap
+    (any repeat ≥ cap collapses to cap) and (b) bounds materialized state
+    to cap·n per doc — the form that survives 100 TB. Pure JVM column
+    expressions end-to-end: explode positions → slice → per-doc array sort
+    (arrays order lexicographically) → lag → LCP = coalesce(first-mismatch
+    − 1, common length). Tie order among EQUAL capped suffixes cannot
+    change the max (their LCP is the full common length either way).
+
+    Returns (id_col, lrs{cap}) with one row per doc having n_tok > 0.
+    """
+    from pyspark.sql import Window
+
+    col = f"lrs{cap}"
+    sfx = (
+        df.filter(F.col(n_tok_col) > 0)
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(1, {n_tok_col})")).alias("__i"),
+            tokens_col,
+            n_tok_col,
+        )
+        .select(
+            id_col,
+            F.expr(
+                f"slice({tokens_col}, __i,"
+                f" least({cap}, {n_tok_col} - __i + 1))"
+            ).alias("__sfx"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sfx").asc())
+    return (
+        sfx.withColumn("__prev", F.lag("__sfx").over(w))
+        .withColumn(
+            "__lcp",
+            F.when(
+                F.col("__prev").isNull(), F.lit(0).cast("long")
+            ).otherwise(
+                F.expr(
+                    "cast(coalesce("
+                    " array_min(filter("
+                    "   sequence(1, least(size(__sfx), size(__prev))),"
+                    "   k -> element_at(__sfx, k) != element_at(__prev, k)"
+                    " )) - 1,"
+                    " least(size(__sfx), size(__prev))) as bigint)"
+                )
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__lcp").cast("long").alias(col))
+    )
