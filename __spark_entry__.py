@@ -403,10 +403,34 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.functions import lrs_capped
 
     lrs = lrs_capped(t, cap=64)
+    # wave 113 — GREEDY SET-COVER eval-set selection (max-coverage, the
+    # (1−1/e) greedy): pick 8 docs covering the most NEW distinct BIGRAM
+    # shingles (set ops run in shingle space — raw token sets are
+    # near-degenerate on a small vocab, the PPJoin lesson). k narrow scans
+    # + k one-row driver probes (greedy_kcenter's shape); the oracle
+    # replays every pick one RECURSIVE-CTE step at a time. Each doc row
+    # carries its pick order (0 = never picked) and marginal gain.
+    from nyxus_spark.operators import greedy_set_cover
+
+    dts = t.filter(F.col("n_tok") > 1).select(
+        F.expr("cast(substr(doc_id, 5) as bigint)").alias("__oid"),
+        F.expr(
+            "array_distinct(transform(sequence(1, n_tok - 1),"
+            " i -> element_at(tokens, i) * 256 + element_at(tokens, i + 1)))"
+        ).alias("__ts"),
+    )
+    scov = greedy_set_cover(dts, k=8, id_col="__oid", set_col="__ts").select(
+        F.concat(F.lit("doc_"), F.col("__oid").cast("string")).alias("doc_id"),
+        "sc_step", "sc_gain",
+    )
+    zl = F.lit(0).cast("long")
     return (
         res.join(sk, "doc_id").join(pl, "doc_id").join(enc, "doc_id")
         .join(lrs, "doc_id", "left")
-        .withColumn("lrs64", F.coalesce("lrs64", F.lit(0).cast("long")))
+        .withColumn("lrs64", F.coalesce("lrs64", zl))
+        .join(scov, "doc_id", "left")
+        .withColumn("sc_step", F.coalesce("sc_step", zl))
+        .withColumn("sc_gain", F.coalesce("sc_gain", zl))
     )
 
 
@@ -9204,7 +9228,7 @@ JOIN ({oracles.sql_haar()}) h USING (doc_id)
     }
     return extra | {
         "tokens_basic": f"""
-WITH {SQL_TOKENS_STATIC},
+WITH RECURSIVE {SQL_TOKENS_STATIC},
 encs AS (  -- per-source moments for the z-score chain
   SELECT source, CAST(COUNT(*) AS BIGINT) AS en,
          CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS es,
@@ -9249,6 +9273,32 @@ lrsx AS (  -- wave 112: max LCP of lexicographically adjacent 64-capped
     )
   )
   GROUP BY doc_id
+),
+scdt AS (  -- wave 113: doc → distinct bigram-shingle sets
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS oid,
+         list_sort(list_distinct(list_transform(range(1, n_tok),
+           i -> tokens[i] * 256 + tokens[i + 1]))) AS ts
+  FROM tokens_static WHERE n_tok > 1
+),
+scr AS (  -- greedy max-coverage walk, one pick per recursion step
+  SELECT 0 AS step, CAST([] AS INTEGER[]) AS covered,
+         CAST(-1 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS gain
+  UNION ALL
+  SELECT s.step + 1,
+         list_sort(list_distinct(list_concat(s.covered, d2.ts))),
+         s.bo,
+         CAST(len(list_filter(d2.ts,
+              t -> NOT list_contains(s.covered, t))) AS BIGINT)
+  FROM (
+    SELECT step, covered,
+           arg_max(d.oid,
+             CAST(len(list_filter(d.ts,
+                  t -> NOT list_contains(covered, t))) AS BIGINT)
+             * 1048576 - d.oid) AS bo
+    FROM scr, scdt d
+    WHERE step < 8
+    GROUP BY step, covered
+  ) s JOIN scdt d2 ON d2.oid = s.bo
 ),
 adjp AS (
   SELECT doc_id, tokens[i] AS a, tokens[i + 1] AS b
@@ -9599,7 +9649,10 @@ SELECT doc_id, n_tok,
        CAST(GREATEST(eb.src_lo, LEAST(eb.src_hi, CAST(n_tok AS BIGINT)))
             AS BIGINT) AS src_wins,
        -- wave 112: longest repeated substring (capped-64 suffix LCP)
-       COALESCE(lr.lrs64, 0) AS lrs64
+       COALESCE(lr.lrs64, 0) AS lrs64,
+       -- wave 113: greedy set-cover pick order + marginal shingle gain
+       COALESCE(scp.step, 0) AS sc_step,
+       COALESCE(scp.gain, 0) AS sc_gain
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
@@ -9614,6 +9667,8 @@ JOIN encs s9 USING (source)
 JOIN encb eb USING (source)
 JOIN encr er USING (doc_id)
 LEFT JOIN lrsx lr USING (doc_id)
+LEFT JOIN (SELECT step, pick, gain FROM scr WHERE step > 0) scp
+       ON scp.pick = CAST(substr(tokens_static.doc_id, 5) AS BIGINT)
 """,
         "prescan_sources": f"""
 WITH RECURSIVE {SQL_TOKENS_STATIC},

@@ -3,6 +3,7 @@ from nyxus_spark.operators.packing import pack_sequences  # noqa: F401
 from nyxus_spark.operators.selection import (  # noqa: F401
     pareto_layers,
     skyline_flags,
+    greedy_set_cover,
 )
 from nyxus_spark.operators.windows import (  # noqa: F401
     sessionize,

@@ -87,3 +87,48 @@ def pareto_layers(df: DataFrame, x_col: str, y_col: str, k: int = 3,
             ).drop("__sf")
         )
     return out
+
+
+def greedy_set_cover(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "oid",
+    set_col: str = "ts",
+) -> DataFrame:
+    """Greedy maximum-coverage selection (the (1−1/e)-approximate set-cover
+    walk): pick k rows whose element sets add the most NEW coverage, ties to
+    the lowest id — the eval-set / benchmark-coverage curation primitive
+    ("choose k docs that exercise the most distinct shingles").
+
+    Scale shape mirrors `greedy_kcenter`: each of the k rounds is one
+    narrow full scan computing gain = size(array_except(set, covered))
+    against the covered set (broadcast state bounded by the UNIVERSE size,
+    not the corpus) followed by a TakeOrderedAndProject of ONE row — k rows
+    total cross the driver, never the corpus. Deterministic end-to-end, so
+    a recursive-CTE oracle replays every pick.
+
+    Returns (id_col, sc_step, sc_gain): the k picked ids, pick order
+    1..k, and each pick's marginal coverage gain (exact ints).
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16] (k driver probe rounds), got {k}")
+    covered: set = set()
+    picks = []
+    for step in range(1, k + 1):
+        if covered:
+            lit = "array(" + ",".join(str(int(x)) for x in sorted(covered)) + ")"
+            gain = F.expr(f"size(array_except({set_col}, {lit}))")
+        else:
+            gain = F.size(set_col)
+        best = (
+            df.withColumn("__g", gain)
+            .orderBy(F.col("__g").desc(), F.col(id_col).asc())
+            .select(id_col, set_col, "__g")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((int(best[id_col]), step, int(best["__g"])))
+        covered |= set(int(x) for x in best[set_col])
+    return df.sparkSession.createDataFrame(
+        picks, f"{id_col} long, sc_step long, sc_gain long"
+    )

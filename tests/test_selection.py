@@ -149,3 +149,40 @@ def test_pareto_layers_random_property(spark, pts):
     got = {r["id"]: r["pareto_layer"]
            for r in pareto_layers(df, "x", "y", k=3).collect()}
     assert [got[i] for i in range(len(pts))] == _brute_layers(pts, k=3)
+
+
+def test_greedy_set_cover_matches_python(spark):
+    import random
+
+    from nyxus_spark.operators import greedy_set_cover
+
+    rng = random.Random(3)
+    rows = []
+    sets = {}
+    for oid in range(40):
+        s = sorted(rng.sample(range(200), rng.randint(3, 25)))
+        rows.append((oid, s))
+        sets[oid] = set(s)
+    df = spark.createDataFrame(rows, "oid long, ts array<int>")
+    got = {
+        r["oid"]: (r["sc_step"], r["sc_gain"])
+        for r in greedy_set_cover(df, k=6).collect()
+    }
+    cov, exp = set(), {}
+    for step in range(1, 7):
+        best = max(sets.items(), key=lambda kv: (len(kv[1] - cov), -kv[0]))
+        exp[best[0]] = (step, len(best[1] - cov))
+        cov |= best[1]
+    assert got == exp
+
+
+def test_greedy_set_cover_k_bounds(spark):
+    import pytest
+
+    from nyxus_spark.operators import greedy_set_cover
+
+    df = spark.createDataFrame([(1, [1])], "oid long, ts array<int>")
+    with pytest.raises(ValueError):
+        greedy_set_cover(df, k=0)
+    with pytest.raises(ValueError):
+        greedy_set_cover(df, k=17)
