@@ -983,15 +983,47 @@ def _q_prescan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("mom_cnt").cast("double")).alias("mom4"),
         )
     )
-    return (base.join(med, "source").join(ws, "source").join(mode, "source")
-            .join(tv, "source").join(fert, "source")
-            .join(assoc, "source").join(leak, "source").join(dig, "source")
-            .join(churn, "source").join(dig2, "source").join(mrg, "source")
-            .join(mhsk, "source")
-            .join(mad, "source").join(trim, "source").join(ks, "source")
-            .join(sim, "source").join(dec, "source").join(emd, "source")
-            .join(huf, "source").join(um, "source").join(mom, "source")
-            .drop("sy", "sxx", "syy", "sxy"))
+    # wave 116 — OOV TOKENIZER-TRANSFER rate per source: freeze src0's
+    # top-16 vocabulary (count DESC, token ASC — deterministic) and
+    # measure every source's out-of-vocabulary token MASS under it — the
+    # "does the reference domain's tokenizer fit this domain" monitor.
+    # Exact integer masses, the frozen vocab a 16-row broadcast dim,
+    # ONE final division.
+    wv = Window.orderBy(F.desc("__c"), F.asc("tok"))
+    v16 = (
+        stc.filter(F.col("source") == "src0")
+        .select("tok", F.col("c").alias("__c"))
+        .withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") <= 16)
+        .select("tok")
+    )
+    oov = (
+        stc.join(F.broadcast(v16), "tok", "left_anti")
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("oov_mass"))
+    )
+    ret = (base.join(med, "source").join(ws, "source").join(mode, "source")
+           .join(tv, "source").join(fert, "source")
+           .join(assoc, "source").join(leak, "source").join(dig, "source")
+           .join(churn, "source").join(dig2, "source").join(mrg, "source")
+           .join(mhsk, "source")
+           .join(mad, "source").join(trim, "source").join(ks, "source")
+           .join(sim, "source").join(dec, "source").join(emd, "source")
+           .join(huf, "source").join(um, "source").join(mom, "source")
+           .join(oov, "source", "left")
+           .drop("sy", "sxx", "syy", "sxy"))
+    return (
+        ret.withColumn("oov_mass",
+                       F.coalesce("oov_mass", F.lit(0).cast("long")))
+        .withColumn(
+            "oov_rate4",
+            F.when(
+                F.col("total_tokens") > 0,
+                _r4(F.col("oov_mass").cast("double")
+                    / F.col("total_tokens").cast("double")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,12 +1912,30 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = (s * s) * (s * s)
     tt = F.lit(1.0) - s4
     t4 = (tt * tt) * (tt * tt)
-    return (
+    out = (
         pairs.join(est, ["id_a", "id_b"]).crossJoin(F.broadcast(audit))
         .join(spairs, ["id_a", "id_b"], "left")
         .withColumn("stream_seen", F.coalesce("stream_seen", zero))
         .withColumn("scurve4", _r4(F.lit(1.0) - t4))
     )
+    # wave 115 — cross-SOURCE near-dup matrix (the domain-contamination
+    # heatmap: where template families cross domain boundaries): each
+    # verified pair carries both members' sources normalized sa ≤ sb plus
+    # the corpus-wide pair count of that source cell — two broadcast-dim
+    # joins + one tiny cell agg broadcast back, never the corpus.
+    sa_ = aug.select(F.col("doc_id").alias("id_a"),
+                     F.col("source").alias("__sa"))
+    sb_ = aug.select(F.col("doc_id").alias("id_b"),
+                     F.col("source").alias("__sb"))
+    out = (
+        out.join(F.broadcast(sa_), "id_a").join(F.broadcast(sb_), "id_b")
+        .withColumn("src_a", F.least("__sa", "__sb"))
+        .withColumn("src_b", F.greatest("__sa", "__sb"))
+        .drop("__sa", "__sb")
+    )
+    cell = out.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("src_pairs"))
+    return out.join(F.broadcast(cell), ["src_a", "src_b"])
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7292,7 +7342,8 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
         # stream_seen: literal 1 — the streaming band-state replay must
         # re-discover EVERY batch pair, so a stream miss (0) hash-mismatches
         "minhash_pairs": "SELECT *, CAST(1 AS BIGINT) AS stream_seen FROM ("
-        + oracles.sql_minhash_pairs(0.5, with_sig=True, with_audit=True)
+        + oracles.sql_minhash_pairs(0.5, with_sig=True, with_audit=True,
+                                    with_srcmat=True)
         + ")",
         "simhash_pairs": oracles.sql_simhash_pairs(3),
         # blocking+verification composition shares the minhash oracle: exact
@@ -10113,6 +10164,22 @@ momx AS (
                COUNT(*) OVER (PARTITION BY source) AS nb
         FROM momb)
   WHERE rn = (nb + 1) // 2
+),
+v16 AS (  -- wave 116: src0's frozen top-16 vocabulary
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+    FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(tokens) AS tok FROM docs WHERE source = 'src0')
+          GROUP BY tok)
+  ) WHERE r <= 16
+),
+oovx AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS oov_mass
+  FROM (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(tokens) AS tok FROM docs)
+        GROUP BY source, tok)
+  WHERE tok NOT IN (SELECT tok FROM v16)
+  GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
        FLOOR((CAST(CAST(b.n_docs AS HUGEINT) * b.sxy
@@ -10167,7 +10234,12 @@ SELECT b.source, b.n_docs, b.total_tokens, b.src_min, b.src_max,
                / CAST(hf.fixed_bits AS DOUBLE) * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS huff_save4,
        ux.um_cap, ux.um_alloc,
-       mx.mom_bucket, mx.mom_sum, mx.mom_cnt, mx.mom4
+       mx.mom_bucket, mx.mom_sum, mx.mom_cnt, mx.mom4,
+       COALESCE(ov.oov_mass, CAST(0 AS BIGINT)) AS oov_mass,
+       CASE WHEN b.total_tokens > 0 THEN
+         FLOOR(CAST(COALESCE(ov.oov_mass, 0) AS DOUBLE)
+               / CAST(b.total_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS oov_rate4
 FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN md d USING (source) JOIN tv v USING (source)
      JOIN fert fe USING (source)
@@ -10184,7 +10256,8 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      JOIN wemd we USING (source)
      JOIN huf hf ON hf.source = b.source
      JOIN umx ux ON ux.source = b.source
-     JOIN momx mx ON mx.source = b.source,
+     JOIN momx mx ON mx.source = b.source
+     LEFT JOIN oovx ov ON ov.source = b.source,
      (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
              CAST(SUM(total_tokens) AS BIGINT) AS t_all FROM base) ct,
      jkc jx, slx sx

@@ -225,7 +225,8 @@ SQL_SHINGLES = sql_shingles()
 def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False,
                       with_sig: bool = False, with_audit: bool = False,
                       with_cont: bool = False, with_winnow: bool = False,
-                      with_jbins: bool = False) -> str:
+                      with_jbins: bool = False,
+                      with_srcmat: bool = False) -> str:
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)
@@ -377,6 +378,29 @@ FROM ({res_sql}) q JOIN (
   ON jc.jb_bin = LEAST(CAST(FLOOR(q.jaccard * 10) AS BIGINT), 9)"""
     if not with_audit:
         return f"{head}\n{res_sql}\n"
+    # cross-SOURCE near-dup matrix (wave 115): each pair's normalized
+    # (src_a <= src_b) source cell plus the corpus-wide cell count — the
+    # domain-contamination heatmap
+    src_ctes, src_cols, src_join = "", "", ""
+    if with_srcmat:
+        src_ctes = """,
+srcm AS (
+  SELECT r.id_a, r.id_b,
+         LEAST(sa.source, sb.source) AS src_a,
+         GREATEST(sa.source, sb.source) AS src_b
+  FROM res r JOIN aug sa ON sa.doc_id = r.id_a
+             JOIN aug sb ON sb.doc_id = r.id_b
+),
+srcc AS (
+  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS src_pairs
+  FROM srcm GROUP BY src_a, src_b
+)"""
+        src_cols = ",\n       sm.src_a, sm.src_b, sc2.src_pairs"
+        src_join = (
+            " JOIN srcm sm ON sm.id_a = res.id_a AND sm.id_b = res.id_b"
+            " JOIN srcc sc2 ON sc2.src_a = sm.src_a"
+            " AND sc2.src_b = sm.src_b"
+        )
     # blocking-recall audit: brute-force truth on the deterministic
     # id-suffix sample, fraction surfaced by the LSH result itself
     return f"""{head},
@@ -397,15 +421,15 @@ audit AS (
   SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS sample_true_pairs,
          CAST((SELECT COUNT(*) FROM truth t
                JOIN res USING (id_a, id_b)) AS BIGINT) AS lsh_found_pairs
-)
+){src_ctes}
 SELECT res.*, audit.sample_true_pairs, audit.lsh_found_pairs,
        CASE WHEN audit.sample_true_pairs > 0 THEN
          FLOOR((CAST(audit.lsh_found_pairs AS DOUBLE)
                 / audit.sample_true_pairs) * 10000.0 + 0.5) / 10000.0
        ELSE 1.0 END AS lsh_recall4,
        -- (4,4)-banding S-curve 1 - (1 - s^4)^4, explicit multiply chains
-       FLOOR((1.0 - (((1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)))) * (1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0))))) * ((1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)))) * (1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0))))))) * 10000.0 + 0.5) / 10000.0 AS scurve4
-FROM res CROSS JOIN audit
+       FLOOR((1.0 - (((1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)))) * (1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0))))) * ((1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)))) * (1.0 - (((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0)) * ((CAST(res.sig_match AS DOUBLE) / 16.0) * (CAST(res.sig_match AS DOUBLE) / 16.0))))))) * 10000.0 + 0.5) / 10000.0 AS scurve4{src_cols}
+FROM res CROSS JOIN audit{src_join}
 """
 
 
