@@ -3633,6 +3633,43 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("mat_full5") * F.col("mat_trunc5")).cast("long")
         .alias("mat_overlap5")
     )
+    # wave 117 — EXTERNAL clustering evaluation against the ground-truth
+    # label column: per-cluster PURITY (majority-label mass / cluster size,
+    # exact ints + ONE division) and the corpus pair-counting RAND INDEX
+    # between the k-means-cell assignment and the labels — with ordered
+    # pair counts P(x) = x(x−1): RI = (P_N + 2·ΣP(n_kl) − ΣP(n_k) −
+    # ΣP(m_l)) / P_N, every term an exact BIGINT, ONE final division.
+    # The "is the coarse quantizer learning the label structure" audit.
+    labs = emb.select("vec_id", F.col("label").cast("long").alias("__lab"))
+    cmx = avec.join(labs, "vec_id").groupBy("assigned_cent", "__lab").agg(
+        F.count("*").cast("long").alias("__nkl"))
+    pur = cmx.groupBy("assigned_cent").agg(
+        F.max("__nkl").cast("long").alias("cl_pure_cnt"))
+    pa_ = cmx.agg(F.sum(F.col("__nkl") * (F.col("__nkl") - 1))
+                  .cast("long").alias("__pa"))
+    pc_ = (cmx.groupBy("assigned_cent")
+           .agg(F.sum("__nkl").alias("__nk"))
+           .agg(F.sum(F.col("__nk") * (F.col("__nk") - 1))
+                .cast("long").alias("__pc")))
+    pl_ = (labs.groupBy("__lab")
+           .agg(F.count("*").cast("long").alias("__ml"))
+           .agg(F.sum(F.col("__ml") * (F.col("__ml") - 1))
+                .cast("long").alias("__pl")))
+    pn_ = labs.agg(F.count("*").cast("long").alias("__N"))
+    ri = (
+        pa_.crossJoin(pc_).crossJoin(pl_).crossJoin(pn_)
+        .select(
+            (F.col("__N") * (F.col("__N") - 1) + 2 * F.col("__pa")
+             - F.col("__pc") - F.col("__pl")).cast("long").alias("rand_num"),
+            (F.col("__N") * (F.col("__N") - 1)).cast("long")
+            .alias("rand_den"),
+        )
+        .withColumn(
+            "rand4",
+            _r4(F.col("rand_num").cast("double")
+                / F.col("rand_den").cast("double")),
+        )
+    )
     return (
         per_vec.join(avec, "vec_id")
         .join(cluster_rollup, "assigned_cent")
@@ -3642,6 +3679,13 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kc, "vec_id")
         .join(mat, "vec_id")
         .crossJoin(F.broadcast(mov))
+        .join(pur, "assigned_cent")
+        .crossJoin(F.broadcast(ri))
+        .withColumn(
+            "cl_purity4",
+            _r4(F.col("cl_pure_cnt").cast("double")
+                / F.col("cl_n").cast("double")),
+        )
         .select(
             "vec_id", "n_dims", "q_sum", "q_min", "q_max",
             "q_n2", "q_head_n2", "q_head_frac4",
@@ -3650,6 +3694,7 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"rp_{j}" for j in range(8)],
             "kc_cent", "kc_d",
             "mat_full5", "mat_trunc5", "mat_overlap5",
+            "cl_pure_cnt", "cl_purity4", "rand_num", "rand_den", "rand4",
         )
     )
 
@@ -8269,6 +8314,27 @@ mflags AS (
 mov AS (
   SELECT CAST(SUM(mat_full5 * mat_trunc5) AS BIGINT) AS mat_overlap5
   FROM mflags
+),
+labs AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+cmx AS (  -- wave 117: assignment × label contingency table
+  SELECT a.cent_id, l.lab, CAST(COUNT(*) AS BIGINT) AS nkl
+  FROM assign a JOIN labs l USING (vec_id)
+  GROUP BY a.cent_id, l.lab
+),
+purx AS (
+  SELECT cent_id, CAST(MAX(nkl) AS BIGINT) AS cl_pure_cnt
+  FROM cmx GROUP BY cent_id
+),
+rix AS (  -- pair-counting Rand index, ordered-pair identity
+  SELECT CAST(pn.n * (pn.n - 1) + 2 * pa.v - pc.v - pl.v AS BIGINT)
+           AS rand_num,
+         CAST(pn.n * (pn.n - 1) AS BIGINT) AS rand_den
+  FROM (SELECT CAST(SUM(nkl * (nkl - 1)) AS BIGINT) AS v FROM cmx) pa,
+       (SELECT CAST(SUM(nk * (nk - 1)) AS BIGINT) AS v FROM
+          (SELECT SUM(nkl) AS nk FROM cmx GROUP BY cent_id)) pc,
+       (SELECT CAST(SUM(ml * (ml - 1)) AS BIGINT) AS v FROM
+          (SELECT CAST(COUNT(*) AS BIGINT) AS ml FROM labs GROUP BY lab)) pl,
+       (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labs) pn
 )
 SELECT vec_id,
        CAST(len(qv) AS BIGINT) AS n_dims,
@@ -8314,12 +8380,19 @@ SELECT vec_id,
          * qv[CAST(i + 1 AS INTEGER)])) AS BIGINT) AS rp_7,
        CAST(k.cid AS BIGINT) AS kc_cent,
        k.d AS kc_d,
-       mf.mat_full5, mf.mat_trunc5, mo.mat_overlap5
+       mf.mat_full5, mf.mat_trunc5, mo.mat_overlap5,
+       px.cl_pure_cnt,
+       FLOOR(CAST(px.cl_pure_cnt AS DOUBLE) / CAST(r.cl_n AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS cl_purity4,
+       rr.rand_num, rr.rand_den,
+       FLOOR(CAST(rr.rand_num AS DOUBLE) / CAST(rr.rand_den AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS rand4
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
 JOIN inert i ON i.cent_id = a.cent_id
 JOIN pq p USING (vec_id)
 JOIN kassign k USING (vec_id)
 JOIN mflags mf USING (vec_id) CROSS JOIN mov mo
+JOIN purx px ON px.cent_id = a.cent_id CROSS JOIN rix rr
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
         # are 1-based inclusive. Last start capped at n_tok - overlap - 1
