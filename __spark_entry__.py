@@ -3656,6 +3656,15 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(F.col("__ml") * (F.col("__ml") - 1))
                 .cast("long").alias("__pl")))
     pn_ = labs.agg(F.count("*").cast("long").alias("__N"))
+    # wave 117b — ADJUSTED Rand (chance-corrected) + FOWLKES–MALLOWS on
+    # the same exact pair counts, in UNORDERED C(x,2) = P(x)/2 terms
+    # (every P is even): ARI = (C_T·C_A − C_k·C_l) / (C_T·(C_k+C_l)/2 −
+    # C_k·C_l) — both sides exact BIGINTs, ONE division; FM = C_A /
+    # sqrt(C_k·C_l), one correctly-rounded sqrt of an exact product.
+    ca = (F.col("__pa") / 2).cast("long")
+    ck = (F.col("__pc") / 2).cast("long")
+    cl_ = (F.col("__pl") / 2).cast("long")
+    ct_ = (F.col("__N") * (F.col("__N") - 1) / 2).cast("long")
     ri = (
         pa_.crossJoin(pc_).crossJoin(pl_).crossJoin(pn_)
         .select(
@@ -3663,11 +3672,25 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.col("__pc") - F.col("__pl")).cast("long").alias("rand_num"),
             (F.col("__N") * (F.col("__N") - 1)).cast("long")
             .alias("rand_den"),
+            (2 * (ct_ * ca - ck * cl_)).cast("long").alias("ari_num"),
+            (ct_ * (ck + cl_) - 2 * ck * cl_).cast("long").alias("ari_den"),
+            F.when(
+                ck * cl_ > 0,
+                _r4(ca.cast("double") / F.sqrt((ck * cl_).cast("double"))),
+            ).otherwise(F.lit(-1.0)).alias("fm4"),
         )
         .withColumn(
             "rand4",
             _r4(F.col("rand_num").cast("double")
                 / F.col("rand_den").cast("double")),
+        )
+        .withColumn(
+            "ari4",
+            F.when(
+                F.col("ari_den") != 0,
+                _r4(F.col("ari_num").cast("double")
+                    / F.col("ari_den").cast("double")),
+            ).otherwise(F.lit(0.0)),
         )
     )
     return (
@@ -3695,6 +3718,7 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kc_cent", "kc_d",
             "mat_full5", "mat_trunc5", "mat_overlap5",
             "cl_pure_cnt", "cl_purity4", "rand_num", "rand_den", "rand4",
+            "ari_num", "ari_den", "ari4", "fm4",
         )
     )
 
@@ -8325,10 +8349,20 @@ purx AS (
   SELECT cent_id, CAST(MAX(nkl) AS BIGINT) AS cl_pure_cnt
   FROM cmx GROUP BY cent_id
 ),
-rix AS (  -- pair-counting Rand index, ordered-pair identity
+rix AS (  -- pair-counting Rand index, ordered-pair identity; ARI and
+          -- Fowlkes–Mallows on the same exact C(x,2) = P(x)/2 counts
   SELECT CAST(pn.n * (pn.n - 1) + 2 * pa.v - pc.v - pl.v AS BIGINT)
            AS rand_num,
-         CAST(pn.n * (pn.n - 1) AS BIGINT) AS rand_den
+         CAST(pn.n * (pn.n - 1) AS BIGINT) AS rand_den,
+         CAST(2 * ((pn.n * (pn.n - 1) // 2) * (pa.v // 2)
+                   - (pc.v // 2) * (pl.v // 2)) AS BIGINT) AS ari_num,
+         CAST((pn.n * (pn.n - 1) // 2) * (pc.v // 2 + pl.v // 2)
+              - 2 * (pc.v // 2) * (pl.v // 2) AS BIGINT) AS ari_den,
+         CASE WHEN (pc.v // 2) * (pl.v // 2) > 0 THEN
+           FLOOR(CAST(pa.v // 2 AS DOUBLE)
+                 / sqrt(CAST((pc.v // 2) * (pl.v // 2) AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0
+         ELSE -1.0 END AS fm4
   FROM (SELECT CAST(SUM(nkl * (nkl - 1)) AS BIGINT) AS v FROM cmx) pa,
        (SELECT CAST(SUM(nk * (nk - 1)) AS BIGINT) AS v FROM
           (SELECT SUM(nkl) AS nk FROM cmx GROUP BY cent_id)) pc,
@@ -8386,7 +8420,13 @@ SELECT vec_id,
              * 10000.0 + 0.5) / 10000.0 AS cl_purity4,
        rr.rand_num, rr.rand_den,
        FLOOR(CAST(rr.rand_num AS DOUBLE) / CAST(rr.rand_den AS DOUBLE)
-             * 10000.0 + 0.5) / 10000.0 AS rand4
+             * 10000.0 + 0.5) / 10000.0 AS rand4,
+       rr.ari_num, rr.ari_den,
+       CASE WHEN rr.ari_den <> 0 THEN
+         FLOOR(CAST(rr.ari_num AS DOUBLE) / CAST(rr.ari_den AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS ari4,
+       rr.fm4
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
 JOIN inert i ON i.cent_id = a.cent_id
 JOIN pq p USING (vec_id)
