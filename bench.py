@@ -247,8 +247,9 @@ def main() -> None:
     ap.add_argument("--dual", action="store_true", help="N vs 4N scaling study")
     ap.add_argument("--levels", default="1,4,8,32", help="core counts for --dual")
     ap.add_argument("--runs", type=int, default=2, help="repetitions per level (best taken)")
-    ap.add_argument("--passes", type=int, default=2,
-                    help="timed passes inside one JVM (best taken)")
+    ap.add_argument("--passes", type=int, default=3,
+                    help="timed passes inside one JVM (best taken); 3 damps "
+                         "this host's 2-3x phase swings in the recorded best")
     ap.add_argument("--alternate", type=int, default=0,
                     help="protocol-3 A/B pair: N interleaved lo/mid runs, "
                          "per-level medians (requires --dual with 2 levels)")
