@@ -5899,10 +5899,80 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.join(F.broadcast(lrec), "lang_true")
         .crossJoin(F.broadcast(lidacc))
     )
+    # wave 118 — CANARY memorization audit (the Carlini insight: REPEATED
+    # canaries are the extractable ones): docs with oid % 31 ∈ {0..3}
+    # carry canary C_j (12 tokens, (j·37 + i·11) % 251, ~16 carriers per
+    # canary) appended; doc oid = 13 carries a UNIQUE 12-token sequence.
+    # The extraction pass is the same ExactSubstr gram machinery
+    # (12-token window keys, dup = present in ≥ 2 distinct docs): every
+    # repeated canary's trailing window surfaces, the unique one must not
+    # — can_caught is the value-gated outcome per doc, recomputed from
+    # scratch by the oracle.
+    from nyxus_spark.functions.text import ngram_keys
+
+    canj = F.expr("cast(substr(doc_id, 5) as bigint) % 31")
+    is_car = canj < 4
+    is_neg = F.expr("cast(substr(doc_id, 5) as bigint) = 13")
+    suffix = F.when(
+        is_car,
+        F.expr(
+            "transform(sequence(0, 11), i -> cast("
+            "((cast(substr(doc_id, 5) as bigint) % 31) * 37 + i * 11) % 251"
+            " as int))"
+        ),
+    ).when(
+        is_neg,
+        F.expr(
+            "transform(sequence(0, 11),"
+            " i -> cast((199 + i * 7) % 251 as int))"
+        ),
+    )
+    caug = (
+        toks.select(
+            "doc_id",
+            F.when(suffix.isNotNull(), F.concat("tokens", suffix))
+            .otherwise(F.col("tokens")).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn(
+            "can_id",
+            F.when(is_car, canj).when(is_neg, F.lit(-2))
+            .otherwise(F.lit(-1)).cast("long"),
+        )
+    )
+    w12 = caug.select(
+        "doc_id", "n_tok",
+        F.posexplode(ngram_keys(12)).alias("pos", "gram"),
+    )
+    d12 = (
+        w12.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram")
+    )
+    canf = (
+        w12.filter(F.col("pos") == F.col("n_tok") - 12)
+        .join(d12, "gram", "left_semi")
+        .select("doc_id")
+        .withColumn("can_caught", F.lit(1).cast("long"))
+    )
+    can = (
+        caug.select("doc_id", "can_id")
+        .join(canf, "doc_id", "left")
+        .withColumn(
+            "can_caught",
+            F.coalesce("can_caught", F.lit(0).cast("long")),
+        )
+        .select(
+            F.expr("CAST(substring(doc_id, 5) AS BIGINT)").alias("doc_id"),
+            "can_id", "can_caught",
+        )
+    )
     return (
         out.join(lzc, "doc_id")
         .crossJoin(F.broadcast(auc))
         .crossJoin(F.broadcast(prf))
+        .join(can, "doc_id")
     )
 
 
@@ -9327,6 +9397,43 @@ lidr AS (
                 / CAST(COUNT(*) AS BIGINT)) * 10000.0 + 0.5) / 10000.0
            AS lang_recall4
   FROM lidt GROUP BY 1
+),
+{SQL_TOKENS_STATIC},
+caug AS (  -- wave 118: canary injection (repeated C_j for oid%31 in 0..3,
+           -- one UNIQUE canary on oid = 13), re-derived from scratch
+  SELECT doc_id,
+         CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 31 < 4 THEN
+                list_concat(tokens, list_transform(range(0, 12),
+                  i -> CAST(((CAST(substr(doc_id, 5) AS BIGINT) % 31) * 37
+                             + i * 11) % 251 AS INTEGER)))
+              WHEN CAST(substr(doc_id, 5) AS BIGINT) = 13 THEN
+                list_concat(tokens, list_transform(range(0, 12),
+                  i -> CAST((199 + i * 7) % 251 AS INTEGER)))
+              ELSE tokens END AS toks2,
+         CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 31 < 4
+              THEN CAST(substr(doc_id, 5) AS BIGINT) % 31
+              WHEN CAST(substr(doc_id, 5) AS BIGINT) = 13
+              THEN CAST(-2 AS BIGINT)
+              ELSE CAST(-1 AS BIGINT) END AS can_id
+  FROM tokens_static
+),
+cw12 AS (  -- ExactSubstr extraction machinery: 12-token window keys
+  SELECT doc_id, CAST(len(toks2) AS BIGINT) AS n2, i AS pos,
+         array_to_string(toks2[i + 1:i + 12], ',') AS gram
+  FROM (SELECT doc_id, toks2, unnest(range(0, len(toks2) - 11)) AS i
+        FROM caug WHERE len(toks2) >= 12)
+),
+cd12 AS (
+  SELECT gram FROM cw12 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+canl AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS can_caught
+  FROM cw12 WHERE pos = n2 - 12 AND gram IN (SELECT gram FROM cd12)
+),
+canx AS (
+  SELECT CAST(substr(c.doc_id, 5) AS BIGINT) AS did, c.can_id,
+         COALESCE(l.can_caught, CAST(0 AS BIGINT)) AS can_caught
+  FROM caug c LEFT JOIN canl l USING (doc_id)
 )
 SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14,
@@ -9340,7 +9447,8 @@ SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        mf.macro_f14,
        sh.sp_num, sh.spearman4,
        lt.lang_true, lt.lid_correct, lr.lang_n, lr.lang_recall4,
-       la.lid_acc4
+       la.lid_acc4,
+       cx.can_id, cx.can_caught
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
@@ -9352,6 +9460,7 @@ CROSS JOIN sprho sh
 JOIN lidt lt ON lt.doc_id = ts_all.doc_id
 JOIN lidr lr ON lr.lang_true = lt.lang_true
 CROSS JOIN lida la
+JOIN canx cx ON cx.did = ts_all.doc_id
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
