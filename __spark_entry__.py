@@ -3093,6 +3093,17 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_rates = temperature_rates(docs, "source", alpha=0.5)
     temp_keep = stratified_keep(t_rates, "source", F.col("doc_id"))
+    # wave 118 — TEMPERATURE SWEEP (mixture-sensitivity curve): the same
+    # keep decision at α = 0.25 (flattest) and α = 0.75 (sqrt(n·√n), the
+    # new exact IEEE chain) beside α = 0.5 — the three-point curve a
+    # mixture designer reads before committing to a temperature. Same
+    # shared hash, so the three keeps are NESTED per doc as α falls.
+    temp_keep25 = stratified_keep(
+        temperature_rates(docs, "source", alpha=0.25),
+        "source", F.col("doc_id"))
+    temp_keep75 = stratified_keep(
+        temperature_rates(docs, "source", alpha=0.75),
+        "source", F.col("doc_id"))
     # deterministic 3-way holdout (train/val/test disjoint by one hash,
     # independent MINSTD mixer — ids never migrate between splits)
     # deterministic k-FOLD assignment (cross-validation partition: every
@@ -3105,6 +3116,8 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars",
         keep.cast("long").alias("strat_keep"),
         temp_keep.cast("long").alias("temp_keep"),
+        temp_keep25.cast("long").alias("temp_keep25"),
+        temp_keep75.cast("long").alias("temp_keep75"),
         epoch_shuffle_key(F.col("doc_id"), 0).alias("shuf_e0"),
         epoch_shuffle_key(F.col("doc_id"), 1).alias("shuf_e1"),
         holdout_split(F.col("doc_id"), 0.05, 0.05).alias("holdout"),
@@ -5968,12 +5981,36 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "can_id", "can_caught",
         )
     )
-    return (
+    out2 = (
         out.join(lzc, "doc_id")
         .crossJoin(F.broadcast(auc))
         .crossJoin(F.broadcast(prf))
         .join(can, "doc_id")
     )
+    # wave 119 — FILTER-CASCADE sole-killer ATTRIBUTION (the ablation a
+    # pipeline owner reads before tuning any one filter): a doc is
+    # "sole-killed" by filter f when f alone drops it and the other three
+    # pass — per-doc 0/1 flags over the four ws_votes components plus the
+    # corpus-wide sole-kill counts (what each filter UNIQUELY removes;
+    # docs killed by ≥ 2 filters are redundant kills no single tweak
+    # recovers). Pure column exprs + one broadcast count row.
+    gp, lm_, dk, ct_ = (F.col("gopher_pass"), F.col("lm_keep"),
+                        F.col("dsir_keep"), 1 - F.col("is_contaminated"))
+    out2 = (
+        out2.withColumn(
+            "sole_gopher", ((1 - gp) * lm_ * dk * ct_).cast("long"))
+        .withColumn("sole_lm", (gp * (1 - lm_) * dk * ct_).cast("long"))
+        .withColumn("sole_dsir", (gp * lm_ * (1 - dk) * ct_).cast("long"))
+        .withColumn(
+            "sole_contam", (gp * lm_ * dk * (1 - ct_)).cast("long"))
+    )
+    solec = out2.agg(
+        F.sum("sole_gopher").cast("long").alias("sole_gopher_n"),
+        F.sum("sole_lm").cast("long").alias("sole_lm_n"),
+        F.sum("sole_dsir").cast("long").alias("sole_dsir_n"),
+        F.sum("sole_contam").cast("long").alias("sole_contam_n"),
+    )
+    return out2.crossJoin(F.broadcast(solec))
 
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7924,6 +7961,18 @@ scut AS (  -- cut = trunc(P31 · sqrt(n_s)/sqrt(n_max)), each op IEEE-exact
               AS BIGINT) AS tcut
   FROM scnt
 ),
+scut2 AS (  -- wave 118: the α = 0.25 / 0.75 sweep cuts, same IEEE chains
+  SELECT source,
+         CAST(2147483647.0 * (sqrt(sqrt(CAST(cnt AS DOUBLE)))
+              / sqrt(sqrt(CAST((SELECT MAX(cnt) FROM scnt) AS DOUBLE))))
+              AS BIGINT) AS tcut25,
+         CAST(2147483647.0
+              * (sqrt(CAST(cnt AS DOUBLE) * sqrt(CAST(cnt AS DOUBLE)))
+                 / sqrt(CAST((SELECT MAX(cnt) FROM scnt) AS DOUBLE)
+                        * sqrt(CAST((SELECT MAX(cnt) FROM scnt) AS DOUBLE))))
+              AS BIGINT) AS tcut75
+  FROM scnt
+),
 base AS (
   SELECT doc_id, source, n_chars,
          CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
@@ -7935,6 +7984,10 @@ base AS (
              AS BIGINT) AS strat_keep,
          CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
               % 2147483647 < sc.tcut AS BIGINT) AS temp_keep,
+         CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+              % 2147483647 < sc2.tcut25 AS BIGINT) AS temp_keep25,
+         CAST(((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
+              % 2147483647 < sc2.tcut75 AS BIGINT) AS temp_keep75,
          -- 3-way holdout: Knuth LCG mixer 1566083941 (large: wraps from id 2)
          CAST(CASE WHEN ((doc_id % 2147483647) * 1566083941) % 2147483647
                         < {int(2147483647 * 0.05)} THEN 2
@@ -7952,6 +8005,7 @@ base AS (
          CAST(((((doc_id % 2147483647) * 1181783497) % 2147483647)
                + 2147483647) % 2147483647 % 5 AS BIGINT) AS cv_fold
   FROM documents JOIN scut sc USING (source)
+       JOIN scut2 sc2 USING (source)
   WHERE ((((doc_id % 2147483647) * 506952114) % 2147483647) + 2147483647)
         % 2147483647 < {int(2147483647 * 0.2)}
 ),
@@ -8166,7 +8220,8 @@ ava AS (  -- avalanche: popcount of successive-id hash xor
            AS av_mean4
   FROM avh a JOIN avh b ON b.doc_id = a.doc_id + 1
 )
-SELECT doc_id, source, n_chars, strat_keep, temp_keep, shuf_e0, shuf_e1,
+SELECT doc_id, source, n_chars, strat_keep, temp_keep,
+       temp_keep25, temp_keep75, shuf_e0, shuf_e1,
        holdout, base.cv_fold, fs.cv_fold_rows,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
@@ -9434,6 +9489,17 @@ canx AS (
   SELECT CAST(substr(c.doc_id, 5) AS BIGINT) AS did, c.can_id,
          COALESCE(l.can_caught, CAST(0 AS BIGINT)) AS can_caught
   FROM caug c LEFT JOIN canl l USING (doc_id)
+),
+solec AS (  -- wave 119: per-filter sole-kill counts over ts_all
+  SELECT CAST(SUM((1 - gopher_pass) * lm_keep * dsir_keep
+                  * (1 - is_contaminated)) AS BIGINT) AS sole_gopher_n,
+         CAST(SUM(gopher_pass * (1 - lm_keep) * dsir_keep
+                  * (1 - is_contaminated)) AS BIGINT) AS sole_lm_n,
+         CAST(SUM(gopher_pass * lm_keep * (1 - dsir_keep)
+                  * (1 - is_contaminated)) AS BIGINT) AS sole_dsir_n,
+         CAST(SUM(gopher_pass * lm_keep * dsir_keep
+                  * is_contaminated) AS BIGINT) AS sole_contam_n
+  FROM ts_all
 )
 SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        p.tp, p.fp, p.fn, p.tn, p.prec4, p.rec4, p.f14,
@@ -9448,7 +9514,16 @@ SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        sh.sp_num, sh.spearman4,
        lt.lang_true, lt.lid_correct, lr.lang_n, lr.lang_recall4,
        la.lid_acc4,
-       cx.can_id, cx.can_caught
+       cx.can_id, cx.can_caught,
+       CAST((1 - ts_all.gopher_pass) * ts_all.lm_keep * ts_all.dsir_keep
+            * (1 - ts_all.is_contaminated) AS BIGINT) AS sole_gopher,
+       CAST(ts_all.gopher_pass * (1 - ts_all.lm_keep) * ts_all.dsir_keep
+            * (1 - ts_all.is_contaminated) AS BIGINT) AS sole_lm,
+       CAST(ts_all.gopher_pass * ts_all.lm_keep * (1 - ts_all.dsir_keep)
+            * (1 - ts_all.is_contaminated) AS BIGINT) AS sole_dsir,
+       CAST(ts_all.gopher_pass * ts_all.lm_keep * ts_all.dsir_keep
+            * ts_all.is_contaminated AS BIGINT) AS sole_contam,
+       sk.sole_gopher_n, sk.sole_lm_n, sk.sole_dsir_n, sk.sole_contam_n
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
@@ -9461,6 +9536,7 @@ JOIN lidt lt ON lt.doc_id = ts_all.doc_id
 JOIN lidr lr ON lr.lang_true = lt.lang_true
 CROSS JOIN lida la
 JOIN canx cx ON cx.did = ts_all.doc_id
+CROSS JOIN solec sk
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),

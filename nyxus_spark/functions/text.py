@@ -201,18 +201,19 @@ def temperature_rates(df, stratum_col: str = "source", alpha: float = 0.5,
     `scale` and smaller strata are downsampled LESS than proportionally —
     α < 1 flattens the mixture toward uniform.
 
-    α is restricted to {1.0, 0.5, 0.25}: those powers are exact IEEE chains
-    (identity, sqrt, sqrt∘sqrt — each correctly rounded), so the resulting
-    per-stratum cut integers are bit-identical on every engine; arbitrary
-    libm pow(n, α) is not replayable cross-engine. Per-stratum counts are a
-    broadcast-dim-sized aggregate (same shape as prescan): one hash-agg
-    shuffle over strata, a driver-side dict of ≤ |strata| floats. Feed the
-    result to `stratified_keep`/`stratified_sample`."""
+    α is restricted to {1.0, 0.75, 0.5, 0.25}: those powers are exact IEEE
+    chains (identity, sqrt(n·sqrt n), sqrt, sqrt∘sqrt — each op correctly
+    rounded), so the resulting per-stratum cut integers are bit-identical
+    on every engine; arbitrary libm pow(n, α) is not replayable
+    cross-engine. Per-stratum counts are a broadcast-dim-sized aggregate
+    (same shape as prescan): one hash-agg shuffle over strata, a
+    driver-side dict of ≤ |strata| floats. Feed the result to
+    `stratified_keep`/`stratified_sample`."""
     import math
 
-    if alpha not in (1.0, 0.5, 0.25):
-        raise ValueError(f"alpha must be one of 1.0/0.5/0.25 (exact IEEE "
-                         f"chains), got {alpha}")
+    if alpha not in (1.0, 0.75, 0.5, 0.25):
+        raise ValueError(f"alpha must be one of 1.0/0.75/0.5/0.25 (exact "
+                         f"IEEE chains), got {alpha}")
     if not 0.0 < scale <= 1.0:
         raise ValueError(f"scale must be in (0, 1], got {scale}")
     counts = {r[0]: r[1] for r in
@@ -223,6 +224,8 @@ def temperature_rates(df, stratum_col: str = "source", alpha: float = 0.5,
     def powa(n: float) -> float:
         if alpha == 1.0:
             return float(n)
+        if alpha == 0.75:
+            return math.sqrt(float(n) * math.sqrt(float(n)))
         if alpha == 0.5:
             return math.sqrt(float(n))
         return math.sqrt(math.sqrt(float(n)))
