@@ -423,6 +423,32 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("doc_"), F.col("__oid").cast("string")).alias("doc_id"),
         "sc_step", "sc_gain",
     )
+    # wave 120 — DOC-LEVEL Huffman optimal-coding bound (the
+    # compression-based quality filter: boilerplate/degenerate docs have
+    # large fixed-vs-optimal savings): the same two-smallest merge as the
+    # per-source wave 107, grouped per doc (counts, never the corpus,
+    # enter Python), fixed-width baseline n_tok·⌈log2 vocab⌉ via the
+    # length(bin()) kit, saving ratio ONE division. Oracle replays the
+    # merge one recursion step per doc in parallel rows (the LZ78 shape).
+    from nyxus_spark.functions.coding import huffman_bits
+
+    hufd = huffman_bits(t, group_col="doc_id").select(
+        "doc_id",
+        F.col("huff_bits").alias("doc_huff_bits"),
+        F.col("huff_vocab").alias("doc_huff_vocab"),
+        F.when(
+            F.col("huff_vocab") > 1,
+            F.col("huff_mass")
+            * F.length(F.expr("bin(huff_vocab - 1)")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("doc_fixed_bits"),
+    ).withColumn(
+        "doc_hsave4",
+        F.when(
+            F.col("doc_fixed_bits") > 0,
+            _r4((F.col("doc_fixed_bits") - F.col("doc_huff_bits"))
+                .cast("double") / F.col("doc_fixed_bits").cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
     zl = F.lit(0).cast("long")
     return (
         res.join(sk, "doc_id").join(pl, "doc_id").join(enc, "doc_id")
@@ -431,6 +457,11 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(scov, "doc_id", "left")
         .withColumn("sc_step", F.coalesce("sc_step", zl))
         .withColumn("sc_gain", F.coalesce("sc_gain", zl))
+        .join(hufd, "doc_id", "left")
+        .withColumn("doc_huff_bits", F.coalesce("doc_huff_bits", zl))
+        .withColumn("doc_huff_vocab", F.coalesce("doc_huff_vocab", zl))
+        .withColumn("doc_fixed_bits", F.coalesce("doc_fixed_bits", zl))
+        .withColumn("doc_hsave4", F.coalesce("doc_hsave4", F.lit(0.0)))
     )
 
 
@@ -9623,6 +9654,37 @@ lrsx AS (  -- wave 112: max LCP of lexicographically adjacent 64-capped
   )
   GROUP BY doc_id
 ),
+hufdc AS (  -- wave 120: doc-level Huffman bound — per-doc token counts
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(tokens) AS tok FROM tokens_static)
+  GROUP BY doc_id, tok
+),
+hufd0 AS (
+  SELECT doc_id,
+         list_sort(list({{'w': c, 'id': CAST(tok AS BIGINT)}})) AS items,
+         CAST(0 AS BIGINT) AS bits,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS mass
+  FROM hufdc GROUP BY doc_id
+),
+hufdr AS (  -- two-smallest merge, one step per recursion, per-doc rows
+  SELECT doc_id, items, bits, vocab, mass FROM hufd0
+  UNION ALL
+  SELECT doc_id,
+         list_sort(list_append(items[3:],
+           {{'w': items[1].w + items[2].w,
+             'id': 1048576 + vocab - len(items)}})),
+         bits + items[1].w + items[2].w,
+         vocab, mass
+  FROM hufdr WHERE len(items) > 1
+),
+hufdx AS (
+  SELECT doc_id, bits AS doc_huff_bits, vocab AS doc_huff_vocab,
+         CASE WHEN vocab > 1
+              THEN mass * CAST(length(bin(vocab - 1)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS doc_fixed_bits
+  FROM hufdr WHERE len(items) = 1
+),
 scdt AS (  -- wave 113: doc → distinct bigram-shingle sets
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS oid,
          list_sort(list_distinct(list_transform(range(1, n_tok),
@@ -10001,7 +10063,15 @@ SELECT doc_id, n_tok,
        COALESCE(lr.lrs64, 0) AS lrs64,
        -- wave 113: greedy set-cover pick order + marginal shingle gain
        COALESCE(scp.step, 0) AS sc_step,
-       COALESCE(scp.gain, 0) AS sc_gain
+       COALESCE(scp.gain, 0) AS sc_gain,
+       -- wave 120: doc-level Huffman optimal-coding bound
+       COALESCE(hd.doc_huff_bits, 0) AS doc_huff_bits,
+       COALESCE(hd.doc_huff_vocab, 0) AS doc_huff_vocab,
+       COALESCE(hd.doc_fixed_bits, 0) AS doc_fixed_bits,
+       CASE WHEN COALESCE(hd.doc_fixed_bits, 0) > 0 THEN
+         FLOOR(CAST(hd.doc_fixed_bits - hd.doc_huff_bits AS DOUBLE)
+               / CAST(hd.doc_fixed_bits AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS doc_hsave4
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
@@ -10018,6 +10088,7 @@ JOIN encr er USING (doc_id)
 LEFT JOIN lrsx lr USING (doc_id)
 LEFT JOIN (SELECT step, pick, gain FROM scr WHERE step > 0) scp
        ON scp.pick = CAST(substr(tokens_static.doc_id, 5) AS BIGINT)
+LEFT JOIN hufdx hd ON hd.doc_id = tokens_static.doc_id
 """,
         "prescan_sources": f"""
 WITH RECURSIVE {SQL_TOKENS_STATIC},
