@@ -449,11 +449,90 @@ def _q_tokens_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / F.col("doc_fixed_bits").cast("double")),
         ).otherwise(F.lit(0.0)),
     )
+    # wave 121 — NSP (next-segment-prediction) PAIR CONSTRUCTION (the
+    # BERT-style objective's data pass): A = first nonempty delimiter
+    # segment, B = second; a deterministic hash flips half the docs to a
+    # NEGATIVE (B swapped with the oid-order NEXT eligible doc's B,
+    # wrapping at the end). Label, partner id, and position-weighted
+    # checksums of the CHOSEN A/B pin every construction decision — a
+    # wrong swap, wrong segment, or wrong label flips a checksum. Reuses
+    # the split_on_token segments already derived above.
+    from pyspark.sql import Window
+
+    s2 = (
+        segs.filter(F.col("seg_id") <= 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__c2"),
+            F.max(F.when(F.col("seg_id") == 0, F.col("seg_tokens")))
+            .alias("__a"),
+            F.max(F.when(F.col("seg_id") == 1, F.col("seg_tokens")))
+            .alias("__b"),
+        )
+        .filter(F.col("__c2") == 2)
+        .select(
+            "doc_id",
+            F.expr("cast(substr(doc_id, 5) as bigint)").alias("__oid"),
+            "__a", "__b",
+        )
+    )
+    wnsp = Window.orderBy(F.col("__oid").asc())
+    wnspa = Window.orderBy(F.col("__oid").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+
+    def _ck(c):
+        return F.expr(
+            f"aggregate(zip_with({c}, sequence(1, size({c})),"
+            f" (t, i) -> cast(t as bigint) * i), 0L, (s, x) -> s + x)"
+        )
+
+    nsp = (
+        s2.withColumn(
+            "__nb",
+            F.coalesce(F.lead("__b").over(wnsp),
+                       F.first("__b").over(wnspa)),
+        )
+        .withColumn(
+            "__np",
+            F.coalesce(F.lead("__oid").over(wnsp),
+                       F.first("__oid").over(wnspa)),
+        )
+        .withColumn(
+            "__neg",
+            (F.pmod((F.col("__oid") % F.lit(2147483647))
+                    * F.lit(1103515245), F.lit(2147483647))
+             % 2).cast("long"),
+        )
+        .withColumn(
+            "__bc",
+            F.when(F.col("__neg") == 1, F.col("__nb"))
+            .otherwise(F.col("__b")),
+        )
+        .select(
+            "doc_id",
+            (1 - F.col("__neg")).cast("long").alias("nsp_label"),
+            F.when(F.col("__neg") == 1, F.col("__np"))
+            .otherwise(F.col("__oid")).cast("long").alias("nsp_partner"),
+            F.size("__a").cast("long").alias("nsp_a_len"),
+            F.size("__bc").cast("long").alias("nsp_b_len"),
+            _ck("__a").alias("nsp_a_ck"),
+            _ck("__bc").alias("nsp_b_ck"),
+        )
+    )
     zl = F.lit(0).cast("long")
     return (
         res.join(sk, "doc_id").join(pl, "doc_id").join(enc, "doc_id")
         .join(lrs, "doc_id", "left")
         .withColumn("lrs64", F.coalesce("lrs64", zl))
+        .join(nsp, "doc_id", "left")
+        .withColumn("nsp_label",
+                    F.coalesce("nsp_label", F.lit(-1).cast("long")))
+        .withColumn("nsp_partner",
+                    F.coalesce("nsp_partner", F.lit(-1).cast("long")))
+        .withColumn("nsp_a_len", F.coalesce("nsp_a_len", zl))
+        .withColumn("nsp_b_len", F.coalesce("nsp_b_len", zl))
+        .withColumn("nsp_a_ck", F.coalesce("nsp_a_ck", zl))
+        .withColumn("nsp_b_ck", F.coalesce("nsp_b_ck", zl))
         .join(scov, "doc_id", "left")
         .withColumn("sc_step", F.coalesce("sc_step", zl))
         .withColumn("sc_gain", F.coalesce("sc_gain", zl))
@@ -9685,6 +9764,52 @@ hufdx AS (
               ELSE CAST(0 AS BIGINT) END AS doc_fixed_bits
   FROM hufdr WHERE len(items) = 1
 ),
+nsp0 AS (  -- wave 121: NSP pairs — nonempty delimiter-104 segments
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS oid,
+         list_filter(
+           list_transform(range(1, len(dp) + 2),
+             k -> tokens[(CASE WHEN k = 1 THEN 1 ELSE dp[k-1] + 1 END):
+                         (CASE WHEN k = len(dp) + 1 THEN len(tokens)
+                               ELSE dp[k] - 1 END)]),
+           x -> len(x) > 0) AS nsegs
+  FROM (SELECT doc_id, tokens,
+               list_filter(range(1, len(tokens) + 1),
+                           i -> tokens[i] = 104) AS dp
+        FROM tokens_static WHERE len(tokens) > 0)
+),
+nspe AS (
+  SELECT doc_id, oid, nsegs[1] AS a, nsegs[2] AS b
+  FROM nsp0 WHERE len(nsegs) >= 2
+),
+nspp AS (  -- partner = next eligible doc's B in oid order, wrapping
+  SELECT doc_id, oid, a, b,
+         COALESCE(lead(b) OVER (ORDER BY oid),
+                  first_value(b) OVER (ORDER BY oid
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)) AS nb,
+         COALESCE(lead(oid) OVER (ORDER BY oid),
+                  first_value(oid) OVER (ORDER BY oid
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)) AS np,
+         ((oid % 2147483647) * 1103515245) % 2147483647 % 2 AS neg
+  FROM nspe
+),
+nspx AS (
+  SELECT doc_id,
+         CAST(1 - neg AS BIGINT) AS nsp_label,
+         CAST(CASE WHEN neg = 1 THEN np ELSE oid END AS BIGINT)
+           AS nsp_partner,
+         CAST(len(a) AS BIGINT) AS nsp_a_len,
+         CAST(len(CASE WHEN neg = 1 THEN nb ELSE b END) AS BIGINT)
+           AS nsp_b_len,
+         CAST(list_sum(list_transform(range(1, len(a) + 1),
+              i -> CAST(a[i] AS BIGINT) * i)) AS BIGINT) AS nsp_a_ck,
+         CAST(list_sum(list_transform(
+              range(1, len(CASE WHEN neg = 1 THEN nb ELSE b END) + 1),
+              i -> CAST((CASE WHEN neg = 1 THEN nb ELSE b END)[i] AS BIGINT)
+                   * i)) AS BIGINT) AS nsp_b_ck
+  FROM nspp
+),
 scdt AS (  -- wave 113: doc → distinct bigram-shingle sets
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS oid,
          list_sort(list_distinct(list_transform(range(1, n_tok),
@@ -10071,7 +10196,14 @@ SELECT doc_id, n_tok,
        CASE WHEN COALESCE(hd.doc_fixed_bits, 0) > 0 THEN
          FLOOR(CAST(hd.doc_fixed_bits - hd.doc_huff_bits AS DOUBLE)
                / CAST(hd.doc_fixed_bits AS DOUBLE) * 10000.0 + 0.5) / 10000.0
-       ELSE 0.0 END AS doc_hsave4
+       ELSE 0.0 END AS doc_hsave4,
+       -- wave 121: NSP pair construction (label/partner/chosen-B checksums)
+       COALESCE(nx.nsp_label, -1) AS nsp_label,
+       COALESCE(nx.nsp_partner, -1) AS nsp_partner,
+       COALESCE(nx.nsp_a_len, 0) AS nsp_a_len,
+       COALESCE(nx.nsp_b_len, 0) AS nsp_b_len,
+       COALESCE(nx.nsp_a_ck, 0) AS nsp_a_ck,
+       COALESCE(nx.nsp_b_ck, 0) AS nsp_b_ck
 FROM tokens_static JOIN bpem bm USING (doc_id)
 LEFT JOIN segagg sa USING (doc_id)
 LEFT JOIN lex lx USING (doc_id)
@@ -10089,6 +10221,7 @@ LEFT JOIN lrsx lr USING (doc_id)
 LEFT JOIN (SELECT step, pick, gain FROM scr WHERE step > 0) scp
        ON scp.pick = CAST(substr(tokens_static.doc_id, 5) AS BIGINT)
 LEFT JOIN hufdx hd ON hd.doc_id = tokens_static.doc_id
+LEFT JOIN nspx nx ON nx.doc_id = tokens_static.doc_id
 """,
         "prescan_sources": f"""
 WITH RECURSIVE {SQL_TOKENS_STATIC},
