@@ -3596,6 +3596,46 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("lp_m") + 1) - 1
         ).alias("lp_chap4"),
     )
+    # wave 122 — NESTED-SAMPLE estimator STABILITY audit (validate the
+    # estimate-on-a-sample workflow): the 20% sample's mean n_chars vs the
+    # NESTED 10% and 5% sub-samples on the SAME hash (nesting is free —
+    # the hash order is shared, so each cut is a prefix of the last).
+    # Drift numerators are the cross-multiplied exact ints
+    # |S_a·C_b − S_b·C_a| (zero iff the two means are identical); means
+    # land as ONE division each. A drifting pair says the metric has not
+    # stabilized at that sample size.
+    c10 = F.col("shuf_e0") < int(2147483647 * 0.1)
+    c05 = F.col("shuf_e0") < int(2147483647 * 0.05)
+    nst = out.agg(
+        F.sum("n_chars").cast("long").alias("ns_s20"),
+        F.count("*").cast("long").alias("ns_c20"),
+        F.sum(F.when(c10, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("long").alias("ns_s10"),
+        F.sum(c10.cast("long")).cast("long").alias("ns_c10"),
+        F.sum(F.when(c05, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("long").alias("ns_s05"),
+        F.sum(c05.cast("long")).cast("long").alias("ns_c05"),
+    ).select(
+        "*",
+        F.abs(F.col("ns_s10") * F.col("ns_c20")
+              - F.col("ns_s20") * F.col("ns_c10")).cast("long")
+        .alias("ns_drift10"),
+        F.abs(F.col("ns_s05") * F.col("ns_c10")
+              - F.col("ns_s10") * F.col("ns_c05")).cast("long")
+        .alias("ns_drift05"),
+        _r4(F.col("ns_s20").cast("double")
+            / F.col("ns_c20").cast("double")).alias("ns_mean20_4"),
+        F.when(
+            F.col("ns_c10") > 0,
+            _r4(F.col("ns_s10").cast("double")
+                / F.col("ns_c10").cast("double")),
+        ).otherwise(F.lit(0.0)).alias("ns_mean10_4"),
+        F.when(
+            F.col("ns_c05") > 0,
+            _r4(F.col("ns_s05").cast("double")
+                / F.col("ns_c05").cast("double")),
+        ).otherwise(F.lit(0.0)).alias("ns_mean05_4"),
+    )
     return (
         out.join(plan, "source")
         .join(hll, "source")
@@ -3613,6 +3653,9 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bs))
         .crossJoin(F.broadcast(sdec))
         .crossJoin(F.broadcast(ava))
+        .crossJoin(F.broadcast(nst))
+        .withColumn("in_s10", c10.cast("long"))
+        .withColumn("in_s05", c05.cast("long"))
         .withColumn(
             "lr_keep",
             (F.col("quota_rank") <= F.col("lr_alloc")).cast("long"),
@@ -8332,6 +8375,22 @@ ava AS (  -- avalanche: popcount of successive-id hash xor
 )
 SELECT doc_id, source, n_chars, strat_keep, temp_keep,
        temp_keep25, temp_keep75, shuf_e0, shuf_e1,
+       -- wave 122: nested-sample estimator stability audit
+       CAST(shuf_e0 < {int(2147483647 * 0.1)} AS BIGINT) AS in_s10,
+       CAST(shuf_e0 < {int(2147483647 * 0.05)} AS BIGINT) AS in_s05,
+       nx.ns_s20, nx.ns_c20, nx.ns_s10, nx.ns_c10, nx.ns_s05, nx.ns_c05,
+       CAST(ABS(nx.ns_s10 * nx.ns_c20 - nx.ns_s20 * nx.ns_c10) AS BIGINT)
+         AS ns_drift10,
+       CAST(ABS(nx.ns_s05 * nx.ns_c10 - nx.ns_s10 * nx.ns_c05) AS BIGINT)
+         AS ns_drift05,
+       FLOOR(CAST(nx.ns_s20 AS DOUBLE) / CAST(nx.ns_c20 AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS ns_mean20_4,
+       CASE WHEN nx.ns_c10 > 0 THEN
+         FLOOR(CAST(nx.ns_s10 AS DOUBLE) / CAST(nx.ns_c10 AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS ns_mean10_4,
+       CASE WHEN nx.ns_c05 > 0 THEN
+         FLOOR(CAST(nx.ns_s05 AS DOUBLE) / CAST(nx.ns_c05 AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS ns_mean05_4,
        holdout, base.cv_fold, fs.cv_fold_rows,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
@@ -8415,6 +8474,18 @@ FROM base JOIN bplan bp USING (source)
      CROSS JOIN bsd bx
      CROSS JOIN sdec sd2
      CROSS JOIN ava av
+     CROSS JOIN (
+       SELECT CAST(SUM(n_chars) AS BIGINT) AS ns_s20,
+              CAST(COUNT(*) AS BIGINT) AS ns_c20,
+              CAST(SUM(CASE WHEN shuf_e0 < {int(2147483647 * 0.1)}
+                            THEN n_chars ELSE 0 END) AS BIGINT) AS ns_s10,
+              CAST(SUM(CASE WHEN shuf_e0 < {int(2147483647 * 0.1)}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ns_c10,
+              CAST(SUM(CASE WHEN shuf_e0 < {int(2147483647 * 0.05)}
+                            THEN n_chars ELSE 0 END) AS BIGINT) AS ns_s05,
+              CAST(SUM(CASE WHEN shuf_e0 < {int(2147483647 * 0.05)}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ns_c05
+       FROM base) nx
 )
 )
 """,

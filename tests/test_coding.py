@@ -112,3 +112,26 @@ def test_unimax_all_saturate(spark):
         for r in unimax_allocation(df, budget=10**9, epoch_cap=3).collect()
     }
     assert out == {"a": 30, "b": 60}
+
+
+def test_temperature_alpha_sweep_ordering(spark):
+    """rate_α is monotone in α for sub-maximal strata: α=0.25 flattest."""
+    from nyxus_spark.functions import temperature_rates
+
+    df = spark.createDataFrame(
+        [(f"s{i}", i) for i in range(1, 5) for _ in range(10 * i)],
+        "source string, m int",
+    )
+    r25 = temperature_rates(df, "source", alpha=0.25)
+    r50 = temperature_rates(df, "source", alpha=0.5)
+    r75 = temperature_rates(df, "source", alpha=0.75)
+    r100 = temperature_rates(df, "source", alpha=1.0)
+    for s in ("s1", "s2", "s3"):
+        assert r100[s] <= r75[s] <= r50[s] <= r25[s] <= 1.0
+    assert r25["s4"] == r50["s4"] == r75["s4"] == r100["s4"] == 1.0
+    # α = 0.75 is the exact chain sqrt(n·sqrt(n))
+    import math
+
+    n, mx = 10.0, 40.0
+    assert r75["s1"] == math.sqrt(n * math.sqrt(n)) / math.sqrt(
+        mx * math.sqrt(mx))
