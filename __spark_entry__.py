@@ -6163,7 +6163,44 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sole_dsir").cast("long").alias("sole_dsir_n"),
         F.sum("sole_contam").cast("long").alias("sole_contam_n"),
     )
-    return out2.crossJoin(F.broadcast(solec))
+    # wave 123 — exact AVERAGE PRECISION of hb_score vs the Gopher label
+    # (the PR-side ranking metric beside the wave-73 ROC-AUC): under the
+    # deterministic (score DESC, doc_id ASC) total order, AP = (1/P)·
+    # Σ_{positives} cum_pos/rank. Each term is ONE IEEE division of exact
+    # ints; the sum is a RANK-ORDERED pure-add fold (sort_array →
+    # aggregate — the list_reduce-safe class the oracle replays
+    # addition-for-addition), then ONE final division by P. An eval-set-
+    # sized global reduction by nature (like any ranking metric).
+    from pyspark.sql import Window as _Wap
+
+    wap = _Wap.orderBy(F.desc("hb_score"), F.asc("doc_id"))
+    apt = (
+        out2.select("doc_id", "hb_score", "gopher_pass")
+        .withColumn("__rk", F.row_number().over(wap).cast("long"))
+        .withColumn(
+            "__cp",
+            F.sum("gopher_pass").over(
+                wap.rowsBetween(_Wap.unboundedPreceding, 0)).cast("long"),
+        )
+        .filter(F.col("gopher_pass") == 1)
+        .select(
+            F.struct(F.col("__rk"),
+                     (F.col("__cp").cast("double")
+                      / F.col("__rk").cast("double")).alias("t"))
+            .alias("s"))
+    )
+    apx = apt.agg(
+        F.sort_array(F.collect_list("s")).alias("__a"),
+        F.count("*").cast("long").alias("ap_pos"),
+    ).select(
+        "ap_pos",
+        _r4(
+            F.expr("aggregate(transform(__a, x -> x.t), 0D,"
+                   " (p, q) -> p + q)") / F.col("ap_pos")
+        ).alias("ap4"),
+    )
+    return (out2.crossJoin(F.broadcast(solec))
+            .crossJoin(F.broadcast(apx)))
 
 
 def _q_rollup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9671,6 +9708,24 @@ canx AS (
          COALESCE(l.can_caught, CAST(0 AS BIGINT)) AS can_caught
   FROM caug c LEFT JOIN canl l USING (doc_id)
 ),
+apr AS (  -- wave 123: exact AP under the (score DESC, doc_id) order
+  SELECT doc_id, gopher_pass,
+         CAST(row_number() OVER (ORDER BY hb_score DESC, doc_id ASC)
+              AS BIGINT) AS rk,
+         CAST(SUM(gopher_pass) OVER (ORDER BY hb_score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cp
+  FROM ts_all
+),
+apx AS (  -- rank-ordered pure-add fold, then ONE division by P
+  SELECT CAST(COUNT(*) AS BIGINT) AS ap_pos,
+         FLOOR(list_reduce(
+                 list(CAST(cp AS DOUBLE) / CAST(rk AS DOUBLE)
+                      ORDER BY rk),
+                 (a, b) -> a + b) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+           AS ap4
+  FROM apr WHERE gopher_pass = 1
+),
 solec AS (  -- wave 119: per-filter sole-kill counts over ts_all
   SELECT CAST(SUM((1 - gopher_pass) * lm_keep * dsir_keep
                   * (1 - is_contaminated)) AS BIGINT) AS sole_gopher_n,
@@ -9704,7 +9759,8 @@ SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
             * (1 - ts_all.is_contaminated) AS BIGINT) AS sole_dsir,
        CAST(ts_all.gopher_pass * ts_all.lm_keep * ts_all.dsir_keep
             * ts_all.is_contaminated AS BIGINT) AS sole_contam,
-       sk.sole_gopher_n, sk.sole_lm_n, sk.sole_dsir_n, sk.sole_contam_n
+       sk.sole_gopher_n, sk.sole_lm_n, sk.sole_dsir_n, sk.sole_contam_n,
+       ax.ap_pos, ax.ap4
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
@@ -9718,6 +9774,7 @@ JOIN lidr lr ON lr.lang_true = lt.lang_true
 CROSS JOIN lida la
 JOIN canx cx ON cx.did = ts_all.doc_id
 CROSS JOIN solec sk
+CROSS JOIN apx ax
 """,
         "glrlm": oracles.sql_glrlm(64),
         "glcm": oracles.sql_glcm(64),
