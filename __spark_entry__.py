@@ -2176,7 +2176,7 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrv = near.groupBy(F.col("id_a").alias("doc_id")).agg(
         F.count("*").cast("long").alias("near_victims"))
     zero = F.lit(0).cast("long")
-    return (
+    resc = (
         cleaned.join(per_doc, "doc_id", "left")
         .join(exv, "doc_id", "left")
         .join(nrv, "doc_id", "left")
@@ -2214,6 +2214,38 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("near_victims", zero).alias("near_victims"),
         )
     )
+    # wave 124 — dedup MIXTURE-SHIFT audit ("dedup changes your mixture"):
+    # per-source token mass BEFORE the pipeline (the aug corpus) vs AFTER
+    # (clean_n_tok survivors) and the share drift as the cross-multiplied
+    # exact integer |clean_s·T_orig − orig_s·T_clean| (zero iff the
+    # source's share is unchanged) — duplicates concentrate in specific
+    # sources, so cleaning silently reweights the mixture; this makes the
+    # reweighting a checked artifact. Two tiny per-source aggs + one
+    # broadcast join; shares land as ONE division each.
+    omass = aug.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_orig_mass"))
+    cmass = resc.groupBy("source").agg(
+        F.sum("clean_n_tok").cast("long").alias("src_clean_mass"))
+    tots = (
+        omass.agg(F.sum("src_orig_mass").cast("long").alias("__to"))
+        .crossJoin(cmass.agg(
+            F.sum("src_clean_mass").cast("long").alias("__tc")))
+    )
+    mix = (
+        omass.join(cmass, "source")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "source", "src_orig_mass", "src_clean_mass",
+            F.abs(F.col("src_clean_mass") * F.col("__to")
+                  - F.col("src_orig_mass") * F.col("__tc")).cast("long")
+            .alias("src_mix_drift"),
+            _r4(F.col("src_orig_mass").cast("double")
+                / F.col("__to").cast("double")).alias("src_orig_share4"),
+            _r4(F.col("src_clean_mass").cast("double")
+                / F.col("__tc").cast("double")).alias("src_clean_share4"),
+        )
+    )
+    return resc.join(F.broadcast(mix), "source")
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1373,6 +1373,29 @@ ppjdoc AS (
   FROM (SELECT id_a AS doc_id, inter, uni FROM ppjver
         UNION ALL SELECT id_b AS doc_id, inter, uni FROM ppjver)
   GROUP BY doc_id
+),
+mixo AS (  -- wave 124: per-source token mass before the pipeline
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_orig_mass
+  FROM aug GROUP BY source
+),
+mixc AS (  -- per-source surviving mass after segment-level cleaning
+  SELECT c.source,
+         CAST(SUM(COALESCE(d.clean_n_tok, 0)) AS BIGINT) AS src_clean_mass
+  FROM cleaned c LEFT JOIN segdoc d USING (doc_id) GROUP BY c.source
+),
+mixt AS (
+  SELECT (SELECT CAST(SUM(src_orig_mass) AS BIGINT) FROM mixo) AS to2,
+         (SELECT CAST(SUM(src_clean_mass) AS BIGINT) FROM mixc) AS tc2
+),
+mixx AS (  -- share drift: cross-multiplied exact integer, ONE div/share
+  SELECT o.source, o.src_orig_mass, cc.src_clean_mass,
+         CAST(ABS(cc.src_clean_mass * t.to2 - o.src_orig_mass * t.tc2)
+              AS BIGINT) AS src_mix_drift,
+         FLOOR(CAST(o.src_orig_mass AS DOUBLE) / CAST(t.to2 AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS src_orig_share4,
+         FLOOR(CAST(cc.src_clean_mass AS DOUBLE) / CAST(t.tc2 AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS src_clean_share4
+  FROM mixo o JOIN mixc cc USING (source), mixt t
 )
 SELECT c.doc_id, c.source,
        COALESCE(d.segs_kept, 0) AS segs_kept,
@@ -1398,8 +1421,11 @@ SELECT c.doc_id, c.source,
        COALESCE(pj.ppj_inter_sum, 0) AS ppj_inter_sum,
        COALESCE(pj.ppj_union_sum, 0) AS ppj_union_sum,
        COALESCE(xv.exact_victims, 0) AS exact_victims,
-       COALESCE(nv.near_victims, 0) AS near_victims
+       COALESCE(nv.near_victims, 0) AS near_victims,
+       mx.src_orig_mass, mx.src_clean_mass, mx.src_mix_drift,
+       mx.src_orig_share4, mx.src_clean_share4
 FROM cleaned c LEFT JOIN segdoc d USING (doc_id)
+JOIN mixx mx ON mx.source = c.source
 LEFT JOIN rebuilt rb USING (doc_id)
 LEFT JOIN bpdoc bp USING (doc_id)
 LEFT JOIN pfxcont pc USING (doc_id)
