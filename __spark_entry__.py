@@ -6224,12 +6224,21 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     apx = apt.agg(
         F.sort_array(F.collect_list("s")).alias("__a"),
         F.count("*").cast("long").alias("ap_pos"),
+        # wave 125 — MRR (1/rank of the first positive) and precision@10,
+        # completing the ranking family: both exact (one division each)
+        F.min("s.__rk").cast("long").alias("ap_r1"),
+        F.sum((F.col("s.__rk") <= 10).cast("long")).cast("long")
+        .alias("p10_hits"),
     ).select(
         "ap_pos",
         _r4(
             F.expr("aggregate(transform(__a, x -> x.t), 0D,"
                    " (p, q) -> p + q)") / F.col("ap_pos")
         ).alias("ap4"),
+        "ap_r1",
+        _r4(F.lit(1.0) / F.col("ap_r1").cast("double")).alias("mrr4"),
+        "p10_hits",
+        _r4(F.col("p10_hits").cast("double") / F.lit(10.0)).alias("p10_4"),
     )
     return (out2.crossJoin(F.broadcast(solec))
             .crossJoin(F.broadcast(apx)))
@@ -9749,13 +9758,21 @@ apr AS (  -- wave 123: exact AP under the (score DESC, doc_id) order
               AS BIGINT) AS cp
   FROM ts_all
 ),
-apx AS (  -- rank-ordered pure-add fold, then ONE division by P
+apx AS (  -- rank-ordered pure-add fold, then ONE division by P;
+          -- wave 125: MRR + precision@10 on the same rank table
   SELECT CAST(COUNT(*) AS BIGINT) AS ap_pos,
          FLOOR(list_reduce(
                  list(CAST(cp AS DOUBLE) / CAST(rk AS DOUBLE)
                       ORDER BY rk),
                  (a, b) -> a + b) / COUNT(*) * 10000.0 + 0.5) / 10000.0
-           AS ap4
+           AS ap4,
+         CAST(MIN(rk) AS BIGINT) AS ap_r1,
+         FLOOR(1.0 / CAST(MIN(rk) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           AS mrr4,
+         CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS p10_hits,
+         FLOOR(CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+               / 10.0 * 10000.0 + 0.5) / 10000.0 AS p10_4
   FROM apr WHERE gopher_pass = 1
 ),
 solec AS (  -- wave 119: per-filter sole-kill counts over ts_all
@@ -9792,7 +9809,7 @@ SELECT ts_all.*, a.auc_n_pos, a.auc_n_neg, a.auc_u2, a.auc4,
        CAST(ts_all.gopher_pass * ts_all.lm_keep * ts_all.dsir_keep
             * ts_all.is_contaminated AS BIGINT) AS sole_contam,
        sk.sole_gopher_n, sk.sole_lm_n, sk.sole_dsir_n, sk.sole_contam_n,
-       ax.ap_pos, ax.ap4
+       ax.ap_pos, ax.ap4, ax.ap_r1, ax.mrr4, ax.p10_hits, ax.p10_4
 FROM ts_all CROSS JOIN aucg a CROSS JOIN prfg p
 JOIN calr cr ON cr.doc_id = ts_all.doc_id
 JOIN calb cb2 ON cb2.cal_bin = cr.cal_bin
