@@ -3767,6 +3767,37 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     inertia = avec.groupBy("assigned_cent").agg(
         F.sum("d2").cast("long").alias("cl_inertia")
     )
+    # wave 126 — LLOYD-STEP centroid SHIFT (the k-means convergence
+    # monitor): ‖new_mean − seed‖² with the division cleared — shift_num =
+    # Σ_dim (coord_sum_d − n·seed_d)² (exact BIGINT), the per-cluster
+    # magnitude shift4 = √shift_num / n one sqrt + ONE division. Zero ⇒
+    # the cluster has converged in one step; the per-iteration progress
+    # number an IVF trainer tracks.
+    seedd = seeds.select(
+        F.col("cent_id").alias("assigned_cent"),
+        F.posexplode("cent_qvec").alias("dim", "__sv"),
+    )
+    shift = (
+        step.join(seedd, ["assigned_cent", "dim"])
+        .groupBy("assigned_cent")
+        .agg(
+            F.max("n").cast("long").alias("__n2"),
+            F.sum(
+                (F.col("coord_sum").cast("long")
+                 - F.col("n").cast("long") * F.col("__sv"))
+                * (F.col("coord_sum").cast("long")
+                   - F.col("n").cast("long") * F.col("__sv"))
+            ).cast("long").alias("shift_num"),
+        )
+        .select(
+            "assigned_cent", "shift_num",
+            F.when(
+                F.col("__n2") > 0,
+                _r4(F.sqrt(F.col("shift_num").cast("double"))
+                    / F.col("__n2").cast("double")),
+            ).otherwise(F.lit(0.0)).alias("shift4"),
+        )
+    )
     # PRODUCT-QUANTIZATION encode (the beyond-IVF memory-scale ANN path):
     # 4 subspaces × 16 dims, codebooks = the 8 seed vectors' subvectors,
     # exact int64 argmin per subspace — every code and the total distortion
@@ -3900,6 +3931,7 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kc, "vec_id")
         .join(mat, "vec_id")
         .crossJoin(F.broadcast(mov))
+        .join(shift, "assigned_cent")
         .join(pur, "assigned_cent")
         .crossJoin(F.broadcast(ri))
         .withColumn(
@@ -3917,6 +3949,7 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mat_full5", "mat_trunc5", "mat_overlap5",
             "cl_pure_cnt", "cl_purity4", "rand_num", "rand_den", "rand4",
             "ari_num", "ari_den", "ari4", "fm4",
+            "shift_num", "shift4",
         )
     )
 
@@ -8723,6 +8756,22 @@ mov AS (
   SELECT CAST(SUM(mat_full5 * mat_trunc5) AS BIGINT) AS mat_overlap5
   FROM mflags
 ),
+sftd AS (  -- wave 126: per-(cluster, dim) coordinate sums for the shift
+  SELECT a.cent_id, u.i AS dim,
+         CAST(SUM(v.qv[u.i]) AS BIGINT) AS cs,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM q v JOIN assign a USING (vec_id),
+       unnest(range(1, len(v.qv) + 1)) AS u(i)
+  GROUP BY a.cent_id, u.i
+),
+sftx AS (  -- ‖new_mean − seed‖² with the division cleared: exact BIGINT
+  SELECT s.cent_id,
+         CAST(SUM((s.cs - s.nn * c.cqv[s.dim])
+                  * (s.cs - s.nn * c.cqv[s.dim])) AS BIGINT) AS shift_num,
+         CAST(MAX(s.nn) AS BIGINT) AS n2
+  FROM sftd s JOIN cents c ON c.cent_id = s.cent_id
+  GROUP BY s.cent_id
+),
 labs AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
 cmx AS (  -- wave 117: assignment × label contingency table
   SELECT a.cent_id, l.lab, CAST(COUNT(*) AS BIGINT) AS nkl
@@ -8810,13 +8859,19 @@ SELECT vec_id,
          FLOOR(CAST(rr.ari_num AS DOUBLE) / CAST(rr.ari_den AS DOUBLE)
                * 10000.0 + 0.5) / 10000.0
        ELSE 0.0 END AS ari4,
-       rr.fm4
+       rr.fm4,
+       sf.shift_num,
+       CASE WHEN sf.n2 > 0 THEN
+         FLOOR(sqrt(CAST(sf.shift_num AS DOUBLE)) / CAST(sf.n2 AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS shift4
 FROM q JOIN assign a USING (vec_id) JOIN roll r ON r.cent_id = a.cent_id
 JOIN inert i ON i.cent_id = a.cent_id
 JOIN pq p USING (vec_id)
 JOIN kassign k USING (vec_id)
 JOIN mflags mf USING (vec_id) CROSS JOIN mov mo
 JOIN purx px ON px.cent_id = a.cent_id CROSS JOIN rix rr
+JOIN sftx sf ON sf.cent_id = a.cent_id
 """,
         # 32-token chunks, stride 24 (overlap 8); DuckDB list slice bounds
         # are 1-based inclusive. Last start capped at n_tok - overlap - 1
