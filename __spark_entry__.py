@@ -1149,7 +1149,7 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(p, v)
     # feature STALENESS (probe time − matched version time, exact µs): the
     # point-in-time freshness metric a feature store monitors per serve
-    return out.select(
+    res = out.select(
         "doc_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -1161,6 +1161,33 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.col("source").alias("matched_source"),
     )
+    # wave 127 — staleness SLO audit (the freshness numbers a feature
+    # store pages on): exact rank-selected p50/p90 over MATCHED serves
+    # (lower-median / decile rank rules, (event_id)-tie-broken total
+    # order; NULL-staleness unmatched rows excluded — Spark and DuckDB
+    # disagree on NULL sort placement, so the SLO is defined over served
+    # features only), plus max and the count of serves staler than 1 h.
+    from pyspark.sql import Window as _Wsl
+
+    wst = _Wsl.orderBy(F.col("staleness_us").asc(), F.col("event_id").asc())
+    stt = (
+        res.filter(F.col("matched_ts_us").isNotNull())
+        .select("staleness_us", "event_id")
+        .withColumn("__rn", F.row_number().over(wst))
+        .withColumn("__cnt", F.count("*").over(_Wsl.partitionBy()))
+        .agg(
+            F.max(F.when(F.col("__rn") == F.expr("(__cnt + 1) div 2"),
+                         F.col("staleness_us"))).cast("long")
+            .alias("stale_p50"),
+            F.max(F.when(
+                F.col("__rn") == F.expr("((__cnt - 1) * 9) div 10 + 1"),
+                F.col("staleness_us"))).cast("long").alias("stale_p90"),
+            F.max("staleness_us").cast("long").alias("stale_max"),
+            F.sum((F.col("staleness_us") > 3600000000).cast("long"))
+            .cast("long").alias("stale_viol"),
+        )
+    )
+    return res.crossJoin(F.broadcast(stt))
 
 
 def _q_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10997,7 +11024,8 @@ FROM base b JOIN med m USING (source) JOIN ws w USING (source)
      jkc jx, slx sx
 """,
         "asof_join": f"""
-WITH {SQL_VERSIONS}, {SQL_PROBES}
+WITH {SQL_VERSIONS}, {SQL_PROBES},
+qq AS (
 SELECT p.doc_id, p.event_id,
        epoch_us(p.ts) AS ts_us,
        epoch_us(v.ts) AS matched_ts_us,
@@ -11006,6 +11034,25 @@ SELECT p.doc_id, p.event_id,
        v.source AS matched_source
 FROM probes p ASOF LEFT JOIN versions v
   ON p.doc_id = v.doc_id AND p.ts >= v.ts
+),
+srk AS (  -- wave 127: staleness SLO ranks over MATCHED serves only
+  SELECT staleness_us,
+         row_number() OVER (ORDER BY staleness_us ASC, event_id ASC) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM qq WHERE matched_ts_us IS NOT NULL
+),
+sst AS (
+  SELECT CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN staleness_us END)
+              AS BIGINT) AS stale_p50,
+         CAST(MAX(CASE WHEN rn = ((cnt - 1) * 9) // 10 + 1
+                       THEN staleness_us END) AS BIGINT) AS stale_p90,
+         CAST(MAX(staleness_us) AS BIGINT) AS stale_max,
+         CAST(SUM(CASE WHEN staleness_us > 3600000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS stale_viol
+  FROM srk
+)
+SELECT qq.*, s.stale_p50, s.stale_p90, s.stale_max, s.stale_viol
+FROM qq CROSS JOIN sst s
 """,
         # streaming stateful as-of: same oracle as the batch join (the
         # cross-batch GroupState carry must reproduce it exactly)
