@@ -1647,7 +1647,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyxus_spark.operators.windows import trend_stats
 
     tr = trend_stats(ev, key_col="doc_id", ts_col="ts")
-    return (
+    resS = (
         out.join(mt, ["doc_id", "session_id"])
         .join(smj, ["doc_id", "session_id"])
         .join(co, ["doc_id", "session_id"], "left")
@@ -1663,6 +1663,25 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("stream_n_events") == F.col("session_n_events")).cast("long"),
         )
     )
+    # wave 128 — per-user BOUNCE RATE (the engagement-quality metric):
+    # sessions with exactly one event are bounces; per user the session
+    # count, bounce count, and rate (exact ints + ONE division) ride on
+    # every event row — one distinct per-session dim + a tiny per-user agg.
+    bnc = (
+        resS.select("doc_id", "session_id", "session_n_events").distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("user_sessions"),
+            F.sum((F.col("session_n_events") == 1).cast("long"))
+            .cast("long").alias("user_bounces"),
+        )
+        .withColumn(
+            "bounce_rate4",
+            _r4(F.col("user_bounces").cast("double")
+                / F.col("user_sessions").cast("double")),
+        )
+    )
+    return resS.join(bnc, "doc_id")
 
 
 def _q_lag_lead_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11300,7 +11319,11 @@ SELECT s.doc_id, s.event_id, s.session_id,
        CAST(CASE WHEN COALESCE(mk.mk_s, 0) > 0 THEN 1
                  WHEN COALESCE(mk.mk_s, 0) < 0 THEN -1
                  ELSE 0 END AS INTEGER) AS mk_sign,
-       md.ts_slope
+       md.ts_slope,
+       ub.user_sessions, ub.user_bounces,
+       FLOOR(CAST(ub.user_bounces AS DOUBLE)
+             / CAST(ub.user_sessions AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS bounce_rate4
 FROM sess s JOIN ivn n USING (doc_id, session_id)
 JOIN twa t USING (doc_id, session_id)
 LEFT JOIN con c USING (doc_id, session_id)
@@ -11313,6 +11336,14 @@ JOIN chcell cc ON cc.cohort_d = cf.cohort_d
 JOIN cax cx ON cx.cohort_d = cf.cohort_d
 LEFT JOIN tmk mk ON mk.doc_id = s.doc_id
 LEFT JOIN tmed md ON md.doc_id = s.doc_id
+JOIN (  -- wave 128: per-user bounce stats over the per-session dim
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS user_sessions,
+         CAST(SUM(CASE WHEN n1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS user_bounces
+  FROM (SELECT doc_id, session_id, COUNT(*) AS n1
+        FROM sess GROUP BY doc_id, session_id)
+  GROUP BY doc_id
+) ub ON ub.doc_id = s.doc_id
 """,
         "lag_lead_locf": """
 WITH ev AS (
