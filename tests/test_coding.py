@@ -135,3 +135,29 @@ def test_temperature_alpha_sweep_ordering(spark):
     n, mx = 10.0, 40.0
     assert r75["s1"] == math.sqrt(n * math.sqrt(n)) / math.sqrt(
         mx * math.sqrt(mx))
+
+
+def test_doc_level_huffman_bounds(spark):
+    """Doc-level Huffman bits obey the Shannon-free sandwich:
+    0 <= huff_bits <= mass * ceil(log2(vocab)) with equality at vocab<=2."""
+    import math
+    import random
+
+    from nyxus_spark.functions.coding import huffman_bits
+
+    rng = random.Random(5)
+    rows = []
+    for d in range(12):
+        v = rng.randint(1, 30)
+        toks = [rng.randint(0, v - 1) for _ in range(rng.randint(1, 80))]
+        rows.append((f"d{d}", toks))
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    for r in huffman_bits(df).collect():
+        vocab, mass, bits = r["huff_vocab"], r["huff_mass"], r["huff_bits"]
+        if vocab == 1:
+            assert bits == 0
+        else:
+            fixed = mass * math.ceil(math.log2(vocab))
+            assert 0 < bits <= fixed
+            if vocab == 2:
+                assert bits == mass
