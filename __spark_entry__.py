@@ -3674,6 +3674,51 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("lp_m") + 1) - 1
         ).alias("lp_chap4"),
     )
+    # wave 129 — BOTTOM-K sketch per source (the THIRD mergeable
+    # distinct-count sketch beside the HLL registers and the MinHash
+    # corpus signature): keep the k = 8 smallest (id·MIX mod P31) hash
+    # values per source; D̂ = (k−1)·P31/h_(k) is ONE division of exact
+    # integers. Mergeability gated structurally: the same h_(k) is
+    # RE-DERIVED from two per-shard (id parity) bottom-8 partials merged
+    # and re-ranked — min-k of a union equals the merge of min-k's, the
+    # property that makes the sketch shard-safe; both paths must agree.
+    bkh = F.pmod(
+        (F.col("doc_id").cast("bigint") % F.lit(2147483647))
+        * F.lit(506952114), F.lit(2147483647))
+    wbk = Window.partitionBy("source").orderBy(F.col("__bh").asc())
+    bkd = docs.select("doc_id", "source").withColumn("__bh", bkh)
+    bk1 = (
+        bkd.withColumn("__r", F.row_number().over(wbk))
+        .filter(F.col("__r") <= 8)
+        .groupBy("source")
+        .agg(F.max("__bh").cast("long").alias("bk_h8"),
+             F.count("*").cast("long").alias("bk_k"))
+    )
+    shard_bottom = (
+        bkd.withColumn("__sh", (F.col("doc_id") % 2).cast("int"))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("source", "__sh")
+                .orderBy(F.col("__bh").asc())),
+        )
+        .filter(F.col("__r") <= 8)
+    )
+    bk2 = (
+        shard_bottom.withColumn(
+            "__r2", F.row_number().over(wbk))
+        .filter(F.col("__r2") <= 8)
+        .groupBy("source")
+        .agg(F.max("__bh").cast("long").alias("bk_merge_h8"))
+    )
+    bks = bk1.join(bk2, "source").withColumn(
+        "bk_est4",
+        F.when(
+            (F.col("bk_k") >= 8) & (F.col("bk_h8") > 0),
+            _r4((7.0 * 2147483647.0)
+                / F.col("bk_h8").cast("double")),
+        ).otherwise(F.lit(-1.0)),
+    )
     # wave 122 — NESTED-SAMPLE estimator STABILITY audit (validate the
     # estimate-on-a-sample workflow): the 20% sample's mean n_chars vs the
     # NESTED 10% and 5% sub-samples on the SAME hash (nesting is free —
@@ -3732,6 +3777,7 @@ def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sdec))
         .crossJoin(F.broadcast(ava))
         .crossJoin(F.broadcast(nst))
+        .join(F.broadcast(bks), "source")
         .withColumn("in_s10", c10.cast("long"))
         .withColumn("in_s05", c05.cast("long"))
         .withColumn(
@@ -8271,6 +8317,32 @@ scut AS (  -- cut = trunc(P31 · sqrt(n_s)/sqrt(n_max)), each op IEEE-exact
               AS BIGINT) AS tcut
   FROM scnt
 ),
+bkx AS (  -- wave 129: bottom-8 sketch per source (injective MINSTD-style
+          -- hash — P31 prime, multiplier invertible → no rank ties)
+  SELECT source, CAST(MAX(bh) AS BIGINT) AS bk_h8,
+         CAST(COUNT(*) AS BIGINT) AS bk_k
+  FROM (SELECT source, bh,
+               row_number() OVER (PARTITION BY source ORDER BY bh) AS r
+        FROM (SELECT source,
+                     ((((doc_id % 2147483647) * 506952114) % 2147483647)
+                      + 2147483647) % 2147483647 AS bh
+              FROM documents))
+  WHERE r <= 8 GROUP BY source
+),
+bkm AS (  -- shard-merge path: min-8 of the two parity shards' min-8s
+  SELECT source, CAST(MAX(bh) AS BIGINT) AS bk_merge_h8
+  FROM (SELECT source, bh,
+               row_number() OVER (PARTITION BY source ORDER BY bh) AS r2
+        FROM (SELECT source, bh,
+                     row_number() OVER (PARTITION BY source, sh
+                                        ORDER BY bh) AS r
+              FROM (SELECT source, doc_id % 2 AS sh,
+                           ((((doc_id % 2147483647) * 506952114)
+                             % 2147483647) + 2147483647) % 2147483647 AS bh
+                    FROM documents))
+        WHERE r <= 8)
+  WHERE r2 <= 8 GROUP BY source
+),
 scut2 AS (  -- wave 118: the α = 0.25 / 0.75 sweep cuts, same IEEE chains
   SELECT source,
          CAST(2147483647.0 * (sqrt(sqrt(CAST(cnt AS DOUBLE)))
@@ -8549,6 +8621,12 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep,
          FLOOR(CAST(nx.ns_s05 AS DOUBLE) / CAST(nx.ns_c05 AS DOUBLE)
                * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS ns_mean05_4,
        holdout, base.cv_fold, fs.cv_fold_rows,
+       -- wave 129: bottom-k sketch + structural mergeability gate
+       bk.bk_h8, bk.bk_k, bm2.bk_merge_h8,
+       CASE WHEN bk.bk_k >= 8 AND bk.bk_h8 > 0 THEN
+         FLOOR((7.0 * 2147483647.0) / CAST(bk.bk_h8 AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0
+       ELSE -1.0 END AS bk_est4,
        CAST(row_number() OVER (PARTITION BY source ORDER BY shuf_e0 ASC, doc_id ASC)
             AS BIGINT) AS order_e0,
        -- stride-scheduling interleave: rank · (L / w_s), L = lcm(4,2,1)
@@ -8611,6 +8689,8 @@ SELECT doc_id, source, n_chars, strat_keep, temp_keep,
        sd2.sd_num, sd2.sd_den, sd2.shuffle_decorr4,
        av.av_pairs, av.av_bits, av.av_mean4
 FROM base JOIN bplan bp USING (source)
+     JOIN bkx bk USING (source)
+     JOIN bkm bm2 USING (source)
      JOIN hll h ON h.g = base.source
      JOIN htrue ht ON ht.source = base.source
      JOIN quota q USING (doc_id)
