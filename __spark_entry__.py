@@ -2542,13 +2542,27 @@ def _q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("mmr_vec_id"),
         "mmr_score4",
     )
+    # wave 130 — top-1/top-2 MARGIN (the retrieval-confidence audit: a
+    # thin margin means the answer is ambiguous and an ANN approximation
+    # is most likely to flip it): difference of the two gated cosine
+    # values — identical doubles on both engines, one subtraction.
+    mg = (
+        cr.filter(F.col("rank") <= 2)
+        .agg(
+            (F.max(F.when(F.col("rank") == 1, F.col("cos")))
+             - F.max(F.when(F.col("rank") == 2, F.col("cos"))))
+            .alias("__m"))
+        .select(_r4(F.col("__m")).alias("margin4"))
+    )
     return (
         cr.join(hr, "rank").join(fr, "rank").join(mm, "rank", "left")
+        .crossJoin(F.broadcast(mg))
         .select(
             "rank", "vec_id", "cos", "ham_vec_id", "hamming",
             "rrf_vec_id", "rrf4", "rrf_in_both", "rbo4",
             F.coalesce("mmr_vec_id", F.lit(-1).cast("long")).alias("mmr_vec_id"),
             F.coalesce("mmr_score4", F.lit(-2.0)).alias("mmr_score4"),
+            "margin4",
         )
     )
 
@@ -7886,7 +7900,14 @@ FROM vids v, unnest(range(0, v.n, 64)) AS u(p)
                                                   with_jbins=True),
         "dedup_clusters": oracles.sql_dedup_clusters(0.5),
         "corpus_clean": oracles.sql_corpus_clean(0.5),
-        "topk_cosine": oracles.SQL_TOPK_COSINE,
+        # wave 130: + top-1/top-2 margin (retrieval-confidence audit)
+        "topk_cosine": "SELECT q.*, m.margin4 FROM ("
+        + oracles.SQL_TOPK_COSINE
+        + ") q CROSS JOIN (SELECT FLOOR((MAX(CASE WHEN rank = 1 THEN cos"
+          " END) - MAX(CASE WHEN rank = 2 THEN cos END)) * 10000.0 + 0.5)"
+          " / 10000.0 AS margin4 FROM ("
+        + oracles.SQL_TOPK_COSINE
+        + ") WHERE rank <= 2) m",
         "topk_batch": oracles.sql_topk_batch_rerank(5, 20),
         "ivf_topk": oracles.SQL_IVF_TOPK,
         # the persisted index is semantically the same search (assignment is
