@@ -3996,10 +3996,12 @@ def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (every P is even): ARI = (C_T·C_A − C_k·C_l) / (C_T·(C_k+C_l)/2 −
     # C_k·C_l) — both sides exact BIGINTs, ONE division; FM = C_A /
     # sqrt(C_k·C_l), one correctly-rounded sqrt of an exact product.
-    ca = (F.col("__pa") / 2).cast("long")
-    ck = (F.col("__pc") / 2).cast("long")
-    cl_ = (F.col("__pl") / 2).cast("long")
-    ct_ = (F.col("__N") * (F.col("__N") - 1) / 2).cast("long")
+    # integer `div` (not double `/` + cast): keeps the counts exact past
+    # 2^53 and matches the DuckDB oracle's `// 2` arithmetic path (ADVICE r4)
+    ca = F.expr("__pa div 2")
+    ck = F.expr("__pc div 2")
+    cl_ = F.expr("__pl div 2")
+    ct_ = F.expr("(__N * (__N - 1)) div 2")
     ri = (
         pa_.crossJoin(pc_).crossJoin(pl_).crossJoin(pn_)
         .select(
@@ -10195,24 +10197,28 @@ scdt AS (  -- wave 113: doc → distinct bigram-shingle sets
            i -> tokens[i] * 256 + tokens[i + 1]))) AS ts
   FROM tokens_static WHERE n_tok > 1
 ),
-scr AS (  -- greedy max-coverage walk, one pick per recursion step
+scr AS (  -- greedy max-coverage walk, one pick per recursion step;
+          -- carries the picked-id list so a doc is never picked twice
+          -- (mirrors operators.greedy_set_cover's exclusion contract)
   SELECT 0 AS step, CAST([] AS INTEGER[]) AS covered,
+         CAST([] AS BIGINT[]) AS picked,
          CAST(-1 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS gain
   UNION ALL
   SELECT s.step + 1,
          list_sort(list_distinct(list_concat(s.covered, d2.ts))),
+         list_append(s.picked, s.bo),
          s.bo,
          CAST(len(list_filter(d2.ts,
               t -> NOT list_contains(s.covered, t))) AS BIGINT)
   FROM (
-    SELECT step, covered,
+    SELECT step, covered, picked,
            arg_max(d.oid,
              CAST(len(list_filter(d.ts,
                   t -> NOT list_contains(covered, t))) AS BIGINT)
              * 1048576 - d.oid) AS bo
     FROM scr, scdt d
-    WHERE step < 8
-    GROUP BY step, covered
+    WHERE step < 8 AND NOT list_contains(picked, d.oid)
+    GROUP BY step, covered, picked
   ) s JOIN scdt d2 ON d2.oid = s.bo
 ),
 adjp AS (

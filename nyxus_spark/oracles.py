@@ -227,6 +227,11 @@ def sql_minhash_pairs(jaccard_threshold: float = 0.5, with_lev: bool = False,
                       with_cont: bool = False, with_winnow: bool = False,
                       with_jbins: bool = False,
                       with_srcmat: bool = False) -> str:
+    if with_srcmat and not with_audit:
+        # the srcmat CTEs are emitted inside the audit tail (they read the
+        # `res` CTE that only exists there); a silent no-op would hand the
+        # caller a result with no src columns (ADVICE r4)
+        raise ValueError("with_srcmat=True requires with_audit=True")
     sig_terms = []
     for i in range(NUM_HASHES):
         a, b = _hash_params(i)

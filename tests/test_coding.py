@@ -19,8 +19,6 @@ def _huff_codelens(counts):
     tracking leaf depths) — different from the kernel's cost-sum identity."""
     if len(counts) == 1:
         return {next(iter(counts)): 0}
-    heap = [(c, i, {t: 0 for t in [t]}) for i, (t, c) in
-            enumerate(sorted(counts.items()))]
     heap = []
     for i, (t, c) in enumerate(sorted(counts.items())):
         heap.append((c, i, {t: 0}))

@@ -55,12 +55,41 @@ def _compare(name, got: pd.DataFrame, exp: pd.DataFrame):
             ), f"{name}.{c}: value mismatch"
 
 
+# Soft per-query timeout (VERDICT r4 item 3): one full-suite run wedged ~27
+# min at zero CPU inside a py4j socket wait; a stalled gate now FAILS with
+# the query's name instead of hanging the session. The Spark work runs on a
+# worker thread; on overrun we cancel all jobs (un-wedges a running job) and
+# abandon the thread (the session-fixture spark.stop() tears the JVM down,
+# which breaks any residual py4j wait).
+QUERY_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "900"))
+
+
+def _run_with_timeout(spark, name, fn):
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FutTimeout
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(fn)
+    try:
+        out = fut.result(timeout=QUERY_TIMEOUT_S)
+    except FutTimeout:
+        try:
+            spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+        pool.shutdown(wait=False)
+        pytest.fail(f"{name}: exceeded the {QUERY_TIMEOUT_S}s soft timeout "
+                    "(stalled Spark/py4j call — jobs cancelled)")
+    pool.shutdown(wait=True)
+    return out
+
+
 @pytest.mark.parametrize("name", list(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, name):
     q = entrymod.queries()[name]
     sqls = entrymod.oracle_sql()
     assert name in sqls, f"{name} has no oracle_sql entry"
-    got = q(spark, ORACLE_SF).toPandas()
+    got = _run_with_timeout(spark, name, lambda: q(spark, ORACLE_SF).toPandas())
     con = _duck(ORACLE_SF)
     exp = con.execute(sqls[name]).df()
     _compare(name, got, exp)
