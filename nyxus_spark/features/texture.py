@@ -213,9 +213,32 @@ def _run_family(seg, ctx, size_key: np.ndarray, prefix_map: dict[str, str],
 
     out["SRE"] = by_row(1.0 / s ** 2) / safe_Nr
     out["LRE"] = by_row(s ** 2) / safe_Nr
-    out["GLN"] = _sq_sum_by(run_row, run_level, n_rows) / safe_Nr
+
+    # GLN, RLN and RE all reduce over cell-count tables that derive from ONE
+    # sorted-unique pass over the (row, level, size) cells — previously three
+    # independent np.unique sorts (the section's dominant cost). Bit-identical
+    # to the _sq_sum_by/_entropy_by paths they replace: the composite key is
+    # a bijection of (level, size) so the cell set and its ascending order are
+    # unchanged; marginal counts are exact integer sums (order-free); and the
+    # squared-count terms still accumulate per row in the same ascending
+    # (row, level) / (row, size) order, with absent dense cells contributing
+    # exact +0.0 terms that cannot perturb a left-to-right float sum.
+    lmax = int(run_level.max()) + 1 if run_level.size else 1
+    keymax = int(size_key.max()) + 1 if size_key.size else 1
+    comp = (run_row * lmax + run_level) * keymax + size_key
+    uniq, counts = np.unique(comp, return_counts=True)
+    urow = uniq // (lmax * keymax)
+    cntf = counts.astype(np.float64)
+
+    def _marg_sq(mkey, mmax):
+        dense = np.bincount(mkey, weights=cntf, minlength=n_rows * mmax)
+        nzc = np.flatnonzero(dense)
+        return np.bincount(nzc // mmax, weights=dense[nzc] ** 2,
+                           minlength=n_rows)
+
+    out["GLN"] = _marg_sq(uniq // keymax, lmax) / safe_Nr
     out["GLNN"] = out["GLN"] / safe_Nr
-    out["RLN"] = _sq_sum_by(run_row, size_key, n_rows) / safe_Nr
+    out["RLN"] = _marg_sq(urow * keymax + uniq % keymax, keymax) / safe_Nr
     out["RLNN"] = out["RLN"] / safe_Nr
     out["RP"] = Nr / np.where(Np > 0, Np, 1.0)
     # GLV/RV in exact-integer-numerator form: Σ(x−μ)²/N = (N·Σx² − (Σx)²)/N²
@@ -229,8 +252,9 @@ def _run_family(seg, ctx, size_key: np.ndarray, prefix_map: dict[str, str],
     ss_, ss2 = by_row(s), by_row(s * s)
     out["SM"] = ss_ / safe_Nr
     out["RV"] = (Nr * ss2 - ss_ ** 2) / safe_Nr ** 2
-    keymax = int(size_key.max()) + 1 if size_key.size else 1
-    out["RE"] = _entropy_by(run_row, run_level * keymax + size_key, safe_Nr, n_rows)
+    pcell = cntf / safe_Nr[urow]
+    out["RE"] = -np.bincount(urow, weights=pcell * np.log2(pcell + EPS),
+                             minlength=n_rows)
     out["LGLRE"] = by_row(1.0 / g ** 2) / safe_Nr
     out["HGLRE"] = by_row(g ** 2) / safe_Nr
     out["SRLGLE"] = by_row(1.0 / (g ** 2 * s ** 2)) / safe_Nr
@@ -528,29 +552,35 @@ def _glcm_stats_uncached(seg: Segments, ctx, settings: FeatureSettings, d: int) 
     sym = settings.symmetric_glcm or settings.grey_info <= 0  # glcm.cpp:475-477
 
     # valid pairs: same row, both original intensities nonzero, both levels > 0
+    # (binned > 0 is exactly ctx["nz"] — reuse the precomputed mask)
+    nzm = ctx["nz"]
     if total > d:
         same_row = seg.row_idx[d:] == seg.row_idx[:-d]
-        ok = same_row & raw_nz[d:] & raw_nz[:-d] & (binned[d:] > 0) & (binned[:-d] > 0)
+        ok = same_row & raw_nz[d:] & raw_nz[:-d] & nzm[d:] & nzm[:-d]
         pr = seg.row_idx[:-d][ok]
         pa = binned[:-d][ok]
         pb = binned[d:][ok]
     else:
         pr = pa = pb = np.empty(0, np.int64)
 
-    # per-row present-level count (for IDN/IDMN Ng)
-    nzm = ctx["nz"]
-    lv_present = np.zeros((n, A), dtype=bool)
-    if total:
-        lv_present[seg.row_idx[nzm], binned[nzm]] = True
-    if settings.grey_info < 0:
-        # radiomics: Ng = count of unique nonzero binned levels (glcm.cpp:389-396)
-        Ng_row = lv_present.sum(axis=1).astype(np.float64)
-    elif settings.grey_info > 0:
-        # matlab: fixed n levels (glcm.cpp:400-407)
-        Ng_row = np.full(n, float(L))
-    else:
-        # IBSI: per-ROI max grey level (glcm.cpp:410-417)
-        Ng_row = (lv_present * np.arange(A)).max(axis=1).astype(np.float64)
+    # per-row Ng (for IDN/IDMN) is offset-INDEPENDENT: memoize per batch so
+    # the multi-offset section computes the (n, A) present-level scatter once
+    # (ctx identity is already keyed by settings.grey_info in _prep)
+    Ng_row = ctx.get("_glcm_ng")
+    if Ng_row is None:
+        lv_present = np.zeros((n, A), dtype=bool)
+        if total:
+            lv_present[seg.row_idx[nzm], binned[nzm]] = True
+        if settings.grey_info < 0:
+            # radiomics: Ng = count of unique nonzero binned levels (glcm.cpp:389-396)
+            Ng_row = lv_present.sum(axis=1).astype(np.float64)
+        elif settings.grey_info > 0:
+            # matlab: fixed n levels (glcm.cpp:400-407)
+            Ng_row = np.full(n, float(L))
+        else:
+            # IBSI: per-ROI max grey level (glcm.cpp:410-417)
+            Ng_row = (lv_present * np.arange(A)).max(axis=1).astype(np.float64)
+        ctx["_glcm_ng"] = Ng_row
 
     out = {k: np.full(n, settings.softnan) for k in GLCM_NAMES}
     if pr.size == 0:
@@ -745,7 +775,19 @@ def _runs_strided(seg: Segments, ctx, d: int):
     z = np.empty(0, np.int64)
     if total == 0:
         return z, z, z
-    order = np.lexsort((pos // d, pos % d, seg.row_idx))
+    # the stride permutation is computed ARITHMETICALLY, not by comparison
+    # sort: within a row of length len, the element at pos lands at rank
+    # (len//d)·(pos%d) + min(pos%d, len%d) + pos//d — the count of positions
+    # with a smaller phase plus its index inside its own phase chain. This
+    # is exactly the (row, pos%d, pos//d) lexsort order (keys are unique per
+    # element, so the permutation is identical and every downstream value is
+    # bit-identical), at O(N) scatter cost instead of O(N log N) sort —
+    # lexsort was the dominant cost of the multi-offset GLRLM section.
+    phase = pos % d
+    lens = seg.lengths[seg.row_idx]
+    rank = (lens // d) * phase + np.minimum(phase, lens % d) + pos // d
+    order = np.empty(total, np.int64)
+    order[seg.starts[seg.row_idx] + rank] = np.arange(total, dtype=np.int64)
     b = binned[order]
     m = nz[order]
     row_p = seg.row_idx[order]
