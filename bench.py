@@ -49,13 +49,15 @@ def _replicate(df, factor: int, key: str = "doc_id"):
     )
 
 
-def _kernel_totals(timing_dir: str) -> tuple[float, int]:
-    """Cumulative in-worker kernel compute time (see features/compute.py:
-    NYXUS_KERNEL_TIMING_DIR) — pure kernel spans only, excluding Arrow IPC,
-    shuffle, and sink IO."""
+def _kernel_totals(timing_dir: str) -> tuple[float, int, float, float]:
+    """Cumulative in-worker spans (see features/compute.py:
+    NYXUS_KERNEL_TIMING_DIR): (kernel_sec, rows, feed_sec, emit_sec) —
+    kernel = pure compute; feed = blocked on the input iterator (JVM scan +
+    Arrow IPC in); emit = suspended after yield (IPC out + downstream
+    back-pressure). Older timing lines without feed/emit count as 0."""
     import glob
 
-    k_sec, k_rows = 0.0, 0
+    k_sec, k_rows, f_sec, e_sec = 0.0, 0, 0.0, 0.0
     for fn in glob.glob(os.path.join(timing_dir, "k_*.jsonl")):
         try:
             with open(fn) as f:
@@ -66,9 +68,11 @@ def _kernel_totals(timing_dir: str) -> tuple[float, int]:
                         continue
                     k_sec += d["sec"]
                     k_rows += d["rows"]
+                    f_sec += d.get("feed", 0.0)
+                    e_sec += d.get("emit", 0.0)
         except OSError:
             continue
-    return k_sec, k_rows
+    return k_sec, k_rows, f_sec, e_sec
 
 
 def run_pipeline(cores: int, sf_dir: str, replicate: int = 8, warmup: bool = True,
@@ -124,7 +128,7 @@ def run_pipeline(cores: int, sf_dir: str, replicate: int = 8, warmup: bool = Tru
     # snapshot AFTER warmup: the measured kernel stats exclude warm-up spans
     # (arena growth / first-touch happens there by design)
     timing_dir = os.environ.get("NYXUS_KERNEL_TIMING_DIR")
-    k0 = _kernel_totals(timing_dir) if timing_dir else (0.0, 0)
+    k0 = _kernel_totals(timing_dir) if timing_dir else (0.0, 0, 0.0, 0.0)
 
     def one_pass() -> tuple[float, dict[str, float]]:
         qs: dict[str, float] = {}
@@ -228,6 +232,7 @@ def run_pipeline(cores: int, sf_dir: str, replicate: int = 8, warmup: bool = Tru
     if timing_dir:
         k1 = _kernel_totals(timing_dir)
         k_sec, k_rows = k1[0] - k0[0], k1[1] - k0[1]
+        f_sec, e_sec = k1[2] - k0[2], k1[3] - k0[3]
         result["kernel_sec_sum"] = round(k_sec, 3)
         result["kernel_rows"] = int(k_rows)
         if k_rows:
@@ -236,6 +241,12 @@ def run_pipeline(cores: int, sf_dir: str, replicate: int = 8, warmup: bool = Tru
             # any wall-clock shortfall is outside the compute (bus, fixed
             # overhead, host)
             result["kernel_us_per_row"] = round(k_sec / k_rows * 1e6, 3)
+            # non-kernel worker split (per-row): feed = blocked on the JVM
+            # scan + Arrow IPC in; emit = blocked on IPC out / downstream.
+            # If these inflate from lo to mid while kernel stays flat, the
+            # scaling shortfall is the transport/bus leg, not the plan.
+            result["feed_us_per_row"] = round(f_sec / k_rows * 1e6, 3)
+            result["emit_us_per_row"] = round(e_sec / k_rows * 1e6, 3)
     return result
 
 
@@ -371,6 +382,7 @@ def _run_alternated_pair(args, levels, run_level) -> None:
         "eff": round((r_mid / r_lo) / 4, 3),
         "protocol": 3,
         "alternations": args.alternate,
+        "replicate": args.replicate,
         "runs_lo": [r["rows_per_sec"] for r in per[lo]],
         "runs_mid": [r["rows_per_sec"] for r in per[mid]],
         "host_cal": [round(c, 4) for c in cals],
@@ -379,6 +391,15 @@ def _run_alternated_pair(args, levels, run_level) -> None:
         this_eff["k_lo_us"] = round(k_lo, 3)
         this_eff["k_mid_us"] = round(k_mid, 3)
         this_eff["kernel_eff"] = round(k_lo / k_mid, 3)
+    # non-kernel split medians (feed = scan+IPC-in wait, emit = IPC-out /
+    # downstream wait): the VERDICT r4 diagnostic attributing the
+    # end-to-end-vs-kernel gap to a transport leg
+    for key in ("feed_us_per_row", "emit_us_per_row"):
+        vlo = statistics.median(r.get(key, 0) for r in per[lo])
+        vmid = statistics.median(r.get(key, 0) for r in per[mid])
+        if vlo or vmid:
+            this_eff[key.replace("_us_per_row", "_lo_us")] = round(vlo, 3)
+            this_eff[key.replace("_us_per_row", "_mid_us")] = round(vmid, 3)
     results = {
         c: max(rs, key=lambda r: r["rows_per_sec"]) for c, rs in per.items()
     }

@@ -88,12 +88,28 @@ def extract_features(
         # "does the compute itself degrade with more workers" (cache/bus
         # contention) from host-side serialization outside the kernels; the
         # scaling-efficiency protocol in BENCH/BASELINE.md reads these files.
+        # The NON-kernel worker span is split too (VERDICT r4 diagnostic):
+        # `feed` = time blocked on the input iterator (JVM scan + Arrow IPC
+        # in), `emit` = time between yielding a batch and being resumed
+        # (Arrow IPC out + downstream serialization back-pressure) — so
+        # wall ≈ feed + kernel + emit per worker, and a scaling pair can
+        # attribute its end-to-end shortfall to a specific transport leg.
         timing_dir = os.environ.get("NYXUS_KERNEL_TIMING_DIR")
         k_sec = 0.0
         k_rows = 0
+        feed_sec = 0.0
+        emit_sec = 0.0
+        it = iter(batches)
         try:
-            for rb in batches:
+            while True:
+                tf0 = time.perf_counter() if timing_dir else 0.0
+                try:
+                    rb = next(it)
+                except StopIteration:
+                    break
                 t0 = time.perf_counter() if timing_dir else 0.0
+                if timing_dir:
+                    feed_sec += t0 - tf0
                 tok_i = rb.schema.get_field_index(tokens_col)
                 arr = rb.column(tok_i)
                 lengths = (
@@ -118,13 +134,19 @@ def extract_features(
                 if timing_dir:
                     k_sec += time.perf_counter() - t0
                     k_rows += rb.num_rows
-                yield out
+                    ty0 = time.perf_counter()
+                    yield out
+                    emit_sec += time.perf_counter() - ty0
+                else:
+                    yield out
         finally:
             if timing_dir and k_rows:
                 try:
                     with open(os.path.join(timing_dir, f"k_{os.getpid()}.jsonl"), "a") as fh:
-                        fh.write('{"rows": %d, "sec": %.6f, "nsec": %d}\n'
-                                 % (k_rows, k_sec, len(sec_fns)))
+                        fh.write(
+                            '{"rows": %d, "sec": %.6f, "nsec": %d,'
+                            ' "feed": %.6f, "emit": %.6f}\n'
+                            % (k_rows, k_sec, len(sec_fns), feed_sec, emit_sec))
                 except OSError:
                     pass  # timing is best-effort; never fail the task
 
