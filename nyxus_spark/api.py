@@ -63,8 +63,10 @@ class NyxusSpark:
         backend="kernel" (default) runs the Arrow-vectorized numpy kernels
         (mapInArrow — the fast path, full catalog). backend="sql" runs
         PURE Catalyst expressions for the SQL-expressible statistical
-        subset (features/sqlback.py): no Python workers, bit-identical
-        values, ~4× slower per row (measured) — pick it for pure-JVM
+        subset (features/sqlback.py — the 35-code firstorder family plus
+        the 44-code IH family; entropies stay kernel-only): no Python
+        workers, bit-identical values, ~4× slower per row (measured) —
+        pick it for pure-JVM
         deployments or SQL-view/streaming composition. Raises ValueError
         when the enabled feature set exceeds the SQL-expressible subset
         (or uses annotations, which are a kernel-path feature)."""

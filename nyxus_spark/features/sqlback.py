@@ -44,7 +44,13 @@ differs across engines) — including the interpolated 100-bin percentile
 walk (histogram.h:298-327), which runs as a sparse present-bin run/cumsum
 table built by one fold over sorted bin ids plus per-percentile array
 lookups, the same sparse formulation the DuckDB oracle uses
-(oracles.sql_percentiles). Parity is enforced by tests/test_sqlback.py
+(oracles.sql_percentiles) — AND the 44-code IH family (all 46 minus the
+two entropies): the dense 64-bin histogram materializes as an array column
+from one run-length fold, and every IH scalar replays the kernel's
+sequential 64-element axis-1 sums in bin order (below numpy's 128-element
+pairwise threshold, so the kernel's sums are themselves sequential — the
+CLAUDE.md fold-replay class), with the reference's interpolated quantile
+walks transcribed op-for-op. Parity is enforced by tests/test_sqlback.py
 against the kernel on real data + edge rows.
 """
 
@@ -226,6 +232,360 @@ def _staged(df: DataFrame, tok: str) -> DataFrame:
     return stage7.selectExpr("*", "sqrt(__var) AS __std", "sqrt(__var_b) AS __std_b")
 
 
+SQL_IH_FEATURES = [
+    f for f in [
+        "IH_MEAN_VAL", "IH_VARIANCE_VAL", "IH_SKEWNESS_VAL",
+        "IH_EXCESS_KURTOSIS_VAL", "IH_MEDIAN_VAL", "IH_MINIMUM_VAL",
+        "IH_P10_VAL", "IH_P90_VAL", "IH_MAXIMUM_VAL", "IH_MODE_VAL",
+        "IH_INTERQUANTILE_RANGE_VAL", "IH_RANGE_VAL",
+        "IH_MEAN_ABSOLUTE_DEVIATION_VAL",
+        "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_VAL",
+        "IH_MEDIAN_ABSOLUTE_DEVIATION_VAL", "IH_COEFFICIENT_OF_VARIATION_VAL",
+        "IH_QUANTILE_COEFFICIENT_OF_DISPERSION_VAL", "IH_UNIFORMITY_VAL",
+        "IH_ROBUST_MEAN_VAL",
+        "IH_MEAN_IDX", "IH_VARIANCE_IDX", "IH_SKEWNESS_IDX",
+        "IH_EXCESS_KURTOSIS_IDX", "IH_MEDIAN_IDX", "IH_MINIMUM_IDX",
+        "IH_P10_IDX", "IH_P90_IDX", "IH_MAXIMUM_IDX", "IH_MODE_IDX",
+        "IH_INTERQUANTILE_RANGE_IDX", "IH_RANGE_IDX",
+        "IH_MEAN_ABSOLUTE_DEVIATION_IDX",
+        "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX",
+        "IH_MEDIAN_ABSOLUTE_DEVIATION_IDX", "IH_COEFFICIENT_OF_VARIATION_IDX",
+        "IH_QUANTILE_COEFFICIENT_OF_DISPERSION_IDX", "IH_UNIFORMITY_IDX",
+        "IH_MAX_GRADIENT", "IH_MAX_GRADIENT_IDX",
+        "IH_MIN_GRADIENT", "IH_MIN_GRADIENT_IDX",
+        "IH_ROBUST_MEAN_IDX", "IH_NUM_BINS", "IH_BIN_SIZE",
+    ]
+]
+# IH_ENTROPY_VAL / IH_ENTROPY_IDX stay kernel-only: libm log2 is the one op
+# this repo never trusts across engines (CLAUDE.md) — same carve-out as
+# firstorder ENTROPY.
+
+_IH_N = 64
+_DBL_MIN = "2.2250738585072014E-308D"
+
+
+def _sum64_unroll8(arr: str) -> str:
+    """numpy pairwise_sum's exact accumulation tree for a 64-element array:
+    eight strided accumulators (r_j = t_j + t_{j+8} + … + t_{j+56}, adds in
+    block order) combined ((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7))."""
+    rs = []
+    for j in range(8):
+        chain = f"element_at({arr}, {j + 1})"
+        for k in range(8, 64, 8):
+            chain = f"({chain} + element_at({arr}, {j + k + 1}))"
+        rs.append(chain)
+    return (f"((({rs[0]} + {rs[1]}) + ({rs[2]} + {rs[3]}))"
+            f" + (({rs[4]} + {rs[5]}) + ({rs[6]} + {rs[7]})))")
+
+
+def _staged_ih(df: DataFrame, tok: str) -> DataFrame:
+    """Catalyst staging of the IH family (features/ih.py, itself a port of
+    intensity_histogram.cpp:31-310): the dense 64-bin histogram as an array
+    column built from ONE run-length fold over sorted bin ids, cumulative
+    counts, then every scalar as in-bin-order folds replaying the kernel's
+    sequential axis-1 sums (N = 64 < numpy's 128-element pairwise threshold,
+    so the kernel sums ARE sequential — the CLAUDE.md replay class). Exact
+    integer sums (freq, cum, S1, S2, deviation numerators) are order-free;
+    the float folds (skew/kurt terms) replay term-for-term; the quantile
+    walks replicate the reference's arithmetic op-for-op. NaN-producing
+    paths that would feed an ANSI int cast are guarded per staged column."""
+    N = _IH_N
+    s1 = df.selectExpr(
+        "*",
+        f"cast(size({tok}) as double) AS __ihn",
+        f"coalesce(cast(array_min({tok}) as double), 0D) AS __ihvmin",
+        f"coalesce(cast(array_max({tok}) as double), 0D) AS __ihvmax",
+    ).selectExpr(
+        "*",
+        "(__ihvmax - __ihvmin) AS __ihrng",
+    ).selectExpr(
+        "*",
+        "(__ihn > 0D AND __ihrng > 0D) AS __ihok",
+        f"(CASE WHEN __ihrng > 0D THEN __ihrng / {N}D ELSE 1.0D END) AS __ihbw",
+        "(CASE WHEN __ihn > 0D THEN __ihn ELSE 1.0D END) AS __ihst",
+    )
+    binid = (
+        f"least(greatest(cast(floor((cast(x as double) - __ihvmin) / __ihbw)"
+        f" as int), 0), {N - 1})"
+    )
+    run_close = (
+        "array_append(s.arr, named_struct('b', s.pv, 'c', s.cc))"
+    )
+    s2 = s1.selectExpr(
+        "*",
+        f"aggregate(array_sort(transform({tok}, x -> {binid})),"
+        " named_struct('arr', cast(array() as array<struct<b:int,c:bigint>>),"
+        "              'pv', cast(null as int), 'cc', 0L),"
+        " (s, b) -> CASE"
+        "   WHEN s.pv IS NULL THEN"
+        "     named_struct('arr', s.arr, 'pv', cast(b as int), 'cc', 1L)"
+        "   WHEN b = s.pv THEN"
+        "     named_struct('arr', s.arr, 'pv', s.pv, 'cc', s.cc + 1L)"
+        f"  ELSE named_struct('arr', {run_close},"
+        "                     'pv', cast(b as int), 'cc', 1L) END,"
+        f" s -> CASE WHEN s.pv IS NULL THEN s.arr ELSE {run_close} END)"
+        " AS __ihruns",
+    )
+    s3 = s2.selectExpr(
+        "*",
+        f"transform(sequence(0, {N - 1}), b -> cast(coalesce("
+        "try_element_at(filter(__ihruns, r -> r.b = b), 1).c, 0L) as double))"
+        " AS __ihfreq",
+    ).selectExpr(
+        "*",
+        # running cumulative counts (exact integers — order-trivial)
+        "aggregate(__ihfreq,"
+        " named_struct('arr', cast(array() as array<double>), 's', 0D),"
+        " (st, c) -> named_struct('arr', array_append(st.arr, st.s + c),"
+        "                         's', st.s + c),"
+        " st -> st.arr) AS __ihcum",
+    )
+    seq = f"sequence(0, {N - 1})"
+    s4 = s3.selectExpr(
+        "*",
+        # S1 = Σ f·i, S2 = Σ f·i² — exact ints, ascending-bin fold like the
+        # kernel's (freq * i_arr).sum(axis=1)
+        f"aggregate(zip_with(__ihfreq, {seq},"
+        " (f, i) -> f * cast(i as double)), 0D, (a, t) -> a + t) AS __ihs1",
+        f"aggregate(zip_with(__ihfreq, {seq},"
+        " (f, i) -> f * (cast(i as double) * cast(i as double))), 0D,"
+        " (a, t) -> a + t) AS __ihs2",
+        "floor(__ihn / 2.0D) AS __ihhalf",
+    ).selectExpr(
+        "*",
+        "(__ihs1 / __ihst) AS __ihmeani",
+        "((__ihst * __ihs2 - __ihs1 * __ihs1) / (__ihst * __ihst))"
+        " AS __ihvari",
+        f"least(aggregate(__ihcum, 0,"
+        " (a, c) -> a + (CASE WHEN c <= __ihhalf THEN 1 ELSE 0 END)),"
+        f" {N - 1}) AS __ihmedb",
+        # first-max argmax over the frequency vector (strict >, like argmax)
+        f"aggregate({seq}, named_struct('bi', 0, 'bv', -1.0D),"
+        " (s, b) -> CASE WHEN element_at(__ihfreq, b + 1) > s.bv"
+        "   THEN named_struct('bi', b, 'bv', element_at(__ihfreq, b + 1))"
+        "   ELSE s END).bi AS __ihmodeb",
+    )
+    # interpolated histogram quantiles (intensity_histogram.cpp:69-102 via
+    # ih._quantile): below-median ps walk from the bottom, above-median from
+    # the top over PRESENT bins; every float op replicated in order
+    # ANSI guards: unlike numpy (x/0 → NaN, NaN < p → False), Spark ANSI
+    # errors on ANY division by zero, so every division by the raw count is
+    # short-circuited behind `__ihn > 0D` — the guarded branch reproduces
+    # numpy's False/NaN outcome exactly on the empty rows it protects
+    q_cols = []
+    for nm, p in (("p10", "0.1"), ("p25", "0.25")):
+        q_cols.append(
+            f"least(aggregate(__ihcum, 0, (a, c) -> a +"
+            f" (CASE WHEN __ihn > 0D AND c / __ihn < {p}D THEN 1 ELSE 0 END)),"
+            f" {N - 1}) AS __ihn{nm}"
+        )
+    for nm, p in (("p75", "0.75"), ("p90", "0.9")):
+        q_cols.append(
+            f"greatest(least(aggregate({seq}, -1, (a, b) -> CASE WHEN"
+            " __ihn > 0D AND element_at(__ihfreq, b + 1) > 0D AND"
+            " (element_at(__ihcum, b + 1) - element_at(__ihfreq, b + 1))"
+            f" / __ihn <= {p}D THEN b ELSE a END), {N - 1}), 0)"
+            f" AS __ihn{nm}"
+        )
+    s5 = s4.selectExpr("*", *q_cols)
+    v_cols = []
+    for nm, p in (("p10", "0.1"), ("p25", "0.25")):
+        f_n = f"element_at(__ihfreq, __ihn{nm} + 1)"
+        p_prev = (f"((CASE WHEN __ihn{nm} > 0 THEN"
+                  f" element_at(__ihcum, __ihn{nm}) ELSE 0D END) / __ihn)")
+        binprop = (f"(CASE WHEN {f_n} / __ihn > 0D THEN {f_n} / __ihn"
+                   " ELSE cast('NaN' as double) END)")
+        v_cols.append(
+            f"(CASE WHEN __ihok THEN"
+            f" ((__ihvmin + cast(__ihn{nm} as double) * __ihbw)"
+            f" + (({p}D - {p_prev}) / {binprop}) * __ihbw)"
+            " ELSE cast('NaN' as double) END)"
+            f" AS __ihv{nm}"
+        )
+    for nm, p in (("p75", "0.75"), ("p90", "0.9")):
+        f_n = f"element_at(__ihfreq, __ihn{nm} + 1)"
+        p_prev = f"(element_at(__ihcum, __ihn{nm} + 1) / __ihn)"
+        binprop = (f"(CASE WHEN {f_n} / __ihn > 0D THEN {f_n} / __ihn"
+                   " ELSE cast('NaN' as double) END)")
+        v_cols.append(
+            f"(CASE WHEN __ihok THEN"
+            f" ((__ihvmin + (cast(__ihn{nm} as double) + 1.0D) * __ihbw)"
+            f" - (({p_prev} - {p}D) / {binprop}) * __ihbw)"
+            " ELSE cast('NaN' as double) END)"
+            f" AS __ihv{nm}"
+        )
+    s6 = s5.selectExpr(
+        "*", *v_cols,
+        "(__ihvmin + (cast(__ihmedb as double) + 0.5D) * __ihbw)"
+        " AS __ihmedv",
+    )
+
+    def idx_of(val: str) -> str:
+        # get_index_of (ih.py): clip(floor((value − vmin)/bw), 0, N−1);
+        # NaN quantiles only occur on not-ok rows, where the ANSI int cast
+        # would error — guard returns 0 there (the value is masked anyway)
+        return (
+            "(CASE WHEN __ihok THEN least(greatest(cast(floor("
+            f"({val} - __ihvmin) / __ihbw) as int), 0), {N - 1})"
+            " ELSE 0 END)"
+        )
+
+    s7 = s6.selectExpr(
+        "*",
+        f"{idx_of('__ihvp10')} AS __ihip10",
+        f"{idx_of('__ihvp25')} AS __ihip25",
+        f"{idx_of('__ihvp75')} AS __ihip75",
+        f"{idx_of('__ihvp90')} AS __ihip90",
+        f"{idx_of('__ihmedv')} AS __ihimed",
+        f"{idx_of('__ihvmin')} AS __ihimin",
+        f"{idx_of('__ihvmax')} AS __ihimax",
+    )
+    # robust band [P10_IDX, P90_IDX] + exact-integer deviation numerators
+    band = ("zip_with(__ihfreq, " + seq + ", (f, i) -> CASE WHEN"
+            " i >= __ihip10 AND i <= __ihip90 THEN f ELSE 0D END)")
+    s8 = s7.selectExpr(
+        "*",
+        f"aggregate({band}, 0D, (a, t) -> a + t) AS __ihrc",
+        f"aggregate(zip_with({band}, {seq},"
+        " (f, i) -> f * cast(i as double)), 0D, (a, t) -> a + t) AS __ihb1",
+    ).selectExpr(
+        "*",
+        "(CASE WHEN __ihrc > 0D THEN __ihrc ELSE 1.0D END) AS __ihsrc",
+    ).selectExpr(
+        "*",
+        "(__ihb1 / __ihsrc) AS __ihrmi",
+        # MAD / band-MAD / median-AD as exact-int numerators + one division
+        f"(aggregate(zip_with(__ihfreq, {seq},"
+        " (f, i) -> f * abs(__ihst * cast(i as double) - __ihs1)), 0D,"
+        " (a, t) -> a + t) / (__ihst * __ihst)) AS __ihmadi",
+        f"(aggregate(zip_with({band}, {seq},"
+        " (f, i) -> f * abs(__ihsrc * cast(i as double) - __ihb1)), 0D,"
+        " (a, t) -> a + t) / (__ihsrc * __ihsrc)) AS __ihrmadi",
+        f"(aggregate(zip_with(__ihfreq, {seq},"
+        " (f, i) -> f * abs(cast(i as double) - cast(__ihimed as double))),"
+        " 0D, (a, t) -> a + t) / __ihst) AS __ihmedadi",
+        "(aggregate(__ihfreq, 0D, (a, f) -> a + f * f)"
+        " / (__ihst * __ihst)) AS __ihunif",
+        # central-moment TERM arrays ((p·d²)·dᵏ per bin); the sums follow in
+        # the next stage with numpy's exact accumulation pattern
+        f"zip_with(__ihfreq, {seq}, (f, i) ->"
+        " ((f / __ihst) * ((cast(i as double) - __ihmeani)"
+        " * (cast(i as double) - __ihmeani)))"
+        " * (cast(i as double) - __ihmeani)) AS __iht3",
+        f"zip_with(__ihfreq, {seq}, (f, i) ->"
+        " ((f / __ihst) * ((cast(i as double) - __ihmeani)"
+        " * (cast(i as double) - __ihmeani)))"
+        " * ((cast(i as double) - __ihmeani)"
+        " * (cast(i as double) - __ihmeani))) AS __iht4",
+    ).selectExpr(
+        "*",
+        # numpy's 64-element sum is NOT a plain left-to-right fold: for
+        # 9..128 elements pairwise_sum runs an 8-WAY UNROLLED loop (eight
+        # accumulators r_j = Σ t[j::8] in block order, combined as
+        # ((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7)) — verified bit-exact against
+        # np.sum on random 64-vectors). The float moment sums replicate that
+        # exact tree; every integer-valued sum elsewhere is order-free.
+        f"{_sum64_unroll8('__iht3')} AS __ihm3",
+        f"{_sum64_unroll8('__iht4')} AS __ihm4",
+    )
+    # gradients: central differences, forward/backward at the edges
+    s9 = s8.selectExpr(
+        "*",
+        f"transform({seq}, i -> CASE"
+        " WHEN i = 0 THEN element_at(__ihfreq, 2) - element_at(__ihfreq, 1)"
+        f" WHEN i = {N - 1} THEN element_at(__ihfreq, {N})"
+        f"   - element_at(__ihfreq, {N - 1})"
+        " ELSE (element_at(__ihfreq, i + 2) - element_at(__ihfreq, i))"
+        "   / 2.0D END) AS __ihgrad",
+    ).selectExpr(
+        "*",
+        f"aggregate({seq},"
+        " named_struct('bi', 0, 'bv', cast('-Infinity' as double)),"
+        " (s, i) -> CASE WHEN element_at(__ihgrad, i + 1) > s.bv"
+        "   THEN named_struct('bi', i, 'bv', element_at(__ihgrad, i + 1))"
+        "   ELSE s END) AS __ihgmax",
+        f"aggregate({seq},"
+        " named_struct('bi', 0, 'bv', cast('Infinity' as double)),"
+        " (s, i) -> CASE WHEN element_at(__ihgrad, i + 1) < s.bv"
+        "   THEN named_struct('bi', i, 'bv', element_at(__ihgrad, i + 1))"
+        "   ELSE s END) AS __ihgmin",
+    )
+    return s9
+
+
+def sql_ih_exprs():
+    """Final IH feature expressions over the _staged_ih columns —
+    op-order-identical to ih_section (value-domain = affine maps of the
+    index-domain stats, exactly as ih.py computes them)."""
+    N = _IH_N
+    raw = {
+        "IH_MEAN_VAL": "(__ihvmin + (__ihmeani + 0.5D) * __ihbw)",
+        "IH_VARIANCE_VAL": "(__ihvari * (__ihbw * __ihbw))",
+        "IH_SKEWNESS_VAL": "(__ihm3 / (__ihvari * sqrt(__ihvari)))",
+        "IH_EXCESS_KURTOSIS_VAL":
+            "(__ihm4 / (__ihvari * __ihvari) - 3.0D)",
+        "IH_MEDIAN_VAL": "__ihmedv",
+        "IH_MINIMUM_VAL": "__ihvmin",
+        "IH_P10_VAL": "__ihvp10",
+        "IH_P90_VAL": "__ihvp90",
+        "IH_MAXIMUM_VAL": "__ihvmax",
+        "IH_MODE_VAL":
+            "(__ihvmin + (cast(__ihmodeb as double) + 0.5D) * __ihbw)",
+        "IH_INTERQUANTILE_RANGE_VAL": "(__ihvp75 - __ihvp25)",
+        "IH_RANGE_VAL": "(__ihvmax - __ihvmin)",
+        "IH_MEAN_ABSOLUTE_DEVIATION_VAL": "(__ihmadi * __ihbw)",
+        "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_VAL": "(__ihrmadi * __ihbw)",
+        "IH_MEDIAN_ABSOLUTE_DEVIATION_VAL": "(__ihmedadi * __ihbw)",
+        "IH_COEFFICIENT_OF_VARIATION_VAL":
+            "(sqrt(__ihvari * (__ihbw * __ihbw))"
+            " / (__ihvmin + (__ihmeani + 0.5D) * __ihbw))",
+        "IH_QUANTILE_COEFFICIENT_OF_DISPERSION_VAL":
+            "((__ihvp75 - __ihvp25) / (__ihvp75 + __ihvp25))",
+        "IH_UNIFORMITY_VAL": "__ihunif",
+        "IH_ROBUST_MEAN_VAL": "(__ihvmin + (__ihrmi + 0.5D) * __ihbw)",
+        "IH_MEAN_IDX": "(__ihmeani + 1.0D)",
+        "IH_VARIANCE_IDX": "__ihvari",
+        "IH_SKEWNESS_IDX": "(__ihm3 / (__ihvari * sqrt(__ihvari)))",
+        "IH_EXCESS_KURTOSIS_IDX":
+            "(__ihm4 / (__ihvari * __ihvari) - 3.0D)",
+        "IH_MEDIAN_IDX": "(cast(__ihimed as double) + 1.0D)",
+        "IH_MINIMUM_IDX": "(cast(__ihimin as double) + 1.0D)",
+        "IH_P10_IDX": "(cast(__ihip10 as double) + 1.0D)",
+        "IH_P90_IDX": "(cast(__ihip90 as double) + 1.0D)",
+        "IH_MAXIMUM_IDX": "(cast(__ihimax as double) + 1.0D)",
+        "IH_MODE_IDX": "(cast(__ihmodeb as double) + 1.0D)",
+        "IH_INTERQUANTILE_RANGE_IDX":
+            "cast(__ihip75 - __ihip25 as double)",
+        "IH_RANGE_IDX": "cast(__ihimax - __ihimin as double)",
+        "IH_MEAN_ABSOLUTE_DEVIATION_IDX": "__ihmadi",
+        "IH_ROBUST_MEAN_ABSOLUTE_DEVIATION_IDX": "__ihrmadi",
+        "IH_MEDIAN_ABSOLUTE_DEVIATION_IDX": "__ihmedadi",
+        "IH_COEFFICIENT_OF_VARIATION_IDX":
+            "(sqrt(__ihvari) / (__ihmeani + 1.0D))",
+        "IH_QUANTILE_COEFFICIENT_OF_DISPERSION_IDX":
+            "(cast(__ihip75 - __ihip25 as double)"
+            " / (cast(__ihip75 as double) + 1.0D"
+            " + cast(__ihip25 as double) + 1.0D))",
+        "IH_UNIFORMITY_IDX": "__ihunif",
+        "IH_MAX_GRADIENT":
+            f"(CASE WHEN __ihgmax.bv > {_DBL_MIN} THEN __ihgmax.bv"
+            f" ELSE {_DBL_MIN} END)",
+        "IH_MAX_GRADIENT_IDX":
+            f"(CASE WHEN __ihgmax.bv > {_DBL_MIN}"
+            " THEN cast(__ihgmax.bi as double) + 1.0D ELSE 0.0D END)",
+        "IH_MIN_GRADIENT": "__ihgmin.bv",
+        "IH_MIN_GRADIENT_IDX": "(cast(__ihgmin.bi as double) + 1.0D)",
+        "IH_ROBUST_MEAN_IDX": "__ihrmi",
+        "IH_NUM_BINS": f"cast({N} as double)",
+        "IH_BIN_SIZE": "__ihbw",
+    }
+    nan = "cast('NaN' as double)"
+    return {
+        name: F.expr(f"CASE WHEN __ihok THEN {expr} ELSE {nan} END")
+        for name, expr in raw.items()
+    }
+
+
 def sql_firstorder_exprs():
     """Final-feature expressions over the staged scalar columns —
     op-order-identical to firstorder_section (see module docstring)."""
@@ -317,12 +677,19 @@ def extract_features_sql(
     the plan is whole-stage-codegen projections over the scan (no
     exchange, no Python)."""
     feats = features or SQL_FIRSTORDER_FEATURES
-    bad = [f for f in feats if f not in SQL_FIRSTORDER_FEATURES]
+    bad = [f for f in feats
+           if f not in SQL_FIRSTORDER_FEATURES and f not in SQL_IH_FEATURES]
     if bad:
         raise ValueError(
             f"not SQL-expressible (use the kernel backend): {bad}"
         )
-    staged = _staged(df, tokens_col)
-    exprs = sql_firstorder_exprs()
+    staged = df
+    exprs: dict = {}
+    if any(f in SQL_FIRSTORDER_FEATURES for f in feats):
+        staged = _staged(staged, tokens_col)
+        exprs.update(sql_firstorder_exprs())
+    if any(f in SQL_IH_FEATURES for f in feats):
+        staged = _staged_ih(staged, tokens_col)
+        exprs.update(sql_ih_exprs())
     keep = [c for c in df.columns if keep_tokens or c != tokens_col]
     return staged.select(*keep, *[exprs[f].alias(f) for f in feats])

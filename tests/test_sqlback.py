@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from nyxus_spark.features import extract_features
 from nyxus_spark.features.sqlback import (
     SQL_FIRSTORDER_FEATURES,
+    SQL_IH_FEATURES,
     extract_features_sql,
 )
 
@@ -56,6 +57,65 @@ def test_sql_backend_matches_kernel_on_edges(spark):
     df = spark.createDataFrame(rows, ["doc_id", "tokens", "n_tok"]).withColumn(
         "tokens", F.col("tokens").cast("array<int>"))
     _assert_parity(df)
+
+
+def _assert_ih_parity(df):
+    k = {r.doc_id: r for r in
+         extract_features(df, SQL_IH_FEATURES, keep_tokens=False).collect()}
+    s = {r.doc_id: r for r in
+         extract_features_sql(df, SQL_IH_FEATURES).collect()}
+    assert set(k) == set(s)
+    for doc in k:
+        for name in SQL_IH_FEATURES:
+            _cmp(float(k[doc][name]), float(s[doc][name]), name, doc)
+
+
+def test_sql_backend_ih_matches_kernel_on_corpus(spark):
+    from nyxus_spark.sources import tokens_static
+
+    df = tokens_static(spark, SF).select("doc_id", "tokens", "n_tok")
+    _assert_ih_parity(df)
+
+
+def test_sql_backend_ih_matches_kernel_on_edges(spark):
+    rows = [
+        ("empty", [], 0),
+        ("blank", [7, 7, 7, 7], 4),       # rng 0 -> softNAN everywhere
+        ("single", [9], 1),
+        ("pair", [3, 9], 2),              # 2 present bins, quantile walks
+        ("skewed", [1, 1, 1, 1, 50], 5),  # heavy mode bin, top-walk stop
+        ("dense", list(range(200)) * 2, 400),  # every bin present
+        ("sparse_hi", [0, 250], 2),       # extreme bins only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens", "n_tok"]).withColumn(
+        "tokens", F.col("tokens").cast("array<int>"))
+    _assert_ih_parity(df)
+
+
+def test_sql_backend_ih_plan_is_python_free(spark):
+    from nyxus_spark.sources import tokens_static
+
+    df = extract_features_sql(
+        tokens_static(spark, SF).select("doc_id", "tokens", "n_tok"),
+        SQL_IH_FEATURES)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange" not in plan
+
+
+def test_sql_backend_mixed_families(spark):
+    # one call spanning firstorder + IH stages both pipelines
+    feats = ["MEAN", "VARIANCE", "IH_MEAN_VAL", "IH_MODE_IDX"]
+    df = spark.createDataFrame(
+        [("d0", [1, 5, 9, 9], 4), ("d1", [], 0)],
+        ["doc_id", "tokens", "n_tok"]).withColumn(
+        "tokens", F.col("tokens").cast("array<int>"))
+    k = {r.doc_id: r for r in
+         extract_features(df, feats, keep_tokens=False).collect()}
+    s = {r.doc_id: r for r in extract_features_sql(df, feats).collect()}
+    for d in k:
+        for c in feats:
+            _cmp(float(k[d][c]), float(s[d][c]), c, d)
 
 
 def test_sql_backend_rejects_non_expressible(spark):
