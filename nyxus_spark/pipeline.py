@@ -69,6 +69,10 @@ class PipelineConfig:
     exact: bool = True
     # 5. near-dup MinHash-LSH threshold; None disables
     near_jaccard: float | None = 0.5
+    # 5b. SemDeDup semantic dedup: cosine threshold over the quantized
+    #     embedding table (requires embeddings_df + centroids_df at call
+    #     time); None disables
+    semantic_threshold: float | None = None
     # 6. segment-level dedup: split on this token id; None disables.
     #    boilerplate_min_docs flags segments appearing in >= that many docs;
     #    drop_boilerplate also removes them (flag-only matches the
@@ -127,11 +131,14 @@ def clean_corpus(
     df: DataFrame,
     config: PipelineConfig = PipelineConfig(),
     bench_df: DataFrame | None = None,
+    embeddings_df: DataFrame | None = None,
+    centroids_df: DataFrame | None = None,
     id_expr: Column | None = None,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     n_tok_col: str = "n_tok",
     source_col: str = "source",
+    emb_vec_col: str = "qvec",
 ) -> CorpusCleanResult:
     """Run the configured cleaning stages over a token table
     (doc_id, tokens, n_tok, source) and return docs + provenance + packs.
@@ -140,6 +147,13 @@ def clean_corpus(
     packing, and epoch ordering (default `xxhash64(doc_id)` — pass e.g.
     ``F.expr("cast(substr(doc_id, 5) as bigint)")`` to reproduce the gate
     queries' id arithmetic exactly).
+
+    Semantic dedup (config.semantic_threshold) takes `embeddings_df`
+    (id_col + an int-quantized `emb_vec_col`, see
+    similarity.quantize_embedding) and `centroids_df` (cent_id,
+    cent_qvec — the SemDeDup cluster-blocking coarse quantizer, e.g. from
+    similarity.kmeans_step); drops each doc whose cluster holds a lower-id
+    member within the cosine threshold (operators/dedup.semdedup).
     """
     cfg = config
     if id_expr is None:
@@ -199,6 +213,22 @@ def clean_corpus(
         pairs = minhash_lsh_pairs(cur, jaccard_threshold=cfg.near_jaccard)
         drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
         cur = step(cur.join(drop_ids, id_col, "left_anti"), "5_near_dup")
+
+    # 5b. semantic dedup — SemDeDup cluster-blocked cosine (Σ|cluster|²
+    #     candidates, never all-pairs); drops the higher id of each
+    #     within-threshold cluster pair
+    if cfg.semantic_threshold is not None:
+        if embeddings_df is None or centroids_df is None:
+            raise ValueError(
+                "semantic_threshold needs embeddings_df and centroids_df")
+        from nyxus_spark.operators.dedup import semdedup
+
+        sd = semdedup(embeddings_df, centroids_df,
+                      threshold=cfg.semantic_threshold,
+                      id_col=id_col, vec_col=emb_vec_col)
+        sem_drop = sd.filter(F.col("sd_drop") == 1).select(id_col)
+        cur = step(cur.join(sem_drop, id_col, "left_anti"),
+                   "5b_semantic_dup")
 
     # 6. segment dedup — first-wins line dedup, optional boilerplate pass,
     #    docs rebuilt from surviving segments (all-dup docs drop out)

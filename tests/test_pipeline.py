@@ -121,6 +121,56 @@ def test_pipeline_filters_sampling_packing(spark, tmp_path):
     assert "__order_key" in back.columns
 
 
+def test_pipeline_semantic_dedup(spark):
+    import pytest
+
+    rows = [(f"doc_{i}", [i * 10 + j for j in range(6)], 6, "web")
+            for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    # doc_1 and doc_2 carry identical quantized embeddings -> cosine 1.0,
+    # higher id drops; doc_0 is orthogonal and survives
+    emb = spark.createDataFrame(
+        [("doc_0", [127, 0, 0, 0]), ("doc_1", [0, 100, 50, 0]),
+         ("doc_2", [0, 100, 50, 0])],
+        "doc_id string, qvec array<int>")
+    cents = spark.createDataFrame(
+        [(0, [0, 0, 0, 0])], "cent_id int, cent_qvec array<int>")
+    cfg = PipelineConfig(min_tokens=0, exact=False, near_jaccard=None,
+                         semantic_threshold=0.98)
+    res = clean_corpus(df, cfg, embeddings_df=emb, centroids_df=cents)
+    assert {r["doc_id"] for r in res.docs.collect()} == {"doc_0", "doc_1"}
+    prov = {(r["doc_id"], r["drop_stage"]) for r in res.provenance.collect()}
+    assert prov == {("doc_2", "5b_semantic_dup")}
+    with pytest.raises(ValueError):
+        clean_corpus(df, cfg)  # embeddings/centroids required
+
+
+def test_pipeline_drop_boilerplate(spark):
+    # the same licence-block segment in every doc: flag-only keeps its first
+    # occurrence (first-wins dedup), drop_boilerplate removes ALL copies
+    bp = [5, 6, 7]
+    rows = [(f"doc_{i}", bp + [104] + [20 + i, 21 + i], 6, "web")
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    keep_cfg = PipelineConfig(min_tokens=0, exact=False, near_jaccard=None,
+                              segment_delim=104, boilerplate_min_docs=2)
+    drop_cfg = PipelineConfig(min_tokens=0, exact=False, near_jaccard=None,
+                              segment_delim=104, boilerplate_min_docs=2,
+                              drop_boilerplate=True)
+    kept = {r["doc_id"]: r["tokens"] for r in
+            clean_corpus(df, keep_cfg).docs.collect()}
+    dropped = {r["doc_id"]: r["tokens"] for r in
+               clean_corpus(df, drop_cfg).docs.collect()}
+    # flag-only: doc_0 (lowest id) keeps the boilerplate prefix, others lose
+    # it to first-wins segment dedup
+    assert kept["doc_0"] == bp + [20, 21]
+    assert all(kept[f"doc_{i}"] == [20 + i, 21 + i] for i in range(1, 4))
+    # drop_boilerplate: every copy gone, including the first occurrence
+    assert all(dropped[f"doc_{i}"] == [20 + i, 21 + i] for i in range(4))
+
+
 def test_pipeline_temperature_mixture(spark):
     rows = [(f"a_{i}", [i % 9, (i + 1) % 9, (i + 2) % 9], 3, "big")
             for i in range(64)]
