@@ -116,6 +116,18 @@ def main() -> int:
                     help=f"fail if any section ratio regresses >{THRESHOLD}x "
                          "vs BENCH/kernel_baseline.json")
     args = ap.parse_args()
+    if ((args.write_baseline or args.check)
+            and not os.environ.get("MALLOC_MMAP_THRESHOLD_")):
+        # the pytest guard runs --check with MALLOC_MMAP_THRESHOLD_ set (the
+        # production-worker malloc config, session.py); a baseline recorded
+        # under a DIFFERENT allocator config reads systematically off and
+        # trips borderline sections on host-phase swings (round-5 incident:
+        # histo/ih/ngtdm false regressions) — refuse the asymmetry
+        print("set MALLOC_MMAP_THRESHOLD_=268435456 for --write-baseline/"
+              "--check (the env tests/test_kernel_budget.py uses) so the "
+              "baseline and the check share one allocator config",
+              file=sys.stderr)
+        return 2
     wanted = args.sections.split(",") if args.sections else None
     res = run(wanted, args.passes)
     for name, rec in sorted(res.items(), key=lambda kv: -kv[1]["ms"]):
